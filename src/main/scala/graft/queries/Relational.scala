@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operator coverage (aggregation, joins of every
+  * flavor, top-k, window functions, set ops, rollup, sessionization).
+  *
+  * The reference (`digitalocean/firebolt`) deliberately implements none
+  * of these — README.md:47-49 ("It is not an analytics tool") — but the
+  * north star requires the engine to exercise them over the driver
+  * testdata, and on Spark they come from Catalyst. Every query is
+  * written DataFrame-first so Catalyst can push filters/prune columns,
+  * with explicit broadcast hints for dimension tables (scale design:
+  * dims stay broadcastable at 100 TB; fact-fact joins shuffle on keys).
+  *
+  * Floating-point discipline: every aggregated double is `round`-ed in
+  * BOTH the Spark program and the DuckDB oracle so cross-engine
+  * summation-order differences (~1e-12) cannot flip the driver's hash
+  * compare. Raw (non-aggregated) doubles pass through exactly.
+  */
+object Relational {
+
+  def defs: Map[String, Q] = Map(
+    // ---- TPC-H Q1-style scan + aggregate (map-side partial agg) ----
+    "q1_agg" -> Q(
+      (s, dir) => {
+        Tables(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            round(sum("l_extendedprice"), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+              .as("sum_disc_price"),
+            round(avg("l_discount"), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity),2) AS sum_qty,
+             |  round(sum(l_extendedprice),2) AS sum_base_price,
+             |  round(sum(l_extendedprice*(1.0-l_discount)),4) AS sum_disc_price,
+             |  round(avg(l_discount),4) AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+      headline = true),
+
+    // ---- star join: fact shuffles, dims broadcast ----
+    "q2_join_star" -> Q(
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val c = Tables(s, dir, "customer")
+        val n = Tables(s, dir, "nation")
+        val r = Tables(s, dir, "region")
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(
+            round(sum("o_totalprice"), 2).as("revenue"),
+            count(lit(1)).as("n_orders"))
+      },
+      Some("""SELECT r_name, n_name, round(sum(o_totalprice),2) AS revenue, count(*) AS n_orders
+             |FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name""".stripMargin),
+      headline = true),
+
+    // ---- top-k: TakeOrderedAndProject, never a full global sort ----
+    "q3_topk" -> Q(
+      (s, dir) =>
+        Tables(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+          .limit(10),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // ---- window: rank within partition, deterministic tie-break ----
+    "q4_window_rank" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(desc("value"), asc("event_id"))
+        Tables(s, dir, "events")
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select("user_id", "event_id", "rnk")
+      },
+      Some("""SELECT user_id, event_id, rnk FROM (
+             |  SELECT user_id, event_id,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
+             |  FROM events) WHERE rnk <= 3""".stripMargin),
+      headline = true),
+
+    // ---- distinct aggregation ----
+    "q5_distinct" -> Q(
+      (s, dir) =>
+        Tables(s, dir, "events").agg(
+          countDistinct("user_id").as("users"),
+          countDistinct("event_type").as("types"),
+          count(lit(1)).as("n")),
+      Some("""SELECT count(DISTINCT user_id) AS users,
+             |  count(DISTINCT event_type) AS types, count(*) AS n
+             |FROM events""".stripMargin)),
+
+    // ---- filter + projection (must reach the parquet scan) ----
+    "q6_filter_pushdown" -> Q(
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_discount") > 0.05)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("net")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  round(l_extendedprice*(1.0-l_discount),4) AS net
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_discount > 0.05""".stripMargin)),
+
+    // ---- rollup (grouping sets) ----
+    "q7_rollup" -> Q(
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(round(sum("l_quantity"), 2).as("qty"), count(lit(1)).as("n"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+            col("qty"), col("n")),
+      Some("""SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
+             |  round(sum(l_quantity),2) AS qty, count(*) AS n
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)),
+
+    // ---- semi join ----
+    "q8_semi_join" -> Q(
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val big = Tables(s, dir, "orders").filter(col("o_totalprice") > 480000)
+        c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 480000)""".stripMargin)),
+
+    // ---- anti join ----
+    "q9_anti_join" -> Q(
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val o = Tables(s, dir, "orders").filter(col("o_totalprice") > 480000)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_mktsegment")
+      },
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 480000)""".stripMargin)),
+
+    // ---- set operations: INTERSECT + EXCEPT, tagged and unioned ----
+    "q10_setops" -> Q(
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+        val hi = e.filter(col("value") > 100).select("event_type")
+        val lo = e.filter(col("user_id") < 10).select("event_type")
+        hi.intersect(lo).withColumn("op", lit("i"))
+          .union(hi.except(lo).withColumn("op", lit("e")))
+          .select("op", "event_type")
+      },
+      Some("""SELECT 'i' AS op, event_type FROM (
+             |  SELECT event_type FROM events WHERE value > 100
+             |  INTERSECT SELECT event_type FROM events WHERE user_id < 10)
+             |UNION ALL
+             |SELECT 'e' AS op, event_type FROM (
+             |  SELECT event_type FROM events WHERE value > 100
+             |  EXCEPT SELECT event_type FROM events WHERE user_id < 10)""".stripMargin)),
+
+    // ---- tumbling time window (hour buckets as strings: no tz/unit skew) ----
+    "q11_tumbling_window" -> Q(
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hr"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value")),
+      Some("""SELECT strftime(ts, '%Y-%m-%d %H') AS hr, count(*) AS n,
+             |  round(sum(value),2) AS sum_value
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    // ---- sessionization (gaps-and-islands, 30 min inactivity gap) ----
+    "q12_sessions" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        Tables(s, dir, "events")
+          .withColumn("sec", col("ts").cast("long"))
+          .withColumn("gap", col("sec") - lag("sec", 1).over(w))
+          .withColumn("newsess",
+            when(col("gap").isNull || col("gap") > 1800, 1).otherwise(0))
+          .groupBy("user_id")
+          .agg(sum("newsess").as("n_sessions"), count(lit(1)).as("n_events"))
+      },
+      Some("""WITH d AS (
+             |  SELECT user_id,
+             |    CAST(floor(epoch(ts)) AS BIGINT)
+             |      - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             |        OVER (PARTITION BY user_id ORDER BY event_id) AS gap
+             |  FROM events)
+             |SELECT user_id,
+             |  sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+             |  count(*) AS n_events
+             |FROM d GROUP BY user_id""".stripMargin)),
+
+    // ---- lag/lead ----
+    "q13_lag_lead" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        Tables(s, dir, "events")
+          .withColumn("prev", lag("value", 1).over(w))
+          .withColumn("next", lead("value", 1).over(w))
+          .select(
+            col("event_id"), col("user_id"),
+            round(col("value") - col("prev"), 2).as("delta_prev"),
+            round(col("next") - col("value"), 2).as("delta_next"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  round(value - lag(value) OVER w, 2) AS delta_prev,
+             |  round(lead(value) OVER w - value, 2) AS delta_next
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""".stripMargin)),
+
+    // ---- sliding frame aggregate (moving average) ----
+    "q14_moving_avg" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(-3, Window.currentRow)
+        Tables(s, dir, "events")
+          .select(
+            col("event_id"), col("user_id"),
+            round(avg("value").over(w), 4).as("mavg"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  round(avg(value) OVER (PARTITION BY user_id ORDER BY event_id
+             |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg
+             |FROM events""".stripMargin))
+  )
+}
