@@ -1,0 +1,46 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The heart of the port: per-stage success/filtered/failure routing
+  * (`node/node.go:178-196`). A stage application splits its input into
+  *
+  *   - dead letters (failWhen matched) → `FbEventError` envelope rows
+  *     delivered to the node's error_handler (`node/node.go:277-295`)
+  *   - filtered rows (keepWhen false) → dropped, counted
+  *   - successes → expanded (fanout) then projected, delivered to all
+  *     children
+  *
+  * All three branches derive from ONE declarative plan; in batch mode
+  * the caller persists the input when it fans out to >1 consumer, and
+  * in streaming mode the split runs inside foreachBatch on a cached
+  * micro-batch — the source is never read twice (SURVEY §7 hard part a).
+  */
+object ErrorRouting {
+
+  final case class Split(output: DataFrame, deadLetters: Option[DataFrame])
+
+  /** EventError envelope columns (error.go:12-25): payload becomes
+    * struct<timestamp, event string, error struct<code,message>>.
+    */
+  def toEventError(failed: DataFrame, spec: FailSpec): DataFrame =
+    failed.select(
+      struct(
+        col("created").as("timestamp"),
+        col("payload").cast("string").as("event"),
+        struct(spec.code.as("code"), spec.msg.as("message")).as("error")).as("payload"),
+      col("created"),
+      col("recovery"))
+
+  def apply(input: DataFrame, stage: Stage): Split = {
+    val (ok0, dead) = stage.failWhen match {
+      case Some(spec) =>
+        (input.filter(!spec.cond), Some(toEventError(input.filter(spec.cond), spec)))
+      case None => (input, None)
+    }
+    val kept = stage.keepWhen.map(ok0.filter).getOrElse(ok0)
+    val expanded = stage.expand.map(f => f(kept)).getOrElse(kept)
+    Split(stage.project(expanded), dead)
+  }
+}

@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.config.{AppConfig, NodeConf}
+
+/** Folds a validated config tree into a DataFrame DAG.
+  *
+  * Mapping of the reference's execution semantics
+  * (`executor/executor.go:142-207`) onto Spark:
+  *
+  *   - source→roots broadcast + parent→children replication
+  *     (`executor/executor.go:183-186`, `node/node.go:190-194`): the
+  *     same DataFrame is reused by every consumer; when a node has >1
+  *     consumer (children + error handler) its input is persisted in
+  *     batch mode so the upstream work runs once.
+  *   - per-node workers/buffersize: scheduling belongs to Spark
+  *     (task parallelism per partition); the knobs are accepted and
+  *     surfaced but do not hand-schedule anything.
+  *   - disabled node: skip node and whole subtree (`node/node.go:76-80`).
+  *   - per-node received/success counters: `observe` metrics (collected
+  *     by the driver on action, zero extra jobs) named
+  *     `<id>.received` / `<id>.emitted`, matching the reference's
+  *     metric names conceptually (`metrics/metrics.go:106-185`).
+  */
+object Pipeline {
+
+  final case class BuiltNode(
+      conf: NodeConf,
+      output: DataFrame,
+      deadLetters: Option[DataFrame],
+      errorHandlerOutput: Option[DataFrame],
+      children: List[BuiltNode]) {
+
+    def find(id: String): Option[BuiltNode] =
+      if (conf.id == id) Some(this)
+      else children.view.flatMap(_.find(id)).headOption
+
+    /** all terminal outputs (leaves + error handler outputs), keyed by id */
+    def leaves: List[(String, DataFrame)] = {
+      val own = if (children.isEmpty) List(conf.id -> output) else children.flatMap(_.leaves)
+      own ++ errorHandlerOutput.map(conf.id + ".errors" -> _).toList
+    }
+  }
+
+  final case class Built(source: DataFrame, roots: List[BuiltNode]) {
+    def find(id: String): Option[BuiltNode] = roots.view.flatMap(_.find(id)).headOption
+    def leaves: List[(String, DataFrame)] = roots.flatMap(_.leaves)
+  }
+
+  /** Build the full DAG for a config against a batch source DataFrame. */
+  def build(
+      spark: SparkSession,
+      config: AppConfig,
+      registry: Registry,
+      observeMetrics: Boolean = false,
+      persistShared: Boolean = true): Built = {
+    val src = registry.instantiateSource(config.source.name).read(spark, config.source.params)
+    buildOn(src, config.nodes, registry, observeMetrics, persistShared)
+  }
+
+  /** Build against an explicit source (tests, streaming micro-batches). */
+  def buildOn(
+      source: DataFrame,
+      nodes: List[NodeConf],
+      registry: Registry,
+      observeMetrics: Boolean = false,
+      persistShared: Boolean = true): Built = {
+    val activeRoots = nodes.filterNot(_.disabled)
+    val src =
+      if (activeRoots.size > 1 && persistShared) source.persist(StorageLevel.MEMORY_AND_DISK)
+      else source
+    Built(src, activeRoots.map(buildNode(src, _, registry, observeMetrics, persistShared)))
+  }
+
+  private def buildNode(
+      input: DataFrame,
+      conf: NodeConf,
+      registry: Registry,
+      observe: Boolean,
+      persistShared: Boolean): BuiltNode = {
+    val stage = registry.instantiateNode(conf.name, conf.params)
+    val observed =
+      if (observe) input.observe(s"${conf.id}.received", count(lit(1)).as("count"))
+      else input
+
+    val split = ErrorRouting(observed, stage)
+
+    val activeChildren = conf.children.filterNot(_.disabled)
+    val consumers = activeChildren.size + (if (conf.errorHandler.isDefined) 1 else 0)
+    val out0 = split.output
+    val out =
+      if (consumers > 1 && persistShared) out0.persist(StorageLevel.MEMORY_AND_DISK)
+      else out0
+    val outObserved =
+      if (observe) out.observe(s"${conf.id}.emitted", count(lit(1)).as("count"))
+      else out
+
+    val errorHandlerOutput = for {
+      ehConf <- conf.errorHandler
+      dead <- split.deadLetters
+    } yield {
+      val ehStage = registry.instantiateNode(ehConf.name, ehConf.params)
+      ErrorRouting(dead, ehStage).output
+    }
+
+    BuiltNode(
+      conf,
+      outObserved,
+      split.deadLetters,
+      errorHandlerOutput,
+      activeChildren.map(buildNode(outObserved, _, registry, observe, persistShared)))
+  }
+}

@@ -1,0 +1,162 @@
+package graft.pipeline
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.RegistryView
+
+/** Name → factory registry for sources and node types — mirrors the
+  * reference's singleton registry (`node/registry.go:14-102`) minus the
+  * singleton: pipelines own their registry instance.
+  */
+final class Registry extends RegistryView {
+  private val sources = mutable.Map[String, SourceFactory]()
+  private val nodes = mutable.Map[String, StageFactory]()
+
+  def registerSourceType(name: String, f: SourceFactory): Unit = sources(name) = f
+  def registerNodeType(name: String, f: StageFactory): Unit = nodes(name) = f
+
+  override def sourceProduces(name: String): Option[String] = sources.get(name).map(_.produces)
+  override def nodeTypes(name: String): Option[(String, String)] =
+    nodes.get(name).map(f => (f.consumes, f.produces))
+
+  /** panics on unknown type, like `registry.go:70-80`. */
+  def instantiateNode(name: String, params: Map[String, String]): Stage =
+    nodes.getOrElse(name, throw new IllegalArgumentException(s"no node registered for type $name")).build(params)
+
+  def instantiateSource(name: String): SourceFactory =
+    sources.getOrElse(name, throw new IllegalArgumentException(s"no source registered for type $name"))
+}
+
+/** Built-in types, mirroring the reference's `executor/noderegistrar.go:16-39`
+  * (kafkaconsumer; syslogparser, kafkaproducer, errorkafkaproducer,
+  * elasticsearch) plus the deterministic test kit from
+  * `internal/testnodetypes.go`.
+  */
+object Registry {
+  import graft.config.TypeTags
+
+  val SyslogMsg = "*captainslog.SyslogMsg"
+  val ProduceReq = "firebolt.ProduceRequest"
+  val IndexReq = "elasticsearch.IndexRequest"
+  val StringT = "string"
+
+  def builtins(): Registry = {
+    val r = new Registry
+
+    // sources ------------------------------------------------------
+    // Offline stand-in for the Kafka source: a parquet/file scan that
+    // yields the same `Event{payload []byte}` shape. The real Kafka
+    // path (readStream.format("kafka")) is built by
+    // graft.streaming.KafkaSourceConfig; semantics identical.
+    def parquetEvents(spark: SparkSession, params: Map[String, String], payloadType: String): DataFrame = {
+      val path = params.getOrElse("path", sys.error("missing config value [path]"))
+      val payload = params.get("payloadexpr").map(expr)
+        .getOrElse(col(params.getOrElse("payloadcolumn", "payload")))
+      val created = params.get("createdcolumn").map(col).getOrElse(current_timestamp())
+      spark.read.parquet(path).select(
+        payload.cast(payloadType).as("payload"),
+        created.cast("timestamp").as("created"),
+        lit(false).as("recovery"))
+    }
+    r.registerSourceType("parquetsource", new SourceFactory {
+      val produces = TypeTags.Bytes
+      def read(spark: SparkSession, params: Map[String, String]): DataFrame =
+        parquetEvents(spark, params, "binary")
+    })
+    // string-payload variant (the analog of the test kit's
+    // `simplesource`, internal/testnodetypes.go:85-131)
+    r.registerSourceType("stringsource", new SourceFactory {
+      val produces = StringT
+      def read(spark: SparkSession, params: Map[String, String]): DataFrame =
+        parquetEvents(spark, params, "string")
+    })
+    r.registerSourceType("kafkaconsumer", new SourceFactory {
+      val produces = TypeTags.Bytes
+      def read(spark: SparkSession, params: Map[String, String]): DataFrame =
+        graft.streaming.KafkaSourceConfig.batch(spark, params)
+    })
+
+    // transforms ---------------------------------------------------
+    r.registerNodeType("syslogparser", new StageFactory {
+      val consumes = TypeTags.Bytes
+      val produces = SyslogMsg
+      def build(params: Map[String, String]): Stage =
+        graft.functions.Syslog.stage
+    })
+
+    // sinks --------------------------------------------------------
+    r.registerNodeType("kafkaproducer", new StageFactory {
+      val consumes = ProduceReq
+      val produces = ProduceReq
+      def build(params: Map[String, String]): Stage = Stage(
+        // payload is struct<topic,message>; emit Kafka sink shape
+        project = df => df.select(
+          col("payload.topic").as("topic"),
+          col("payload.message").cast("binary").as("value"),
+          col("created"), col("recovery")),
+        terminal = true)
+    })
+    r.registerNodeType("errorkafkaproducer", new StageFactory {
+      val consumes = TypeTags.EventError
+      val produces = ProduceReq
+      def build(params: Map[String, String]): Stage = Stage(
+        // EventError rows → JSON dead-letter payload (error.go:29-47)
+        project = df => df.select(
+          lit(params.getOrElse("topic", "errors")).as("topic"),
+          graft.functions.DeadLetter.json(
+            col("payload.timestamp"), col("payload.event"),
+            col("payload.error.code"), col("payload.error.message")).cast("binary").as("value"),
+          col("created"), col("recovery")),
+        terminal = true)
+    })
+
+    // deterministic test kit (internal/testnodetypes.go) ------------
+    // payload: string; "filterme*" filtered, "error*" dead-lettered.
+    r.registerNodeType("filternode", new StageFactory {
+      val consumes = StringT
+      val produces = StringT
+      def build(params: Map[String, String]): Stage = {
+        val prefix = params.getOrElse("prefix", "filterme")
+        Stage(keepWhen = Some(!col("payload").cast("string").startsWith(prefix)))
+      }
+    })
+    r.registerNodeType("errornode", new StageFactory {
+      val consumes = StringT
+      val produces = StringT
+      def build(params: Map[String, String]): Stage = {
+        val prefix = params.getOrElse("prefix", "error")
+        Stage(failWhen = Some(FailSpec(
+          cond = col("payload").cast("string").startsWith(prefix),
+          code = lit("ERR_TEST"),
+          msg = concat(lit("test error on "), col("payload").cast("string")))))
+      }
+    })
+    r.registerNodeType("fanoutnode", new StageFactory {
+      val consumes = StringT
+      val produces = StringT
+      def build(params: Map[String, String]): Stage = {
+        val n = params.getOrElse("copies", "3").toInt
+        Stage(expand = Some(df =>
+          df.withColumn("payload",
+            explode(array((0 until n).map(i =>
+              concat(col("payload").cast("string"), lit(s"-$i"))): _*)))))
+      }
+    })
+    r.registerNodeType("resultsnode", new StageFactory {
+      val consumes = StringT
+      val produces = StringT
+      def build(params: Map[String, String]): Stage = Stage()
+    })
+    // error handler used in config tests: consumes EventError
+    r.registerNodeType("errorhandlernode", new StageFactory {
+      val consumes = TypeTags.EventError
+      val produces = TypeTags.EventError
+      def build(params: Map[String, String]): Stage = Stage()
+    })
+
+    r
+  }
+}
