@@ -14,7 +14,7 @@ object SparkEntry {
 
   /** All query groups. Order matters only for readability. */
   private[graft] def all: Map[String, Q] =
-    Relational.defs ++ FireboltOps.defs
+    Relational.defs ++ FireboltOps.defs ++ TrainingOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import TextFunctions.{charHash, P}
+
+/** MinHash and SimHash signatures as pure column expressions over
+  * word-shingle arrays. Hash family is explicit affine arithmetic mod P
+  * so signatures are reproducible across engines and stable across
+  * releases (document-identity hashes must never change under you).
+  */
+object Hashing {
+
+  /** h_i(x) = ((37 + 101·i)·x + 7 + 139·i) mod P — cheap affine family;
+    * i is bounded (≤ a few dozen) so coefficients stay ≪ 2^31 and
+    * products ≪ 2^62.
+    */
+  def affine(i: Int, h: Column): Column =
+    pmod(lit(37L + 101L * i) * h + lit(7L + 139L * i), lit(P))
+
+  /** k-element MinHash signature over the DISTINCT shingles of a doc:
+    * sig[i] = min over shingles s of h_i(charHash(s)).
+    */
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    val hs = transform(array_distinct(shingles), s => charHash(s))
+    array((0 until k).map(i => array_min(transform(hs, h => affine(i, h)))): _*)
+  }
+
+  /** LSH band keys: the signature split into `bands` contiguous rows,
+    * each rendered "b:v1-v2-..." — docs sharing any band key are
+    * candidate duplicates.
+    */
+  def lshBandKeys(sig: Column, k: Int, bands: Int): Column = {
+    val rows = k / bands
+    array((0 until bands).map(b =>
+      concat_ws("-", (lit(b.toString) +: (0 until rows).map(r =>
+        element_at(sig, b * rows + r + 1).cast("string"))): _*)): _*)
+  }
+
+  /** 32-bit SimHash over token array: bit j is set iff
+    * sum over tokens of (2·bit_j(charHash(tok)) − 1) > 0.
+    * Tokens are NOT deduplicated (multiplicity is signal).
+    */
+  def simhash32(tokens: Column): Column = {
+    val hs = transform(tokens, t => charHash(t))
+    (0 until 32).map { j =>
+      val bitSum = aggregate(hs, lit(0L), (acc, h) =>
+        acc + (pmod(shiftright(h, j), lit(2L)) * 2L - 1L))
+      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** byte b (0..3) of a simhash — blocking key for hamming-bounded
+    * joins: two 32-bit values within hamming distance 3 agree on at
+    * least one of the 4 bytes (pigeonhole).
+    */
+  def simhashBlock(sh: Column, b: Int): Column =
+    pmod(shiftright(sh, 8 * b), lit(256L))
+}

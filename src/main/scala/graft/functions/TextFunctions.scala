@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines,
+  * all pure column expressions (whole-stage codegen; no UDFs) with
+  * engine-independent semantics: hashes are explicit polynomial
+  * arithmetic (reproducible in any SQL engine for oracles/audits) and
+  * ratios are emitted as scaled integers via integer division so no
+  * floating-point rounding can diverge across engines.
+  */
+object TextFunctions {
+
+  /** modulus for all polynomial hashes (fits 64-bit intermediate math:
+    * h < P ≈ 2^30, h*131 + x < 2^38). */
+  val P = 1000000007L
+
+  def words(text: Column): Column = split(text, " ")
+
+  /** word n-gram shingles ("a b c" for n=3). */
+  def shingles(text: Column, n: Int): Column = {
+    val w = words(text)
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(o => element_at(w, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** deterministic polynomial char hash:
+    * fold(chars, 7, (h,c) => (h*31 + ascii(c)) mod P). */
+  def charHash(s: Column): Column =
+    aggregate(
+      transform(filter(split(s, ""), c => c =!= ""), c => ascii(c).cast("long")),
+      lit(7L),
+      (acc, x) => pmod(acc * 31 + x, lit(P)))
+
+  /** document fingerprint: rolling hash over word hashes —
+    * fold(words, 7, (h,w) => (h*131 + charHash(w)) mod P). */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(words(text), w => charHash(w)),
+      lit(7L),
+      (acc, h) => pmod(acc * 131 + h, lit(P)))
+
+  // ---- token counting ----
+
+  /** whitespace tokens. */
+  def wsTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0))).cast("long")
+
+  /** BPE-ish pre-tokenizer: letter runs / digit runs / single symbols. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** the classic chars/4 LLM token estimate. */
+  def approxTokenCount(text: Column): Column =
+    ceil(length(text) / 4.0).cast("long")
+
+  // ---- quality scoring ----
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "or", "is")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(words(text), w => w.isInCollection(Stopwords))).cast("long")
+
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0))).cast("long")
+
+  /** quality score in parts-per-million:
+    * ppm = floor(least(words,100) * (words - stop) * 1e6 / (100 * words))
+    * (= lengthFactor * (1 - stopwordRatio), scaled). Numerator < 2^53 so
+    * the double division is exact enough that floor == integer DIV in
+    * any engine (closest a non-integer ratio can sit to an integer is
+    * 1/denominator ≫ one ulp).
+    */
+  def qualityScorePpm(text: Column): Column = {
+    val w = wsTokenCount(text)
+    val s = stopwordCount(text)
+    floor((least(w, lit(100L)) * (w - s) * 1000000L) / (w * 100L)).cast("long")
+  }
+
+  // ---- language ID (marker-word heuristic) ----
+
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "is"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "es" -> Seq("el", "los", "y", "las"),
+    "de" -> Seq("der", "und", "die", "das"))
+
+  /** n-gram-free language ID: argmax of marker-word hits with fixed
+    * precedence (en > fr > es > de), 'unknown' when no marker hits.
+    */
+  def langId(text: Column): Column = {
+    val counts = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(words(text), w => w.isInCollection(markers))).cast("long")
+    }
+    val allCounts = counts.map(_._2)
+    counts.foldRight(lit("unknown")) { case ((lang, c), els) =>
+      when(c > 0 && allCounts.map(o => c >= o).reduce(_ && _), lit(lang)).otherwise(els)
+    }
+  }
+}

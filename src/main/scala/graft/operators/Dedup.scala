@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashing, TextFunctions}
+
+/** Deduplication operators for training-data pipelines, designed for
+  * the 100 TB shape first and verified on the driver testdata:
+  *
+  *  - every variant is one (or two) key-partitioned shuffles — no
+  *    driver-side collection, no cross join except where explicitly
+  *    documented as the small-side baseline
+  *  - similarity blocking (LSH bands / simhash bytes / shared shingles)
+  *    bounds pair generation, with a frequent-key cap so a degenerate
+  *    hot shingle cannot produce a quadratic reducer
+  */
+object Dedup {
+
+  /** Exact dedup: one representative row key (min of `orderCol`) per
+    * duplicate group + group size. One hash shuffle on `keys`; at scale
+    * prefer this over dropDuplicates when you need the dup counts.
+    */
+  def exact(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(min(orderCol).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** n-gram Jaccard near-dup pairs.
+    *
+    * Plan shape: explode distinct shingles → self-join on shingle
+    * (co-partitioned hash join) → count common shingles per pair →
+    * integer cross-multiplied threshold
+    * (`den·common ≥ num·(|A|+|B|−common)` ⇔ J ≥ num/den — integer
+    * compare, so no float-tie can flip membership).
+    *
+    * `maxShingleFreq` drops shingles appearing in more than that many
+    * docs BEFORE pairing — the standard guard against quadratic blowup
+    * on boilerplate shingles at scale (cap applied identically in any
+    * oracle re-implementation).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, num: Int = 1, den: Int = 10,
+      maxShingleFreq: Long = 1000L): DataFrame = {
+    val sh = df.select(
+      col(idCol).as("doc"),
+      explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("s"))
+    val capped = sh
+      .withColumn("s_freq", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("s")))
+      .filter(col("s_freq") <= maxShingleFreq)
+      .drop("s_freq")
+    val sizes = capped.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("da"), col("b.doc").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.as("sa"), col("da") === col("sa.doc"))
+      .join(sizes.as("sb"), col("db") === col("sb.doc"))
+      .select(
+        col("da"), col("db"), col("inter"),
+        (col("sa.n_sh") + col("sb.n_sh") - col("inter")).as("un"))
+      .filter(col("inter") * den >= col("un") * num)
+  }
+
+  /** MinHash + LSH candidate pairs: signature → band keys → bucket
+    * self-join → distinct. Two shuffles (band key, then pair distinct);
+    * never touches full document pair space.
+    */
+  def minhashLshCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 8, bands: Int = 2): DataFrame = {
+    val sig = df.select(
+      col(idCol).as("doc"),
+      Hashing.minhashSignature(TextFunctions.shingles(col(textCol), n), k).as("sig"))
+    val banded = sig.select(col("doc"), explode(Hashing.lshBandKeys(col("sig"), k, bands)).as("band"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("da"), col("b.doc").as("db"))
+      .distinct()
+  }
+
+  /** SimHash near-dup pairs with hamming ≤ `maxHamming` (≤ 3 for the
+    * 4-byte blocking to be lossless by pigeonhole). Blocked self-join on
+    * simhash bytes — exact result, linear pair generation.
+    */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-byte blocking is only lossless for hamming <= 3")
+    val sh = df.select(
+      col(idCol).as("doc"),
+      Hashing.simhash32(TextFunctions.shingles(col(textCol), n)).as("sh"))
+    val blocked = sh.select(col("doc"), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"), Hashing.simhashBlock(col("sh"), b).as("v"))): _*)).as("blk"))
+    blocked.as("a").join(blocked.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc") < col("b.doc"))
+      .select(
+        col("a.doc").as("da"), col("b.doc").as("db"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding cosine near-dup pairs — the all-pairs baseline (small
+    * side only; at 100 TB use [[Similarity.lshCandidates]] to block
+    * first). Dot products fold left-to-right in double so scores are
+    * engine-reproducible.
+    */
+  def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String, minCosine: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("ida"), col("b.id").as("idb"),
+        Similarity.cosine(col("a.vec"), col("b.vec")).as("cos"))
+      .filter(col("cos") > minCosine)
+      .select("ida", "idb")
+  }
+}

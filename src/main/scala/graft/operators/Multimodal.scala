@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extract /
+  * frame-sample operators.
+  *
+  * The Spark-side mechanics (schema, partition-sized batching, explode
+  * shape) are real and tested; the actual codecs are STUBBED —
+  * `decodeMeta` derives deterministic fake metadata from the bytes
+  * because no image/audio libraries exist in this environment. A
+  * production deployment swaps [[decodeMeta]]'s body for a real codec
+  * behind the same column contract (and should then run it in
+  * `mapPartitions` with per-partition codec init, batching partitions
+  * to ~128 MB via spark.sql.files.maxPartitionBytes).
+  */
+object Multimodal {
+
+  val MetaSchema = "kind STRING, n_bytes BIGINT, width BIGINT, height BIGINT, duration_ms BIGINT"
+
+  /** media kind from a source tag: stable 3-way split. */
+  def kindOf(sourceTag: Column): Column = {
+    val n = regexp_extract(sourceTag, "(\\d+)", 1).cast("long")
+    when(pmod(n, lit(3)) === 0, "image")
+      .when(pmod(n, lit(3)) === 1, "audio")
+      .otherwise("video")
+  }
+
+  /** STUB decode — deterministic fake metadata derived only from byte
+    * length, so any engine can recompute it. Real codecs replace this
+    * expression (or a mapPartitions equivalent) without touching the
+    * schema contract.
+    */
+  def decodeMeta(content: Column, kind: Column): Column = {
+    val n = length(content).cast("long") // byte length
+    struct(
+      kind.as("kind"),
+      n.as("n_bytes"),
+      when(kind === "image", (pmod(n, lit(64)) + 1) * 16).otherwise(0L).as("width"),
+      when(kind === "image", (pmod(n, lit(48)) + 1) * 16).otherwise(0L).as("height"),
+      when(kind =!= "image", n * 40).otherwise(0L).as("duration_ms"))
+  }
+
+  /** frame/sample indices for time-based media: one row per sampled
+    * frame (`every_ms` sampling interval). Images yield frame 0 only.
+    */
+  def sampleFrames(df: DataFrame, metaCol: String, everyMs: Long): DataFrame =
+    df.withColumn("frame_idx",
+      explode(
+        when(col(s"$metaCol.duration_ms") > 0,
+          sequence(lit(0L), floor((col(s"$metaCol.duration_ms") - 1) / everyMs).cast("long")))
+          .otherwise(array(lit(0L)))))
+
+  /** STUB feature extraction: dim-length float vector from a rolling
+    * hash of the byte prefix — stands in for a real encoder; keeps the
+    * array<float> schema and per-row cost profile.
+    */
+  def fakeFeatures(content: Column, dim: Int): Column = {
+    val h = graft.functions.TextFunctions.charHash(content.cast("string"))
+    transform(sequence(lit(1), lit(dim)), i =>
+      ((pmod(h * i, lit(1000L)) - 500L) / 1000.0).cast("float"))
+  }
+}

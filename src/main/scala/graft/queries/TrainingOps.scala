@@ -1,0 +1,245 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** North-star training-data pipeline operators (dedup / similarity /
+  * text analysis / multimodal) as driver-checkable queries. Spark side
+  * goes through the graft.operators/graft.functions APIs; oracles
+  * re-derive the same math independently in DuckDB (polynomial hashes
+  * via list lambdas, ratios via integer cross-multiplication, dot
+  * products as left-to-right double folds).
+  */
+object TrainingOps {
+
+  /** DuckDB mirror of TextFunctions.charHash. */
+  private def duckCharHash(x: String): String =
+    s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      s"list_transform(list_filter(string_split($x,''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a,b) -> (a*31+b) % 1000000007)"
+
+  /** DuckDB CTEs: word-3-gram shingle list per doc. */
+  private val duckShingles =
+    """tok AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+      |shl AS (SELECT doc_id,
+      |  CASE WHEN len(w) >= 3
+      |    THEN list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2])
+      |    ELSE [] END AS s
+      |  FROM tok)""".stripMargin
+
+  def defs: Map[String, Q] = Map(
+
+    // ---- exact dedup (hash groupBy; events has real dup keys) ----
+    "dd_exact" -> Q(
+      (s, dir) =>
+        Dedup.exact(Tables(s, dir, "events"), Seq("user_id", "event_type"), "event_id")
+          .select(col("user_id"), col("event_type"), col("keep_id"), col("n_dups")),
+      Some("""SELECT user_id, event_type, min(event_id) AS keep_id, count(*) AS n_dups
+             |FROM events GROUP BY user_id, event_type""".stripMargin)),
+
+    // ---- n-gram Jaccard near-dup pairs (threshold 1/10, integer compare) ----
+    "dd_ngram_jaccard" -> Q(
+      (s, dir) =>
+        Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
+          n = 3, num = 1, den = 10, maxShingleFreq = 1000L),
+      Some(s"""WITH $duckShingles,
+              |sh AS (SELECT DISTINCT doc_id, unnest(s) AS s FROM shl),
+              |capped AS (SELECT * FROM (
+              |  SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS s_freq FROM sh)
+              |  WHERE s_freq <= 1000),
+              |sizes AS (SELECT doc_id, count(*) n_sh FROM capped GROUP BY doc_id),
+              |pairs AS (SELECT a.doc_id da, b.doc_id db, count(*) inter
+              |  FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT da, db, inter, sa.n_sh + sb.n_sh - inter AS un
+              |FROM pairs p JOIN sizes sa ON p.da = sa.doc_id JOIN sizes sb ON p.db = sb.doc_id
+              |WHERE inter * 10 >= (sa.n_sh + sb.n_sh - inter) * 1""".stripMargin),
+      headline = true),
+
+    // ---- MinHash + LSH candidates (k=8, 2 bands × 4 rows) ----
+    "dd_minhash_lsh" -> Q(
+      (s, dir) =>
+        Dedup.minhashLshCandidates(Tables(s, dir, "documents"), "doc_id", "text",
+          n = 3, k = 8, bands = 2),
+      Some(s"""WITH $duckShingles,
+              |hs AS (SELECT doc_id, list_transform(list_distinct(s), t -> ${duckCharHash("t")}) h FROM shl),
+              |sig AS (SELECT doc_id, list_transform(range(0,8), i ->
+              |  list_min(list_transform(h, x -> ((37+101*i)*x + 7+139*i) % 1000000007))) sg FROM hs),
+              |bands AS (
+              |  SELECT doc_id, '0-' || sg[1] || '-' || sg[2] || '-' || sg[3] || '-' || sg[4] AS band FROM sig
+              |  UNION ALL
+              |  SELECT doc_id, '1-' || sg[5] || '-' || sg[6] || '-' || sg[7] || '-' || sg[8] AS band FROM sig)
+              |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id""".stripMargin),
+      headline = true),
+
+    // ---- SimHash near-dups (hamming ≤ 3; oracle brute-forces all pairs,
+    //      Spark uses lossless 4-byte blocking — same result set) ----
+    "dd_simhash" -> Q(
+      (s, dir) =>
+        Dedup.simhashPairs(Tables(s, dir, "documents"), "doc_id", "text",
+          n = 3, maxHamming = 3),
+      Some(s"""WITH $duckShingles,
+              |hs AS (SELECT doc_id, list_transform(s, t -> ${duckCharHash("t")}) h FROM shl),
+              |sh AS (SELECT doc_id, list_sum(list_transform(range(0,32), j ->
+              |  CASE WHEN list_sum(list_transform(h, x -> ((x >> j) & 1)*2 - 1)) > 0
+              |       THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) v FROM hs)
+              |SELECT a.doc_id da, b.doc_id db, bit_count(xor(a.v, b.v)) AS hamming
+              |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.v, b.v)) <= 3""".stripMargin)),
+
+    // ---- embedding-cosine near-dup pairs (ids only; double fold) ----
+    "dd_embedding_cosine" -> Q(
+      (s, dir) =>
+        Dedup.embeddingCosinePairs(Tables(s, dir, "embeddings"), "vec_id", "embedding", 0.4),
+      Some("""WITH n AS (SELECT vec_id, embedding,
+             |  list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) nrm
+             |  FROM embeddings)
+             |SELECT a.vec_id ida, b.vec_id idb
+             |FROM n a JOIN n b ON a.vec_id < b.vec_id
+             |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+             |        p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+             |      / sqrt(a.nrm * b.nrm) > 0.4""".stripMargin)),
+
+    // ---- exact ANN top-10 for the first 20 query vectors ----
+    "ann_topk_bruteforce" -> Q(
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        Similarity.bruteForceTopK(
+          e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 10)
+      },
+      Some("""WITH n AS (SELECT vec_id, embedding,
+             |  list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) nrm
+             |  FROM embeddings),
+             |scored AS (
+             |  SELECT q.vec_id qid, c.vec_id nid,
+             |    list_sum(list_transform(list_zip(q.embedding, c.embedding),
+             |      p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))) / sqrt(q.nrm * c.nrm) AS cos
+             |  FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+             |ranked AS (SELECT qid, nid,
+             |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+             |  FROM scored)
+             |SELECT qid, rank, nid FROM ranked WHERE rank <= 10""".stripMargin),
+      headline = true),
+
+    // ---- ANN via random-hyperplane LSH buckets (scale path; no SQL
+    //      oracle — recall vs brute force asserted in SimilaritySpec) ----
+    "ann_lsh_bucketed" -> Q(
+      (s, dir) =>
+        Similarity.lshTopK(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 10, planes = 16, tables = 4),
+      None),
+
+    // ---- token counting ----
+    "ta_tokens" -> Q(
+      (s, dir) =>
+        Tables(s, dir, "documents").select(
+          col("doc_id"),
+          TextFunctions.wsTokenCount(col("text")).as("ws_tokens"),
+          TextFunctions.bpeTokenCount(col("text")).as("bpe_tokens"),
+          TextFunctions.approxTokenCount(col("text")).as("approx_tokens")),
+      Some("""SELECT doc_id,
+             |  len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+             |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens,
+             |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_tokens
+             |FROM documents""".stripMargin)),
+
+    // ---- quality scoring (integer ppm) ----
+    "ta_quality" -> Q(
+      (s, dir) =>
+        Tables(s, dir, "documents").select(
+          col("doc_id"),
+          TextFunctions.wsTokenCount(col("text")).as("n_words"),
+          TextFunctions.stopwordCount(col("text")).as("n_stop"),
+          TextFunctions.punctCount(col("text")).as("n_punct"),
+          TextFunctions.qualityScorePpm(col("text")).as("score_ppm")),
+      Some("""SELECT doc_id,
+             |  len(regexp_extract_all(text, '\S+')) AS n_words,
+             |  len(list_filter(string_split(text,' '),
+             |    w -> w IN ('the','a','of','to','and','in','or','is'))) AS n_stop,
+             |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+             |  (least(len(regexp_extract_all(text,'\S+')), 100)
+             |    * (len(regexp_extract_all(text,'\S+'))
+             |       - len(list_filter(string_split(text,' '),
+             |           w -> w IN ('the','a','of','to','and','in','or','is'))))
+             |    * 1000000)
+             |  // (100 * len(regexp_extract_all(text,'\S+'))) AS score_ppm
+             |FROM documents""".stripMargin)),
+
+    // ---- language ID heuristic ----
+    "ta_langid" -> Q(
+      (s, dir) =>
+        Tables(s, dir, "documents").select(
+          col("doc_id"),
+          TextFunctions.langId(col("text")).as("pred_lang")),
+      Some("""WITH c AS (SELECT doc_id,
+             |  len(list_filter(string_split(text,' '), w -> w IN ('the','and','is'))) en,
+             |  len(list_filter(string_split(text,' '), w -> w IN ('le','la','et','les'))) fr,
+             |  len(list_filter(string_split(text,' '), w -> w IN ('el','los','y','las'))) es,
+             |  len(list_filter(string_split(text,' '), w -> w IN ('der','und','die','das'))) de
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CASE WHEN en > 0 AND en >= fr AND en >= es AND en >= de THEN 'en'
+             |       WHEN fr > 0 AND fr >= en AND fr >= es AND fr >= de THEN 'fr'
+             |       WHEN es > 0 AND es >= en AND es >= fr AND es >= de THEN 'es'
+             |       WHEN de > 0 AND de >= en AND de >= fr AND de >= es THEN 'de'
+             |       ELSE 'unknown' END AS pred_lang
+             |FROM c""".stripMargin)),
+
+    // ---- document fingerprint (rolling hash) ----
+    "ta_fingerprint" -> Q(
+      (s, dir) =>
+        Tables(s, dir, "documents").select(
+          col("doc_id"),
+          TextFunctions.fingerprint(col("text")).as("fp")),
+      Some(s"""SELECT doc_id,
+              |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+              |    list_transform(string_split(text,' '), w -> ${duckCharHash("w")})),
+              |    (a,b) -> (a*131+b) % 1000000007) AS fp
+              |FROM documents""".stripMargin)),
+
+    // ---- multimodal: binary column + stub decode metadata ----
+    "mm_decode_meta" -> Q(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            encode(col("text"), "UTF-8").as("content"))
+        d.select(col("doc_id"),
+          Multimodal.decodeMeta(col("content"), Multimodal.kindOf(col("source"))).as("meta"))
+          .select(
+            col("doc_id"), col("meta.kind").as("kind"), col("meta.n_bytes").as("n_bytes"),
+            col("meta.width").as("width"), col("meta.height").as("height"),
+            col("meta.duration_ms").as("duration_ms"))
+      },
+      Some("""WITH k AS (SELECT doc_id, n_chars,
+             |  CASE CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 3
+             |    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+             |  FROM documents)
+             |SELECT doc_id, kind, n_chars AS n_bytes,
+             |  CASE WHEN kind = 'image' THEN (n_chars % 64 + 1) * 16 ELSE 0 END AS width,
+             |  CASE WHEN kind = 'image' THEN (n_chars % 48 + 1) * 16 ELSE 0 END AS height,
+             |  CASE WHEN kind <> 'image' THEN n_chars * 40 ELSE 0 END AS duration_ms
+             |FROM k""".stripMargin)),
+
+    // ---- multimodal: frame sampling (1 row per sampled frame) ----
+    "mm_frame_sample" -> Q(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("content"))
+          .select(col("doc_id"),
+            Multimodal.decodeMeta(col("content"), Multimodal.kindOf(col("source"))).as("meta"))
+        Multimodal.sampleFrames(d, "meta", everyMs = 5000L)
+          .select(col("doc_id"), col("frame_idx"))
+      },
+      Some("""WITH k AS (SELECT doc_id,
+             |  CASE WHEN CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 3 = 0
+             |       THEN 0 ELSE n_chars * 40 END AS duration_ms
+             |  FROM documents)
+             |SELECT doc_id, unnest(
+             |  CASE WHEN duration_ms > 0 THEN range(0, (duration_ms - 1) // 5000 + 1)
+             |       ELSE [CAST(0 AS BIGINT)] END) AS frame_idx
+             |FROM k""".stripMargin))
+  )
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Operator-level semantics the oracle queries can't express: ANN
+  * recall vs the exact baseline, blocking losslessness, multimodal
+  * batch shapes.
+  */
+class OperatorsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+  private def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("exact dedup keeps one representative per key and counts dups") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "k")
+    val out = Dedup.exact(df, Seq("k"), "id").collect()
+    val m = out.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m("a") == (1L, 2L) && m("b") == (3L, 1L))
+  }
+
+  test("jaccard pairs are symmetric-free and threshold-consistent") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text").collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    // integer threshold: inter*den >= un*num
+    assert(pairs.forall(r => r.getLong(2) * 10 >= r.getLong(3)))
+  }
+
+  test("minhash LSH candidates recall the high-jaccard pairs") {
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", num = 1, den = 2)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.minhashLshCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture should contain near-dup docs")
+    val recall = truth.intersect(cand).size.toDouble / truth.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${truth.size} true pairs")
+  }
+
+  test("simhash blocked join equals brute-force hamming filter") {
+    import graft.functions.{Hashing, TextFunctions}
+    val sh = docs.select(col("doc_id"),
+      Hashing.simhash32(TextFunctions.shingles(col("text"), 3)).as("sh"))
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Dedup.simhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute)
+  }
+
+  test("ANN LSH top-k has useful recall of exact top-k") {
+    val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    // 16 planes / 4 tables on random 64-dim data: recall is modest by
+    // design (buckets prune ~94% of pairs); assert it beats chance x20
+    assert(recall > 0.1, s"ANN recall $recall")
+  }
+
+  test("multimodal: frame sampling shape and stub decode schema") {
+    val d = docs.select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("content"))
+      .select(col("doc_id"),
+        Multimodal.decodeMeta(col("content"), Multimodal.kindOf(col("source"))).as("meta"))
+    val frames = Multimodal.sampleFrames(d, "meta", 5000L)
+    // images (duration 0) contribute exactly one frame; media with
+    // duration d contribute ceil(d/5000)
+    val perDoc = frames.groupBy("doc_id").count()
+      .join(d.select(col("doc_id"), col("meta.duration_ms").as("dur")), "doc_id")
+      .collect()
+    assert(perDoc.forall { r =>
+      val (n, dur) = (r.getLong(1), r.getLong(2))
+      if (dur == 0) n == 1 else n == (dur + 4999) / 5000
+    })
+    val feat = d.select(Multimodal.fakeFeatures(col("meta.kind"), 8).as("f"))
+      .select(size(col("f"))).distinct().collect()
+    assert(feat.map(_.getInt(0)).toList == List(8))
+  }
+}
