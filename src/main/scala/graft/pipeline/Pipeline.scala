@@ -82,6 +82,11 @@ object Pipeline {
       observe: Boolean,
       persistShared: Boolean): BuiltNode = {
     val stage = registry.instantiateNode(conf.name, conf.params)
+    // An observe value is idempotent within a batch: when several
+    // downstream actions (multiple leaves, dead-letter branch)
+    // re-evaluate the operator, each reports the same total for this
+    // node — PipelineMetrics therefore takes last-value-per-batch, not
+    // a sum (see its scaladoc).
     val observed =
       if (observe) input.observe(s"${conf.id}.received", count(lit(1)).as("count"))
       else input

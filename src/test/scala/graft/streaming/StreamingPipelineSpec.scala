@@ -1,0 +1,123 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.config.AppConfig
+import graft.pipeline.Registry
+import graft.sinks.CollectingSink
+
+/** End-to-end streaming run of the reference's deterministic 10/5/3
+  * mix through the full config tree — the Structured Streaming analog
+  * of `executor/executor_test.go:23-80` / `inttest/integration_test.go`
+  * exact-count assertions.
+  */
+class StreamingPipelineSpec extends SparkSpec {
+
+  test("streaming pipeline routes success/filtered/error with exact counts") {
+    val s = spark
+    import s.implicits._
+
+    val reg = Registry.builtins()
+    val cfg = AppConfig.parse(
+      """application: streamtest
+        |source:
+        |  name: stringsource
+        |  params: {path: unused}
+        |nodes:
+        |  - name: filternode
+        |    children:
+        |      - name: errornode
+        |        error_handler:
+        |          name: errorhandlernode
+        |        children:
+        |          - name: resultsnode
+        |""".stripMargin, reg).fold(e => sys.error(e), identity)
+
+    val input = MemoryStream[String](s)
+    val source = input.toDF().select(
+      col("value").as("payload"),
+      lit(Timestamp.valueOf("2024-01-01 00:00:00")).as("created"),
+      lit(false).as("recovery"))
+
+    val results = new CollectingSink
+    val deadLetters = new CollectingSink
+    val running = StreamingPipeline.run(
+      source, cfg, reg,
+      sinks = Map("resultsnode" -> results),
+      deadLetterSinks = Map("errornode" -> deadLetters),
+      trigger = Trigger.ProcessingTime(0L))
+
+    try {
+      input.addData((1 to 10).map(i => s"success $i"))
+      input.addData((1 to 5).map(i => s"filterme $i"))
+      input.addData((1 to 3).map(i => s"error $i"))
+      running.query.processAllAvailable()
+
+      assert(results.rows.size == 10)
+      assert(deadLetters.rows.size == 3)
+      val codes = deadLetters.rows.map(_.getStruct(0).getStruct(2).getString(0)).toSet
+      assert(codes == Set("ERR_TEST"))
+
+      // second wave: streaming keeps consuming (supervision is Spark's)
+      input.addData(Seq("success again", "filterme again"))
+      running.query.processAllAvailable()
+      assert(results.rows.size == 11)
+    } finally running.shutdown()
+  }
+
+  test("event-time tumbling window with watermark aggregates a stream") {
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[(Timestamp, Double)](s)
+    val df = input.toDF().toDF("ts", "value")
+    val agg = EventTime.tumbling(df, "ts", "10 minutes", watermarkDelay = Some("20 minutes"))
+      .agg(count(lit(1)).as("n"), sum("value").as("s"))
+
+    val sinkName = "evtwin"
+    val q = agg.writeStream.format("memory").queryName(sinkName)
+      .outputMode("update").trigger(Trigger.ProcessingTime(0L)).start()
+    try {
+      def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      input.addData(Seq((t(1), 1.0), (t(2), 2.0), (t(11), 10.0)))
+      q.processAllAvailable()
+      val rows = s.sql(s"SELECT window.start, n, s FROM $sinkName").collect()
+      val m = rows.map(r => r.getTimestamp(0).toString -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(m("2024-01-01 10:00:00.0") == (2L, 3.0))
+      assert(m("2024-01-01 10:10:00.0") == (1L, 10.0))
+    } finally q.stop()
+  }
+
+  test("pipeline metrics observed via listener") {
+    val s = spark
+    val metrics = new PipelineMetrics(s).install()
+    try {
+      import s.implicits._
+      val reg = Registry.builtins()
+      val cfg = AppConfig.parse(
+        """application: metricstest
+          |source:
+          |  name: stringsource
+          |  params: {path: unused}
+          |nodes:
+          |  - name: filternode
+          |""".stripMargin, reg).fold(e => sys.error(e), identity)
+      val mix = ((1 to 10).map(i => s"success $i") ++ (1 to 5).map(i => s"filterme $i"))
+        .toDF("payload")
+        .select(col("payload"), current_timestamp().as("created"), lit(false).as("recovery"))
+      val built = graft.pipeline.Pipeline.buildOn(mix, cfg.nodes, reg,
+        observeMetrics = true, persistShared = false)
+      built.roots.head.output.collect() // action triggers listener
+      // listener callbacks are async — poll for arrival
+      val deadline = System.currentTimeMillis() + 10000
+      while (metrics.nodeCounts("filternode")._1 == 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val (received, emitted) = metrics.nodeCounts("filternode")
+      assert(received == 15 && emitted == 10)
+    } finally metrics.uninstall()
+  }
+}
