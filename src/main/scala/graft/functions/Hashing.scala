@@ -19,13 +19,13 @@ object Hashing {
   def affine(i: Int, h: Column): Column =
     pmod(lit(37L + 101L * i) * h + lit(7L + 139L * i), lit(P))
 
-  /** k-element MinHash signature over the DISTINCT shingles of a doc:
-    * sig[i] = min over shingles s of h_i(charHash(s)).
+  /** k-element MinHash signature over the shingles of a doc:
+    * sig[i] = min over shingles s of h_i(charHash(s)) (min is
+    * multiset-invariant, so deduplicating shingles first is a no-op).
+    * Computed by the codegen kernel [[Kernels.minhashSig]].
     */
-  def minhashSignature(shingles: Column, k: Int): Column = {
-    val hs = transform(array_distinct(shingles), s => charHash(s))
-    array((0 until k).map(i => array_min(transform(hs, h => affine(i, h)))): _*)
-  }
+  def minhashSignature(shingles: Column, k: Int): Column =
+    Kernels.minhashSig(shingles, k)
 
   /** LSH band keys: the signature split into `bands` contiguous rows,
     * each rendered "b:v1-v2-..." — docs sharing any band key are
@@ -42,14 +42,7 @@ object Hashing {
     * sum over tokens of (2·bit_j(charHash(tok)) − 1) > 0.
     * Tokens are NOT deduplicated (multiplicity is signal).
     */
-  def simhash32(tokens: Column): Column = {
-    val hs = transform(tokens, t => charHash(t))
-    (0 until 32).map { j =>
-      val bitSum = aggregate(hs, lit(0L), (acc, h) =>
-        acc + (pmod(shiftright(h, j), lit(2L)) * 2L - 1L))
-      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  def simhash32(tokens: Column): Column = Kernels.simhash32(tokens)
 
   /** byte b (0..3) of a simhash — blocking key for hamming-bounded
     * joins: two 32-bit values within hamming distance 3 agree on at

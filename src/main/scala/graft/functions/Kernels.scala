@@ -1,0 +1,215 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hash/vector hot paths.
+  *
+  * The pure-`Column` formulations of simhash / minhash / cosine (nested
+  * `transform`/`aggregate` higher-order functions) are interpreted
+  * per-element per-lambda — at sf0.1 that made simhash ~50 ms/doc. These
+  * expressions compute the same math in tight JVM loops via `doGenCode`,
+  * so they stay inside whole-stage codegen (no UDF SerDe boundary) and
+  * scale linearly with data size on a cluster.
+  *
+  * Semantics are bit-identical to the `Column` versions they replace
+  * (same fold order, same integer arithmetic mod P), so DuckDB oracles
+  * and cross-release document-identity hashes are unchanged.
+  */
+object Kernels {
+
+  import org.apache.spark.sql.graft.ColumnBridge.{toColumn, toExpression}
+
+  def shingles(text: Column, n: Int): Column = toColumn(ShinglesK(toExpression(text), n))
+  def simhash32(shingles: Column): Column = toColumn(SimHash32K(toExpression(shingles)))
+  def minhashSig(shingles: Column, k: Int): Column = toColumn(MinHashSigK(toExpression(shingles), k))
+  def vecDot(a: Column, b: Column): Column = toColumn(VecDotK(toExpression(a), toExpression(b)))
+  def vecNorm2(a: Column): Column = toColumn(VecNorm2K(toExpression(a)))
+  def lshSig(vec: Column, planes: Int): Column = toColumn(LshSigK(toExpression(vec), planes))
+
+  /** polynomial modulus shared with [[TextFunctions.P]]. */
+  val P = 1000000007L
+
+  /** word n-gram shingles: split on single spaces (trailing empties
+    * kept, as Spark's `split(text, " ")` does), then each window of n
+    * words joined with " ". Fewer than n words → empty array.
+    */
+  def shinglesEval(text: UTF8String, n: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](words.length - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < out.length) {
+      sb.setLength(0)
+      var o = 0
+      while (o < n) {
+        if (o > 0) sb.append(' ')
+        sb.append(words(i + o))
+        o += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** fold(chars, 7, (h,c) => (h*31 + c) mod P) — matches
+    * [[TextFunctions.charHash]] for the BMP text the pipeline carries.
+    */
+  def charHash(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 7L
+    var i = 0
+    while (i < str.length) { h = (h * 31 + str.charAt(i).toLong) % P; i += 1 }
+    h
+  }
+
+  /** bit j set iff Σ_tokens (2·bit_j(charHash(tok)) − 1) > 0; one pass,
+    * 32 counters. Empty array → 0 (all bit sums are 0, never > 0).
+    */
+  def simhash32Eval(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      val h = charHash(arr.getUTF8String(i))
+      var j = 0
+      while (j < 32) {
+        if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sh = 0L
+    var j = 0
+    while (j < 32) { if (counts(j) > 0) sh |= (1L << j); j += 1 }
+    sh
+  }
+
+  /** sig[i] = min over shingles s of ((37+101·i)·charHash(s) + 7+139·i) mod P.
+    * min is multiset-invariant, so the `array_distinct` of the Column
+    * formulation is unnecessary. Empty input → k nulls (= array_min of
+    * an empty transform).
+    */
+  def minhashSigEval(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.fill[Any](k)(null))
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = charHash(arr.getUTF8String(i))
+      var j = 0
+      while (j < k) {
+        val v = ((37L + 101L * j) * h + 7L + 139L * j) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(Long.box(_): Any))
+  }
+
+  /** left-to-right double-fold dot product — same FP order as
+    * aggregate(zip_with(...)), so scores are engine-reproducible.
+    */
+  def vecDotEval(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  def vecNorm2Eval(a: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
+    s
+  }
+
+  /** bit p set iff Σ_d sign(p,d)·v_d > 0 with the deterministic ±1
+    * hyperplane family of [[graft.operators.Similarity]]:
+    * sign(p,d) = +1 iff ((1103515245·p+12345)·(d+1) + 2654435761) mod 2147483647 is even.
+    */
+  def lshSigEval(vec: ArrayData, planes: Int): Long = {
+    val n = vec.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      val a = 1103515245L * p + 12345L
+      var s = 0.0
+      var d = 0
+      while (d < n) {
+        val x = (a * (d + 1) + 2654435761L) % 2147483647L
+        val sign = if (x % 2L == 0L) 1.0 else -1.0
+        s += vec.getFloat(d).toDouble * sign
+        d += 1
+      }
+      if (s > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+}
+
+case class ShinglesK(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = Kernels.shinglesEval(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.shinglesEval($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShinglesK = copy(child = newChild)
+  override def prettyName: String = "graft_shingles"
+}
+
+case class SimHash32K(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = Kernels.simhash32Eval(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.simhash32Eval($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash32K = copy(child = newChild)
+  override def prettyName: String = "graft_simhash32"
+}
+
+case class MinHashSigK(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullSafeEval(input: Any): Any = Kernels.minhashSigEval(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.minhashSigEval($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigK = copy(child = newChild)
+  override def prettyName: String = "graft_minhash_sig"
+}
+
+case class VecDotK(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.vecDotEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.vecDotEval($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDotK =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_vec_dot"
+}
+
+case class VecNorm2K(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any = Kernels.vecNorm2Eval(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.vecNorm2Eval($c)")
+  override protected def withNewChildInternal(newChild: Expression): VecNorm2K = copy(child = newChild)
+  override def prettyName: String = "graft_vec_norm2"
+}
+
+case class LshSigK(child: Expression, planes: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = Kernels.lshSigEval(input.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.lshSigEval($c, $planes)")
+  override protected def withNewChildInternal(newChild: Expression): LshSigK = copy(child = newChild)
+  override def prettyName: String = "graft_lsh_sig"
+}

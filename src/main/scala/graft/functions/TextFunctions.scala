@@ -18,14 +18,9 @@ object TextFunctions {
 
   def words(text: Column): Column = split(text, " ")
 
-  /** word n-gram shingles ("a b c" for n=3). */
-  def shingles(text: Column, n: Int): Column = {
-    val w = words(text)
-    when(size(w) >= n,
-      transform(sequence(lit(1), size(w) - (n - 1)), i =>
-        concat_ws(" ", (0 until n).map(o => element_at(w, i + o)): _*)))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** word n-gram shingles ("a b c" for n=3), via the codegen kernel
+    * [[Kernels.shingles]]. */
+  def shingles(text: Column, n: Int): Column = Kernels.shingles(text, n)
 
   /** deterministic polynomial char hash:
     * fold(chars, 7, (h,c) => (h*31 + ascii(c)) mod P). */

@@ -110,11 +110,14 @@ object Dedup {
     * engine-reproducible.
     */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String, minCosine: Double): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // norms once per row before the O(n²) join; per pair only the dot remains
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      Similarity.norm2(col(vecCol)).as("nrm"))
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
       .select(
         col("a.id").as("ida"), col("b.id").as("idb"),
-        Similarity.cosine(col("a.vec"), col("b.vec")).as("cos"))
+        (Similarity.dot(col("a.vec"), col("b.vec")) /
+          sqrt(col("a.nrm") * col("b.nrm"))).as("cos"))
       .filter(col("cos") > minCosine)
       .select("ida", "idb")
   }

@@ -18,14 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** left-to-right double-fold dot product (engine-reproducible). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** left-to-right double-fold dot product (engine-reproducible),
+    * computed by the codegen kernel [[graft.functions.Kernels]]. */
+  def dot(a: Column, b: Column): Column = graft.functions.Kernels.vecDot(a, b)
 
-  def norm2(a: Column): Column =
-    aggregate(transform(a, x => x.cast("double") * x.cast("double")), lit(0.0), (acc, x) => acc + x)
+  def norm2(a: Column): Column = graft.functions.Kernels.vecNorm2(a)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(norm2(a) * norm2(b))
@@ -36,10 +33,14 @@ object Similarity {
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")))
-    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+    // norms are computed once per side before the pair join, not per pair
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      norm2(col(vecCol)).as("qnrm")))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+      norm2(col(vecCol)).as("nnrm"))
     val scored = q.join(c, col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), cosine(col("qvec"), col("nvec")).as("cos"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qvec"), col("nvec")) / sqrt(col("qnrm") * col("nnrm"))).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("qid", "rank", "nid")
@@ -55,13 +56,7 @@ object Similarity {
     * iff Σ_d sign(p,d)·v_d > 0).
     */
   def lshSignature(vec: Column, planes: Int): Column =
-    (0 until planes).map { p =>
-      val s = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) =>
-          x.cast("double") * planeSign(p, d)),
-        lit(0.0), (acc, x) => acc + x)
-      when(s > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.functions.Kernels.lshSig(vec, planes)
 
   /** Candidate pairs whose signatures agree on at least one of the
     * `tables` bucket views (each view masks a disjoint group of planes).
@@ -69,28 +64,34 @@ object Similarity {
   def lshCandidates(df: DataFrame, idCol: String, vecCol: String,
                     planes: Int = 16, tables: Int = 4): DataFrame = {
     val perTable = planes / tables
-    val sig = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      lshSignature(col(vecCol), planes).as("sig"))
-    val bucketed = sig.select(col("id"), col("vec"),
+    // bucket join and pair-dedup carry only ids — vectors (the wide
+    // payload) are joined back afterwards on id, a co-partitioned hash
+    // join at scale and an AQE broadcast at bench size
+    val sig = df.select(col(idCol).as("id"), lshSignature(col(vecCol), planes).as("sig"))
+    val bucketed = sig.select(col("id"),
       explode(array((0 until tables).map { t =>
         val mask = ((1L << perTable) - 1) << (t * perTable)
         struct(lit(t).as("t"), (col("sig").bitwiseAND(lit(mask))).as("v"))
       }: _*)).as("bucket"))
-    bucketed.as("a").join(bucketed.as("b"),
+    val pairs = bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("ida"), col("a.vec").as("veca"),
-        col("b.id").as("idb"), col("b.vec").as("vecb"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"))
       .distinct()
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    pairs
+      .join(v.as("va"), col("ida") === col("va.id"))
+      .join(v.as("vb"), col("idb") === col("vb.id"))
+      .select(col("ida"), col("va.vec").as("veca"), col("idb"), col("vb.vec").as("vecb"))
   }
 
   /** ANN top-k via LSH buckets + exact re-rank of candidates. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               k: Int, planes: Int = 16, tables: Int = 4): DataFrame = {
-    val cand = lshCandidates(df, idCol, vecCol, planes, tables)
-    val sym = cand.select(col("ida").as("qid"), col("idb").as("nid"),
-        cosine(col("veca"), col("vecb")).as("cos"))
-      .union(cand.select(col("idb").as("qid"), col("ida").as("nid"),
-        cosine(col("veca"), col("vecb")).as("cos")))
+    // score each candidate pair once, then mirror it for both directions
+    val scored = lshCandidates(df, idCol, vecCol, planes, tables)
+      .withColumn("cos", cosine(col("veca"), col("vecb")))
+    val sym = scored.select(col("ida").as("qid"), col("idb").as("nid"), col("cos"))
+      .union(scored.select(col("idb").as("qid"), col("ida").as("nid"), col("cos")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
     sym.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("qid", "rank", "nid")
