@@ -87,6 +87,51 @@ object Registry {
         graft.functions.Syslog.stage
     })
 
+    // jsonbuilder (examples/kafkatokafka/jsonbuilder.go:37-61):
+    // SyslogMsg → JSON {program, host, message} → ProduceRequest.
+    // Field order matches the Go struct's marshal order.
+    r.registerNodeType("jsonbuilder", new StageFactory {
+      val consumes = SyslogMsg
+      val produces = ProduceReq
+      def build(params: Map[String, String]): Stage = Stage(
+        project = df => df.select(
+          struct(
+            lit(params.getOrElse("topic", "logs-json")).as("topic"),
+            encode(to_json(struct(
+              col("payload.program").as("program"),
+              col("payload.host").as("host"),
+              col("payload.content").as("message"))), "UTF-8").as("message")).as("payload"),
+          col("created"), col("recovery")))
+    })
+
+    // docbuilder (examples/logging/docbuilder.go:55-98): SyslogMsg →
+    // ES IndexRequest. Mirrors the reference's intentional type flip —
+    // docs with pid < 100 carry `program` as a number, later ones as an
+    // object — which is what exercises dead-lettering downstream.
+    r.registerNodeType("docbuilder", new StageFactory {
+      val consumes = SyslogMsg
+      val produces = IndexReq
+      def build(params: Map[String, String]): Stage = Stage(
+        project = df => {
+          val pid = col("payload.pid").cast("int")
+          val doc = when(pid < 100,
+            to_json(struct(pid.as("program"), col("payload.host").as("host"),
+              col("payload.content").as("message"))))
+            .otherwise(
+              to_json(struct(
+                struct(pid.as("pid"), col("payload.program").as("name")).as("program"),
+                col("payload.host").as("host"),
+                col("payload.content").as("message"))))
+          df.select(
+            struct(
+              lit(params.getOrElse("index", "logs")).as("index"),
+              lit(params.getOrElse("mapping-type", "_doc")).as("mapping_type"),
+              lit("").as("doc_id"),
+              doc.as("doc")).as("payload"),
+            col("created"), col("recovery"))
+        })
+    })
+
     // sinks --------------------------------------------------------
     r.registerNodeType("kafkaproducer", new StageFactory {
       val consumes = ProduceReq
@@ -113,7 +158,50 @@ object Registry {
         terminal = true)
     })
 
+    // elasticsearch bulk sink (node/elasticsearch/elasticsearch.go):
+    // terminal; batch mode projects IndexRequest rows into the flat
+    // shape graft.sinks.EsBulkSink consumes inside foreachBatch.
+    r.registerNodeType("elasticsearch", new StageFactory {
+      val consumes = IndexReq
+      val produces = IndexReq
+      def build(params: Map[String, String]): Stage = Stage(
+        project = df => df.select(
+          col("payload.index").as("index"),
+          col("payload.mapping_type").as("mappingType"),
+          col("payload.doc_id").as("docId"),
+          col("payload.doc").as("doc"),
+          col("created"), col("recovery")),
+        terminal = true)
+    })
+
     // deterministic test kit (internal/testnodetypes.go) ------------
+    // string → ProduceRequest (internal/testnodetypes.go:294-306)
+    r.registerNodeType("stringtoproducerequestnode", new StageFactory {
+      val consumes = StringT
+      val produces = ProduceReq
+      def build(params: Map[String, String]): Stage = Stage(
+        project = df => df.select(
+          struct(
+            lit(params.getOrElse("topic", "out")).as("topic"),
+            encode(col("payload").cast("string"), "UTF-8").as("message")).as("payload"),
+          col("created"), col("recovery")))
+    })
+    // string → IndexRequest with a unique doc id
+    // (internal/testnodetypes.go:412-430; running counter → a
+    // partition-safe monotonically_increasing_id here)
+    r.registerNodeType("indexrequestbuildernode", new StageFactory {
+      val consumes = StringT
+      val produces = IndexReq
+      def build(params: Map[String, String]): Stage = Stage(
+        project = df => df.select(
+          struct(
+            lit(params.getOrElse("index", "test")).as("index"),
+            lit("_doc").as("mapping_type"),
+            concat(monotonically_increasing_id(), lit(":"),
+              col("payload").cast("string")).as("doc_id"),
+            to_json(struct(col("payload").cast("string").as("value"))).as("doc")).as("payload"),
+          col("created"), col("recovery")))
+    })
     // payload: string; "filterme*" filtered, "error*" dead-lettered.
     r.registerNodeType("filternode", new StageFactory {
       val consumes = StringT

@@ -191,6 +191,64 @@ object FireboltOps {
              |SELECT 'err', NULL, NULL, NULL, NULL, 'garbage ' || event_id
              |FROM events WHERE event_type = 'error'""".stripMargin)),
 
+    // ---- jsonbuilder (examples/kafkatokafka/jsonbuilder.go:37-61):
+    //      syslogparser → jsonbuilder → ProduceRequest chain ----
+    "fb_json_builder" -> Q(
+      (s, dir) => {
+        val e = Tables(s, dir, "events").filter(col("event_type") =!= "error")
+        val line = concat(
+          lit("<"), pmod(col("event_id"), lit(192)), lit(">"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+          lit(" host"), pmod(col("user_id"), lit(5)),
+          lit(" app"), pmod(col("user_id"), lit(3)),
+          lit("["), pmod(col("event_id"), lit(100)), lit("]: msg "), col("event_id"))
+        val env = e.select(
+          line.cast("binary").as("payload"),
+          col("ts").as("created"), lit(false).as("recovery"))
+        val parsed = ErrorRouting(env, Syslog.stage).output
+        val built = ErrorRouting(parsed,
+          reg.instantiateNode("jsonbuilder", Map("topic" -> "logs-json"))).output
+        built.select(
+          col("payload.topic").as("topic"),
+          col("payload.message").cast("string").as("json"))
+      },
+      Some("""SELECT 'logs-json' AS topic,
+             |  '{"program":"app' || (user_id % 3) || '","host":"host' || (user_id % 5)
+             |    || '","message":"msg ' || event_id || '"}' AS json
+             |FROM events WHERE event_type <> 'error'""".stripMargin)),
+
+    // ---- docbuilder (examples/logging/docbuilder.go:55-98):
+    //      syslogparser → docbuilder → IndexRequest, with the
+    //      pid<100 numeric / pid>=100 object type flip ----
+    "fb_doc_builder" -> Q(
+      (s, dir) => {
+        val e = Tables(s, dir, "events").filter(col("event_type") =!= "error")
+        val line = concat(
+          lit("<"), pmod(col("event_id"), lit(192)), lit(">"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+          lit(" host"), pmod(col("user_id"), lit(5)),
+          lit(" app"), pmod(col("user_id"), lit(3)),
+          lit("["), pmod(col("event_id"), lit(200)), lit("]: msg "), col("event_id"))
+        val env = e.select(
+          line.cast("binary").as("payload"),
+          col("ts").as("created"), lit(false).as("recovery"))
+        val parsed = ErrorRouting(env, Syslog.stage).output
+        val built = ErrorRouting(parsed,
+          reg.instantiateNode("docbuilder", Map("index" -> "logs"))).output
+        built.select(
+          col("payload.index").as("es_index"),
+          col("payload.mapping_type").as("mapping_type"),
+          col("payload.doc").as("doc"))
+      },
+      Some("""SELECT 'logs' AS es_index, '_doc' AS mapping_type,
+             |  CASE WHEN event_id % 200 < 100
+             |    THEN '{"program":' || (event_id % 200) || ',"host":"host' || (user_id % 5)
+             |      || '","message":"msg ' || event_id || '"}'
+             |    ELSE '{"program":{"pid":' || (event_id % 200) || ',"name":"app' || (user_id % 3)
+             |      || '"},"host":"host' || (user_id % 5) || '","message":"msg ' || event_id || '"}'
+             |  END AS doc
+             |FROM events WHERE event_type <> 'error'""".stripMargin)),
+
     // ---- capped-lag startup offsets (kafkaconsumer.go:336-384) ----
     // partitions synthesized as user_id; committed=min, high=max id.
     "fb_capped_lag" -> Q(
