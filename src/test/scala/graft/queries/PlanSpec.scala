@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan shape assertions — the 100 TB contract.
+  *
+  * Correctness is the oracle gate's job; this suite pins the properties
+  * that decide whether the same query survives a 1000-executor cluster:
+  * filters and projections reaching the parquet scan, small dimensions
+  * broadcast instead of shuffled, aggregates map-side partial before the
+  * exchange, and the custom kernels staying inside whole-stage codegen.
+  * A regression here can keep results identical while silently turning
+  * a scan-light broadcast plan into a full-shuffle monster.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  /** full formatted explain (FileScan metadata untruncated). */
+  private def formatted(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  /** plan after execution — AQE final plan, codegen stage markers set. */
+  private def executedPlanOf(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, dir)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q6: filter and projection are pushed into the parquet scan") {
+    val p = formatted("q6_filter_pushdown")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), s"l_shipdate filter not pushed:\n$p")
+    assert(p.contains("GreaterThan(l_discount,0.05)"), s"l_discount filter not pushed:\n$p")
+    // column pruning: the 16-column lineitem scan must read only the 5
+    // referenced columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_partkey"),
+      s"scan reads unreferenced columns: $readSchema")
+  }
+
+  test("q2 star join: dimension tables broadcast, no shuffle on the dims") {
+    val p = plan("q2_join_star")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    // nation and region must never hash-shuffle (only the fact side may)
+    val shuffles = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).mkString("\n")
+    assert(!shuffles.contains("n_nationkey") && !shuffles.contains("r_regionkey"),
+      s"dimension shuffled:\n$shuffles")
+  }
+
+  test("q1 agg: map-side partial aggregation before the exchange") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
+    // partial + final pair ⇒ combine happens before the shuffle
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
+  test("kernels run inside whole-stage codegen") {
+    val p = executedPlanOf("dd_simhash")
+    assert(p.contains("graft_simhash32"), s"kernel missing from plan:\n$p")
+    // "*(n)" marks a whole-stage-codegen stage; the kernel projection
+    // must carry one (i.e., the expression did not fall back to
+    // interpreted eval and did not break the codegen span)
+    val kernelLines = p.linesIterator.filter(_.contains("graft_simhash32")).toList
+    assert(kernelLines.exists(_.contains("*(")),
+      s"kernel projection outside codegen:\n${kernelLines.mkString("\n")}")
+    // the simhash blocked self-join must broadcast one side, not shuffle
+    assert(p.contains("BroadcastHashJoin"), s"blocked join not broadcast at this SF:\n$p")
+  }
+
+  test("exact dedup is a single hash-shuffle aggregation") {
+    val p = plan("dd_exact")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one shuffle:\n$p")
+  }
+
+  test("brute-force ANN broadcasts the query side, not the corpus") {
+    val p = plan("ann_topk_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"corpus-side cartesian product:\n$p")
+  }
+}
