@@ -62,4 +62,64 @@ object Multimodal {
     transform(sequence(lit(1), lit(dim)), i =>
       ((pmod(h * i, lit(1000L)) - 500L) / 1000.0).cast("float"))
   }
+
+  // ---- partition-batched decode (the mapInPandas-shaped path) ------
+
+  final case class MediaRow(doc_id: Long, kind: String, content: Array[Byte])
+  final case class DecodedRow(
+      doc_id: Long, kind: String, n_bytes: Long,
+      width: Long, height: Long, duration_ms: Long, features: Array[Float])
+
+  /** Per-partition codec: constructed ONCE per task (real codecs hold
+    * native handles / model weights that must not be serialized or
+    * re-initialized per row), fed row batches. The deterministic stub
+    * mirrors [[decodeMeta]]/[[fakeFeatures]].
+    */
+  trait MediaCodec {
+    def decode(rows: Iterator[MediaRow]): Iterator[DecodedRow]
+    def close(): Unit = ()
+  }
+
+  final class StubCodec(featureDim: Int) extends MediaCodec {
+    def decode(rows: Iterator[MediaRow]): Iterator[DecodedRow] = rows.map { r =>
+      val n = r.content.length.toLong
+      val isImage = r.kind == "image"
+      val h = {
+        var acc = 7L
+        var i = 0
+        while (i < r.content.length) {
+          acc = (acc * 31 + (r.content(i) & 0xff)) % graft.functions.TextFunctions.P
+          i += 1
+        }
+        acc
+      }
+      DecodedRow(
+        r.doc_id, r.kind, n,
+        if (isImage) (n % 64 + 1) * 16 else 0L,
+        if (isImage) (n % 48 + 1) * 16 else 0L,
+        if (isImage) 0L else n * 40,
+        Array.tabulate(featureDim)(i => ((h * (i + 1)) % 1000L - 500L).toFloat / 1000f))
+    }
+  }
+
+  /** Distributed decode: one codec per partition, streamed batches —
+    * the Scala analog of `mapInPandas` (same batch shape, same
+    * executor-side init contract). Partition sizing comes from the
+    * upstream scan (`spark.sql.files.maxPartitionBytes`), so a 100 TB
+    * binary corpus decodes in bounded-memory chunks.
+    */
+  def decodePartitions(
+      media: org.apache.spark.sql.Dataset[MediaRow],
+      codecFactory: () => MediaCodec = () => new StubCodec(8)): org.apache.spark.sql.Dataset[DecodedRow] = {
+    implicit val enc: org.apache.spark.sql.Encoder[DecodedRow] =
+      org.apache.spark.sql.Encoders.product[DecodedRow]
+    media.mapPartitions { rows =>
+      val codec = codecFactory()
+      val out = codec.decode(rows)
+      new Iterator[DecodedRow] {
+        def hasNext: Boolean = { val h = out.hasNext; if (!h) codec.close(); h }
+        def next(): DecodedRow = out.next()
+      }
+    }
+  }
 }

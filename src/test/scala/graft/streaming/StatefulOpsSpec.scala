@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+import StatefulOps._
+
+class StatefulOpsSpec extends SparkSpec {
+
+  test("streaming dedup emits first event per key, suppresses duplicates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Keyed]
+    val result = streamingDedup(input.toDS(), ttlMs = 0L)
+
+    val query = result.writeStream
+      .format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .start()
+
+    // batch 1: k1 twice (second is a dup), k2 once
+    input.addData(Keyed("k1", "a", 100L), Keyed("k1", "b", 200L), Keyed("k2", "c", 50L))
+    query.processAllAvailable()
+    // batch 2: k1 again (dup of state), k3 new
+    input.addData(Keyed("k1", "d", 300L), Keyed("k3", "e", 10L))
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("dedup_out").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.toList == List(
+      ("k1", "a", 100L, 1L), // first k1 event, one dup in same batch
+      ("k2", "c", 50L, 0L),
+      ("k3", "e", 10L, 0L)))
+  }
+
+  test("TTL branch: timed-out state is removed; re-arriving key emits again") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    // first arrival emits
+    val s1 = TestGroupState.create[SeenState](
+      optionalState = org.apache.spark.api.java.Optional.empty(), timeoutConf =
+        org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(),
+      hasTimedOut = false)
+    val out1 = dedupGroup("k", Iterator(Keyed("k", "v1", 10L), Keyed("k", "v2", 20L)), s1, 60000L)
+    assert(out1.toList == List(DedupResult("k", "v1", 10L, 1L)))
+    assert(s1.get == SeenState(10L, 2L))
+
+    // duplicate in a later batch: suppressed, count bumps
+    val s2 = TestGroupState.create[SeenState](
+      optionalState = org.apache.spark.api.java.Optional.of(SeenState(10L, 2L)),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 2000L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(),
+      hasTimedOut = false)
+    assert(dedupGroup("k", Iterator(Keyed("k", "v3", 30L)), s2, 60000L).isEmpty)
+    assert(s2.get == SeenState(10L, 3L))
+
+    // timeout fires: state removed, nothing emitted
+    val s3 = TestGroupState.create[SeenState](
+      optionalState = org.apache.spark.api.java.Optional.of(SeenState(10L, 3L)),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 99999L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(),
+      hasTimedOut = true)
+    assert(dedupGroup("k", Iterator.empty, s3, 60000L).isEmpty)
+    assert(s3.isRemoved)
+  }
+}
