@@ -45,11 +45,18 @@ object Dedup {
     val sh = df.select(
       col(idCol).as("doc"),
       explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("s"))
-    val capped = sh
-      .withColumn("s_freq", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("s")))
-      .filter(col("s_freq") <= maxShingleFreq)
-      .drop("s_freq")
+    // The over-cap shingle list is tiny by construction (boilerplate
+    // only), so the cap is a partial-agg count + broadcast anti-join.
+    // A count-over-window formulation is marginally faster at small SF
+    // (its exchange is reused by the self-join below) but must
+    // materialize and SORT the hot shingle's whole partition before
+    // filtering it — the exact skew this cap exists to remove. The
+    // anti-join kills hot keys map-side (partial agg) before any
+    // shuffle, so no reducer ever sees the degenerate key.
+    val hot = sh.groupBy("s").agg(count(lit(1)).as("s_freq"))
+      .filter(col("s_freq") > maxShingleFreq)
+      .select("s")
+    val capped = sh.join(broadcast(hot), Seq("s"), "left_anti")
     val sizes = capped.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     val pairs = capped.as("a").join(capped.as("b"),
         col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
