@@ -238,6 +238,24 @@ object Relational {
       Some("""SELECT event_id, user_id,
              |  round(avg(value) OVER (PARTITION BY user_id ORDER BY event_id
              |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg
-             |FROM events""".stripMargin))
+             |FROM events""".stripMargin)),
+
+    // ---- exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    //      quantile_cont); the approximate path for 100 TB is
+    //      percentile_approx / approx_count_distinct, spec-bounded in
+    //      ApproxSpec since sketches never hash-match across engines ----
+    "q15_percentiles" -> Q(
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(percentile(col("l_quantity"), lit(0.5)), 4).as("p50_qty"),
+            round(percentile(col("l_quantity"), lit(0.95)), 4).as("p95_qty"),
+            round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90_price")),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+             |  round(quantile_cont(l_quantity, 0.95), 4) AS p95_qty,
+             |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin))
   )
 }

@@ -132,6 +132,19 @@ object TrainingOps {
           k = 10, planes = 16, tables = 4),
       None),
 
+    // ---- HLL sketch distinct (the 100 TB cardinality path: one
+    //      partial-aggregated sketch per group, no exact-distinct
+    //      shuffle; no cross-engine oracle exists for sketches, so the
+    //      driver records rows-only and ApproxSpec bounds the error) ----
+    "dd_approx_distinct" -> Q(
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .groupBy("event_type")
+          .agg(
+            approx_count_distinct("user_id", 0.02).as("approx_users"),
+            count(lit(1)).as("n_events")),
+      None),
+
     // ---- token counting ----
     "ta_tokens" -> Q(
       (s, dir) =>
