@@ -184,6 +184,24 @@ object Relational {
              |  round(sum(value),2) AS sum_value
              |FROM events GROUP BY 1""".stripMargin)),
 
+    // ---- sliding time window (2h width, 1h slide → each event in
+    //      exactly two windows; Spark's native window(); oracle
+    //      enumerates the two containing window starts) ----
+    "q16_sliding_window" -> Q(
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .groupBy(window(col("ts"), "2 hours", "1 hour"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("wstart"),
+            col("n"), col("sum_value")),
+      Some("""WITH w AS (
+             |  SELECT time_bucket(INTERVAL '1 hour', ts) - to_hours(k) AS wstart, value
+             |  FROM events, (VALUES (0),(1)) t(k))
+             |SELECT strftime(wstart, '%Y-%m-%d %H:%M') AS wstart,
+             |  count(*) AS n, round(sum(value),2) AS sum_value
+             |FROM w GROUP BY 1""".stripMargin)),
+
     // ---- sessionization (gaps-and-islands, 30 min inactivity gap) ----
     "q12_sessions" -> Q(
       (s, dir) => {
