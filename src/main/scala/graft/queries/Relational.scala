@@ -202,6 +202,26 @@ object Relational {
              |  count(*) AS n, round(sum(value),2) AS sum_value
              |FROM w GROUP BY 1""".stripMargin)),
 
+    // ---- as-of (point-in-time) join: latest signup at or before each
+    //      event, via the union+carry-forward formulation (one shuffle,
+    //      no range explosion); oracle is DuckDB's native ASOF JOIN ----
+    "q17_asof_join" -> Q(
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+        val left = e.filter(col("event_type") =!= "signup")
+          .select(col("user_id"), col("ts"), col("event_id").as("ev_id"))
+        // unique (user_id, ts) on the right so tie order is defined
+        val right = e.filter(col("event_type") === "signup")
+          .groupBy("user_id", "ts").agg(max("event_id").as("asof_id"))
+        graft.operators.Temporal.asofJoin(left, right, "user_id", "ts")
+          .select("ev_id", "user_id", "asof_id")
+      },
+      Some("""WITH l AS (SELECT user_id, ts, event_id AS ev_id FROM events WHERE event_type <> 'signup'),
+             |r AS (SELECT user_id, ts, max(event_id) AS asof_id FROM events
+             |      WHERE event_type = 'signup' GROUP BY user_id, ts)
+             |SELECT l.ev_id, l.user_id, r.asof_id
+             |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin)),
+
     // ---- sessionization (gaps-and-islands, 30 min inactivity gap) ----
     "q12_sessions" -> Q(
       (s, dir) => {

@@ -1,0 +1,44 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class TemporalSpec extends SparkSpec {
+
+  private def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  test("asof join picks the latest right row at or before each left row") {
+    import spark.implicits._
+    val left = Seq(
+      ("u1", t(5), "e1"), ("u1", t(10), "e2"), ("u1", t(20), "e3"),
+      ("u2", t(1), "e4"), // before any right row → null
+      ("u3", t(9), "e5")  // no right rows for key at all
+    ).toDF("k", "ts", "ev")
+    val right = Seq(
+      ("u1", t(0), 100L), ("u1", t(10), 200L), ("u1", t(15), 300L),
+      ("u2", t(2), 400L)
+    ).toDF("k", "ts", "price")
+
+    val got = Temporal.asofJoin(left, right, "k", "ts")
+      .select("ev", "price").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+    assert(got == Map(
+      "e1" -> Some(100L), // latest ≤ 10:05 is 10:00
+      "e2" -> Some(200L), // equal timestamp matches (>=)
+      "e3" -> Some(300L),
+      "e4" -> None,
+      "e5" -> None))
+  }
+
+  test("left rows and columns are preserved; multiple right columns carry together") {
+    import spark.implicits._
+    val left = Seq(("k", t(10), 7)).toDF("k", "ts", "n")
+    val right = Seq(("k", t(1), 1L, "a"), ("k", t(5), 2L, "b")).toDF("k", "ts", "v", "tag")
+    val row = Temporal.asofJoin(left, right, "k", "ts").collect().head
+    val bySchema = Temporal.asofJoin(left, right, "k", "ts").columns.toList
+    assert(bySchema == List("k", "ts", "n", "v", "tag"))
+    assert(row.getAs[Int]("n") == 7 && row.getAs[Long]("v") == 2L && row.getAs[String]("tag") == "b")
+  }
+}
