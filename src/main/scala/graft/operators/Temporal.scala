@@ -53,4 +53,36 @@ object Temporal {
     carried.filter(col("__side") === 1)
       .select((col(keyCol) +: col("__ts").as(tsCol) +: (leftVals ++ rightVals).map(col)): _*)
   }
+
+  /** Range (interval-containment) join with NO equi-key: pairs every
+    * point with the intervals containing it.
+    *
+    * Without an equi-key Spark would pick BroadcastNestedLoop (small
+    * side only) or a cartesian product — quadratic at scale. Bucketing
+    * manufactures the equi-key: each interval explodes to the
+    * `bucketSeconds`-grain buckets it covers, each point maps to its
+    * single bucket, the join runs as a plain hash join on the bucket,
+    * and the exact containment predicate filters inside. A point lives
+    * in exactly one bucket, so no pair duplicates and no distinct.
+    *
+    * Cost: interval replication × ceil(span/bucket) — pick
+    * `bucketSeconds` near the typical interval span so replication
+    * stays O(1) per interval. Degenerate giant intervals are the skew
+    * case: cap or split them upstream (same discipline as the shingle
+    * frequency cap).
+    */
+  def rangeJoin(
+      points: DataFrame, tsCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketSeconds: Long): DataFrame = {
+    val b = lit(bucketSeconds)
+    val iv = intervals.withColumn("__bucket",
+      explode(sequence(
+        (col(startCol).cast("long") / b).cast("long"),
+        (col(endCol).cast("long") / b).cast("long"))))
+    val pt = points.withColumn("__bucket", (col(tsCol).cast("long") / b).cast("long"))
+    pt.join(iv, pt("__bucket") === iv("__bucket") &&
+        col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop(pt("__bucket")).drop(iv("__bucket"))
+  }
 }

@@ -222,6 +222,28 @@ object Relational {
              |SELECT l.ev_id, l.user_id, r.asof_id
              |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin)),
 
+    // ---- range (interval-containment) join, no equi-key: purchases
+    //      inside 30-minute windows opened by signups; bucketed hash
+    //      join instead of a nested-loop; oracle is DuckDB's inequality
+    //      (IE) join ----
+    "q18_range_join" -> Q(
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+        val points = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("ts"))
+        val intervals = e.filter(col("event_type") === "signup")
+          .select(col("event_id").as("i_id"), col("ts").as("start_ts"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("end_ts"))
+        graft.operators.Temporal.rangeJoin(
+            points, "ts", intervals, "start_ts", "end_ts", bucketSeconds = 1800L)
+          .select("p_id", "i_id")
+      },
+      Some("""SELECT p.event_id AS p_id, i.event_id AS i_id
+             |FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+             |JOIN (SELECT event_id, ts AS start_ts, ts + INTERVAL 30 MINUTE AS end_ts
+             |      FROM events WHERE event_type = 'signup') i
+             |  ON p.ts >= i.start_ts AND p.ts <= i.end_ts""".stripMargin)),
+
     // ---- sessionization (gaps-and-islands, 30 min inactivity gap) ----
     "q12_sessions" -> Q(
       (s, dir) => {

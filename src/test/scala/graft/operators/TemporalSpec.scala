@@ -32,6 +32,30 @@ class TemporalSpec extends SparkSpec {
       "e5" -> None))
   }
 
+  test("range join equals brute-force containment across bucket boundaries") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // intervals straddling bucket edges, zero-length, and overlapping
+    val intervals = Seq(
+      (1L, t(0), t(59)),   // spans 2 buckets at 1800s grain
+      (2L, t(10), t(10)),  // zero-length
+      (3L, t(25), t(45))   // overlaps interval 1
+    ).toDF("i_id", "start_ts", "end_ts")
+    val points = Seq((10L, t(0)), (11L, t(10)), (12L, t(30)), (13L, t(50)), (14L, t(59)))
+      .toDF("p_id", "ts")
+
+    val got = Temporal.rangeJoin(points, "ts", intervals, "start_ts", "end_ts", 1800L)
+      .select("p_id", "i_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = points.join(intervals,
+        col("ts") >= col("start_ts") && col("ts") <= col("end_ts"))
+      .select("p_id", "i_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute)
+    assert(got.contains((11L, 2L)) && got.contains((12L, 3L)) && got.contains((14L, 1L)))
+    // no duplicate pairs from the interval explosion
+    val rows = Temporal.rangeJoin(points, "ts", intervals, "start_ts", "end_ts", 1800L).count()
+    assert(rows == got.size)
+  }
+
   test("left rows and columns are preserved; multiple right columns carry together") {
     import spark.implicits._
     val left = Seq(("k", t(10), 7)).toDF("k", "ts", "n")
