@@ -79,6 +79,29 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one shuffle:\n$p")
   }
 
+  test("range join runs as a hash join on the manufactured bucket key, not a nested loop") {
+    val p = executedPlanOf("q18_range_join")
+    assert(p.contains("HashJoin"), s"range join not a hash join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated to a nested loop:\n$p")
+  }
+
+  test("asof join is one shuffle plus an in-partition sort") {
+    val p = executedPlanOf("q17_asof_join")
+    assert(p.contains("Window"), s"no carry-forward window:\n$p")
+    // AQE prints final + initial plans — count only the final section:
+    // one exchange on user_id for the carry-forward window (the
+    // operator itself) + one on (user_id, ts) for the query's
+    // right-side dedup agg
+    val finalPlan = p.split("== Initial Plan ==").head
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(shuffles == 2, s"expected 2 shuffles in final plan, got $shuffles:\n$p")
+    // the window exchange partitions on the join key alone — scale contract
+    assert(p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(user_id") && !l.contains(", ts")),
+      s"window exchange not keyed on user_id alone:\n$p")
+  }
+
   test("brute-force ANN broadcasts the query side, not the corpus") {
     val p = plan("ann_topk_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
