@@ -84,6 +84,87 @@ object Similarity {
       .select(col("ida"), col("va.vec").as("veca"), col("idb"), col("vb.vec").as("vecb"))
   }
 
+  /** IVF coarse quantizer: `nList` centroids from `iters` Lloyd
+    * iterations. Assignment and centroid updates are distributed
+    * (argmax-cosine projection, posexplode + groupBy average); only the
+    * centroid MODEL (nList × dim floats, a few KB) ever reaches the
+    * driver — at 100 TB the corpus never does. Initialization is the
+    * first `nList` vectors by id, so the index is deterministic
+    * job-to-job (same reproducibility contract as [[lshSignature]]).
+    */
+  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
+                   nList: Int, iters: Int = 2): Array[Array[Float]] = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    var centroids: Array[Array[Float]] = v.orderBy("id").limit(nList)
+      .select("vec").collect().map(_.getSeq[Float](0).toArray)
+    for (_ <- 0 until iters) {
+      val cLit = typedlit(unitNorm(centroids).map(_.toSeq).toSeq)
+      val assigned = v.withColumn("cluster", nearestCentroid(col("vec"), cLit, centroids.length))
+      val updated = assigned
+        .select(col("cluster"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos").agg(avg("x").as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val byCluster = updated.groupBy(_._1)
+      centroids = centroids.indices.map { c =>
+        byCluster.get(c) match {
+          case Some(rows) => rows.sortBy(_._2).map(_._3.toFloat).toArray
+          case None => centroids(c) // empty cluster keeps its centroid
+        }
+      }.toArray
+    }
+    centroids
+  }
+
+  /** centroids scaled to unit norm, so argmax cosine(v, c_i) becomes
+    * argmax dot(v, ĉ_i) — the row's own norm is constant across i and
+    * drops out of the comparison entirely.
+    */
+  private def unitNorm(centroids: Array[Array[Float]]): Array[Array[Float]] =
+    centroids.map { c =>
+      val n = math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      if (n == 0.0) c else c.map(x => (x / n).toFloat)
+    }
+
+  /** index of the max-cosine centroid for a vector (ties → lowest
+    * index); `unitLit` holds unit-normalized centroids. The score array
+    * is materialized once so each dot evaluates exactly once per row.
+    */
+  private def nearestCentroid(vec: Column, unitLit: Column, n: Int): Column = {
+    val scores = array((0 until n).map(i => dot(vec, element_at(unitLit, i + 1))): _*)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
+
+  /** ANN top-k via IVF: corpus vectors live in their nearest-centroid
+    * list (one shuffle key); each query probes its `nProbe` closest
+    * lists and re-ranks candidates exactly. Recall tunes with
+    * nList/nProbe; candidates per query ≈ nProbe/nList of the corpus.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              k: Int, nList: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val centroids = ivfCentroids(df, idCol, vecCol, nList, iters)
+    val cLit = typedlit(unitNorm(centroids).map(_.toSeq).toSeq)
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+
+    val corpus = v.withColumn("list", nearestCentroid(col("vec"), cLit, centroids.length))
+      .select(col("id").as("nid"), col("vec").as("nvec"), col("list"),
+        norm2(col("vec")).as("nnrm"))
+    // per-query probe lists: the nProbe highest-cosine centroids
+    // (unit-normalized, so plain dots order identically to cosines)
+    val scored = (0 until centroids.length).map(i =>
+      struct(dot(col("vec"), element_at(cLit, i + 1)).as("s"), lit(i).as("c")))
+    val probes = v.withColumn("probe",
+        explode(slice(reverse(array_sort(array(scored: _*))), 1, nProbe)))
+      .select(col("id").as("qid"), col("vec").as("qvec"),
+        norm2(col("vec")).as("qnrm"), col("probe.c").as("list"))
+
+    val cand = probes.join(corpus, Seq("list")).filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qvec"), col("nvec")) / sqrt(col("qnrm") * col("nnrm"))).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("qid", "rank", "nid")
+  }
+
   /** ANN top-k via LSH buckets + exact re-rank of candidates. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               k: Int, planes: Int = 16, tables: Int = 4): DataFrame = {

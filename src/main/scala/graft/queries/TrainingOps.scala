@@ -145,6 +145,15 @@ object TrainingOps {
             count(lit(1)).as("n_events")),
       None),
 
+    // ---- ANN via IVF coarse quantizer (learned partitions; the
+    //      second scale path next to LSH; recall spec-bounded in
+    //      OperatorsSpec — no SQL oracle for a learned index) ----
+    "ann_ivf" -> Q(
+      (s, dir) =>
+        Similarity.ivfTopK(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 10, nList = 16, nProbe = 4),
+      None),
+
     // ---- token counting ----
     "ta_tokens" -> Q(
       (s, dir) =>

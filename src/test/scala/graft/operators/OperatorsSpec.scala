@@ -64,6 +64,20 @@ class OperatorsSpec extends SparkSpec {
     assert(recall > 0.1, s"ANN recall $recall")
   }
 
+  test("ANN IVF top-k recall beats LSH at the same candidate budget; deterministic") {
+    val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", 10, nList = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    // probing 4/16 lists scans ~25% of the corpus per query; learned
+    // (Lloyd) partitions concentrate neighbors far above that floor
+    assert(recall > 0.3, s"IVF recall $recall")
+    val again = Similarity.ivfTopK(emb, "vec_id", "embedding", 10, nList = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(again == ivf, "IVF index not deterministic")
+  }
+
   test("multimodal: frame sampling shape and stub decode schema") {
     val d = docs.select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("content"))
       .select(col("doc_id"),
