@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reproducible sampling for training-data pipelines.
+  *
+  * `rand()`-based sampling is nondeterministic under task retry and
+  * unauditable across engines; everything here derives from explicit
+  * affine hashes of the row key (same arithmetic family as
+  * [[graft.functions.Hashing]]), so a split is a pure function of the
+  * key: re-runs, speculative tasks, and oracle re-derivations all
+  * agree, and a row's split assignment never changes when the dataset
+  * around it grows — the property that keeps train/test contamination
+  * impossible across dataset versions.
+  */
+object Sampling {
+
+  private val P = graft.functions.TextFunctions.P
+
+  /** deterministic bucket in [0, buckets) from a long key column. */
+  def hashBucket(key: Column, buckets: Int, seed: Int = 0): Column =
+    pmod(pmod(key * (37L + 101L * seed) + (7L + 139L * seed), lit(P)), lit(buckets.toLong))
+
+  /** Split rows into named fractions by key hash: e.g.
+    * `Seq("train" -> 80, "test" -> 20)` (integer percents, sum 100).
+    * Adds a `split` column; assignment depends only on (key, seed).
+    */
+  def splitByHash(df: DataFrame, keyCol: String,
+                  fractions: Seq[(String, Int)], seed: Int = 0): DataFrame = {
+    require(fractions.map(_._2).sum == 100, "fractions must sum to 100")
+    val b = hashBucket(col(keyCol), 100, seed)
+    val (expr, _) = fractions.foldLeft((lit(null).cast("string"), 0)) {
+      case ((acc, lo), (name, pct)) =>
+        (when(b >= lo && b < lo + pct, name).otherwise(acc), lo + pct)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** At most `perGroup` rows per group, chosen by key-hash order (with
+    * key tie-break) — a deterministic "reservoir" whose members are
+    * stable across runs AND across engines. One shuffle on the group
+    * key; WindowGroupLimit keeps per-partition heaps bounded at
+    * `perGroup`.
+    */
+  def samplePerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                     perGroup: Int, seed: Int = 0): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(hashBucket(col(keyCol), 1000000, seed), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perGroup)
+      .drop("__rn")
+  }
+}

@@ -154,6 +154,33 @@ object TrainingOps {
           k = 10, nList = 16, nProbe = 4),
       None),
 
+    // ---- deterministic train/test split (pure function of doc_id:
+    //      re-runs and engines agree; no rand()) ----
+    "ta_train_split" -> Q(
+      (s, dir) =>
+        graft.operators.Sampling.splitByHash(
+            Tables(s, dir, "documents"), "doc_id",
+            Seq("train" -> 80, "valid" -> 10, "test" -> 10), seed = 1)
+          .select(col("doc_id"), col("split")),
+      Some("""SELECT doc_id,
+             |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+             |FROM (SELECT doc_id, ((doc_id * 138 + 146) % 1000000007) % 100 AS b
+             |      FROM documents)""".stripMargin)),
+
+    // ---- deterministic per-group sample (at most 20 docs per source,
+    //      chosen by key-hash order — stable across runs/engines) ----
+    "ta_sample_per_group" -> Q(
+      (s, dir) =>
+        graft.operators.Sampling.samplePerGroup(
+            Tables(s, dir, "documents"), "source", "doc_id", perGroup = 20)
+          .select(col("source"), col("doc_id")),
+      Some("""SELECT source, doc_id FROM (
+             |  SELECT source, doc_id,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY ((doc_id * 37 + 7) % 1000000007) % 1000000, doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 20""".stripMargin)),
+
     // ---- token counting ----
     "ta_tokens" -> Q(
       (s, dir) =>

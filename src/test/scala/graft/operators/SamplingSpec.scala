@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+
+  test("split assignment is a pure function of the key: stable as the dataset grows") {
+    import spark.implicits._
+    val small = (1L to 100L).toDF("id")
+    val large = (1L to 1000L).toDF("id")
+    val f = Seq("train" -> 80, "test" -> 20)
+    val s1 = Sampling.splitByHash(small, "id", f).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s2 = Sampling.splitByHash(large, "id", f).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every key in the small set keeps its assignment in the large set
+    assert(s1.forall { case (k, v) => s2(k) == v })
+    // fractions roughly hold on the large set
+    val train = s2.values.count(_ == "train")
+    assert(train > 700 && train < 900, s"train fraction off: $train/1000")
+  }
+
+  test("different seeds give different splits; same seed identical") {
+    import spark.implicits._
+    val df = (1L to 500L).toDF("id")
+    val f = Seq("a" -> 50, "b" -> 50)
+    def run(seed: Int) = Sampling.splitByHash(df, "id", f, seed).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(run(1) == run(1))
+    assert(run(1) != run(2))
+  }
+
+  test("samplePerGroup caps group size and is deterministic") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => (s"g${i % 3}", i.toLong)).toDF("g", "id")
+    val s1 = Sampling.samplePerGroup(df, "g", "id", 10).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val s2 = Sampling.samplePerGroup(df, "g", "id", 10).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(s1 == s2)
+    assert(s1.groupBy(_._1).forall(_._2.size == 10))
+  }
+}
