@@ -75,6 +75,22 @@ object TextFunctions {
     floor((least(w, lit(100L)) * (w - s) * 1000000L) / (w * 100L)).cast("long")
   }
 
+  // ---- PII redaction (training-data scrubbing) ----
+
+  /** conservative patterns; order matters (emails before bare digit
+    * runs so the local part isn't half-eaten). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?\\d{3}[- .]\\d{3}[- .]\\d{4}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** scrub emails/phones/IPv4s to typed placeholder tokens — a narrow
+    * projection (codegen regexp_replace), shuffles nothing. */
+  def redact(text: Column): Column = {
+    val e = regexp_replace(text, EmailRe, "<EMAIL>")
+    val p = regexp_replace(e, PhoneRe, "<PHONE>")
+    regexp_replace(p, Ipv4Re, "<IP>")
+  }
+
   // ---- language ID (marker-word heuristic) ----
 
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(

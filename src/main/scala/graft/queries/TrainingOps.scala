@@ -181,6 +181,50 @@ object TrainingOps {
              |  FROM documents)
              |WHERE rn <= 20""".stripMargin)),
 
+    // ---- PII redaction (emails/phones/IPs injected deterministically
+    //      into the text, then scrubbed; oracle applies the same regex
+    //      chain in DuckDB) ----
+    "ta_redact" -> Q(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val dirty = concat(
+          col("text"), lit(" contact user"), col("doc_id"), lit("@example.com or "),
+          lit("555-01"), lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
+          lit("-1234 at 10.0."), pmod(col("doc_id"), lit(256)), lit(".7"))
+        d.select(col("doc_id"), TextFunctions.redact(dirty).as("clean"))
+          .withColumn("n_redactions",
+            (size(split(col("clean"), "<EMAIL>", -1)) - 1 +
+              size(split(col("clean"), "<PHONE>", -1)) - 1 +
+              size(split(col("clean"), "<IP>", -1)) - 1).cast("long"))
+      },
+      Some("""SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(
+             |    text || ' contact user' || doc_id || '@example.com or 555-01'
+             |      || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-1234 at 10.0.' || (doc_id % 256) || '.7',
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\+?\d{3}[- .]\d{3}[- .]\d{4}', '<PHONE>', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean,
+             |  len(string_split(regexp_replace(regexp_replace(regexp_replace(
+             |    text || ' contact user' || doc_id || '@example.com or 555-01'
+             |      || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-1234 at 10.0.' || (doc_id % 256) || '.7',
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\+?\d{3}[- .]\d{3}[- .]\d{4}', '<PHONE>', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'), '<EMAIL>')) - 1
+             |  + len(string_split(regexp_replace(regexp_replace(regexp_replace(
+             |    text || ' contact user' || doc_id || '@example.com or 555-01'
+             |      || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-1234 at 10.0.' || (doc_id % 256) || '.7',
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\+?\d{3}[- .]\d{3}[- .]\d{4}', '<PHONE>', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'), '<PHONE>')) - 1
+             |  + len(string_split(regexp_replace(regexp_replace(regexp_replace(
+             |    text || ' contact user' || doc_id || '@example.com or 555-01'
+             |      || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-1234 at 10.0.' || (doc_id % 256) || '.7',
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\+?\d{3}[- .]\d{3}[- .]\d{4}', '<PHONE>', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'), '<IP>')) - 1
+             |  AS n_redactions
+             |FROM documents""".stripMargin)),
+
     // ---- token counting ----
     "ta_tokens" -> Q(
       (s, dir) =>
