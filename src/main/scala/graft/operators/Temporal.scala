@@ -36,22 +36,34 @@ object Temporal {
       keyCol: String, tsCol: String): DataFrame = {
     val rightVals = right.columns.filter(c => c != keyCol && c != tsCol).toSeq
     val leftVals = left.columns.filter(c => c != keyCol && c != tsCol).toSeq
+    val overlap = leftVals.intersect(rightVals)
+    require(overlap.isEmpty,
+      s"asofJoin: non-key columns present on both sides: ${overlap.mkString(", ")} — rename before joining")
+
+    // The matched right row must be carried AS A UNIT: one
+    // last(struct(...), ignoreNulls) — carrying each column with its own
+    // last(col, ignoreNulls) would back-fill a legitimate NULL in the
+    // latest right row from an OLDER right row, fabricating a composite
+    // row that never existed (diverges from DuckDB ASOF JOIN).
+    import org.apache.spark.sql.types.StructType
+    val rvType = StructType(rightVals.map(c => right.schema(c)))
 
     // side 0 = right sorts before side 1 = left at equal ts (>= match)
     val taggedRight = right.select(
       (col(keyCol) +: col(tsCol).as("__ts") +: lit(0).as("__side") +:
-        (rightVals.map(col) ++ leftVals.map(c => lit(null).cast(left.schema(c).dataType).as(c)))): _*)
+        struct(rightVals.map(col): _*).as("__rv") +:
+        leftVals.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val taggedLeft = left.select(
       (col(keyCol) +: col(tsCol).as("__ts") +: lit(1).as("__side") +:
-        (rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++ leftVals.map(col))): _*)
+        lit(null).cast(rvType).as("__rv") +: leftVals.map(col)): _*)
 
     val w = Window.partitionBy(keyCol).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightVals.foldLeft(taggedRight.unionByName(taggedLeft)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val carried = taggedRight.unionByName(taggedLeft)
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
-      .select((col(keyCol) +: col("__ts").as(tsCol) +: (leftVals ++ rightVals).map(col)): _*)
+      .select((col(keyCol) +: col("__ts").as(tsCol) +:
+        (leftVals.map(col) ++ rightVals.map(c => col("__rv").getField(c).as(c)))): _*)
   }
 
   /** Range (interval-containment) join with NO equi-key: pairs every

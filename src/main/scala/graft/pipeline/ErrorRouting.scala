@@ -36,7 +36,12 @@ object ErrorRouting {
   def apply(input: DataFrame, stage: Stage): Split = {
     val (ok0, dead) = stage.failWhen match {
       case Some(spec) =>
-        (input.filter(!spec.cond), Some(toEventError(input.filter(spec.cond), spec)))
+        // A NULL predicate (e.g. null payload reaching a parse check) must
+        // not vanish from BOTH branches: treat null as failure so every
+        // input row lands in exactly one branch, matching the reference's
+        // route-every-row contract (node/node.go:178-196).
+        val failCond = coalesce(spec.cond, lit(true))
+        (input.filter(!failCond), Some(toEventError(input.filter(failCond), spec)))
       case None => (input, None)
     }
     val kept = stage.keepWhen.map(ok0.filter).getOrElse(ok0)

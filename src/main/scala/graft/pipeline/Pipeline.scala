@@ -45,9 +45,16 @@ object Pipeline {
     }
   }
 
-  final case class Built(source: DataFrame, roots: List[BuiltNode]) {
+  final case class Built(
+      source: DataFrame,
+      roots: List[BuiltNode],
+      /** every frame this build persisted (shared source + multi-consumer
+        * node outputs) — streaming callers MUST unpersist these after each
+        * micro-batch or a long-running stream accumulates cached blocks */
+      persisted: List[DataFrame] = Nil) {
     def find(id: String): Option[BuiltNode] = roots.view.flatMap(_.find(id)).headOption
     def leaves: List[(String, DataFrame)] = roots.flatMap(_.leaves)
+    def unpersistAll(): Unit = persisted.foreach(_.unpersist())
   }
 
   /** Build the full DAG for a config against a batch source DataFrame. */
@@ -69,10 +76,16 @@ object Pipeline {
       observeMetrics: Boolean = false,
       persistShared: Boolean = true): Built = {
     val activeRoots = nodes.filterNot(_.disabled)
+    val persisted = scala.collection.mutable.ListBuffer[DataFrame]()
     val src =
-      if (activeRoots.size > 1 && persistShared) source.persist(StorageLevel.MEMORY_AND_DISK)
-      else source
-    Built(src, activeRoots.map(buildNode(src, _, registry, observeMetrics, persistShared)))
+      if (activeRoots.size > 1 && persistShared) {
+        val p = source.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted += p; p
+      } else source
+    Built(
+      src,
+      activeRoots.map(buildNode(src, _, registry, observeMetrics, persistShared, persisted)),
+      persisted.toList)
   }
 
   private def buildNode(
@@ -80,7 +93,8 @@ object Pipeline {
       conf: NodeConf,
       registry: Registry,
       observe: Boolean,
-      persistShared: Boolean): BuiltNode = {
+      persistShared: Boolean,
+      persisted: scala.collection.mutable.ListBuffer[DataFrame]): BuiltNode = {
     val stage = registry.instantiateNode(conf.name, conf.params)
     // An observe value is idempotent within a batch: when several
     // downstream actions (multiple leaves, dead-letter branch)
@@ -93,12 +107,19 @@ object Pipeline {
 
     val split = ErrorRouting(observed, stage)
 
-    val activeChildren = conf.children.filterNot(_.disabled)
+    // Terminal stages (kafkaproducer returns (nil, nil),
+    // kafkaproducer.go:92-115) propagate nothing: children configured
+    // under one would otherwise receive the sink-projected frame, which
+    // the reference never delivers.
+    val activeChildren =
+      if (stage.terminal) Nil else conf.children.filterNot(_.disabled)
     val consumers = activeChildren.size + (if (conf.errorHandler.isDefined) 1 else 0)
     val out0 = split.output
     val out =
-      if (consumers > 1 && persistShared) out0.persist(StorageLevel.MEMORY_AND_DISK)
-      else out0
+      if (consumers > 1 && persistShared) {
+        val p = out0.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted += p; p
+      } else out0
     val outObserved =
       if (observe) out.observe(s"${conf.id}.emitted", count(lit(1)).as("count"))
       else out
@@ -116,6 +137,6 @@ object Pipeline {
       outObserved,
       split.deadLetters,
       errorHandlerOutput,
-      activeChildren.map(buildNode(outObserved, _, registry, observe, persistShared)))
+      activeChildren.map(buildNode(outObserved, _, registry, observe, persistShared, persisted)))
   }
 }

@@ -330,12 +330,12 @@ object FireboltOps {
         filterNode.union(errorNode)
       },
       Some("""SELECT 'filternode' AS node, count(*) AS received,
-             |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS filtered,
-             |  0 AS failed
+             |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS filtered,
+             |  CAST(0 AS BIGINT) AS failed
              |FROM events
              |UNION ALL
-             |SELECT 'errornode', count(*), 0,
-             |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             |SELECT 'errornode', count(*), CAST(0 AS BIGINT),
+             |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
              |FROM events WHERE event_type <> 'click'""".stripMargin))
   )
 }

@@ -263,7 +263,7 @@ object Relational {
              |        OVER (PARTITION BY user_id ORDER BY event_id) AS gap
              |  FROM events)
              |SELECT user_id,
-             |  sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+             |  CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
              |  count(*) AS n_events
              |FROM d GROUP BY user_id""".stripMargin)),
 

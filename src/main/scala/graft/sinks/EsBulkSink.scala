@@ -83,10 +83,15 @@ final class EsBulkSink(
         client.close(); client = clientFactory(); batchesOnConnection = 1
       }
       val results = bulkWithRequestRetry(batch)
-      val byId = batch.map(r => r.docId -> r).toMap
+      // The bulk API returns one item per request IN ORDER — match
+      // positionally like the reference's handleErrorResponses
+      // (elastic_index_client.go:211-280). Keying by docId would collapse
+      // duplicate/empty IDs (the ES auto-ID path sends docId = "" for
+      // every doc) and mis-attribute failures.
+      require(results.size == batch.size,
+        s"bulk returned ${results.size} results for ${batch.size} requests")
       val retry = ListBuffer[IndexRequest]()
-      results.foreach { res =>
-        val req = byId(res.docId)
+      results.zip(batch).foreach { case (res, req) =>
         if (res.status < 200 || res.status > 299) {
           val poison = res.errorType.contains("mapper_parsing_exception")
           if (!poison && retryCount < maxRetries) retry += req

@@ -47,9 +47,12 @@ object StreamingPipeline {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val cached = batch.persist()
+        // built outside try so the finally can unpersist the per-node
+        // MEMORY_AND_DISK caches Pipeline.buildOn created — without this
+        // a long-running stream accumulates cached blocks batch by batch
+        val built = Pipeline.buildOn(cached, config.nodes, registry,
+          observeMetrics = observeMetrics, persistShared = true)
         try {
-          val built = Pipeline.buildOn(cached, config.nodes, registry,
-            observeMetrics = observeMetrics, persistShared = true)
           built.leaves.foreach { case (id, df) =>
             sinks.get(id).foreach(_.writeBatch(df))
           }
@@ -59,7 +62,7 @@ object StreamingPipeline {
               sink <- deadLetterSinks.get(node.conf.id)
             } sink.writeBatch(dead)
           }
-        } finally { cached.unpersist(); () }
+        } finally { built.unpersistAll(); cached.unpersist(); () }
       }
 
     val withCp = checkpoint.fold(writer)(cp => writer.option("checkpointLocation", cp))

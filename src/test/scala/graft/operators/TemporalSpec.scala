@@ -56,6 +56,25 @@ class TemporalSpec extends SparkSpec {
     assert(rows == got.size)
   }
 
+  test("a legit NULL in the matched right row is NOT back-filled from older rows") {
+    import spark.implicits._
+    val left = Seq(("k", t(10), "e")).toDF("k", "ts", "ev")
+    // latest right row (10:05) has tag = NULL; the older row's "a" must
+    // not leak into the match — the right row is carried as a unit
+    val right = Seq(("k", t(1), 1L, Option("a")), ("k", t(5), 2L, Option.empty[String]))
+      .toDF("k", "ts", "v", "tag")
+    val row = Temporal.asofJoin(left, right, "k", "ts").collect().head
+    assert(row.getAs[Long]("v") == 2L)
+    assert(row.isNullAt(row.fieldIndex("tag")), "NULL in matched row was back-filled")
+  }
+
+  test("overlapping non-key column names are rejected") {
+    import spark.implicits._
+    val left = Seq(("k", t(10), 1L)).toDF("k", "ts", "v")
+    val right = Seq(("k", t(1), 2L)).toDF("k", "ts", "v")
+    intercept[IllegalArgumentException] { Temporal.asofJoin(left, right, "k", "ts") }
+  }
+
   test("left rows and columns are preserved; multiple right columns carry together") {
     import spark.implicits._
     val left = Seq(("k", t(10), 7)).toDF("k", "ts", "n")

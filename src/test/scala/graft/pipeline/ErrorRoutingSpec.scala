@@ -77,6 +77,42 @@ class ErrorRoutingSpec extends SparkSpec {
     assert(mix.count() - built.find("errornode").get.output.count() - deadLetters.count() == 5)
   }
 
+  test("null failWhen predicate routes the row to dead letters, not limbo") {
+    import spark.implicits._
+    // a null payload makes startsWith(...) evaluate to SQL NULL — such a
+    // row must land in exactly ONE branch (dead letters), never vanish
+    val withNull = Seq(Some("success 1"), None, Some("error 1")).toDF("payload")
+      .select(col("payload"),
+        lit(Timestamp.valueOf("2024-01-01 00:00:00")).as("created"),
+        lit(false).as("recovery"))
+    val split = ErrorRouting(withNull, reg.instantiateNode("errornode", Map.empty))
+    val ok = split.output.count()
+    val dead = split.deadLetters.get.count()
+    assert(ok + dead == 3, s"row lost: ok=$ok dead=$dead")
+    assert(ok == 1 && dead == 2) // null payload treated as failure
+  }
+
+  test("terminal stage (kafkaproducer) does not propagate to children") {
+    import spark.implicits._
+    val cfg = AppConfig.parse(
+      s"""application: terminaltest
+         |source:
+         |  name: stringsource
+         |  params: {path: unused}
+         |nodes:
+         |  - name: stringtoproducerequestnode
+         |    children:
+         |      - name: kafkaproducer
+         |        children:
+         |          - name: kafkaproducer
+         |            id: downstream
+         |""".stripMargin, reg).fold(e => sys.error(e), identity)
+    val built = Pipeline.buildOn(mix, cfg.nodes, reg, persistShared = false)
+    // the reference's terminal nodes return nil — downstream gets nothing
+    assert(built.find("downstream").isEmpty)
+    assert(built.find("kafkaproducer").get.children.isEmpty)
+  }
+
   test("disabled node skips subtree") {
     val cfg = AppConfig.parse(
       s"""application: disabledtest

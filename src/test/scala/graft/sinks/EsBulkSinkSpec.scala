@@ -83,6 +83,28 @@ class EsBulkSinkSpec extends SparkSpec {
     assert(connections.get() == 4) // 10 single-doc batches / 3 per connection
   }
 
+  test("empty/duplicate doc IDs (ES auto-ID path) are matched positionally") {
+    // docbuilder/elasticsearch stages set doc_id = "" for every doc —
+    // results MUST map back to requests by position, not by id.
+    val docs = (1 to 4).map(i => IndexRequest("logs", "_doc", "", s"""{"n":$i}"""))
+    val sink = new EsBulkSink(() => new EsBulkClient {
+      def bulk(ds: Seq[IndexRequest]) = ds.zipWithIndex.map { case (d, i) =>
+        if (i == 2) EsDocResult(d.docId, 400, Some("mapper_parsing_exception"))
+        else EsDocResult(d.docId, 201)
+      }
+    }, batchSize = 10)
+    val failures = sink.indexPartition(docs.iterator).toList
+    assert(failures.size == 1)
+    assert(failures.head.doc == """{"n":3}""") // the third request, by position
+  }
+
+  test("result-count mismatch with the batch fails loudly") {
+    val sink = new EsBulkSink(() => new EsBulkClient {
+      def bulk(ds: Seq[IndexRequest]) = ds.take(1).map(d => EsDocResult(d.docId, 200))
+    }, batchSize = 10)
+    intercept[IllegalArgumentException] { sink.indexPartition(reqs(3).iterator).toList }
+  }
+
   test("distributed path: failures come back as a Dataset") {
     val s = spark
     import s.implicits._

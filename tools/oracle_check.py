@@ -38,8 +38,17 @@ def main(sf_dir, out_dir):
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            sdf = canon(pd.read_parquet(spark_path))
-            ddf = canon(con.execute(sql).fetchdf())
+            sraw = pd.read_parquet(spark_path)
+            draw = con.execute(sql).fetchdf()
+            # Driver hashes raw values: a dtype mismatch (e.g. DuckDB HUGEINT
+            # from integer sum() -> float64/object vs Spark int64) fails there
+            # even when values are numerically equal. Surface it here.
+            for c in sorted(set(sraw.columns) & set(draw.columns)):
+                sd, dd = sraw[c].dtype, draw[c].dtype
+                if sd != dd:
+                    print(f"WARN {name}: dtype mismatch col {c}: spark={sd} duck={dd} (driver hash may fail)")
+            sdf = canon(sraw)
+            ddf = canon(draw)
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
         if list(sdf.columns) != list(ddf.columns):
