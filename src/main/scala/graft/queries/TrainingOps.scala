@@ -124,26 +124,67 @@ object TrainingOps {
              |SELECT qid, rank, nid FROM ranked WHERE rank <= 10""".stripMargin),
       headline = true),
 
-    // ---- ANN via random-hyperplane LSH buckets (scale path; no SQL
-    //      oracle — recall vs brute force asserted in SimilaritySpec) ----
+    // ---- ANN via random-hyperplane LSH buckets (scale path). Fully
+    //      oracle-able: the hyperplane family is a pure integer formula
+    //      (Kernels.lshSigEval) and the signature/cosine sums fold
+    //      left-to-right in double on both engines, so DuckDB rebuilds
+    //      the SAME buckets and the SAME re-rank bit-for-bit ----
     "ann_lsh_bucketed" -> Q(
       (s, dir) =>
         Similarity.lshTopK(Tables(s, dir, "embeddings"), "vec_id", "embedding",
           k = 10, planes = 16, tables = 4),
-      None),
+      Some("""WITH e AS (SELECT vec_id, embedding, len(embedding) AS nd FROM embeddings),
+             |sg AS (SELECT vec_id,
+             |  list_sum(list_transform(range(0,16), p ->
+             |    CASE WHEN list_sum(list_transform(range(1, nd+1), d ->
+             |        CASE WHEN ((1103515245*p + 12345)*d + 2654435761) % 2147483647 % 2 = 0
+             |             THEN CAST(embedding[d] AS DOUBLE)
+             |             ELSE -CAST(embedding[d] AS DOUBLE) END)) > 0
+             |    THEN 1 << p ELSE 0 END)) AS sig
+             |  FROM e),
+             |b AS (SELECT vec_id, r.t, sig & (15 << (r.t*4)) AS bucket
+             |      FROM sg, range(0,4) r(t)),
+             |pairs AS (SELECT DISTINCT a.vec_id AS ida, b2.vec_id AS idb
+             |          FROM b a JOIN b b2
+             |          ON a.t = b2.t AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+             |n AS (SELECT vec_id, embedding,
+             |  list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nrm
+             |  FROM e),
+             |sc AS (SELECT p.ida, p.idb,
+             |  list_sum(list_transform(list_zip(x.embedding, y.embedding),
+             |    q -> CAST(q[1] AS DOUBLE)*CAST(q[2] AS DOUBLE))) / sqrt(x.nrm * y.nrm) AS cos
+             |  FROM pairs p JOIN n x ON p.ida = x.vec_id JOIN n y ON p.idb = y.vec_id),
+             |sym AS (SELECT ida AS qid, idb AS nid, cos FROM sc
+             |        UNION ALL SELECT idb, ida, cos FROM sc),
+             |rk AS (SELECT qid, nid,
+             |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM sym)
+             |SELECT qid, rank, nid FROM rk WHERE rank <= 10""".stripMargin)),
 
     // ---- HLL sketch distinct (the 100 TB cardinality path: one
     //      partial-aggregated sketch per group, no exact-distinct
-    //      shuffle; no cross-engine oracle exists for sketches, so the
-    //      driver records rows-only and ApproxSpec bounds the error) ----
+    //      shuffle). Sketch VALUES never hash-match across engines, so
+    //      the verifiable output is exact counts + an in-engine bound
+    //      check: hll_ok asserts the sketch landed within 5·rsd of
+    //      exact, which DuckDB checks as literal TRUE. The production
+    //      path at scale is sketch-only (ApproxSpec bounds the error);
+    //      the exact distinct here is the verification harness. ----
     "dd_approx_distinct" -> Q(
       (s, dir) =>
         Tables(s, dir, "events")
           .groupBy("event_type")
           .agg(
-            approx_count_distinct("user_id", 0.02).as("approx_users"),
-            count(lit(1)).as("n_events")),
-      None),
+            approx_count_distinct("user_id", 0.02).as("approx"),
+            countDistinct("user_id").as("exact_users"),
+            count(lit(1)).as("n_events"))
+          .select(
+            col("event_type"), col("exact_users"), col("n_events"),
+            (abs(col("approx") - col("exact_users")) <=
+              col("exact_users") * lit(0.1)).as("hll_ok")),
+      Some("""SELECT event_type,
+             |  count(DISTINCT user_id) AS exact_users,
+             |  count(*) AS n_events,
+             |  TRUE AS hll_ok
+             |FROM events GROUP BY event_type""".stripMargin)),
 
     // ---- ANN via IVF coarse quantizer (learned partitions; the
     //      second scale path next to LSH; recall spec-bounded in
