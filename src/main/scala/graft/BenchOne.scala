@@ -1,0 +1,31 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Time a single SparkEntry query repeatedly — the iteration loop for
+  * plan work (`runMain graft.BenchOne <name> [reps]`). Same session
+  * config as [[Bench]]; honors SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS.
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse(sys.error("usage: BenchOne <query> [reps]"))
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val fn = SparkEntry.queries(name)
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"[benchone] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+    }
+    spark.stop()
+  }
+}

@@ -45,23 +45,24 @@ object Dedup {
     val sh = df.select(
       col(idCol).as("doc"),
       explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("s"))
-    // The over-cap shingle list is tiny by construction (boilerplate
-    // only), so the cap is a partial-agg count + broadcast anti-join.
-    // A count-over-window formulation is marginally faster at small SF
-    // (its exchange is reused by the self-join below) but must
-    // materialize and SORT the hot shingle's whole partition before
-    // filtering it — the exact skew this cap exists to remove. The
-    // anti-join kills hot keys map-side (partial agg) before any
-    // shuffle, so no reducer ever sees the degenerate key.
-    val hot = sh.groupBy("s").agg(count(lit(1)).as("s_freq"))
-      .filter(col("s_freq") > maxShingleFreq)
-      .select("s")
-    val capped = sh.join(broadcast(hot), Seq("s"), "left_anti")
-    val sizes = capped.groupBy("doc").agg(count(lit(1)).as("n_sh"))
-    val pairs = capped.as("a").join(capped.as("b"),
-        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("da"), col("b.doc").as("db"))
-      .agg(count(lit(1)).as("inter"))
+    // Inverted index: ONE shuffle keyed on shingle builds the posting
+    // list, and the frequency cap is a size() filter on that list — no
+    // separate hot-count pass, no anti-join, and the shingle kernel runs
+    // once instead of once per join branch. The cap bounds every posting
+    // list at maxShingleFreq docs, so the nested pair explode below is
+    // O(cap²) worst-case per shingle — no reducer ever sees a
+    // degenerate hot key.
+    val inv = sh.groupBy("s").agg(collect_list("doc").as("docs"))
+      .filter(size(col("docs")) <= maxShingleFreq)
+    val sizes = inv.select(explode(col("docs")).as("doc"))
+      .groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    // ordered pairs from each posting list; Generate stays inside
+    // codegen, so the f² candidates are loop iterations, not rows
+    val pairs = inv
+      .select(explode(col("docs")).as("da"), col("docs"))
+      .select(col("da"), explode(col("docs")).as("db"))
+      .where(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
     pairs
       .join(sizes.as("sa"), col("da") === col("sa.doc"))
       .join(sizes.as("sb"), col("db") === col("sb.doc"))
