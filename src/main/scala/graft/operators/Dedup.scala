@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.{Hashing, TextFunctions}
 
@@ -110,6 +111,57 @@ object Dedup {
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Connected components over a near-dup pair list — the final stage
+    * of every dedup pipeline: pairs → groups → one canonical id (the
+    * minimum) per group.
+    *
+    * Distributed min-label propagation: each round, every vertex takes
+    * the minimum label among itself and its neighbors (one shuffle on
+    * vertex id per round); converges in O(component diameter) rounds.
+    * Near-dup clusters are shallow (dups of a common source), so the
+    * diameter is small in practice; `maxIters` guards the pathological
+    * chain. Each round materializes via persist, so lineage never
+    * re-computes earlier rounds, and the fixpoint check short-circuits
+    * (`limit(1)` — "did anything change", not "how many").
+    *
+    * Returns (id, comp): every vertex that appears in a pair, labeled
+    * with the minimum id reachable from it.
+    */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // labels decrease monotonically, so an unchanged label-sum IS the
+    // fixpoint — one single-table agg per round instead of a self-join
+    // diff (decimal sum: overflow-proof for arbitrary id magnitudes)
+    def checksum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).first().getDecimal(0)
+    var prev = checksum(labels)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaNbr = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("comp"))
+      val next = labels.select("id", "comp").union(viaNbr)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val cur = checksum(next)
+      labels.unpersist()
+      labels = next
+      converged = cur == prev
+      prev = cur
+      i += 1
+    }
+    edges.unpersist()
+    labels
   }
 
   /** Embedding cosine near-dup pairs — the all-pairs baseline (small

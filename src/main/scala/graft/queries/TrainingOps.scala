@@ -75,6 +75,37 @@ object TrainingOps {
               |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id""".stripMargin),
       headline = true),
 
+    // ---- dedup groups: connected components over the MinHash-LSH
+    //      candidate pairs (pairs → groups → canonical min id); oracle
+    //      re-derives the closure with a recursive CTE ----
+    "dd_components" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val pairs = Dedup.minhashLshCandidates(
+          Tables(s, dir, "documents"), "doc_id", "text", n = 3, k = 8, bands = 2)
+        Dedup.connectedComponents(pairs, "da", "db")
+          .select(col("id").as("doc_id"), col("comp"),
+            count(lit(1)).over(Window.partitionBy("comp")).as("n_group"))
+      },
+      Some(s"""WITH RECURSIVE $duckShingles,
+              |hs AS (SELECT doc_id, list_transform(list_distinct(s), t -> ${duckCharHash("t")}) h FROM shl),
+              |sig AS (SELECT doc_id, list_transform(range(0,8), i ->
+              |  list_min(list_transform(h, x -> ((37+101*i)*x + 7+139*i) % 1000000007))) sg FROM hs),
+              |bands AS (
+              |  SELECT doc_id, '0-' || sg[1] || '-' || sg[2] || '-' || sg[3] || '-' || sg[4] AS band FROM sig
+              |  UNION ALL
+              |  SELECT doc_id, '1-' || sg[5] || '-' || sg[6] || '-' || sg[7] || '-' || sg[8] AS band FROM sig),
+              |pr AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              |       FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+              |e AS (SELECT da AS a, db AS b FROM pr UNION ALL SELECT db, da FROM pr),
+              |reach AS (
+              |  SELECT a AS id, a AS r FROM e
+              |  UNION
+              |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+              |cmp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+              |SELECT id AS doc_id, comp, count(*) OVER (PARTITION BY comp) AS n_group
+              |FROM cmp""".stripMargin)),
+
     // ---- SimHash near-dups (hamming ≤ 3; oracle brute-forces all pairs,
     //      Spark uses lossless 4-byte blocking — same result set) ----
     "dd_simhash" -> Q(
@@ -279,6 +310,35 @@ object TrainingOps {
              |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens,
              |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_tokens
              |FROM documents""".stripMargin)),
+
+    // ---- top distinctive terms per doc (TF-IDF-shaped, float-free:
+    //      score = tf·10⁶ DIV df is pure integer arithmetic, so the
+    //      ranking is bit-identical across engines — no log() ulp
+    //      differences can flip a rank boundary) ----
+    "ta_top_terms" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "")
+        val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        val scored = tf.join(dfreq, "w")
+          .withColumn("score", expr("(tf * 1000000) DIV df"))
+        val rk = Window.partitionBy("doc_id").orderBy(col("score").desc, col("w").asc)
+        scored.withColumn("rank", row_number().over(rk)).filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("w").as("term"),
+            col("tf"), col("df"), col("score"))
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |  unnest(list_filter(string_split(text,' '), w -> w <> '')) AS w FROM documents),
+             |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+             |sc AS (SELECT t.doc_id, t.w, t.tf, d.df, (t.tf * 1000000) // d.df AS score
+             |       FROM tf t JOIN dfreq d USING (w)),
+             |rk AS (SELECT doc_id, w, tf, df, score,
+             |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rank FROM sc)
+             |SELECT doc_id, rank, w AS term, tf, df, score FROM rk WHERE rank <= 3""".stripMargin)),
 
     // ---- quality scoring (integer ppm) ----
     "ta_quality" -> Q(

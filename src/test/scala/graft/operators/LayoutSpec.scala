@@ -1,0 +1,56 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Layout operator: range-partitioned sorted writes must produce
+  * non-overlapping per-file key ranges (the property that makes
+  * footer-stats file skipping work) and a plan with RangePartitioning +
+  * in-partition Sort.
+  */
+class LayoutSpec extends SparkSpec {
+
+  test("plan shape: range exchange + in-partition sort, no global sort") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i.toLong * 7 % 997, s"v$i")).toDF("k", "v")
+    val p = Layout.sorted(df, 4, col("k")).queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning"), s"no range exchange:\n$p")
+    // "Sort [...], false, 0" — the second field is the global flag
+    assert("""Sort \[[^\]]*\], false""".r.findFirstIn(p).isDefined,
+      s"no in-partition (non-global) sort:\n$p")
+  }
+
+  test("written files have non-overlapping key ranges and all rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-layout").toString + "/out"
+    val df = (1 to 5000).map(i => ((i.toLong * 31) % 4999, i.toLong)).toDF("k", "id")
+    Layout.writeSorted(df, dir, 5, col("k"))
+
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 5000)
+    val ranges = Layout.fileRanges(back, "k")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length >= 2, "expected multiple files")
+    ranges.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) =>
+        assert(hiA <= loB, s"overlapping file ranges: $ranges")
+      case _ =>
+    }
+  }
+
+  test("scan with a key predicate reads fewer files than the total") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-layout2").toString + "/out"
+    val df = (1 to 5000).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+    Layout.writeSorted(df, dir, 5, col("k"))
+    // a narrow range predicate lands in one range-partitioned file; the
+    // executed scan must not read all of them
+    val narrow = spark.read.parquet(dir).filter(col("k") >= 100 && col("k") <= 200)
+    assert(narrow.count() == 101)
+    val files = narrow.select(input_file_name()).distinct().count()
+    assert(files == 1L, s"predicate touched $files files, expected 1")
+  }
+}

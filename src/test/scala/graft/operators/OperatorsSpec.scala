@@ -29,6 +29,23 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.forall(r => r.getLong(2) * 10 >= r.getLong(3)))
   }
 
+  test("connected components label every vertex with the min reachable id") {
+    import spark.implicits._
+    // chain 1-2-3-4-5-6 (needs multiple propagation rounds), a separate
+    // pair {10,11}, and a triangle {20,21,22}
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (6L, 5L),
+      (11L, 10L),
+      (20L, 21L), (21L, 22L), (20L, 22L)
+    ).toDF("da", "db")
+    val comp = Dedup.connectedComponents(pairs, "da", "db")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 6L).forall(comp(_) == 1L), s"chain mislabeled: $comp")
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert(Seq(20L, 21L, 22L).forall(comp(_) == 20L))
+    assert(comp.size == 11)
+  }
+
   test("minhash LSH candidates recall the high-jaccard pairs") {
     val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", num = 1, den = 2)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

