@@ -316,6 +316,70 @@ object Relational {
              |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
              |  round(quantile_cont(l_quantity, 0.95), 4) AS p95_qty,
              |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
-             |FROM lineitem GROUP BY l_returnflag""".stripMargin))
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- native session_window (the streaming-stateful session
+    //      operator, exercised in batch): session = events whose
+    //      [ts, ts+30min) windows chain; end = last ts + gap. Oracle
+    //      re-derives via gaps-and-islands with the SAME split rule
+    //      (diff >= 30min starts a new session) ----
+    "q19_session_window" -> Q(
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+            col("n_events")),
+      Some("""WITH d AS (SELECT user_id, ts,
+             |  CASE WHEN lag(ts) OVER w IS NULL
+             |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+             |       THEN 1 ELSE 0 END AS newsess
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |i AS (SELECT user_id, ts,
+             |  sum(newsess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+             |  FROM d)
+             |SELECT user_id,
+             |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+             |  count(*) AS n_events
+             |FROM i GROUP BY user_id, sess""".stripMargin)),
+
+    // ---- cube: all grouping-set combinations over two dimensions ----
+    "q20_cube" -> Q(
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .cube(col("event_type"), pmod(col("user_id"), lit(10)).as("decile"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value")),
+      Some("""SELECT event_type, user_id % 10 AS decile,
+             |  count(*) AS n, round(sum(value),2) AS sum_value
+             |FROM events GROUP BY CUBE (event_type, decile)""".stripMargin)),
+
+    // ---- rank-function family: dense_rank / percent_rank / cume_dist
+    //      over a tied ordering (floor of value), ntile over the
+    //      tie-broken unique ordering (ntile on a tied order would be
+    //      nondeterministic row assignment) ----
+    "q21_rank_family" -> Q(
+      (s, dir) => {
+        val tied = Window.partitionBy("event_type")
+          .orderBy(floor(col("value")).desc)
+        val uniq = Window.partitionBy("event_type")
+          .orderBy(floor(col("value")).desc, col("event_id").asc)
+        Tables(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            dense_rank().over(tied).as("drank"),
+            percent_rank().over(tied).as("prank"),
+            cume_dist().over(tied).as("cdist"),
+            ntile(4).over(uniq).as("quartile"))
+      },
+      Some("""SELECT event_id, event_type,
+             |  dense_rank() OVER wt AS drank,
+             |  percent_rank() OVER wt AS prank,
+             |  cume_dist() OVER wt AS cdist,
+             |  ntile(4) OVER wu AS quartile
+             |FROM events
+             |WINDOW wt AS (PARTITION BY event_type ORDER BY floor(value) DESC),
+             |       wu AS (PARTITION BY event_type ORDER BY floor(value) DESC, event_id)""".stripMargin))
   )
 }

@@ -31,4 +31,36 @@ object EventTime {
     val wm = watermarkDelay.fold(df)(d => df.withWatermark(tsCol, d))
     wm.groupBy(session_window(col(tsCol), gap) +: keys.map(col): _*)
   }
+
+  /** Watermarked stream-stream interval join (click-attribution shape):
+    * rows match when keys are equal and
+    * `leftTs + lower <= rightTs <= leftTs + upper`.
+    *
+    * Both sides carry a watermark and the join condition bounds event
+    * time in BOTH directions, so Spark can size the join state and
+    * expire rows — without the time bound a stream-stream join buffers
+    * forever. State per side ≈ watermark delay + interval span of
+    * input, independent of total stream length: the property that keeps
+    * the join alive on an unbounded stream.
+    *
+    * Non-key columns must be disjoint (same contract as asofJoin).
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      lower: String, upper: String,
+      leftWatermark: String, rightWatermark: String,
+      joinType: String = "inner"): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet) - key
+    require(overlap.isEmpty,
+      s"intervalJoin: non-key columns on both sides: ${overlap.mkString(", ")}")
+    val l = left.withWatermark(leftTs, leftWatermark).as("l")
+    val r = right.withWatermark(rightTs, rightWatermark).as("r")
+    l.join(r, expr(
+      s"""l.$key = r.$key AND
+         |r.$rightTs >= l.$leftTs + interval '$lower' AND
+         |r.$rightTs <= l.$leftTs + interval '$upper'""".stripMargin),
+      joinType)
+      .drop(col(s"r.$key"))
+  }
 }

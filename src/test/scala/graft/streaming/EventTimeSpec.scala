@@ -37,6 +37,30 @@ class EventTimeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes clicks to impressions within the window") {
+    val s = spark
+    import s.implicits._
+    val impressions = MemoryStream[(Timestamp, Long, String)](s)
+    val clicks = MemoryStream[(Timestamp, Long, String)](s)
+    val joined = EventTime.intervalJoin(
+      impressions.toDF().toDF("imp_ts", "ad", "imp_id"),
+      clicks.toDF().toDF("click_ts", "ad", "click_id"),
+      key = "ad", leftTs = "imp_ts", rightTs = "click_ts",
+      lower = "0 seconds", upper = "10 minutes",
+      leftWatermark = "20 minutes", rightWatermark = "20 minutes")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0L)).start()
+    try {
+      impressions.addData(Seq((t(0), 1L, "i1"), (t(0), 2L, "i2")))
+      // c1 within 10min of i1; c2 matches ad 2; c3 too late for i1
+      clicks.addData(Seq((t(5), 1L, "c1"), (t(9), 2L, "c2"), (t(20), 1L, "c3")))
+      q.processAllAvailable()
+      val pairs = s.sql("SELECT imp_id, click_id FROM attrib")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(pairs == Set(("i1", "c1"), ("i2", "c2")), s"got $pairs")
+    } finally q.stop()
+  }
+
   test("session window: gap-separated events form separate sessions; watermark closes them") {
     val s = spark
     import s.implicits._
