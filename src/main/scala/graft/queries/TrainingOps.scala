@@ -323,7 +323,12 @@ object TrainingOps {
           .filter(col("w") =!= "")
         val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
         val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
-        val scored = tf.join(dfreq, "w")
+        // df is vocabulary-sized while tf is corpus-sized: broadcasting
+        // the vocab avoids re-shuffling tf (partitioned by (doc,term))
+        // onto term. Valid while the vocab fits an executor (typical
+        // after min-df pruning); a long-tail vocab drops the hint and
+        // lets AQE pick the shuffle join.
+        val scored = tf.join(broadcast(dfreq), "w")
           .withColumn("score", expr("(tf * 1000000) DIV df"))
         val rk = Window.partitionBy("doc_id").orderBy(col("score").desc, col("w").asc)
         scored.withColumn("rank", row_number().over(rk)).filter(col("rank") <= 3)

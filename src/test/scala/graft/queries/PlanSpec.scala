@@ -102,6 +102,23 @@ class PlanSpec extends SparkSpec {
       s"window exchange not keyed on user_id alone:\n$p")
   }
 
+  test("ta_top_terms: per-doc top-3 is rank-limited before the full sort output") {
+    val p = executedPlanOf("ta_top_terms")
+    // WindowGroupLimit prunes each partition to the top-k BEFORE the
+    // window itself — without it every (doc, term) row survives to the
+    // final sort
+    assert(p.contains("WindowGroupLimit"), s"rank filter not pushed into window:\n$p")
+  }
+
+  test("q19: session window aggregates with one exchange on the session key") {
+    val p = executedPlanOf("q19_session_window")
+    assert(p.contains("SessionWindow") || p.contains("session_window"),
+      s"no session window node:\n$p")
+    val finalPlan = p.split("== Initial Plan ==").head
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(shuffles <= 1, s"expected at most 1 shuffle, got $shuffles:\n$p")
+  }
+
   test("brute-force ANN broadcasts the query side, not the corpus") {
     val p = plan("ann_topk_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
