@@ -93,13 +93,20 @@ object Similarity {
     * job-to-job (same reproducibility contract as [[lshSignature]]).
     */
   def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
-                   nList: Int, iters: Int = 2): Array[Array[Float]] = {
+                   nList: Int, iters: Int = 2,
+                   maxTrainVectors: Int = 100000): Array[Array[Float]] = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    var centroids: Array[Array[Float]] = v.orderBy("id").limit(nList)
+    // Train the quantizer on a bounded, deterministic hash-ordered
+    // sample (standard IVF practice): Lloyd over the FULL corpus would
+    // be `iters` extra full passes at 100 TB for no recall benefit —
+    // centroid quality saturates far below 100k training vectors. The
+    // full corpus is still assigned to lists afterwards.
+    val train = v.orderBy(xxhash64(col("id")), col("id")).limit(maxTrainVectors)
+    var centroids: Array[Array[Float]] = train.orderBy("id").limit(nList)
       .select("vec").collect().map(_.getSeq[Float](0).toArray)
     for (_ <- 0 until iters) {
       val cLit = typedlit(unitNorm(centroids).map(_.toSeq).toSeq)
-      val assigned = v.withColumn("cluster", nearestCentroid(col("vec"), cLit, centroids.length))
+      val assigned = train.withColumn("cluster", nearestCentroid(col("vec"), cLit, centroids.length))
       val updated = assigned
         .select(col("cluster"), posexplode(col("vec")).as(Seq("pos", "x")))
         .groupBy("cluster", "pos").agg(avg("x").as("m"))
