@@ -1,0 +1,90 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Layout, Sampling}
+
+/** End-to-end training-data curation pipeline — every stage is a graft
+  * operator, composed the way a real 100 TB corpus run would be:
+  *
+  *   1. quality gate (drop low-score docs)
+  *   2. PII redaction
+  *   3. exact dedup on content fingerprint (keep min doc_id)
+  *   4. near-dup group assembly: MinHash-LSH pairs → connected
+  *      components → drop every non-canonical member
+  *   5. deterministic train/valid/test split
+  *   6. range-partitioned sorted write (file-pruning layout)
+  *
+  * `runMain graft.examples.TrainingPipelineDemo <sfDir> <outDir>`
+  * prints per-stage counts and writes the splits under <outDir>.
+  */
+object TrainingPipelineDemo {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = args.lift(1).getOrElse("/tmp/graft-training-demo")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val counts = run(spark, sfDir, outDir)
+      counts.foreach { case (stage, n) => println(f"[training-demo] $stage%-28s $n%8d docs") }
+    } finally spark.stop()
+  }
+
+  /** the pipeline itself; returns per-stage doc counts (testable). */
+  def run(spark: SparkSession, sfDir: String, outDir: String): Seq[(String, Long)] = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val c0 = docs.count()
+
+    // 1. quality gate: score >= 250k ppm (tunable)
+    val quality = docs
+      .withColumn("score_ppm", TextFunctions.qualityScorePpm(col("text")))
+      .filter(col("score_ppm") >= 250000)
+    val c1 = quality.count()
+
+    // 2. PII redaction (pure projection, fuses into the scan)
+    val redacted = quality.withColumn("text", TextFunctions.redact(col("text")))
+
+    // 3. exact dedup on content fingerprint
+    val keep = Dedup.exact(
+        redacted.withColumn("fp", TextFunctions.fingerprint(col("text"))),
+        Seq("fp"), "doc_id")
+      .select(col("keep_id").as("doc_id"))
+    val exactKept = redacted.join(keep, "doc_id")
+    val c2 = exactKept.count()
+
+    // 4. near-dup groups: LSH pairs → components → keep the canonical
+    val pairs = Dedup.minhashLshCandidates(exactKept, "doc_id", "text")
+    val comps = Dedup.connectedComponents(pairs, "da", "db")
+    val nonCanonical = comps.filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
+    val nearKept = exactKept.join(nonCanonical, Seq("doc_id"), "left_anti")
+    val c3 = nearKept.count()
+
+    // 5. deterministic split, 6. sorted layout per split
+    val split = Sampling.splitByHash(
+      nearKept, "doc_id", Seq("train" -> 80, "valid" -> 10, "test" -> 10), seed = 1)
+    Seq("train", "valid", "test").foreach { s =>
+      Layout.writeSorted(
+        split.filter(col("split") === s).drop("split"),
+        s"$outDir/$s", numFiles = 4, col("doc_id"))
+    }
+    val written = spark.read.parquet(s"$outDir/train").count() +
+      spark.read.parquet(s"$outDir/valid").count() +
+      spark.read.parquet(s"$outDir/test").count()
+
+    Seq(
+      "input" -> c0,
+      "quality-gate" -> c1,
+      "exact-dedup" -> c2,
+      "near-dup-components" -> c3,
+      "written-splits" -> written)
+  }
+}

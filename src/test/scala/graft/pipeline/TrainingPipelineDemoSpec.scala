@@ -1,0 +1,32 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.examples.TrainingPipelineDemo
+
+/** The composed curation pipeline: every stage monotonically shrinks
+  * the corpus, nothing is lost between dedup and the written splits,
+  * and re-runs are deterministic.
+  */
+class TrainingPipelineDemoSpec extends SparkSpec {
+
+  test("stage counts are monotone and splits partition the survivors") {
+    val out = Files.createTempDirectory("graft-demo").toString
+    val counts = TrainingPipelineDemo.run(spark, "/root/testdata/sf0.001", out).toMap
+    assert(counts("input") > 0)
+    assert(counts("quality-gate") <= counts("input"))
+    assert(counts("exact-dedup") <= counts("quality-gate"))
+    assert(counts("near-dup-components") <= counts("exact-dedup"))
+    // splits are a partition of the near-dup survivors
+    assert(counts("written-splits") == counts("near-dup-components"))
+  }
+
+  test("the pipeline is deterministic across runs") {
+    val a = TrainingPipelineDemo.run(spark, "/root/testdata/sf0.001",
+      Files.createTempDirectory("graft-demo-a").toString)
+    val b = TrainingPipelineDemo.run(spark, "/root/testdata/sf0.001",
+      Files.createTempDirectory("graft-demo-b").toString)
+    assert(a == b)
+  }
+}
