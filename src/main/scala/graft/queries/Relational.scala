@@ -380,6 +380,22 @@ object Relational {
              |  ntile(4) OVER wu AS quartile
              |FROM events
              |WINDOW wt AS (PARTITION BY event_type ORDER BY floor(value) DESC),
-             |       wu AS (PARTITION BY event_type ORDER BY floor(value) DESC, event_id)""".stripMargin))
+             |       wu AS (PARTITION BY event_type ORDER BY floor(value) DESC, event_id)""".stripMargin)),
+
+    // ---- semi-structured: typed JSON extraction from the props column
+    //      (from_json with an explicit schema — codegen'd, no UDF);
+    //      oracle uses DuckDB's json_extract. Integer sum output cast
+    //      to BIGINT (DuckDB types it HUGEINT otherwise) ----
+    "q22_json_props" -> Q(
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .select(col("event_type"),
+            expr("from_json(props, 'k LONG').k").as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k")),
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(json_extract(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |  max(CAST(json_extract(props,'$.k') AS BIGINT)) AS max_k
+             |FROM events GROUP BY event_type""".stripMargin))
   )
 }
