@@ -396,6 +396,23 @@ object Relational {
       Some("""SELECT event_type, count(*) AS n,
              |  CAST(sum(CAST(json_extract(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              |  max(CAST(json_extract(props,'$.k') AS BIGINT)) AS max_k
-             |FROM events GROUP BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // ---- unpivot (wide → long): three lineitem measures melted into
+    //      (measure, value) rows; oracle is DuckDB UNPIVOT ----
+    "q23_unpivot" -> Q(
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .filter(col("l_orderkey") < 100)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+            "measure", "val"),
+      Some("""UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+             |         FROM lineitem WHERE l_orderkey < 100)
+             |ON l_quantity, l_extendedprice, l_discount
+             |INTO NAME measure VALUE val""".stripMargin))
   )
 }

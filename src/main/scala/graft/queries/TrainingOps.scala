@@ -239,6 +239,28 @@ object TrainingOps {
              |FROM (SELECT doc_id, ((doc_id * 138 + 146) % 1000000007) % 100 AS b
              |      FROM documents)""".stripMargin)),
 
+    // ---- fuzzy lookup: probe docs matched to the corpus by prefix
+    //      edit distance, blocked on lang. Levenshtein is exact integer
+    //      DP — identical across engines; the probe side broadcasts
+    //      (same shape as ann brute force) so the corpus never shuffles ----
+    "ta_fuzzy_match" -> Q(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), substring(col("text"), 1, 30).as("pfx"))
+        val probes = broadcast(d.filter(col("doc_id") < 100)
+          .select(col("doc_id").as("qid"), col("lang"), col("pfx").as("qpfx")))
+        probes.join(d, Seq("lang"))
+          .filter(col("qid") =!= col("doc_id"))
+          .select(col("qid"), col("doc_id").as("nid"),
+            levenshtein(col("qpfx"), col("pfx")).cast("long").as("dist"))
+          .filter(col("dist") <= 12)
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, substr(text, 1, 30) AS pfx FROM documents)
+             |SELECT q.doc_id AS qid, c.doc_id AS nid,
+             |  levenshtein(q.pfx, c.pfx) AS dist
+             |FROM d q JOIN d c ON q.lang = c.lang AND q.doc_id < 100 AND q.doc_id <> c.doc_id
+             |WHERE levenshtein(q.pfx, c.pfx) <= 12""".stripMargin)),
+
     // ---- deterministic per-group sample (at most 20 docs per source,
     //      chosen by key-hash order — stable across runs/engines) ----
     "ta_sample_per_group" -> Q(
