@@ -136,8 +136,11 @@ object Dedup {
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
+    // init = min(self, neighbors): the first propagation round folded
+    // into the vertex-set aggregation itself (one shuffle instead of a
+    // distinct + a full round)
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(first("src"), min("dst")).as("comp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // labels decrease monotonically, so an unchanged label-sum IS the
     // fixpoint — one single-table agg per round instead of a self-join

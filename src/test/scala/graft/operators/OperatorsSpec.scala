@@ -46,6 +46,37 @@ class OperatorsSpec extends SparkSpec {
     assert(comp.size == 11)
   }
 
+  test("property: components match a union-find reference on random graphs") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    import spark.implicits._
+    // small graphs: each check drives a full multi-round Spark loop, so
+    // the budget goes to graph VARIETY (5 checks), not graph size
+    val pairsGen = Gen.listOfN(10, for {
+      a <- Gen.choose(0L, 12L); b <- Gen.choose(0L, 12L) if a != b
+    } yield (math.max(a, b), math.min(a, b)))
+    val prop = Prop.forAll(pairsGen) { pairs =>
+      pairs.isEmpty || {
+        // union-find ground truth
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val truth = parent.keySet.toList.map(v => v -> find(v)).toMap
+        val got = Dedup.connectedComponents(pairs.toDF("da", "db"), "da", "db")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == truth
+      }
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("minhash LSH candidates recall the high-jaccard pairs") {
     val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", num = 1, den = 2)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
