@@ -13,9 +13,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM (codegen, parquet reader, shuffle paths) so the first
-    // timed query doesn't absorb session startup cost
+    // timed query doesn't absorb session startup cost; touch every table
+    // so no query pays the first footer read for its input
     spark.range(1000000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
+    Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
+      .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").limit(1).collect())
     val errors = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
