@@ -249,11 +249,13 @@ object TrainingOps {
           .select(col("doc_id"), col("lang"), substring(col("text"), 1, 30).as("pfx"))
         val probes = broadcast(d.filter(col("doc_id") < 100)
           .select(col("doc_id").as("qid"), col("lang"), col("pfx").as("qpfx")))
+        // banded DP: the threshold variant short-circuits at distance
+        // > 12 (O(k·n) per pair instead of O(n²)), returning -1 beyond
         probes.join(d, Seq("lang"))
           .filter(col("qid") =!= col("doc_id"))
           .select(col("qid"), col("doc_id").as("nid"),
-            levenshtein(col("qpfx"), col("pfx")).cast("long").as("dist"))
-          .filter(col("dist") <= 12)
+            levenshtein(col("qpfx"), col("pfx"), 12).cast("long").as("dist"))
+          .filter(col("dist") >= 0)
       },
       Some("""WITH d AS (SELECT doc_id, lang, substr(text, 1, 30) AS pfx FROM documents)
              |SELECT q.doc_id AS qid, c.doc_id AS nid,
