@@ -413,6 +413,24 @@ object Relational {
       Some("""UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
              |         FROM lineitem WHERE l_orderkey < 100)
              |ON l_quantity, l_extendedprice, l_discount
-             |INTO NAME measure VALUE val""".stripMargin))
+             |INTO NAME measure VALUE val""".stripMargin)),
+
+    // ---- pivot (long → wide): event counts per user decile, one
+    //      column per event type. Explicit value list keeps the output
+    //      schema static (the distributed contract: no driver-side
+    //      distinct scan to discover columns) ----
+    "q24_pivot" -> Q(
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .groupBy(pmod(col("user_id"), lit(10)).as("decile"))
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1))),
+      Some("""SELECT user_id % 10 AS decile,
+             |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+             |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+             |FROM events GROUP BY decile""".stripMargin))
   )
 }
