@@ -30,6 +30,10 @@ object Kernels {
   def vecDot(a: Column, b: Column): Column = toColumn(VecDotK(toExpression(a), toExpression(b)))
   def vecNorm2(a: Column): Column = toColumn(VecNorm2K(toExpression(a)))
   def lshSig(vec: Column, planes: Int): Column = toColumn(LshSigK(toExpression(vec), planes))
+  def ivfAssign(vec: Column, cents: Array[Array[Float]]): Column =
+    toColumn(IvfAssignK(toExpression(vec), cents))
+  def ivfScores(vec: Column, cents: Array[Array[Float]]): Column =
+    toColumn(IvfScoresK(toExpression(vec), cents))
 
   /** polynomial modulus shared with [[TextFunctions.P]]. */
   val P = 1000000007L
@@ -133,6 +137,47 @@ object Kernels {
     s
   }
 
+  /** index of the max-dot centroid (ties → lowest index). One loop over
+    * the whole centroid matrix per row instead of nList inline dot
+    * expressions — at production nList (thousands) the inline form blows
+    * up codegen, the matrix loop doesn't. Fold order per centroid is the
+    * same left-to-right double fold as [[vecDotEval]], so assignments
+    * are engine-reproducible.
+    */
+  def ivfAssignEval(vec: ArrayData, cents: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestS = Double.NegativeInfinity
+    var i = 0
+    while (i < cents.length) {
+      val c = cents(i)
+      val n = math.min(vec.numElements(), c.length)
+      var s = 0.0
+      var d = 0
+      while (d < n) { s += vec.getFloat(d).toDouble * c(d).toDouble; d += 1 }
+      if (s > bestS) { bestS = s; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** dot of the vector against every centroid row (same fold as
+    * [[vecDotEval]]); used to rank probe lists per query.
+    */
+  def ivfScoresEval(vec: ArrayData, cents: Array[Array[Float]]): ArrayData = {
+    val out = new Array[Any](cents.length)
+    var i = 0
+    while (i < cents.length) {
+      val c = cents(i)
+      val n = math.min(vec.numElements(), c.length)
+      var s = 0.0
+      var d = 0
+      while (d < n) { s += vec.getFloat(d).toDouble * c(d).toDouble; d += 1 }
+      out(i) = s
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** bit p set iff Σ_d sign(p,d)·v_d > 0 with the deterministic ±1
     * hyperplane family of [[graft.operators.Similarity]]:
     * sign(p,d) = +1 iff ((1103515245·p+12345)·(d+1) + 2654435761) mod 2147483647 is even.
@@ -203,6 +248,28 @@ case class VecNorm2K(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.vecNorm2Eval($c)")
   override protected def withNewChildInternal(newChild: Expression): VecNorm2K = copy(child = newChild)
   override def prettyName: String = "graft_vec_norm2"
+}
+
+case class IvfAssignK(child: Expression, cents: Array[Array[Float]]) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any = Kernels.ivfAssignEval(input.asInstanceOf[ArrayData], cents)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfCents", cents, "float[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.ivfAssignEval($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): IvfAssignK = copy(child = newChild)
+  override def prettyName: String = "graft_ivf_assign"
+}
+
+case class IvfScoresK(child: Expression, cents: Array[Array[Float]]) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = Kernels.ivfScoresEval(input.asInstanceOf[ArrayData], cents)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfCents", cents, "float[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.ivfScoresEval($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): IvfScoresK = copy(child = newChild)
+  override def prettyName: String = "graft_ivf_scores"
 }
 
 case class LshSigK(child: Expression, planes: Int) extends UnaryExpression {

@@ -167,9 +167,28 @@ object Dedup {
     labels
   }
 
+  /** Embedding cosine near-dup pairs, LSH-blocked — the scale path and
+    * the default: random-hyperplane buckets generate candidates (ids
+    * only, one bucket-key shuffle), then the exact cosine filter keeps
+    * pairs above `minCosine`. Pair generation is linear in bucket
+    * occupancy, never the O(n²) pair space. Approximate in the standard
+    * LSH sense: a qualifying pair colliding in no bucket is missed;
+    * raise `tables` for recall (recall measured in OperatorsSpec
+    * against [[embeddingCosinePairs]]).
+    */
+  def embeddingCosinePairsBlocked(
+      df: DataFrame, idCol: String, vecCol: String, minCosine: Double,
+      planes: Int = 16, tables: Int = 4): DataFrame =
+    Similarity.lshCandidates(df, idCol, vecCol, planes, tables)
+      .select(col("ida"), col("idb"),
+        (Similarity.dot(col("veca"), col("vecb")) /
+          sqrt(Similarity.norm2(col("veca")) * Similarity.norm2(col("vecb")))).as("cos"))
+      .filter(col("cos") > minCosine)
+      .select("ida", "idb")
+
   /** Embedding cosine near-dup pairs — the all-pairs baseline (small
-    * side only; at 100 TB use [[Similarity.lshCandidates]] to block
-    * first). Dot products fold left-to-right in double so scores are
+    * side only; at 100 TB use [[embeddingCosinePairsBlocked]]). Dot
+    * products fold left-to-right in double so scores are
     * engine-reproducible.
     */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String, minCosine: Double): DataFrame = {

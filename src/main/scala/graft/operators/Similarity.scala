@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Kernels
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`).
   *
@@ -84,13 +86,24 @@ object Similarity {
       .select(col("ida"), col("va.vec").as("veca"), col("idb"), col("vb.vec").as("vecb"))
   }
 
+  /** Quantization scale for the centroid update: float coordinates are
+    * rounded to 1/2²⁰ before summing, so the per-cluster mean is pure
+    * int64 arithmetic — exact, summation-order-free, and therefore
+    * identical on any engine regardless of partitioning. (A double sum
+    * would depend on reduce order; 2⁻²⁰ resolution is far below any
+    * recall-relevant signal for a coarse quantizer.)
+    */
+  private val QScale = 1048576L
+
   /** IVF coarse quantizer: `nList` centroids from `iters` Lloyd
     * iterations. Assignment and centroid updates are distributed
-    * (argmax-cosine projection, posexplode + groupBy average); only the
-    * centroid MODEL (nList × dim floats, a few KB) ever reaches the
-    * driver — at 100 TB the corpus never does. Initialization is the
-    * first `nList` vectors by id, so the index is deterministic
-    * job-to-job (same reproducibility contract as [[lshSignature]]).
+    * (argmax-cosine kernel, posexplode + integer-quantized groupBy
+    * mean); only the centroid MODEL (nList × dim floats, a few KB) ever
+    * reaches the driver — at 100 TB the corpus never does. Every step
+    * (affine-hash-ordered training sample, first-n init, quantized
+    * integer mean, truncating division) is deterministic AND
+    * SQL-expressible, so an external oracle can rebuild the exact same
+    * index — the same reproducibility contract as [[lshSignature]].
     */
   def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
                    nList: Int, iters: Int = 2,
@@ -100,21 +113,29 @@ object Similarity {
     // sample (standard IVF practice): Lloyd over the FULL corpus would
     // be `iters` extra full passes at 100 TB for no recall benefit —
     // centroid quality saturates far below 100k training vectors. The
-    // full corpus is still assigned to lists afterwards.
-    val train = v.orderBy(xxhash64(col("id")), col("id")).limit(maxTrainVectors)
+    // full corpus is still assigned to lists afterwards. The sort key
+    // reduces id mod P before multiplying so the affine hash never
+    // overflows int64 (engines differ on wrap vs error).
+    val trainKey = pmod(pmod(col("id"), lit(Kernels.P)) * lit(1103515245L) + lit(12345L), lit(Kernels.P))
+    val train = v.orderBy(trainKey, col("id")).limit(maxTrainVectors)
     var centroids: Array[Array[Float]] = train.orderBy("id").limit(nList)
       .select("vec").collect().map(_.getSeq[Float](0).toArray)
     for (_ <- 0 until iters) {
-      val cLit = typedlit(unitNorm(centroids).map(_.toSeq).toSeq)
-      val assigned = train.withColumn("cluster", nearestCentroid(col("vec"), cLit, centroids.length))
+      val unit = unitNorm(centroids)
+      val assigned = train.withColumn("cluster", Kernels.ivfAssign(col("vec"), unit))
       val updated = assigned
         .select(col("cluster"), posexplode(col("vec")).as(Seq("pos", "x")))
-        .groupBy("cluster", "pos").agg(avg("x").as("m"))
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        .groupBy("cluster", "pos")
+        .agg(sum(round(col("x").cast("double") * QScale).cast("long")).as("q"),
+          count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
       val byCluster = updated.groupBy(_._1)
       centroids = centroids.indices.map { c =>
         byCluster.get(c) match {
-          case Some(rows) => rows.sortBy(_._2).map(_._3.toFloat).toArray
+          case Some(rows) =>
+            // truncating long division (matches SQL integer //), then
+            // back to float at 1/QScale resolution
+            rows.sortBy(_._2).map(r => ((r._3 / r._4).toDouble / QScale).toFloat).toArray
           case None => centroids(c) // empty cluster keeps its centroid
         }
       }.toArray
@@ -132,37 +153,34 @@ object Similarity {
       if (n == 0.0) c else c.map(x => (x / n).toFloat)
     }
 
-  /** index of the max-cosine centroid for a vector (ties → lowest
-    * index); `unitLit` holds unit-normalized centroids. The score array
-    * is materialized once so each dot evaluates exactly once per row.
-    */
-  private def nearestCentroid(vec: Column, unitLit: Column, n: Int): Column = {
-    val scores = array((0 until n).map(i => dot(vec, element_at(unitLit, i + 1))): _*)
-    (array_position(scores, array_max(scores)) - 1).cast("int")
-  }
-
   /** ANN top-k via IVF: corpus vectors live in their nearest-centroid
     * list (one shuffle key); each query probes its `nProbe` closest
     * lists and re-ranks candidates exactly. Recall tunes with
     * nList/nProbe; candidates per query ≈ nProbe/nList of the corpus.
+    * Assignment and probe scoring are single kernel calls looping over
+    * the centroid matrix ([[graft.functions.Kernels.ivfAssign]]) — at
+    * production nList (thousands) an inline per-centroid expression
+    * array would blow up codegen; the matrix loop doesn't.
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               k: Int, nList: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
     val centroids = ivfCentroids(df, idCol, vecCol, nList, iters)
-    val cLit = typedlit(unitNorm(centroids).map(_.toSeq).toSeq)
+    val unit = unitNorm(centroids)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
 
-    val corpus = v.withColumn("list", nearestCentroid(col("vec"), cLit, centroids.length))
+    val corpus = v.withColumn("list", Kernels.ivfAssign(col("vec"), unit))
       .select(col("id").as("nid"), col("vec").as("nvec"), col("list"),
         norm2(col("vec")).as("nnrm"))
     // per-query probe lists: the nProbe highest-cosine centroids
-    // (unit-normalized, so plain dots order identically to cosines)
-    val scored = (0 until centroids.length).map(i =>
-      struct(dot(col("vec"), element_at(cLit, i + 1)).as("s"), lit(i).as("c")))
-    val probes = v.withColumn("probe",
-        explode(slice(reverse(array_sort(array(scored: _*))), 1, nProbe)))
+    // (unit-normalized, so plain dots order identically to cosines;
+    // ties → lowest list index)
+    val pw = Window.partitionBy("id").orderBy(col("s").desc, col("c").asc)
+    val probes = v
+      .select(col("id"), col("vec"),
+        posexplode(Kernels.ivfScores(col("vec"), unit)).as(Seq("c", "s")))
+      .withColumn("pr", row_number().over(pw)).filter(col("pr") <= nProbe)
       .select(col("id").as("qid"), col("vec").as("qvec"),
-        norm2(col("vec")).as("qnrm"), col("probe.c").as("list"))
+        norm2(col("vec")).as("qnrm"), col("c").as("list"))
 
     val cand = probes.join(corpus, Seq("list")).filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),

@@ -29,6 +29,43 @@ object TrainingOps {
       |    ELSE [] END AS s
       |  FROM tok)""".stripMargin
 
+  /** DuckDB CTE block for one Lloyd iteration of the IVF quantizer
+    * (mirrors [[graft.operators.Similarity.ivfCentroids]] exactly):
+    * c{i} → unit-normalize → assign train rows (argmax dot, ties →
+    * lowest index) → integer-quantized per-cluster mean (sum of
+    * round(x·2²⁰) as int64, truncating division — summation-order-free
+    * on both engines) → c{i+1}.
+    */
+  private def duckIvfIter(i: Int): String = {
+    val (c, u, s, a, q, cn) = (s"c$i", s"u$i", s"s$i", s"a$i", s"q$i", s"c${i + 1}")
+    s"""$u AS (
+       |  SELECT c, CASE WHEN nrm = 0 THEN vec
+       |    ELSE list_transform(vec, x -> CAST(CAST(x AS DOUBLE) / sqrt(nrm) AS REAL)) END AS uvec
+       |  FROM (SELECT c, vec,
+       |          list_sum(list_transform(vec, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nrm
+       |        FROM $c)),
+       |$s AS (
+       |  SELECT t.id, t.vec, u.c,
+       |    list_sum(list_transform(list_zip(t.vec, u.uvec),
+       |      p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))) AS s
+       |  FROM train t CROSS JOIN $u u),
+       |$a AS (
+       |  SELECT id, vec, c AS cluster FROM (
+       |    SELECT id, vec, c, row_number() OVER (PARTITION BY id ORDER BY s DESC, c ASC) AS rn
+       |    FROM $s) WHERE rn = 1),
+       |$q AS (
+       |  SELECT cluster, pos, sum(CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qs,
+       |         count(*) AS cnt
+       |  FROM (SELECT cluster, unnest(range(1, len(vec)+1)) AS pos, unnest(vec) AS x FROM $a)
+       |  GROUP BY 1, 2),
+       |$cn AS (
+       |  SELECT old.c, COALESCE(n.nv, old.vec) AS vec
+       |  FROM $c old LEFT JOIN (
+       |    SELECT cluster AS c,
+       |           list(CAST(CAST(qs // cnt AS DOUBLE) / 1048576.0 AS REAL) ORDER BY pos) AS nv
+       |    FROM $q GROUP BY 1) n USING (c))""".stripMargin
+  }
+
   def defs: Map[String, Q] = Map(
 
     // ---- exact dedup (hash groupBy; events has real dup keys) ----
@@ -80,12 +117,16 @@ object TrainingOps {
     //      re-derives the closure with a recursive CTE ----
     "dd_components" -> Q(
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val pairs = Dedup.minhashLshCandidates(
           Tables(s, dir, "documents"), "doc_id", "text", n = 3, k = 8, bands = 2)
-        Dedup.connectedComponents(pairs, "da", "db")
-          .select(col("id").as("doc_id"), col("comp"),
-            count(lit(1)).over(Window.partitionBy("comp")).as("n_group"))
+        val comp = Dedup.connectedComponents(pairs, "da", "db")
+        // group sizes via groupBy + join back, NOT a window partitioned
+        // on comp: one boilerplate mega-component would funnel into a
+        // single window partition at scale, while the group-size side of
+        // the join is component-cardinality-sized (AQE broadcasts it)
+        val sizes = comp.groupBy("comp").agg(count(lit(1)).as("n_group"))
+        comp.join(sizes, "comp")
+          .select(col("id").as("doc_id"), col("comp"), col("n_group"))
       },
       Some(s"""WITH RECURSIVE $duckShingles,
               |hs AS (SELECT doc_id, list_transform(list_distinct(s), t -> ${duckCharHash("t")}) h FROM shl),
@@ -121,17 +162,38 @@ object TrainingOps {
               |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
               |WHERE bit_count(xor(a.v, b.v)) <= 3""".stripMargin)),
 
-    // ---- embedding-cosine near-dup pairs (ids only; double fold) ----
+    // ---- embedding-cosine near-dup pairs (ids only; double fold).
+    //      LSH-blocked candidates + exact cosine filter — the scale
+    //      path; the oracle rebuilds the same deterministic buckets
+    //      (integer hyperplane family, as in ann_lsh_bucketed) so the
+    //      blocked result set is fully verifiable. The all-pairs
+    //      baseline lives in OperatorsSpec as the recall reference. ----
     "dd_embedding_cosine" -> Q(
       (s, dir) =>
-        Dedup.embeddingCosinePairs(Tables(s, dir, "embeddings"), "vec_id", "embedding", 0.4),
-      Some("""WITH n AS (SELECT vec_id, embedding,
+        Dedup.embeddingCosinePairsBlocked(
+          Tables(s, dir, "embeddings"), "vec_id", "embedding", 0.4,
+          planes = 16, tables = 4),
+      Some("""WITH e AS (SELECT vec_id, embedding, len(embedding) AS nd FROM embeddings),
+             |sg AS (SELECT vec_id,
+             |  list_sum(list_transform(range(0,16), p ->
+             |    CASE WHEN list_sum(list_transform(range(1, nd+1), d ->
+             |        CASE WHEN ((1103515245*p + 12345)*d + 2654435761) % 2147483647 % 2 = 0
+             |             THEN CAST(embedding[d] AS DOUBLE)
+             |             ELSE -CAST(embedding[d] AS DOUBLE) END)) > 0
+             |    THEN 1 << p ELSE 0 END)) AS sig
+             |  FROM e),
+             |b AS (SELECT vec_id, r.t, sig & (15 << (r.t*4)) AS bucket
+             |      FROM sg, range(0,4) r(t)),
+             |pairs AS (SELECT DISTINCT a.vec_id AS ida, b2.vec_id AS idb
+             |          FROM b a JOIN b b2
+             |          ON a.t = b2.t AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+             |n AS (SELECT vec_id, embedding,
              |  list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) nrm
-             |  FROM embeddings)
-             |SELECT a.vec_id ida, b.vec_id idb
-             |FROM n a JOIN n b ON a.vec_id < b.vec_id
+             |  FROM e)
+             |SELECT p.ida, p.idb
+             |FROM pairs p JOIN n a ON p.ida = a.vec_id JOIN n b ON p.idb = b.vec_id
              |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
-             |        p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+             |        q -> CAST(q[1] AS DOUBLE)*CAST(q[2] AS DOUBLE)))
              |      / sqrt(a.nrm * b.nrm) > 0.4""".stripMargin)),
 
     // ---- exact ANN top-10 for the first 20 query vectors ----
@@ -218,13 +280,51 @@ object TrainingOps {
              |FROM events GROUP BY event_type""".stripMargin)),
 
     // ---- ANN via IVF coarse quantizer (learned partitions; the
-    //      second scale path next to LSH; recall spec-bounded in
-    //      OperatorsSpec — no SQL oracle for a learned index) ----
+    //      second scale path next to LSH). The quantizer is
+    //      deterministic AND integer/double-fold reproducible end to
+    //      end (affine-hash train sample, first-n init, quantized
+    //      int64 centroid means), so DuckDB re-learns the IDENTICAL
+    //      index and re-derives the same top-k — a full SQL oracle for
+    //      a learned structure, like the LSH hyperplane family ----
     "ann_ivf" -> Q(
       (s, dir) =>
         Similarity.ivfTopK(Tables(s, dir, "embeddings"), "vec_id", "embedding",
           k = 10, nList = 16, nProbe = 4),
-      None),
+      Some(s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+              |train AS (SELECT id, vec FROM v
+              |          ORDER BY ((id % 1000000007) * 1103515245 + 12345) % 1000000007, id
+              |          LIMIT 100000),
+              |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS c, vec
+              |       FROM (SELECT id, vec FROM train ORDER BY id LIMIT 16)),
+              |${duckIvfIter(0)},
+              |${duckIvfIter(1)},
+              |uf AS (
+              |  SELECT c, CASE WHEN nrm = 0 THEN vec
+              |    ELSE list_transform(vec, x -> CAST(CAST(x AS DOUBLE) / sqrt(nrm) AS REAL)) END AS uvec
+              |  FROM (SELECT c, vec,
+              |          list_sum(list_transform(vec, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nrm
+              |        FROM c2)),
+              |vs AS (
+              |  SELECT v.id, v.vec, u.c,
+              |    list_sum(list_transform(list_zip(v.vec, u.uvec),
+              |      p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))) AS s,
+              |    row_number() OVER (PARTITION BY v.id
+              |      ORDER BY list_sum(list_transform(list_zip(v.vec, u.uvec),
+              |        p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))) DESC, u.c ASC) AS rn
+              |  FROM v CROSS JOIN uf u),
+              |nrm AS (SELECT id, list_sum(list_transform(vec, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nrm FROM v),
+              |corpus AS (SELECT id AS nid, vec AS nvec, c AS list FROM vs WHERE rn = 1),
+              |probes AS (SELECT id AS qid, vec AS qvec, c AS list FROM vs WHERE rn <= 4),
+              |cand AS (
+              |  SELECT p.qid, cp.nid,
+              |    list_sum(list_transform(list_zip(p.qvec, cp.nvec),
+              |      z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / sqrt(nq.nrm * nn.nrm) AS cos
+              |  FROM probes p JOIN corpus cp USING (list)
+              |  JOIN nrm nq ON p.qid = nq.id JOIN nrm nn ON cp.nid = nn.id
+              |  WHERE p.qid <> cp.nid),
+              |rk AS (SELECT qid, nid,
+              |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM cand)
+              |SELECT qid, rank, nid FROM rk WHERE rank <= 10""".stripMargin)),
 
     // ---- deterministic train/test split (pure function of doc_id:
     //      re-runs and engines agree; no rand()) ----

@@ -112,6 +112,18 @@ class OperatorsSpec extends SparkSpec {
     assert(recall > 0.1, s"ANN recall $recall")
   }
 
+  test("blocked embedding-cosine pairs are a subset of all-pairs with useful recall") {
+    // all-pairs is the spec-only exact reference; the shipped query
+    // (dd_embedding_cosine) runs the blocked path
+    val exact = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Dedup.embeddingCosinePairsBlocked(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.subsetOf(exact), "blocked pairs must pass the same exact-cosine filter")
+    val recall = if (exact.isEmpty) 1.0 else blocked.size.toDouble / exact.size
+    assert(recall > 0.3, s"blocked recall $recall over ${exact.size} true pairs")
+  }
+
   test("ANN IVF top-k recall beats LSH at the same candidate budget; deterministic") {
     val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 10)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet

@@ -119,6 +119,20 @@ class PlanSpec extends SparkSpec {
     assert(shuffles <= 1, s"expected at most 1 shuffle, got $shuffles:\n$p")
   }
 
+  test("dd_components: group sizes come from an aggregate + join, not a per-component window") {
+    // a window partitioned on comp funnels a mega-component into one
+    // reducer at scale; groupBy+join keeps the size side
+    // component-cardinality-sized and broadcastable
+    val p = executedPlanOf("dd_components")
+    assert(!p.contains("Window"), s"unbounded per-component window remains:\n$p")
+  }
+
+  test("dd_embedding_cosine: LSH-blocked, never an all-pairs join") {
+    val p = executedPlanOf("dd_embedding_cosine")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"embedding dedup degenerated to all-pairs:\n$p")
+  }
+
   test("brute-force ANN broadcasts the query side, not the corpus") {
     val p = plan("ann_topk_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
