@@ -233,6 +233,22 @@ object Registry {
               concat(col("payload").cast("string"), lit(s"-$i"))): _*)))))
       }
     })
+    // slownode (internal/testnodetypes.go: fixed sleep per event) —
+    // latency injection for backpressure drills; the delay is
+    // configurable here. Intentionally a mapPartitions pass-through (a
+    // test-kit node simulating a slow external call, not a production
+    // transform — blocking cannot be expressed declaratively).
+    r.registerNodeType("slownode", new StageFactory {
+      val consumes = StringT
+      val produces = StringT
+      def build(params: Map[String, String]): Stage = {
+        val ms = params.getOrElse("latency_ms", "5000").toLong
+        Stage(project = df => {
+          val enc = org.apache.spark.sql.Encoders.row(df.schema)
+          df.mapPartitions(it => it.map { r => Thread.sleep(ms); r })(enc)
+        })
+      }
+    })
     r.registerNodeType("resultsnode", new StageFactory {
       val consumes = StringT
       val produces = StringT

@@ -440,25 +440,9 @@ object TrainingOps {
     //      ranking is bit-identical across engines — no log() ulp
     //      differences can flip a rank boundary) ----
     "ta_top_terms" -> Q(
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val tok = Tables(s, dir, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-          .filter(col("w") =!= "")
-        val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
-        // df is vocabulary-sized while tf is corpus-sized: broadcasting
-        // the vocab avoids re-shuffling tf (partitioned by (doc,term))
-        // onto term. Valid while the vocab fits an executor (typical
-        // after min-df pruning); a long-tail vocab drops the hint and
-        // lets AQE pick the shuffle join.
-        val scored = tf.join(broadcast(dfreq), "w")
-          .withColumn("score", expr("(tf * 1000000) DIV df"))
-        val rk = Window.partitionBy("doc_id").orderBy(col("score").desc, col("w").asc)
-        scored.withColumn("rank", row_number().over(rk)).filter(col("rank") <= 3)
-          .select(col("doc_id"), col("rank"), col("w").as("term"),
-            col("tf"), col("df"), col("score"))
-      },
+      (s, dir) =>
+        graft.operators.TopTerms.topTermsPerDoc(
+          Tables(s, dir, "documents"), "doc_id", "text", topK = 3),
       Some("""WITH tok AS (SELECT doc_id,
              |  unnest(list_filter(string_split(text,' '), w -> w <> '')) AS w FROM documents),
              |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),

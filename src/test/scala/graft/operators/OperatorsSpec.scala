@@ -112,6 +112,25 @@ class OperatorsSpec extends SparkSpec {
     assert(recall > 0.1, s"ANN recall $recall")
   }
 
+  test("top-terms: broadcast-vocab and AQE-shuffle paths produce identical results") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // threshold above the vocab size → broadcast hint; 0 → hint dropped,
+    // AQE picks the join at runtime. Results must not depend on the path.
+    val hinted = TopTerms.topTermsPerDoc(docs, "doc_id", "text",
+      broadcastVocabMax = Long.MaxValue)
+    val shuffled = TopTerms.topTermsPerDoc(docs, "doc_id", "text",
+      broadcastVocabMax = 0L)
+    assert(hinted.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+      "hinted path lost the broadcast hint")
+    assert(!shuffled.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+      "guard failed to drop the broadcast hint")
+    assert(rows(hinted) == rows(shuffled))
+    // min-df pruning removes hapax terms from the vocabulary entirely
+    val pruned = TopTerms.topTermsPerDoc(docs, "doc_id", "text", minDf = 2L)
+    assert(pruned.filter(col("df") < 2).count() == 0)
+  }
+
   test("blocked embedding-cosine pairs are a subset of all-pairs with useful recall") {
     // all-pairs is the spec-only exact reference; the shipped query
     // (dd_embedding_cosine) runs the blocked path

@@ -130,4 +130,30 @@ class EndToEndSpec extends SparkSpec {
     val dlq = errTopic.select(col("value").cast("string")).collect().map(_.getString(0))
     assert(dlq.forall(s => s.contains("\"error\":{\"code\":\"ERR_TEST\"") && s.contains("error time")))
   }
+
+  test("slownode injects per-event latency without altering the stream (test-kit parity)") {
+    val reg = registry()
+    val slowYaml =
+      """application: slow-pipeline
+        |source:
+        |  name: inttestsource
+        |nodes:
+        |  - name: slownode
+        |    params:
+        |      latency_ms: 2
+        |    children:
+        |      - name: resultsnode
+        |""".stripMargin
+    val cfg = AppConfig.parse(slowYaml, reg).fold(e => fail(s"config rejected: $e"), identity)
+    val built = Pipeline.build(spark, cfg, reg)
+    val t0 = System.nanoTime()
+    val rows = built.find("resultsnode").get.output.collect()
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    // pass-through: every event survives with its payload intact
+    assert(rows.length == 100)
+    assert(rows.count(_.getString(0) == "error time") == 4)
+    // 100 events × 2 ms across ≤32 partitions: the slowest partition
+    // carries ≥ 4 events → ≥ 8 ms of injected latency
+    assert(elapsedMs >= 8.0, s"latency not injected: $elapsedMs ms")
+  }
 }
