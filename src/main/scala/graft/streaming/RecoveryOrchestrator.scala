@@ -29,6 +29,18 @@ final class RecoveryOrchestrator(
 
   bus.foreach(_.subscribe(Seq("recoverycancelall"), _ => cancelAll()))
 
+  // Recovery requests arrive over the control plane too
+  // (`recoverytracker.go` receives RecoveryRequests via messaging):
+  // on bus.start() the replay-to-EOF delivers any pending (unacked)
+  // request a previous incarnation recorded, refilling the ledger
+  // BEFORE execution. Self-delivery of our own sends merges to a
+  // no-op (handlers are idempotent by the messaging contract).
+  private val requestRe =
+    """"partitionId"\s*:\s*(\d+)\s*,\s*"fromOffset"\s*:\s*(-?\d+)\s*,\s*"toOffset"\s*:\s*(-?\d+)""".r
+  bus.foreach(_.subscribe(Seq("recoveryrequest"), m =>
+    requestRe.findFirstMatchIn(new String(m.payload, java.nio.charset.StandardCharsets.UTF_8))
+      .foreach(g => ledger.add(g.group(1).toInt, g.group(2).toLong, g.group(3).toLong))))
+
   /** rebalance hook: compute the capped start, record the skipped range
     * (volume-capped) in the ledger. Returns the start offset for the
     * live query.

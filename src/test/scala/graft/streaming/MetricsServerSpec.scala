@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.config.AppConfig
+import graft.pipeline.Registry
+import graft.sinks.CollectingSink
+
+/** Scrapes the /metrics endpoint during a live MemoryStream pipeline
+  * run — reference parity for `metrics/metrics_server.go:19-45` (the
+  * prometheus endpoint) and `consumermetrics.go:41-146` (offset /
+  * watermark / lag gauges, here derived from
+  * `StreamingQueryProgress.sources`).
+  */
+class MetricsServerSpec extends SparkSpec {
+
+  test("/metrics serves reference-named node counters and consumer lag gauges") {
+    val s = spark
+    import s.implicits._
+
+    val metrics = new PipelineMetrics(s).install()
+    val server = new MetricsServer(s, metrics).start()
+    try {
+      val reg = Registry.builtins()
+      val cfg = AppConfig.parse(
+        """application: scrapetest
+          |source:
+          |  name: stringsource
+          |  params: {path: unused}
+          |nodes:
+          |  - name: filternode
+          |    children:
+          |      - name: resultsnode
+          |""".stripMargin, reg).fold(e => sys.error(e), identity)
+
+      val input = MemoryStream[String](s)
+      val source = input.toDF().select(
+        col("value").as("payload"),
+        lit(Timestamp.valueOf("2024-01-01 00:00:00")).as("created"),
+        lit(false).as("recovery"))
+      val results = new CollectingSink
+      val running = StreamingPipeline.run(
+        source, cfg, reg, sinks = Map("resultsnode" -> results),
+        trigger = Trigger.ProcessingTime(0L))
+      try {
+        input.addData((1 to 10).map(i => s"success $i") ++ (1 to 5).map(i => s"filterme $i"))
+        running.query.processAllAvailable()
+
+        // listener callbacks are async — poll until the scrape shows them
+        val http = HttpClient.newHttpClient()
+        val req = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${server.boundPort}/metrics")).GET().build()
+        def scrape(): String = http.send(req, HttpResponse.BodyHandlers.ofString()).body()
+        val deadline = System.currentTimeMillis() + 10000
+        var body = scrape()
+        while (!body.contains("""graft_node_received_events_total{node_id="filternode"} 15""")
+               && System.currentTimeMillis() < deadline) {
+          Thread.sleep(50); body = scrape()
+        }
+
+        // node counters with the reference names (metrics.go:106-145)
+        assert(body.contains("""graft_node_received_events_total{node_id="filternode"} 15"""), body)
+        assert(body.contains("""graft_node_processed_events_total{node_id="filternode"} 10"""), body)
+        // consumer position gauges (consumermetrics.go:41-146)
+        assert(body.contains("graft_events_consumed_total"), body)
+        assert("""graft_consumer_stored_offset\{partition="[^"]+"\} \d+""".r
+          .findFirstIn(body).nonEmpty, body)
+        assert("""graft_consumer_offset_lag\{partition="[^"]+"\} \d+""".r
+          .findFirstIn(body).nonEmpty, body)
+        assert("""graft_consumer_high_watermark\{partition="[^"]+"\} \d+""".r
+          .findFirstIn(body).nonEmpty, body)
+      } finally running.shutdown()
+    } finally {
+      server.stop()
+      metrics.uninstall()
+    }
+  }
+}
