@@ -117,7 +117,10 @@ object Similarity {
     // reduces id mod P before multiplying so the affine hash never
     // overflows int64 (engines differ on wrap vs error).
     val trainKey = pmod(pmod(col("id"), lit(Kernels.P)) * lit(1103515245L) + lit(12345L), lit(Kernels.P))
+    // the bounded sample is read once per Lloyd pass plus the init —
+    // persist it so the scan/sort behind it runs once, not iters+1 times
     val train = v.orderBy(trainKey, col("id")).limit(maxTrainVectors)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids: Array[Array[Float]] = train.orderBy("id").limit(nList)
       .select("vec").collect().map(_.getSeq[Float](0).toArray)
     for (_ <- 0 until iters) {
@@ -140,6 +143,7 @@ object Similarity {
         }
       }.toArray
     }
+    train.unpersist()
     centroids
   }
 

@@ -43,7 +43,7 @@ final class ConsumerLagTracker extends StreamingQueryListener {
     case _ => ()
   }
 
-  private def flatten(json: String): Map[String, Long] = {
+  private[streaming] def flatten(json: String): Map[String, Long] = {
     val out = TrieMap[String, Long]()
     try leaves(mapper.readTree(json), "", out) catch { case _: Exception => () }
     out.toMap

@@ -91,6 +91,25 @@ class KernelsSpec extends SparkSpec {
     })
   }
 
+  test("ivf assign/scores kernels match per-centroid dot folds; ties break to lowest index") {
+    val vec = Gen.listOfN(8, Gen.choose(-4f, 4f))
+    val cents = Gen.listOfN(5, vec)
+    holds(Prop.forAll(vec, cents) { (v, cs) =>
+      val va = new GenericArrayData(v.toArray)
+      val m = cs.map(_.toArray).toArray
+      val refScores = cs.map(c =>
+        v.zip(c).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble))
+      val got = Kernels.ivfScoresEval(va, m)
+      val scoresMatch = refScores.indices.forall(i =>
+        java.lang.Double.doubleToLongBits(got.getDouble(i)) ==
+          java.lang.Double.doubleToLongBits(refScores(i)))
+      scoresMatch && Kernels.ivfAssignEval(va, m) == refScores.indexOf(refScores.max)
+    })
+    // explicit tie: identical centroids → index 0 wins
+    val zeros = new GenericArrayData(Array(1f, 2f))
+    assert(Kernels.ivfAssignEval(zeros, Array(Array(3f, 4f), Array(3f, 4f))) == 0)
+  }
+
   test("lsh signature kernel matches hyperplane-sum definition") {
     val vec = Gen.listOfN(8, Gen.choose(-4f, 4f))
     holds(Prop.forAll(vec, Gen.oneOf(4, 8, 16)) { (v, planes) =>

@@ -119,6 +119,17 @@ class PlanSpec extends SparkSpec {
     assert(shuffles <= 1, s"expected at most 1 shuffle, got $shuffles:\n$p")
   }
 
+  test("ann_ivf: centroid assignment is one matrix-loop kernel call inside codegen") {
+    val p = executedPlanOf("ann_ivf")
+    // a single graft_ivf_assign per corpus row (not nList inline dot
+    // expressions) — the shape that survives production nList
+    assert(p.contains("graft_ivf_assign"), s"assignment kernel missing:\n$p")
+    val lines = p.linesIterator.filter(_.contains("graft_ivf_assign")).toList
+    assert(lines.exists(_.contains("*(")),
+      s"assignment kernel outside whole-stage codegen:\n${lines.mkString("\n")}")
+    assert(p.contains("graft_ivf_scores"), s"probe-scores kernel missing:\n$p")
+  }
+
   test("dd_components: group sizes come from an aggregate + join, not a per-component window") {
     // a window partitioned on comp funnels a mega-component into one
     // reducer at scale; groupBy+join keeps the size side

@@ -21,6 +21,21 @@ import graft.sinks.CollectingSink
   */
 class MetricsServerSpec extends SparkSpec {
 
+  test("offset JSON flattening handles Kafka, scalar, and malformed shapes") {
+    val t = new ConsumerLagTracker
+    // Kafka source offsets: {"topic":{"partition":offset}}
+    assert(t.flatten("""{"logs":{"0":120,"1":85}}""") ==
+      Map("logs-0" -> 120L, "logs-1" -> 85L))
+    // multiple topics in one source
+    assert(t.flatten("""{"a":{"0":1},"b":{"0":2}}""") ==
+      Map("a-0" -> 1L, "b-0" -> 2L))
+    // MemoryStream / file sources: scalar version numbers
+    assert(t.flatten("7") == Map("0" -> 7L))
+    // malformed input never throws, just contributes nothing
+    assert(t.flatten("not json").isEmpty)
+    assert(t.flatten("").isEmpty)
+  }
+
   test("/metrics serves reference-named node counters and consumer lag gauges") {
     val s = spark
     import s.implicits._
