@@ -431,6 +431,75 @@ object Relational {
              |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
              |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
              |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
-             |FROM events GROUP BY decile""".stripMargin))
+             |FROM events GROUP BY decile""".stripMargin)),
+
+    // ---- explicit grouping sets (finer than rollup/cube: exactly the
+    //      requested combinations, one shuffle with a grouping-id
+    //      expand — no wasted intermediate levels at scale) ----
+    "q25_grouping_sets" -> Q(
+      (s, dir) => {
+        // grouping-set columns must be plain attributes — an expression
+        // in the set list doesn't unify with the grouping column and
+        // gets nulled out of every set, so materialize decile first
+        Tables(s, dir, "events")
+          .withColumn("decile", pmod(col("user_id"), lit(10)))
+          .groupingSets(
+            Seq(Seq(col("event_type"), col("decile")), Seq(col("event_type")), Seq()),
+            col("event_type"), col("decile"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+          .select(
+            coalesce(col("event_type"), lit("ALL")).as("et"),
+            coalesce(col("decile"), lit(-1L)).as("decile"),
+            col("n"), col("total"))
+      },
+      Some("""SELECT coalesce(event_type,'ALL') AS et,
+             |  coalesce(user_id % 10, -1) AS decile,
+             |  count(*) AS n, round(sum(value),2) AS total
+             |FROM events
+             |GROUP BY GROUPING SETS ((event_type, user_id % 10), (event_type), ())""".stripMargin)),
+
+    // ---- correlated EXISTS / NOT EXISTS subqueries (Catalyst rewrites
+    //      them to semi/anti joins — same shuffle shape as q8/q9, but
+    //      exercised through the SQL subquery planner) ----
+    "q26_exists_subquery" -> Q(
+      (s, dir) => {
+        Tables(s, dir, "customer").createOrReplaceTempView("v_customer")
+        Tables(s, dir, "orders").createOrReplaceTempView("v_orders")
+        s.sql("""SELECT c_custkey, c_name FROM v_customer c
+                |WHERE EXISTS (SELECT 1 FROM v_orders o
+                |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+                |  AND NOT EXISTS (SELECT 1 FROM v_orders o2
+                |                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+                |                    AND o2.o_totalprice < 50000)""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+             |  AND NOT EXISTS (SELECT 1 FROM orders o2
+             |                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+             |                    AND o2.o_totalprice < 50000)""".stripMargin)),
+
+    // ---- window frame functions: first/last/nth over an explicit
+    //      unbounded frame (default frames differ subtly across
+    //      engines, so the frame is always spelled out) ----
+    "q27_frame_functions" -> Q(
+      (s, dir) => {
+        // event_id is unique, so the frame order is engine-identical
+        // (ts alone could tie and reorder across engines)
+        val w = Window.partitionBy("user_id").orderBy(col("event_id").asc)
+        val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables(s, dir, "events").select(
+          col("event_id"), col("user_id"),
+          first(col("event_type")).over(full).as("first_et"),
+          last(col("event_type")).over(full).as("last_et"),
+          nth_value(col("event_type"), 2).over(full).as("second_et"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  first_value(event_type) OVER w AS first_et,
+             |  last_value(event_type) OVER w AS last_et,
+             |  nth_value(event_type, 2) OVER w AS second_et
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin))
   )
 }

@@ -453,6 +453,32 @@ object TrainingOps {
              |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rank FROM sc)
              |SELECT doc_id, rank, w AS term, tf, df, score FROM rk WHERE rank <= 3""".stripMargin)),
 
+    // ---- bigram LM table: the most frequent continuation per leading
+    //      word (integer counts only — rank boundaries engine-exact).
+    //      The corpus-wide bigram count is one shuffle keyed on bigram;
+    //      top-1 per w1 is a WindowGroupLimit, not a full sort ----
+    "ta_bigrams" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val bg = Tables(s, dir, "documents")
+          .select(explode(TextFunctions.shingles(col("text"), 2)).as("bigram"))
+        val counts = bg.groupBy("bigram").agg(count(lit(1)).as("cnt"))
+          .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+        val w = Window.partitionBy("w1").orderBy(col("cnt").desc, col("bigram").asc)
+        counts.withColumn("rank", row_number().over(w))
+          .filter(col("rank") === 1 && col("cnt") >= 3)
+          .select(col("w1"), col("bigram").as("top_bigram"), col("cnt"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+             |bg AS (SELECT unnest(CASE WHEN len(w) >= 2
+             |  THEN list_transform(range(1, len(w)), i -> w[i]||' '||w[i+1])
+             |  ELSE [] END) AS bigram FROM tok),
+             |c AS (SELECT bigram, count(*) AS cnt, string_split(bigram,' ')[1] AS w1
+             |      FROM bg GROUP BY 1),
+             |rk AS (SELECT w1, bigram, cnt,
+             |  row_number() OVER (PARTITION BY w1 ORDER BY cnt DESC, bigram ASC) AS rank FROM c)
+             |SELECT w1, bigram AS top_bigram, cnt FROM rk WHERE rank = 1 AND cnt >= 3""".stripMargin)),
+
     // ---- quality scoring (integer ppm) ----
     "ta_quality" -> Q(
       (s, dir) =>
