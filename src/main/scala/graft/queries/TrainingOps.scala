@@ -279,6 +279,35 @@ object TrainingOps {
              |  TRUE AS hll_ok
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // ---- quantile sketch (the 100 TB percentile path: one mergeable
+    //      single-pass sketch per group instead of a full sort). Sketch
+    //      VALUES are engine-specific, so the verifiable output is the
+    //      exact percentiles plus an in-engine bound check: qs_ok
+    //      asserts the sketch landed within the accuracy target, which
+    //      DuckDB checks as literal TRUE — same harness shape as
+    //      dd_approx_distinct ----
+    "dd_quantile_sketch" -> Q(
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .groupBy("event_type")
+          .agg(
+            percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"),
+            expr("percentile(value, 0.5)").as("exact_p50"),
+            min("value").as("lo"), max("value").as("hi"))
+          .select(
+            col("event_type"),
+            round(col("exact_p50"), 2).as("p50"),
+            round(col("lo"), 2).as("lo"), round(col("hi"), 2).as("hi"),
+            // the sketch's answer must land within 5% of the value range
+            // of the true median — generous at accuracy=1000, and stable
+            ((abs(col("approx_p50") - col("exact_p50"))) <=
+              (col("hi") - col("lo")) * lit(0.05)).as("qs_ok")),
+      Some("""SELECT event_type,
+             |  round(quantile_cont(value, 0.5), 2) AS p50,
+             |  round(min(value), 2) AS lo, round(max(value), 2) AS hi,
+             |  TRUE AS qs_ok
+             |FROM events GROUP BY event_type""".stripMargin)),
+
     // ---- ANN via IVF coarse quantizer (learned partitions; the
     //      second scale path next to LSH). The quantizer is
     //      deterministic AND integer/double-fold reproducible end to
