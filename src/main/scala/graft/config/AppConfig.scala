@@ -188,10 +188,17 @@ object AppConfig {
     firstError(nodes)(walk)
   }
 
+  /** `kafka` is the reference's transport (config.go:109-113); `file`
+    * is the Spark-native equivalent — the driver is the compacted
+    * topic's only consumer here, so an append-only compacted JSONL file
+    * carries the same replay-to-EOF semantics (see FileMessageBus).
+    */
   private def validateInternalData(c: AppConfig): Either[String, Unit] =
     c.internalData match {
-      case Some(idc) if idc.transport != "kafka" =>
+      case Some(idc) if idc.transport != "kafka" && idc.transport != "file" =>
         Left(s"internal data transport ${idc.transport} not supported")
+      case Some(idc) if idc.transport == "file" && !idc.params.contains("path") =>
+        Left("missing config value [path] for internal data transport file")
       case _ => Right(())
     }
 
