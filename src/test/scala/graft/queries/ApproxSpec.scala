@@ -45,4 +45,13 @@ class ApproxSpec extends SparkSpec {
     val (ex, ap) = (row.getDouble(0), row.getDouble(1))
     assert(math.abs(ap - ex) <= 1.0, s"p50 approx $ap vs exact $ex")
   }
+
+  test("dd_quantile_sketch reports every group's sketch inside its bound (qs_ok)") {
+    val rows = graft.SparkEntry.queries("dd_quantile_sketch")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(4))).toList
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, p50, ok) =>
+      assert(ok, s"$k: sketch median outside 5% of range (exact p50 $p50)")
+    }
+  }
 }
