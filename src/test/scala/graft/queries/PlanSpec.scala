@@ -144,6 +144,27 @@ class PlanSpec extends SparkSpec {
       s"embedding dedup degenerated to all-pairs:\n$p")
   }
 
+  test("q25: grouping sets are one Expand + one shuffle with partial aggregation") {
+    val p = executedPlanOf("q25_grouping_sets")
+    assert(p.contains("Expand"), s"no grouping-id expand:\n$p")
+    val finalPlan = p.split("== Initial Plan ==").head
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles:\n$p")
+    assert("HashAggregate".r.findAllIn(finalPlan).size >= 2, s"no partial agg:\n$p")
+  }
+
+  test("q26: EXISTS/NOT EXISTS rewrite to semi and anti joins, not subquery loops") {
+    val p = executedPlanOf("q26_exists_subquery")
+    assert(p.contains("LeftSemi"), s"EXISTS not rewritten to a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS not rewritten to an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"correlation degenerated:\n$p")
+  }
+
+  test("ta_bigrams: per-word top-1 is rank-limited before the window") {
+    val p = executedPlanOf("ta_bigrams")
+    assert(p.contains("WindowGroupLimit"), s"rank filter not pushed into window:\n$p")
+  }
+
   test("brute-force ANN broadcasts the query side, not the corpus") {
     val p = plan("ann_topk_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
