@@ -194,6 +194,42 @@ object Similarity {
       .select("qid", "rank", "nid")
   }
 
+  /** Two-table ANN join (retrieval shape): each probe row gets its top-k
+    * LSH-bucketed candidates from `corpus`, exactly re-ranked. Both
+    * sides are hashed with the SAME deterministic hyperplane family, so
+    * a probe only meets corpus vectors sharing a bucket in at least one
+    * table — candidate volume is bucket-occupancy-bound, never
+    * |probes|×|corpus|. Ids travel through the bucket join; vectors
+    * join back by id.
+    */
+  def lshJoin(probes: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String,
+              k: Int, planes: Int = 16, tables: Int = 4): DataFrame = {
+    val perTable = planes / tables
+    def bucketed(df: DataFrame, side: String) = {
+      val sig = df.select(col(idCol).as(s"${side}id"),
+        lshSignature(col(vecCol), planes).as("sig"))
+      sig.select(col(s"${side}id"),
+        explode(array((0 until tables).map { t =>
+          val mask = ((1L << perTable) - 1) << (t * perTable)
+          struct(lit(t).as("t"), (col("sig").bitwiseAND(lit(mask))).as("v"))
+        }: _*)).as("bucket"))
+    }
+    val cand = bucketed(probes, "q").join(bucketed(corpus, "n"), "bucket")
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid").distinct()
+    val qv = probes.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      norm2(col(vecCol)).as("qnrm"))
+    val nv = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+      norm2(col(vecCol)).as("nnrm"))
+    val scored = cand.join(qv, "qid").join(nv, "nid")
+      .select(col("qid"), col("nid"),
+        (dot(col("qvec"), col("nvec")) / sqrt(col("qnrm") * col("nnrm"))).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("qid", "rank", "nid")
+  }
+
   /** ANN top-k via LSH buckets + exact re-rank of candidates. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               k: Int, planes: Int = 16, tables: Int = 4): DataFrame = {

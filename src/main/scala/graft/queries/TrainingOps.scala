@@ -279,6 +279,42 @@ object TrainingOps {
              |  TRUE AS hll_ok
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // ---- two-table ANN join (retrieval shape): probe set × corpus
+    //      through shared LSH buckets — candidates are
+    //      bucket-occupancy-bound, never |probes|×|corpus|. Same
+    //      deterministic hyperplane family as ann_lsh_bucketed, so the
+    //      oracle rebuilds identical buckets on both sides ----
+    "ann_lsh_join" -> Q(
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        Similarity.lshJoin(e.filter(col("vec_id") < 50), e,
+          "vec_id", "embedding", k = 5, planes = 16, tables = 4)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding, len(embedding) AS nd FROM embeddings),
+             |sg AS (SELECT vec_id,
+             |  list_sum(list_transform(range(0,16), p ->
+             |    CASE WHEN list_sum(list_transform(range(1, nd+1), d ->
+             |        CASE WHEN ((1103515245*p + 12345)*d + 2654435761) % 2147483647 % 2 = 0
+             |             THEN CAST(embedding[d] AS DOUBLE)
+             |             ELSE -CAST(embedding[d] AS DOUBLE) END)) > 0
+             |    THEN 1 << p ELSE 0 END)) AS sig
+             |  FROM e),
+             |b AS (SELECT vec_id, r.t, sig & (15 << (r.t*4)) AS bucket
+             |      FROM sg, range(0,4) r(t)),
+             |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+             |         FROM b q JOIN b c ON q.t = c.t AND q.bucket = c.bucket
+             |         WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id),
+             |n AS (SELECT vec_id, embedding,
+             |  list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nrm
+             |  FROM e),
+             |sc AS (SELECT cd.qid, cd.nid,
+             |  list_sum(list_transform(list_zip(q.embedding, c.embedding),
+             |    z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / sqrt(q.nrm * c.nrm) AS cos
+             |  FROM cand cd JOIN n q ON cd.qid = q.vec_id JOIN n c ON cd.nid = c.vec_id),
+             |rk AS (SELECT qid, nid,
+             |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM sc)
+             |SELECT qid, rank, nid FROM rk WHERE rank <= 5""".stripMargin)),
+
     // ---- quantile sketch (the 100 TB percentile path: one mergeable
     //      single-pass sketch per group instead of a full sort). Sketch
     //      VALUES are engine-specific, so the verifiable output is the
