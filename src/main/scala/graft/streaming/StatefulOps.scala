@@ -64,4 +64,74 @@ object StatefulOps {
           dedupGroup(key, rows, state, ttlMs)
       }
   }
+
+  // ---- streaming near-dup candidates (MinHash + LSH over a stream) ----
+
+  final case class BandedDoc(band: String, docId: Long)
+  final case class CandidatePair(da: Long, db: Long, band: String)
+  final case class BucketState(docIds: List[Long])
+
+  implicit val bandedEnc: Encoder[BandedDoc] = Encoders.product[BandedDoc]
+  implicit val pairEnc: Encoder[CandidatePair] = Encoders.product[CandidatePair]
+  implicit val bucketEnc: Encoder[BucketState] = Encoders.product[BucketState]
+
+  /** Per-bucket transition (unit-testable via TestGroupState): every new
+    * doc in an LSH band bucket pairs with the docs already resident
+    * there, across micro-batches. `maxBucket` is the streaming analog of
+    * the batch frequency cap ([[graft.operators.Dedup.ngramJaccardPairs]]'
+    * `maxShingleFreq`): once a bucket holds that many docs it is
+    * boilerplate, stops pairing, and stops growing — state per bucket is
+    * bounded by construction, pairs per event by `maxBucket`.
+    */
+  def nearDupGroup(band: String, rows: Iterator[BandedDoc], state: GroupState[BucketState],
+                   maxBucket: Int, ttlMs: Long): Iterator[CandidatePair] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val prior = state.getOption.map(_.docIds).getOrElse(Nil)
+      val fresh = rows.map(_.docId).toSeq.distinct.filterNot(prior.contains).sorted
+      val pairs = scala.collection.mutable.ListBuffer[CandidatePair]()
+      var resident = prior
+      fresh.foreach { id =>
+        if (resident.size < maxBucket) {
+          resident.foreach { other =>
+            pairs += CandidatePair(math.min(id, other), math.max(id, other), band)
+          }
+          resident = id :: resident
+        }
+      }
+      state.update(BucketState(resident))
+      if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+      pairs.iterator
+    }
+
+  /** Streaming MinHash+LSH near-dup candidates: each document explodes
+    * into its band keys (same signature family as the batch operator,
+    * so batch and stream agree on buckets); per-band state pairs
+    * arrivals with residents. A pair colliding in several bands is
+    * emitted once per band (at-least-once, like the messaging contract)
+    * — downstream consumers dedup on (da, db).
+    */
+  def streamingNearDupCandidates(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 8, bands: Int = 2,
+      maxBucket: Int = 1000, ttlMs: Long = 0L): Dataset[CandidatePair] = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{Hashing, TextFunctions}
+    val timeout =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    docs
+      .select(
+        col(idCol).cast("long").as("docId"),
+        explode(Hashing.lshBandKeys(
+          Hashing.minhashSignature(TextFunctions.shingles(col(textCol), n), k),
+          k, bands)).as("band"))
+      .as[BandedDoc]
+      .groupByKey(_.band)
+      .flatMapGroupsWithState[BucketState, CandidatePair](OutputMode.Append, timeout) {
+        (band: String, rows: Iterator[BandedDoc], state: GroupState[BucketState]) =>
+          nearDupGroup(band, rows, state, maxBucket, ttlMs)
+      }
+  }
 }

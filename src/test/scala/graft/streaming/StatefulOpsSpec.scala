@@ -63,4 +63,51 @@ class StatefulOpsSpec extends SparkSpec {
     assert(dedupGroup("k", Iterator.empty, s3, 60000L).isEmpty)
     assert(s3.isRemoved)
   }
+
+  test("streaming near-dup candidates pair arrivals with residents across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val result = streamingNearDupCandidates(docs, "doc_id", "text")
+
+    val query = result.writeStream
+      .format("memory").queryName("neardup_out")
+      .outputMode("append")
+      .start()
+
+    val dupText = "the quick brown fox jumps over the lazy dog again"
+    // batch 1: two near-identical docs + one unrelated
+    input.addData((1L, dupText), (2L, dupText), (3L, "completely different words with no overlap at all"))
+    query.processAllAvailable()
+    // batch 2: a third copy arrives later — must pair with BOTH residents
+    input.addData((4L, dupText))
+    query.processAllAvailable()
+    query.stop()
+
+    val pairs = spark.table("neardup_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 4L), (2L, 4L)), s"got $pairs")
+  }
+
+  test("near-dup bucket cap: boilerplate buckets stop pairing and stop growing") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    def st(ids: List[Long]) = TestGroupState.create[BucketState](
+      optionalState = org.apache.spark.api.java.Optional.of(BucketState(ids)),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(),
+      hasTimedOut = false)
+    // bucket at cap (3): a new arrival emits nothing and is not stored
+    val full = st(List(3L, 2L, 1L))
+    val out = nearDupGroup("b", Iterator(BandedDoc("b", 9L)), full, maxBucket = 3, ttlMs = 0L)
+    assert(out.isEmpty)
+    assert(full.get == BucketState(List(3L, 2L, 1L)))
+    // below cap: arrival pairs with every resident, normalized da < db
+    val open = st(List(5L))
+    val out2 = nearDupGroup("b", Iterator(BandedDoc("b", 2L)), open, maxBucket = 3, ttlMs = 0L).toList
+    assert(out2 == List(CandidatePair(2L, 5L, "b")))
+    assert(open.get.docIds.toSet == Set(2L, 5L))
+  }
 }
