@@ -49,4 +49,23 @@ object Skew {
     */
   def hotKeys(df: DataFrame, keyCol: String, threshold: Long): DataFrame =
     df.groupBy(keyCol).agg(count(lit(1)).as("n")).filter(col("n") > threshold).select(keyCol)
+
+  /** Two-stage salted aggregation for hot grouping keys: partial
+    * aggregate on (keys, salt) spreads a dominant key over `n`
+    * reducers, the final aggregate on keys combines the partials.
+    * Emits `cnt` plus `sum_<col>` for each of `sums` — algebraic
+    * aggregates, so the result is EXACTLY the direct groupBy (the
+    * final stage is keyed on group cardinality, not row volume).
+    * Spark's map-side partial aggregation covers in-task combining;
+    * the salt matters when one reducer KEY dominates the exchange.
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], n: Int,
+                sums: Seq[String] = Nil): DataFrame = {
+    val saltCol = "__graft_salt"
+    val partial = salt(df, n, saltCol)
+      .groupBy((keys :+ saltCol).map(col): _*)
+      .agg(count(lit(1)).as("__cnt"), sums.map(c => sum(c).as(s"__sum_$c")): _*)
+    partial.groupBy(keys.map(col): _*)
+      .agg(sum("__cnt").as("cnt"), sums.map(c => sum(s"__sum_$c").as(s"sum_$c")): _*)
+  }
 }

@@ -500,6 +500,23 @@ object Relational {
              |  nth_value(event_type, 2) OVER w AS second_et
              |FROM events
              |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
-             |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin))
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin)),
+
+    // ---- salted hot-key aggregation: event_type has only 5 values
+    //      over the whole corpus — the canonical hot-reducer shape.
+    //      Two-stage (key, salt) → key aggregation; values summed as
+    //      integer cents so the result is exact regardless of partial
+    //      grouping order, proving salted == direct via the oracle ----
+    "q28_salted_hot_agg" -> Q(
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+        graft.operators.Skew.saltedAgg(e, Seq("event_type"), n = 16, sums = Seq("cents"))
+          .select(col("event_type"), col("cnt"), col("sum_cents"))
+      },
+      Some("""SELECT event_type, count(*) AS cnt,
+             |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM events GROUP BY event_type""".stripMargin))
   )
 }

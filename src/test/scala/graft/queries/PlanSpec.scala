@@ -165,6 +165,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"rank filter not pushed into window:\n$p")
   }
 
+  test("q28: salted aggregation is two exchanges — (key,salt) partial, then key final") {
+    val p = executedPlanOf("q28_salted_hot_agg")
+    val finalPlan = p.split("== Initial Plan ==").head
+    val shuffles = finalPlan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toList
+    assert(shuffles.size == 2, s"expected 2 shuffles, got ${shuffles.size}:\n$p")
+    // the first exchange must carry the salt — that's what spreads the
+    // hot key; the second is group-cardinality-sized
+    assert(shuffles.exists(_.contains("__graft_salt")),
+      s"partial exchange not salted:\n${shuffles.mkString("\n")}")
+  }
+
   test("brute-force ANN broadcasts the query side, not the corpus") {
     val p = plan("ann_topk_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
