@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-pass data profiling — the first thing a pipeline does to a new
+  * 100 TB table: per-column row/null/distinct counts and min/max,
+  * computed in a SINGLE aggregation job over one scan (never one job
+  * per column) and melted to one row per column.
+  *
+  * At scale `exactDistinct = false` (default) uses HLL sketches — all
+  * counters then come out of one map-side-combined aggregate with no
+  * distinct expansion. Exact mode is for small tables and oracle
+  * verification; it pays Spark's multi-distinct expand.
+  */
+object Profile {
+
+  /** Profile `cols` (defaults to every column). Output:
+    * (column, n_rows, n_nulls, n_distinct, min_s, max_s) — min/max are
+    * cast to string so heterogeneous columns fit one frame; profile
+    * numeric-exact columns (integers, strings, dates) when cross-engine
+    * string forms must agree.
+    */
+  def profile(df: DataFrame, cols: Seq[String] = Nil,
+              exactDistinct: Boolean = false): DataFrame = {
+    val names = if (cols.nonEmpty) cols else df.columns.toSeq
+    val aggs = names.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        (if (exactDistinct) countDistinct(col(c))
+         else approx_count_distinct(col(c), 0.02)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    } :+ count(lit(1)).as("__total")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    // melt: one output row per column, from the single aggregated row
+    val perCol = names.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col("__total").as("n_rows"),
+        (col("__total") - col(s"__nn_$c")).as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_s"),
+        col(s"__mx_$c").as("max_s"))
+    }
+    row.select(explode(array(perCol: _*)).as("p")).select("p.*")
+  }
+}

@@ -279,6 +279,37 @@ object TrainingOps {
              |  TRUE AS hll_ok
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // ---- one-pass data profiling (per-column stats from ONE scan and
+    //      ONE aggregation job — never a job per column). Exact-distinct
+    //      mode here so every number is oracle-verifiable; the scale
+    //      default is HLL (bound-checked the dd_approx_distinct way) ----
+    "ta_profile" -> Q(
+      (s, dir) =>
+        graft.operators.Profile.profile(
+          Tables(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
+          exactDistinct = true),
+      Some("""SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+             |  count(*) - count(o_orderkey) AS n_nulls,
+             |  count(DISTINCT o_orderkey) AS n_distinct,
+             |  CAST(min(o_orderkey) AS VARCHAR) AS min_s, CAST(max(o_orderkey) AS VARCHAR) AS max_s
+             |FROM orders
+             |UNION ALL
+             |SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+             |  count(DISTINCT o_custkey),
+             |  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+             |FROM orders
+             |UNION ALL
+             |SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+             |  count(DISTINCT o_orderstatus),
+             |  min(o_orderstatus), max(o_orderstatus)
+             |FROM orders
+             |UNION ALL
+             |SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+             |  count(DISTINCT o_orderpriority),
+             |  min(o_orderpriority), max(o_orderpriority)
+             |FROM orders""".stripMargin)),
+
     // ---- two-table ANN join (retrieval shape): probe set × corpus
     //      through shared LSH buckets — candidates are
     //      bucket-occupancy-bound, never |probes|×|corpus|. Same

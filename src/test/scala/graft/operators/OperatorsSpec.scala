@@ -112,6 +112,21 @@ class OperatorsSpec extends SparkSpec {
     assert(recall > 0.1, s"ANN recall $recall")
   }
 
+  test("profile: per-column stats from one pass, nulls/distincts/min-max correct") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, Option("a")), (2L, None), (3L, Option("b")), (4L, Option("a")))
+      .toDF("id", "v")
+    val p = Profile.profile(df, exactDistinct = true)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(p("id") == ((4L, 0L, 4L, "1", "4")))
+    assert(p("v") == ((4L, 1L, 2L, "a", "b")))
+    // sketch mode tracks exact within the configured rsd at this size
+    val approx = Profile.profile(df)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(approx("id") == 4L && approx("v") == 2L)
+  }
+
   test("top-terms: broadcast-vocab and AQE-shuffle paths produce identical results") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
