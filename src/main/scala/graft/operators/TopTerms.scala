@@ -22,14 +22,18 @@ object TopTerms {
     *
     *  - `minDf` prunes the long tail (df < minDf) BEFORE the join —
     *    typical corpora lose most of their vocabulary rows here
-    *  - the pruned vocabulary is counted (a vocabulary-cardinality
-    *    aggregate, cheap next to the tf pass) and broadcast only while
-    *    it fits `broadcastVocabMax` rows; beyond that the hint is
-    *    dropped and AQE picks the join strategy at runtime
+    *  - `broadcastVocabMax` decides the join side: `Long.MaxValue`
+    *    forces the broadcast hint and `<= 0` forces the AQE/shuffle
+    *    path, both WITHOUT any measurement job (the caller already
+    *    knows); any finite positive threshold is adaptive — the pruned
+    *    vocabulary is counted (a vocabulary-cardinality aggregate) and
+    *    broadcast only while it fits. The adaptive count costs one
+    *    extra tf pass, the right trade at scale against persisting the
+    *    corpus-sized tf intermediate.
     *
-    * The vocab frame is persisted so the count and the join share one
-    * computation; it is vocabulary-sized (bounded, pruned) and ages out
-    * of the block store by LRU after the query runs.
+    * In adaptive mode the vocab frame is persisted so the count and
+    * the join share one computation; it is vocabulary-sized (bounded,
+    * pruned) and ages out of the block store by LRU after the query.
     *
     * Note: `minDf > 1` removes pruned terms from scoring entirely
     * (they can no longer appear in any document's top-k).
@@ -43,8 +47,13 @@ object TopTerms {
     val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val vocab = if (dfreq.count() <= broadcastVocabMax) broadcast(dfreq) else dfreq
+    val vocab =
+      if (broadcastVocabMax == Long.MaxValue) broadcast(dfreq)
+      else if (broadcastVocabMax <= 0L) dfreq
+      else {
+        val d = dfreq.persist(StorageLevel.MEMORY_AND_DISK)
+        if (d.count() <= broadcastVocabMax) broadcast(d) else d
+      }
     val scored = tf.join(vocab, "w")
       .withColumn("score", expr("(tf * 1000000) DIV df"))
     val rk = Window.partitionBy("doc_id").orderBy(col("score").desc, col("w").asc)

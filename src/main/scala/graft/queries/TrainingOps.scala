@@ -537,8 +537,12 @@ object TrainingOps {
     //      differences can flip a rank boundary) ----
     "ta_top_terms" -> Q(
       (s, dir) =>
+        // forced-broadcast mode: this corpus's vocabulary is known to
+        // fit an executor, so skip the adaptive measurement job (the
+        // finite-threshold adaptive mode is the 100 TB default)
         graft.operators.TopTerms.topTermsPerDoc(
-          Tables(s, dir, "documents"), "doc_id", "text", topK = 3),
+          Tables(s, dir, "documents"), "doc_id", "text", topK = 3,
+          broadcastVocabMax = Long.MaxValue),
       Some("""WITH tok AS (SELECT doc_id,
              |  unnest(list_filter(string_split(text,' '), w -> w <> '')) AS w FROM documents),
              |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),

@@ -130,17 +130,27 @@ class OperatorsSpec extends SparkSpec {
   test("top-terms: broadcast-vocab and AQE-shuffle paths produce identical results") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
-    // threshold above the vocab size → broadcast hint; 0 → hint dropped,
-    // AQE picks the join at runtime. Results must not depend on the path.
+    // four decision paths: forced broadcast (MaxValue, no measurement
+    // job), forced shuffle (0), adaptive-fits (finite threshold above
+    // the vocab), adaptive-exceeds (threshold 1). Results must not
+    // depend on the path.
     val hinted = TopTerms.topTermsPerDoc(docs, "doc_id", "text",
       broadcastVocabMax = Long.MaxValue)
     val shuffled = TopTerms.topTermsPerDoc(docs, "doc_id", "text",
       broadcastVocabMax = 0L)
-    assert(hinted.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
-      "hinted path lost the broadcast hint")
-    assert(!shuffled.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
-      "guard failed to drop the broadcast hint")
+    val adaptiveFits = TopTerms.topTermsPerDoc(docs, "doc_id", "text",
+      broadcastVocabMax = 10000000L)
+    val adaptiveExceeds = TopTerms.topTermsPerDoc(docs, "doc_id", "text",
+      broadcastVocabMax = 1L)
+    def hasHint(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.toString.contains("strategy=broadcast")
+    assert(hasHint(hinted), "forced-broadcast path lost the hint")
+    assert(!hasHint(shuffled), "forced-shuffle path kept the hint")
+    assert(hasHint(adaptiveFits), "adaptive path dropped the hint for a fitting vocab")
+    assert(!hasHint(adaptiveExceeds), "adaptive path kept the hint past the threshold")
     assert(rows(hinted) == rows(shuffled))
+    assert(rows(hinted) == rows(adaptiveFits))
+    assert(rows(hinted) == rows(adaptiveExceeds))
     // min-df pruning removes hapax terms from the vocabulary entirely
     val pruned = TopTerms.topTermsPerDoc(docs, "doc_id", "text", minDf = 2L)
     assert(pruned.filter(col("df") < 2).count() == 0)
