@@ -132,9 +132,14 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 20): DataFrame = {
+    // both edge directions from ONE pass over the pair list: a union of
+    // two selects would re-derive `pairs` (the whole LSH candidate
+    // pipeline) once per branch when this first materializes
     val edges = pairs
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // init = min(self, neighbors): the first propagation round folded
     // into the vertex-set aggregation itself (one shuffle instead of a

@@ -233,11 +233,16 @@ object Similarity {
   /** ANN top-k via LSH buckets + exact re-rank of candidates. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               k: Int, planes: Int = 16, tables: Int = 4): DataFrame = {
-    // score each candidate pair once, then mirror it for both directions
+    // score each candidate pair once and mirror it for both directions
+    // in the SAME pass — a union of two selects would re-run the whole
+    // candidate pipeline (bucket join + cosine) once per branch
     val scored = lshCandidates(df, idCol, vecCol, planes, tables)
       .withColumn("cos", cosine(col("veca"), col("vecb")))
-    val sym = scored.select(col("ida").as("qid"), col("idb").as("nid"), col("cos"))
-      .union(scored.select(col("idb").as("qid"), col("ida").as("nid"), col("cos")))
+    val sym = scored
+      .select(explode(array(
+        struct(col("ida").as("qid"), col("idb").as("nid"), col("cos")),
+        struct(col("idb").as("qid"), col("ida").as("nid"), col("cos")))).as("p"))
+      .select(col("p.qid").as("qid"), col("p.nid").as("nid"), col("p.cos").as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
     sym.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("qid", "rank", "nid")
