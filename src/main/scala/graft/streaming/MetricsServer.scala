@@ -32,6 +32,31 @@ final class ConsumerLagTracker extends StreamingQueryListener {
   /** events consumed per query name (events_consumed_total). */
   val consumed = TrieMap[String, Long]()
 
+  /** micro-batch duration histogram (the Spark-native stand-in for the
+    * reference's per-node `node_processing_time_sec` — stages fuse into
+    * one codegen pass here, so the batch IS the processing unit).
+    * Upper bounds in seconds; cumulative counts per prometheus rules.
+    */
+  val batchBuckets: Array[Double] = Array(0.01, 0.05, 0.25, 1.0, 5.0, 30.0)
+  private[streaming] val batchCounts = new Array[Long](batchBuckets.length + 1)
+  private[streaming] var batchSum = 0.0
+  private[streaming] var batchN = 0L
+
+  private def observeBatch(seconds: Double): Unit = synchronized {
+    var i = 0
+    while (i < batchBuckets.length && seconds > batchBuckets(i)) i += 1
+    batchCounts(i) += 1
+    batchSum += seconds
+    batchN += 1
+  }
+
+  /** (bucket upper bound or +Inf, cumulative count) pairs + (sum, count). */
+  def batchHistogram: (Seq[(String, Long)], Double, Long) = synchronized {
+    val cum = batchCounts.scanLeft(0L)(_ + _).tail
+    val labels = batchBuckets.map(_.toString) :+ "+Inf"
+    (labels.zip(cum).toSeq, batchSum, batchN)
+  }
+
   private def leaves(node: JsonNode, path: String,
                      out: TrieMap[String, Long]): Unit = node match {
     case n if n == null => ()
@@ -57,6 +82,8 @@ final class ConsumerLagTracker extends StreamingQueryListener {
       case Some(x) => Some(x + e.progress.numInputRows)
       case None => Some(e.progress.numInputRows)
     }
+    Option(e.progress.batchDuration).filter(_ > 0)
+      .foreach(ms => observeBatch(ms / 1000.0))
     e.progress.sources.foreach { s =>
       val end = flatten(Option(s.endOffset).getOrElse(""))
       val latest = flatten(Option(s.latestOffset).getOrElse(""))
@@ -135,6 +162,15 @@ final class MetricsServer(
       gauge("consumer_high_watermark", s"""{partition="$part"}""", hi)
       gauge("consumer_offset_lag", s"""{partition="$part"}""", lag)
     }
+
+    // batch-duration histogram (node_processing_time_sec analog)
+    val (buckets, sum, n) = lagTracker.batchHistogram
+    typ("batch_duration_seconds", "histogram")
+    buckets.foreach { case (le, c) =>
+      sb.append(s"""${prefix}_batch_duration_seconds_bucket{le="$le"} $c""").append('\n')
+    }
+    sb.append(s"${prefix}_batch_duration_seconds_sum $sum\n")
+    sb.append(s"${prefix}_batch_duration_seconds_count $n\n")
     sb.toString
   }
 

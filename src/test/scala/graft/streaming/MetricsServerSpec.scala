@@ -91,6 +91,11 @@ class MetricsServerSpec extends SparkSpec {
           .findFirstIn(body).nonEmpty, body)
         assert("""graft_consumer_high_watermark\{partition="[^"]+"\} \d+""".r
           .findFirstIn(body).nonEmpty, body)
+        // the batch-duration histogram recorded the micro-batches
+        assert(body.contains("""graft_batch_duration_seconds_bucket{le="+Inf"}"""), body)
+        val cnt = """graft_batch_duration_seconds_count (\d+)""".r
+          .findFirstMatchIn(body).map(_.group(1).toLong)
+        assert(cnt.exists(_ >= 1L), s"histogram empty: $body")
       } finally running.shutdown()
     } finally {
       server.stop()
