@@ -147,6 +147,27 @@ object TrainingOps {
               |SELECT id AS doc_id, comp, count(*) OVER (PARTITION BY comp) AS n_group
               |FROM cmp""".stripMargin)),
 
+    // ---- the STREAMING near-dup operator, driven in batch mode (same
+    //      code path, one micro-batch's worth of state transitions):
+    //      its per-band pairing must reproduce exactly the batch LSH
+    //      candidate self-join, so it shares that oracle ----
+    "dd_neardup_stateful" -> Q(
+      (s, dir) =>
+        graft.streaming.StatefulOps.streamingNearDupCandidates(
+            Tables(s, dir, "documents"), "doc_id", "text",
+            n = 3, k = 8, bands = 2, maxBucket = Int.MaxValue)
+          .toDF().select(col("da"), col("db")).distinct(),
+      Some(s"""WITH $duckShingles,
+              |hs AS (SELECT doc_id, list_transform(list_distinct(s), t -> ${duckCharHash("t")}) h FROM shl),
+              |sig AS (SELECT doc_id, list_transform(range(0,8), i ->
+              |  list_min(list_transform(h, x -> ((37+101*i)*x + 7+139*i) % 1000000007))) sg FROM hs),
+              |bands AS (
+              |  SELECT doc_id, '0-' || sg[1] || '-' || sg[2] || '-' || sg[3] || '-' || sg[4] AS band FROM sig
+              |  UNION ALL
+              |  SELECT doc_id, '1-' || sg[5] || '-' || sg[6] || '-' || sg[7] || '-' || sg[8] AS band FROM sig)
+              |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id""".stripMargin)),
+
     // ---- SimHash near-dups (hamming ≤ 3; oracle brute-forces all pairs,
     //      Spark uses lossless 4-byte blocking — same result set) ----
     "dd_simhash" -> Q(
