@@ -45,7 +45,7 @@ object StreamingPipeline {
     val writer = source.writeStream
       .queryName(queryName)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cached = batch.persist()
         // built outside try so the finally can unpersist the per-node
         // MEMORY_AND_DISK caches Pipeline.buildOn created — without this
@@ -54,13 +54,13 @@ object StreamingPipeline {
           observeMetrics = observeMetrics, persistShared = true)
         try {
           built.leaves.foreach { case (id, df) =>
-            sinks.get(id).foreach(_.writeBatch(df))
+            sinks.get(id).foreach(_.writeBatch(df, batchId))
           }
           walk(built.roots).foreach { node =>
             for {
               dead <- node.deadLetters
               sink <- deadLetterSinks.get(node.conf.id)
-            } sink.writeBatch(dead)
+            } sink.writeBatch(dead, batchId)
           }
         } finally { built.unpersistAll(); cached.unpersist(); () }
       }
