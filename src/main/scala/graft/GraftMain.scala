@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 
 import graft.config.{AppConfig, NodeConf}
 import graft.pipeline.{Pipeline, Registry}
-import graft.sinks.ParquetSink
+import graft.sinks.IdempotentParquetSink
 import graft.streaming.{FileMessageBus, GraftApp, KafkaSourceConfig, MessageBus, MetricsServer, PipelineMetrics}
 
 /** CLI entrypoint — the analog of running the reference executor from a
@@ -96,8 +96,10 @@ object GraftMain {
         if (config.source.name != "kafkaconsumer")
           return Left(s"--stream requires a kafkaconsumer source, got [${config.source.name}]")
         val source = KafkaSourceConfig.stream(spark, config.source.params)
+        // exactly-once landing: batch-id-keyed commit dirs, so an epoch
+        // retry after a sink failure never duplicates records
         val sinks = leafIds(config.nodes)
-          .map(id => id -> new ParquetSink(s"$outDir/$id")).toMap
+          .map(id => id -> new IdempotentParquetSink(s"$outDir/$id")).toMap
         val running = app.execute(source, sinks,
           checkpoint = Some(s"$outDir/_checkpoint"))
         running.query.awaitTermination()

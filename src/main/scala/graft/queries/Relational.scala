@@ -502,6 +502,27 @@ object Relational {
              |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
              |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin)),
 
+    // ---- correlated scalar subquery (rewritten by Catalyst to an
+    //      aggregate + left outer join — one shuffle on the correlation
+    //      key, no per-row subquery execution) ----
+    "q29_scalar_subquery" -> Q(
+      (s, dir) => {
+        Tables(s, dir, "customer").createOrReplaceTempView("v_customer")
+        Tables(s, dir, "orders").createOrReplaceTempView("v_orders")
+        s.sql("""SELECT c_custkey, c_name,
+                |  round((SELECT max(o_totalprice) FROM v_orders o
+                |         WHERE o.o_custkey = c.c_custkey), 2) AS max_price,
+                |  (SELECT count(*) FROM v_orders o2
+                |   WHERE o2.o_custkey = c.c_custkey) AS n_orders
+                |FROM v_customer c""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  round((SELECT max(o_totalprice) FROM orders o
+             |         WHERE o.o_custkey = c.c_custkey), 2) AS max_price,
+             |  CAST((SELECT count(*) FROM orders o2
+             |        WHERE o2.o_custkey = c.c_custkey) AS BIGINT) AS n_orders
+             |FROM customer c""".stripMargin)),
+
     // ---- salted hot-key aggregation: event_type has only 5 values
     //      over the whole corpus — the canonical hot-reducer shape.
     //      Two-stage (key, salt) → key aggregation; values summed as
