@@ -30,10 +30,16 @@ object Temporal {
     * `r.tsCol <= l.tsCol` on the same key. Right columns (except key
     * and ts) are appended; left rows with no prior right row keep
     * nulls (left-outer semantics).
+    *
+    * `toleranceSeconds` bounds staleness: a carried right row older
+    * than the tolerance (floor-second difference) is treated as no
+    * match — same nulls as a missing right row. Costs nothing extra:
+    * the matched right ts already rides in the carried struct.
     */
   def asofJoin(
       left: DataFrame, right: DataFrame,
-      keyCol: String, tsCol: String): DataFrame = {
+      keyCol: String, tsCol: String,
+      toleranceSeconds: Option[Long] = None): DataFrame = {
     val rightVals = right.columns.filter(c => c != keyCol && c != tsCol).toSeq
     val leftVals = left.columns.filter(c => c != keyCol && c != tsCol).toSeq
     val overlap = leftVals.intersect(rightVals)
@@ -45,13 +51,16 @@ object Temporal {
     // last(col, ignoreNulls) would back-fill a legitimate NULL in the
     // latest right row from an OLDER right row, fabricating a composite
     // row that never existed (diverges from DuckDB ASOF JOIN).
-    import org.apache.spark.sql.types.StructType
-    val rvType = StructType(rightVals.map(c => right.schema(c)))
+    // The struct leads with the right row's own ts so the tolerance
+    // check can see how stale the match is.
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val rvType = StructType(
+      StructField("__rts", right.schema(tsCol).dataType) +: rightVals.map(c => right.schema(c)))
 
     // side 0 = right sorts before side 1 = left at equal ts (>= match)
     val taggedRight = right.select(
       (col(keyCol) +: col(tsCol).as("__ts") +: lit(0).as("__side") +:
-        struct(rightVals.map(col): _*).as("__rv") +:
+        struct((col(tsCol).as("__rts") +: rightVals.map(col)): _*).as("__rv") +:
         leftVals.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val taggedLeft = left.select(
       (col(keyCol) +: col(tsCol).as("__ts") +: lit(1).as("__side") +:
@@ -61,7 +70,11 @@ object Temporal {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = taggedRight.unionByName(taggedLeft)
       .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
-    carried.filter(col("__side") === 1)
+    val bounded = toleranceSeconds.fold(carried)(tol =>
+      carried.withColumn("__rv",
+        when(col("__ts").cast("long") - col("__rv").getField("__rts").cast("long") <= tol,
+          col("__rv"))))
+    bounded.filter(col("__side") === 1)
       .select((col(keyCol) +: col("__ts").as(tsCol) +:
         (leftVals.map(col) ++ rightVals.map(c => col("__rv").getField(c).as(c)))): _*)
   }

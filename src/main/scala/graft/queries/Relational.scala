@@ -222,6 +222,29 @@ object Relational {
              |SELECT l.ev_id, l.user_id, r.asof_id
              |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin)),
 
+    // ---- as-of join with a staleness tolerance: matches older than
+    //      6h are treated as no match (null, left-outer semantics) —
+    //      same single-shuffle carry-forward plan, the tolerance rides
+    //      in the carried struct for free ----
+    "q30_asof_tolerance" -> Q(
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+        val left = e.filter(col("event_type") =!= "signup")
+          .select(col("user_id"), col("ts"), col("event_id").as("ev_id"))
+        val right = e.filter(col("event_type") === "signup")
+          .groupBy("user_id", "ts").agg(max("event_id").as("asof_id"))
+        graft.operators.Temporal.asofJoin(left, right, "user_id", "ts",
+            toleranceSeconds = Some(21600L))
+          .select("ev_id", "user_id", "asof_id")
+      },
+      Some("""WITH l AS (SELECT user_id, ts, event_id AS ev_id FROM events WHERE event_type <> 'signup'),
+             |r AS (SELECT user_id, ts, max(event_id) AS asof_id FROM events
+             |      WHERE event_type = 'signup' GROUP BY user_id, ts)
+             |SELECT l.ev_id, l.user_id,
+             |  CASE WHEN epoch_ns(l.ts)//1000000000 - epoch_ns(r.ts)//1000000000 <= 21600
+             |       THEN r.asof_id END AS asof_id
+             |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin)),
+
     // ---- range (interval-containment) join, no equi-key: purchases
     //      inside 30-minute windows opened by signups; bucketed hash
     //      join instead of a nested-loop; oracle is DuckDB's inequality
