@@ -76,8 +76,9 @@ object GraftMain {
     }
 
   /** sink keys mirroring Pipeline.Built.leaves: leaf node ids plus
-    * `<id>.errors` for error-handler output streams. */
-  private def leafIds(nodes: List[NodeConf]): List[String] =
+    * `<id>.errors` for error-handler output streams (invariant pinned
+    * in GraftMainSpec against an actual Pipeline.build). */
+  private[graft] def leafIds(nodes: List[NodeConf]): List[String] =
     nodes.filterNot(_.disabled).flatMap { n =>
       val own = if (n.children.forall(_.disabled)) List(n.id) else leafIds(n.children)
       own ++ n.errorHandler.map(_ => n.id + ".errors").toList

@@ -72,6 +72,35 @@ class GraftMainSpec extends SparkSpec {
     assert(res.swap.exists(_.contains("kafkaconsumer")))
   }
 
+  test("stream sink keys mirror Pipeline.Built.leaves for a tree with error handlers") {
+    val reg = graft.pipeline.Registry.builtins()
+    reg.registerSourceType("gmsrc", new graft.pipeline.SourceFactory {
+      val produces = "string"
+      def read(spark: org.apache.spark.sql.SparkSession, params: Map[String, String]) = {
+        import org.apache.spark.sql.functions._
+        spark.range(3).select(col("id").cast("string").as("payload"),
+          current_timestamp().as("created"), lit(false).as("recovery"))
+      }
+    })
+    val cfg = graft.config.AppConfig.parse(
+      """application: keys
+        |source:
+        |  name: gmsrc
+        |nodes:
+        |  - name: filternode
+        |    children:
+        |      - name: errornode
+        |        error_handler:
+        |          name: errorhandlernode
+        |        children:
+        |          - name: resultsnode
+        |      - name: resultsnode
+        |        id: secondleaf
+        |""".stripMargin, reg).fold(e => fail(e), identity)
+    val built = graft.pipeline.Pipeline.build(spark, cfg, reg)
+    assert(GraftMain.leafIds(cfg.nodes).toSet == built.leaves.map(_._1).toSet)
+  }
+
   test("missing config file is a readable error, not a crash") {
     val res = GraftMain.run(spark, "/nonexistent/config.yaml", "/tmp/unused-out")
     assert(res.swap.exists(_.contains("failed to read config file")))
