@@ -39,7 +39,11 @@ object Temporal {
   def asofJoin(
       left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String,
-      toleranceSeconds: Option[Long] = None): DataFrame = {
+      toleranceSeconds: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asofJoin: direction must be backward or forward, got [$direction]")
+    val forward = direction == "forward"
     val rightVals = right.columns.filter(c => c != keyCol && c != tsCol).toSeq
     val leftVals = left.columns.filter(c => c != keyCol && c != tsCol).toSeq
     val overlap = leftVals.intersect(rightVals)
@@ -57,24 +61,34 @@ object Temporal {
     val rvType = StructType(
       StructField("__rts", right.schema(tsCol).dataType) +: rightVals.map(c => right.schema(c)))
 
-    // side 0 = right sorts before side 1 = left at equal ts (>= match)
+    // backward: right sorts BEFORE left at equal ts (>= match) and the
+    // latest prior right row carries forward. forward: right sorts
+    // AFTER left at equal ts (<= match) and the earliest following
+    // right row carries backward. Same single shuffle either way.
+    val (rightSide, leftSide) = if (forward) (1, 0) else (0, 1)
     val taggedRight = right.select(
-      (col(keyCol) +: col(tsCol).as("__ts") +: lit(0).as("__side") +:
+      (col(keyCol) +: col(tsCol).as("__ts") +: lit(rightSide).as("__side") +:
         struct((col(tsCol).as("__rts") +: rightVals.map(col)): _*).as("__rv") +:
         leftVals.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val taggedLeft = left.select(
-      (col(keyCol) +: col(tsCol).as("__ts") +: lit(1).as("__side") +:
+      (col(keyCol) +: col(tsCol).as("__ts") +: lit(leftSide).as("__side") +:
         lit(null).cast(rvType).as("__rv") +: leftVals.map(col)): _*)
 
-    val w = Window.partitionBy(keyCol).orderBy(col("__ts"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = taggedRight.unionByName(taggedLeft)
-      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+    val base = Window.partitionBy(keyCol).orderBy(col("__ts"), col("__side"))
+    val union = taggedRight.unionByName(taggedLeft)
+    val carried =
+      if (forward) union.withColumn("__rv",
+        first(col("__rv"), ignoreNulls = true)
+          .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      else union.withColumn("__rv",
+        last(col("__rv"), ignoreNulls = true)
+          .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val staleness =
+      if (forward) col("__rv").getField("__rts").cast("long") - col("__ts").cast("long")
+      else col("__ts").cast("long") - col("__rv").getField("__rts").cast("long")
     val bounded = toleranceSeconds.fold(carried)(tol =>
-      carried.withColumn("__rv",
-        when(col("__ts").cast("long") - col("__rv").getField("__rts").cast("long") <= tol,
-          col("__rv"))))
-    bounded.filter(col("__side") === 1)
+      carried.withColumn("__rv", when(staleness <= tol, col("__rv"))))
+    bounded.filter(col("__side") === leftSide)
       .select((col(keyCol) +: col("__ts").as(tsCol) +:
         (leftVals.map(col) ++ rightVals.map(c => col("__rv").getField(c).as(c)))): _*)
   }

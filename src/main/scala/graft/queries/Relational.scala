@@ -245,6 +245,30 @@ object Relational {
              |       THEN r.asof_id END AS asof_id
              |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin)),
 
+    // ---- forward as-of join: the EARLIEST right row at-or-after each
+    //      left row (next-signup semantics). Oracle is an independent
+    //      correlated ORDER BY/LIMIT subquery, not a re-derivation of
+    //      the carry algorithm ----
+    "q31_asof_forward" -> Q(
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+        val left = e.filter(col("event_type") =!= "signup")
+          .select(col("user_id"), col("ts"), col("event_id").as("ev_id"))
+        val right = e.filter(col("event_type") === "signup")
+          .groupBy("user_id", "ts").agg(max("event_id").as("asof_id"))
+        graft.operators.Temporal.asofJoin(left, right, "user_id", "ts",
+            direction = "forward")
+          .select("ev_id", "user_id", "asof_id")
+      },
+      Some("""WITH l AS (SELECT user_id, ts, event_id AS ev_id FROM events WHERE event_type <> 'signup'),
+             |r AS (SELECT user_id, ts, max(event_id) AS asof_id FROM events
+             |      WHERE event_type = 'signup' GROUP BY user_id, ts)
+             |SELECT l.ev_id, l.user_id,
+             |  (SELECT r.asof_id FROM r
+             |   WHERE r.user_id = l.user_id AND r.ts >= l.ts
+             |   ORDER BY r.ts LIMIT 1) AS asof_id
+             |FROM l""".stripMargin)),
+
     // ---- range (interval-containment) join, no equi-key: purchases
     //      inside 30-minute windows opened by signups; bucketed hash
     //      join instead of a nested-loop; oracle is DuckDB's inequality
