@@ -1,0 +1,18 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object ExplainOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.count() // materialize so AQE finalizes stages
+    df.explain("formatted")
+    spark.stop()
+  }
+}

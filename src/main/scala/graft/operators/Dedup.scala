@@ -26,6 +26,28 @@ object Dedup {
     df.groupBy(keys.map(col): _*)
       .agg(min(orderCol).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** CDC-style keep-latest compaction: the newest row per key — the
+    * upsert-log → current-snapshot step that fronts most training-data
+    * refreshes.
+    *
+    * ONE hash aggregation with map-side partials (`max` of a
+    * `struct(ts, tieCol)` is lexicographic, so the winner is
+    * deterministic under timestamp ties) — deliberately NOT a
+    * `row_number` window, whose per-key sort adds a full shuffle+sort
+    * and a hot partition under skewed keys. Returns one row per key:
+    * the key columns, `last_ms` (epoch millis of the winning row),
+    * `last_id` (tieCol of the winning row), `n_versions`.
+    */
+  def keepLatest(df: DataFrame, keys: Seq[String], tsCol: String, tieCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        max(struct(col(tsCol).as("ts"), col(tieCol).as("id"))).as("m"),
+        count(lit(1)).as("n_versions"))
+      .select(keys.map(col) ++ Seq(
+        expr("unix_micros(m.ts) DIV 1000").as("last_ms"),
+        col("m.id").as("last_id"),
+        col("n_versions")): _*)
+
   /** n-gram Jaccard near-dup pairs.
     *
     * Plan shape: explode distinct shingles → self-join on shingle

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Chunking, Dedup, Multimodal, Similarity, TextSim}
 
 /** North-star training-data pipeline operators (dedup / similarity /
   * text analysis / multimodal) as driver-checkable queries. Spark side
@@ -67,6 +67,87 @@ object TrainingOps {
   }
 
   def defs: Map[String, Q] = Map(
+
+    // ---- token-window chunking (64-token chunks, 16-token overlap):
+    //      pure map-side Generate, integer chunk boundaries — the
+    //      context-window packing step of a training pipeline ----
+    "ta_chunk" -> Q(
+      (s, dir) =>
+        Chunking.chunk(Tables(s, dir, "documents"), "doc_id", "text",
+          chunkSize = 64, overlap = 16),
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), w -> w <> '') AS toks
+             |          FROM documents),
+             |d AS (SELECT doc_id, toks, len(toks) AS n,
+             |        CASE WHEN len(toks) <= 64 THEN 1
+             |             ELSE (len(toks) - 64 + 47) // 48 + 1 END AS k
+             |      FROM t),
+             |i AS (SELECT doc_id, toks, n, unnest(range(0, k)) AS chunk_idx FROM d)
+             |SELECT doc_id, chunk_idx,
+             |  array_to_string(list_slice(toks, chunk_idx*48 + 1, chunk_idx*48 + 64), ' ') AS chunk_text,
+             |  least(CAST(64 AS BIGINT), n - chunk_idx*48) AS n_tokens
+             |FROM i""".stripMargin)),
+
+    // ---- CDC keep-latest compaction (newest row per key — upsert log
+    //      to current snapshot). ONE hash agg via lexicographic struct
+    //      max, not a row_number window: partial aggregation keeps a
+    //      skewed hot key map-side instead of in one window partition ----
+    "dd_keep_latest" -> Q(
+      (s, dir) =>
+        Dedup.keepLatest(Tables(s, dir, "events"),
+          Seq("user_id", "event_type"), "ts", "event_id"),
+      Some("""SELECT user_id, event_type, last_ms, last_id, n_versions FROM (
+             |  SELECT user_id, event_type,
+             |    epoch_us(ts) // 1000 AS last_ms, event_id AS last_id,
+             |    row_number() OVER (PARTITION BY user_id, event_type
+             |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn,
+             |    count(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+             |  FROM events) WHERE rn = 1""".stripMargin)),
+
+    // ---- sparse TF-IDF cosine pairs (lexical similarity without an
+    //      embedding model): weighted inverted index, integer weights
+    //      tf·1000 DIV df, threshold as decimal cross-multiplication —
+    //      pair membership engine-exact ----
+    "ta_tfidf_cosine" -> Q(
+      (s, dir) =>
+        TextSim.tfidfCosinePairs(Tables(s, dir, "documents"), "doc_id", "text",
+          tNum = 9, tDen = 10, maxTermDocs = 1000L),
+      Some("""WITH tok AS (SELECT doc_id,
+             |  unnest(list_filter(string_split(text,' '), w -> w <> '')) AS w FROM documents),
+             |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= 1000),
+             |wt AS (SELECT t.doc_id, t.w, (t.tf * 1000) // d.df AS wt
+             |       FROM tf t JOIN dfreq d USING (w)),
+             |nrm AS (SELECT doc_id, CAST(sum(wt*wt) AS BIGINT) AS nrm FROM wt GROUP BY 1),
+             |pr AS (SELECT a.doc_id AS da, b.doc_id AS db, CAST(sum(a.wt*b.wt) AS BIGINT) AS num
+             |       FROM wt a JOIN wt b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2)
+             |SELECT p.da, p.db, p.num, sa.nrm AS na, sb.nrm AS nb
+             |FROM pr p JOIN nrm sa ON p.da = sa.doc_id JOIN nrm sb ON p.db = sb.doc_id
+             |WHERE 100 * CAST(p.num AS HUGEINT) * p.num >= 81 * CAST(sa.nrm AS HUGEINT) * sb.nrm""".stripMargin)),
+
+    // ---- int8-quantized ANN top-k: 4×-compressed vectors, integer
+    //      dot-product scoring (scales cancel from the cosine), exact
+    //      quantization reproduced by the oracle ----
+    "ann_int8_topk" -> Q(
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        Similarity.int8TopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 10)
+      },
+      Some("""WITH m AS (SELECT vec_id, embedding,
+             |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+             |  FROM embeddings),
+             |q AS (SELECT vec_id,
+             |  CASE WHEN mx = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+             |       ELSE list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT))
+             |  END AS qv FROM m),
+             |n AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x*x)) AS nq FROM q),
+             |sc AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+             |  CASE WHEN a.nq = 0 OR b.nq = 0 THEN -2.0
+             |       ELSE CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1]*p[2])) AS DOUBLE)
+             |            / sqrt(CAST(a.nq * b.nq AS DOUBLE)) END AS cos
+             |  FROM n a JOIN n b ON a.vec_id < 20 AND a.vec_id <> b.vec_id),
+             |rk AS (SELECT qid, nid,
+             |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM sc)
+             |SELECT qid, rank, nid FROM rk WHERE rank <= 10""".stripMargin)),
 
     // ---- exact dedup (hash groupBy; events has real dup keys) ----
     "dd_exact" -> Q(

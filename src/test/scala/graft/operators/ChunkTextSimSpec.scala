@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantics of the round-3 curation operators: token-window chunking,
+  * CDC keep-latest compaction, sparse TF-IDF cosine, int8-quantized
+  * ANN — the properties their oracles can't express (reconstruction,
+  * recall, boundary shapes).
+  */
+class ChunkTextSimSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+  private def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  // ---- chunking ----
+
+  test("chunks cover the token stream with the configured overlap") {
+    import spark.implicits._
+    val doc = (1 to 150).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, doc)).toDF("doc_id", "text")
+    val out = Chunking.chunk(df, "doc_id", "text", chunkSize = 64, overlap = 16)
+      .orderBy("chunk_idx").collect()
+    // 150 tokens, stride 48: starts 0/48/96 — the window at 96 reaches the end
+    assert(out.length == 3)
+    val texts = out.map(_.getString(2))
+    assert(texts(0).startsWith("w1 ") && texts(0).endsWith(" w64"))
+    assert(texts(1).startsWith("w49 ") && texts(1).endsWith(" w112"))
+    assert(texts(2).startsWith("w97 ") && texts(2).endsWith(" w150"))
+    assert(out.map(_.getLong(3)).toSeq == Seq(64L, 64L, 54L))
+    // consecutive chunks share exactly `overlap` tokens
+    val t0 = texts(0).split(" "); val t1 = texts(1).split(" ")
+    assert(t0.takeRight(16).sameElements(t1.take(16)))
+  }
+
+  test("chunking edge shapes: short doc, exact fit, empty text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c"),                                  // shorter than one window
+      (2L, (1 to 64).map("t" + _).mkString(" ")),     // exactly one window
+      (3L, "")                                        // empty
+    ).toDF("doc_id", "text")
+    val out = Chunking.chunk(df, "doc_id", "text", 64, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.count(_._1 == 1L) == 1 && out.find(_._1 == 1L).get._4 == 3L)
+    assert(out.count(_._1 == 2L) == 1 && out.find(_._1 == 2L).get._4 == 64L)
+    val e = out.find(_._1 == 3L).get
+    assert(e._3 == "" && e._4 == 0L) // empty doc still yields one (empty) chunk
+  }
+
+  test("chunking is row-preserving upstream: every doc id survives") {
+    val in = docs.select("doc_id").distinct().count()
+    val outIds = Chunking.chunk(docs, "doc_id", "text", 64, 16)
+      .select("doc_id").distinct().count()
+    assert(in == outIds)
+  }
+
+  // ---- keep-latest ----
+
+  test("keepLatest picks the lexicographic (ts, tie) max per key") {
+    import spark.implicits._
+    val df = Seq(
+      ("u1", "click", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+      ("u1", "click", java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 2L),
+      ("u1", "click", java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 3L), // ts tie → max id
+      ("u2", "view", java.sql.Timestamp.valueOf("2024-01-02 09:00:00"), 9L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val byUser = Dedup.keepLatest(df, Seq("user_id", "event_type"), "ts", "event_id")
+      .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(byUser("u1") == (3L, 3L)) // id 3 wins the tie; 3 versions
+    assert(byUser("u2") == (9L, 1L))
+  }
+
+  test("keepLatest plan is a single hash aggregation (no window sort)") {
+    val plan = Dedup.keepLatest(
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000"))),
+      Seq("user_id", "event_type"), "ts", "event_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"expected no window operator:\n$plan")
+    // struct-max lowers to SortAggregate; what matters is the map-side
+    // partial (hot keys combine before the exchange, unlike a window)
+    assert(plan.contains("partial_max"), s"expected partial aggregation:\n$plan")
+  }
+
+  // ---- TF-IDF cosine ----
+
+  test("tfidf cosine finds near-identical docs and stays under the pair space") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (1L, base),
+      (2L, base + " extra"),   // near-identical to 1
+      (3L, (100 to 140).map(i => s"z$i").mkString(" ")) // disjoint vocabulary
+    ).toDF("doc_id", "text")
+    val out = TextSim.tfidfCosinePairs(df, "doc_id", "text", 9, 10, 1000L).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    // num/na/nb are all positive integers
+    assert(out.forall(r => r.getLong(2) > 0 && r.getLong(3) > 0 && r.getLong(4) > 0))
+  }
+
+  test("tfidf cosine threshold is a true cosine bound") {
+    val out = TextSim.tfidfCosinePairs(docs, "doc_id", "text", 9, 10, 1000L).collect()
+    out.foreach { r =>
+      val (num, na, nb) = (r.getLong(2).toDouble, r.getLong(3).toDouble, r.getLong(4).toDouble)
+      assert(num / math.sqrt(na * nb) >= 0.9 - 1e-12)
+    }
+  }
+
+  // ---- int8 quantization ----
+
+  test("quantizeInt8 codes are in [-127,127] and reconstruct within one step") {
+    val codesById = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val vecs = emb.select("vec_id", "embedding").limit(50).collect()
+    vecs.foreach { r =>
+      val codes = codesById(r.getLong(0))
+      val vec = r.getSeq[Float](1)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      val mx = vec.map(x => math.abs(x.toDouble)).max
+      if (mx > 0) {
+        val scale = mx / 127.0
+        codes.zip(vec).foreach { case (c, x) =>
+          assert(math.abs(c * scale - x) <= scale / 2 + 1e-9,
+            s"code $c reconstructs ${c * scale}, expected ~$x")
+        }
+      }
+    }
+  }
+
+  test("int8 ANN recall@10 vs full precision is high") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val quant = Similarity.int8TopK(queries, emb, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recalls = exact.map { case (q, ids) => (quant(q) & ids).size.toDouble / ids.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean int8 recall@10 = $mean")
+  }
+}
