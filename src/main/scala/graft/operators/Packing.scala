@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: lay ordered chunks end-to-end in one global token
+  * stream and cut fixed-budget context windows at exact token offsets —
+  * the step between chunking and batch assembly in a training pipeline
+  * (chunks may straddle a window boundary, exactly like real
+  * concatenate-then-split packing).
+  *
+  * The global running offset is a prefix sum over a total order, which
+  * a naive window (`ORDER BY … ROWS UNBOUNDED PRECEDING` with no
+  * partition) computes in ONE reducer — a scale-killer. This operator
+  * runs the classic two-phase distributed prefix sum instead:
+  *
+  *   1. deterministic range buckets on the ordering key (id DIV span),
+  *      so bucket order == global order;
+  *   2. per-bucket prefix sums in parallel (window partitioned by
+  *      bucket);
+  *   3. bucket totals → exclusive prefix offsets. Only `buckets` rows
+  *      (a few KB) ever reach the driver — the same bounded-model
+  *      contract as the IVF centroid collect — and they join back as
+  *      a broadcast.
+  *
+  * All arithmetic is integer, so offsets and window ids are
+  * engine-exact and an external SQL oracle (a plain global cumsum)
+  * re-derives them bit-for-bit.
+  */
+object Packing {
+
+  /** Assign global token offsets and context-window ids to chunks.
+    *
+    * Input must carry an integral ordering pair (`idCol`, `idxCol`) and
+    * a token count `tokCol`; ids need not be dense. Output adds
+    * `start_tok` (exclusive prefix sum in (id, idx) order), `win_first`
+    * and `win_last` (window ids at `budget`-token boundaries).
+    */
+  def packOffsets(
+      spark: SparkSession, df: DataFrame,
+      idCol: String, idxCol: String, tokCol: String,
+      budget: Long, buckets: Int = 32): DataFrame = {
+    require(budget > 0 && buckets > 0, "budget and buckets must be positive")
+    // range buckets from the observed id span: bucket order == id order
+    val bounds = df.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).first()
+    if (bounds.isNullAt(0)) return df.sparkSession.emptyDataFrame
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(1L, (hi - lo) / buckets + 1)
+    val withBucket = df.select(
+      col(idCol), col(idxCol), col(tokCol),
+      floor((col(idCol).cast("long") - lo) / span).cast("long").as("__b"))
+    // phase 2: per-bucket exclusive prefix sum (parallel across buckets)
+    val w = Window.partitionBy("__b").orderBy(col(idCol), col(idxCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = withBucket.withColumn("__local", coalesce(sum(col(tokCol)).over(w), lit(0L)))
+    // phase 3: bucket totals → exclusive offsets (buckets rows only)
+    val totals = withBucket.groupBy("__b").agg(sum(col(tokCol)).as("__t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft((Long.MinValue, 0L)) {
+      case ((_, acc), (b, t)) => (b, acc + t)
+    }.sliding(2).map { case Array((_, prev), (b, _)) => (b, prev) }.toSeq
+    import spark.implicits._
+    val offDf = broadcast(offsets.toDF("__b", "__off"))
+    val start = (col("__off") + col("__local")).as("start_tok")
+    local.join(offDf, "__b")
+      .select(col(idCol), col(idxCol), col(tokCol), start)
+      .withColumn("win_first", floor(col("start_tok") / budget).cast("long"))
+      .withColumn("win_last",
+        when(col(tokCol) === 0, col("win_first"))
+          .otherwise(floor((col("start_tok") + col(tokCol) - 1) / budget).cast("long")))
+  }
+}

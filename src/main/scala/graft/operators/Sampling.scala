@@ -38,6 +38,32 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Corpus mixture sampling by token budget: per group (data source),
+    * keep rows in key-hash order until the group's cumulative token
+    * count reaches its budget — how a training mix hits target
+    * source proportions ("x billion tokens of web, y of code") without
+    * rand(). Membership is a pure function of (key, seed, budgets):
+    * stable under re-runs and growth — a doc already in the mix only
+    * ever leaves if its source's budget shrinks.
+    *
+    * One shuffle on the group key; the per-group ordered cumsum
+    * parallelizes across groups (a single pathological mega-source
+    * would serialize in one partition — split such a source upstream
+    * or raise its bucket count via [[Packing.packOffsets]]-style
+    * two-phase prefix summing).
+    *
+    * Adds `cum_tokens` (inclusive) to the kept rows.
+    */
+  def mixtureByTokenBudget(
+      df: DataFrame, groupCol: String, keyCol: String, tokCol: String,
+      budgetFor: Column => Column, seed: Int = 0): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(hashBucket(col(keyCol), 1000000, seed), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokCol)).over(w))
+      .filter(col("cum_tokens") <= budgetFor(col(groupCol)))
+  }
+
   /** At most `perGroup` rows per group, chosen by key-hash order (with
     * key tie-break) — a deterministic "reservoir" whose members are
     * stable across runs AND across engines. One shuffle on the group

@@ -269,6 +269,47 @@ object Relational {
              |   ORDER BY r.ts LIMIT 1) AS asof_id
              |FROM l""".stripMargin)),
 
+    // ---- duration-capped sessionization: sessions split at a 30-min
+    //      inactivity gap AND every 60 min of elapsed time from the
+    //      island start (the bounded-session variant real analytics
+    //      ships — unbounded sessions never close for always-on users).
+    //      Integer epoch-second arithmetic throughout, so island ids,
+    //      sub-splits, and bounds are engine-exact ----
+    "q32_capped_sessions" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val e = Tables(s, dir, "events")
+          .withColumn("sec", col("ts").cast("long"))
+          .withColumn("gap", col("sec") - lag("sec", 1).over(w))
+          .withColumn("newisland",
+            when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
+          .withColumn("island", sum("newisland").over(run))
+        val iw = Window.partitionBy("user_id", "island")
+        e.withColumn("island_start", min("sec").over(iw))
+          .withColumn("sub", floor((col("sec") - col("island_start")) / 3600L).cast("long"))
+          .groupBy("user_id", "island", "sub")
+          .agg(count(lit(1)).as("n_events"),
+            min("sec").as("start_sec"), max("sec").as("end_sec"))
+      },
+      Some("""WITH d AS (SELECT user_id, event_id,
+             |  CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+             |g AS (SELECT user_id, event_id, sec,
+             |  sec - lag(sec) OVER w AS gap
+             |  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+             |i AS (SELECT user_id, event_id, sec,
+             |  CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+             |    OVER (PARTITION BY user_id ORDER BY sec, event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+             |  FROM g),
+             |s AS (SELECT user_id, sec, island,
+             |  (sec - min(sec) OVER (PARTITION BY user_id, island)) // 3600 AS sub
+             |  FROM i)
+             |SELECT user_id, island, CAST(sub AS BIGINT) AS sub,
+             |  count(*) AS n_events,
+             |  min(sec) AS start_sec, max(sec) AS end_sec
+             |FROM s GROUP BY user_id, island, sub""".stripMargin)),
+
     // ---- range (interval-containment) join, no equi-key: purchases
     //      inside 30-minute windows opened by signups; bucketed hash
     //      join instead of a nested-loop; oracle is DuckDB's inequality

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Chunking, Dedup, Multimodal, Similarity, TextSim}
+import graft.operators.{Chunking, Dedup, Multimodal, Packing, Sampling, Similarity, TextSim}
 
 /** North-star training-data pipeline operators (dedup / similarity /
   * text analysis / multimodal) as driver-checkable queries. Spark side
@@ -148,6 +148,88 @@ object TrainingOps {
              |rk AS (SELECT qid, nid,
              |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM sc)
              |SELECT qid, rank, nid FROM rk WHERE rank <= 10""".stripMargin)),
+
+    // ---- sequence packing: chunks laid end-to-end in one global token
+    //      stream, cut into 2048-token context windows at exact offsets.
+    //      Two-phase distributed prefix sum (range buckets → parallel
+    //      per-bucket cumsum → bucket-offset broadcast) — NEVER the
+    //      single-reducer global window the oracle uses ----
+    "ta_pack" -> Q(
+      (s, dir) =>
+        Packing.packOffsets(s,
+          Chunking.chunk(Tables(s, dir, "documents"), "doc_id", "text", 64, 16),
+          "doc_id", "chunk_idx", "n_tokens", budget = 2048L, buckets = 32),
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), w -> w <> '') AS toks
+             |          FROM documents),
+             |d AS (SELECT doc_id, toks, len(toks) AS n,
+             |        CASE WHEN len(toks) <= 64 THEN 1
+             |             ELSE (len(toks) - 64 + 47) // 48 + 1 END AS k
+             |      FROM t),
+             |c AS (SELECT doc_id, unnest(range(0, k)) AS chunk_idx, n FROM d),
+             |ch AS (SELECT doc_id, chunk_idx,
+             |         least(CAST(64 AS BIGINT), n - chunk_idx*48) AS n_tokens FROM c),
+             |o AS (SELECT doc_id, chunk_idx, n_tokens,
+             |  COALESCE(sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+             |  FROM ch)
+             |SELECT doc_id, chunk_idx, n_tokens, CAST(start_tok AS BIGINT) AS start_tok,
+             |  CAST(start_tok // 2048 AS BIGINT) AS win_first,
+             |  CAST(CASE WHEN n_tokens = 0 THEN start_tok // 2048
+             |       ELSE (start_tok + n_tokens - 1) // 2048 END AS BIGINT) AS win_last
+             |FROM o""".stripMargin)),
+
+    // ---- corpus mixture by token budget: keep docs per source in
+    //      deterministic hash order until 1200 tokens — target-mixture
+    //      assembly as a pure function of (doc_id, budget) ----
+    "ta_mixture" -> Q(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextFunctions.wsTokenCount(col("text")).as("n_tokens"))
+        Sampling.mixtureByTokenBudget(d, "source", "doc_id", "n_tokens",
+            _ => lit(1200L))
+          .select(col("source"), col("doc_id"), col("cum_tokens"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+             |  len(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents),
+             |o AS (SELECT source, doc_id,
+             |  CAST(sum(n_tokens) OVER (PARTITION BY source
+             |    ORDER BY ((doc_id*37 + 7) % 1000000007) % 1000000, doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+             |  FROM d)
+             |SELECT source, doc_id, cum_tokens FROM o WHERE cum_tokens <= 1200""".stripMargin)),
+
+    // ---- end-to-end dedup apply: LSH candidates → connected
+    //      components → drop every non-canonical member (keep the min
+    //      id of each dup group + all unpaired docs) — the composition
+    //      a curation pipeline actually ships ----
+    "dd_dedup_apply" -> Q(
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val pairs = Dedup.minhashLshCandidates(docs, "doc_id", "text", n = 3, k = 8, bands = 2)
+        val dupes = Dedup.connectedComponents(pairs, "da", "db")
+          .filter(col("id") =!= col("comp"))
+          .select(col("id").as("doc_id"))
+        docs.join(dupes, Seq("doc_id"), "left_anti").select(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $duckShingles,
+              |hs AS (SELECT doc_id, list_transform(list_distinct(s), t -> ${duckCharHash("t")}) h FROM shl),
+              |sig AS (SELECT doc_id, list_transform(range(0,8), i ->
+              |  list_min(list_transform(h, x -> ((37+101*i)*x + 7+139*i) % 1000000007))) sg FROM hs),
+              |bands AS (
+              |  SELECT doc_id, '0-' || sg[1] || '-' || sg[2] || '-' || sg[3] || '-' || sg[4] AS band FROM sig
+              |  UNION ALL
+              |  SELECT doc_id, '1-' || sg[5] || '-' || sg[6] || '-' || sg[7] || '-' || sg[8] AS band FROM sig),
+              |pr AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              |       FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+              |e AS (SELECT da AS a, db AS b FROM pr UNION ALL SELECT db, da FROM pr),
+              |reach AS (
+              |  SELECT a AS id, a AS r FROM e
+              |  UNION
+              |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+              |cmp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+              |SELECT doc_id FROM documents
+              |WHERE doc_id NOT IN (SELECT id FROM cmp WHERE id <> comp)""".stripMargin)),
 
     // ---- exact dedup (hash groupBy; events has real dup keys) ----
     "dd_exact" -> Q(
