@@ -75,6 +75,19 @@ object TextFunctions {
     floor((least(w, lit(100L)) * (w - s) * 1000000L) / (w * 100L)).cast("long")
   }
 
+  /** intra-document repetition in ppm: the fraction of n-gram
+    * occurrences that are repeats of an earlier n-gram (the
+    * boilerplate/spam signal used alongside [[qualityScorePpm]] in
+    * quality filtering). Integer arithmetic — engine-exact.
+    */
+  def repetitionPpm(text: Column, n: Int = 3): Column = {
+    val s = shingles(text, n)
+    val cnt = size(s).cast("long")
+    val uniq = size(array_distinct(s)).cast("long")
+    when(cnt === 0, lit(0L))
+      .otherwise(floor(((cnt - uniq) * 1000000L) / cnt).cast("long"))
+  }
+
   // ---- PII redaction (training-data scrubbing) ----
 
   /** conservative patterns; order matters (emails before bare digit

@@ -231,6 +231,46 @@ object TrainingOps {
               |SELECT doc_id FROM documents
               |WHERE doc_id NOT IN (SELECT id FROM cmp WHERE id <> comp)""".stripMargin)),
 
+    // ---- eval-set decontamination (benchmark-leakage guard): train
+    //      docs sharing any 5-gram with the held-out eval slice are
+    //      flagged; eval grams broadcast, corpus never shuffles ----
+    "ta_decontaminate" -> Q(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val eval = d.filter(pmod(col("doc_id"), lit(97)) === 0)
+        val train = d.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        graft.operators.Decontaminate.flag(train, eval, "doc_id", "text", n = 5)
+          .select(col("doc_id"), col("contaminated"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+             |shl AS (SELECT doc_id, CASE WHEN len(w) >= 5
+             |  THEN list_transform(range(1, len(w)-3), i -> array_to_string(w[i:i+4], ' '))
+             |  ELSE [] END AS s FROM tok),
+             |ev AS (SELECT DISTINCT unnest(s) AS g FROM shl WHERE doc_id % 97 = 0),
+             |bad AS (SELECT DISTINCT t.doc_id
+             |        FROM (SELECT doc_id, unnest(list_distinct(s)) AS g FROM shl
+             |              WHERE doc_id % 97 <> 0) t
+             |        JOIN ev USING (g))
+             |SELECT doc_id, doc_id IN (SELECT doc_id FROM bad) AS contaminated
+             |FROM documents WHERE doc_id % 97 <> 0""".stripMargin)),
+
+    // ---- intra-document repetition ratio (boilerplate/spam signal):
+    //      repeated-3-gram fraction in ppm, pure integer arithmetic ----
+    "ta_repetition" -> Q(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val sh = TextFunctions.shingles(col("text"), 3)
+        d.select(col("doc_id"),
+          size(sh).cast("long").as("n_sh"),
+          size(array_distinct(sh)).cast("long").as("n_uniq"),
+          TextFunctions.repetitionPpm(col("text"), 3).as("rep_ppm"))
+      },
+      Some(s"""WITH $duckShingles
+              |SELECT doc_id, len(s) AS n_sh, len(list_distinct(s)) AS n_uniq,
+              |  CASE WHEN len(s) = 0 THEN CAST(0 AS BIGINT)
+              |       ELSE ((len(s) - len(list_distinct(s))) * 1000000) // len(s) END AS rep_ppm
+              |FROM shl""".stripMargin)),
+
     // ---- exact dedup (hash groupBy; events has real dup keys) ----
     "dd_exact" -> Q(
       (s, dir) =>

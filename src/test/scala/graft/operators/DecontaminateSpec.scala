@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+/** Decontamination and repetition-scoring semantics. */
+class DecontaminateSpec extends SparkSpec {
+
+  test("flag marks exactly the train docs sharing an n-gram with eval") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),      // contains eval 5-gram
+      (2L, "one two three four five six seven"),        // disjoint
+      (3L, "alpha beta gamma X delta epsilon")          // shares words, no 5-gram
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "Z alpha beta gamma delta epsilon Q")).toDF("doc_id", "text")
+    val out = Decontaminate.flag(train, eval, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("contaminated"))).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false))
+    // apply() drops exactly the flagged rows
+    val kept = Decontaminate(train, eval, "doc_id", "text", 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("flag is row-preserving and the eval side broadcasts") {
+    import spark.implicits._
+    val train = (1 to 50).map(i => (i.toLong, s"doc $i body word$i tail end here")).toDF("doc_id", "text")
+    val eval = Seq((0L, "doc 7 body word7 tail end here")).toDF("doc_id", "text")
+    val flagged = Decontaminate.flag(train, eval, "doc_id", "text", 5)
+    assert(flagged.count() == 50)
+    val plan = flagged.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"eval grams should broadcast:\n$plan")
+  }
+
+  test("repetitionPpm measures the repeated-shingle fraction exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c a b c a b c"),  // 7 trigrams, 3 distinct → 4/7 repeats
+      (2L, "u v w x y z"),        // 4 trigrams, all distinct → 0
+      (3L, "x y")                 // too short → 0 shingles → 0
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextFunctions.repetitionPpm(col("text"), 3).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 4L * 1000000L / 7L)
+    assert(out(2L) == 0L && out(3L) == 0L)
+  }
+}
