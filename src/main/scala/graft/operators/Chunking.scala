@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Document chunking for training-data pipelines: fixed token-window
@@ -29,13 +29,30 @@ object Chunking {
     * All arithmetic is integer, so chunk boundaries are engine-exact
     * (an external SQL oracle re-derives identical chunks).
     */
+  /** The chunk texts of one string column as `array<string>` — the
+    * pure-expression form for pipeline stages (explode downstream).
+    * Null text is treated as empty (one empty chunk), so the operator
+    * is row-preserving on dirty input.
+    */
+  def chunkTexts(text: Column, chunkSize: Int, overlap: Int): Column = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    val toks = filter(split(coalesce(text, lit("")), " "), t => t =!= "")
+    val n = size(toks).cast("long")
+    val k = when(n <= chunkSize, lit(1L))
+      .otherwise(floor((n - chunkSize + stride - 1) / stride).cast("long") + 1)
+    transform(sequence(lit(0L), k - 1), i =>
+      array_join(slice(toks, (i * stride + 1).cast("int"), lit(chunkSize)), " "))
+  }
+
   def chunk(
       df: DataFrame, idCol: String, textCol: String,
       chunkSize: Int, overlap: Int): DataFrame = {
     require(chunkSize > 0, "chunkSize must be positive")
     require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
     val stride = chunkSize - overlap
-    val toks = filter(split(col(textCol), " "), t => t =!= "")
+    val toks = filter(split(coalesce(col(textCol), lit("")), " "), t => t =!= "")
     val n = size(toks).cast("long")
     // number of chunks: 1 while the doc fits one window, else the
     // stride walk until a window reaches the end (ceil division)

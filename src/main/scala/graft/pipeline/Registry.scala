@@ -249,6 +249,21 @@ object Registry {
         })
       }
     })
+    // document chunker: string payload → one event per token-window
+    // chunk (FanoutNode shape); pure codegen expressions, no shuffle —
+    // see graft.operators.Chunking for the batch/query form.
+    r.registerNodeType("chunker", new StageFactory {
+      val consumes = StringT
+      val produces = StringT
+      def build(params: Map[String, String]): Stage = {
+        val size = params.getOrElse("chunk_size", "64").toInt
+        val overlap = params.getOrElse("overlap", "16").toInt
+        Stage(expand = Some(df =>
+          df.withColumn("payload",
+            explode(graft.operators.Chunking.chunkTexts(
+              col("payload").cast("string"), size, overlap)))))
+      }
+    })
     r.registerNodeType("resultsnode", new StageFactory {
       val consumes = StringT
       val produces = StringT

@@ -57,6 +57,34 @@ class ChunkTextSimSpec extends SparkSpec {
     assert(in == outIds)
   }
 
+  test("chunkTexts matches chunk()'s texts and preserves null-text rows") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, (1 to 150).map("w" + _).mkString(" ")),
+      (2L, "a b c"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val viaChunk = Chunking.chunk(df.na.fill("", Seq("text")), "doc_id", "text", 64, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    val viaTexts = df.select(col("doc_id"),
+        posexplode(Chunking.chunkTexts(col("text"), 64, 16)).as(Seq("i", "t")))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong) -> r.getString(2)).toMap
+    assert(viaTexts == viaChunk)
+    // the null-text doc survives as one empty chunk
+    assert(viaTexts((3L, 0L)) == "")
+  }
+
+  test("chunker registry node fans one document event into chunk events") {
+    import spark.implicits._
+    val stage = graft.pipeline.Registry.builtins()
+      .instantiateNode("chunker", Map("chunk_size" -> "4", "overlap" -> "1"))
+    val events = Seq(("one two three four five six", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), false))
+      .toDF("payload", "created", "recovery")
+    val out = stage.expand.get(events).select("payload").as[String].collect()
+    // 6 tokens, size 4, stride 3 → chunks at 0 and 3
+    assert(out.toSeq == Seq("one two three four", "four five six"))
+  }
+
   // ---- keep-latest ----
 
   test("keepLatest picks the lexicographic (ts, tie) max per key") {
