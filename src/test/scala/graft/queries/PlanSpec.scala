@@ -183,4 +183,35 @@ class PlanSpec extends SparkSpec {
       s"query side not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"corpus-side cartesian product:\n$p")
   }
+
+  test("ta_chunk: chunking is a map-only Generate — zero exchanges") {
+    val p = plan("ta_chunk")
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert(p.contains("Generate"), s"expected explode of chunk starts:\n$p")
+  }
+
+  test("ta_pack: prefix sum is bucket-partitioned, never a single-partition window") {
+    val p = plan("ta_pack")
+    assert(!p.contains("SinglePartition"), s"global single-reducer window:\n$p")
+    assert(p.contains("Window"), s"expected the per-bucket cumsum window:\n$p")
+  }
+
+  test("dd_keep_latest: compaction is partial-aggregated, not a window sort") {
+    val p = plan("dd_keep_latest")
+    assert(!p.contains("Window"), s"expected no window operator:\n$p")
+    assert(p.contains("partial_max"), s"expected map-side partial max:\n$p")
+  }
+
+  test("ta_decontaminate: eval gram set broadcasts; corpus is never shuffled") {
+    val p = executedPlanOf("ta_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"eval grams should broadcast-join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for the gram join:\n$p")
+  }
+
+  test("ann_int8_topk: quantized scoring broadcasts the probe side, no cartesian") {
+    val p = plan("ann_int8_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in quantized scoring:\n$p")
+  }
 }
