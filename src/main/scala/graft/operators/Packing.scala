@@ -44,7 +44,12 @@ object Packing {
     require(budget > 0 && buckets > 0, "budget and buckets must be positive")
     // range buckets from the observed id span: bucket order == id order
     val bounds = df.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).first()
-    if (bounds.isNullAt(0)) return df.sparkSession.emptyDataFrame
+    if (bounds.isNullAt(0)) // empty input: keep the output schema stable
+      return df.select(col(idCol), col(idxCol), col(tokCol))
+        .withColumn("start_tok", lit(0L))
+        .withColumn("win_first", lit(0L))
+        .withColumn("win_last", lit(0L))
+        .limit(0)
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val span = math.max(1L, (hi - lo) / buckets + 1)
     val withBucket = df.select(

@@ -45,4 +45,29 @@ object Profile {
     }
     row.select(explode(array(perCol: _*)).as("p")).select("p.*")
   }
+
+  /** Equal-width histogram of a numeric column in ONE partial-agg'd
+    * aggregation (the profiling companion to the sketch family): values
+    * clamp into `bins` buckets over [lo, hi). Bin assignment is a
+    * single IEEE double division + floor, identical on any engine, so
+    * the whole histogram is oracle-exact. Fixed edges avoid a second
+    * min/max pass — at 100 TB chain `profile()` first if the range is
+    * unknown.
+    *
+    * Output: (bin, lo_edge, hi_edge, n) — only non-empty bins, plus an
+    * `underflow`/`overflow` clamp into the edge bins.
+    */
+  def histogram(df: DataFrame, valueCol: String,
+                lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 0 && hi > lo, "need bins > 0 and hi > lo")
+    val width = (hi - lo) / bins
+    val raw = floor((col(valueCol).cast("double") - lo) / width).cast("long")
+    val bin = least(greatest(raw, lit(0L)), lit(bins - 1L))
+    df.filter(col(valueCol).isNotNull)
+      .select(bin.as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .withColumn("lo_edge", round(lit(lo) + col("bin") * width, 6))
+      .withColumn("hi_edge", round(lit(lo) + (col("bin") + 1) * width, 6))
+      .select("bin", "lo_edge", "hi_edge", "n")
+  }
 }

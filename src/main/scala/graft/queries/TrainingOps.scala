@@ -271,6 +271,18 @@ object TrainingOps {
               |       ELSE ((len(s) - len(list_distinct(s))) * 1000000) // len(s) END AS rep_ppm
               |FROM shl""".stripMargin)),
 
+    // ---- equal-width histogram (one partial-agg'd pass, fixed edges;
+    //      bin = one IEEE double floor — engine-exact) ----
+    "ta_histogram" -> Q(
+      (s, dir) =>
+        graft.operators.Profile.histogram(
+          Tables(s, dir, "events"), "value", lo = 0.0, hi = 500.0, bins = 20),
+      Some("""WITH b AS (SELECT least(greatest(CAST(floor((value - 0.0) / 25.0) AS BIGINT), 0), 19) AS bin
+             |           FROM events WHERE value IS NOT NULL)
+             |SELECT bin, round(0.0 + bin*25.0, 6) AS lo_edge,
+             |  round(0.0 + (bin+1)*25.0, 6) AS hi_edge, count(*) AS n
+             |FROM b GROUP BY bin""".stripMargin)),
+
     // ---- exact dedup (hash groupBy; events has real dup keys) ----
     "dd_exact" -> Q(
       (s, dir) =>

@@ -56,6 +56,29 @@ class PackingSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), s"global window found:\n$plan")
   }
 
+  test("packOffsets on empty input keeps the output schema") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Long)].toDF("doc_id", "chunk_idx", "n_tokens")
+    val out = Packing.packOffsets(spark, empty, "doc_id", "chunk_idx", "n_tokens", 64L)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "chunk_idx", "n_tokens", "start_tok", "win_first", "win_last"))
+    assert(out.count() == 0)
+  }
+
+  test("histogram clamps out-of-range values into edge bins, one agg pass") {
+    import spark.implicits._
+    val df = Seq(-5.0, 0.0, 12.5, 24.9, 25.0, 499.9, 777.0).toDF("value")
+    val out = Profile.histogram(df, "value", 0.0, 500.0, 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(0L) == 4L)   // -5 clamps in; 0, 12.5, 24.9
+    assert(out(1L) == 1L)   // 25.0 lands in bin 1
+    assert(out(19L) == 2L)  // 499.9 + overflow clamp 777
+    val plan = Profile.histogram(df, "value", 0.0, 500.0, 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"expected partial aggregation:\n$plan")
+  }
+
   test("mixture sampling: budget binds per group and membership is growth-stable") {
     import spark.implicits._
     val docs = (0 until 60).map(i => (i.toLong, s"src${i % 3}", 10L + (i % 5)))
