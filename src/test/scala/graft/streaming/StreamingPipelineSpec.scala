@@ -70,6 +70,44 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally running.shutdown()
   }
 
+  test("chunker node fans documents into chunk events over a stream") {
+    val s = spark
+    import s.implicits._
+
+    val reg = Registry.builtins()
+    val cfg = AppConfig.parse(
+      """application: chunkstream
+        |source:
+        |  name: stringsource
+        |  params: {path: unused}
+        |nodes:
+        |  - name: chunker
+        |    params: {chunk_size: "4", overlap: "1"}
+        |    children:
+        |      - name: resultsnode
+        |""".stripMargin, reg).fold(e => sys.error(e), identity)
+
+    val input = MemoryStream[String](s)
+    val source = input.toDF().select(
+      col("value").as("payload"),
+      lit(Timestamp.valueOf("2024-01-01 00:00:00")).as("created"),
+      lit(false).as("recovery"))
+    val results = new CollectingSink
+    val running = StreamingPipeline.run(
+      source, cfg, reg,
+      sinks = Map("resultsnode" -> results),
+      deadLetterSinks = Map.empty,
+      trigger = Trigger.ProcessingTime(0L))
+    try {
+      // 6 tokens, size 4, stride 3 → 2 chunks; 3 tokens → 1 chunk
+      input.addData(Seq("one two three four five six", "a b c"))
+      running.query.processAllAvailable()
+      assert(results.rows.size == 3)
+      val texts = results.rows.map(_.getString(0)).toSet
+      assert(texts == Set("one two three four", "four five six", "a b c"))
+    } finally running.shutdown()
+  }
+
   test("event-time tumbling window with watermark aggregates a stream") {
     val s = spark
     import s.implicits._
