@@ -42,4 +42,29 @@ object Decontaminate {
             idCol: String, textCol: String, n: Int = 13): DataFrame =
     flag(train, eval, idCol, textCol, n)
       .filter(!col("contaminated")).drop("contaminated")
+
+  /** Fuzzy decontamination: flag train docs that are NEAR-duplicates of
+    * an eval doc (exact shared n-grams miss paraphrased leakage). Both
+    * sides take the same MinHash band keys as
+    * [[Dedup.minhashLshCandidates]]; a train doc is flagged iff it
+    * shares any band bucket with any eval doc. The eval band set
+    * broadcasts — corpus-side cost is one signature pass + broadcast
+    * semi-join, no corpus shuffle.
+    */
+  def fuzzyFlag(train: DataFrame, eval: DataFrame,
+                idCol: String, textCol: String,
+                n: Int = 3, k: Int = 8, bands: Int = 2): DataFrame = {
+    import graft.functions.Hashing
+    def bandKeys(df: DataFrame) = df.select(col(idCol).as("__id"),
+      explode(Hashing.lshBandKeys(
+        Hashing.minhashSignature(TextFunctions.shingles(col(textCol), n), k),
+        k, bands)).as("band"))
+    val evalBands = broadcast(bandKeys(eval).select("band").distinct())
+    val hit = bandKeys(train).join(evalBands, "band")
+      .select("__id").distinct()
+      .withColumn("contaminated", lit(true))
+    train.join(hit, train(idCol) === hit("__id"), "left")
+      .drop("__id")
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+  }
 }

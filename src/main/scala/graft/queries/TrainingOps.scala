@@ -254,6 +254,65 @@ object TrainingOps {
              |SELECT doc_id, doc_id IN (SELECT doc_id FROM bad) AS contaminated
              |FROM documents WHERE doc_id % 97 <> 0""".stripMargin)),
 
+    // ---- fuzzy decontamination: train docs NEAR-duplicating an eval
+    //      doc (shared MinHash band — catches paraphrased leakage that
+    //      exact n-grams miss); eval bands broadcast ----
+    "ta_decontaminate_fuzzy" -> Q(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val eval = d.filter(pmod(col("doc_id"), lit(97)) === 0)
+        val train = d.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        graft.operators.Decontaminate.fuzzyFlag(train, eval, "doc_id", "text",
+            n = 3, k = 8, bands = 2)
+          .select(col("doc_id"), col("contaminated"))
+      },
+      Some(s"""WITH $duckShingles,
+              |hs AS (SELECT doc_id, list_transform(list_distinct(s), t -> ${duckCharHash("t")}) h FROM shl),
+              |sig AS (SELECT doc_id, list_transform(range(0,8), i ->
+              |  list_min(list_transform(h, x -> ((37+101*i)*x + 7+139*i) % 1000000007))) sg FROM hs),
+              |bands AS (
+              |  SELECT doc_id, '0-' || sg[1] || '-' || sg[2] || '-' || sg[3] || '-' || sg[4] AS band FROM sig
+              |  UNION ALL
+              |  SELECT doc_id, '1-' || sg[5] || '-' || sg[6] || '-' || sg[7] || '-' || sg[8] AS band FROM sig),
+              |ev AS (SELECT DISTINCT band FROM bands WHERE doc_id % 97 = 0),
+              |bad AS (SELECT DISTINCT b.doc_id FROM bands b JOIN ev USING (band)
+              |        WHERE b.doc_id % 97 <> 0)
+              |SELECT doc_id, doc_id IN (SELECT doc_id FROM bad) AS contaminated
+              |FROM documents WHERE doc_id % 97 <> 0""".stripMargin)),
+
+    // ---- chunk → reassemble round trip: overlap-0 chunks rebuilt into
+    //      the (whitespace-normalized) original — the exactness contract
+    //      that makes chunking safe to apply before training ----
+    "ta_reassemble" -> Q(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val ch = Chunking.chunk(d, "doc_id", "text", chunkSize = 64, overlap = 0)
+        val back = ch.groupBy("doc_id")
+          .agg(array_join(
+            transform(
+              array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+              x => x("chunk_text")),
+            " ").as("rebuilt"))
+        d.select(col("doc_id"),
+            array_join(filter(split(col("text"), " "), t => t =!= ""), " ").as("norm"))
+          .join(back, "doc_id")
+          .select(col("doc_id"), (col("rebuilt") === col("norm")).as("ok"))
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), w -> w <> '') AS toks
+             |          FROM documents),
+             |d AS (SELECT doc_id, toks, len(toks) AS n,
+             |        CASE WHEN len(toks) <= 64 THEN 1
+             |             ELSE (len(toks) - 64 + 63) // 64 + 1 END AS k
+             |      FROM t),
+             |i AS (SELECT doc_id, toks, unnest(range(0, k)) AS chunk_idx FROM d),
+             |ch AS (SELECT doc_id, chunk_idx,
+             |         array_to_string(list_slice(toks, chunk_idx*64 + 1, chunk_idx*64 + 64), ' ') AS chunk_text
+             |       FROM i),
+             |re AS (SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS rebuilt
+             |       FROM ch GROUP BY doc_id)
+             |SELECT t.doc_id, re.rebuilt = array_to_string(t.toks, ' ') AS ok
+             |FROM t JOIN re USING (doc_id)""".stripMargin)),
+
     // ---- intra-document repetition ratio (boilerplate/spam signal):
     //      repeated-3-gram fraction in ppm, pure integer arithmetic ----
     "ta_repetition" -> Q(

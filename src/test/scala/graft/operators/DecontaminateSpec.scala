@@ -36,6 +36,27 @@ class DecontaminateSpec extends SparkSpec {
       s"eval grams should broadcast:\n$plan")
   }
 
+  test("fuzzyFlag catches a near-duplicate that exact n-grams can miss") {
+    import spark.implicits._
+    val evalText = (1 to 200).map("w" + _).mkString(" ")
+    // near-dup: a word changed every 12 tokens — every 13-gram window
+    // is broken, but ~85% of 3-gram shingles (and with 2-row bands,
+    // the minhash bands) survive
+    val nearDup = (1 to 200).map(i => if (i % 12 == 0) s"X$i" else s"w$i").mkString(" ")
+    val train = Seq(
+      (1L, nearDup),
+      (2L, (100 to 140).map("z" + _).mkString(" "))
+    ).toDF("doc_id", "text")
+    val eval = Seq((0L, evalText)).toDF("doc_id", "text")
+    val exact = Decontaminate.flag(train, eval, "doc_id", "text", n = 13)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("contaminated"))).toMap
+    val fuzzy = Decontaminate.fuzzyFlag(train, eval, "doc_id", "text", n = 3, k = 8, bands = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("contaminated"))).toMap
+    assert(!exact(1L), "13-gram flag should miss the paraphrase")
+    assert(fuzzy(1L), "minhash-band flag should catch the paraphrase")
+    assert(!fuzzy(2L))
+  }
+
   test("repetitionPpm measures the repeated-shingle fraction exactly") {
     import spark.implicits._
     val df = Seq(
