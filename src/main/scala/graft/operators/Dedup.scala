@@ -194,6 +194,78 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating large-star/small-star — the
+    * O(log n)-round alternative to [[connectedComponents]] for graphs
+    * with LONG chains (min-label propagation needs O(diameter) rounds;
+    * star contraction squares progress each iteration). Near-dup
+    * graphs are usually shallow, so propagation is the default; this
+    * is the documented escape hatch when a pathological chain shows up
+    * at scale.
+    *
+    * Each iteration is two grouped aggregations on node id:
+    * large-star attaches every larger neighbor of u to u's minimum
+    * neighborhood label; small-star re-points u and its smaller
+    * neighbors at that minimum. The edge set is persisted per round
+    * and converges to stars (child, root); fixpoint = unchanged
+    * (count, decimal checksum). High-degree hubs concentrate one
+    * node's neighbor list in one task — acceptable because star
+    * contraction EXISTS to shrink exactly those quickly.
+    */
+  def connectedComponentsStar(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 25): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    def sym(e: DataFrame): DataFrame = e
+      .select(explode(array(
+        struct(col("a").as("u"), col("b").as("v")),
+        struct(col("b").as("u"), col("a").as("v")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(col("a").cast("decimal(38,0)") * 4294967296L + col("b"))).first()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var edges = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var prev = checksum(edges)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // large-star: for each u, m = min(N(u) ∪ {u}); attach v > u to m
+      val large = sym(edges).groupBy("u")
+        .agg(min("v").as("mn"), collect_list("v").as("nbrs"))
+        .select(least(col("mn"), col("u")).as("m"), col("u"),
+          explode(filter(col("nbrs"), v => v > col("u"))).as("w"))
+        .select(col("w").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      // small-star: orient edges toward the larger endpoint; for each u,
+      // m = min of its smaller neighbors (∪ itself); re-point them + u at m
+      val small = sym(large).filter(col("v") < col("u")).groupBy("u")
+        .agg(min("v").as("m"), collect_list("v").as("nbrs"))
+        .select(col("m"),
+          explode(array_union(col("nbrs"), array(col("u")))).as("w"))
+        .select(col("w").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val cur = checksum(small)
+      edges.unpersist()
+      edges = small
+      converged = cur == prev
+      prev = cur
+      i += 1
+    }
+    // fixpoint edges are (child, root) stars; label children and roots
+    val out = edges.select(explode(array(
+        struct(col("a").as("id"), col("b").as("comp")),
+        struct(col("b").as("id"), col("b").as("comp")))).as("p"))
+      .select("p.id", "p.comp")
+      .groupBy("id").agg(min("comp").as("comp"))
+    out
+  }
+
   /** Embedding cosine near-dup pairs, LSH-blocked — the scale path and
     * the default: random-hyperplane buckets generate candidates (ids
     * only, one bucket-key shuffle), then the exact cosine filter keeps

@@ -46,6 +46,34 @@ class OperatorsSpec extends SparkSpec {
     assert(comp.size == 11)
   }
 
+  test("star-contraction components match propagation on chains and triangles") {
+    import spark.implicits._
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (6L, 5L),
+      (11L, 10L),
+      (20L, 21L), (21L, 22L), (20L, 22L)
+    ).toDF("da", "db")
+    val prop = Dedup.connectedComponents(pairs, "da", "db")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Dedup.connectedComponentsStar(pairs, "da", "db")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop, s"star=$star prop=$prop")
+    // a 12-node chain: diameter 11, well past a couple of rounds
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("da", "db")
+    val chainStar = Dedup.connectedComponentsStar(chain, "da", "db")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 12L).forall(chainStar(_) == 1L), s"chain mislabeled: $chainStar")
+    // a fixed pseudo-random 30-edge graph over 25 nodes
+    val rng = new scala.util.Random(7)
+    val rand = Seq.fill(30)((rng.nextInt(25).toLong, rng.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }.toDF("da", "db")
+    val p2 = Dedup.connectedComponents(rand, "da", "db")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s2 = Dedup.connectedComponentsStar(rand, "da", "db")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s2 == p2, s"random graph diverged: star=$s2 prop=$p2")
+  }
+
   test("property: components match a union-find reference on random graphs") {
     import org.scalacheck.{Gen, Prop}
     import org.scalacheck.Test.{check, Parameters}
