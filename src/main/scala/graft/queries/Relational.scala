@@ -310,6 +310,25 @@ object Relational {
              |  min(sec) AS start_sec, max(sec) AS end_sec
              |FROM s GROUP BY user_id, island, sub""".stripMargin)),
 
+    // ---- forward-fill imputation (gap filling): carry the last
+    //      non-null observation forward per user — running last_value
+    //      IGNORE NULLS, one shuffle on the partition key ----
+    "q33_forward_fill" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val v = when(pmod(col("event_id"), lit(7)) === 0, lit(null))
+          .otherwise(col("value"))
+        Tables(s, dir, "events").select(
+          col("event_id"), col("user_id"),
+          round(last(v, ignoreNulls = true).over(w), 2).as("filled"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  round(last_value(CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END IGNORE NULLS)
+             |    OVER (PARTITION BY user_id ORDER BY event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS filled
+             |FROM events""".stripMargin)),
+
     // ---- range (interval-containment) join, no equi-key: purchases
     //      inside 30-minute windows opened by signups; bucketed hash
     //      join instead of a nested-loop; oracle is DuckDB's inequality
