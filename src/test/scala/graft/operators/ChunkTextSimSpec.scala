@@ -158,6 +158,24 @@ class ChunkTextSimSpec extends SparkSpec {
     }
   }
 
+  test("quantizeInt8 zero vectors quantize to zero codes and never rank above real matches") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0f, 0f, 0f)),
+      (2L, Array(1f, 2f, 3f)),
+      (3L, Array(2f, 4f, 6f)),   // parallel to 2 → top match
+      (4L, Array(-1f, -2f, -3f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    assert(q(1L)._1.forall(_ == 0L) && q(1L)._2 == 0L)
+    val top = Similarity.int8TopK(df.filter(col("vec_id") === 2), df, "vec_id", "embedding", 3)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    // parallel first; anti-parallel (cos −1) still beats the zero
+    // vector, which the −2 guard pins strictly below any real cosine
+    assert(top == Seq(3L, 4L, 1L), s"got $top")
+  }
+
   test("int8 ANN recall@10 vs full precision is high") {
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
