@@ -4,18 +4,20 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Layout, Sampling}
+import graft.operators.{Chunking, Decontaminate, Dedup, Layout, Packing, Sampling}
 
 /** End-to-end training-data curation pipeline — every stage is a graft
   * operator, composed the way a real 100 TB corpus run would be:
   *
-  *   1. quality gate (drop low-score docs)
+  *   1. quality gate (drop low-score and repetitive docs)
   *   2. PII redaction
   *   3. exact dedup on content fingerprint (keep min doc_id)
   *   4. near-dup group assembly: MinHash-LSH pairs → connected
   *      components → drop every non-canonical member
-  *   5. deterministic train/valid/test split
-  *   6. range-partitioned sorted write (file-pruning layout)
+  *   5. eval-set decontamination (drop benchmark leakage)
+  *   6. deterministic train/valid/test split
+  *   7. range-partitioned sorted write (file-pruning layout)
+  *   8. chunk + sequence-pack the train split into context windows
   *
   * `runMain graft.examples.TrainingPipelineDemo <sfDir> <outDir>`
   * prints per-stage counts and writes the splits under <outDir>.
@@ -44,10 +46,11 @@ object TrainingPipelineDemo {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val c0 = docs.count()
 
-    // 1. quality gate: score >= 250k ppm (tunable)
+    // 1. quality gate: score >= 250k ppm AND under 50% repeated 3-grams
     val quality = docs
       .withColumn("score_ppm", TextFunctions.qualityScorePpm(col("text")))
-      .filter(col("score_ppm") >= 250000)
+      .withColumn("rep_ppm", TextFunctions.repetitionPpm(col("text")))
+      .filter(col("score_ppm") >= 250000 && col("rep_ppm") <= 500000)
     val c1 = quality.count()
 
     // 2. PII redaction (pure projection, fuses into the scan)
@@ -68,9 +71,15 @@ object TrainingPipelineDemo {
     val nearKept = exactKept.join(nonCanonical, Seq("doc_id"), "left_anti")
     val c3 = nearKept.count()
 
-    // 5. deterministic split, 6. sorted layout per split
+    // 5. decontaminate against a held-out eval slice (benchmark guard)
+    val evalSet = docs.filter(pmod(col("doc_id"), lit(97)) === 0).select("doc_id", "text")
+    val clean = Decontaminate(
+      nearKept.filter(pmod(col("doc_id"), lit(97)) =!= 0), evalSet, "doc_id", "text", n = 5)
+    val c4 = clean.count()
+
+    // 6. deterministic split, 7. sorted layout per split
     val split = Sampling.splitByHash(
-      nearKept, "doc_id", Seq("train" -> 80, "valid" -> 10, "test" -> 10), seed = 1)
+      clean, "doc_id", Seq("train" -> 80, "valid" -> 10, "test" -> 10), seed = 1)
     Seq("train", "valid", "test").foreach { s =>
       Layout.writeSorted(
         split.filter(col("split") === s).drop("split"),
@@ -80,11 +89,22 @@ object TrainingPipelineDemo {
       spark.read.parquet(s"$outDir/valid").count() +
       spark.read.parquet(s"$outDir/test").count()
 
+    // 8. chunk + pack the train split into 2048-token context windows
+    val chunks = Chunking.chunk(
+      spark.read.parquet(s"$outDir/train"), "doc_id", "text", chunkSize = 64, overlap = 16)
+    val packed = Packing.packOffsets(
+      spark, chunks, "doc_id", "chunk_idx", "n_tokens", budget = 2048L)
+    packed.write.mode("overwrite").parquet(s"$outDir/train_packed")
+    val nWindows = spark.read.parquet(s"$outDir/train_packed")
+      .agg(max(col("win_last"))).first().getLong(0) + 1
+
     Seq(
       "input" -> c0,
       "quality-gate" -> c1,
       "exact-dedup" -> c2,
       "near-dup-components" -> c3,
-      "written-splits" -> written)
+      "decontaminated" -> c4,
+      "written-splits" -> written,
+      "context-windows" -> nWindows)
   }
 }

@@ -65,6 +65,58 @@ object StatefulOps {
       }
   }
 
+  // ---- streaming keep-latest (CDC snapshot over a stream) ----
+
+  final case class Latest(tsMillis: Long, tie: Long, value: String)
+
+  implicit val latestEnc: Encoder[Latest] = Encoders.product[Latest]
+  implicit val latestOutEnc: Encoder[(String, Latest)] =
+    Encoders.tuple(Encoders.STRING, latestEnc)
+
+  /** Per-key transition for the streaming analog of
+    * [[graft.operators.Dedup.keepLatest]]: state holds the current
+    * winner per key ((ts, tie) lexicographic max — same tie rule as the
+    * batch operator, so batch and stream agree row for row); each
+    * micro-batch emits the key's NEW winner iff it changed. State is
+    * one row per live key, TTL-bounded like the other stateful ops.
+    */
+  def keepLatestGroup(key: String, rows: Iterator[Keyed], state: GroupState[Latest],
+                      ttlMs: Long): Iterator[(String, Latest)] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val batch = rows.toSeq
+      // tie = a stable long derived from the value for deterministic
+      // ordering under equal timestamps (callers pass ids in `value`)
+      def rank(k: Keyed): (Long, Long) = (k.tsMillis, k.value.hashCode.toLong)
+      val best = batch.maxBy(rank)
+      val challenger = Latest(best.tsMillis, rank(best)._2, best.value)
+      val ord = Ordering.Tuple2[Long, Long]
+      val winner = state.getOption match {
+        case Some(cur) if ord.gteq((cur.tsMillis, cur.tie), (challenger.tsMillis, challenger.tie)) => None
+        case _ => Some(challenger)
+      }
+      winner.foreach(state.update)
+      if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+      winner.map(key -> _).iterator
+    }
+
+  /** Streaming CDC compaction: one output row per key per micro-batch
+    * WHEN its latest value changed — the upsert-snapshot feed a
+    * downstream materializer consumes idempotently.
+    */
+  def streamingKeepLatest(events: Dataset[Keyed], ttlMs: Long = 0L): Dataset[(String, Latest)] = {
+    val timeout =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Latest, (String, Latest)](OutputMode.Append, timeout) {
+        (key: String, rows: Iterator[Keyed], state: GroupState[Latest]) =>
+          keepLatestGroup(key, rows, state, ttlMs)
+      }
+  }
+
   // ---- streaming near-dup candidates (MinHash + LSH over a stream) ----
 
   final case class BandedDoc(band: String, docId: Long)

@@ -18,8 +18,11 @@ class TrainingPipelineDemoSpec extends SparkSpec {
     assert(counts("quality-gate") <= counts("input"))
     assert(counts("exact-dedup") <= counts("quality-gate"))
     assert(counts("near-dup-components") <= counts("exact-dedup"))
-    // splits are a partition of the near-dup survivors
-    assert(counts("written-splits") == counts("near-dup-components"))
+    assert(counts("decontaminated") <= counts("near-dup-components"))
+    // splits are a partition of the decontaminated survivors
+    assert(counts("written-splits") == counts("decontaminated"))
+    // packing produced at least one full context-window stream
+    assert(counts("context-windows") > 0)
   }
 
   test("the pipeline is deterministic across runs") {

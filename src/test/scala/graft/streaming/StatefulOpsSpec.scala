@@ -91,6 +91,52 @@ class StatefulOpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (1L, 4L), (2L, 4L)), s"got $pairs")
   }
 
+  test("streaming keep-latest emits a key's new winner only when it changes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Keyed]
+    val result = streamingKeepLatest(input.toDS(), ttlMs = 0L)
+    val query = result.writeStream
+      .format("memory").queryName("latest_out")
+      .outputMode("append")
+      .start()
+    // batch 1: k1 gets two versions (200 wins), k2 one
+    input.addData(Keyed("k1", "v1", 100L), Keyed("k1", "v2", 200L), Keyed("k2", "x", 50L))
+    query.processAllAvailable()
+    // batch 2: stale k1 update (no emit) and a real k2 update (emit)
+    input.addData(Keyed("k1", "old", 150L), Keyed("k2", "y", 90L))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("latest_out").collect()
+      .map(r => (r.getString(0), r.getStruct(1).getLong(0), r.getStruct(1).getString(2)))
+    // per batch per key at most one emission; stale k1 suppressed
+    assert(rows.count(_._1 == "k1") == 1)
+    assert(rows.filter(_._1 == "k1").head == (("k1", 200L, "v2")))
+    assert(rows.filter(_._1 == "k2").map(t => (t._2, t._3)).sorted.toList ==
+      List((50L, "x"), (90L, "y")))
+  }
+
+  test("keep-latest transition: timestamp tie broken deterministically, stale rejected") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    def st(v: Option[Latest]) = TestGroupState.create[Latest](
+      optionalState = v.map(org.apache.spark.api.java.Optional.of[Latest])
+        .getOrElse(org.apache.spark.api.java.Optional.empty[Latest]()),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(),
+      hasTimedOut = false)
+    // equal timestamps: the higher tie hash wins, deterministically
+    val a = Keyed("k", "aa", 100L); val b = Keyed("k", "bb", 100L)
+    val tieOf = (k: Keyed) => k.value.hashCode.toLong
+    val s0 = st(None)
+    val first = keepLatestGroup("k", Iterator(a, b), s0, ttlMs = 0L).toList
+    val expectWinner = if (tieOf(a) >= tieOf(b)) a else b
+    assert(first.map(_._2.value) == List(expectWinner.value))
+    // a strictly-older arrival never displaces the state
+    val s1 = st(Some(Latest(200L, 0L, "cur")))
+    assert(keepLatestGroup("k", Iterator(Keyed("k", "z", 150L)), s1, ttlMs = 0L).isEmpty)
+    assert(s1.get.value == "cur")
+  }
+
   test("near-dup bucket cap: boilerplate buckets stop pairing and stop growing") {
     import org.apache.spark.sql.streaming.TestGroupState
     def st(ids: List[Long]) = TestGroupState.create[BucketState](
