@@ -208,6 +208,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for the gram join:\n$p")
   }
 
+  test("ta_tfidf_cosine: posting-list pairing, never an all-pairs join") {
+    val p = plan("ta_tfidf_cosine")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"tfidf pairing must stay on the inverted index:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"expected map-side partial aggregation:\n$p")
+  }
+
+  test("ta_mixture: per-source cumsum is partitioned by source, not global") {
+    val p = plan("ta_mixture")
+    assert(!p.contains("SinglePartition"), s"global window found:\n$p")
+    assert(p.contains("Window"), s"expected the per-source running sum:\n$p")
+  }
+
   test("ann_int8_topk: quantized scoring broadcasts the probe side, no cartesian") {
     val p = plan("ann_int8_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
