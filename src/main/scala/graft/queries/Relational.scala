@@ -329,6 +329,25 @@ object Relational {
              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS filled
              |FROM events""".stripMargin)),
 
+    // ---- null-safe equi-join (<=>): null keys MATCH null keys — the
+    //      semantics dirty dimension keys need; still hash-joinable
+    //      (Catalyst treats <=> as an equi-condition, no nested loop) ----
+    "q34_nullsafe_join" -> Q(
+      (s, dir) => {
+        val e = Tables(s, dir, "events").select(
+          col("event_id"),
+          when(pmod(col("event_id"), lit(5)) === 0, lit(null))
+            .otherwise(pmod(col("user_id"), lit(50))).as("k"))
+        val d = e.groupBy("k").agg(count(lit(1)).as("grp_n"))
+        e.as("l").join(d.as("r"), col("l.k") <=> col("r.k"))
+          .select(col("l.event_id"), col("l.k").as("k"), col("grp_n"))
+      },
+      Some("""WITH e AS (SELECT event_id,
+             |  CASE WHEN event_id % 5 = 0 THEN NULL ELSE user_id % 50 END AS k FROM events),
+             |d AS (SELECT k, count(*) AS grp_n FROM e GROUP BY k)
+             |SELECT e.event_id, e.k, CAST(d.grp_n AS BIGINT) AS grp_n
+             |FROM e JOIN d ON e.k IS NOT DISTINCT FROM d.k""".stripMargin)),
+
     // ---- range (interval-containment) join, no equi-key: purchases
     //      inside 30-minute windows opened by signups; bucketed hash
     //      join instead of a nested-loop; oracle is DuckDB's inequality
