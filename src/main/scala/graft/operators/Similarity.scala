@@ -213,26 +213,38 @@ object Similarity {
     * array would blow up codegen; the matrix loop doesn't.
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
-              k: Int, nList: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
-    val centroids = ivfCentroids(df, idCol, vecCol, nList, iters)
-    val unit = unitNorm(centroids)
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+              k: Int, nList: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame =
+    ivfJoin(df, df, idCol, vecCol, k, nList, nProbe, iters)
 
-    val corpus = v.withColumn("list", Kernels.ivfAssign(col("vec"), unit))
-      .select(col("id").as("nid"), col("vec").as("nvec"), col("list"),
-        norm2(col("vec")).as("nnrm"))
+  /** Two-table ANN join through a learned IVF index (the learned-
+    * partition counterpart of [[lshJoin]]): the quantizer trains on the
+    * CORPUS, corpus vectors live in their nearest-centroid list, and
+    * each probe row scans only its `nProbe` closest lists. Candidate
+    * volume per probe ≈ nProbe/nList of the corpus — never
+    * |probes|×|corpus| — and the join key is the list id, a plain hash
+    * join at any scale.
+    */
+  def ivfJoin(probes: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String,
+              k: Int, nList: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val centroids = ivfCentroids(corpus, idCol, vecCol, nList, iters)
+    val unit = unitNorm(centroids)
+
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+      .withColumn("list", Kernels.ivfAssign(col("nvec"), unit))
+      .withColumn("nnrm", norm2(col("nvec")))
     // per-query probe lists: the nProbe highest-cosine centroids
     // (unit-normalized, so plain dots order identically to cosines;
     // ties → lowest list index)
     val pw = Window.partitionBy("id").orderBy(col("s").desc, col("c").asc)
-    val probes = v
+    val p = probes.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .select(col("id"), col("vec"),
         posexplode(Kernels.ivfScores(col("vec"), unit)).as(Seq("c", "s")))
       .withColumn("pr", row_number().over(pw)).filter(col("pr") <= nProbe)
       .select(col("id").as("qid"), col("vec").as("qvec"),
         norm2(col("vec")).as("qnrm"), col("c").as("list"))
 
-    val cand = probes.join(corpus, Seq("list")).filter(col("qid") =!= col("nid"))
+    val cand = p.join(c, Seq("list")).filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         (dot(col("qvec"), col("nvec")) / sqrt(col("qnrm") * col("nnrm"))).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)

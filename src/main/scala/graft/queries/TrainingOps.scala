@@ -717,6 +717,52 @@ object TrainingOps {
               |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM cand)
               |SELECT qid, rank, nid FROM rk WHERE rank <= 10""".stripMargin)),
 
+    // ---- two-table ANN join through the learned IVF index: probe set
+    //      scans only its nProbe closest lists of the corpus-trained
+    //      quantizer (learned-partition counterpart of ann_lsh_join).
+    //      Same fully-deterministic quantizer as ann_ivf, so the oracle
+    //      re-learns the identical index ----
+    "ann_ivf_join" -> Q(
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        Similarity.ivfJoin(e.filter(col("vec_id") < 50), e,
+          "vec_id", "embedding", k = 5, nList = 16, nProbe = 4)
+      },
+      Some(s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+              |train AS (SELECT id, vec FROM v
+              |          ORDER BY ((id % 1000000007) * 1103515245 + 12345) % 1000000007, id
+              |          LIMIT 100000),
+              |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS c, vec
+              |       FROM (SELECT id, vec FROM train ORDER BY id LIMIT 16)),
+              |${duckIvfIter(0)},
+              |${duckIvfIter(1)},
+              |uf AS (
+              |  SELECT c, CASE WHEN nrm = 0 THEN vec
+              |    ELSE list_transform(vec, x -> CAST(CAST(x AS DOUBLE) / sqrt(nrm) AS REAL)) END AS uvec
+              |  FROM (SELECT c, vec,
+              |          list_sum(list_transform(vec, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nrm
+              |        FROM c2)),
+              |vs AS (
+              |  SELECT v.id, v.vec, u.c,
+              |    row_number() OVER (PARTITION BY v.id
+              |      ORDER BY list_sum(list_transform(list_zip(v.vec, u.uvec),
+              |        p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))) DESC, u.c ASC) AS rn
+              |  FROM v CROSS JOIN uf u),
+              |nrm AS (SELECT id, list_sum(list_transform(vec, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nrm FROM v),
+              |corpus AS (SELECT id AS nid, vec AS nvec, c AS list FROM vs WHERE rn = 1),
+              |probes AS (SELECT id AS qid, vec AS qvec, c AS list FROM vs
+              |           WHERE rn <= 4 AND id < 50),
+              |cand AS (
+              |  SELECT p.qid, cp.nid,
+              |    list_sum(list_transform(list_zip(p.qvec, cp.nvec),
+              |      z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / sqrt(nq.nrm * nn.nrm) AS cos
+              |  FROM probes p JOIN corpus cp USING (list)
+              |  JOIN nrm nq ON p.qid = nq.id JOIN nrm nn ON cp.nid = nn.id
+              |  WHERE p.qid <> cp.nid),
+              |rk AS (SELECT qid, nid,
+              |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM cand)
+              |SELECT qid, rank, nid FROM rk WHERE rank <= 5""".stripMargin)),
+
     // ---- deterministic train/test split (pure function of doc_id:
     //      re-runs and engines agree; no rand()) ----
     "ta_train_split" -> Q(
