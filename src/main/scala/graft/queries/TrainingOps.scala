@@ -199,6 +199,30 @@ object TrainingOps {
              |  FROM d)
              |SELECT source, doc_id, cum_tokens FROM o WHERE cum_tokens <= 1200""".stripMargin)),
 
+    // ---- weighted mixture: per-source budgets (the "x tokens of web,
+    //      y of code" shape) — budget is a function of the group key ----
+    "ta_mixture_weighted" -> Q(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextFunctions.wsTokenCount(col("text")).as("n_tokens"))
+        val budget = (src: org.apache.spark.sql.Column) =>
+          when(pmod(regexp_extract(src, "(\\d+)", 1).cast("long"), lit(2)) === 0,
+            lit(1500L)).otherwise(lit(800L))
+        Sampling.mixtureByTokenBudget(d, "source", "doc_id", "n_tokens", budget)
+          .select(col("source"), col("doc_id"), col("cum_tokens"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+             |  len(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents),
+             |o AS (SELECT source, doc_id,
+             |  CAST(sum(n_tokens) OVER (PARTITION BY source
+             |    ORDER BY ((doc_id*37 + 7) % 1000000007) % 1000000, doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+             |  FROM d)
+             |SELECT source, doc_id, cum_tokens FROM o
+             |WHERE cum_tokens <= CASE WHEN CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 2 = 0
+             |                         THEN 1500 ELSE 800 END""".stripMargin)),
+
     // ---- end-to-end dedup apply: LSH candidates → connected
     //      components → drop every non-canonical member (keep the min
     //      id of each dup group + all unpaired docs) — the composition
