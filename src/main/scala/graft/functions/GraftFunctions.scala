@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL surface for the codegen kernels: every hash/vector kernel
+  * registered as a named SQL function, so `spark.sql("SELECT
+  * graft_simhash32(graft_shingles(text, 3)) …")` works without touching
+  * the Scala API — the extension route a platform team would ship the
+  * library through (`spark.sql.extensions=graft.GraftExtensions`, or
+  * `GraftFunctions.register(spark)` on a live session).
+  *
+  * Size parameters (shingle n, minhash k, LSH planes) must be foldable
+  * integer literals — they parameterize the generated code itself.
+  */
+object GraftFunctions {
+
+  private def litInt(e: Expression, fn: String, arg: String): Int = e match {
+    case l: Literal if l.foldable => l.value match {
+      case i: Int => i
+      case l2: Long => l2.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be an integer literal, got $other")
+    }
+    case other if other.foldable => other.eval() match {
+      case i: Int => i
+      case l2: Long => l2.toInt
+      case o => throw new IllegalArgumentException(s"$fn: $arg must fold to an integer, got $o")
+    }
+    case _ => throw new IllegalArgumentException(s"$fn: $arg must be a literal")
+  }
+
+  private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n)
+      throw new IllegalArgumentException(s"$fn expects $n arguments, got ${args.length}")
+
+  /** name → (builder, usage) for every SQL-exposable kernel. */
+  val all: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
+    ("graft_shingles",
+      (args: Seq[Expression]) => { arity("graft_shingles", args, 2)
+        ShinglesK(args(0), litInt(args(1), "graft_shingles", "n")) },
+      "graft_shingles(text, n) - word n-gram shingles of a string"),
+    ("graft_simhash32",
+      (args: Seq[Expression]) => { arity("graft_simhash32", args, 1)
+        SimHash32K(args(0)) },
+      "graft_simhash32(shingles) - 32-bit simhash of a string array"),
+    ("graft_minhash_sig",
+      (args: Seq[Expression]) => { arity("graft_minhash_sig", args, 2)
+        MinHashSigK(args(0), litInt(args(1), "graft_minhash_sig", "k")) },
+      "graft_minhash_sig(shingles, k) - k-element minhash signature"),
+    ("graft_vec_dot",
+      (args: Seq[Expression]) => { arity("graft_vec_dot", args, 2)
+        VecDotK(args(0), args(1)) },
+      "graft_vec_dot(a, b) - left-to-right double-fold dot of float arrays"),
+    ("graft_vec_norm2",
+      (args: Seq[Expression]) => { arity("graft_vec_norm2", args, 1)
+        VecNorm2K(args(0)) },
+      "graft_vec_norm2(a) - squared L2 norm of a float array"),
+    ("graft_lsh_sig",
+      (args: Seq[Expression]) => { arity("graft_lsh_sig", args, 2)
+        LshSigK(args(0), litInt(args(1), "graft_lsh_sig", "planes")) },
+      "graft_lsh_sig(vec, planes) - random-hyperplane LSH signature"))
+
+  /** Register every kernel on a LIVE session (temp functions). */
+  def register(spark: SparkSession): Unit = all.foreach { case (name, builder, _) =>
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
+  }
+
+  /** Inject every kernel through the extensions API (built sessions). */
+  def inject(ext: SparkSessionExtensions): Unit = all.foreach { case (name, builder, usage) =>
+    ext.injectFunction((
+      FunctionIdentifier(name),
+      new ExpressionInfo(classOf[Kernels.type].getName, null, name, usage, ""),
+      builder))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkSpec
+
+/** The kernels' SQL surface: registered names evaluate identically to
+  * the Scala Column API, through both the live-session registration and
+  * the SparkSessionExtensions injection route.
+  */
+class GraftFunctionsSpec extends SparkSpec {
+
+  test("registered SQL functions match the Column API bit for bit") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", Array(1f, -2f, 3f)),
+      (2L, "a b", Array(0.5f, 0.5f, 0.5f))
+    ).toDF("id", "text", "vec")
+    df.createOrReplaceTempView("t")
+    val viaSql = spark.sql(
+      """SELECT id,
+        |  graft_simhash32(graft_shingles(text, 3)) AS sh,
+        |  graft_minhash_sig(graft_shingles(text, 3), 4) AS mh,
+        |  graft_vec_dot(vec, vec) AS dot,
+        |  graft_vec_norm2(vec) AS nrm,
+        |  graft_lsh_sig(vec, 8) AS lsh
+        |FROM t""".stripMargin).collect()
+    val viaCol = df.select(col("id"),
+      Kernels.simhash32(Kernels.shingles(col("text"), 3)).as("sh"),
+      Kernels.minhashSig(Kernels.shingles(col("text"), 3), 4).as("mh"),
+      Kernels.vecDot(col("vec"), col("vec")).as("dot"),
+      Kernels.vecNorm2(col("vec")).as("nrm"),
+      Kernels.lshSig(col("vec"), 8).as("lsh")).collect()
+    assert(viaSql.map(_.toSeq).toSeq == viaCol.map(_.toSeq).toSeq)
+  }
+
+  test("non-literal size parameters are rejected with a clear error") {
+    GraftFunctions.register(spark)
+    spark.range(1).selectExpr("CAST(id AS STRING) AS text").createOrReplaceTempView("t2")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_shingles(text, CAST(length(text) AS INT)) FROM t2").collect()
+    }
+    assert(e.getMessage.contains("literal") || e.getMessage.contains("fold"),
+      s"unexpected error: ${e.getMessage}")
+  }
+
+  test("the extensions route injects the same functions into a built session") {
+    val prior = spark // SparkSpec session stays active for other suites
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      val one = s2.sql(
+        "SELECT graft_simhash32(graft_shingles('alpha beta gamma delta', 3)) AS sh").collect()
+      assert(one.length == 1 && !one.head.isNullAt(0))
+    } finally {
+      SparkSession.setActiveSession(prior)
+      SparkSession.setDefaultSession(prior)
+    }
+  }
+}
