@@ -41,9 +41,10 @@ object Temporal {
       keyCol: String, tsCol: String,
       toleranceSeconds: Option[Long] = None,
       direction: String = "backward"): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"asofJoin: direction must be backward or forward, got [$direction]")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"asofJoin: direction must be backward, forward or nearest, got [$direction]")
     val forward = direction == "forward"
+    val nearest = direction == "nearest"
     val rightVals = right.columns.filter(c => c != keyCol && c != tsCol).toSeq
     val leftVals = left.columns.filter(c => c != keyCol && c != tsCol).toSeq
     val overlap = leftVals.intersect(rightVals)
@@ -76,16 +77,36 @@ object Temporal {
 
     val base = Window.partitionBy(keyCol).orderBy(col("__ts"), col("__side"))
     val union = taggedRight.unionByName(taggedLeft)
+    // nearest = BOTH carries over the same sorted partition (still one
+    // shuffle + one sort, two frame passes), then pick the smaller
+    // floor-second distance; ties (incl. equal-ts matches, which live
+    // in the backward frame under backward side order) go backward
     val carried =
-      if (forward) union.withColumn("__rv",
+      if (nearest) {
+        val bwd = last(col("__rv"), ignoreNulls = true)
+          .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        val fwd = first(col("__rv"), ignoreNulls = true)
+          .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        val db = col("__ts").cast("long") - col("__b").getField("__rts").cast("long")
+        val df = col("__f").getField("__rts").cast("long") - col("__ts").cast("long")
+        union.withColumn("__b", bwd).withColumn("__f", fwd)
+          .withColumn("__rv",
+            when(col("__b").isNull, col("__f"))
+              .when(col("__f").isNull, col("__b"))
+              .when(db <= df, col("__b"))
+              .otherwise(col("__f")))
+          .drop("__b", "__f")
+      } else if (forward) union.withColumn("__rv",
         first(col("__rv"), ignoreNulls = true)
           .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
       else union.withColumn("__rv",
         last(col("__rv"), ignoreNulls = true)
           .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val rts = col("__rv").getField("__rts").cast("long")
     val staleness =
-      if (forward) col("__rv").getField("__rts").cast("long") - col("__ts").cast("long")
-      else col("__ts").cast("long") - col("__rv").getField("__rts").cast("long")
+      if (nearest) greatest(col("__ts").cast("long") - rts, rts - col("__ts").cast("long"))
+      else if (forward) rts - col("__ts").cast("long")
+      else col("__ts").cast("long") - rts
     val bounded = toleranceSeconds.fold(carried)(tol =>
       carried.withColumn("__rv", when(staleness <= tol, col("__rv"))))
     bounded.filter(col("__side") === leftSide)

@@ -329,6 +329,41 @@ object Relational {
              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS filled
              |FROM events""".stripMargin)),
 
+    // ---- nearest as-of join: the closest signup in EITHER direction
+    //      (floor-second distance, ties backward) — the imputation
+    //      variant of point-in-time matching. Oracle composes DuckDB's
+    //      backward-native ASOF with a correlated forward lookup and
+    //      applies the identical integer distance rule ----
+    "q35_asof_nearest" -> Q(
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+        val left = e.filter(col("event_type") =!= "signup")
+          .select(col("user_id"), col("ts"), col("event_id").as("ev_id"))
+        val right = e.filter(col("event_type") === "signup")
+          .groupBy("user_id", "ts").agg(max("event_id").as("asof_id"))
+        graft.operators.Temporal.asofJoin(left, right, "user_id", "ts",
+            direction = "nearest")
+          .select("ev_id", "user_id", "asof_id")
+      },
+      Some("""WITH l AS (SELECT user_id, ts, event_id AS ev_id FROM events WHERE event_type <> 'signup'),
+             |r AS (SELECT user_id, ts, max(event_id) AS rid FROM events
+             |      WHERE event_type = 'signup' GROUP BY user_id, ts),
+             |b AS (SELECT l.ev_id, l.user_id, l.ts, r.rid AS b_id, r.ts AS b_ts
+             |      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts),
+             |f AS (SELECT b.*,
+             |  (SELECT r.rid FROM r WHERE r.user_id = b.user_id AND r.ts > b.ts
+             |   ORDER BY r.ts LIMIT 1) AS f_id,
+             |  (SELECT r.ts FROM r WHERE r.user_id = b.user_id AND r.ts > b.ts
+             |   ORDER BY r.ts LIMIT 1) AS f_ts
+             |  FROM b)
+             |SELECT ev_id, user_id,
+             |  CASE WHEN b_id IS NULL THEN f_id
+             |       WHEN f_id IS NULL THEN b_id
+             |       WHEN epoch_us(ts)//1000000 - epoch_us(b_ts)//1000000
+             |            <= epoch_us(f_ts)//1000000 - epoch_us(ts)//1000000
+             |       THEN b_id ELSE f_id END AS asof_id
+             |FROM f""".stripMargin)),
+
     // ---- null-safe equi-join (<=>): null keys MATCH null keys — the
     //      semantics dirty dimension keys need; still hash-joinable
     //      (Catalyst treats <=> as an equi-condition, no nested loop) ----

@@ -255,6 +255,28 @@ object TrainingOps {
               |SELECT doc_id FROM documents
               |WHERE doc_id NOT IN (SELECT id FROM cmp WHERE id <> comp)""".stripMargin)),
 
+    // ---- the SQL function surface under the correctness gate: the
+    //      same simhash/minhash kernels, invoked through spark.sql via
+    //      the registered function names (GraftFunctions) ----
+    "ta_sql_kernels" -> Q(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables(s, dir, "documents").createOrReplaceTempView("graft_docs")
+        s.sql("""SELECT doc_id,
+                |  graft_simhash32(graft_shingles(text, 3)) AS sh,
+                |  element_at(graft_minhash_sig(graft_shingles(text, 3), 4), 1) AS mh0
+                |FROM graft_docs""".stripMargin)
+      },
+      Some(s"""WITH $duckShingles,
+              |hs AS (SELECT doc_id, list_transform(s, t -> ${duckCharHash("t")}) h FROM shl),
+              |sig AS (SELECT doc_id,
+              |  CAST(COALESCE(list_sum(list_transform(range(0,32), j ->
+              |    CASE WHEN list_sum(list_transform(h, x -> ((x >> j) & 1)*2 - 1)) > 0
+              |         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)), 0) AS BIGINT) AS sh,
+              |  CAST(list_min(list_transform(h, x -> (37*x + 7) % 1000000007)) AS BIGINT) AS mh0
+              |  FROM hs)
+              |SELECT doc_id, sh, mh0 FROM sig""".stripMargin)),
+
     // ---- eval-set decontamination (benchmark-leakage guard): train
     //      docs sharing any 5-gram with the held-out eval slice are
     //      flagged; eval grams broadcast, corpus never shuffles ----

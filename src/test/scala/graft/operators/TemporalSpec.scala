@@ -32,6 +32,35 @@ class TemporalSpec extends SparkSpec {
       "e5" -> None))
   }
 
+  test("nearest asof picks the closer side; ties and equal timestamps go backward") {
+    import spark.implicits._
+    val left = Seq(
+      ("u1", t(5), "e1"),   // 10:00 behind (5m) vs 10:20 ahead (15m) → backward
+      ("u1", t(16), "e2"),  // 10:00 behind (16m) vs 10:20 ahead (4m) → forward
+      ("u1", t(10), "e3"),  // exactly between 10:00 and 10:20 → tie → backward
+      ("u1", t(20), "e4"),  // equal ts → backward frame, distance 0
+      ("u2", t(7), "e5"),   // only a forward row exists
+      ("u3", t(7), "e6")    // no right rows → null
+    ).toDF("k", "ts", "ev")
+    val right = Seq(
+      ("u1", t(0), 100L), ("u1", t(20), 200L),
+      ("u2", t(9), 300L)
+    ).toDF("k", "ts", "price")
+    val got = Temporal.asofJoin(left, right, "k", "ts", direction = "nearest")
+      .select("ev", "price").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map(
+      "e1" -> Some(100L), "e2" -> Some(200L), "e3" -> Some(100L),
+      "e4" -> Some(200L), "e5" -> Some(300L), "e6" -> None), s"got $got")
+    // tolerance bounds the |distance| in nearest mode too
+    val tol = Temporal.asofJoin(left, right, "k", "ts",
+        toleranceSeconds = Some(300L), direction = "nearest")
+      .select("ev", "price").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(tol("e1") == Some(100L) && tol("e2") == Some(200L))
+    assert(tol("e3") == None, "10-minute distance must exceed the 5-minute tolerance")
+  }
+
   test("range join equals brute-force containment across bucket boundaries") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
