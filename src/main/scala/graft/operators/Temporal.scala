@@ -145,4 +145,36 @@ object Temporal {
         col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop(pt("__bucket")).drop(iv("__bucket"))
   }
+
+  /** Interval-overlap join with NO equi-key: pairs every left interval
+    * with every right interval it overlaps (`l.start <= r.end AND
+    * r.start <= l.end`, closed intervals).
+    *
+    * Same bucket-manufactured equi-key as [[rangeJoin]], with the
+    * standard dedup-free trick for interval×interval: both sides
+    * explode to their covered buckets, and a pair is emitted ONLY in
+    * the first bucket where both intervals coexist —
+    * `bucket == floor(max(l.start, r.start) / bucketSeconds)` — so
+    * every overlapping pair appears exactly once without a `distinct`
+    * shuffle over the pair space. Replication cost and skew discipline
+    * are the same as rangeJoin's (cap/split degenerate giant
+    * intervals upstream).
+    */
+  def intervalOverlapJoin(
+      left: DataFrame, lStartCol: String, lEndCol: String,
+      right: DataFrame, rStartCol: String, rEndCol: String,
+      bucketSeconds: Long): DataFrame = {
+    val b = lit(bucketSeconds)
+    def bucketed(df: DataFrame, s: String, e: String) = df.withColumn("__bucket",
+      explode(sequence(
+        (col(s).cast("long") / b).cast("long"),
+        (col(e).cast("long") / b).cast("long"))))
+    val l = bucketed(left, lStartCol, lEndCol)
+    val r = bucketed(right, rStartCol, rEndCol)
+    l.join(r,
+        l("__bucket") === r("__bucket") &&
+          col(lStartCol) <= col(rEndCol) && col(rStartCol) <= col(lEndCol) &&
+          l("__bucket") === (greatest(col(lStartCol).cast("long"), col(rStartCol).cast("long")) / b).cast("long"))
+      .drop(l("__bucket")).drop(r("__bucket"))
+  }
 }

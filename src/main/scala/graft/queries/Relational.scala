@@ -329,6 +329,30 @@ object Relational {
              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS filled
              |FROM events""".stripMargin)),
 
+    // ---- interval-overlap join (interval × interval, no equi-key):
+    //      signup windows overlapping purchase windows — bucketed hash
+    //      join with first-shared-bucket emission (no pair distinct);
+    //      oracle is DuckDB's inequality join ----
+    "q36_interval_overlap" -> Q(
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+        val sw = e.filter(col("event_type") === "signup" && pmod(col("event_id"), lit(2)) === 0)
+          .select(col("event_id").as("s_id"), col("ts").as("s_start"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("s_end"))
+        val pw = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("ts").as("p_start"),
+            (col("ts") + expr("INTERVAL 15 MINUTES")).as("p_end"))
+        graft.operators.Temporal.intervalOverlapJoin(
+            sw, "s_start", "s_end", pw, "p_start", "p_end", bucketSeconds = 1800L)
+          .select("s_id", "p_id")
+      },
+      Some("""SELECT s.event_id AS s_id, p.event_id AS p_id
+             |FROM (SELECT event_id, ts AS s_start, ts + INTERVAL 30 MINUTE AS s_end
+             |      FROM events WHERE event_type = 'signup' AND event_id % 2 = 0) s
+             |JOIN (SELECT event_id, ts AS p_start, ts + INTERVAL 15 MINUTE AS p_end
+             |      FROM events WHERE event_type = 'purchase') p
+             |  ON s.s_start <= p.p_end AND p.p_start <= s.s_end""".stripMargin)),
+
     // ---- nearest as-of join: the closest signup in EITHER direction
     //      (floor-second distance, ties backward) — the imputation
     //      variant of point-in-time matching. Oracle composes DuckDB's

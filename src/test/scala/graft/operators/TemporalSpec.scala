@@ -85,6 +85,30 @@ class TemporalSpec extends SparkSpec {
     assert(rows == got.size)
   }
 
+  test("interval overlap join equals brute force, each pair exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val l = Seq(
+      (1L, t(0), t(30)),   // overlaps r1, r2 (boundary-touching), r3
+      (2L, t(40), t(45)),  // overlaps r3 only
+      (3L, t(50), t(55))   // overlaps nothing
+    ).toDF("l_id", "l_s", "l_e")
+    val r = Seq(
+      (10L, t(5), t(10)),   // inside l1
+      (11L, t(30), t(35)),  // touches l1's end exactly (closed intervals)
+      (12L, t(25), t(44))   // spans l1's tail and l2
+    ).toDF("r_id", "r_s", "r_e")
+    val got = Temporal.intervalOverlapJoin(l, "l_s", "l_e", r, "r_s", "r_e", 600L)
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+    val brute = l.crossJoin(r)
+      .filter(col("l_s") <= col("r_e") && col("r_s") <= col("l_e"))
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(got.sorted.toSeq == brute.sorted.toSeq, s"got ${got.toSeq} want ${brute.toSeq}")
+    // exactly-once: no duplicate pairs despite shared buckets
+    assert(got.length == got.distinct.length)
+    assert(got.toSet == Set((1L, 10L), (1L, 11L), (1L, 12L), (2L, 12L)))
+  }
+
   test("a legit NULL in the matched right row is NOT back-filled from older rows") {
     import spark.implicits._
     val left = Seq(("k", t(10), "e")).toDF("k", "ts", "ev")

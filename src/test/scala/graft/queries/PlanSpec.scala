@@ -222,6 +222,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"expected the per-source running sum:\n$p")
   }
 
+  test("q36: interval overlap runs as a hash join on the bucket, not a nested loop") {
+    val p = plan("q36_interval_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"expected the bucket-keyed hash join:\n$p")
+  }
+
   test("ann_int8_topk: quantized scoring broadcasts the probe side, no cartesian") {
     val p = plan("ann_int8_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
