@@ -53,6 +53,24 @@ object Multimodal {
           sequence(lit(0L), floor((col(s"$metaCol.duration_ms") - 1) / everyMs).cast("long")))
           .otherwise(array(lit(0L)))))
 
+  /** Aspect-preserving fit of (width, height) into a target box —
+    * thumbnail/resize planning as pure integer arithmetic (the actual
+    * pixel resample belongs to the codec seam; THIS decides the target
+    * dims, which is what the pipeline schema carries). The binding
+    * dimension is chosen by integer cross-multiplication, output dims
+    * floor toward zero with a 1-pixel floor; non-images (0×0) stay 0×0.
+    */
+  def resizeFit(width: Column, height: Column, maxW: Int, maxH: Int): Column = {
+    val wideBound = width * maxH >= height * maxW // width is the binding side
+    val outW = when(wideBound, lit(maxW.toLong))
+      .otherwise(greatest(floor((width * maxH) / height).cast("long"), lit(1L)))
+    val outH = when(wideBound, greatest(floor((height * maxW) / width).cast("long"), lit(1L)))
+      .otherwise(lit(maxH.toLong))
+    when(width <= 0 || height <= 0,
+      struct(lit(0L).as("out_w"), lit(0L).as("out_h")))
+      .otherwise(struct(outW.as("out_w"), outH.as("out_h")))
+  }
+
   /** STUB feature extraction: dim-length float vector from a rolling
     * hash of the byte prefix — stands in for a real encoder; keeps the
     * array<float> schema and per-row cost profile.

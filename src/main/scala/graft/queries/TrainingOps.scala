@@ -1043,6 +1043,54 @@ object TrainingOps {
              |  CASE WHEN kind <> 'image' THEN n_chars * 40 ELSE 0 END AS duration_ms
              |FROM k""".stripMargin)),
 
+    // ---- multimodal: resize planning (aspect-preserving fit into a
+    //      224×224 box, pure integer arithmetic) ----
+    "mm_resize" -> Q(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            encode(col("text"), "UTF-8").as("content"))
+          .select(col("doc_id"),
+            Multimodal.decodeMeta(col("content"), Multimodal.kindOf(col("source"))).as("meta"))
+        d.select(col("doc_id"),
+            col("meta.width").as("width"), col("meta.height").as("height"),
+            Multimodal.resizeFit(col("meta.width"), col("meta.height"), 224, 224).as("r"))
+          .select(col("doc_id"), col("width"), col("height"),
+            col("r.out_w").as("out_w"), col("r.out_h").as("out_h"))
+      },
+      Some("""WITH k AS (SELECT doc_id, n_chars,
+             |  CASE WHEN CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 3 = 0
+             |       THEN (n_chars % 64 + 1) * 16 ELSE 0 END AS width,
+             |  CASE WHEN CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 3 = 0
+             |       THEN (n_chars % 48 + 1) * 16 ELSE 0 END AS height
+             |  FROM documents)
+             |SELECT doc_id, width, height,
+             |  CAST(CASE WHEN width <= 0 OR height <= 0 THEN 0
+             |       WHEN width * 224 >= height * 224 THEN 224
+             |       ELSE greatest((width * 224) // height, 1) END AS BIGINT) AS out_w,
+             |  CAST(CASE WHEN width <= 0 OR height <= 0 THEN 0
+             |       WHEN width * 224 >= height * 224 THEN greatest((height * 224) // width, 1)
+             |       ELSE 224 END AS BIGINT) AS out_h
+             |FROM k""".stripMargin)),
+
+    // ---- multimodal: stub feature extraction (hash-derived vector —
+    //      the encoder seam's schema and determinism contract; output
+    //      digested to scalars so the hash gate sees exact values) ----
+    "mm_features" -> Q(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+        d.select(col("doc_id"),
+            Multimodal.fakeFeatures(col("content"), 8).as("f"))
+          .select(col("doc_id"),
+            element_at(col("f"), 1).cast("double").as("f0"),
+            element_at(col("f"), 8).cast("double").as("f7"))
+      },
+      Some(s"""SELECT doc_id,
+              |  CAST(CAST(CAST((${duckCharHash("text")} * 1) % 1000 - 500 AS DOUBLE) / 1000.0 AS REAL) AS DOUBLE) AS f0,
+              |  CAST(CAST(CAST((${duckCharHash("text")} * 8) % 1000 - 500 AS DOUBLE) / 1000.0 AS REAL) AS DOUBLE) AS f7
+              |FROM documents""".stripMargin)),
+
     // ---- multimodal: frame sampling (1 row per sampled frame) ----
     "mm_frame_sample" -> Q(
       (s, dir) => {
