@@ -46,22 +46,53 @@ object Sampling {
     * stable under re-runs and growth — a doc already in the mix only
     * ever leaves if its source's budget shrinks.
     *
-    * One shuffle on the group key; the per-group ordered cumsum
-    * parallelizes across groups (a single pathological mega-source
-    * would serialize in one partition — split such a source upstream
-    * or raise its bucket count via [[Packing.packOffsets]]-style
-    * two-phase prefix summing).
+    * Mixture sources are FEW by nature, so a cumsum window partitioned
+    * on the group alone would serialize each source's entire corpus
+    * through one reducer at scale. This runs the same two-phase
+    * distributed prefix sum as [[Packing.packOffsets]], keyed on
+    * (group, hash-bucket):
+    *
+    *   1. the hash-order key (already in [0, 1e6)) is range-cut into
+    *      `buckets` sub-ranges, so bucket order == hash order;
+    *   2. per-(group, bucket) inclusive prefix sums run in parallel;
+    *   3. per-group bucket totals (≤ `buckets` rows per group — model-
+    *      sized, never data-sized) get exclusive prefix offsets via a
+    *      window over those few rows, and broadcast-join back.
+    *
+    * The cumulative sums are identical to a single per-group window,
+    * so membership is unchanged — only the plan shape differs. Input
+    * must be deterministic (re-computable to the same rows), which the
+    * hash-derived ordering contract already requires.
     *
     * Adds `cum_tokens` (inclusive) to the kept rows.
     */
   def mixtureByTokenBudget(
       df: DataFrame, groupCol: String, keyCol: String, tokCol: String,
-      budgetFor: Column => Column, seed: Int = 0): DataFrame = {
-    val w = Window.partitionBy(groupCol)
-      .orderBy(hashBucket(col(keyCol), 1000000, seed), col(keyCol))
+      budgetFor: Column => Column, seed: Int = 0, buckets: Int = 32): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val span = (1000000 + buckets - 1) / buckets
+    val withB = df
+      .withColumn("__ord", hashBucket(col(keyCol), 1000000, seed))
+      .withColumn("__b", expr(s"__ord DIV $span"))
+    // phase 2: per-(group, bucket) inclusive prefix sum, parallel
+    // across group × bucket
+    val wLocal = Window.partitionBy(col(groupCol), col("__b"))
+      .orderBy(col("__ord"), col(keyCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("cum_tokens", sum(col(tokCol)).over(w))
+    val local = withB.withColumn("__local", sum(col(tokCol)).over(wLocal))
+    // phase 3: bucket totals → exclusive offsets; the window here runs
+    // over ≤ `buckets` rows per group, not over the data
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = withB.groupBy(col(groupCol), col("__b"))
+      .agg(sum(col(tokCol)).as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(wOff), lit(0L)))
+      .select(col(groupCol).as("__g"), col("__b").as("__ob"), col("__off"))
+    local.join(broadcast(offs),
+        col(groupCol) <=> col("__g") && col("__b") <=> col("__ob"))
+      .withColumn("cum_tokens", col("__off") + col("__local"))
       .filter(col("cum_tokens") <= budgetFor(col(groupCol)))
+      .drop("__ord", "__b", "__local", "__g", "__ob", "__off")
   }
 
   /** At most `perGroup` rows per group, chosen by key-hash order (with

@@ -30,6 +30,21 @@ class SamplingSpec extends SparkSpec {
     assert(run(1) != run(2))
   }
 
+  test("mixture two-phase prefix sum equals the single-window cumsum (buckets=1)") {
+    import spark.implicits._
+    val df = (1 to 400).map(i => (s"s${i % 3}", i.toLong, (i % 7 + 1).toLong))
+      .toDF("source", "doc_id", "n_tokens")
+    def run(buckets: Int) =
+      Sampling.mixtureByTokenBudget(df, "source", "doc_id", "n_tokens",
+          _ => lit(150L), buckets = buckets)
+        .select("source", "doc_id", "cum_tokens").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val one = run(1) // degenerate: one bucket == the plain per-group window
+    assert(one == run(32))
+    assert(one == run(7)) // span not dividing 1e6 evenly
+    assert(one.nonEmpty)
+  }
+
   test("samplePerGroup caps group size and is deterministic") {
     import spark.implicits._
     val df = (1 to 300).map(i => (s"g${i % 3}", i.toLong)).toDF("g", "id")

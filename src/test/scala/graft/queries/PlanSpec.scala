@@ -216,10 +216,20 @@ class PlanSpec extends SparkSpec {
       s"expected map-side partial aggregation:\n$p")
   }
 
-  test("ta_mixture: per-source cumsum is partitioned by source, not global") {
+  test("ta_mixture: two-phase cumsum — the data window partitions on (source, bucket)") {
     val p = plan("ta_mixture")
     assert(!p.contains("SinglePartition"), s"global window found:\n$p")
-    assert(p.contains("Window"), s"expected the per-source running sum:\n$p")
+    // the data-sized cumsum window (the one ordered by the hash key
+    // __ord) must carry the range bucket __b in its partition spec —
+    // partitioning on source alone serializes each source's corpus
+    // through one reducer at 100 TB
+    val dataWindows = p.linesIterator.filter(l =>
+      l.contains("Window") && l.contains("__ord")).toList
+    assert(dataWindows.nonEmpty, s"expected the per-(source,bucket) running sum:\n$p")
+    assert(dataWindows.forall(_.contains("__b")),
+      s"data cumsum window not bucket-partitioned:\n${dataWindows.mkString("\n")}")
+    // the bucket-offset side joins back as a broadcast, never a shuffle
+    assert(p.contains("BroadcastHashJoin"), s"bucket offsets not broadcast:\n$p")
   }
 
   test("q36: interval overlap runs as a hash join on the bucket, not a nested loop") {
