@@ -41,6 +41,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => { arity("graft_shingles", args, 2)
         ShinglesK(args(0), litInt(args(1), "graft_shingles", "n")) },
       "graft_shingles(text, n) - word n-gram shingles of a string"),
+    ("graft_shingle_hashes",
+      (args: Seq[Expression]) => { arity("graft_shingle_hashes", args, 2)
+        ShingleHashesK(args(0), litInt(args(1), "graft_shingle_hashes", "n")) },
+      "graft_shingle_hashes(text, n) - charHash of each word n-gram shingle"),
     ("graft_simhash32",
       (args: Seq[Expression]) => { arity("graft_simhash32", args, 1)
         SimHash32K(args(0)) },

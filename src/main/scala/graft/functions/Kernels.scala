@@ -25,6 +25,7 @@ object Kernels {
   import org.apache.spark.sql.graft.ColumnBridge.{toColumn, toExpression}
 
   def shingles(text: Column, n: Int): Column = toColumn(ShinglesK(toExpression(text), n))
+  def shingleHashes(text: Column, n: Int): Column = toColumn(ShingleHashesK(toExpression(text), n))
   def simhash32(shingles: Column): Column = toColumn(SimHash32K(toExpression(shingles)))
   def minhashSig(shingles: Column, k: Int): Column = toColumn(MinHashSigK(toExpression(shingles), k))
   def vecDot(a: Column, b: Column): Column = toColumn(VecDotK(toExpression(a), toExpression(b)))
@@ -57,6 +58,35 @@ object Kernels {
         o += 1
       }
       out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** charHash of each word n-gram shingle, WITHOUT materializing the
+    * shingle strings: `shingleHashesEval(t, n)(i) ==
+    * charHash(shinglesEval(t, n)(i))` for every i (the space joiner is
+    * folded into the hash). 8-byte keys instead of n-gram strings cuts
+    * the inverted-index shuffle of [[graft.operators.Dedup.ngramJaccardPairs]]
+    * several-fold; two distinct shingles colliding mod P collapse to
+    * one key, which any oracle reproduces by applying the same hash.
+    */
+  def shingleHashesEval(text: UTF8String, n: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](words.length - n + 1)
+    var i = 0
+    while (i < out.length) {
+      var h = 7L
+      var o = 0
+      while (o < n) {
+        if (o > 0) h = (h * 31 + ' '.toLong) % P
+        val w = words(i + o)
+        var j = 0
+        while (j < w.length) { h = (h * 31 + w.charAt(j).toLong) % P; j += 1 }
+        o += 1
+      }
+      out(i) = h
       i += 1
     }
     new GenericArrayData(out)
@@ -210,6 +240,15 @@ case class ShinglesK(child: Expression, n: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.shinglesEval($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): ShinglesK = copy(child = newChild)
   override def prettyName: String = "graft_shingles"
+}
+
+case class ShingleHashesK(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = Kernels.shingleHashesEval(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.shingleHashesEval($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesK = copy(child = newChild)
+  override def prettyName: String = "graft_shingle_hashes"
 }
 
 case class SimHash32K(child: Expression) extends UnaryExpression {

@@ -60,6 +60,14 @@ object Dedup {
     * docs BEFORE pairing — the standard guard against quadratic blowup
     * on boilerplate shingles at scale (cap applied identically in any
     * oracle re-implementation).
+    *
+    * Shingles are hashed to int64 inside the kernel
+    * ([[graft.functions.Kernels.shingleHashes]]) before the
+    * inverted-index groupBy, so posting-list keys are 8 bytes instead
+    * of n-gram strings — a several-fold shuffle-byte cut. Two distinct
+    * shingles colliding mod P collapse to one key (probability
+    * ~shingles²/2e9 per doc pair); an oracle reproduces the result
+    * exactly by applying the same hash.
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
@@ -67,7 +75,7 @@ object Dedup {
       maxShingleFreq: Long = 1000L): DataFrame = {
     val sh = df.select(
       col(idCol).as("doc"),
-      explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("s"))
+      explode(array_distinct(graft.functions.Kernels.shingleHashes(col(textCol), n))).as("s"))
     // Inverted index: ONE shuffle keyed on shingle builds the posting
     // list, and the frequency cap is a size() filter on that list — no
     // separate hot-count pass, no anti-join, and the shingle kernel runs

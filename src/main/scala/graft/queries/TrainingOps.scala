@@ -402,7 +402,7 @@ object TrainingOps {
         Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
           n = 3, num = 1, den = 10, maxShingleFreq = 1000L),
       Some(s"""WITH $duckShingles,
-              |sh AS (SELECT DISTINCT doc_id, unnest(s) AS s FROM shl),
+              |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(s, t -> ${duckCharHash("t")})) AS s FROM shl),
               |capped AS (SELECT * FROM (
               |  SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS s_freq FROM sh)
               |  WHERE s_freq <= 1000),

@@ -61,6 +61,14 @@ class KernelsSpec extends SparkSpec {
     })
   }
 
+  test("shingle-hash kernel == charHash of each shingle string") {
+    holds(Prop.forAll(text, Gen.choose(1, 4)) { (t, n) =>
+      val got = Kernels.shingleHashesEval(UTF8String.fromString(t), n)
+        .toLongArray().toSeq
+      got == refShingles(t, n).map(refCharHash)
+    })
+  }
+
   test("simhash kernel matches per-bit definition") {
     holds(Prop.forAll(Gen.listOf(word)) { tokens =>
       Kernels.simhash32Eval(arr(tokens)) == refSimhash(tokens)
