@@ -95,8 +95,11 @@ object TrainingPipelineDemo {
     val packed = Packing.packOffsets(
       spark, chunks, "doc_id", "chunk_idx", "n_tokens", budget = 2048L)
     packed.write.mode("overwrite").parquet(s"$outDir/train_packed")
-    val nWindows = spark.read.parquet(s"$outDir/train_packed")
-      .agg(max(col("win_last"))).first().getLong(0) + 1
+    // max over an empty split is NULL (possible when the quality gate /
+    // decontamination empties train at small scale): 0 windows, not NPE
+    val maxWin = spark.read.parquet(s"$outDir/train_packed")
+      .agg(max(col("win_last"))).first()
+    val nWindows = if (maxWin.isNullAt(0)) 0L else maxWin.getLong(0) + 1
 
     Seq(
       "input" -> c0,

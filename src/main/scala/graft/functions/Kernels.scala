@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -31,6 +31,8 @@ object Kernels {
   def vecDot(a: Column, b: Column): Column = toColumn(VecDotK(toExpression(a), toExpression(b)))
   def vecNorm2(a: Column): Column = toColumn(VecNorm2K(toExpression(a)))
   def lshSig(vec: Column, planes: Int): Column = toColumn(LshSigK(toExpression(vec), planes))
+  def cosineGte(num: Column, na: Column, nb: Column, tNum: Int, tDen: Int): Column =
+    toColumn(CosineGteK(toExpression(num), toExpression(na), toExpression(nb), tNum, tDen))
   def ivfAssign(vec: Column, cents: Array[Array[Float]]): Column =
     toColumn(IvfAssignK(toExpression(vec), cents))
   def ivfScores(vec: Column, cents: Array[Array[Float]]): Column =
@@ -208,6 +210,21 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** exact integer cosine-threshold compare num²·tDen² ≥ na·nb·tNum²
+    * in BigInteger — no decimal-precision cliff at ANY int64 magnitude
+    * (a decimal(15/19,0) formulation silently nulls-and-drops pairs
+    * once a squared norm passes ~1e15). Not the hot path: runs once
+    * per candidate pair after aggregation.
+    */
+  def cosineGteEval(num: Long, na: Long, nb: Long, tNum: Int, tDen: Int): Boolean = {
+    import java.math.BigInteger
+    val lhs = BigInteger.valueOf(num).pow(2)
+      .multiply(BigInteger.valueOf(tDen.toLong * tDen))
+    val rhs = BigInteger.valueOf(na).multiply(BigInteger.valueOf(nb))
+      .multiply(BigInteger.valueOf(tNum.toLong * tNum))
+    lhs.compareTo(rhs) >= 0
+  }
+
   /** bit p set iff Σ_d sign(p,d)·v_d > 0 with the deterministic ±1
     * hyperplane family of [[graft.operators.Similarity]]:
     * sign(p,d) = +1 iff ((1103515245·p+12345)·(d+1) + 2654435761) mod 2147483647 is even.
@@ -309,6 +326,19 @@ case class IvfScoresK(child: Expression, cents: Array[Array[Float]]) extends Una
   }
   override protected def withNewChildInternal(newChild: Expression): IvfScoresK = copy(child = newChild)
   override def prettyName: String = "graft_ivf_scores"
+}
+
+case class CosineGteK(first: Expression, second: Expression, third: Expression,
+                      tNum: Int, tDen: Int) extends TernaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    Kernels.cosineGteEval(a.asInstanceOf[Long], b.asInstanceOf[Long], c.asInstanceOf[Long], tNum, tDen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.functions.Kernels.cosineGteEval($a, $b, $c, $tNum, $tDen)")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): CosineGteK =
+    copy(first = newFirst, second = newSecond, third = newThird)
+  override def prettyName: String = "graft_cosine_gte"
 }
 
 case class LshSigK(child: Expression, planes: Int) extends UnaryExpression {

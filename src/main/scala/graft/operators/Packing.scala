@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Sequence packing: lay ordered chunks end-to-end in one global token
   * stream and cut fixed-budget context windows at exact token offsets —
@@ -42,17 +43,29 @@ object Packing {
       idCol: String, idxCol: String, tokCol: String,
       budget: Long, buckets: Int = 32): DataFrame = {
     require(budget > 0 && buckets > 0, "budget and buckets must be positive")
+    // Materialize the narrow (id, idx, tok) projection ONCE: the
+    // bounds pre-pass, the bucket totals, and the windowed pass below
+    // all read this persisted frame, so a nondeterministic upstream
+    // (sample(), re-listed files) cannot give the three passes
+    // different rows — which would silently corrupt global offsets —
+    // and an expensive lineage (chunking) is not recomputed per pass.
+    // Stays persisted because the RETURNED plan still reads it; callers
+    // running at scale unpersist after materializing their output.
+    val base = df.select(col(idCol), col(idxCol), col(tokCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // range buckets from the observed id span: bucket order == id order
-    val bounds = df.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).first()
-    if (bounds.isNullAt(0)) // empty input: keep the output schema stable
+    val bounds = base.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).first()
+    if (bounds.isNullAt(0)) { // empty input: keep the output schema stable
+      base.unpersist()
       return df.select(col(idCol), col(idxCol), col(tokCol))
         .withColumn("start_tok", lit(0L))
         .withColumn("win_first", lit(0L))
         .withColumn("win_last", lit(0L))
         .limit(0)
+    }
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val span = math.max(1L, (hi - lo) / buckets + 1)
-    val withBucket = df.select(
+    val withBucket = base.select(
       col(idCol), col(idxCol), col(tokCol),
       floor((col(idCol).cast("long") - lo) / span).cast("long").as("__b"))
     // phase 2: per-bucket exclusive prefix sum (parallel across buckets)

@@ -128,22 +128,38 @@ object Temporal {
     * Cost: interval replication × ceil(span/bucket) — pick
     * `bucketSeconds` near the typical interval span so replication
     * stays O(1) per interval. Degenerate giant intervals are the skew
-    * case: cap or split them upstream (same discipline as the shingle
-    * frequency cap).
+    * case: `maxBucketsPerInterval` routes any interval spanning more
+    * buckets than that down a broadcast side-channel (giants are rare
+    * by definition — were they common, the bucket grain is simply
+    * wrong) joined with the raw predicate, so results are IDENTICAL
+    * with or without the cap and no interval ever explodes into
+    * unbounded replication.
+    *
+    * Predicate columns are qualified per side, so `points` and
+    * `intervals` may share column names.
     */
   def rangeJoin(
       points: DataFrame, tsCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
-      bucketSeconds: Long): DataFrame = {
+      bucketSeconds: Long,
+      maxBucketsPerInterval: Option[Long] = None): DataFrame = {
     val b = lit(bucketSeconds)
-    val iv = intervals.withColumn("__bucket",
+    def nBuckets(df: DataFrame) =
+      (df(endCol).cast("long") / b).cast("long") - (df(startCol).cast("long") / b).cast("long") + 1
+    val normals = maxBucketsPerInterval.fold(intervals)(m => intervals.filter(nBuckets(intervals) <= m))
+    val iv = normals.withColumn("__bucket",
       explode(sequence(
         (col(startCol).cast("long") / b).cast("long"),
         (col(endCol).cast("long") / b).cast("long"))))
     val pt = points.withColumn("__bucket", (col(tsCol).cast("long") / b).cast("long"))
-    pt.join(iv, pt("__bucket") === iv("__bucket") &&
-        col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+    val bucketedJoin = pt.join(iv, pt("__bucket") === iv("__bucket") &&
+        pt(tsCol) >= iv(startCol) && pt(tsCol) <= iv(endCol))
       .drop(pt("__bucket")).drop(iv("__bucket"))
+    maxBucketsPerInterval.fold(bucketedJoin) { m =>
+      val giants = intervals.filter(nBuckets(intervals) > m)
+      bucketedJoin.union(points.join(broadcast(giants),
+        points(tsCol) >= giants(startCol) && points(tsCol) <= giants(endCol)))
+    }
   }
 
   /** Interval-overlap join with NO equi-key: pairs every left interval
@@ -156,25 +172,49 @@ object Temporal {
     * the first bucket where both intervals coexist —
     * `bucket == floor(max(l.start, r.start) / bucketSeconds)` — so
     * every overlapping pair appears exactly once without a `distinct`
-    * shuffle over the pair space. Replication cost and skew discipline
-    * are the same as rangeJoin's (cap/split degenerate giant
-    * intervals upstream).
+    * shuffle over the pair space. Replication cost is rangeJoin's;
+    * `maxBucketsPerInterval` is the same giant-interval guard — an
+    * interval spanning more buckets than the cap (on either side)
+    * skips bucketing and joins via the broadcast side-channel with the
+    * raw overlap predicate, partitioned so every pair still appears
+    * exactly once: normal×normal bucketed, giant-left×all-right and
+    * normal-left×giant-right broadcast.
+    *
+    * Predicate columns are qualified per side, so the two inputs may
+    * share column names (e.g. both `start`/`end`).
     */
   def intervalOverlapJoin(
       left: DataFrame, lStartCol: String, lEndCol: String,
       right: DataFrame, rStartCol: String, rEndCol: String,
-      bucketSeconds: Long): DataFrame = {
+      bucketSeconds: Long,
+      maxBucketsPerInterval: Option[Long] = None): DataFrame = {
     val b = lit(bucketSeconds)
+    def nBuckets(df: DataFrame, s: String, e: String) =
+      (df(e).cast("long") / b).cast("long") - (df(s).cast("long") / b).cast("long") + 1
     def bucketed(df: DataFrame, s: String, e: String) = df.withColumn("__bucket",
       explode(sequence(
         (col(s).cast("long") / b).cast("long"),
         (col(e).cast("long") / b).cast("long"))))
-    val l = bucketed(left, lStartCol, lEndCol)
-    val r = bucketed(right, rStartCol, rEndCol)
-    l.join(r,
-        l("__bucket") === r("__bucket") &&
-          col(lStartCol) <= col(rEndCol) && col(rStartCol) <= col(lEndCol) &&
-          l("__bucket") === (greatest(col(lStartCol).cast("long"), col(rStartCol).cast("long")) / b).cast("long"))
-      .drop(l("__bucket")).drop(r("__bucket"))
+    def overlaps(lDf: DataFrame, rDf: DataFrame) =
+      lDf(lStartCol) <= rDf(rEndCol) && rDf(rStartCol) <= lDf(lEndCol)
+    def bucketedJoin(lDf: DataFrame, rDf: DataFrame) = {
+      val l = bucketed(lDf, lStartCol, lEndCol)
+      val r = bucketed(rDf, rStartCol, rEndCol)
+      l.join(r,
+          l("__bucket") === r("__bucket") && overlaps(l, r) &&
+            l("__bucket") === (greatest(l(lStartCol).cast("long"), r(rStartCol).cast("long")) / b).cast("long"))
+        .drop(l("__bucket")).drop(r("__bucket"))
+    }
+    maxBucketsPerInterval match {
+      case None => bucketedJoin(left, right)
+      case Some(m) =>
+        val lNorm = left.filter(nBuckets(left, lStartCol, lEndCol) <= m)
+        val lGiant = left.filter(nBuckets(left, lStartCol, lEndCol) > m)
+        val rNorm = right.filter(nBuckets(right, rStartCol, rEndCol) <= m)
+        val rGiant = right.filter(nBuckets(right, rStartCol, rEndCol) > m)
+        bucketedJoin(lNorm, rNorm)
+          .union(broadcast(lGiant).join(right, overlaps(lGiant, right)))
+          .union(lNorm.join(broadcast(rGiant), overlaps(lNorm, rGiant)))
+    }
   }
 }

@@ -58,15 +58,17 @@ object TextSim {
       .where(col("da") < col("b.doc"))
       .select(col("da"), col("b.doc").as("db"), (col("wa") * col("b.wt")).as("prod"))
       .groupBy("da", "db").agg(sum("prod").as("num"))
-    // decimal cross-multiplication: num ≤ ~5e14 fits decimal(15), so
-    // every product below stays exact (15+15+1 = 31 ≤ 38 digits)
-    val num2 = col("num").cast("decimal(15,0)") * col("num").cast("decimal(15,0)")
-    val nanb = col("na").cast("decimal(15,0)") * col("nb").cast("decimal(15,0)")
+    // exact BigInteger cross-multiplication (Kernels.cosineGteEval): a
+    // decimal(15,0) formulation would silently null-and-drop any pair
+    // whose operand passes ~1e15 (possible: wt is unbounded by doc
+    // length for rare terms). The int64 sums feeding it are the only
+    // remaining bound — overflow needs a single posting-list dot or
+    // norm ≥ 2^63, i.e. ~10⁹-token documents at max weight.
     pairs
       .join(norms.as("sa"), col("da") === col("sa.doc"))
       .join(norms.as("sb"), col("db") === col("sb.doc"))
       .select(col("da"), col("db"), col("num"),
         col("sa.nrm").as("na"), col("sb.nrm").as("nb"))
-      .filter(num2 * (tDen.toLong * tDen) >= nanb * (tNum.toLong * tNum))
+      .filter(graft.functions.Kernels.cosineGte(col("num"), col("na"), col("nb"), tNum, tDen))
   }
 }

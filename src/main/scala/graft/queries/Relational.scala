@@ -343,7 +343,8 @@ object Relational {
           .select(col("event_id").as("p_id"), col("ts").as("p_start"),
             (col("ts") + expr("INTERVAL 15 MINUTES")).as("p_end"))
         graft.operators.Temporal.intervalOverlapJoin(
-            sw, "s_start", "s_end", pw, "p_start", "p_end", bucketSeconds = 1800L)
+            sw, "s_start", "s_end", pw, "p_start", "p_end", bucketSeconds = 1800L,
+            maxBucketsPerInterval = Some(64L))
           .select("s_id", "p_id")
       },
       Some("""SELECT s.event_id AS s_id, p.event_id AS p_id
@@ -420,7 +421,8 @@ object Relational {
           .select(col("event_id").as("i_id"), col("ts").as("start_ts"),
             (col("ts") + expr("INTERVAL 30 MINUTES")).as("end_ts"))
         graft.operators.Temporal.rangeJoin(
-            points, "ts", intervals, "start_ts", "end_ts", bucketSeconds = 1800L)
+            points, "ts", intervals, "start_ts", "end_ts", bucketSeconds = 1800L,
+            maxBucketsPerInterval = Some(64L))
           .select("p_id", "i_id")
       },
       Some("""SELECT p.event_id AS p_id, i.event_id AS i_id

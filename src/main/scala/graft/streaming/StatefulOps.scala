@@ -67,18 +67,44 @@ object StatefulOps {
 
   // ---- streaming keep-latest (CDC snapshot over a stream) ----
 
-  final case class Latest(tsMillis: Long, tie: Long, value: String)
+  final case class Latest(tsMillis: Long, value: String)
 
   implicit val latestEnc: Encoder[Latest] = Encoders.product[Latest]
   implicit val latestOutEnc: Encoder[(String, Latest)] =
     Encoders.tuple(Encoders.STRING, latestEnc)
 
+  /** unsigned UTF-8 byte order — the comparison Spark's StringType
+    * (UTF8String) uses inside `max(struct(ts, value))`, so stream ties
+    * match the batch operator exactly, beyond the BMP included (Scala's
+    * String ordering compares UTF-16 code units, which diverges on
+    * supplementary characters).
+    */
+  private[streaming] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private val keyedRank: Ordering[Keyed] = (p: Keyed, q: Keyed) => {
+    val c = java.lang.Long.compare(p.tsMillis, q.tsMillis)
+    if (c != 0) c else utf8Compare(p.value, q.value)
+  }
+
   /** Per-key transition for the streaming analog of
     * [[graft.operators.Dedup.keepLatest]]: state holds the current
-    * winner per key ((ts, tie) lexicographic max — same tie rule as the
-    * batch operator, so batch and stream agree row for row); each
-    * micro-batch emits the key's NEW winner iff it changed. State is
-    * one row per live key, TTL-bounded like the other stateful ops.
+    * winner per key — the lexicographic max of (ts, value) comparing
+    * the VALUE ITSELF in UTF-8 byte order, the exact tie rule of the
+    * batch operator's `max(struct(ts, tieCol))`, so batch and stream
+    * agree row for row under equal timestamps. Each micro-batch emits
+    * the key's NEW winner iff it changed. State is one row per live
+    * key, TTL-bounded like the other stateful ops.
     */
   def keepLatestGroup(key: String, rows: Iterator[Keyed], state: GroupState[Latest],
                       ttlMs: Long): Iterator[(String, Latest)] =
@@ -87,15 +113,14 @@ object StatefulOps {
       Iterator.empty
     } else {
       val batch = rows.toSeq
-      // tie = a stable long derived from the value for deterministic
-      // ordering under equal timestamps (callers pass ids in `value`)
-      def rank(k: Keyed): (Long, Long) = (k.tsMillis, k.value.hashCode.toLong)
-      val best = batch.maxBy(rank)
-      val challenger = Latest(best.tsMillis, rank(best)._2, best.value)
-      val ord = Ordering.Tuple2[Long, Long]
+      val best = batch.max(keyedRank)
+      val challenger = Latest(best.tsMillis, best.value)
       val winner = state.getOption match {
-        case Some(cur) if ord.gteq((cur.tsMillis, cur.tie), (challenger.tsMillis, challenger.tie)) => None
-        case _ => Some(challenger)
+        case Some(cur) =>
+          val c = java.lang.Long.compare(challenger.tsMillis, cur.tsMillis)
+          val cmp = if (c != 0) c else utf8Compare(challenger.value, cur.value)
+          if (cmp <= 0) None else Some(challenger)
+        case None => Some(challenger)
       }
       winner.foreach(state.update)
       if (ttlMs > 0) state.setTimeoutDuration(ttlMs)

@@ -109,6 +109,60 @@ class TemporalSpec extends SparkSpec {
     assert(got.toSet == Set((1L, 10L), (1L, 11L), (1L, 12L), (2L, 12L)))
   }
 
+  test("giant-interval guard: capped results identical, giants broadcast instead of exploding") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // one degenerate interval spanning ~14 years of 1800s buckets: with
+    // the cap it must NOT be bucket-exploded (245k replicas) but still
+    // match every point via the broadcast side-channel
+    val giantLo = new Timestamp(0L)
+    val giantHi = new Timestamp(2_000_000_000_000L) // epoch 0 .. 2033 — ~1.1M buckets
+    val intervals = Seq(
+      (1L, t(0), t(59)),
+      (2L, t(10), t(10)),
+      (99L, giantLo, giantHi)  // the giant
+    ).toDF("i_id", "start_ts", "end_ts")
+    val points = Seq((10L, t(0)), (11L, t(10)), (12L, t(30))).toDF("p_id", "ts")
+    def pairs(capped: Option[Long]) =
+      Temporal.rangeJoin(points, "ts", intervals, "start_ts", "end_ts", 1800L, capped)
+        .select("p_id", "i_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairs(Some(64L))
+    // every point matches the giant; normal matches unchanged
+    assert(capped == pairs(None))
+    assert(Set((10L, 99L), (11L, 99L), (12L, 99L)).subsetOf(capped))
+    // the capped plan never materializes the giant's bucket sequence:
+    // it must run a broadcast join for the giant branch
+    val plan = Temporal.rangeJoin(points, "ts", intervals, "start_ts", "end_ts", 1800L, Some(64L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"giant side-channel not broadcast:\n$plan")
+
+    // interval×interval: giants on BOTH sides, every pair exactly once
+    val l = Seq((1L, t(0), t(30)), (2L, t(40), t(45)), (50L, giantLo, giantHi))
+      .toDF("l_id", "l_s", "l_e")
+    val r = Seq((10L, t(5), t(10)), (11L, t(30), t(35)), (60L, giantLo, giantHi))
+      .toDF("r_id", "r_s", "r_e")
+    val got = Temporal.intervalOverlapJoin(l, "l_s", "l_e", r, "r_s", "r_e", 600L, Some(64L))
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+    val brute = l.crossJoin(r)
+      .filter(col("l_s") <= col("r_e") && col("r_s") <= col("l_e"))
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(got.sorted.toSeq == brute.sorted.toSeq, s"got ${got.toSeq} want ${brute.toSeq}")
+    assert(got.length == got.distinct.length, "a pair was emitted twice under the cap")
+  }
+
+  test("range and overlap joins accept inputs sharing column names") {
+    import spark.implicits._
+    // both sides carry start/end — the predicate must qualify per side
+    val l = Seq((1L, t(0), t(30))).toDF("id", "start", "end")
+    val r = Seq((9L, t(10), t(20))).toDF("id", "start", "end")
+    val ov = Temporal.intervalOverlapJoin(l, "start", "end", r, "start", "end", 600L)
+    assert(ov.count() == 1)
+    val pts = Seq((7L, t(15))).toDF("id", "ts")
+    val iv = Seq((8L, t(0), t(30))).toDF("id", "start", "end")
+    assert(Temporal.rangeJoin(pts, "ts", iv, "start", "end", 1800L).count() == 1)
+  }
+
   test("a legit NULL in the matched right row is NOT back-filled from older rows") {
     import spark.implicits._
     val left = Seq(("k", t(10), "e")).toDF("k", "ts", "ev")

@@ -82,8 +82,12 @@ class PlanSpec extends SparkSpec {
   test("range join runs as a hash join on the manufactured bucket key, not a nested loop") {
     val p = executedPlanOf("q18_range_join")
     assert(p.contains("HashJoin"), s"range join not a hash join:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      s"range join degenerated to a nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"range join degenerated to a cartesian:\n$p")
+    // the ONLY nested-loop allowed is the giant-interval side-channel,
+    // whose build side is the broadcast (rare-by-contract) giants — the
+    // data×data path must stay on the bucket hash join
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"data path degenerated to a nested loop:\n$p")
   }
 
   test("asof join is one shuffle plus an in-partition sort") {
@@ -234,8 +238,12 @@ class PlanSpec extends SparkSpec {
 
   test("q36: interval overlap runs as a hash join on the bucket, not a nested loop") {
     val p = plan("q36_interval_overlap")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"expected the bucket-keyed hash join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"overlap join degenerated to a cartesian:\n$p")
+    assert(p.contains("HashJoin"), s"expected the bucket-keyed hash join:\n$p")
+    // only the two giant side-channels (left-giant, right-giant) may
+    // nested-loop, and both build from broadcast giants
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 2, s"data path degenerated to a nested loop:\n$p")
   }
 
   test("ann_int8_topk: quantized scoring broadcasts the probe side, no cartesian") {

@@ -107,7 +107,7 @@ class StatefulOpsSpec extends SparkSpec {
     query.processAllAvailable()
     query.stop()
     val rows = spark.table("latest_out").collect()
-      .map(r => (r.getString(0), r.getStruct(1).getLong(0), r.getStruct(1).getString(2)))
+      .map(r => (r.getString(0), r.getStruct(1).getLong(0), r.getStruct(1).getString(1)))
     // per batch per key at most one emission; stale k1 suppressed
     assert(rows.count(_._1 == "k1") == 1)
     assert(rows.filter(_._1 == "k1").head == (("k1", 200L, "v2")))
@@ -124,17 +124,27 @@ class StatefulOpsSpec extends SparkSpec {
       batchProcessingTimeMs = 1000L,
       eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(),
       hasTimedOut = false)
-    // equal timestamps: the higher tie hash wins, deterministically
-    val a = Keyed("k", "aa", 100L); val b = Keyed("k", "bb", 100L)
-    val tieOf = (k: Keyed) => k.value.hashCode.toLong
+    // equal timestamps: max of the VALUE itself wins — same rule as
+    // batch max(struct(ts, value)). "z" > "aa" in byte order even
+    // though "aa".hashCode > "z".hashCode, so a hash-based tie would
+    // disagree with batch here.
+    val a = Keyed("k", "z", 100L); val b = Keyed("k", "aa", 100L)
+    assert("z".hashCode < "aa".hashCode) // the case hashes get backwards
     val s0 = st(None)
     val first = keepLatestGroup("k", Iterator(a, b), s0, ttlMs = 0L).toList
-    val expectWinner = if (tieOf(a) >= tieOf(b)) a else b
-    assert(first.map(_._2.value) == List(expectWinner.value))
+    assert(first.map(_._2.value) == List("z"))
     // a strictly-older arrival never displaces the state
-    val s1 = st(Some(Latest(200L, 0L, "cur")))
+    val s1 = st(Some(Latest(200L, "cur")))
     assert(keepLatestGroup("k", Iterator(Keyed("k", "z", 150L)), s1, ttlMs = 0L).isEmpty)
     assert(s1.get.value == "cur")
+    // equal-ts equal-value re-arrival: no re-emit (cur wins ties)
+    val s2 = st(Some(Latest(200L, "cur")))
+    assert(keepLatestGroup("k", Iterator(Keyed("k", "cur", 200L)), s2, ttlMs = 0L).isEmpty)
+    // batch parity on the tie itself: against state (100, "aa"), value
+    // "z" at the same ts wins exactly as the batch struct-max would
+    val s3 = st(Some(Latest(100L, "aa")))
+    assert(keepLatestGroup("k", Iterator(Keyed("k", "z", 100L)), s3, ttlMs = 0L)
+      .toList.map(_._2.value) == List("z"))
   }
 
   test("near-dup bucket cap: boilerplate buckets stop pairing and stop growing") {
