@@ -1,9 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Per-query timing protocol: one untimed warmup rep (absorbs codegen,
+    * parquet footer reads, shuffle-service spin-up), then `REPS` timed
+    * warm reps, reporting the MEDIAN — so a single GC pause or host
+    * hiccup can't masquerade as a plan regression (this made r3/r4
+    * cross-round comparisons unadjudicable).
+    */
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -13,27 +20,43 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM (codegen, parquet reader, shuffle paths) so the first
-    // timed query doesn't absorb session startup cost; touch every table
-    // so no query pays the first footer read for its input
+    // query's warmup rep doesn't also pay session startup; touch every
+    // table so no query pays the first footer read for its input
     spark.range(1000000).selectExpr("sum(id)").collect()
     Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").limit(1).collect())
     val errors = scala.collection.mutable.ListBuffer[String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) } catch {
         case t: Throwable =>
           // a failing query must be loud, not a suspiciously fast entry
           System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
-          errors += name
+          None
       }
-      name -> (System.nanoTime() - t0) / 1e9
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      timeOnce(name, fn) match { // untimed-for-reporting warmup rep
+        case None =>
+          errors += name
+          name -> 0.0
+        case Some(cold) =>
+          val warm = (1 to reps).flatMap(_ => timeOnce(name, fn))
+          // if warm reps start failing after a green warmup, stay loud
+          if (warm.length < reps) errors += name
+          name -> (if (warm.nonEmpty) median(warm) else cold)
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","protocol":"median-of-$reps-warm"}""")
     spark.stop()
   }
 }

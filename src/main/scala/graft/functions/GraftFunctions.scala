@@ -44,7 +44,7 @@ object GraftFunctions {
     ("graft_shingle_hashes",
       (args: Seq[Expression]) => { arity("graft_shingle_hashes", args, 2)
         ShingleHashesK(args(0), litInt(args(1), "graft_shingle_hashes", "n")) },
-      "graft_shingle_hashes(text, n) - charHash of each word n-gram shingle"),
+      "graft_shingle_hashes(text, n) - packed 64-bit double hash of each word n-gram shingle"),
     ("graft_simhash32",
       (args: Seq[Expression]) => { arity("graft_simhash32", args, 1)
         SimHash32K(args(0)) },

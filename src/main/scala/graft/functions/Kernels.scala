@@ -41,6 +41,9 @@ object Kernels {
   /** polynomial modulus shared with [[TextFunctions.P]]. */
   val P = 1000000007L
 
+  /** second, independent modulus for the packed 64-bit shingle key. */
+  val P2 = 1000000009L
+
   /** word n-gram shingles: split on single spaces (trailing empties
     * kept, as Spark's `split(text, " ")` does), then each window of n
     * words joined with " ". Fewer than n words → empty array.
@@ -65,13 +68,21 @@ object Kernels {
     new GenericArrayData(out)
   }
 
-  /** charHash of each word n-gram shingle, WITHOUT materializing the
-    * shingle strings: `shingleHashesEval(t, n)(i) ==
-    * charHash(shinglesEval(t, n)(i))` for every i (the space joiner is
-    * folded into the hash). 8-byte keys instead of n-gram strings cuts
-    * the inverted-index shuffle of [[graft.operators.Dedup.ngramJaccardPairs]]
-    * several-fold; two distinct shingles colliding mod P collapse to
-    * one key, which any oracle reproduces by applying the same hash.
+  /** packed double hash of each word n-gram shingle, WITHOUT
+    * materializing the shingle strings: key = h1·P2 + h2 where h1 is
+    * [[charHash]] (base 31, seed 7, mod P) and h2 an independent
+    * polynomial (base 37, seed 11, mod P2) over the same characters
+    * (space joiner folded in). Packing two ~30-bit residues gives a
+    * genuinely ~60-bit key (max (P−1)·P2 + P2−1 ≈ 1.0e18 < 2⁶³): a
+    * single mod-P hash has only ~2³⁰ values, so at corpus scale (≥1e8
+    * distinct shingles) unrelated posting lists merge by birthday
+    * collision, inflating pair intersections and perturbing the
+    * frequency cap — with the packed key, a collision needs both
+    * residues equal (~2⁻⁶⁰ per pair). 8-byte keys instead of n-gram
+    * strings still cut the inverted-index shuffle of
+    * [[graft.operators.Dedup.ngramJaccardPairs]] several-fold; an
+    * oracle reproduces the result exactly by applying the same two
+    * folds and packing.
     */
   def shingleHashesEval(text: UTF8String, n: Int): ArrayData = {
     val words = text.toString.split(" ", -1)
@@ -79,16 +90,25 @@ object Kernels {
     val out = new Array[Any](words.length - n + 1)
     var i = 0
     while (i < out.length) {
-      var h = 7L
+      var h1 = 7L
+      var h2 = 11L
       var o = 0
       while (o < n) {
-        if (o > 0) h = (h * 31 + ' '.toLong) % P
+        if (o > 0) {
+          h1 = (h1 * 31 + ' '.toLong) % P
+          h2 = (h2 * 37 + ' '.toLong) % P2
+        }
         val w = words(i + o)
         var j = 0
-        while (j < w.length) { h = (h * 31 + w.charAt(j).toLong) % P; j += 1 }
+        while (j < w.length) {
+          val c = w.charAt(j).toLong
+          h1 = (h1 * 31 + c) % P
+          h2 = (h2 * 37 + c) % P2
+          j += 1
+        }
         o += 1
       }
-      out(i) = h
+      out(i) = h1 * P2 + h2
       i += 1
     }
     new GenericArrayData(out)

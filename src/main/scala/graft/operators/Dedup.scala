@@ -64,10 +64,11 @@ object Dedup {
     * Shingles are hashed to int64 inside the kernel
     * ([[graft.functions.Kernels.shingleHashes]]) before the
     * inverted-index groupBy, so posting-list keys are 8 bytes instead
-    * of n-gram strings — a several-fold shuffle-byte cut. Two distinct
-    * shingles colliding mod P collapse to one key (probability
-    * ~shingles²/2e9 per doc pair); an oracle reproduces the result
-    * exactly by applying the same hash.
+    * of n-gram strings — a several-fold shuffle-byte cut. The key packs
+    * two independent ~30-bit polynomial residues (≈60-bit entropy), so
+    * cross-shingle collisions stay negligible even at ≥1e8 distinct
+    * shingles; an oracle reproduces the result exactly by applying the
+    * same two folds and packing.
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,

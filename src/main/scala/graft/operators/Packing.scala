@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Sequence packing: lay ordered chunks end-to-end in one global token
   * stream and cut fixed-budget context windows at exact token offsets —
@@ -43,20 +42,25 @@ object Packing {
       idCol: String, idxCol: String, tokCol: String,
       budget: Long, buckets: Int = 32): DataFrame = {
     require(budget > 0 && buckets > 0, "budget and buckets must be positive")
-    // Materialize the narrow (id, idx, tok) projection ONCE: the
-    // bounds pre-pass, the bucket totals, and the windowed pass below
-    // all read this persisted frame, so a nondeterministic upstream
-    // (sample(), re-listed files) cannot give the three passes
+    // Materialize the narrow (id, idx, tok) projection ONCE as an eager
+    // local checkpoint: the bounds pre-pass, the bucket totals, and the
+    // windowed pass below all read this snapshot, so a nondeterministic
+    // upstream (sample(), re-listed files) cannot give the three passes
     // different rows — which would silently corrupt global offsets —
     // and an expensive lineage (chunking) is not recomputed per pass.
-    // Stays persisted because the RETURNED plan still reads it; callers
-    // running at scale unpersist after materializing their output.
+    // localCheckpoint (not persist) because the returned plan keeps
+    // reading it, so there is no safe place to unpersist inside this
+    // method: checkpoint blocks are freed by the ContextCleaner when the
+    // caller drops the returned frame, instead of leaking a manually
+    // persisted frame for the session lifetime. Tradeoff, documented:
+    // a lost executor cannot recompute checkpoint blocks — but replaying
+    // a nondeterministic lineage is exactly the corruption this guards
+    // against, so the snapshot is the correct choice at scale too.
     val base = df.select(col(idCol), col(idxCol), col(tokCol))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // range buckets from the observed id span: bucket order == id order
     val bounds = base.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).first()
     if (bounds.isNullAt(0)) { // empty input: keep the output schema stable
-      base.unpersist()
       return df.select(col(idCol), col(idxCol), col(tokCol))
         .withColumn("start_tok", lit(0L))
         .withColumn("win_first", lit(0L))

@@ -71,9 +71,20 @@ object Sampling {
       budgetFor: Column => Column, seed: Int = 0, buckets: Int = 32): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val span = (1000000 + buckets - 1) / buckets
+    // Snapshot the bucketed frame once (lazy local checkpoint): the
+    // per-bucket cumsum branch and the bucket-totals branch below both
+    // read it, and a nondeterministic upstream giving the two passes
+    // different rows would silently corrupt cum_tokens — the exact
+    // failure mode Packing.packOffsets guards against. Checkpoint, not
+    // persist: the returned plan keeps reading this frame, so there is
+    // no safe in-method unpersist point; checkpoint blocks are freed by
+    // the ContextCleaner when the caller drops the result. I/O cost is
+    // one materialization of the input — the same class as the shuffle
+    // the cumsum window pays anyway.
     val withB = df
       .withColumn("__ord", hashBucket(col(keyCol), 1000000, seed))
       .withColumn("__b", expr(s"__ord DIV $span"))
+      .localCheckpoint(false)
     // phase 2: per-(group, bucket) inclusive prefix sum, parallel
     // across group × bucket
     val wLocal = Window.partitionBy(col(groupCol), col("__b"))

@@ -20,6 +20,16 @@ object TrainingOps {
       s"list_transform(list_filter(string_split($x,''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT))), " +
       s"(a,b) -> (a*31+b) % 1000000007)"
 
+  /** DuckDB mirror of Kernels.shingleHashes' packed 64-bit key:
+    * charHash(x)·P2 + (base-37, seed-11, mod-P2 fold over the same
+    * characters).
+    */
+  private def duckShingleKey(x: String): String =
+    s"(${duckCharHash(x)} * 1000000009 + " +
+      s"list_reduce(list_prepend(CAST(11 AS BIGINT), " +
+      s"list_transform(list_filter(string_split($x,''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a,b) -> (a*37+b) % 1000000009))"
+
   /** DuckDB CTEs: word-3-gram shingle list per doc. */
   private val duckShingles =
     """tok AS (SELECT doc_id, string_split(text,' ') w FROM documents),
@@ -402,7 +412,7 @@ object TrainingOps {
         Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
           n = 3, num = 1, den = 10, maxShingleFreq = 1000L),
       Some(s"""WITH $duckShingles,
-              |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(s, t -> ${duckCharHash("t")})) AS s FROM shl),
+              |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(s, t -> ${duckShingleKey("t")})) AS s FROM shl),
               |capped AS (SELECT * FROM (
               |  SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS s_freq FROM sh)
               |  WHERE s_freq <= 1000),

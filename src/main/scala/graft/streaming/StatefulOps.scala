@@ -67,6 +67,13 @@ object StatefulOps {
 
   // ---- streaming keep-latest (CDC snapshot over a stream) ----
 
+  /** STATE-SCHEMA v2 (round 4 dropped the redundant `tie` field): the
+    * flatMapGroupsWithState state encoder is positional, so a checkpoint
+    * written by the 3-field v1 state will fail or misdecode on restart
+    * against this class. Restarting an existing keep-latest stream on
+    * this version requires a NEW checkpoint directory (the stream
+    * rebuilds state from the source's retained history).
+    */
   final case class Latest(tsMillis: Long, value: String)
 
   implicit val latestEnc: Encoder[Latest] = Encoders.product[Latest]
@@ -167,15 +174,23 @@ object StatefulOps {
       Iterator.empty
     } else {
       val prior = state.getOption.map(_.docIds).getOrElse(Nil)
-      val fresh = rows.map(_.docId).toSeq.distinct.filterNot(prior.contains).sorted
+      // membership via a Set and an explicit count: per-arrival bookkeeping
+      // is O(1) instead of the List's O(n) contains/size (pairing itself is
+      // O(residents) — that is the output size, not overhead)
+      val seen = scala.collection.mutable.HashSet.empty[Long]
+      prior.foreach(seen += _)
+      val fresh = rows.map(_.docId).toSeq.distinct.filterNot(seen.contains).sorted
       val pairs = scala.collection.mutable.ListBuffer[CandidatePair]()
       var resident = prior
+      var count = seen.size
       fresh.foreach { id =>
-        if (resident.size < maxBucket) {
+        if (count < maxBucket) {
           resident.foreach { other =>
             pairs += CandidatePair(math.min(id, other), math.max(id, other), band)
           }
           resident = id :: resident
+          seen += id
+          count += 1
         }
       }
       state.update(BucketState(resident))

@@ -61,11 +61,16 @@ class KernelsSpec extends SparkSpec {
     })
   }
 
-  test("shingle-hash kernel == charHash of each shingle string") {
+  private def refShingleKey(s: String): Long = {
+    val h2 = s.foldLeft(11L)((h, c) => (h * 37 + c.toLong) % Kernels.P2)
+    refCharHash(s) * Kernels.P2 + h2
+  }
+
+  test("shingle-hash kernel == packed double hash of each shingle string") {
     holds(Prop.forAll(text, Gen.choose(1, 4)) { (t, n) =>
       val got = Kernels.shingleHashesEval(UTF8String.fromString(t), n)
         .toLongArray().toSeq
-      got == refShingles(t, n).map(refCharHash)
+      got == refShingles(t, n).map(refShingleKey)
     })
   }
 
