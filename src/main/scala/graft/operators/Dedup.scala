@@ -144,6 +144,12 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** per-run stats for [[connectedComponentsWithStats]]: propagation
+    * rounds executed (including the confirming fixpoint round) and
+    * whether the star-contraction fallback took over.
+    */
+  final case class CcStats(propRounds: Int, switchedToStar: Boolean)
+
   /** Connected components over a near-dup pair list — the final stage
     * of every dedup pipeline: pairs → groups → one canonical id (the
     * minimum) per group.
@@ -152,17 +158,33 @@ object Dedup {
     * the minimum label among itself and its neighbors (one shuffle on
     * vertex id per round); converges in O(component diameter) rounds.
     * Near-dup clusters are shallow (dups of a common source), so the
-    * diameter is small in practice; `maxIters` guards the pathological
-    * chain. Each round materializes via persist, so lineage never
-    * re-computes earlier rounds, and the fixpoint check short-circuits
-    * (`limit(1)` — "did anything change", not "how many").
+    * diameter is small in practice. When a pathological long chain
+    * shows up, O(diameter) rounds would grind: after `switchAfter`
+    * non-converged rounds this AUTO-SWITCHES to
+    * [[connectedComponentsStar]], whose alternating star contraction
+    * finishes in O(log n) rounds — so total rounds are bounded by
+    * switchAfter + O(log n) on ANY graph shape. Each round
+    * materializes via persist, so lineage never re-computes earlier
+    * rounds; rounds-to-converge is logged for plan forensics.
     *
     * Returns (id, comp): every vertex that appears in a pair, labeled
     * with the minimum id reachable from it.
     */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20): DataFrame =
+    connectedComponentsWithStats(pairs, aCol, bCol, maxIters)._1
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** [[connectedComponents]] plus [[CcStats]] — the stats make the
+    * auto-switch observable to specs and operators dashboards.
+    * `switchAfter` counts propagation rounds BEYOND the folded-in init
+    * round; pass `Int.MaxValue` to pin pure propagation.
+    */
+  def connectedComponentsWithStats(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 20, switchAfter: Int = 5): (DataFrame, CcStats) = {
     // both edge directions from ONE pass over the pair list: a union of
     // two selects would re-derive `pairs` (the whole LSH candidate
     // pipeline) once per branch when this first materializes
@@ -186,7 +208,7 @@ object Dedup {
     var prev = checksum(labels)
     var converged = false
     var i = 0
-    while (!converged && i < maxIters) {
+    while (!converged && i < maxIters && i < switchAfter) {
       val viaNbr = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("comp"))
       val next = labels.select("id", "comp").union(viaNbr)
@@ -200,7 +222,23 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
-    labels
+    if (!converged && i >= switchAfter && i < maxIters) {
+      // diameter exceeded the propagation budget (long-chain graph):
+      // hand the ORIGINAL pair list to star contraction, which squares
+      // progress per iteration instead of advancing one hop
+      log.info(s"connectedComponents: not converged after $i propagation rounds; " +
+        "switching to star contraction")
+      labels.unpersist()
+      (connectedComponentsStar(pairs, aCol, bCol, maxIters), CcStats(i, switchedToStar = true))
+    } else {
+      log.info(s"connectedComponents: converged=$converged after $i propagation rounds")
+      // snapshot the final labels and release the cache: returning the
+      // persisted frame itself would leak it for the session lifetime
+      // (no caller-reachable unpersist point — the Packing lesson)
+      val out = labels.localCheckpoint(true)
+      labels.unpersist()
+      (out, CcStats(i, switchedToStar = false))
+    }
   }
 
   /** Connected components by alternating large-star/small-star — the
@@ -266,12 +304,16 @@ object Dedup {
       prev = cur
       i += 1
     }
-    // fixpoint edges are (child, root) stars; label children and roots
+    // fixpoint edges are (child, root) stars; label children and roots.
+    // Snapshot + release the per-round cache instead of returning a plan
+    // over the persisted edge set (session-lifetime leak otherwise).
     val out = edges.select(explode(array(
         struct(col("a").as("id"), col("b").as("comp")),
         struct(col("b").as("id"), col("b").as("comp")))).as("p"))
       .select("p.id", "p.comp")
       .groupBy("id").agg(min("comp").as("comp"))
+      .localCheckpoint(true)
+    edges.unpersist()
     out
   }
 

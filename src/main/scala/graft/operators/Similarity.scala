@@ -179,13 +179,29 @@ object Similarity {
           count(lit(1)).as("cnt"))
         .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
       val byCluster = updated.groupBy(_._1)
+      // Empty clusters reseed to the training vectors FURTHEST from the
+      // current centroids (lowest best-dot, ties → lowest id; the j-th
+      // empty list by index takes the j-th furthest point) instead of
+      // keeping a stale centroid that can stay empty forever. ≤ nList
+      // vectors reach the driver — still model-sized traffic. If there
+      // are more empty lists than training rows, the tail keeps its old
+      // centroid (zip truncates), the only honest option left.
+      val empties = centroids.indices.filterNot(byCluster.contains)
+      val reseeds: Map[Int, Array[Float]] =
+        if (empties.isEmpty) Map.empty
+        else empties.zip(
+          assigned
+            .withColumn("best", array_max(Kernels.ivfScores(col("vec"), unit)))
+            .orderBy(col("best").asc, col("id").asc)
+            .limit(empties.size)
+            .select("vec").collect().map(_.getSeq[Float](0).toArray)).toMap
       centroids = centroids.indices.map { c =>
         byCluster.get(c) match {
           case Some(rows) =>
             // truncating long division (matches SQL integer //), then
             // back to float at 1/QScale resolution
             rows.sortBy(_._2).map(r => ((r._3 / r._4).toDouble / QScale).toFloat).toArray
-          case None => centroids(c) // empty cluster keeps its centroid
+          case None => reseeds.getOrElse(c, centroids(c))
         }
       }.toArray
     }

@@ -44,10 +44,13 @@ object TrainingOps {
     * c{i} → unit-normalize → assign train rows (argmax dot, ties →
     * lowest index) → integer-quantized per-cluster mean (sum of
     * round(x·2²⁰) as int64, truncating division — summation-order-free
-    * on both engines) → c{i+1}.
+    * on both engines) → c{i+1}. Empty clusters reseed to the furthest
+    * training vectors (lowest best-dot, ties → lowest id; j-th empty
+    * list by index ← j-th furthest point), same rule as the Spark loop.
     */
   private def duckIvfIter(i: Int): String = {
-    val (c, u, s, a, q, cn) = (s"c$i", s"u$i", s"s$i", s"a$i", s"q$i", s"c${i + 1}")
+    val (c, u, s, a, q, e, f, cn) =
+      (s"c$i", s"u$i", s"s$i", s"a$i", s"q$i", s"e$i", s"f$i", s"c${i + 1}")
     s"""$u AS (
        |  SELECT c, CASE WHEN nrm = 0 THEN vec
        |    ELSE list_transform(vec, x -> CAST(CAST(x AS DOUBLE) / sqrt(nrm) AS REAL)) END AS uvec
@@ -60,20 +63,26 @@ object TrainingOps {
        |      p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))) AS s
        |  FROM train t CROSS JOIN $u u),
        |$a AS (
-       |  SELECT id, vec, c AS cluster FROM (
-       |    SELECT id, vec, c, row_number() OVER (PARTITION BY id ORDER BY s DESC, c ASC) AS rn
+       |  SELECT id, vec, c AS cluster, s FROM (
+       |    SELECT id, vec, c, s, row_number() OVER (PARTITION BY id ORDER BY s DESC, c ASC) AS rn
        |    FROM $s) WHERE rn = 1),
        |$q AS (
        |  SELECT cluster, pos, sum(CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qs,
        |         count(*) AS cnt
        |  FROM (SELECT cluster, unnest(range(1, len(vec)+1)) AS pos, unnest(vec) AS x FROM $a)
        |  GROUP BY 1, 2),
+       |$e AS (
+       |  SELECT c, row_number() OVER (ORDER BY c) AS j
+       |  FROM $c WHERE c NOT IN (SELECT DISTINCT cluster FROM $a)),
+       |$f AS (
+       |  SELECT vec, row_number() OVER (ORDER BY s ASC, id ASC) AS j FROM $a),
        |$cn AS (
-       |  SELECT old.c, COALESCE(n.nv, old.vec) AS vec
+       |  SELECT old.c, COALESCE(rs.vec, n.nv, old.vec) AS vec
        |  FROM $c old LEFT JOIN (
        |    SELECT cluster AS c,
        |           list(CAST(CAST(qs // cnt AS DOUBLE) / 1048576.0 AS REAL) ORDER BY pos) AS nv
-       |    FROM $q GROUP BY 1) n USING (c))""".stripMargin
+       |    FROM $q GROUP BY 1) n USING (c)
+       |  LEFT JOIN (SELECT $e.c, $f.vec FROM $e JOIN $f USING (j)) rs USING (c))""".stripMargin
   }
 
   def defs: Map[String, Q] = Map(

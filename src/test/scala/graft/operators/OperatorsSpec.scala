@@ -74,6 +74,51 @@ class OperatorsSpec extends SparkSpec {
     assert(s2 == p2, s"random graph diverged: star=$s2 prop=$p2")
   }
 
+  test("IVF empty clusters reseed to the furthest training points") {
+    import spark.implicits._
+    // ids 1-4 share one direction, so all four init centroids are
+    // identical, every point assigns to cluster 0 (argmax ties → lowest
+    // index), and clusters 1-3 are empty from round one — the stale-
+    // centroid trap. Reseed must hand them the furthest points (dot 0,
+    // ties → lowest id): ids 5, 6, 7.
+    val df = (
+      (1L to 4L).map(i => (i, Array(1f, 0f, 0f, 0f))) ++ Seq(
+        5L -> Array(0f, 1f, 0f, 0f),
+        6L -> Array(0f, 0f, 1f, 0f),
+        7L -> Array(0f, 0f, 0f, 1f))).toDF("id", "vec")
+    val cents = Similarity.ivfCentroids(df, "id", "vec", nList = 4, iters = 2)
+    assert(cents.map(_.toSeq).distinct.length == 4,
+      s"expected 4 distinct centroids after reseed: ${cents.map(_.toSeq).toSeq}")
+    // the reseeded lists point at the orthogonal directions, in id order
+    assert(cents(1).indexOf(cents(1).max) == 1 &&
+      cents(2).indexOf(cents(2).max) == 2 &&
+      cents(3).indexOf(cents(3).max) == 3,
+      s"reseeded centroids misdirected: ${cents.map(_.toSeq).toSeq}")
+    val again = Similarity.ivfCentroids(df, "id", "vec", nList = 4, iters = 2)
+    assert(cents.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "reseed not deterministic")
+  }
+
+  test("long-chain graph fires the star auto-switch after the round budget") {
+    import spark.implicits._
+    // a 64-node chain: diameter 63, so pure propagation would need ~63
+    // full-shuffle rounds; the switch caps it at switchAfter + O(log n)
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("da", "db")
+    val (out, stats) = Dedup.connectedComponentsWithStats(
+      chain, "da", "db", maxIters = 30, switchAfter = 3)
+    assert(stats.switchedToStar, s"expected the auto-switch to fire: $stats")
+    assert(stats.propRounds == 3, s"propagation should stop at the budget: $stats")
+    val labels = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 64 && labels.values.forall(_ == 0L),
+      s"chain mislabeled after switch: $labels")
+    // a shallow graph converges inside the budget and never switches
+    val shallow = Seq((1L, 2L), (1L, 3L), (10L, 11L)).toDF("da", "db")
+    val (out2, stats2) = Dedup.connectedComponentsWithStats(
+      shallow, "da", "db", maxIters = 30, switchAfter = 5)
+    assert(!stats2.switchedToStar && stats2.propRounds <= 3, s"unexpected: $stats2")
+    val l2 = out2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L), l2.toString)
+  }
+
   test("property: components match a union-find reference on random graphs") {
     import org.scalacheck.{Gen, Prop}
     import org.scalacheck.Test.{check, Parameters}
