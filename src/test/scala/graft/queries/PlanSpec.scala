@@ -88,6 +88,13 @@ class PlanSpec extends SparkSpec {
     // data×data path must stay on the bucket hash join
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
     assert(bnlj <= 1, s"data path degenerated to a nested loop:\n$p")
+    // and that side-channel must BUILD the giants (joined on the right):
+    // a refactor that loses the broadcast() hint would either flip the
+    // build side onto the data or fall back to a cartesian — both are a
+    // full-corpus replication at 100 TB, not a rare-giant escape hatch
+    p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+      assert(l.contains("BuildRight"), s"giant side-channel not building the broadcast side:\n$l")
+    }
   }
 
   test("asof join is one shuffle plus an in-partition sort") {
@@ -241,9 +248,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"overlap join degenerated to a cartesian:\n$p")
     assert(p.contains("HashJoin"), s"expected the bucket-keyed hash join:\n$p")
     // only the two giant side-channels (left-giant, right-giant) may
-    // nested-loop, and both build from broadcast giants
+    // nested-loop, and both must BUILD the broadcast giants — never the
+    // data side (a lost broadcast() hint = full-corpus replication)
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
     assert(bnlj <= 2, s"data path degenerated to a nested loop:\n$p")
+    p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+      assert(l.contains("BuildRight") || l.contains("BuildLeft"),
+        s"giant side-channel without an explicit broadcast build side:\n$l")
+      assert(!l.contains("Cartesian"), s"giant side-channel degenerated:\n$l")
+    }
   }
 
   test("ann_int8_topk: quantized scoring broadcasts the probe side, no cartesian") {
