@@ -1,0 +1,178 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-pair-encoding subword tokenizer (Sennrich et al. 2016, the
+  * standard LLM token-count basis) as codegen Catalyst expressions.
+  *
+  * The merge table ships as a resource in the public `merges.txt`
+  * format (one "left right" pair per line, rank = line order, optional
+  * `#version` header) — the same file layout every BPE ecosystem reads
+  * — or loads from any path, so a user can drop in their model's real
+  * merge table. The default table is trained offline on the engine's
+  * own document corpus with the textbook pair-count loop.
+  *
+  * Tokenization rule, pinned identically in the Scala kernel, the
+  * ScalaTest reference, and the DuckDB oracle CTEs:
+  *
+  *   1. pre-tokenize on whitespace runs (words never span spaces);
+  *   2. a word starts as its Unicode CODEPOINTS (not UTF-16 units —
+  *      beyond-BMP text must count the same everywhere);
+  *   3. repeatedly find the adjacent pair with the LOWEST merge rank
+  *      (leftmost occurrence on ties) and merge that one occurrence;
+  *   4. stop when no adjacent pair is in the table.
+  *
+  * Characters outside the merge alphabet simply stay single-codepoint
+  * tokens — unknown scripts degrade to per-codepoint counts instead of
+  * failing, which is the honest budget behavior for CJK against an
+  * English merge table.
+  *
+  * Why an expression and not a UDF: token counting sits under every
+  * chunk/pack/mixture budget — it must stay inside whole-stage codegen
+  * with zero SerDe, like the other kernels in [[Kernels]]. The rank
+  * map rides along as a reference object (a few KB), the same
+  * mechanism as the IVF centroid matrix.
+  */
+object Bpe {
+
+  import org.apache.spark.sql.graft.ColumnBridge.{toColumn, toExpression}
+
+  /** merge ranks keyed "left right"; java.util.HashMap: serializable,
+    * null-on-miss (no Option boxing in the hot loop).
+    */
+  type Ranks = java.util.HashMap[String, Integer]
+
+  /** parse merges.txt content: skip blank lines and `#...` headers;
+    * rank = order of appearance.
+    */
+  def parseMerges(lines: Iterator[String]): Ranks = {
+    val m = new java.util.HashMap[String, Integer]()
+    var rank = 0
+    lines.foreach { line =>
+      val t = line.trim
+      if (t.nonEmpty && !t.startsWith("#")) {
+        m.put(t, rank)
+        rank += 1
+      }
+    }
+    m
+  }
+
+  def loadResource(path: String): Ranks = {
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"merge table resource not found: $path")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try parseMerges(src.getLines()) finally src.close()
+  }
+
+  def loadFile(path: String): Ranks = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try parseMerges(src.getLines()) finally src.close()
+  }
+
+  /** the shipped default table (64 merges trained on the documents
+    * corpus); loaded once per JVM.
+    */
+  lazy val defaultRanks: Ranks = loadResource("/graft/bpe_merges.txt")
+
+  /** ordered merge list back out of a ranks map — the form the DuckDB
+    * oracle inlines as a MAP literal.
+    */
+  def orderedMerges(ranks: Ranks): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    ranks.asScala.toSeq.sortBy(_._2.intValue).map(_._1)
+  }
+
+  /** BPE pieces of ONE word (codepoint init + rank-greedy merge loop).
+    * Shared by count and pieces eval so the rule can't fork.
+    */
+  private def mergeWord(word: String, ranks: Ranks): scala.collection.mutable.ArrayBuffer[String] = {
+    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      toks += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    var done = toks.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestI = -1
+      var j = 0
+      while (j < toks.length - 1) {
+        val r = ranks.get(toks(j) + " " + toks(j + 1))
+        if (r != null && r.intValue < bestRank) { bestRank = r.intValue; bestI = j }
+        j += 1
+      }
+      if (bestI < 0) done = true
+      else {
+        toks(bestI) = toks(bestI) + toks(bestI + 1)
+        toks.remove(bestI + 1)
+        if (toks.length < 2) done = true
+      }
+    }
+    toks
+  }
+
+  private val Whitespace = "\\s+".r
+
+  def countEval(text: UTF8String, ranks: Ranks): Long = {
+    var n = 0L
+    Whitespace.split(text.toString).foreach { w =>
+      if (w.nonEmpty) n += mergeWord(w, ranks).length
+    }
+    n
+  }
+
+  def piecesEval(text: UTF8String, ranks: Ranks): ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    Whitespace.split(text.toString).foreach { w =>
+      if (w.nonEmpty) mergeWord(w, ranks).foreach(p => out += UTF8String.fromString(p))
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** BPE token count of `text` under the default shipped merge table. */
+  def tokenCount(text: Column): Column = tokenCount(text, defaultRanks)
+
+  def tokenCount(text: Column, ranks: Ranks): Column =
+    toColumn(BpeCountK(toExpression(text), ranks))
+
+  /** the subword pieces themselves (word-major order) — the lossless
+    * companion: `concat_ws("", pieces)` == text with whitespace runs
+    * collapsed away.
+    */
+  def pieces(text: Column): Column = pieces(text, defaultRanks)
+
+  def pieces(text: Column, ranks: Ranks): Column =
+    toColumn(BpePiecesK(toExpression(text), ranks))
+}
+
+case class BpeCountK(child: Expression, ranks: Bpe.Ranks) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    Bpe.countEval(input.asInstanceOf[UTF8String], ranks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeRanks", ranks, classOf[java.util.HashMap[String, Integer]].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.Bpe.countEval($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeCountK = copy(child = newChild)
+  override def prettyName: String = "graft_bpe_count"
+}
+
+case class BpePiecesK(child: Expression, ranks: Bpe.Ranks) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Bpe.piecesEval(input.asInstanceOf[UTF8String], ranks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeRanks", ranks, classOf[java.util.HashMap[String, Integer]].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.Bpe.piecesEval($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpePiecesK = copy(child = newChild)
+  override def prettyName: String = "graft_bpe_pieces"
+}

@@ -64,7 +64,15 @@ object GraftFunctions {
     ("graft_lsh_sig",
       (args: Seq[Expression]) => { arity("graft_lsh_sig", args, 2)
         LshSigK(args(0), litInt(args(1), "graft_lsh_sig", "planes")) },
-      "graft_lsh_sig(vec, planes) - random-hyperplane LSH signature"))
+      "graft_lsh_sig(vec, planes) - random-hyperplane LSH signature"),
+    ("graft_bpe_count",
+      (args: Seq[Expression]) => { arity("graft_bpe_count", args, 1)
+        BpeCountK(args(0), Bpe.defaultRanks) },
+      "graft_bpe_count(text) - BPE subword token count under the shipped merge table"),
+    ("graft_bpe_pieces",
+      (args: Seq[Expression]) => { arity("graft_bpe_pieces", args, 1)
+        BpePiecesK(args(0), Bpe.defaultRanks) },
+      "graft_bpe_pieces(text) - BPE subword pieces under the shipped merge table"))
 
   /** Register every kernel on a LIVE session (temp functions). */
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder, _) =>

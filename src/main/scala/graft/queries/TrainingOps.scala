@@ -39,6 +39,45 @@ object TrainingOps {
       |    ELSE [] END AS s
       |  FROM tok)""".stripMargin
 
+  /** the shipped BPE merge table as a DuckDB MAP literal ("left right"
+    * → rank), the same precompute-into-SQL route as the LSH hyperplane
+    * family.
+    */
+  private lazy val duckBpeMap: String =
+    graft.functions.Bpe.orderedMerges(graft.functions.Bpe.defaultRanks)
+      .zipWithIndex
+      .map { case (k, r) => s"'${k.replace("'", "''")}': $r" }
+      .mkString("MAP{", ", ", "}")
+
+  /** DuckDB CTEs re-deriving [[graft.functions.Bpe.countEval]] exactly:
+    * whitespace-run words → codepoint lists → recursive rank-greedy
+    * merge (lowest rank wins, leftmost occurrence on ties, ONE merge
+    * per step) → per-doc piece-count sums, empty docs included as 0.
+    * Requires a `WITH RECURSIVE` prefix.
+    */
+  private lazy val duckBpeCounts =
+    s"""wq AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word FROM documents),
+       |w AS (SELECT DISTINCT word FROM wq),
+       |init AS (SELECT word, string_split(word, '') AS toks FROM w),
+       |bpe AS (
+       |  SELECT word, toks FROM init
+       |  UNION ALL
+       |  SELECT word,
+       |    list_concat(list_concat(list_slice(toks, 1, bi - 1),
+       |      [toks[bi] || toks[bi + 1]]), list_slice(toks, bi + 2, len(toks))) AS toks
+       |  FROM (
+       |    SELECT word, toks, list_position(rk, list_min(rk)) AS bi, list_min(rk) AS br
+       |    FROM (
+       |      SELECT word, toks, list_transform(range(1, len(toks)),
+       |        i -> coalesce(($duckBpeMap[toks[i] || ' ' || toks[i + 1]])[1], 1000000)) AS rk
+       |      FROM bpe) WHERE len(toks) > 1)
+       |  WHERE br < 1000000),
+       |wn AS (SELECT word, min(len(toks)) AS n FROM bpe GROUP BY word),
+       |bc AS (SELECT d.doc_id, CAST(COALESCE(s.n, 0) AS BIGINT) AS n_bpe
+       |       FROM documents d LEFT JOIN (
+       |         SELECT wq.doc_id, sum(wn.n) AS n FROM wq JOIN wn USING (word) GROUP BY 1) s
+       |       USING (doc_id))""".stripMargin
+
   /** DuckDB CTE block for one Lloyd iteration of the IVF quantizer
     * (mirrors [[graft.operators.Similarity.ivfCentroids]] exactly):
     * c{i} → unit-normalize → assign train rows (argmax dot, ties →
@@ -197,6 +236,30 @@ object TrainingOps {
              |       ELSE (start_tok + n_tokens - 1) // 2048 END AS BIGINT) AS win_last
              |FROM o""".stripMargin)),
 
+    // ---- document packing on the BPE budget: same two-phase prefix
+    //      sum, window boundaries measured in real subword tokens
+    //      (chunk-level packing stays word-boundary'd because chunk
+    //      text must rebuild by word; doc-level packing budgets are
+    //      exactly where subword counts matter) ----
+    "ta_pack_bpe" -> Q(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), lit(0L).as("chunk_idx"),
+            graft.functions.Bpe.tokenCount(col("text")).as("n_bpe"))
+        Packing.packOffsets(s, d, "doc_id", "chunk_idx", "n_bpe",
+          budget = 2048L, buckets = 32)
+      },
+      Some(s"""WITH RECURSIVE $duckBpeCounts,
+              |o AS (SELECT doc_id, CAST(0 AS BIGINT) AS chunk_idx, n_bpe,
+              |  COALESCE(sum(n_bpe) OVER (ORDER BY doc_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+              |  FROM bc)
+              |SELECT doc_id, chunk_idx, n_bpe, CAST(start_tok AS BIGINT) AS start_tok,
+              |  CAST(start_tok // 2048 AS BIGINT) AS win_first,
+              |  CAST(CASE WHEN n_bpe = 0 THEN start_tok // 2048
+              |       ELSE (start_tok + n_bpe - 1) // 2048 END AS BIGINT) AS win_last
+              |FROM o""".stripMargin)),
+
     // ---- corpus mixture by token budget: keep docs per source in
     //      deterministic hash order until 1200 tokens — target-mixture
     //      assembly as a pure function of (doc_id, budget) ----
@@ -217,6 +280,39 @@ object TrainingOps {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
              |  FROM d)
              |SELECT source, doc_id, cum_tokens FROM o WHERE cum_tokens <= 1200""".stripMargin)),
+
+    // ---- BPE subword token counts: the real LLM budget basis
+    //      (whitespace counts are 1.3-2x off vs subword tokenizers and
+    //      unboundedly wrong on CJK); merge table ships in the public
+    //      merges.txt format, applied by a codegen kernel ----
+    "ta_tokens_bpe" -> Q(
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.Bpe.tokenCount(col("text")).as("n_bpe")),
+      Some(s"""WITH RECURSIVE $duckBpeCounts
+              |SELECT doc_id, n_bpe FROM bc""".stripMargin)),
+
+    // ---- mixture cut on the BPE budget: the same two-phase cumsum
+    //      operator, with the budget basis swapped from whitespace to
+    //      subword counts — what "x billion training tokens of y"
+    //      actually means ----
+    "ta_mixture_bpe" -> Q(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            graft.functions.Bpe.tokenCount(col("text")).as("n_bpe"))
+        Sampling.mixtureByTokenBudget(d, "source", "doc_id", "n_bpe",
+            _ => lit(1600L))
+          .select(col("source"), col("doc_id"), col("cum_tokens"))
+      },
+      Some(s"""WITH RECURSIVE $duckBpeCounts,
+              |o AS (SELECT d.source, d.doc_id,
+              |  CAST(sum(bc.n_bpe) OVER (PARTITION BY d.source
+              |    ORDER BY ((d.doc_id*37 + 7) % 1000000007) % 1000000, d.doc_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+              |  FROM documents d JOIN bc USING (doc_id))
+              |SELECT source, doc_id, cum_tokens FROM o WHERE cum_tokens <= 1600""".stripMargin)),
 
     // ---- weighted mixture: per-source budgets (the "x tokens of web,
     //      y of code" shape) — budget is a function of the group key ----

@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Test.{check, Parameters}
+
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.SparkSpec
+
+/** Pins the BPE kernel to an independent straight-from-the-rule
+  * reference (lowest rank wins, leftmost on ties, one merge per step,
+  * codepoint init) on random texts and random merge tables — including
+  * beyond-BMP codepoints, where UTF-16-unit splitting would diverge.
+  */
+class BpeSpec extends SparkSpec {
+
+  private val params = Parameters.default.withMinSuccessfulTests(200)
+  private def holds(p: Prop): Unit = {
+    val r = check(params, p)
+    assert(r.passed, r.status.toString)
+  }
+
+  /** naive reference: immutable-List rewrite per step. */
+  private def refWord(word: String, ranks: Map[String, Int]): List[String] = {
+    var toks: List[String] = {
+      val b = List.newBuilder[String]
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        b += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      b.result()
+    }
+    var continue = true
+    while (continue && toks.length > 1) {
+      val ranked = toks.zip(toks.tail).zipWithIndex
+        .flatMap { case ((a, b), i) => ranks.get(a + " " + b).map(r => (r, i)) }
+      if (ranked.isEmpty) continue = false
+      else {
+        val (_, i) = ranked.min // (rank, position): lowest rank, then leftmost
+        toks = toks.take(i) ::: (toks(i) + toks(i + 1)) :: toks.drop(i + 2)
+      }
+    }
+    toks
+  }
+
+  private def refCount(text: String, ranks: Map[String, Int]): Long =
+    text.split("\\s+").filter(_.nonEmpty).map(refWord(_, ranks).length.toLong).sum
+
+  private def toJava(m: Map[String, Int]): Bpe.Ranks = {
+    val j = new java.util.HashMap[String, Integer]()
+    m.foreach { case (k, v) => j.put(k, v) }
+    j
+  }
+
+  // words over a small alphabet plus beyond-BMP codepoints (surrogate
+  // pairs in UTF-16) so codepoint-vs-code-unit bugs can't hide
+  private val hi = Gen.oneOf("😀", "🤖", "中", "文")
+  private val ch = Gen.frequency(8 -> Gen.oneOf("a", "b", "c", "d").map(identity[String]), 2 -> hi)
+  private val word = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, ch).map(_.mkString))
+  private val text = Gen.listOf(word).map(_.mkString(" "))
+  private val rankTable: Gen[Map[String, Int]] = for {
+    n <- Gen.choose(0, 12)
+    pairs <- Gen.listOfN(n, for { a <- ch; b <- ch } yield a + " " + b)
+  } yield pairs.distinct.zipWithIndex.toMap
+
+  test("count kernel matches the reference rule on random texts and tables") {
+    holds(Prop.forAll(text, rankTable) { (t, m) =>
+      Bpe.countEval(UTF8String.fromString(t), toJava(m)) == refCount(t, m)
+    })
+  }
+
+  test("pieces are lossless: concatenation rebuilds the whitespace-stripped text") {
+    holds(Prop.forAll(text, rankTable) { (t, m) =>
+      val pieces = Bpe.piecesEval(UTF8String.fromString(t), toJava(m))
+        .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString)
+      pieces.mkString == t.split("\\s+").filter(_.nonEmpty).mkString &&
+        pieces.length == Bpe.countEval(UTF8String.fromString(t), toJava(m))
+    })
+  }
+
+  test("unmergeable multi-byte text counts codepoints, not UTF-16 units") {
+    val empty = new java.util.HashMap[String, Integer]()
+    // two emoji (2 codepoints, 4 UTF-16 units) + CJK word of 3 codepoints
+    assert(Bpe.countEval(UTF8String.fromString("😀🤖"), empty) == 2L)
+    assert(Bpe.countEval(UTF8String.fromString("中文语"), empty) == 3L)
+    assert(Bpe.countEval(UTF8String.fromString(""), empty) == 0L)
+    assert(Bpe.countEval(UTF8String.fromString("   "), empty) == 0L)
+  }
+
+  test("shipped merge table loads, and known words split as trained") {
+    val r = Bpe.defaultRanks
+    assert(r.size >= 32, s"expected a real merge table, got ${r.size} entries")
+    def pieces(w: String): Seq[String] =
+      Bpe.piecesEval(UTF8String.fromString(w), r)
+        .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+    // full-word merges and subword splits straight from training
+    assert(pieces("table") == Seq("table"), pieces("table").toString)
+    assert(pieces("the") == Seq("t", "h", "e"), pieces("the").toString)
+    assert(pieces("window").length > 1 && pieces("window").mkString == "window")
+  }
+
+  test("parseMerges skips headers and blank lines; rank is line order") {
+    val r = Bpe.parseMerges(Iterator("#version: 0.2", "", "a b", "ab c", "  "))
+    assert(r.size == 2 && r.get("a b") == 0 && r.get("ab c") == 1)
+  }
+
+  test("SQL registration: graft_bpe_count equals the Column API") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq("the table window", "", "spark stream").toDF("text")
+    df.createOrReplaceTempView("bpe_docs")
+    val viaSql = spark.sql("SELECT graft_bpe_count(text) AS n FROM bpe_docs")
+      .collect().map(_.getLong(0)).toSeq
+    val viaCol = df.select(Bpe.tokenCount($"text").as("n"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql == viaCol && viaCol.head > 3, s"sql=$viaSql col=$viaCol")
+  }
+}

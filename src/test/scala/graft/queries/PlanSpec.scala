@@ -207,6 +207,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"expected the per-bucket cumsum window:\n$p")
   }
 
+  test("ta_tokens_bpe: subword counting is map-only inside whole-stage codegen") {
+    val p = plan("ta_tokens_bpe")
+    assert(!p.contains("Exchange"), s"per-row token count must not shuffle:\n$p")
+    assert(p.contains("graft_bpe_count"), s"expected the BPE kernel expression:\n$p")
+    // "*(n)" prefixes mark whole-stage-codegen stages in toString plans
+    assert(p.contains("*(1) Project"), s"BPE kernel fell out of codegen:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"token counting must be an expression, not a UDF:\n$p")
+  }
+
   test("dd_keep_latest: compaction is partial-aggregated, not a window sort") {
     val p = plan("dd_keep_latest")
     assert(!p.contains("Window"), s"expected no window operator:\n$p")
