@@ -314,6 +314,56 @@ object TrainingOps {
               |  FROM documents d JOIN bc USING (doc_id))
               |SELECT source, doc_id, cum_tokens FROM o WHERE cum_tokens <= 1600""".stripMargin)),
 
+    // ---- streaming mixture, batch-driven: the incremental per-source
+    //      budget state (flatMapGroupsWithState) fed the whole corpus
+    //      in one micro-batch must equal the batch cumsum mixture —
+    //      the same gate dd_neardup_stateful uses ----
+    "ta_mixture_stateful" -> Q(
+      (s, dir) => {
+        val ev = Tables(s, dir, "documents")
+          .select(col("source").as("group"), col("doc_id").as("key"),
+            TextFunctions.wsTokenCount(col("text")).cast("long").as("tok"))
+          .as[graft.streaming.StatefulOps.MixtureEvent](graft.streaming.StatefulOps.mixEvEnc)
+        graft.streaming.StatefulOps.streamingMixtureByTokenBudget(ev, _ => 1200L)
+          .toDF()
+          .select(col("group").as("source"), col("key").as("doc_id"),
+            col("cumTokens").as("cum_tokens"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+             |  len(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents),
+             |o AS (SELECT source, doc_id,
+             |  CAST(sum(n_tokens) OVER (PARTITION BY source
+             |    ORDER BY ((doc_id*37 + 7) % 1000000007) % 1000000, doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+             |  FROM d)
+             |SELECT source, doc_id, cum_tokens FROM o WHERE cum_tokens <= 1200""".stripMargin)),
+
+    // ---- streaming packing, batch-driven: per-stream running-offset
+    //      state must equal the two-phase packOffsets prefix sum ----
+    "ta_pack_stateful" -> Q(
+      (s, dir) => {
+        val ev = Tables(s, dir, "documents")
+          .select(lit("docs").as("stream"), col("doc_id").as("id"), lit(0L).as("idx"),
+            TextFunctions.wsTokenCount(col("text")).cast("long").as("tok"))
+          .as[graft.streaming.StatefulOps.ChunkEvent](graft.streaming.StatefulOps.chunkEvEnc)
+        graft.streaming.StatefulOps.streamingPackOffsets(ev, budget = 2048L)
+          .toDF()
+          .select(col("id").as("doc_id"), col("tok").as("n_tokens"),
+            col("startTok").as("start_tok"), col("winFirst").as("win_first"),
+            col("winLast").as("win_last"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens FROM documents),
+             |o AS (SELECT doc_id, n_tokens,
+             |  COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+             |  FROM d)
+             |SELECT doc_id, n_tokens, CAST(start_tok AS BIGINT) AS start_tok,
+             |  CAST(start_tok // 2048 AS BIGINT) AS win_first,
+             |  CAST(CASE WHEN n_tokens = 0 THEN start_tok // 2048
+             |       ELSE (start_tok + n_tokens - 1) // 2048 END AS BIGINT) AS win_last
+             |FROM o""".stripMargin)),
+
     // ---- weighted mixture: per-source budgets (the "x tokens of web,
     //      y of code" shape) — budget is a function of the group key ----
     "ta_mixture_weighted" -> Q(

@@ -149,6 +149,132 @@ object StatefulOps {
       }
   }
 
+  // ---- streaming token-budget mixture (incremental corpus cut) ----
+
+  final case class MixtureEvent(group: String, key: Long, tok: Long)
+  final case class BudgetState(cum: Long)
+  final case class MixtureKept(group: String, key: Long, cumTokens: Long)
+
+  implicit val mixEvEnc: Encoder[MixtureEvent] = Encoders.product[MixtureEvent]
+  implicit val budgetEnc: Encoder[BudgetState] = Encoders.product[BudgetState]
+  implicit val mixKeptEnc: Encoder[MixtureKept] = Encoders.product[MixtureKept]
+
+  private val P = graft.functions.TextFunctions.P
+
+  /** the batch operator's hash-order key
+    * ([[graft.operators.Sampling.hashBucket]] at seed 0), so stream and
+    * batch agree on within-micro-batch admission order: long multiply
+    * wraps identically in JVM and Spark columns, floorMod == pmod.
+    */
+  private[streaming] def hashOrd(key: Long): Long =
+    Math.floorMod(Math.floorMod(key * 37L + 7L, P), 1000000L)
+
+  /** Per-group transition for the streaming analog of
+    * [[graft.operators.Sampling.mixtureByTokenBudget]]: state carries
+    * the group's running token total across micro-batches; every
+    * arrival accumulates (kept or not — the batch filter keeps rows
+    * whose INCLUSIVE cumsum fits, and later rows only see larger
+    * sums), rows are admitted while the total stays within budget.
+    * Within a micro-batch, rows apply in the batch operator's hash
+    * order, so driving the whole input through one batch reproduces
+    * the batch mixture row-for-row. Once a group's budget is crossed
+    * the state stops the group forever (or until TTL expiry) — the
+    * incremental "stop ingesting source X at N tokens" a continuously
+    * ingesting pipeline needs.
+    */
+  def mixtureGroup(group: String, rows: Iterator[MixtureEvent], state: GroupState[BudgetState],
+                   budgetFor: String => Long, ttlMs: Long): Iterator[MixtureKept] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val budget = budgetFor(group)
+      val ordered = rows.toSeq.sortBy(e => (hashOrd(e.key), e.key))
+      var cum = state.getOption.map(_.cum).getOrElse(0L)
+      val out = ordered.flatMap { e =>
+        cum += e.tok
+        if (cum <= budget) Some(MixtureKept(group, e.key, cum)) else None
+      }
+      state.update(BudgetState(cum))
+      if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+      out.iterator
+    }
+
+  /** Streaming corpus mixture: one state row per source (the running
+    * token total — a few bytes, not the data), emitting each admitted
+    * document with its inclusive cumulative count. Batch-driving the
+    * full input equals `Sampling.mixtureByTokenBudget` exactly.
+    */
+  def streamingMixtureByTokenBudget(
+      events: Dataset[MixtureEvent], budgetFor: String => Long,
+      ttlMs: Long = 0L): Dataset[MixtureKept] = {
+    val timeout =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.group)
+      .flatMapGroupsWithState[BudgetState, MixtureKept](OutputMode.Append, timeout) {
+        (g: String, rows: Iterator[MixtureEvent], state: GroupState[BudgetState]) =>
+          mixtureGroup(g, rows, state, budgetFor, ttlMs)
+      }
+  }
+
+  // ---- streaming packing (incremental context-window offsets) ----
+
+  final case class ChunkEvent(stream: String, id: Long, idx: Long, tok: Long)
+  final case class PackState(nextStart: Long)
+  final case class PackedChunk(stream: String, id: Long, idx: Long, tok: Long,
+                               startTok: Long, winFirst: Long, winLast: Long)
+
+  implicit val chunkEvEnc: Encoder[ChunkEvent] = Encoders.product[ChunkEvent]
+  implicit val packStEnc: Encoder[PackState] = Encoders.product[PackState]
+  implicit val packedEnc: Encoder[PackedChunk] = Encoders.product[PackedChunk]
+
+  /** Per-stream transition for the streaming analog of
+    * [[graft.operators.Packing.packOffsets]]: state is the next global
+    * token offset of the stream; each micro-batch lays its chunks
+    * end-to-end in (id, idx) order and stamps `budget`-token window
+    * ids. When micro-batches arrive in id order (the Kafka-offset
+    * shape), batch-driving the full input equals `packOffsets`
+    * row-for-row.
+    */
+  def packGroup(stream: String, rows: Iterator[ChunkEvent], state: GroupState[PackState],
+                budget: Long, ttlMs: Long): Iterator[PackedChunk] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val ordered = rows.toSeq.sortBy(e => (e.id, e.idx))
+      var start = state.getOption.map(_.nextStart).getOrElse(0L)
+      val out = ordered.map { e =>
+        val winFirst = start / budget
+        val winLast = if (e.tok == 0) winFirst else (start + e.tok - 1) / budget
+        val r = PackedChunk(stream, e.id, e.idx, e.tok, start, winFirst, winLast)
+        start += e.tok
+        r
+      }
+      state.update(PackState(start))
+      if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+      out.iterator
+    }
+
+  /** Streaming sequence packing: per-stream running offset state (one
+    * long), chunks stamped with global start offsets and context-window
+    * ids as they arrive.
+    */
+  def streamingPackOffsets(
+      chunks: Dataset[ChunkEvent], budget: Long,
+      ttlMs: Long = 0L): Dataset[PackedChunk] = {
+    require(budget > 0, "budget must be positive")
+    val timeout =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    chunks
+      .groupByKey(_.stream)
+      .flatMapGroupsWithState[PackState, PackedChunk](OutputMode.Append, timeout) {
+        (st: String, rows: Iterator[ChunkEvent], state: GroupState[PackState]) =>
+          packGroup(st, rows, state, budget, ttlMs)
+      }
+  }
+
   // ---- streaming near-dup candidates (MinHash + LSH over a stream) ----
 
   final case class BandedDoc(band: String, docId: Long)

@@ -147,6 +147,86 @@ class StatefulOpsSpec extends SparkSpec {
       .toList.map(_._2.value) == List("z"))
   }
 
+  test("streaming mixture: budget admission transitions across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[MixtureEvent]
+    val result = streamingMixtureByTokenBudget(input.toDS(), _ => 10L)
+    val query = result.writeStream
+      .format("memory").queryName("mix_out")
+      .outputMode("append")
+      .start()
+    // batch 1: two docs fit (4 + 4 = 8 <= 10)
+    input.addData(MixtureEvent("web", 1L, 4L), MixtureEvent("web", 2L, 4L))
+    query.processAllAvailable()
+    // batch 2: the next doc crosses the budget (8 + 3 = 11 > 10) and is
+    // cut; the group is spent, so later small docs stay cut too (the
+    // batch filter's inclusive-cumsum rule)
+    input.addData(MixtureEvent("web", 3L, 3L))
+    query.processAllAvailable()
+    input.addData(MixtureEvent("web", 4L, 1L), MixtureEvent("code", 9L, 7L))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("mix_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(t => (t._1, t._2))
+    assert(rows.toList == List(("code", 9L, 7L), ("web", 1L, 4L), ("web", 2L, 8L)),
+      rows.toList.toString)
+  }
+
+  test("streaming mixture batch-drive equals the batch two-phase cumsum operator") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Sampling
+    val docs = (1L to 40L).map(k => (if (k % 3 == 0) "a" else "b", k, k % 7 + 1))
+      .toDF("source", "doc_id", "tok")
+    val batch = Sampling.mixtureByTokenBudget(docs, "source", "doc_id", "tok",
+        _ => org.apache.spark.sql.functions.lit(25L))
+      .select("source", "doc_id", "cum_tokens")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val ev = docs.select(
+      org.apache.spark.sql.functions.col("source").as("group"),
+      org.apache.spark.sql.functions.col("doc_id").as("key"),
+      org.apache.spark.sql.functions.col("tok").cast("long").as("tok")).as[MixtureEvent]
+    val streamed = streamingMixtureByTokenBudget(ev, _ => 25L)
+      .collect().map(k => (k.group, k.key, k.cumTokens)).toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+
+  test("streaming pack: offsets and window ids carry across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ChunkEvent]
+    val result = streamingPackOffsets(input.toDS(), budget = 8L)
+    val query = result.writeStream
+      .format("memory").queryName("pack_out")
+      .outputMode("append")
+      .start()
+    input.addData(ChunkEvent("s", 1L, 0L, 5L), ChunkEvent("s", 2L, 0L, 4L))
+    query.processAllAvailable()
+    input.addData(ChunkEvent("s", 3L, 0L, 2L), ChunkEvent("s", 3L, 1L, 0L))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("pack_out").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(t => (t._1, t._2))
+    assert(rows.toList == List(
+      (1L, 0L, 0L, 0L, 0L),  // tokens 0-4 inside window 0
+      (2L, 0L, 5L, 0L, 1L),  // 5-8 straddles the window-0/1 boundary
+      (3L, 0L, 9L, 1L, 1L),
+      (3L, 1L, 11L, 1L, 1L)  // zero-token chunk pins to win_first
+    ), rows.toList.toString)
+  }
+
+  test("streaming pack batch-drive equals packOffsets") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Packing
+    val chunks = (1L to 30L).map(id => ("s", id, 0L, id % 5 + 1)).toDF("stream", "id", "idx", "tok")
+    val batch = Packing.packOffsets(spark, chunks, "id", "idx", "tok", budget = 16L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val streamed = streamingPackOffsets(chunks.as[ChunkEvent], budget = 16L)
+      .collect().map(p => (p.id, p.idx, p.startTok, p.winFirst, p.winLast)).toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+
   test("near-dup bucket cap: boilerplate buckets stop pairing and stop growing") {
     import org.apache.spark.sql.streaming.TestGroupState
     def st(ids: List[Long]) = TestGroupState.create[BucketState](
