@@ -187,12 +187,17 @@ object Dedup {
       maxIters: Int = 20, switchAfter: Int = 5): (DataFrame, CcStats) = {
     // both edge directions from ONE pass over the pair list: a union of
     // two selects would re-derive `pairs` (the whole LSH candidate
-    // pipeline) once per branch when this first materializes
+    // pipeline) once per branch when this first materializes. Hash-
+    // partitioned on dst BEFORE persisting: every propagation round
+    // joins on dst, so the (large) edge side is shuffled once for the
+    // whole loop and each round only exchanges the narrow label frame —
+    // at scale the per-round edge shuffle IS the cost of propagation.
     val edges = pairs
       .select(explode(array(
         struct(col(aCol).as("src"), col(bCol).as("dst")),
         struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // init = min(self, neighbors): the first propagation round folded
     // into the vertex-set aggregation itself (one shuffle instead of a
