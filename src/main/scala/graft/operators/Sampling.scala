@@ -42,9 +42,11 @@ object Sampling {
     * keep rows in key-hash order until the group's cumulative token
     * count reaches its budget — how a training mix hits target
     * source proportions ("x billion tokens of web, y of code") without
-    * rand(). Membership is a pure function of (key, seed, budgets):
-    * stable under re-runs and growth — a doc already in the mix only
-    * ever leaves if its source's budget shrinks.
+    * rand(). Membership is deterministic given the corpus: re-runs,
+    * task retries, and engines agree exactly. Under growth it is
+    * prefix-stable — docs hashed before an insertion point keep their
+    * cumsum and membership; a doc inserted early can push later docs
+    * of its source over the budget (inherent to any cumulative cut).
     *
     * Mixture sources are FEW by nature, so a cumsum window partitioned
     * on the group alone would serialize each source's entire corpus
@@ -66,9 +68,14 @@ object Sampling {
     *
     * Adds `cum_tokens` (inclusive) to the kept rows.
     */
-  def mixtureByTokenBudget(
+  /** per-group inclusive token cumsum in deterministic hash order, as a
+    * two-phase distributed prefix sum (see [[mixtureByTokenBudget]] for
+    * the plan rationale). Adds `cum_tokens`; shared by the mixture cut
+    * and the interleave scheduler so the ordering contract can't fork.
+    */
+  private def groupedHashCumsum(
       df: DataFrame, groupCol: String, keyCol: String, tokCol: String,
-      budgetFor: Column => Column, seed: Int = 0, buckets: Int = 32): DataFrame = {
+      seed: Int, buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val span = (1000000 + buckets - 1) / buckets
     // Snapshot the bucketed frame once (lazy local checkpoint): the
@@ -102,9 +109,46 @@ object Sampling {
     local.join(broadcast(offs),
         col(groupCol) <=> col("__g") && col("__b") <=> col("__ob"))
       .withColumn("cum_tokens", col("__off") + col("__local"))
-      .filter(col("cum_tokens") <= budgetFor(col(groupCol)))
       .drop("__ord", "__b", "__local", "__g", "__ob", "__off")
   }
+
+  def mixtureByTokenBudget(
+      df: DataFrame, groupCol: String, keyCol: String, tokCol: String,
+      budgetFor: Column => Column, seed: Int = 0, buckets: Int = 32): DataFrame =
+    groupedHashCumsum(df, groupCol, keyCol, tokCol, seed, buckets)
+      .filter(col("cum_tokens") <= budgetFor(col(groupCol)))
+
+  /** Deterministic weighted source interleaving (stride scheduling):
+    * assign every row a `sched_key` such that reading the corpus in
+    * (sched_key, group, key) order yields each source at a rate
+    * proportional to its integer weight — the "mix 3 parts web to 1
+    * part code *throughout training*" curriculum shape, not just in
+    * aggregate. The key is the source's inclusive token cumsum (in the
+    * same reproducible hash order as the mixture cut) scaled by
+    * 1000/weight: a source at weight w places a doc every cum/w
+    * strides, so any schedule prefix holds token shares ≈ weights.
+    * Pure integer arithmetic — engines and re-runs agree bit-for-bit.
+    * Under corpus growth, keys are prefix-stable: a doc hashed before
+    * an insertion point keeps its schedule key; later docs in the same
+    * source shift by the inserted token count (cumsums are running
+    * sums, so this is inherent to any schedule that stays
+    * proportional).
+    *
+    * Emits the sort KEY rather than a global row_number: a global rank
+    * would serialize through one window partition at 100 TB, while
+    * sorting by the key is a range-partitioned write (the
+    * [[graft.operators.Layout]] path) that training readers consume
+    * in order.
+    */
+  def interleaveByWeight(
+      df: DataFrame, groupCol: String, keyCol: String, tokCol: String,
+      weightFor: Column => Column, seed: Int = 0, buckets: Int = 32): DataFrame =
+    groupedHashCumsum(df, groupCol, keyCol, tokCol, seed, buckets)
+      // integer DIV, not `/`: float division would round through double
+      // past 2^53 tokens·1000 and break cross-engine exactness
+      .withColumn("__w", weightFor(col(groupCol)))
+      .withColumn("sched_key", expr("(cum_tokens * 1000) DIV __w"))
+      .drop("cum_tokens", "__w")
 
   /** At most `perGroup` rows per group, chosen by key-hash order (with
     * key tie-break) — a deterministic "reservoir" whose members are

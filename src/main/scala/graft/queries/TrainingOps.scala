@@ -314,6 +314,33 @@ object TrainingOps {
               |  FROM documents d JOIN bc USING (doc_id))
               |SELECT source, doc_id, cum_tokens FROM o WHERE cum_tokens <= 1600""".stripMargin)),
 
+    // ---- weighted source interleaving (stride scheduling): schedule
+    //      keys such that every training prefix holds sources in
+    //      proportion to integer weights — the curriculum/data-order
+    //      step after mixture selection ----
+    "ta_interleave" -> Q(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextFunctions.wsTokenCount(col("text")).as("n_tokens"))
+        val w = (src: org.apache.spark.sql.Column) =>
+          when(pmod(regexp_extract(src, "(\\d+)", 1).cast("long"), lit(2)) === 0,
+            lit(3L)).otherwise(lit(1L))
+        Sampling.interleaveByWeight(d, "source", "doc_id", "n_tokens", w)
+          .select(col("source"), col("doc_id"), col("sched_key"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+             |  len(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents),
+             |o AS (SELECT source, doc_id,
+             |  CAST(sum(n_tokens) OVER (PARTITION BY source
+             |    ORDER BY ((doc_id*37 + 7) % 1000000007) % 1000000, doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             |  FROM d)
+             |SELECT source, doc_id,
+             |  CAST((cum * 1000) // (CASE WHEN CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 2 = 0
+             |                             THEN 3 ELSE 1 END) AS BIGINT) AS sched_key
+             |FROM o""".stripMargin)),
+
     // ---- streaming mixture, batch-driven: the incremental per-source
     //      budget state (flatMapGroupsWithState) fed the whole corpus
     //      in one micro-batch must equal the batch cumsum mixture —

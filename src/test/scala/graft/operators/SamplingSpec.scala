@@ -53,4 +53,45 @@ class SamplingSpec extends SparkSpec {
     assert(s1 == s2)
     assert(s1.groupBy(_._1).forall(_._2.size == 10))
   }
+
+  test("interleave: schedule prefixes hold token shares near the weights") {
+    import spark.implicits._
+    // two sources, equal corpus sizes, weight 3:1 — every prefix of the
+    // schedule should carry ~75% source-a tokens
+    val df = ((1 to 300).map(i => ("a", i.toLong * 2, 5L)) ++
+      (1 to 300).map(i => ("b", i.toLong * 2 + 1, 5L)))
+      .toDF("source", "doc_id", "n_tokens")
+    val w = (src: org.apache.spark.sql.Column) => when(src === "a", lit(3L)).otherwise(lit(1L))
+    val sched = Sampling.interleaveByWeight(df, "source", "doc_id", "n_tokens", w)
+      .orderBy(col("sched_key"), col("source"), col("doc_id"))
+      .select("source", "n_tokens").collect().map(r => (r.getString(0), r.getLong(1)))
+    // check share at several prefixes (skip the tiny head where
+    // granularity dominates; past ~400 source a is exhausted — the
+    // schedule is proportional only while every source has docs left)
+    Seq(100, 200, 400).foreach { n =>
+      val prefix = sched.take(n)
+      val aTok = prefix.filter(_._1 == "a").map(_._2).sum.toDouble
+      val share = aTok / prefix.map(_._2).sum
+      assert(share > 0.65 && share < 0.85, s"prefix $n: a-share $share, want ~0.75")
+    }
+    // deterministic: same schedule on re-run
+    val again = Sampling.interleaveByWeight(df, "source", "doc_id", "n_tokens", w)
+      .orderBy(col("sched_key"), col("source"), col("doc_id"))
+      .select("source", "n_tokens").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(sched.toSeq == again.toSeq)
+    // growth: an appended doc shifts only docs AFTER its hash position
+    // within its own source — everything hashed before it keeps its key
+    val newDoc = ("a", 9999L, 5L)
+    val newOrd = Math.floorMod(Math.floorMod(9999L * 37L + 7L, 1000000007L), 1000000L)
+    val grown = df.union(Seq(newDoc).toDF("source", "doc_id", "n_tokens"))
+    def keys(d: org.apache.spark.sql.DataFrame) =
+      Sampling.interleaveByWeight(d, "source", "doc_id", "n_tokens", w)
+        .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(3))).toMap
+    val (k1, k2) = (keys(df), keys(grown))
+    k1.foreach { case (id @ (src, doc), k) =>
+      val ord = Math.floorMod(Math.floorMod(doc * 37L + 7L, 1000000007L), 1000000L)
+      if (src != "a" || ord < newOrd || (ord == newOrd && doc < 9999L))
+        assert(k2(id) == k, s"doc $id before the insertion point moved: $k -> ${k2(id)}")
+    }
+  }
 }
