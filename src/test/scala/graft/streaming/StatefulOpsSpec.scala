@@ -227,6 +227,46 @@ class StatefulOpsSpec extends SparkSpec {
     assert(streamed == batch, s"stream=$streamed batch=$batch")
   }
 
+  test("streaming mixture budget state survives a checkpointed query restart") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("mix_restart").toString
+    val (inDir, cpDir) = (s"$root/in", s"$root/cp")
+    new java.io.File(inDir).mkdirs()
+    def writeBatch(name: String, rows: Seq[MixtureEvent]): Unit = {
+      // atomic move so the file source never lists a half-written file
+      val tmp = java.nio.file.Files.createTempFile("mixb", ".json")
+      java.nio.file.Files.writeString(tmp,
+        rows.map(e => s"""{"group":"${e.group}","key":${e.key},"tok":${e.tok}}""")
+          .mkString("\n"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$inDir/$name.json"))
+    }
+    val schema = implicitly[org.apache.spark.sql.Encoder[MixtureEvent]].schema
+    val outDir = s"$root/out"
+    def run(): Unit = {
+      val in = spark.readStream.schema(schema).json(inDir).as[MixtureEvent]
+      val q = streamingMixtureByTokenBudget(in, _ => 10L).toDF()
+        .writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", cpDir)
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      q.awaitTermination()
+    }
+    writeBatch("b1", Seq(MixtureEvent("web", 1L, 4L), MixtureEvent("web", 2L, 4L)))
+    run() // first incarnation admits 4 and 8
+    writeBatch("b2", Seq(MixtureEvent("web", 3L, 3L), MixtureEvent("web", 4L, 1L)))
+    run() // restarted incarnation must resume cum=8, cutting 3 (11>10) and 1
+    val rows = spark.read.parquet(outDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._2)
+    // the restored state (cum=8) must reject both post-restart arrivals;
+    // lost state would admit key 3 at cum=3 and key 4 at cum=4
+    assert(rows.toList == List(("web", 1L, 4L), ("web", 2L, 8L)),
+      s"budget state lost across restart: ${rows.toList}")
+  }
+
   test("near-dup bucket cap: boilerplate buckets stop pairing and stop growing") {
     import org.apache.spark.sql.streaming.TestGroupState
     def st(ids: List[Long]) = TestGroupState.create[BucketState](
