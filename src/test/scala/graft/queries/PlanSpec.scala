@@ -253,6 +253,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"bucket offsets not broadcast:\n$p")
   }
 
+  test("ta_interleave: schedule keys come off the bucketed cumsum, no global window") {
+    val p = plan("ta_interleave")
+    assert(!p.contains("SinglePartition"), s"global window found:\n$p")
+    val dataWindows = p.linesIterator.filter(l =>
+      l.contains("Window") && l.contains("__ord")).toList
+    assert(dataWindows.nonEmpty && dataWindows.forall(_.contains("__b")),
+      s"data cumsum window not bucket-partitioned:\n${dataWindows.mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin"), s"bucket offsets not broadcast:\n$p")
+  }
+
   test("q36: interval overlap runs as a hash join on the bucket, not a nested loop") {
     val p = plan("q36_interval_overlap")
     assert(!p.contains("CartesianProduct"), s"overlap join degenerated to a cartesian:\n$p")
