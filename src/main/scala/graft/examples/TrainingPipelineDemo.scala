@@ -18,6 +18,8 @@ import graft.operators.{Chunking, Decontaminate, Dedup, Layout, Packing, Samplin
   *   6. deterministic train/valid/test split
   *   7. range-partitioned sorted write (file-pruning layout)
   *   8. chunk + sequence-pack the train split into context windows
+  *   9. weighted source interleave of the train split on the BPE
+  *      subword budget (the curriculum order a trainer reads)
   *
   * `runMain graft.examples.TrainingPipelineDemo <sfDir> <outDir>`
   * prints per-stage counts and writes the splits under <outDir>.
@@ -101,6 +103,18 @@ object TrainingPipelineDemo {
       .agg(max(col("win_last"))).first()
     val nWindows = if (maxWin.isNullAt(0)) 0L else maxWin.getLong(0) + 1
 
+    // 9. curriculum order: interleave train docs 3:1 by source parity
+    //    on the REAL token budget (BPE subword counts), written sorted
+    //    by schedule key — the order a trainer consumes
+    val sched = Sampling.interleaveByWeight(
+      spark.read.parquet(s"$outDir/train")
+        .withColumn("n_bpe", graft.functions.Bpe.tokenCount(col("text"))),
+      "source", "doc_id", "n_bpe",
+      src => when(pmod(regexp_extract(src, "(\\d+)", 1).cast("long"), lit(2)) === 0,
+        lit(3L)).otherwise(lit(1L)))
+    Layout.writeSorted(sched, s"$outDir/train_schedule", numFiles = 4, col("sched_key"))
+    val cSched = spark.read.parquet(s"$outDir/train_schedule").count()
+
     Seq(
       "input" -> c0,
       "quality-gate" -> c1,
@@ -108,6 +122,7 @@ object TrainingPipelineDemo {
       "near-dup-components" -> c3,
       "decontaminated" -> c4,
       "written-splits" -> written,
-      "context-windows" -> nWindows)
+      "context-windows" -> nWindows,
+      "scheduled-train-docs" -> cSched)
   }
 }

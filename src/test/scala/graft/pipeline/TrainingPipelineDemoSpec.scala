@@ -23,6 +23,9 @@ class TrainingPipelineDemoSpec extends SparkSpec {
     assert(counts("written-splits") == counts("decontaminated"))
     // packing produced at least one full context-window stream
     assert(counts("context-windows") > 0)
+    // every train doc got a curriculum schedule slot
+    val train = spark.read.parquet(s"$out/train").count()
+    assert(counts("scheduled-train-docs") == train)
   }
 
   test("the pipeline is deterministic across runs") {
