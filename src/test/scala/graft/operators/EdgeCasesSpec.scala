@@ -72,6 +72,32 @@ class EdgeCasesSpec extends SparkSpec {
       "g", "doc_id", 5).count() == 0)
   }
 
+  test("mixture, interleave, and BPE counting are empty-safe") {
+    val empty = emptyDocs
+      .withColumn("source", lit("s"))
+      .withColumn("n_tokens", lit(1L))
+    assert(Sampling.mixtureByTokenBudget(empty, "source", "doc_id", "n_tokens",
+      _ => lit(10L)).count() == 0)
+    assert(Sampling.interleaveByWeight(empty, "source", "doc_id", "n_tokens",
+      _ => lit(1L)).count() == 0)
+    assert(emptyDocs.select(graft.functions.Bpe.tokenCount(col("text"))).count() == 0)
+  }
+
+  test("interleave weight 0 fails loudly (ANSI divide-by-zero), never a silent order") {
+    val s = spark; import s.implicits._
+    val df = Seq(("a", 1L, 5L), ("b", 2L, 5L)).toDF("source", "doc_id", "n_tokens")
+    val ex = intercept[Exception] {
+      Sampling.interleaveByWeight(df, "source", "doc_id", "n_tokens",
+        src => when(src === "a", lit(0L)).otherwise(lit(1L))).collect()
+    }
+    // a zero weight is a caller error; ANSI DIV surfaces it as an
+    // arithmetic failure (DuckDB's // errors identically) instead of
+    // quietly producing an unintended schedule
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(ex).exists(_.getMessage.contains("DIVIDE_BY_ZERO")), ex.toString)
+  }
+
   test("ivf top-k on a corpus smaller than nList still answers") {
     val s = spark; import s.implicits._
     val tiny = Seq(
