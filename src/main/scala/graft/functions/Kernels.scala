@@ -35,6 +35,8 @@ object Kernels {
     toColumn(CosineGteK(toExpression(num), toExpression(na), toExpression(nb), tNum, tDen))
   def ivfAssign(vec: Column, cents: Array[Array[Float]]): Column =
     toColumn(IvfAssignK(toExpression(vec), cents))
+  def bloomMightContain(s: Column, sketchBytes: Array[Byte]): Column =
+    toColumn(BloomMightContainK(toExpression(s), sketchBytes))
   def ivfScores(vec: Column, cents: Array[Array[Float]]): Column =
     toColumn(IvfScoresK(toExpression(vec), cents))
 
@@ -359,6 +361,30 @@ case class CosineGteK(first: Expression, second: Expression, third: Expression,
       newFirst: Expression, newSecond: Expression, newThird: Expression): CosineGteK =
     copy(first = newFirst, second = newSecond, third = newThird)
   override def prettyName: String = "graft_cosine_gte"
+}
+
+/** `mightContain(s)` against a serialized `org.apache.spark.util.sketch
+  * .BloomFilter` — the map-side pre-filter of
+  * [[graft.operators.Decontaminate.flagWithBloom]]. The sketch ships as
+  * bytes (a broadcast-sized reference object, like the IVF centroid
+  * matrix) and deserializes once per executor via the transient lazy
+  * val; codegen calls back into this expression instance so the hot
+  * loop is one sketch probe per row, no SerDe.
+  */
+case class BloomMightContainK(child: Expression, sketchBytes: Array[Byte]) extends UnaryExpression {
+  @transient private lazy val bloom =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+  def mightContain(s: UTF8String): Boolean = bloom.mightContainBinary(s.getBytes)
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(input: Any): Any = mightContain(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomK", this, classOf[BloomMightContainK].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.mightContain($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainK =
+    copy(child = newChild)
+  override def prettyName: String = "graft_bloom_might_contain"
 }
 
 case class LshSigK(child: Expression, planes: Int) extends UnaryExpression {

@@ -43,6 +43,46 @@ object Decontaminate {
     flag(train, eval, idCol, textCol, n)
       .filter(!col("contaminated")).drop("contaminated")
 
+  /** [[flag]] with a Bloom pre-filter — the 100 TB shape when the eval
+    * n-gram set is large: a sketch of the eval grams (fpp-tunable, a
+    * few MB instead of the gram strings) rides into a codegen
+    * expression, and the corpus-side gram stream is thinned MAP-SIDE
+    * before anything reaches the exact confirm join. Bloom filters
+    * have no false negatives, and every sketch hit is confirmed
+    * against the exact broadcast gram set, so the result is IDENTICAL
+    * to [[flag]] — same oracle, different constant factor: the join
+    * input shrinks from every corpus gram to (true hits + fpp of the
+    * rest).
+    */
+  def flagWithBloom(train: DataFrame, eval: DataFrame,
+                    idCol: String, textCol: String, n: Int = 13,
+                    fpp: Double = 0.01): DataFrame = {
+    // eager snapshot of the (benchmark-sized) eval gram set: the count,
+    // the sketch build, and the confirm join must all see the SAME
+    // grams — a gram appearing only in a recomputation would bypass the
+    // sketch and become a false negative. GC-managed, nothing leaks.
+    val evalGrams = eval
+      .select(explode(TextFunctions.shingles(col(textCol), n)).as("g")).distinct()
+      .localCheckpoint(true)
+    val m = math.max(1L, evalGrams.count())
+    val bloom = evalGrams.stat.bloomFilter("g", m, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val hit = train
+      .select(col(idCol).as("__id"),
+        explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("g"))
+      .filter(graft.functions.Kernels.bloomMightContain(col("g"), bytes))
+      .join(broadcast(evalGrams), "g")
+      .select(col("__id")).distinct()
+      .withColumn("contaminated", lit(true))
+    train.join(hit, train(idCol) === hit("__id"), "left")
+      .drop("__id")
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+  }
+
   /** Fuzzy decontamination: flag train docs that are NEAR-duplicates of
     * an eval doc (exact shared n-grams miss paraphrased leakage). Both
     * sides take the same MinHash band keys as

@@ -25,6 +25,27 @@ class DecontaminateSpec extends SparkSpec {
     assert(kept == Set(2L, 3L))
   }
 
+  test("flagWithBloom equals flag exactly (sketch hits are confirmed, no false negatives)") {
+    import spark.implicits._
+    // 60 docs, ~1/4 genuinely contaminated, plus near-miss wording so
+    // the confirm join has sketch false positives to reject
+    val train = (1L to 60L).map { i =>
+      val base = s"doc $i alpha beta gamma delta idx${i % 7} tail words here"
+      val text = if (i % 4 == 0) s"$base leak marker phrase number ${i % 3} end" else base
+      (i, text)
+    }.toDF("doc_id", "text")
+    val eval = (0L to 2L).map(j => (1000L + j, s"held out leak marker phrase number $j end"))
+      .toDF("doc_id", "text")
+    def collectFlags(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("contaminated"))).toMap
+    val exact = collectFlags(Decontaminate.flag(train, eval, "doc_id", "text", n = 5))
+    // fpp high enough that false positives actually occur at this size
+    val bloom = collectFlags(Decontaminate.flagWithBloom(train, eval, "doc_id", "text",
+      n = 5, fpp = 0.2))
+    assert(bloom == exact, s"bloom path diverged: ${bloom.toSet.diff(exact.toSet)}")
+    assert(exact.values.count(identity) == 15, exact.toString)
+  }
+
   test("flag is row-preserving and the eval side broadcasts") {
     import spark.implicits._
     val train = (1 to 50).map(i => (i.toLong, s"doc $i body word$i tail end here")).toDF("doc_id", "text")
