@@ -253,6 +253,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"bucket offsets not broadcast:\n$p")
   }
 
+  test("ta_decontaminate_bloom: sketch probe is map-side, confirm join broadcasts") {
+    val p = plan("ta_decontaminate_bloom")
+    assert(p.contains("graft_bloom_might_contain"), s"bloom probe missing:\n$p")
+    // the gram-confirm join must broadcast the eval grams (the final
+    // row-preserving left join is AQE's choice — hit-set size is
+    // data-dependent); probe must sit BEFORE the broadcast join, i.e.
+    // appear below it in the plan tree printout
+    assert(p.contains("BroadcastHashJoin"), s"confirm join not broadcast:\n$p")
+    val probeLine = p.linesIterator.indexWhere(_.contains("graft_bloom_might_contain"))
+    val bhjLine = p.linesIterator.indexWhere(_.contains("BroadcastHashJoin"))
+    assert(bhjLine < probeLine,
+      s"bloom probe not under the confirm join (probe@$probeLine, join@$bhjLine):\n$p")
+  }
+
   test("ta_interleave: schedule keys come off the bucketed cumsum, no global window") {
     val p = plan("ta_interleave")
     assert(!p.contains("SinglePartition"), s"global window found:\n$p")
