@@ -59,6 +59,11 @@ class GraftFunctionsSpec extends SparkSpec {
       val one = s2.sql(
         "SELECT graft_simhash32(graft_shingles('alpha beta gamma delta', 3)) AS sh").collect()
       assert(one.length == 1 && !one.head.isNullAt(0))
+      // the subword surface injects too, with its shipped merge table
+      val bpe = s2.sql(
+        "SELECT graft_bpe_count('the table window') AS n, graft_bpe_pieces('the') AS p").collect()
+      assert(bpe.head.getLong(0) == 8L, bpe.head.toString) // t,h,e + table + w,in,d,ow under the trained merges
+      assert(bpe.head.getSeq[String](1) == Seq("t", "h", "e"), bpe.head.toString)
     } finally {
       SparkSession.setActiveSession(prior)
       SparkSession.setDefaultSession(prior)
