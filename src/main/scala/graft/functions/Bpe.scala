@@ -137,6 +137,28 @@ object Bpe {
     new GenericArrayData(out.toArray)
   }
 
+  /** the SentencePiece word-boundary convention: each word's FIRST
+    * piece carries a leading ▁ (U+2581), so any piece-slice
+    * detokenizes losslessly — `concat.replace('▁',' ').trim` rebuilds
+    * the text with whitespace runs normalized, even when the slice
+    * starts mid-word. The marker is applied AFTER merging; it never
+    * participates in rank lookups.
+    */
+  def markedPiecesEval(text: UTF8String, ranks: Ranks): ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    Whitespace.split(text.toString).foreach { w =>
+      if (w.nonEmpty) {
+        val ps = mergeWord(w, ranks)
+        var i = 0
+        while (i < ps.length) {
+          out += UTF8String.fromString(if (i == 0) "▁" + ps(0) else ps(i))
+          i += 1
+        }
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** BPE token count of `text` under the default shipped merge table. */
   def tokenCount(text: Column): Column = tokenCount(text, defaultRanks)
 
@@ -151,6 +173,12 @@ object Bpe {
 
   def pieces(text: Column, ranks: Ranks): Column =
     toColumn(BpePiecesK(toExpression(text), ranks))
+
+  /** pieces with the ▁ word-boundary marker — the detokenizable form. */
+  def markedPieces(text: Column): Column = markedPieces(text, defaultRanks)
+
+  def markedPieces(text: Column, ranks: Ranks): Column =
+    toColumn(BpeMarkedPiecesK(toExpression(text), ranks))
 }
 
 case class BpeCountK(child: Expression, ranks: Bpe.Ranks) extends UnaryExpression {
@@ -175,4 +203,16 @@ case class BpePiecesK(child: Expression, ranks: Bpe.Ranks) extends UnaryExpressi
   }
   override protected def withNewChildInternal(newChild: Expression): BpePiecesK = copy(child = newChild)
   override def prettyName: String = "graft_bpe_pieces"
+}
+
+case class BpeMarkedPiecesK(child: Expression, ranks: Bpe.Ranks) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Bpe.markedPiecesEval(input.asInstanceOf[UTF8String], ranks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeRanks", ranks, classOf[java.util.HashMap[String, Integer]].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.Bpe.markedPiecesEval($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeMarkedPiecesK = copy(child = newChild)
+  override def prettyName: String = "graft_bpe_marked_pieces"
 }

@@ -70,4 +70,36 @@ object Chunking {
           .as("chunk_text"),
         least(lit(chunkSize.toLong), col("n") - col("chunk_idx") * stride).as("n_tokens"))
   }
+
+  /** [[chunk]] measured in SUBWORD tokens: the window walk runs over
+    * the document's BPE pieces, so `chunkSize`/`overlap` are real
+    * model-context tokens and a boundary may fall MID-WORD — exactly
+    * how context windows are cut for training. Pieces carry the
+    * SentencePiece ▁ word-boundary marker, so each chunk detokenizes
+    * losslessly (`concat → ▁→space → trim`) even when it starts inside
+    * a word. Same narrow Generate plan as [[chunk]] — the tokenizer is
+    * one codegen kernel call per row, still zero shuffles.
+    */
+  def chunkBpe(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int,
+      ranks: graft.functions.Bpe.Ranks = graft.functions.Bpe.defaultRanks): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    val pieces = graft.functions.Bpe.markedPieces(coalesce(col(textCol), lit("")), ranks)
+    val n = size(pieces).cast("long")
+    val k = when(n <= chunkSize, lit(1L))
+      .otherwise(floor((n - chunkSize + stride - 1) / stride).cast("long") + 1)
+    df.select(col(idCol), pieces.as("ps"), n.as("n"), k.as("k"))
+      .select(col(idCol), col("ps"), col("n"),
+        explode(sequence(lit(0L), col("k") - 1)).as("chunk_idx"))
+      .select(
+        col(idCol),
+        col("chunk_idx"),
+        trim(translate(
+          array_join(slice(col("ps"), (col("chunk_idx") * stride + 1).cast("int"), lit(chunkSize)), ""),
+          "▁", " ")).as("chunk_text"),
+        least(lit(chunkSize.toLong), col("n") - col("chunk_idx") * stride).as("n_tokens"))
+  }
 }

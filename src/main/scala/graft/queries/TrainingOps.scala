@@ -49,14 +49,14 @@ object TrainingOps {
       .map { case (k, r) => s"'${k.replace("'", "''")}': $r" }
       .mkString("MAP{", ", ", "}")
 
-  /** DuckDB CTEs re-deriving [[graft.functions.Bpe.countEval]] exactly:
+  /** shared DuckDB CTEs re-deriving the BPE merge loop exactly:
     * whitespace-run words → codepoint lists → recursive rank-greedy
     * merge (lowest rank wins, leftmost occurrence on ties, ONE merge
-    * per step) → per-doc piece-count sums, empty docs included as 0.
-    * Requires a `WITH RECURSIVE` prefix.
+    * per step). Requires a `WITH RECURSIVE` prefix.
     */
-  private lazy val duckBpeCounts =
-    s"""wq AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word FROM documents),
+  private lazy val duckBpeCore =
+    s"""wl AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents),
+       |wq AS (SELECT doc_id, unnest(ws) AS word FROM wl),
        |w AS (SELECT DISTINCT word FROM wq),
        |init AS (SELECT word, string_split(word, '') AS toks FROM w),
        |bpe AS (
@@ -71,12 +71,31 @@ object TrainingOps {
        |      SELECT word, toks, list_transform(range(1, len(toks)),
        |        i -> coalesce(($duckBpeMap[toks[i] || ' ' || toks[i + 1]])[1], 1000000)) AS rk
        |      FROM bpe) WHERE len(toks) > 1)
-       |  WHERE br < 1000000),
+       |  WHERE br < 1000000)""".stripMargin
+
+  /** per-doc BPE token counts (`bc`), empty docs included as 0. */
+  private lazy val duckBpeCounts =
+    s"""$duckBpeCore,
        |wn AS (SELECT word, min(len(toks)) AS n FROM bpe GROUP BY word),
        |bc AS (SELECT d.doc_id, CAST(COALESCE(s.n, 0) AS BIGINT) AS n_bpe
        |       FROM documents d LEFT JOIN (
        |         SELECT wq.doc_id, sum(wn.n) AS n FROM wq JOIN wn USING (word) GROUP BY 1) s
        |       USING (doc_id))""".stripMargin
+
+  /** per-doc ▁-marked piece lists (`dp`), word order preserved, empty
+    * docs as empty lists — mirrors `Bpe.markedPiecesEval`.
+    */
+  private lazy val duckBpePieces =
+    s"""$duckBpeCore,
+       |wp AS (SELECT word, min_by(toks, len(toks)) AS toks FROM bpe GROUP BY word),
+       |wpm AS (SELECT word, list_transform(range(1, len(toks) + 1),
+       |  i -> CASE WHEN i = 1 THEN '▁' || toks[CAST(i AS INT)]
+       |            ELSE toks[CAST(i AS INT)] END) AS mp FROM wp),
+       |pos AS (SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws) + 1)) AS p FROM wl),
+       |docp AS (SELECT pos.doc_id, flatten(list(wpm.mp ORDER BY pos.p)) AS pieces
+       |         FROM pos JOIN wpm USING (word) GROUP BY pos.doc_id),
+       |dp AS (SELECT d.doc_id, COALESCE(docp.pieces, CAST([] AS VARCHAR[])) AS pieces
+       |       FROM documents d LEFT JOIN docp USING (doc_id))""".stripMargin
 
   /** DuckDB CTE block for one Lloyd iteration of the IVF quantizer
     * (mirrors [[graft.operators.Similarity.ivfCentroids]] exactly):
@@ -235,6 +254,25 @@ object TrainingOps {
              |  CAST(CASE WHEN n_tokens = 0 THEN start_tok // 2048
              |       ELSE (start_tok + n_tokens - 1) // 2048 END AS BIGINT) AS win_last
              |FROM o""".stripMargin)),
+
+    // ---- chunking at TRUE token boundaries: the window walk runs
+    //      over ▁-marked BPE pieces, so chunkSize/overlap are real
+    //      model-context tokens, boundaries may fall mid-word, and
+    //      each chunk detokenizes losslessly ----
+    "ta_chunk_bpe" -> Q(
+      (s, dir) =>
+        Chunking.chunkBpe(Tables(s, dir, "documents"), "doc_id", "text",
+          chunkSize = 64, overlap = 16),
+      Some(s"""WITH RECURSIVE $duckBpePieces,
+              |ck AS (SELECT doc_id, pieces, len(pieces) AS n,
+              |  CASE WHEN len(pieces) <= 64 THEN 1
+              |       ELSE (len(pieces) - 64 + 47) // 48 + 1 END AS k FROM dp),
+              |i AS (SELECT doc_id, pieces, n, unnest(range(0, k)) AS chunk_idx FROM ck)
+              |SELECT doc_id, chunk_idx,
+              |  trim(replace(array_to_string(
+              |    list_slice(pieces, chunk_idx*48 + 1, chunk_idx*48 + 64), ''), '▁', ' ')) AS chunk_text,
+              |  least(CAST(64 AS BIGINT), n - chunk_idx*48) AS n_tokens
+              |FROM i""".stripMargin)),
 
     // ---- document packing on the BPE budget: same two-phase prefix
     //      sum, window boundaries measured in real subword tokens

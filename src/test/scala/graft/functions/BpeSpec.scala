@@ -106,6 +106,36 @@ class BpeSpec extends SparkSpec {
     assert(r.size == 2 && r.get("a b") == 0 && r.get("ab c") == 1)
   }
 
+  test("marked pieces detokenize losslessly; chunkBpe cuts mid-word") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 'the' splits into 3 pieces under the shipped table, so a chunk
+    // boundary at stride 4 with 3-piece words must fall inside a word
+    val textVal = Seq.fill(10)("the").mkString(" ")
+    val df = Seq((1L, textVal)).toDF("doc_id", "text")
+    // kernel-level lossless detokenization of the full piece stream
+    val detok = df.select(
+      trim(translate(array_join(Bpe.markedPieces($"text"), ""), "▁", " ")).as("t"))
+      .head().getString(0)
+    assert(detok == textVal, s"detok mismatch: $detok")
+    val chunks = graft.operators.Chunking.chunkBpe(df, "doc_id", "text",
+        chunkSize = 4, overlap = 0)
+      .orderBy("chunk_idx")
+      .select("chunk_text", "n_tokens")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // overlap 0: chunks partition the 30 pieces, so counts sum exactly
+    assert(chunks.map(_._2).sum == 30L, chunks.toList.toString)
+    // boundary falls mid-word: piece 5 starts chunk 1 inside a word,
+    // so its text starts with a word FRAGMENT (no leading marker)
+    assert(chunks(1)._1.startsWith("h") || chunks(1)._1.startsWith("e"),
+      s"expected a mid-word start: '${chunks(1)._1}'")
+    // every fragment still reads back: piece streams concatenate to the
+    // full normalized text when joined marker-aware
+    val rebuilt = chunks.map(_._1).mkString(" ")
+    assert(rebuilt.filterNot(_ == ' ') == textVal.filterNot(_ == ' '),
+      s"characters lost across chunk boundaries: $rebuilt")
+  }
+
   test("SQL registration: graft_bpe_count equals the Column API") {
     import spark.implicits._
     GraftFunctions.register(spark)
