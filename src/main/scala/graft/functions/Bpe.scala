@@ -179,6 +179,76 @@ object Bpe {
 
   def markedPieces(text: Column, ranks: Ranks): Column =
     toColumn(BpeMarkedPiecesK(toExpression(text), ranks))
+
+  /** Train a merge table from a corpus — the textbook BPE learner
+    * (Sennrich et al. 2016) split Spark-style: the 100 TB part (word
+    * frequency counting) is ONE distributed groupBy whose output is
+    * vocabulary-sized, and the merge loop runs driver-side over that
+    * bounded table — the same bounded-model contract as the IVF
+    * centroid collect. Deterministic end to end: vocabulary truncation
+    * orders by (count DESC, word ASC), each round merges ALL
+    * occurrences of the most frequent pair, ties broken by the
+    * lexicographically smallest pair — byte-identical to the offline
+    * trainer that produced the shipped resource table (pinned in
+    * BpeSpec), so retraining on the same corpus reproduces it.
+    *
+    * Returns merges in rank order ("left right" lines — write them out
+    * as a merges.txt); feed to [[parseMerges]]/[[tokenCount]].
+    */
+  def train(df: org.apache.spark.sql.DataFrame, textCol: String,
+            numMerges: Int, maxVocab: Int = 1000000): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    val wordCounts = df
+      .select(explode(split(coalesce(col(textCol), lit("")), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(maxVocab)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // driver-side loop over the bounded vocab, symbols = codepoints
+    var vocab: Map[Vector[String], Long] = wordCounts.groupMapReduce { case (w, _) =>
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        b += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      b.result()
+    }(_._2)(_ + _)
+    val merges = Seq.newBuilder[String]
+    var round = 0
+    var done = false
+    while (round < numMerges && !done) {
+      val pairs = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pairs.update(k, pairs.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      val best = pairs.minByOption { case ((a, b), c) => (-c, a, b) }
+      best match {
+        case Some(((a, b), c)) if c >= 2 =>
+          merges += s"$a $b"
+          vocab = vocab.groupMapReduce { case (syms, _) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+                out += a + b; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            out.result()
+          }(_._2)(_ + _)
+          round += 1
+        case _ => done = true // no pair left worth merging
+      }
+    }
+    merges.result()
+  }
 }
 
 case class BpeCountK(child: Expression, ranks: Bpe.Ranks) extends UnaryExpression {

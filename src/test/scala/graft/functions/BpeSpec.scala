@@ -136,6 +136,23 @@ class BpeSpec extends SparkSpec {
       s"characters lost across chunk boundaries: $rebuilt")
   }
 
+  test("distributed training reproduces the shipped merge table from the corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val trained = Bpe.train(docs, "text", numMerges = 64)
+    assert(trained == Bpe.orderedMerges(Bpe.defaultRanks),
+      s"retraining diverged from the shipped table:\n${trained.zip(Bpe.orderedMerges(Bpe.defaultRanks)).filter(p => p._1 != p._2)}")
+  }
+
+  test("training stops when no pair repeats; tie-break is deterministic") {
+    import spark.implicits._
+    // every word unique, all pair counts 1 → zero merges
+    val unique = Seq("ab", "cd", "ef").toDF("text")
+    assert(Bpe.train(unique, "text", numMerges = 10).isEmpty)
+    // 'ab' and 'ba' both appear twice; ("a","b") < ("b","a") wins first
+    val tied = Seq("ab ba", "ab ba").toDF("text")
+    assert(Bpe.train(tied, "text", numMerges = 1) == Seq("a b"))
+  }
+
   test("SQL registration: graft_bpe_count equals the Column API") {
     import spark.implicits._
     GraftFunctions.register(spark)
