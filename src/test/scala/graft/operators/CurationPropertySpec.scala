@@ -89,4 +89,30 @@ class CurationPropertySpec extends SparkSpec {
     }
     assert(passed(prop, 15))
   }
+
+  test("property: interleave keys are exactly cum*1000 DIV weight, monotone per source") {
+    import spark.implicits._
+    val gen = Gen.listOfN(25, for {
+      id <- Gen.choose(0L, 60L); tok <- Gen.choose(1L, 30L)
+    } yield (id, tok))
+    val prop = Prop.forAll(gen, Gen.choose(1L, 5L), Gen.choose(1L, 5L)) { (rows, wa, wb) =>
+      val df = rows.distinctBy(_._1)
+        .map { case (id, tok) => (id, if (id % 2 == 0) "a" else "b", tok) }
+        .toDF("doc_id", "source", "n_tokens")
+      val w = (src: org.apache.spark.sql.Column) =>
+        when(src === "a", lit(wa)).otherwise(lit(wb))
+      val out = Sampling.interleaveByWeight(df, "source", "doc_id", "n_tokens", w)
+        .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+      // re-derive per-source cumsum in the hash order independently
+      def ord(id: Long) = Math.floorMod(Math.floorMod(id * 37L + 7L, 1000000007L), 1000000L)
+      out.groupBy(_._1).forall { case (src, docs) =>
+        val weight = if (src == "a") wa else wb
+        val sorted = docs.sortBy(d => (ord(d._2), d._2))
+        val cums = sorted.map(_._3).scanLeft(0L)(_ + _).tail
+        sorted.map(_._4).sameElements(cums.map(c => c * 1000L / weight)) &&
+          sorted.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) <= p(1))
+      }
+    }
+    assert(passed(prop, 15))
+  }
 }
