@@ -267,6 +267,45 @@ class StatefulOpsSpec extends SparkSpec {
       s"budget state lost across restart: ${rows.toList}")
   }
 
+  test("streaming pack offset state survives a checkpointed query restart") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("pack_restart").toString
+    val (inDir, cpDir, outDir) = (s"$root/in", s"$root/cp", s"$root/out")
+    new java.io.File(inDir).mkdirs()
+    def writeBatch(name: String, rows: Seq[ChunkEvent]): Unit = {
+      val tmp = java.nio.file.Files.createTempFile("packb", ".json")
+      java.nio.file.Files.writeString(tmp,
+        rows.map(e => s"""{"stream":"${e.stream}","id":${e.id},"idx":${e.idx},"tok":${e.tok}}""")
+          .mkString("\n"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$inDir/$name.json"))
+    }
+    val schema = implicitly[org.apache.spark.sql.Encoder[ChunkEvent]].schema
+    def run(): Unit = {
+      val in = spark.readStream.schema(schema).json(inDir).as[ChunkEvent]
+      val q = streamingPackOffsets(in, budget = 8L).toDF()
+        .writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", cpDir)
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      q.awaitTermination()
+    }
+    writeBatch("b1", Seq(ChunkEvent("s", 1L, 0L, 5L), ChunkEvent("s", 2L, 0L, 4L)))
+    run()
+    writeBatch("b2", Seq(ChunkEvent("s", 3L, 0L, 2L)))
+    run() // restarted incarnation must resume the offset at 9, not 0
+    val rows = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(1), r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1)
+    assert(rows.toList == List(
+      (1L, 0L, 0L, 0L),
+      (2L, 5L, 0L, 1L),
+      (3L, 9L, 1L, 1L) // lost state would restart the stream at offset 0
+    ), s"offset state lost across restart: ${rows.toList}")
+  }
+
   test("near-dup bucket cap: boilerplate buckets stop pairing and stop growing") {
     import org.apache.spark.sql.streaming.TestGroupState
     def st(ids: List[Long]) = TestGroupState.create[BucketState](
