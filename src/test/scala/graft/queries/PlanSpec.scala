@@ -253,6 +253,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"bucket offsets not broadcast:\n$p")
   }
 
+  test("ta_fuzzy_match: probes broadcast over the lang block, corpus never shuffles") {
+    val p = plan("ta_fuzzy_match")
+    assert(p.contains("BroadcastHashJoin"), s"probes not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus side shuffled for the probe join:\n$p")
+  }
+
   test("ta_decontaminate_bloom: sketch probe is map-side, confirm join broadcasts") {
     val p = plan("ta_decontaminate_bloom")
     assert(p.contains("graft_bloom_might_contain"), s"bloom probe missing:\n$p")
