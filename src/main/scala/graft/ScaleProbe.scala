@@ -1,0 +1,53 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Empirical scale-curvature probe: run the heavy dedup/ANN operators
+  * on 1×/2×/8× blow-ups of the same corpus and print warm runtimes, so
+  * the SCALING.md claims ("bucketed, never quadratic") are backed by a
+  * measured growth curve, not only plan shape.
+  *
+  * `runMain graft.ScaleProbe <dir1x> <dir2x> <dir8x>` where each dir
+  * holds `documents*.parquet` (and optionally `embeddings*.parquet`).
+  * Not part of the driver contract; a measurement tool.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    def time(f: => Long): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def bench(label: String, path: String): Unit = {
+      val docs = spark.read.parquet(path)
+      val nDocs = docs.count()
+      // warm + 2 reps, report min (tightest bound on the true cost)
+      def best(f: => Long): Double = { time(f); math.min(time(f), time(f)) }
+      val jac = best(graft.operators.Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", n = 3, num = 1, den = 10, maxShingleFreq = 1000L).count())
+      val lsh = best(graft.operators.Dedup.minhashLshCandidates(
+        docs, "doc_id", "text", n = 3, k = 8, bands = 2).count())
+      val sim = best(graft.operators.Dedup.simhashPairs(
+        docs, "doc_id", "text", n = 3, maxHamming = 3).count())
+      val sim63 = best(graft.operators.Dedup.simhashPairs63(
+        docs, "doc_id", "text", n = 3, maxHamming = 3).count())
+      val comp = best {
+        val pairs = graft.operators.Dedup.minhashLshCandidates(
+          docs, "doc_id", "text", n = 3, k = 8, bands = 2)
+        graft.operators.Dedup.connectedComponents(pairs, "da", "db").count()
+      }
+      println(f"[scale] $label%-4s docs=$nDocs%7d ngram_jaccard=$jac%6.2f minhash_lsh=$lsh%6.2f simhash32=$sim%6.2f simhash63=$sim63%6.2f components=$comp%6.2f")
+    }
+    bench("1x", args(0))
+    bench("2x", args(1))
+    bench("8x", args(2))
+    spark.stop()
+  }
+}

@@ -49,6 +49,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => { arity("graft_simhash32", args, 1)
         SimHash32K(args(0)) },
       "graft_simhash32(shingles) - 32-bit simhash of a string array"),
+    ("graft_simhash63",
+      (args: Seq[Expression]) => { arity("graft_simhash63", args, 1)
+        SimHash63K(args(0)) },
+      "graft_simhash63(shingles) - 63-bit simhash (affine-sign bits; the corpus-scale fingerprint)"),
     ("graft_minhash_sig",
       (args: Seq[Expression]) => { arity("graft_minhash_sig", args, 2)
         MinHashSigK(args(0), litInt(args(1), "graft_minhash_sig", "k")) },

@@ -50,4 +50,17 @@ object Hashing {
     */
   def simhashBlock(sh: Column, b: Int): Column =
     pmod(shiftright(sh, 8 * b), lit(256L))
+
+  /** 63-bit simhash over the same shingle array — the scale
+    * fingerprint (see [[Kernels.simhash63Eval]]).
+    */
+  def simhash63(tokens: Column): Column = Kernels.simhash63(tokens)
+
+  /** block b (0..3) of a 63-bit simhash: 16/16/16/15-bit slices —
+    * same hamming ≤ 3 pigeonhole, 65536 values per block instead of
+    * 256, so blocked-join buckets stay sparse as the corpus grows.
+    */
+  def simhash63Block(sh: Column, b: Int): Column =
+    if (b < 3) pmod(shiftright(sh, 16 * b), lit(65536L))
+    else shiftright(sh, 48)
 }

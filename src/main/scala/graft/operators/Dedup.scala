@@ -150,6 +150,32 @@ object Dedup {
     */
   final case class CcStats(propRounds: Int, switchedToStar: Boolean)
 
+  /** [[simhashPairs]] on the 63-bit fingerprint — the corpus-scale
+    * variant: 16-bit blocks keep bucket occupancy ~n/65536 per block
+    * position where the 8-bit blocks of the 32-bit variant saturate at
+    * n/256 (quadratic candidates once the corpus outgrows a few
+    * thousand docs — measured 15× runtime at 8× corpus). Same exact
+    * hamming ≤ `maxHamming` contract, same plan shape.
+    */
+  def simhashPairs63(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-block blocking is only lossless for hamming <= 3")
+    val sh = df.select(
+      col(idCol).as("doc"),
+      Hashing.simhash63(TextFunctions.shingles(col(textCol), n)).as("sh"))
+    val blocked = sh.select(col("doc"), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"), Hashing.simhash63Block(col("sh"), b).as("v"))): _*)).as("blk"))
+    blocked.as("a").join(blocked.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc") < col("b.doc"))
+      .select(
+        col("a.doc").as("da"), col("b.doc").as("db"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Connected components over a near-dup pair list — the final stage
     * of every dedup pipeline: pairs → groups → one canonical id (the
     * minimum) per group.

@@ -757,6 +757,24 @@ object TrainingOps {
               |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
               |WHERE bit_count(xor(a.v, b.v)) <= 3""".stripMargin)),
 
+    // ---- 63-bit simhash near-dups: same hamming <= 3 contract, 16-bit
+    //      blocks — the corpus-scale fingerprint (8-bit blocks saturate
+    //      and go quadratic once buckets fill) ----
+    "dd_simhash64" -> Q(
+      (s, dir) =>
+        Dedup.simhashPairs63(Tables(s, dir, "documents"), "doc_id", "text",
+          n = 3, maxHamming = 3),
+      Some(s"""WITH $duckShingles,
+              |hs AS (SELECT doc_id, list_transform(s, t -> ${duckCharHash("t")}) h FROM shl),
+              |sh AS (SELECT doc_id, COALESCE(list_sum(list_transform(range(0,63), j ->
+              |  CASE WHEN list_sum(list_transform(h, x ->
+              |         CASE WHEN ((37+101*j)*x + 7+139*j) % 1000000007 * 2 < 1000000007
+              |              THEN 1 ELSE -1 END)) > 0
+              |       THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)), 0) v FROM hs)
+              |SELECT a.doc_id da, b.doc_id db, bit_count(xor(a.v, b.v)) AS hamming
+              |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.v, b.v)) <= 3""".stripMargin)),
+
     // ---- embedding-cosine near-dup pairs (ids only; double fold).
     //      LSH-blocked candidates + exact cosine filter — the scale
     //      path; the oracle rebuilds the same deterministic buckets

@@ -80,6 +80,23 @@ class KernelsSpec extends SparkSpec {
     })
   }
 
+  private def refSimhash63(tokens: Seq[String]): Long = {
+    val hs = tokens.map(refCharHash)
+    (0 until 63).map { j =>
+      val bitSum = hs.map { h =>
+        val v = ((37L + 101L * j) * h + 7L + 139L * j) % P
+        if (v * 2 < P) 1 else -1
+      }.sum
+      if (bitSum > 0) 1L << j else 0L
+    }.sum
+  }
+
+  test("simhash63 kernel matches the affine-sign per-bit definition") {
+    holds(Prop.forAll(Gen.listOf(word)) { tokens =>
+      Kernels.simhash63Eval(arr(tokens)) == refSimhash63(tokens)
+    })
+  }
+
   test("minhash kernel matches min-over-affine definition; distinct is a no-op") {
     holds(Prop.forAll(Gen.listOf(word), Gen.choose(1, 8)) { (tokens, k) =>
       val got = Kernels.minhashSigEval(arr(tokens), k)

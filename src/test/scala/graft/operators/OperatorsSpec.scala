@@ -74,6 +74,26 @@ class OperatorsSpec extends SparkSpec {
     assert(s2 == p2, s"random graph diverged: star=$s2 prop=$p2")
   }
 
+  test("63-bit simhash blocked join equals brute-force hamming filter") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = (1L to 40L).map { i =>
+      (i, if (i % 5 == 0) base else s"$base doc$i word${i % 11} extra${i % 7}")
+    }.toDF("doc_id", "text")
+    val blocked = Dedup.simhashPairs63(docs, "doc_id", "text", n = 3, maxHamming = 3)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = docs.select(col("doc_id"),
+      graft.functions.Hashing.simhash63(
+        graft.functions.TextFunctions.shingles(col("text"), 3)).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 3
+    } yield (a, b)).toSet
+    assert(blocked == brute, s"blocked=$blocked brute=$brute")
+    assert(brute.nonEmpty, "test corpus produced no near-dups")
+  }
+
   test("IVF empty clusters reseed to the furthest training points") {
     import spark.implicits._
     // ids 1-4 share one direction, so all four init centroids are
