@@ -62,19 +62,35 @@ object Similarity {
 
   /** Candidate pairs whose signatures agree on at least one of the
     * `tables` bucket views (each view masks a disjoint group of planes).
+    *
+    * `maxBucket` is the vector-LSH analog of the n-gram frequency cap
+    * ([[graft.operators.Dedup.ngramJaccardPairs]] `maxShingleFreq`):
+    * a bucket holding more members than that is boilerplate (mass-
+    * duplicated embeddings, zero vectors) and is dropped BEFORE the
+    * self-join — without it one degenerate bucket generates quadratic
+    * pairs in a single reducer at corpus scale. Default = no cap (the
+    * historical behavior); any oracle of a capped run must apply the
+    * same cap.
     */
   def lshCandidates(df: DataFrame, idCol: String, vecCol: String,
-                    planes: Int = 16, tables: Int = 4): DataFrame = {
+                    planes: Int = 16, tables: Int = 4,
+                    maxBucket: Long = Long.MaxValue): DataFrame = {
     val perTable = planes / tables
     // bucket join and pair-dedup carry only ids — vectors (the wide
     // payload) are joined back afterwards on id, a co-partitioned hash
     // join at scale and an AQE broadcast at bench size
     val sig = df.select(col(idCol).as("id"), lshSignature(col(vecCol), planes).as("sig"))
-    val bucketed = sig.select(col("id"),
+    val raw = sig.select(col("id"),
       explode(array((0 until tables).map { t =>
         val mask = ((1L << perTable) - 1) << (t * perTable)
         struct(lit(t).as("t"), (col("sig").bitwiseAND(lit(mask))).as("v"))
       }: _*)).as("bucket"))
+    val bucketed =
+      if (maxBucket == Long.MaxValue) raw
+      else raw // occupancy count shuffles on the same key as the join
+        .withColumn("__cnt", count(lit(1)).over(Window.partitionBy("bucket")))
+        .filter(col("__cnt") <= maxBucket)
+        .drop("__cnt")
     val pairs = bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("ida"), col("b.id").as("idb"))

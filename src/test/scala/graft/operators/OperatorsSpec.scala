@@ -74,6 +74,26 @@ class OperatorsSpec extends SparkSpec {
     assert(s2 == p2, s"random graph diverged: star=$s2 prop=$p2")
   }
 
+  test("LSH bucket cap drops boilerplate buckets, keeps the genuine pairs") {
+    import spark.implicits._
+    // 50 identical vectors (one boilerplate bucket in every table) plus
+    // two genuinely-near distinct vectors
+    val boiler = (1L to 50L).map(i => (i, Array(1f, 0f, 0f, 0f)))
+    val near = Seq(100L -> Array(0f, 1f, 0.05f, 0f), 101L -> Array(0f, 1f, 0f, 0.05f))
+    val df = (boiler ++ near).toDF("id", "vec")
+    val capped = Similarity.lshCandidates(df, "id", "vec", maxBucket = 10L)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 50-way duplicate bucket (1225 pairs) is gone; the near pair
+    // survives if it buckets apart from the boilerplate
+    assert(!capped.exists { case (a, b) => a <= 50 && b <= 50 },
+      s"boilerplate bucket not capped: $capped")
+    assert(capped.contains((100L, 101L)), s"genuine near pair lost: $capped")
+    // no cap (default) keeps the historical behavior
+    val uncapped = Similarity.lshCandidates(df, "id", "vec")
+      .select("ida", "idb").collect().length
+    assert(uncapped >= 1225, s"uncapped run should keep duplicate pairs: $uncapped")
+  }
+
   test("63-bit simhash blocked join equals brute-force hamming filter") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
