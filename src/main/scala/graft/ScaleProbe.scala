@@ -48,6 +48,33 @@ object ScaleProbe {
     bench("1x", args(0))
     bench("2x", args(1))
     bench("8x", args(2))
+    // optional 4th arg: an embeddings parquet with heavy duplication —
+    // demonstrates the vector-LSH bucket cap holding candidate volume
+    // flat where the uncapped run goes quadratic
+    args.lift(3).foreach { embPath =>
+      val emb = spark.read.parquet(embPath)
+      def pairs(cap: Long): (Double, Long) = {
+        var n = 0L
+        val t = time {
+          n = graft.operators.Similarity.lshCandidates(
+            emb, "vec_id", "embedding", maxBucket = cap).count(); n
+        }
+        (t, n)
+      }
+      val (tU, nU) = pairs(Long.MaxValue)
+      val (tC, nC) = pairs(1000L)
+      println(f"[scale] emb  uncapped=${tU}%6.2f s ($nU%9d pairs)  capped@1000=${tC}%6.2f s ($nC%9d pairs)")
+      // signature width sweep: bucket values per table view = 2^(planes/tables),
+      // so candidate volume must drop geometrically as planes grow
+      Seq(16, 32, 60).foreach { p =>
+        var n = 0L
+        val t = time {
+          n = graft.operators.Similarity.lshCandidates(
+            emb, "vec_id", "embedding", planes = p, tables = 4).count(); n
+        }
+        println(f"[scale] emb  planes=$p%2d tables=4 -> $n%10d pairs in $t%6.2f s")
+      }
+    }
     spark.stop()
   }
 }
