@@ -48,6 +48,38 @@ object ScaleProbe {
     bench("1x", args(0))
     bench("2x", args(1))
     bench("8x", args(2))
+    // mass-duplicate probe: 10% of docs share ONE boilerplate text, so
+    // the shared band bucket grows linearly with the corpus and uncapped
+    // all-pairs candidate volume grows QUADRATICALLY; the band-occupancy
+    // cap (star-pairing to the bucket min) must hold output linear.
+    // Non-duplicate replicas are word-salted per copy so the organic dup
+    // rate stays constant across blow-ups.
+    locally {
+      val boiler = ("breaking news subscribe to our newsletter all rights reserved " * 6).trim
+      def massdup(mult: Int) = {
+        val base = spark.read.parquet(args(0))
+        (0 until mult).map(i => base.select(
+            (col("doc_id") + lit(i * 100000000L)).as("doc_id"),
+            when(pmod(col("doc_id"), lit(10)) === 0, lit(boiler))
+              .otherwise(concat(col("text"), lit(" r" + i))).as("text")))
+          .reduce(_ union _)
+          .localCheckpoint(true)
+      }
+      for (m <- Seq(1, 2, 8)) {
+        val d = massdup(m)
+        def run(cap: Long): (Double, Long) = {
+          var n = 0L
+          time { n = graft.operators.Dedup.minhashLshCandidates(
+            d, "doc_id", "text", n = 3, k = 8, bands = 2, maxBandOccupancy = cap).count(); n }
+          val t = time(graft.operators.Dedup.minhashLshCandidates(
+            d, "doc_id", "text", n = 3, k = 8, bands = 2, maxBandOccupancy = cap).count())
+          (t, n)
+        }
+        val (tU, nU) = run(Long.MaxValue)
+        val (tC, nC) = run(1000L)
+        println(f"[scale] massdup ${m}x uncapped=$tU%6.2f s ($nU%9d pairs)  capped@1000=$tC%6.2f s ($nC%9d pairs)")
+      }
+    }
     // optional 4th arg: an embeddings parquet with heavy duplication —
     // demonstrates the vector-LSH bucket cap holding candidate volume
     // flat where the uncapped run goes quadratic

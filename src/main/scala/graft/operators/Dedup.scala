@@ -104,20 +104,47 @@ object Dedup {
       .filter(col("inter") * den >= col("un") * num)
   }
 
-  /** MinHash + LSH candidate pairs: signature → band keys → bucket
-    * self-join → distinct. Two shuffles (band key, then pair distinct);
-    * never touches full document pair space.
+  /** MinHash + LSH candidate pairs: signature → band keys → per-band
+    * posting list → ordered pairs → distinct. Two shuffles (band key,
+    * then pair distinct); never touches full document pair space.
+    *
+    * `maxBandOccupancy` bounds pair generation per bucket: a band
+    * bucket with at most that many members emits all ordered pairs
+    * (the usual LSH candidate set), while an OVERSIZED bucket emits
+    * only star pairs — every member paired to the bucket minimum — so
+    * output is linear in bucket size instead of quadratic. At corpus
+    * scale, boilerplate web documents form clusters of 1e5–1e6
+    * near-identical docs that share every band; all-pairs there is
+    * m²/2 rows into one reducer (the exact blowup `maxShingleFreq`
+    * guards against on the n-gram path). Star-pairing keeps every
+    * member CONNECTED to the cluster (same connected components, so
+    * dedup-apply output is unchanged — pinned by the dd_dedup_apply
+    * oracle) while pair output stays linear.
+    *
+    * Implementation is the same inverted-index shape as
+    * [[ngramJaccardPairs]]: ONE groupBy on band builds the posting
+    * list, and both pair modes are a two-level codegen Generate over
+    * it (the left side is the full list for small buckets, the
+    * singleton minimum for oversized ones) — no self-join, so the band
+    * exchange happens once.
     */
   def minhashLshCandidates(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 8, bands: Int = 2): DataFrame = {
+      n: Int = 3, k: Int = 8, bands: Int = 2,
+      maxBandOccupancy: Long = 1000L): DataFrame = {
     val sig = df.select(
       col(idCol).as("doc"),
       Hashing.minhashSignature(TextFunctions.shingles(col(textCol), n), k).as("sig"))
     val banded = sig.select(col("doc"), explode(Hashing.lshBandKeys(col("sig"), k, bands)).as("band"))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("da"), col("b.doc").as("db"))
+    val inv = banded.groupBy("band").agg(collect_list("doc").as("docs"))
+    inv
+      .select(
+        explode(when(size(col("docs")) <= lit(maxBandOccupancy), col("docs"))
+          .otherwise(array(array_min(col("docs"))))).as("da"),
+        col("docs"))
+      .select(col("da"), explode(col("docs")).as("db"))
+      .where(col("da") < col("db"))
+      .select(col("da"), col("db"))
       .distinct()
   }
 
@@ -359,8 +386,8 @@ object Dedup {
     */
   def embeddingCosinePairsBlocked(
       df: DataFrame, idCol: String, vecCol: String, minCosine: Double,
-      planes: Int = 16, tables: Int = 4): DataFrame =
-    Similarity.lshCandidates(df, idCol, vecCol, planes, tables)
+      planes: Int = 16, tables: Int = 4, maxBucket: Long = 1000L): DataFrame =
+    Similarity.lshCandidates(df, idCol, vecCol, planes, tables, maxBucket)
       .select(col("ida"), col("idb"),
         (Similarity.dot(col("veca"), col("vecb")) /
           sqrt(Similarity.norm2(col("veca")) * Similarity.norm2(col("vecb")))).as("cos"))

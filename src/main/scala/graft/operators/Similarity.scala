@@ -68,9 +68,9 @@ object Similarity {
     * a bucket holding more members than that is boilerplate (mass-
     * duplicated embeddings, zero vectors) and is dropped BEFORE the
     * self-join — without it one degenerate bucket generates quadratic
-    * pairs in a single reducer at corpus scale. Default = no cap (the
-    * historical behavior); any oracle of a capped run must apply the
-    * same cap.
+    * pairs in a single reducer at corpus scale. Callers that ship
+    * (lshTopK/lshJoin/embeddingCosinePairsBlocked) default to a finite
+    * cap; any oracle of a capped run must apply the same cap.
     */
   def lshCandidates(df: DataFrame, idCol: String, vecCol: String,
                     planes: Int = 16, tables: Int = 4,
@@ -87,10 +87,7 @@ object Similarity {
       }: _*)).as("bucket"))
     val bucketed =
       if (maxBucket == Long.MaxValue) raw
-      else raw // occupancy count shuffles on the same key as the join
-        .withColumn("__cnt", count(lit(1)).over(Window.partitionBy("bucket")))
-        .filter(col("__cnt") <= maxBucket)
-        .drop("__cnt")
+      else dropOversizedBuckets(raw, maxBucket)
     val pairs = bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("ida"), col("b.id").as("idb"))
@@ -100,6 +97,22 @@ object Similarity {
       .join(v.as("va"), col("ida") === col("va.id"))
       .join(v.as("vb"), col("idb") === col("vb.id"))
       .select(col("ida"), col("va.vec").as("veca"), col("idb"), col("vb.vec").as("vecb"))
+  }
+
+  /** Remove every row of a bucket whose occupancy exceeds `maxBucket`.
+    *
+    * The over-cap key set comes from a partial-aggregated groupBy (hot
+    * keys combine map-side) and is tiny by definition — a handful of
+    * boilerplate buckets — so it anti-joins back as a broadcast. A
+    * window count over the bucket would funnel every row of the
+    * degenerate bucket through ONE task's sort before dropping it —
+    * exactly the skewed-key single-task pass the cap exists to avoid.
+    */
+  private def dropOversizedBuckets(bucketed: DataFrame, maxBucket: Long): DataFrame = {
+    val over = bucketed.groupBy("bucket").agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > maxBucket)
+      .select("bucket")
+    bucketed.join(broadcast(over), Seq("bucket"), "left_anti")
   }
 
   /** Per-vector symmetric int8 quantization: q_i = round(x_i·127/max|x|)
@@ -291,10 +304,18 @@ object Similarity {
     * table — candidate volume is bucket-occupancy-bound, never
     * |probes|×|corpus|. Ids travel through the bucket join; vectors
     * join back by id.
+    *
+    * `maxBucket` caps CORPUS-side bucket occupancy (default finite): a
+    * corpus bucket holding more vectors than that is boilerplate
+    * (mass-duplicated embeddings, zero vectors) whose candidates would
+    * multiply against every probe sharing the bucket — it is dropped
+    * before the bucket join, same contract as [[lshCandidates]]. The
+    * probe side is small by usage and stays uncapped.
     */
   def lshJoin(probes: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String,
-              k: Int, planes: Int = 16, tables: Int = 4): DataFrame = {
+              k: Int, planes: Int = 16, tables: Int = 4,
+              maxBucket: Long = 1000L): DataFrame = {
     val perTable = planes / tables
     def bucketed(df: DataFrame, side: String) = {
       val sig = df.select(col(idCol).as(s"${side}id"),
@@ -305,7 +326,10 @@ object Similarity {
           struct(lit(t).as("t"), (col("sig").bitwiseAND(lit(mask))).as("v"))
         }: _*)).as("bucket"))
     }
-    val cand = bucketed(probes, "q").join(bucketed(corpus, "n"), "bucket")
+    val nb =
+      if (maxBucket == Long.MaxValue) bucketed(corpus, "n")
+      else dropOversizedBuckets(bucketed(corpus, "n"), maxBucket)
+    val cand = bucketed(probes, "q").join(nb, "bucket")
       .filter(col("qid") =!= col("nid"))
       .select("qid", "nid").distinct()
     val qv = probes.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
@@ -320,13 +344,17 @@ object Similarity {
       .select("qid", "rank", "nid")
   }
 
-  /** ANN top-k via LSH buckets + exact re-rank of candidates. */
+  /** ANN top-k via LSH buckets + exact re-rank of candidates.
+    * `maxBucket` (finite by default) drops boilerplate buckets before
+    * pair generation — see [[lshCandidates]].
+    */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
-              k: Int, planes: Int = 16, tables: Int = 4): DataFrame = {
+              k: Int, planes: Int = 16, tables: Int = 4,
+              maxBucket: Long = 1000L): DataFrame = {
     // score each candidate pair once and mirror it for both directions
     // in the SAME pass — a union of two selects would re-run the whole
     // candidate pipeline (bucket join + cosine) once per branch
-    val scored = lshCandidates(df, idCol, vecCol, planes, tables)
+    val scored = lshCandidates(df, idCol, vecCol, planes, tables, maxBucket)
       .withColumn("cos", cosine(col("veca"), col("vecb")))
     val sym = scored
       .select(explode(array(

@@ -457,10 +457,15 @@ object TrainingOps {
     //      components → drop every non-canonical member (keep the min
     //      id of each dup group + all unpaired docs) — the composition
     //      a curation pipeline actually ships ----
+    // maxBandOccupancy = 2 binds at every test SF (buckets of 3+ exist
+    // even at sf0.001), so the gate proves the star-pairing invariance
+    // claim: the oracle derives components from UNCAPPED all-pairs,
+    // and the capped Spark side must reach the identical groups.
     "dd_dedup_apply" -> Q(
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
-        val pairs = Dedup.minhashLshCandidates(docs, "doc_id", "text", n = 3, k = 8, bands = 2)
+        val pairs = Dedup.minhashLshCandidates(docs, "doc_id", "text", n = 3, k = 8, bands = 2,
+          maxBandOccupancy = 2L)
         val dupes = Dedup.connectedComponents(pairs, "da", "db")
           .filter(col("id") =!= col("comp"))
           .select(col("id").as("doc_id"))
@@ -686,6 +691,31 @@ object TrainingOps {
               |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id""".stripMargin),
       headline = true),
 
+    // ---- the band-occupancy cap under the gate: buckets over the cap
+    //      (2 here — binds at all SFs) star-pair to the bucket min
+    //      instead of emitting all pairs; the oracle re-derives both
+    //      modes from the bucket occupancy counts ----
+    "dd_minhash_lsh_capped" -> Q(
+      (s, dir) =>
+        Dedup.minhashLshCandidates(Tables(s, dir, "documents"), "doc_id", "text",
+          n = 3, k = 8, bands = 2, maxBandOccupancy = 2L),
+      Some(s"""WITH $duckShingles,
+              |hs AS (SELECT doc_id, list_transform(list_distinct(s), t -> ${duckCharHash("t")}) h FROM shl),
+              |sig AS (SELECT doc_id, list_transform(range(0,8), i ->
+              |  list_min(list_transform(h, x -> ((37+101*i)*x + 7+139*i) % 1000000007))) sg FROM hs),
+              |bands AS (
+              |  SELECT doc_id, '0-' || sg[1] || '-' || sg[2] || '-' || sg[3] || '-' || sg[4] AS band FROM sig
+              |  UNION ALL
+              |  SELECT doc_id, '1-' || sg[5] || '-' || sg[6] || '-' || sg[7] || '-' || sg[8] AS band FROM sig),
+              |occ AS (SELECT band, count(*) AS m, min(doc_id) AS mn FROM bands GROUP BY band)
+              |SELECT DISTINCT da, db FROM (
+              |  SELECT a.doc_id AS da, b.doc_id AS db
+              |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+              |  JOIN occ o ON a.band = o.band AND o.m <= 2
+              |  UNION ALL
+              |  SELECT o.mn AS da, b.doc_id AS db
+              |  FROM bands b JOIN occ o ON b.band = o.band AND o.m > 2 AND b.doc_id > o.mn)""".stripMargin)),
+
     // ---- dedup groups: connected components over the MinHash-LSH
     //      candidate pairs (pairs → groups → canonical min id); oracle
     //      re-derives the closure with a recursive CTE ----
@@ -852,6 +882,45 @@ object TrainingOps {
              |      FROM sg, range(0,4) r(t)),
              |pairs AS (SELECT DISTINCT a.vec_id AS ida, b2.vec_id AS idb
              |          FROM b a JOIN b b2
+             |          ON a.t = b2.t AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+             |n AS (SELECT vec_id, embedding,
+             |  list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nrm
+             |  FROM e),
+             |sc AS (SELECT p.ida, p.idb,
+             |  list_sum(list_transform(list_zip(x.embedding, y.embedding),
+             |    q -> CAST(q[1] AS DOUBLE)*CAST(q[2] AS DOUBLE))) / sqrt(x.nrm * y.nrm) AS cos
+             |  FROM pairs p JOIN n x ON p.ida = x.vec_id JOIN n y ON p.idb = y.vec_id),
+             |sym AS (SELECT ida AS qid, idb AS nid, cos FROM sc
+             |        UNION ALL SELECT idb, ida, cos FROM sc),
+             |rk AS (SELECT qid, nid,
+             |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM sym)
+             |SELECT qid, rank, nid FROM rk WHERE rank <= 10""".stripMargin)),
+
+    // ---- the bucket-occupancy cap under the gate: maxBucket = 40
+    //      binds at every SF (max occupancy 46/51/163), so the oracle
+    //      verifies the drop-oversized-buckets semantics with data, not
+    //      just the plan shape. The shipped default (1000) uses the
+    //      identical code path ----
+    "ann_lsh_capped" -> Q(
+      (s, dir) =>
+        Similarity.lshTopK(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 10, planes = 16, tables = 4, maxBucket = 40L),
+      Some("""WITH e AS (SELECT vec_id, embedding, len(embedding) AS nd FROM embeddings),
+             |sg AS (SELECT vec_id,
+             |  list_sum(list_transform(range(0,16), p ->
+             |    CASE WHEN list_sum(list_transform(range(1, nd+1), d ->
+             |        CASE WHEN ((1103515245*p + 12345)*d + 2654435761) % 2147483647 % 2 = 0
+             |             THEN CAST(embedding[d] AS DOUBLE)
+             |             ELSE -CAST(embedding[d] AS DOUBLE) END)) > 0
+             |    THEN 1 << p ELSE 0 END)) AS sig
+             |  FROM e),
+             |b AS (SELECT vec_id, r.t, sig & (15 << (r.t*4)) AS bucket
+             |      FROM sg, range(0,4) r(t)),
+             |keep AS (SELECT t, bucket FROM (SELECT t, bucket, count(*) AS m FROM b GROUP BY 1, 2)
+             |         WHERE m <= 40),
+             |bk AS (SELECT b.vec_id, b.t, b.bucket FROM b JOIN keep USING (t, bucket)),
+             |pairs AS (SELECT DISTINCT a.vec_id AS ida, b2.vec_id AS idb
+             |          FROM bk a JOIN bk b2
              |          ON a.t = b2.t AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
              |n AS (SELECT vec_id, embedding,
              |  list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nrm

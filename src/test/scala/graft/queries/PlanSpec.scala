@@ -300,6 +300,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dd_minhash_lsh: pair generation is a join-free posting-list explode with the occupancy guard") {
+    // the old shape self-joined the banded frame on band — correct, but a
+    // mass-duplicated cluster of m docs shares every band and emits m²/2
+    // pairs into one reducer. The inverted-index shape pins: no join at
+    // all until pairs exist, and exactly two exchanges (band groupBy +
+    // pair distinct)
+    for (name <- Seq("dd_minhash_lsh", "dd_minhash_lsh_capped")) {
+      val p = plan(name)
+      assert(!p.contains("Join"), s"$name: band pairing must not be a self-join:\n$p")
+      assert(p.contains("Generate"), s"$name: expected posting-list explode:\n$p")
+      // the occupancy guard is a size() conditional on the posting list —
+      // its absence means oversized buckets went back to all-pairs
+      assert(p.contains("size(docs"), s"$name: band-occupancy guard missing:\n$p")
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(shuffles == 2, s"$name: expected 2 shuffles, got $shuffles:\n$p")
+    }
+  }
+
+  test("ann_lsh: the bucket-occupancy guard anti-joins out oversized buckets, broadcast") {
+    // the shipped entry points run a finite maxBucket by default: the
+    // over-cap key set (tiny by definition) must broadcast into a
+    // LeftAnti join — never a window count that funnels the degenerate
+    // bucket through one task's sort
+    for (name <- Seq("ann_lsh_bucketed", "ann_lsh_join", "ann_lsh_capped")) {
+      val p = plan(name)
+      assert(p.contains("LeftAnti"), s"$name: occupancy guard missing:\n$p")
+      assert(!p.contains("Window count"), s"$name: occupancy via window sort:\n$p")
+      val antiLines = p.linesIterator.filter(_.contains("LeftAnti")).toList
+      assert(antiLines.exists(l => l.contains("Broadcast")),
+        s"$name: over-cap key set not broadcast:\n${antiLines.mkString("\n")}")
+    }
+  }
+
   test("ann_int8_topk: quantized scoring broadcasts the probe side, no cartesian") {
     val p = plan("ann_int8_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
