@@ -47,15 +47,18 @@ object Bpe {
     */
   type Ranks = java.util.HashMap[String, Integer]
 
-  /** parse merges.txt content: skip blank lines and `#...` headers;
-    * rank = order of appearance.
+  /** parse merges.txt content: skip blank lines and the `#version`
+    * header; rank = order of appearance. Only `#version` is reserved —
+    * a merge whose LEFT token starts with '#' (e.g. "# 0000" learned
+    * from structured ids) is data, so a skip-all-#-lines rule would
+    * silently drop trained merges.
     */
   def parseMerges(lines: Iterator[String]): Ranks = {
     val m = new java.util.HashMap[String, Integer]()
     var rank = 0
     lines.foreach { line =>
       val t = line.trim
-      if (t.nonEmpty && !t.startsWith("#")) {
+      if (t.nonEmpty && !t.startsWith("#version")) {
         m.put(t, rank)
         rank += 1
       }

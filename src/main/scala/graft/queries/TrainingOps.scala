@@ -39,15 +39,30 @@ object TrainingOps {
       |    ELSE [] END AS s
       |  FROM tok)""".stripMargin
 
-  /** the shipped BPE merge table as a DuckDB MAP literal ("left right"
-    * → rank), the same precompute-into-SQL route as the LSH hyperplane
-    * family.
+  /** Absolute path of the shipped merges.txt — the SAME file
+    * [[graft.functions.Bpe.defaultRanks]] loads as a classpath
+    * resource, so the Spark kernel and the DuckDB oracle read one
+    * source of truth. File-loaded (not an inline MAP literal) so the
+    * oracle scales with the table: at 1k+ merges an inlined literal
+    * bloats every query string and re-parses per query.
     */
-  private lazy val duckBpeMap: String =
-    graft.functions.Bpe.orderedMerges(graft.functions.Bpe.defaultRanks)
-      .zipWithIndex
-      .map { case (k, r) => s"'${k.replace("'", "''")}': $r" }
-      .mkString("MAP{", ", ", "}")
+  private val bpeMergesPath =
+    "/root/repo/src/main/resources/graft/bpe_merges.txt"
+
+  /** DuckDB CTEs loading the merge table from [[bpeMergesPath]] into a
+    * MAP (`mt.mm`): rank = order of lines after dropping blanks and the
+    * `#version` header ONLY, exactly [[graft.functions.Bpe.parseMerges]]
+    * (a merge may legitimately start with '#'). delim=chr(1) never
+    * occurs, so each line lands whole; quote/escape disabled (merge
+    * tokens may contain quotes).
+    */
+  private lazy val duckBpeMapCtes =
+    s"""mg AS (SELECT trim(line) AS ln FROM read_csv('$bpeMergesPath',
+       |         header=false, delim=chr(1), quote='', escape='',
+       |         columns={'line':'VARCHAR'})),
+       |mr AS (SELECT ln AS k, row_number() OVER () - 1 AS r FROM mg
+       |       WHERE ln NOT LIKE '#version%' AND ln <> ''),
+       |mt AS (SELECT map(list(k ORDER BY r), list(r ORDER BY r)) AS mm FROM mr)""".stripMargin
 
   /** shared DuckDB CTEs re-deriving the BPE merge loop exactly:
     * whitespace-run words → codepoint lists → recursive rank-greedy
@@ -55,7 +70,8 @@ object TrainingOps {
     * per step). Requires a `WITH RECURSIVE` prefix.
     */
   private lazy val duckBpeCore =
-    s"""wl AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents),
+    s"""$duckBpeMapCtes,
+       |wl AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents),
        |wq AS (SELECT doc_id, unnest(ws) AS word FROM wl),
        |w AS (SELECT DISTINCT word FROM wq),
        |init AS (SELECT word, string_split(word, '') AS toks FROM w),
@@ -69,8 +85,8 @@ object TrainingOps {
        |    SELECT word, toks, list_position(rk, list_min(rk)) AS bi, list_min(rk) AS br
        |    FROM (
        |      SELECT word, toks, list_transform(range(1, len(toks)),
-       |        i -> coalesce(($duckBpeMap[toks[i] || ' ' || toks[i + 1]])[1], 1000000)) AS rk
-       |      FROM bpe) WHERE len(toks) > 1)
+       |        i -> coalesce((mm[toks[i] || ' ' || toks[i + 1]])[1], 1000000)) AS rk
+       |      FROM bpe, mt) WHERE len(toks) > 1)
        |  WHERE br < 1000000)""".stripMargin
 
   /** per-doc BPE token counts (`bc`), empty docs included as 0. */
@@ -283,7 +299,7 @@ object TrainingOps {
       (s, dir) => {
         val d = Tables(s, dir, "documents")
           .select(col("doc_id"), lit(0L).as("chunk_idx"),
-            graft.functions.Bpe.tokenCount(col("text")).as("n_bpe"))
+            graft.functions.Bpe.tokenCount(coalesce(col("text"), lit(""))).as("n_bpe"))
         Packing.packOffsets(s, d, "doc_id", "chunk_idx", "n_bpe",
           budget = 2048L, buckets = 32)
       },
@@ -327,7 +343,7 @@ object TrainingOps {
       (s, dir) =>
         Tables(s, dir, "documents")
           .select(col("doc_id"),
-            graft.functions.Bpe.tokenCount(col("text")).as("n_bpe")),
+            graft.functions.Bpe.tokenCount(coalesce(col("text"), lit(""))).as("n_bpe")),
       Some(s"""WITH RECURSIVE $duckBpeCounts
               |SELECT doc_id, n_bpe FROM bc""".stripMargin)),
 
@@ -339,9 +355,9 @@ object TrainingOps {
       (s, dir) => {
         val d = Tables(s, dir, "documents")
           .select(col("doc_id"), col("source"),
-            graft.functions.Bpe.tokenCount(col("text")).as("n_bpe"))
+            graft.functions.Bpe.tokenCount(coalesce(col("text"), lit(""))).as("n_bpe"))
         Sampling.mixtureByTokenBudget(d, "source", "doc_id", "n_bpe",
-            _ => lit(1600L))
+            _ => lit(800L))
           .select(col("source"), col("doc_id"), col("cum_tokens"))
       },
       Some(s"""WITH RECURSIVE $duckBpeCounts,
@@ -350,7 +366,7 @@ object TrainingOps {
               |    ORDER BY ((d.doc_id*37 + 7) % 1000000007) % 1000000, d.doc_id
               |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
               |  FROM documents d JOIN bc USING (doc_id))
-              |SELECT source, doc_id, cum_tokens FROM o WHERE cum_tokens <= 1600""".stripMargin)),
+              |SELECT source, doc_id, cum_tokens FROM o WHERE cum_tokens <= 800""".stripMargin)),
 
     // ---- weighted source interleaving (stride scheduling): schedule
     //      keys such that every training prefix holds sources in

@@ -91,14 +91,18 @@ class BpeSpec extends SparkSpec {
 
   test("shipped merge table loads, and known words split as trained") {
     val r = Bpe.defaultRanks
-    assert(r.size >= 32, s"expected a real merge table, got ${r.size} entries")
+    assert(r.size >= 1000, s"expected a production-sized merge table, got ${r.size} entries")
     def pieces(w: String): Seq[String] =
       Bpe.piecesEval(UTF8String.fromString(w), r)
         .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString).toSeq
-    // full-word merges and subword splits straight from training
+    // frequent corpus words merge to whole-word tokens at 1024 merges
     assert(pieces("table") == Seq("table"), pieces("table").toString)
-    assert(pieces("the") == Seq("t", "h", "e"), pieces("the").toString)
-    assert(pieces("window").length > 1 && pieces("window").mkString == "window")
+    assert(pieces("the") == Seq("the"), pieces("the").toString)
+    // structured ids split at the trained subword boundaries
+    assert(pieces("Customer#000000001") == Seq("Customer#0000", "0000", "1"),
+      pieces("Customer#000000001").toString)
+    // out-of-alphabet scripts degrade to per-codepoint tokens
+    assert(pieces("中文") == Seq("中", "文"), pieces("中文").toString)
   }
 
   test("parseMerges skips headers and blank lines; rank is line order") {
@@ -109,17 +113,19 @@ class BpeSpec extends SparkSpec {
   test("marked pieces detokenize losslessly; chunkBpe cuts mid-word") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    // 'the' splits into 3 pieces under the shipped table, so a chunk
+    // under an EMPTY merge table 'the' is 3 codepoint pieces, so a chunk
     // boundary at stride 4 with 3-piece words must fall inside a word
+    // (explicit table: the shipped one now merges 'the' whole)
+    val noMerges = toJava(Map.empty)
     val textVal = Seq.fill(10)("the").mkString(" ")
     val df = Seq((1L, textVal)).toDF("doc_id", "text")
     // kernel-level lossless detokenization of the full piece stream
     val detok = df.select(
-      trim(translate(array_join(Bpe.markedPieces($"text"), ""), "▁", " ")).as("t"))
+      trim(translate(array_join(Bpe.markedPieces($"text", noMerges), ""), "▁", " ")).as("t"))
       .head().getString(0)
     assert(detok == textVal, s"detok mismatch: $detok")
     val chunks = graft.operators.Chunking.chunkBpe(df, "doc_id", "text",
-        chunkSize = 4, overlap = 0)
+        chunkSize = 4, overlap = 0, ranks = noMerges)
       .orderBy("chunk_idx")
       .select("chunk_text", "n_tokens")
       .collect().map(r => (r.getString(0), r.getLong(1)))
@@ -137,10 +143,23 @@ class BpeSpec extends SparkSpec {
   }
 
   test("distributed training reproduces the shipped merge table from the corpus") {
-    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
-    val trained = Bpe.train(docs, "text", numMerges = 64)
-    assert(trained == Bpe.orderedMerges(Bpe.defaultRanks),
-      s"retraining diverged from the shipped table:\n${trained.zip(Bpe.orderedMerges(Bpe.defaultRanks)).filter(p => p._1 != p._2)}")
+    // the shipped 1024-merge table trains on the sf0.1 union corpus
+    // (documents.text + part names/types + customer names + event
+    // props). Greedy BPE is prefix-stable — merge k depends only on
+    // merges 1..k-1 — so training the first 48 merges must reproduce
+    // the shipped table's prefix byte-for-byte; the full-table
+    // reproduction is the same loop with numMerges = 1024.
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.1"
+    val corpus = spark.read.parquet(s"$dir/documents.parquet").select(col("text"))
+      .union(spark.read.parquet(s"$dir/part.parquet").select(col("p_name").as("text")))
+      .union(spark.read.parquet(s"$dir/part.parquet").select(col("p_type").as("text")))
+      .union(spark.read.parquet(s"$dir/customer.parquet").select(col("c_name").as("text")))
+      .union(spark.read.parquet(s"$dir/events.parquet").select(col("props").as("text")))
+    val trained = Bpe.train(corpus, "text", numMerges = 48)
+    val shipped = Bpe.orderedMerges(Bpe.defaultRanks).take(48)
+    assert(trained == shipped,
+      s"retraining diverged from the shipped table:\n${trained.zip(shipped).filter(p => p._1 != p._2)}")
   }
 
   test("training stops when no pair repeats; tie-break is deterministic") {
@@ -156,12 +175,13 @@ class BpeSpec extends SparkSpec {
   test("SQL registration: graft_bpe_count equals the Column API") {
     import spark.implicits._
     GraftFunctions.register(spark)
-    val df = Seq("the table window", "", "spark stream").toDF("text")
+    val df = Seq("the table Customer#000000001", "", "spark stream").toDF("text")
     df.createOrReplaceTempView("bpe_docs")
     val viaSql = spark.sql("SELECT graft_bpe_count(text) AS n FROM bpe_docs")
       .collect().map(_.getLong(0)).toSeq
     val viaCol = df.select(Bpe.tokenCount($"text").as("n"))
       .collect().map(_.getLong(0)).toSeq
-    assert(viaSql == viaCol && viaCol.head > 3, s"sql=$viaSql col=$viaCol")
+    // the + table (whole words) + the 3-piece structured id = 5
+    assert(viaSql == viaCol && viaCol.head == 5, s"sql=$viaSql col=$viaCol")
   }
 }
