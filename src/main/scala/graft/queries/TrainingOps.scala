@@ -445,6 +445,37 @@ object TrainingOps {
              |       ELSE (start_tok + n_tokens - 1) // 2048 END AS BIGINT) AS win_last
              |FROM o""".stripMargin)),
 
+    // ---- SHARDED streaming packing, batch-driven: per-(stream,shard)
+    //      running offsets, window ids stitched globally by
+    //      interleaving (shard s's w-th window = w·numShards + s) — the
+    //      scale path past ta_pack_stateful's one-task-per-stream
+    //      ceiling, for users who accept per-shard order ----
+    "ta_pack_sharded" -> Q(
+      (s, dir) => {
+        val ev = Tables(s, dir, "documents")
+          .select(lit("docs").as("stream"),
+            pmod(col("doc_id"), lit(4)).cast("int").as("shard"),
+            col("doc_id").as("id"), lit(0L).as("idx"),
+            TextFunctions.wsTokenCount(col("text")).cast("long").as("tok"))
+          .as[graft.streaming.StatefulOps.ShardedChunkEvent](graft.streaming.StatefulOps.shChunkEvEnc)
+        graft.streaming.StatefulOps.streamingPackOffsetsSharded(ev, budget = 2048L, numShards = 4)
+          .toDF()
+          .select(col("shard"), col("id").as("doc_id"), col("tok").as("n_tokens"),
+            col("startTok").as("start_tok"), col("winFirst").as("win_first"),
+            col("winLast").as("win_last"))
+      },
+      Some("""WITH d AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS shard,
+             |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens FROM documents),
+             |o AS (SELECT shard, doc_id, n_tokens,
+             |  COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+             |  FROM d)
+             |SELECT shard, doc_id, n_tokens, CAST(start_tok AS BIGINT) AS start_tok,
+             |  CAST((start_tok // 2048) * 4 + shard AS BIGINT) AS win_first,
+             |  CAST(CASE WHEN n_tokens = 0 THEN (start_tok // 2048) * 4 + shard
+             |       ELSE ((start_tok + n_tokens - 1) // 2048) * 4 + shard END AS BIGINT) AS win_last
+             |FROM o""".stripMargin)),
+
     // ---- weighted mixture: per-source budgets (the "x tokens of web,
     //      y of code" shape) — budget is a function of the group key ----
     "ta_mixture_weighted" -> Q(

@@ -275,6 +275,78 @@ object StatefulOps {
       }
   }
 
+  // ---- sharded streaming packing (parallel within one stream) ----
+
+  final case class ShardedChunkEvent(stream: String, shard: Int, id: Long, idx: Long, tok: Long)
+  final case class ShardedPackedChunk(stream: String, shard: Int, id: Long, idx: Long, tok: Long,
+                                      startTok: Long, winFirst: Long, winLast: Long)
+
+  implicit val shChunkEvEnc: Encoder[ShardedChunkEvent] = Encoders.product[ShardedChunkEvent]
+  implicit val shPackedEnc: Encoder[ShardedPackedChunk] = Encoders.product[ShardedPackedChunk]
+  implicit val shKeyEnc: Encoder[(String, Int)] = Encoders.tuple(Encoders.STRING, Encoders.scalaInt)
+
+  /** Per-(stream, shard) transition for [[streamingPackOffsetsSharded]]:
+    * the same running-offset recurrence as [[packGroup]], but the
+    * offset axis is SHARD-LOCAL and window ids stitch into the global
+    * id space by interleaving — shard s's w-th window is global window
+    * `w·numShards + s`. No cross-shard coordination exists at any
+    * point, which is the whole design: global stitched ids come from
+    * arithmetic, not from a barrier.
+    */
+  def shardedPackGroup(stream: String, shard: Int, rows: Iterator[ShardedChunkEvent],
+                       state: GroupState[PackState], budget: Long, numShards: Int,
+                       ttlMs: Long): Iterator[ShardedPackedChunk] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val ordered = rows.toSeq.sortBy(e => (e.id, e.idx))
+      var start = state.getOption.map(_.nextStart).getOrElse(0L)
+      val out = ordered.map { e =>
+        val localFirst = start / budget
+        val localLast = if (e.tok == 0) localFirst else (start + e.tok - 1) / budget
+        val r = ShardedPackedChunk(stream, shard, e.id, e.idx, e.tok, start,
+          localFirst * numShards + shard, localLast * numShards + shard)
+        start += e.tok
+        r
+      }
+      state.update(PackState(start))
+      if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+      out.iterator
+    }
+
+  /** Sharded streaming sequence packing — the scale path past
+    * [[streamingPackOffsets]]'s per-stream serialization. A single
+    * totally-ordered stream MUST serialize through one state task (a
+    * global pack order is sequential by definition); when the user can
+    * accept PER-SHARD order instead — the usual case: any
+    * shard-assignment that is sticky per document keeps every doc's
+    * chunks contiguous — state becomes one long per (stream, shard)
+    * and the stream packs on `numShards` tasks in parallel.
+    *
+    * Contract: `startTok` is the shard-local token offset; window ids
+    * are globally unique and stable across shards by interleaved
+    * stitching (shard s's w-th window = `w·numShards + s`). Windows
+    * never span shards; each shard's windows fill at `budget` tokens
+    * exactly as the serial operator's do. Batch-driving the full
+    * input equals the same arithmetic on a per-shard cumsum, which is
+    * how the oracle gates it (`ta_pack_sharded`).
+    */
+  def streamingPackOffsetsSharded(
+      chunks: Dataset[ShardedChunkEvent], budget: Long, numShards: Int,
+      ttlMs: Long = 0L): Dataset[ShardedPackedChunk] = {
+    require(budget > 0, "budget must be positive")
+    require(numShards > 0, "numShards must be positive")
+    val timeout =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    chunks
+      .groupByKey(e => (e.stream, e.shard))
+      .flatMapGroupsWithState[PackState, ShardedPackedChunk](OutputMode.Append, timeout) {
+        (key: (String, Int), rows: Iterator[ShardedChunkEvent], state: GroupState[PackState]) =>
+          shardedPackGroup(key._1, key._2, rows, state, budget, numShards, ttlMs)
+      }
+  }
+
   // ---- streaming near-dup candidates (MinHash + LSH over a stream) ----
 
   final case class BandedDoc(band: String, docId: Long)

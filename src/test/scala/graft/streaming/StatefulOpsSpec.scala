@@ -306,6 +306,76 @@ class StatefulOpsSpec extends SparkSpec {
     ), s"offset state lost across restart: ${rows.toList}")
   }
 
+  test("sharded pack: shard-local offsets, stitched window ids, equals the serial op per shard") {
+    val s = spark
+    import s.implicits._
+    val numShards = 3
+    val chunks = (1L to 40L).map(id =>
+      ("s", (id % numShards).toInt, id, 0L, id % 5 + 1))
+      .toDF("stream", "shard", "id", "idx", "tok")
+    val sharded = streamingPackOffsetsSharded(
+        chunks.as[ShardedChunkEvent], budget = 16L, numShards = numShards)
+      .collect().map(p => (p.shard, p.id, p.startTok, p.winFirst, p.winLast)).toSet
+    // reference: the SERIAL operator on each shard's slice, window ids
+    // mapped w -> w*numShards + shard — the stitching contract
+    val serial = (0 until numShards).flatMap { sh =>
+      streamingPackOffsets(
+          chunks.filter($"shard" === sh).select("stream", "id", "idx", "tok").as[ChunkEvent],
+          budget = 16L)
+        .collect().map(p => (sh, p.id, p.startTok,
+          p.winFirst * numShards + sh, p.winLast * numShards + sh))
+    }.toSet
+    assert(sharded == serial, s"sharded=$sharded serial=$serial")
+    // window ids are globally unique across shards: no window id maps
+    // to two different shards
+    val winOwners = sharded.toSeq.flatMap(p => Seq(p._4 -> p._1, p._5 -> p._1)).distinct
+    assert(winOwners.groupBy(_._1).forall(_._2.size == 1),
+      s"a stitched window id crossed shards: $winOwners")
+  }
+
+  test("sharded pack offset state survives a checkpointed query restart, shards independent") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("shpack_restart").toString
+    val (inDir, cpDir, outDir) = (s"$root/in", s"$root/cp", s"$root/out")
+    new java.io.File(inDir).mkdirs()
+    def writeBatch(name: String, rows: Seq[ShardedChunkEvent]): Unit = {
+      val tmp = java.nio.file.Files.createTempFile("shpackb", ".json")
+      java.nio.file.Files.writeString(tmp,
+        rows.map(e => s"""{"stream":"${e.stream}","shard":${e.shard},"id":${e.id},"idx":${e.idx},"tok":${e.tok}}""")
+          .mkString("\n"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$inDir/$name.json"))
+    }
+    val schema = implicitly[org.apache.spark.sql.Encoder[ShardedChunkEvent]].schema
+    def run(): Unit = {
+      val in = spark.readStream.schema(schema).json(inDir).as[ShardedChunkEvent]
+      val q = streamingPackOffsetsSharded(in, budget = 8L, numShards = 2).toDF()
+        .writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", cpDir)
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      q.awaitTermination()
+    }
+    writeBatch("b1", Seq(
+      ShardedChunkEvent("s", 0, 1L, 0L, 5L), ShardedChunkEvent("s", 1, 2L, 0L, 7L)))
+    run()
+    writeBatch("b2", Seq(
+      ShardedChunkEvent("s", 0, 3L, 0L, 4L), ShardedChunkEvent("s", 1, 4L, 0L, 2L)))
+    run() // each shard must resume ITS OWN offset (5 and 7), not 0
+    val rows = spark.read.parquet(outDir).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .sortBy(_._2)
+    assert(rows.toList == List(
+      (0, 1L, 0L, 0L, 0L),  // shard 0 window 0 -> global 0
+      (1, 2L, 0L, 1L, 1L),  // shard 1 window 0 -> global 1
+      (0, 3L, 5L, 0L, 2L),  // 5..8 straddles shard-0 windows 0,1 -> global 0,2
+      (1, 4L, 7L, 1L, 3L)   // 7..8 straddles shard-1 windows 0,1 -> global 1,3
+    ), s"shard state lost or mis-stitched across restart: ${rows.toList}")
+  }
+
   test("near-dup bucket cap: boilerplate buckets stop pairing and stop growing") {
     import org.apache.spark.sql.streaming.TestGroupState
     def st(ids: List[Long]) = TestGroupState.create[BucketState](
