@@ -40,22 +40,26 @@ object Bench {
       val n = s.length
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // a query that fails its warmup is OMITTED from the queries map
+    // (never recorded as 0.0 — a zero reads as "suspiciously fast" in
+    // cross-round diffs and silently skews totals low); it is only
+    // listed in errors
+    val results: Map[String, Option[Double]] = SparkEntry.queries.map { case (name, fn) =>
       timeOnce(name, fn) match { // untimed-for-reporting warmup rep
         case None =>
           errors += name
-          name -> 0.0
+          name -> None
         case Some(cold) =>
           val warm = (1 to reps).flatMap(_ => timeOnce(name, fn))
           // if warm reps start failing after a green warmup, stay loud
           if (warm.length < reps) errors += name
-          name -> (if (warm.nonEmpty) median(warm) else cold)
+          name -> Some(if (warm.nonEmpty) median(warm) else cold)
       }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.collect { case (k, Some(v)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.flatten.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","protocol":"median-of-$reps-warm"}""")
     spark.stop()
   }

@@ -37,7 +37,7 @@ object Kernels {
   def ivfAssign(vec: Column, cents: Array[Array[Float]]): Column =
     toColumn(IvfAssignK(toExpression(vec), cents))
   def bloomMightContain(s: Column, sketchBytes: Array[Byte]): Column =
-    toColumn(BloomMightContainK(toExpression(s), sketchBytes))
+    toColumn(BloomMightContainK(toExpression(s), new BloomSketch(sketchBytes)))
   def ivfScores(vec: Column, cents: Array[Array[Float]]): Column =
     toColumn(IvfScoresK(toExpression(vec), cents))
 
@@ -405,6 +405,22 @@ case class CosineGteK(first: Expression, second: Expression, third: Expression,
   override def prettyName: String = "graft_cosine_gte"
 }
 
+/** Serialized Bloom sketch with CONTENT-based equality. A bare
+  * `Array[Byte]` field in a case-class expression compares by
+  * reference, so two semantically identical probe expressions never
+  * test equal — that destabilizes `semanticEquals` and defeats
+  * expression canonicalization / subexpression elimination (missed
+  * reuse, never wrong results). Equality/hashCode here are over the
+  * bytes.
+  */
+final class BloomSketch(val bytes: Array[Byte]) extends Serializable {
+  override def equals(o: Any): Boolean = o match {
+    case b: BloomSketch => java.util.Arrays.equals(bytes, b.bytes)
+    case _ => false
+  }
+  override def hashCode: Int = java.util.Arrays.hashCode(bytes)
+}
+
 /** `mightContain(s)` against a serialized `org.apache.spark.util.sketch
   * .BloomFilter` — the map-side pre-filter of
   * [[graft.operators.Decontaminate.flagWithBloom]]. The sketch ships as
@@ -413,10 +429,10 @@ case class CosineGteK(first: Expression, second: Expression, third: Expression,
   * val; codegen calls back into this expression instance so the hot
   * loop is one sketch probe per row, no SerDe.
   */
-case class BloomMightContainK(child: Expression, sketchBytes: Array[Byte]) extends UnaryExpression {
+case class BloomMightContainK(child: Expression, sketch: BloomSketch) extends UnaryExpression {
   @transient private lazy val bloom =
     org.apache.spark.util.sketch.BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(sketchBytes))
+      new java.io.ByteArrayInputStream(sketch.bytes))
   def mightContain(s: UTF8String): Boolean = bloom.mightContainBinary(s.getBytes)
   override def dataType: DataType = BooleanType
   override def nullSafeEval(input: Any): Any = mightContain(input.asInstanceOf[UTF8String])

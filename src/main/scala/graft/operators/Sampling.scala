@@ -19,9 +19,17 @@ object Sampling {
 
   private val P = graft.functions.TextFunctions.P
 
-  /** deterministic bucket in [0, buckets) from a long key column. */
+  /** deterministic bucket in [0, buckets) from a long key column.
+    * The key is reduced mod P BEFORE the affine multiply — identical
+    * result by modular arithmetic, but the product stays ≤ ~2.5e11 so
+    * Spark 4's ANSI mode can never raise ARITHMETIC_OVERFLOW at
+    * extreme key magnitudes (and the streaming twin
+    * [[graft.streaming.StatefulOps]] `hashOrd` can never wrap) — the
+    * stream/batch exact-agreement contract holds for ALL int64 keys.
+    */
   def hashBucket(key: Column, buckets: Int, seed: Int = 0): Column =
-    pmod(pmod(key * (37L + 101L * seed) + (7L + 139L * seed), lit(P)), lit(buckets.toLong))
+    pmod(pmod(pmod(key, lit(P)) * (37L + 101L * seed) + (7L + 139L * seed), lit(P)),
+      lit(buckets.toLong))
 
   /** Split rows into named fractions by key hash: e.g.
     * `Seq("train" -> 80, "test" -> 20)` (integer percents, sum 100).

@@ -163,11 +163,15 @@ object StatefulOps {
 
   /** the batch operator's hash-order key
     * ([[graft.operators.Sampling.hashBucket]] at seed 0), so stream and
-    * batch agree on within-micro-batch admission order: long multiply
-    * wraps identically in JVM and Spark columns, floorMod == pmod.
+    * batch agree on within-micro-batch admission order. The key reduces
+    * mod P BEFORE the affine multiply, mirroring hashBucket: same value
+    * by modular arithmetic, but the product can't overflow int64 — the
+    * old form silently wrapped here while the batch column errored
+    * under ANSI, breaking the exact-agreement contract at |key| beyond
+    * ~2.5e17.
     */
   private[streaming] def hashOrd(key: Long): Long =
-    Math.floorMod(Math.floorMod(key * 37L + 7L, P), 1000000L)
+    Math.floorMod(Math.floorMod(Math.floorMod(key, P) * 37L + 7L, P), 1000000L)
 
   /** Per-group transition for the streaming analog of
     * [[graft.operators.Sampling.mixtureByTokenBudget]]: state carries
