@@ -280,7 +280,7 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
-    if (!converged && i >= switchAfter && i < maxIters) {
+    val result = if (!converged && i >= switchAfter && i < maxIters) {
       // diameter exceeded the propagation budget (long-chain graph):
       // hand the ORIGINAL pair list to star contraction, which squares
       // progress per iteration instead of advancing one hop
@@ -297,6 +297,12 @@ object Dedup {
       labels.unpersist()
       (out, CcStats(i, switchedToStar = false))
     }
+    // publish run forensics so a cluster run's convergence behavior is
+    // scrapeable on /metrics, not only in driver logs
+    graft.OpGauges.set("cc_prop_rounds", result._2.propRounds.toLong)
+    graft.OpGauges.set("cc_switched_to_star", if (result._2.switchedToStar) 1L else 0L)
+    graft.OpGauges.inc("cc_runs_total")
+    result
   }
 
   /** Connected components by alternating large-star/small-star — the

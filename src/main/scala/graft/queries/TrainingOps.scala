@@ -1213,13 +1213,17 @@ object TrainingOps {
     // ---- fuzzy lookup: probe docs matched to the corpus by prefix
     //      edit distance, blocked on lang. Levenshtein is exact integer
     //      DP — identical across engines; the probe side broadcasts
-    //      (same shape as ann brute force) so the corpus never shuffles ----
+    //      (same shape as ann brute force) so the corpus never shuffles.
+    //      The probe set is small BY CONTRACT — the guard fails loudly
+    //      if it silently grows past broadcast size ----
     "ta_fuzzy_match" -> Q(
       (s, dir) => {
         val d = Tables(s, dir, "documents")
           .select(col("doc_id"), col("lang"), substring(col("text"), 1, 30).as("pfx"))
-        val probes = broadcast(d.filter(col("doc_id") < 100)
-          .select(col("doc_id").as("qid"), col("lang"), col("pfx").as("qpfx")))
+        val probes = broadcast(graft.operators.Guards.assertBroadcastable(
+          d.filter(col("doc_id") < 100)
+            .select(col("doc_id").as("qid"), col("lang"), col("pfx").as("qpfx")),
+          maxRows = 100000L, what = "fuzzy-match probe set"))
         // banded DP: the threshold variant short-circuits at distance
         // > 12 (O(k·n) per pair instead of O(n²)), returning -1 beyond
         probes.join(d, Seq("lang"))

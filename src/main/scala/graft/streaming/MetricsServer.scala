@@ -163,6 +163,13 @@ final class MetricsServer(
       gauge("consumer_offset_lag", s"""{partition="$part"}""", lag)
     }
 
+    // batch-operator run forensics (convergence rounds, fallback
+    // switches) from the driver-side gauge registry
+    graft.OpGauges.snapshot.toSeq.sortBy(_._1).foreach { case (name, v) =>
+      typ(name, if (name.endsWith("_total")) "counter" else "gauge")
+      gauge(name, "", v)
+    }
+
     // batch-duration histogram (node_processing_time_sec analog)
     val (buckets, sum, n) = lagTracker.batchHistogram
     typ("batch_duration_seconds", "histogram")

@@ -102,4 +102,30 @@ class MetricsServerSpec extends SparkSpec {
       metrics.uninstall()
     }
   }
+
+  test("/metrics exposes connected-components run forensics after a dedup apply") {
+    val s = spark
+    import s.implicits._
+    graft.OpGauges.clear()
+    val metrics = new PipelineMetrics(s).install()
+    val server = new MetricsServer(s, metrics).start()
+    try {
+      // a dedup-apply-shaped run: pair list → components (the operator
+      // publishes rounds/switch gauges at completion)
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("da", "db")
+      graft.operators.Dedup.connectedComponents(pairs, "da", "db").count()
+      val http = HttpClient.newHttpClient()
+      val req = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${server.boundPort}/metrics")).GET().build()
+      val body = http.send(req, HttpResponse.BodyHandlers.ofString()).body()
+      val rounds = """graft_cc_prop_rounds (\d+)""".r
+        .findFirstMatchIn(body).map(_.group(1).toLong)
+      assert(rounds.exists(_ >= 1L), s"cc rounds gauge missing: $body")
+      assert(body.contains("graft_cc_switched_to_star 0"), body)
+      assert("""graft_cc_runs_total (\d+)""".r.findFirstIn(body).nonEmpty, body)
+    } finally {
+      server.stop()
+      metrics.uninstall()
+    }
+  }
 }
