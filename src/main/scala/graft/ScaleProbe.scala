@@ -43,7 +43,14 @@ object ScaleProbe {
           docs, "doc_id", "text", n = 3, k = 8, bands = 2)
         graft.operators.Dedup.connectedComponents(pairs, "da", "db").count()
       }
-      println(f"[scale] $label%-4s docs=$nDocs%7d ngram_jaccard=$jac%6.2f minhash_lsh=$lsh%6.2f simhash32=$sim%6.2f simhash63=$sim63%6.2f components=$comp%6.2f")
+      val tfidf = best(graft.operators.TextSim.tfidfCosinePairs(
+        docs, "doc_id", "text", tNum = 9, tDen = 10, maxTermDocs = 1000L).count())
+      val pack = best {
+        val chunks = graft.operators.Chunking.chunk(docs, "doc_id", "text", 64, 16)
+        graft.operators.Packing.packOffsets(spark, chunks,
+          "doc_id", "chunk_idx", "n_tokens", budget = 2048L, buckets = 32).count()
+      }
+      println(f"[scale] $label%-4s docs=$nDocs%7d ngram_jaccard=$jac%6.2f minhash_lsh=$lsh%6.2f simhash32=$sim%6.2f simhash63=$sim63%6.2f components=$comp%6.2f tfidf=$tfidf%6.2f pack=$pack%6.2f")
     }
     bench("1x", args(0))
     bench("2x", args(1))
@@ -78,6 +85,22 @@ object ScaleProbe {
         val (tU, nU) = run(Long.MaxValue)
         val (tC, nC) = run(1000L)
         println(f"[scale] massdup ${m}x uncapped=$tU%6.2f s ($nU%9d pairs)  capped@1000=$tC%6.2f s ($nC%9d pairs)")
+        // simhash on the same corpus: the identical-fingerprint cluster
+        // makes the plain blocked join quadratic; the collapsed variant
+        // star-pairs it and joins distinct fingerprints only
+        def runSim(collapsed: Boolean): (Double, Long) = {
+          def q = if (collapsed)
+            graft.operators.Dedup.simhashPairs63Collapsed(d, "doc_id", "text", n = 3, maxHamming = 3)
+          else
+            graft.operators.Dedup.simhashPairs63(d, "doc_id", "text", n = 3, maxHamming = 3)
+          var n = 0L
+          time { n = q.count(); n }
+          val t = time(q.count())
+          (t, n)
+        }
+        val (tP, nP) = runSim(collapsed = false)
+        val (tS, nS) = runSim(collapsed = true)
+        println(f"[scale] massdup ${m}x simhash63=$tP%6.2f s ($nP%9d pairs)  collapsed=$tS%6.2f s ($nS%9d pairs)")
       }
     }
     // optional 4th arg: an embeddings parquet with heavy duplication —

@@ -203,6 +203,50 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** [[simhashPairs63]] with IDENTICAL-FINGERPRINT COLLAPSE — the
+    * mass-duplicate-proof variant completing the occupancy-cap family
+    * (n-gram `maxShingleFreq`, MinHash `maxBandOccupancy`, vector
+    * `maxBucket`): a boilerplate cluster of m byte-identical docs has
+    * ONE simhash, shares every block, and the plain blocked self-join
+    * emits m²/2 hamming-0 pairs from one reducer. Here docs group by
+    * full fingerprint first; members star-pair to the group minimum
+    * (hamming 0 — genuinely qualifying pairs, not candidates), and the
+    * blocked join runs over DISTINCT fingerprints only, so output is
+    * linear in cluster size and the join side shrinks to unique
+    * fingerprints. Connected components over the output are IDENTICAL
+    * to [[simhashPairs63]]'s: within a fingerprint group the star
+    * connects everyone, and any qualifying cross-fingerprint pair
+    * keeps its groups connected through the representatives. The pair
+    * LIST differs inside ≥3-member identical groups (star vs clique) —
+    * that's the linear-output contract, mirrored exactly by the
+    * oracle.
+    */
+  def simhashPairs63Collapsed(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-block blocking is only lossless for hamming <= 3")
+    val sh = df.select(
+      col(idCol).as("doc"),
+      Hashing.simhash63(TextFunctions.shingles(col(textCol), n)).as("sh"))
+    val groups = sh.groupBy("sh").agg(min("doc").as("rep"), collect_list("doc").as("docs"))
+    val star = groups
+      .select(col("rep").as("da"), explode(col("docs")).as("db"))
+      .where(col("da") < col("db"))
+      .select(col("da"), col("db"), lit(0L).as("hamming"))
+    val reps = groups.select(col("rep").as("doc"), col("sh"))
+    val blocked = reps.select(col("doc"), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"), Hashing.simhash63Block(col("sh"), b).as("v"))): _*)).as("blk"))
+    val repPairs = blocked.as("a").join(blocked.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc") < col("b.doc"))
+      .select(
+        col("a.doc").as("da"), col("b.doc").as("db"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+    star.union(repPairs)
+  }
+
   /** Connected components over a near-dup pair list — the final stage
     * of every dedup pipeline: pairs → groups → one canonical id (the
     * minimum) per group.

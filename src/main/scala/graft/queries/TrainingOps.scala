@@ -852,6 +852,31 @@ object TrainingOps {
               |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
               |WHERE bit_count(xor(a.v, b.v)) <= 3""".stripMargin)),
 
+    // ---- simhash63 with identical-fingerprint collapse: members
+    //      star-pair to the group minimum (hamming 0), the blocked
+    //      join runs over distinct fingerprints — linear output on
+    //      mass-duplicate clusters, same connected components ----
+    "dd_simhash_collapsed" -> Q(
+      (s, dir) =>
+        Dedup.simhashPairs63Collapsed(Tables(s, dir, "documents"), "doc_id", "text",
+          n = 3, maxHamming = 3),
+      Some(s"""WITH $duckShingles,
+              |hs AS (SELECT doc_id, list_transform(s, t -> ${duckCharHash("t")}) h FROM shl),
+              |sh AS (SELECT doc_id, COALESCE(list_sum(list_transform(range(0,63), j ->
+              |  CASE WHEN list_sum(list_transform(h, x ->
+              |         CASE WHEN ((37+101*j)*x + 7+139*j) % 1000000007 * 2 < 1000000007
+              |              THEN 1 ELSE -1 END)) > 0
+              |       THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)), 0) v FROM hs),
+              |g AS (SELECT v, min(doc_id) AS rep FROM sh GROUP BY v),
+              |star AS (SELECT g.rep AS da, s.doc_id AS db, CAST(0 AS BIGINT) AS hamming
+              |         FROM sh s JOIN g USING (v) WHERE s.doc_id > g.rep),
+              |reps AS (SELECT rep AS doc_id, v FROM g),
+              |rp AS (SELECT a.doc_id AS da, b.doc_id AS db,
+              |         CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming
+              |       FROM reps a JOIN reps b ON a.doc_id < b.doc_id
+              |       WHERE bit_count(xor(a.v, b.v)) <= 3)
+              |SELECT da, db, hamming FROM star UNION ALL SELECT da, db, hamming FROM rp""".stripMargin)),
+
     // ---- embedding-cosine near-dup pairs (ids only; double fold).
     //      LSH-blocked candidates + exact cosine filter — the scale
     //      path; the oracle rebuilds the same deterministic buckets

@@ -61,9 +61,11 @@ class GraftFunctionsSpec extends SparkSpec {
       assert(one.length == 1 && !one.head.isNullAt(0))
       // the subword surface injects too, with its shipped merge table
       val bpe = s2.sql(
-        "SELECT graft_bpe_count('the table window') AS n, graft_bpe_pieces('the') AS p").collect()
-      assert(bpe.head.getLong(0) == 8L, bpe.head.toString) // t,h,e + table + w,in,d,ow under the trained merges
-      assert(bpe.head.getSeq[String](1) == Seq("t", "h", "e"), bpe.head.toString)
+        "SELECT graft_bpe_count('the table Customer#000000001') AS n, graft_bpe_pieces('the') AS p").collect()
+      // the + table (whole words) + the 3-piece structured id under the
+      // 1024-merge production table
+      assert(bpe.head.getLong(0) == 5L, bpe.head.toString)
+      assert(bpe.head.getSeq[String](1) == Seq("the"), bpe.head.toString)
     } finally {
       SparkSession.setActiveSession(prior)
       SparkSession.setDefaultSession(prior)

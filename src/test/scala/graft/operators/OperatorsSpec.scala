@@ -114,6 +114,29 @@ class OperatorsSpec extends SparkSpec {
     assert(brute.nonEmpty, "test corpus produced no near-dups")
   }
 
+  test("collapsed simhash: linear pairs on duplicate clusters, identical components") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // a 10-doc identical cluster (one fingerprint) + varied docs
+    val docs = (1L to 40L).map { i =>
+      (i, if (i % 4 == 0) base else s"$base doc$i word${i % 11} extra${i % 7}")
+    }.toDF("doc_id", "text")
+    val plain = Dedup.simhashPairs63(docs, "doc_id", "text", n = 3, maxHamming = 3)
+    val collapsed = Dedup.simhashPairs63Collapsed(docs, "doc_id", "text", n = 3, maxHamming = 3)
+    // every collapsed pair is a genuinely qualifying pair (subset of plain)
+    val pPairs = plain.select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cPairs = collapsed.select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cPairs.subsetOf(pPairs), s"collapsed emitted non-qualifying pairs: ${cPairs -- pPairs}")
+    // the identical cluster (10 docs) contributes 45 pairs plain, 9 star
+    // edges collapsed — linear vs quadratic
+    assert(cPairs.size < pPairs.size, s"collapse had no effect: ${cPairs.size}")
+    // connected components are IDENTICAL — the dedup contract
+    def comps(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponents(pairs, "da", "db")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(plain) == comps(collapsed), "collapse changed dedup groups")
+  }
+
   test("IVF empty clusters reseed to the furthest training points") {
     import spark.implicits._
     // ids 1-4 share one direction, so all four init centroids are
