@@ -126,7 +126,11 @@ object Dedup {
     * list, and both pair modes are a two-level codegen Generate over
     * it (the left side is the full list for small buckets, the
     * singleton minimum for oversized ones) — no self-join, so the band
-    * exchange happens once.
+    * exchange happens once. An oversized bucket's posting list is one
+    * wide aggregation row (8 bytes/member: ~8 MB at 10⁶ members) in
+    * one task — linear and survivable where the m²/2 pair explosion is
+    * not; the pairs it generates are loop iterations inside codegen,
+    * never materialized rows before the `distinct`.
     */
   def minhashLshCandidates(
       df: DataFrame, idCol: String, textCol: String,

@@ -877,6 +877,38 @@ object TrainingOps {
               |       WHERE bit_count(xor(a.v, b.v)) <= 3)
               |SELECT da, db, hamming FROM star UNION ALL SELECT da, db, hamming FROM rp""".stripMargin)),
 
+    // ---- end-to-end dedup apply over the SIMHASH family: collapsed
+    //      pairs → connected components → keep group minima + unpaired
+    //      docs. The oracle derives components from the PLAIN all-pairs
+    //      hamming join — proving the collapse preserves dedup output ----
+    "dd_dedup_apply_simhash" -> Q(
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val pairs = Dedup.simhashPairs63Collapsed(docs, "doc_id", "text", n = 3, maxHamming = 3)
+        val dupes = Dedup.connectedComponents(pairs, "da", "db")
+          .filter(col("id") =!= col("comp"))
+          .select(col("id").as("doc_id"))
+        docs.join(dupes, Seq("doc_id"), "left_anti").select(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $duckShingles,
+              |hs AS (SELECT doc_id, list_transform(s, t -> ${duckCharHash("t")}) h FROM shl),
+              |sh AS (SELECT doc_id, COALESCE(list_sum(list_transform(range(0,63), j ->
+              |  CASE WHEN list_sum(list_transform(h, x ->
+              |         CASE WHEN ((37+101*j)*x + 7+139*j) % 1000000007 * 2 < 1000000007
+              |              THEN 1 ELSE -1 END)) > 0
+              |       THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)), 0) v FROM hs),
+              |pr AS (SELECT a.doc_id AS da, b.doc_id AS db
+              |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |       WHERE bit_count(xor(a.v, b.v)) <= 3),
+              |e AS (SELECT da AS a, db AS b FROM pr UNION ALL SELECT db, da FROM pr),
+              |reach AS (
+              |  SELECT a AS id, a AS r FROM e
+              |  UNION
+              |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+              |cmp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+              |SELECT doc_id FROM documents
+              |WHERE doc_id NOT IN (SELECT id FROM cmp WHERE id <> comp)""".stripMargin)),
+
     // ---- embedding-cosine near-dup pairs (ids only; double fold).
     //      LSH-blocked candidates + exact cosine filter — the scale
     //      path; the oracle rebuilds the same deterministic buckets

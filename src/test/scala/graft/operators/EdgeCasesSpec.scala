@@ -36,6 +36,7 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairs(emptyDocs, "doc_id", "text").count() == 0)
     assert(Dedup.minhashLshCandidates(emptyDocs, "doc_id", "text").count() == 0)
     assert(Dedup.simhashPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.simhashPairs63Collapsed(emptyDocs, "doc_id", "text").count() == 0)
     assert(Dedup.embeddingCosinePairs(emptyEmb, "vec_id", "embedding", 0.4).count() == 0)
     assert(Dedup.embeddingCosinePairsBlocked(emptyEmb, "vec_id", "embedding", 0.4).count() == 0)
     val emptyPairs = docsOf().select(col("doc_id").as("da"), col("doc_id").as("db"))
@@ -53,6 +54,7 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairs(single, "doc_id", "text").count() == 0)
     assert(Dedup.minhashLshCandidates(single, "doc_id", "text").count() == 0)
     assert(Dedup.simhashPairs(single, "doc_id", "text").count() == 0)
+    assert(Dedup.simhashPairs63Collapsed(single, "doc_id", "text").count() == 0)
     // empty text + a real doc: the empty doc has no shingles, so it can
     // never pair; nothing throws on null minhash signatures
     val mixed = docsOf((1L, ""), (2L, "w1 w2 w3 w4"), (3L, "w1 w2 w3 w4"))
