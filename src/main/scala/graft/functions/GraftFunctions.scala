@@ -76,7 +76,30 @@ object GraftFunctions {
     ("graft_bpe_pieces",
       (args: Seq[Expression]) => { arity("graft_bpe_pieces", args, 1)
         BpePiecesK(args(0), Bpe.defaultRanks) },
-      "graft_bpe_pieces(text) - BPE subword pieces under the shipped merge table"))
+      "graft_bpe_pieces(text) - BPE subword pieces under the shipped merge table"),
+    ("graft_bpe_count_file",
+      (args: Seq[Expression]) => { arity("graft_bpe_count_file", args, 2)
+        BpeCountK(args(1), ranksFor(litStr(args(0), "graft_bpe_count_file", "path"))) },
+      "graft_bpe_count_file(path, text) - BPE token count under the merges.txt at path " +
+        "(literal; loaded once per path, so any model's table plugs into SQL)"))
+
+  private def litStr(e: Expression, fn: String, arg: String): String = e match {
+    case other if other.foldable => other.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case s: String => s
+      case o => throw new IllegalArgumentException(s"$fn: $arg must fold to a string, got $o")
+    }
+    case _ => throw new IllegalArgumentException(s"$fn: $arg must be a literal path")
+  }
+
+  /** merge tables load once per path per JVM — the table parameterizes
+    * the generated code, so it must be resolved at plan time, and
+    * re-reading the file per expression build would hit the driver
+    * filesystem on every query compile.
+    */
+  private val ranksCache = scala.collection.concurrent.TrieMap.empty[String, Bpe.Ranks]
+  private def ranksFor(path: String): Bpe.Ranks =
+    ranksCache.getOrElseUpdate(path, Bpe.loadFile(path))
 
   /** Register every kernel on a LIVE session (temp functions). */
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder, _) =>

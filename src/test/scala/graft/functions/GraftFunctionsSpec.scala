@@ -66,6 +66,13 @@ class GraftFunctionsSpec extends SparkSpec {
       // 1024-merge production table
       assert(bpe.head.getLong(0) == 5L, bpe.head.toString)
       assert(bpe.head.getSeq[String](1) == Seq("the"), bpe.head.toString)
+      // the file-parameterized surface loads the SAME shipped table from
+      // disk and must agree with the resource-backed default
+      val byFile = s2.sql(
+        """SELECT graft_bpe_count_file(
+          |  '/root/repo/src/main/resources/graft/bpe_merges.txt',
+          |  'the table Customer#000000001') AS n""".stripMargin).collect()
+      assert(byFile.head.getLong(0) == 5L, byFile.head.toString)
     } finally {
       SparkSession.setActiveSession(prior)
       SparkSession.setDefaultSession(prior)
