@@ -129,6 +129,17 @@ object ScaleProbe {
         }
         println(f"[scale] emb  planes=$p%2d tables=4 -> $n%10d pairs in $t%6.2f s")
       }
+      // the SHIPPED entry point with its finite default cap vs uncapped —
+      // confirms the threaded cap actually reaches the query path
+      Seq(("lshTopK capped@1000", 1000L), ("lshTopK uncapped", Long.MaxValue)).foreach {
+        case (label, cap) =>
+          var n = 0L
+          val t = time {
+            n = graft.operators.Similarity.lshTopK(
+              emb, "vec_id", "embedding", k = 10, maxBucket = cap).count(); n
+          }
+          println(f"[scale] emb  $label%-20s -> $n%10d rows in $t%6.2f s")
+      }
     }
     spark.stop()
   }

@@ -852,6 +852,28 @@ object TrainingOps {
               |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
               |WHERE bit_count(xor(a.v, b.v)) <= 3""".stripMargin)),
 
+    // ---- the STREAMING simhash operator, batch-driven: per-block
+    //      bucket state pairs arrivals with residents under the exact
+    //      hamming filter; distinct-ing the at-least-once emissions
+    //      must equal the batch blocked join, so it shares that
+    //      oracle's SQL ----
+    "dd_simhash_stateful" -> Q(
+      (s, dir) =>
+        graft.streaming.StatefulOps.streamingSimhashCandidates(
+            Tables(s, dir, "documents"), "doc_id", "text",
+            n = 3, maxHamming = 3, maxBucket = Int.MaxValue)
+          .toDF().select(col("da"), col("db"), col("hamming")).distinct(),
+      Some(s"""WITH $duckShingles,
+              |hs AS (SELECT doc_id, list_transform(s, t -> ${duckCharHash("t")}) h FROM shl),
+              |sh AS (SELECT doc_id, COALESCE(list_sum(list_transform(range(0,63), j ->
+              |  CASE WHEN list_sum(list_transform(h, x ->
+              |         CASE WHEN ((37+101*j)*x + 7+139*j) % 1000000007 * 2 < 1000000007
+              |              THEN 1 ELSE -1 END)) > 0
+              |       THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)), 0) v FROM hs)
+              |SELECT a.doc_id da, b.doc_id db, bit_count(xor(a.v, b.v)) AS hamming
+              |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.v, b.v)) <= 3""".stripMargin)),
+
     // ---- simhash63 with identical-fingerprint collapse: members
     //      star-pair to the group minimum (hamming 0), the blocked
     //      join runs over distinct fingerprints — linear output on

@@ -400,6 +400,89 @@ object StatefulOps {
       pairs.iterator
     }
 
+  // ---- streaming simhash near-dup pairs (exact hamming, incremental) ----
+
+  final case class BlockedFp(blk: String, docId: Long, fp: Long)
+  final case class SimhashPair(da: Long, db: Long, hamming: Long)
+  final case class FpBucketState(docs: List[(Long, Long)])
+
+  implicit val blockedFpEnc: Encoder[BlockedFp] = Encoders.product[BlockedFp]
+  implicit val simhashPairEnc: Encoder[SimhashPair] = Encoders.product[SimhashPair]
+  implicit val fpBucketEnc: Encoder[FpBucketState] = Encoders.product[FpBucketState]
+
+  /** Per-block-bucket transition for [[streamingSimhashCandidates]]:
+    * every arrival pairs against the bucket's residents with the EXACT
+    * hamming filter applied at pair time — unlike the MinHash variant
+    * these are qualifying pairs, not candidates. Same `maxBucket`
+    * contract: a bucket at capacity is boilerplate, stops pairing, and
+    * stops growing, so state and per-event output are bounded.
+    */
+  def simhashGroup(blk: String, rows: Iterator[BlockedFp], state: GroupState[FpBucketState],
+                   maxHamming: Int, maxBucket: Int, ttlMs: Long): Iterator[SimhashPair] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val prior = state.getOption.map(_.docs).getOrElse(Nil)
+      val seen = scala.collection.mutable.HashSet.empty[Long]
+      prior.foreach(seen += _._1)
+      val fresh = rows.map(e => (e.docId, e.fp)).toSeq.distinct
+        .filterNot(e => seen.contains(e._1)).sortBy(_._1)
+      val pairs = scala.collection.mutable.ListBuffer[SimhashPair]()
+      var resident = prior
+      var count = seen.size
+      fresh.foreach { case (id, fp) =>
+        if (count < maxBucket) {
+          resident.foreach { case (oid, ofp) =>
+            val h = java.lang.Long.bitCount(fp ^ ofp).toLong
+            if (h <= maxHamming)
+              pairs += SimhashPair(math.min(id, oid), math.max(id, oid), h)
+          }
+          resident = (id, fp) :: resident
+          seen += id
+          count += 1
+        }
+      }
+      state.update(FpBucketState(resident))
+      if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+      pairs.iterator
+    }
+
+  /** Streaming simhash63 near-dup pairs: each document explodes into
+    * its 4 block keys (16/16/16/15-bit blocks of the SAME 63-bit
+    * fingerprint family as [[graft.operators.Dedup.simhashPairs63]], so
+    * stream and batch agree on buckets AND fingerprints); per-bucket
+    * state pairs arrivals with residents under the exact
+    * hamming ≤ `maxHamming` filter — lossless for ≤ 3 by pigeonhole,
+    * like the batch operator. A pair within distance in several blocks
+    * is emitted once per block (at-least-once, like the MinHash
+    * variant) — downstream dedups on (da, db). Batch-driving the full
+    * corpus and distinct-ing equals [[graft.operators.Dedup.simhashPairs63]].
+    */
+  def streamingSimhashCandidates(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      n: Int = 3, maxHamming: Int = 3,
+      maxBucket: Int = 1000, ttlMs: Long = 0L): Dataset[SimhashPair] = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{Hashing, TextFunctions}
+    require(maxHamming <= 3, "4-block blocking is only lossless for hamming <= 3")
+    val timeout =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    docs
+      .select(
+        col(idCol).cast("long").as("docId"),
+        Hashing.simhash63(TextFunctions.shingles(col(textCol), n)).as("fp"))
+      .select(col("docId"), col("fp"),
+        explode(array((0 until 4).map(b =>
+          concat_ws("-", lit(b), Hashing.simhash63Block(col("fp"), b))): _*)).as("blk"))
+      .as[BlockedFp]
+      .groupByKey(_.blk)
+      .flatMapGroupsWithState[FpBucketState, SimhashPair](OutputMode.Append, timeout) {
+        (blk: String, rows: Iterator[BlockedFp], state: GroupState[FpBucketState]) =>
+          simhashGroup(blk, rows, state, maxHamming, maxBucket, ttlMs)
+      }
+  }
+
   /** Streaming MinHash+LSH near-dup candidates: each document explodes
     * into its band keys (same signature family as the batch operator,
     * so batch and stream agree on buckets); per-band state pairs

@@ -376,6 +376,45 @@ class StatefulOpsSpec extends SparkSpec {
     ), s"shard state lost or mis-stitched across restart: ${rows.toList}")
   }
 
+  test("streaming simhash: exact hamming pairs carry across micro-batches; cap bounds state") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    def st(docs: List[(Long, Long)]) = TestGroupState.create[FpBucketState](
+      optionalState = org.apache.spark.api.java.Optional.of(FpBucketState(docs)),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(),
+      hasTimedOut = false)
+    // resident fp 0b111 vs arrival 0b110 → hamming 1 (emitted);
+    // arrival 0xF0F0 → hamming > 3 vs both residents (suppressed)
+    val state = st(List((1L, 7L)))
+    val out = simhashGroup("b", Iterator(
+        BlockedFp("b", 2L, 6L), BlockedFp("b", 3L, 0xF0F0L)),
+      state, maxHamming = 3, maxBucket = 10, ttlMs = 0L).toList
+    assert(out == List(SimhashPair(1L, 2L, 1L)), out.toString)
+    assert(state.get.docs.map(_._1).toSet == Set(1L, 2L, 3L))
+    // at cap: nothing pairs, nothing stored
+    val full = st(List((3L, 7L), (2L, 7L), (1L, 7L)))
+    val capped = simhashGroup("b", Iterator(BlockedFp("b", 9L, 7L)),
+      full, maxHamming = 3, maxBucket = 3, ttlMs = 0L).toList
+    assert(capped.isEmpty && full.get.docs.length == 3)
+  }
+
+  test("streaming simhash batch-drive equals the batch blocked join") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 40L).map { i =>
+      val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      (i, if (i % 5 == 0) base else s"$base doc$i word${i % 11} extra${i % 7}")
+    }.toDF("doc_id", "text")
+    val batch = graft.operators.Dedup.simhashPairs63(docs, "doc_id", "text", n = 3, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = streamingSimhashCandidates(docs, "doc_id", "text",
+        n = 3, maxHamming = 3, maxBucket = Int.MaxValue)
+      .collect().map(p => (p.da, p.db, p.hamming)).toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(batch.nonEmpty, "test corpus produced no near-dups")
+  }
+
   test("near-dup bucket cap: boilerplate buckets stop pairing and stop growing") {
     import org.apache.spark.sql.streaming.TestGroupState
     def st(ids: List[Long]) = TestGroupState.create[BucketState](
