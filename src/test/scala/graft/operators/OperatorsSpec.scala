@@ -114,6 +114,29 @@ class OperatorsSpec extends SparkSpec {
     assert(brute.nonEmpty, "test corpus produced no near-dups")
   }
 
+  test("property: band star-pairing preserves components at ANY cap, over seeded corpora") {
+    import spark.implicits._
+    // duplicate-heavy random-ish corpora (seed-varied): the invariance
+    // claim must hold at the most aggressive cap (1 — every multi-member
+    // bucket star-pairs), not just the shipped default
+    for (seed <- Seq(1, 7, 13)) {
+      val docs = (1L to 60L).map { i =>
+        val grp = (i * seed) % 9
+        val text =
+          if (grp < 3) s"dup cluster text $grp $grp common body shared words here"
+          else s"unique doc $i seed $seed body ${i * seed % 17} tail ${i % 5} filler words"
+        (i, text)
+      }.toDF("doc_id", "text")
+      def comps(cap: Long) = Dedup.connectedComponents(
+          Dedup.minhashLshCandidates(docs, "doc_id", "text", maxBandOccupancy = cap),
+          "da", "db")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val uncapped = comps(Long.MaxValue)
+      assert(uncapped.nonEmpty, s"seed $seed produced no pairs")
+      assert(comps(1L) == uncapped, s"seed $seed: cap=1 changed components")
+    }
+  }
+
   test("collapsed simhash: linear pairs on duplicate clusters, identical components") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
