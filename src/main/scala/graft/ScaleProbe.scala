@@ -140,6 +140,17 @@ object ScaleProbe {
           }
           println(f"[scale] emb  $label%-20s -> $n%10d rows in $t%6.2f s")
       }
+      // IVF at production-sized nList: the matrix-loop assign/score
+      // kernels must hold as the centroid count grows (an inline
+      // per-centroid expression array would blow up codegen here)
+      Seq(16, 64, 256).foreach { nl =>
+        var n = 0L
+        val t = time {
+          n = graft.operators.Similarity.ivfTopK(
+            emb, "vec_id", "embedding", k = 10, nList = nl, nProbe = nl / 4).count(); n
+        }
+        println(f"[scale] emb  ivfTopK nList=$nl%3d nProbe=${nl / 4}%2d -> $n%10d rows in $t%6.2f s")
+      }
     }
     spark.stop()
   }

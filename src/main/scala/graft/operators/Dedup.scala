@@ -429,6 +429,43 @@ object Dedup {
     out
   }
 
+  /** The deduplicated corpus in one call: MinHash-LSH candidates →
+    * connected components → drop every non-canonical member (keep each
+    * dup group's minimum id plus all unpaired docs) — the composition
+    * a curation pipeline actually ships (`dd_dedup_apply`). All stages
+    * are id-keyed; the band-occupancy star-pairing keeps the result
+    * identical at any cap (component invariance, property-pinned).
+    */
+  def dedupByMinhash(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 8, bands: Int = 2,
+      maxBandOccupancy: Long = 1000L): DataFrame = {
+    val pairs = minhashLshCandidates(df, idCol, textCol, n, k, bands, maxBandOccupancy)
+    dropNonCanonical(df, idCol, pairs)
+  }
+
+  /** [[dedupByMinhash]] on the exact-hamming simhash63 family
+    * (`dd_dedup_apply_simhash`): collapsed pairs → components →
+    * anti-join. Near-dup rule is hamming ≤ `maxHamming` instead of
+    * estimated Jaccard — the cheaper, exact-threshold alternative.
+    */
+  def dedupBySimhash(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, maxHamming: Int = 3): DataFrame = {
+    val pairs = simhashPairs63Collapsed(df, idCol, textCol, n, maxHamming)
+    dropNonCanonical(df, idCol, pairs)
+  }
+
+  /** docs minus every pair-graph member that is not its component's
+    * minimum — shared tail of the dedup-apply compositions.
+    */
+  private def dropNonCanonical(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val dupes = connectedComponents(pairs, "da", "db")
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    df.join(dupes, Seq(idCol), "left_anti")
+  }
+
   /** Embedding cosine near-dup pairs, LSH-blocked — the scale path and
     * the default: random-hyperplane buckets generate candidates (ids
     * only, one bucket-key shuffle), then the exact cosine filter keeps

@@ -509,15 +509,10 @@ object TrainingOps {
     // claim: the oracle derives components from UNCAPPED all-pairs,
     // and the capped Spark side must reach the identical groups.
     "dd_dedup_apply" -> Q(
-      (s, dir) => {
-        val docs = Tables(s, dir, "documents")
-        val pairs = Dedup.minhashLshCandidates(docs, "doc_id", "text", n = 3, k = 8, bands = 2,
-          maxBandOccupancy = 2L)
-        val dupes = Dedup.connectedComponents(pairs, "da", "db")
-          .filter(col("id") =!= col("comp"))
-          .select(col("id").as("doc_id"))
-        docs.join(dupes, Seq("doc_id"), "left_anti").select(col("doc_id"))
-      },
+      (s, dir) =>
+        Dedup.dedupByMinhash(Tables(s, dir, "documents"), "doc_id", "text",
+            n = 3, k = 8, bands = 2, maxBandOccupancy = 2L)
+          .select(col("doc_id")),
       Some(s"""WITH RECURSIVE $duckShingles,
               |hs AS (SELECT doc_id, list_transform(list_distinct(s), t -> ${duckCharHash("t")}) h FROM shl),
               |sig AS (SELECT doc_id, list_transform(range(0,8), i ->
@@ -904,14 +899,10 @@ object TrainingOps {
     //      docs. The oracle derives components from the PLAIN all-pairs
     //      hamming join — proving the collapse preserves dedup output ----
     "dd_dedup_apply_simhash" -> Q(
-      (s, dir) => {
-        val docs = Tables(s, dir, "documents")
-        val pairs = Dedup.simhashPairs63Collapsed(docs, "doc_id", "text", n = 3, maxHamming = 3)
-        val dupes = Dedup.connectedComponents(pairs, "da", "db")
-          .filter(col("id") =!= col("comp"))
-          .select(col("id").as("doc_id"))
-        docs.join(dupes, Seq("doc_id"), "left_anti").select(col("doc_id"))
-      },
+      (s, dir) =>
+        Dedup.dedupBySimhash(Tables(s, dir, "documents"), "doc_id", "text",
+            n = 3, maxHamming = 3)
+          .select(col("doc_id")),
       Some(s"""WITH RECURSIVE $duckShingles,
               |hs AS (SELECT doc_id, list_transform(s, t -> ${duckCharHash("t")}) h FROM shl),
               |sh AS (SELECT doc_id, COALESCE(list_sum(list_transform(range(0,63), j ->

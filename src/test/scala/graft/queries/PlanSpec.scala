@@ -333,6 +333,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dd_simhash_collapsed: no all-pairs join, no per-fingerprint window") {
+    val p = plan("dd_simhash_collapsed")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"collapsed simhash degenerated to all-pairs:\n$p")
+    // star edges come from the fingerprint groupBy's posting list, never
+    // a window over the (hot) fingerprint key
+    assert(!p.contains("Window"), s"per-fingerprint window found:\n$p")
+    assert(p.contains("Generate"), s"expected the star-edge explode:\n$p")
+  }
+
   test("ann_int8_topk: quantized scoring broadcasts the probe side, no cartesian") {
     val p = plan("ann_int8_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
