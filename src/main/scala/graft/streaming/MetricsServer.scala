@@ -31,6 +31,13 @@ final class ConsumerLagTracker extends StreamingQueryListener {
   val positions = TrieMap[String, (Long, Long, Long)]()
   /** events consumed per query name (events_consumed_total). */
   val consumed = TrieMap[String, Long]()
+  /** query name → (state rows, state bytes) summed over the query's
+    * stateful operators — how a streaming dedup's bucket state or a
+    * mixture's budget map is watched at scale (state growth is the
+    * failure mode the maxBucket/TTL caps exist to bound, and it must
+    * be scrapeable, not inferred).
+    */
+  val stateSizes = TrieMap[String, (Long, Long)]()
 
   /** micro-batch duration histogram (the Spark-native stand-in for the
     * reference's per-node `node_processing_time_sec` — stages fuse into
@@ -84,6 +91,9 @@ final class ConsumerLagTracker extends StreamingQueryListener {
     }
     Option(e.progress.batchDuration).filter(_ > 0)
       .foreach(ms => observeBatch(ms / 1000.0))
+    val ops = e.progress.stateOperators
+    if (ops != null && ops.nonEmpty)
+      stateSizes(name) = (ops.map(_.numRowsTotal).sum, ops.map(_.memoryUsedBytes).sum)
     e.progress.sources.foreach { s =>
       val end = flatten(Option(s.endOffset).getOrElse(""))
       val latest = flatten(Option(s.latestOffset).getOrElse(""))
@@ -161,6 +171,14 @@ final class MetricsServer(
       gauge("consumer_stored_offset", s"""{partition="$part"}""", off)
       gauge("consumer_high_watermark", s"""{partition="$part"}""", hi)
       gauge("consumer_offset_lag", s"""{partition="$part"}""", lag)
+    }
+
+    // state-store sizes per stateful query (rows + bytes)
+    typ("state_rows", "gauge")
+    typ("state_memory_bytes", "gauge")
+    lagTracker.stateSizes.toSeq.sortBy(_._1).foreach { case (q, (rows, bytes)) =>
+      gauge("state_rows", s"""{query="$q"}""", rows)
+      gauge("state_memory_bytes", s"""{query="$q"}""", bytes)
     }
 
     // batch-operator run forensics (convergence rounds, fallback

@@ -103,6 +103,43 @@ class MetricsServerSpec extends SparkSpec {
     }
   }
 
+  test("/metrics exposes state-store sizes for a live stateful query") {
+    val s = spark
+    import s.implicits._
+    val metrics = new PipelineMetrics(s).install()
+    val server = new MetricsServer(s, metrics).start()
+    try {
+      val input = MemoryStream[StatefulOps.MixtureEvent](s)
+      val q = StatefulOps.streamingMixtureByTokenBudget(input.toDS(), _ => 100L)
+        .writeStream.format("memory").queryName("state_gauge_probe")
+        .outputMode("append").start()
+      try {
+        input.addData(
+          StatefulOps.MixtureEvent("web", 1L, 5L), StatefulOps.MixtureEvent("code", 2L, 7L))
+        q.processAllAvailable()
+        val http = HttpClient.newHttpClient()
+        val req = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${server.boundPort}/metrics")).GET().build()
+        def scrape(): String = http.send(req, HttpResponse.BodyHandlers.ofString()).body()
+        // listener delivery is async — poll for the gauge
+        val deadline = System.currentTimeMillis() + 10000
+        var body = scrape()
+        def rows = """graft_state_rows\{query="state_gauge_probe"\} (\d+)""".r
+          .findFirstMatchIn(body).map(_.group(1).toLong)
+        while (!rows.exists(_ >= 2L) && System.currentTimeMillis() < deadline) {
+          Thread.sleep(50); body = scrape()
+        }
+        // two groups (web, code) → two state rows; memory is nonzero
+        assert(rows.exists(_ >= 2L), s"state rows gauge missing or low: $body")
+        assert("""graft_state_memory_bytes\{query="state_gauge_probe"\} [1-9]\d*""".r
+          .findFirstIn(body).nonEmpty, body)
+      } finally q.stop()
+    } finally {
+      server.stop()
+      metrics.uninstall()
+    }
+  }
+
   test("/metrics exposes connected-components run forensics after a dedup apply") {
     val s = spark
     import s.implicits._
