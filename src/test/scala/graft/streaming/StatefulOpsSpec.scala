@@ -415,6 +415,22 @@ class StatefulOpsSpec extends SparkSpec {
     assert(batch.nonEmpty, "test corpus produced no near-dups")
   }
 
+  test("candidate-bucket TTL expiry removes state and emits nothing") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    def timedOut[S](s: S) = TestGroupState.create[S](
+      optionalState = org.apache.spark.api.java.Optional.of(s),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 99999L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(),
+      hasTimedOut = true)
+    val nd = timedOut(BucketState(List(1L, 2L)))
+    assert(nearDupGroup("b", Iterator(BandedDoc("b", 9L)), nd, 10, 60000L).isEmpty)
+    assert(nd.isRemoved)
+    val sh = timedOut(FpBucketState(List((1L, 7L))))
+    assert(simhashGroup("b", Iterator(BlockedFp("b", 9L, 7L)), sh, 3, 10, 60000L).isEmpty)
+    assert(sh.isRemoved)
+  }
+
   test("near-dup bucket cap: boilerplate buckets stop pairing and stop growing") {
     import org.apache.spark.sql.streaming.TestGroupState
     def st(ids: List[Long]) = TestGroupState.create[BucketState](
