@@ -40,4 +40,25 @@ object Layout {
   def fileRanges(df: DataFrame, key: String): DataFrame =
     df.groupBy(input_file_name().as("file"))
       .agg(min(key).as("lo"), max(key).as("hi"), count(lit(1)).as("rows"))
+
+  /** Write `df` as a BUCKETED (and per-bucket sorted) managed table —
+    * the co-location layout for repeated large-×-large joins: two
+    * tables bucketed on the same key with the same bucket count join
+    * with ZERO exchanges on either side (Spark trusts the on-disk hash
+    * partitioning), turning every downstream fact-fact join on that
+    * key from two 100 TB shuffles into a local zip of bucket files.
+    * Bucket metadata lives in the session catalog (not the parquet
+    * files), so readers must go through the table name. Pick `buckets`
+    * so one bucket of the LARGER table fits an executor's memory at
+    * target scale; per-bucket sort makes the join a merge instead of a
+    * hash build. Plan contract pinned in LayoutSpec: a join of two
+    * co-bucketed tables contains no Exchange.
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    key: String, sortCols: String*): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key, sortCols: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

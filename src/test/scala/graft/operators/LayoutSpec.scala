@@ -41,6 +41,31 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("co-bucketed tables join with zero exchanges on either side") {
+    import spark.implicits._
+    val facts = (1L to 2000L).map(i => (i % 97, i, s"f$i")).toDF("key", "id", "payload")
+    val dims = (1L to 1500L).map(i => (i % 97, i * 3)).toDF("key", "qty")
+    // broadcast off: the point is the big-big shape where neither side fits
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Layout.writeBucketed(facts, "graft_bkt_a", buckets = 8, key = "key")
+      Layout.writeBucketed(dims, "graft_bkt_b", buckets = 8, key = "key")
+      val joined = spark.table("graft_bkt_a").join(spark.table("graft_bkt_b"), "key")
+      assert(joined.count() ==
+        facts.join(dims, "key").count(), "bucketed join changed results")
+      val p = joined.queryExecution.executedPlan.toString
+      // co-located: Spark trusts the on-disk hash partitioning — a join
+      // of two co-bucketed tables must not shuffle EITHER side
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"co-bucketed join still exchanges:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    }
+  }
+
   test("scan with a key predicate reads fewer files than the total") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-layout2").toString + "/out"
