@@ -126,6 +126,45 @@ object Sampling {
     groupedHashCumsum(df, groupCol, keyCol, tokCol, seed, buckets)
       .filter(col("cum_tokens") <= budgetFor(col(groupCol)))
 
+  /** Temperature-sampled mixture (the standard multilingual/multi-source
+    * rebalancing, e.g. mT5): per-source budgets proportional to
+    * (source's total tokens)^(1/temperature), scaled to `totalBudget`
+    * tokens overall — temperature 1 keeps natural proportions,
+    * temperature → ∞ approaches uniform, 2 (the common default) damps
+    * head sources and boosts the tail. Source totals are ONE
+    * partial-aggregated pass whose output is source-cardinality-sized
+    * (the bounded-model contract, like IVF centroids); budgets compute
+    * driver-side with a DETERMINISTIC fold — sources sorted
+    * lexicographically, sqrt (IEEE-correctly-rounded, engine-exact) for
+    * temperature 2, floor to integer tokens — so an external engine
+    * re-derives identical budgets, then the cut is
+    * [[mixtureByTokenBudget]] unchanged.
+    */
+  def mixtureByTemperature(
+      df: DataFrame, groupCol: String, keyCol: String, tokCol: String,
+      totalBudget: Long, temperature: Double = 2.0,
+      seed: Int = 0, buckets: Int = 32): DataFrame = {
+    require(totalBudget > 0, "totalBudget must be positive")
+    require(temperature > 0, "temperature must be positive")
+    val totals = df.groupBy(groupCol).agg(sum(tokCol).as("__n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1))
+      .sortBy(_._1)
+    // sqrt for the common temperature: correctly rounded by IEEE 754 on
+    // every engine, unlike pow, so the budget boundary can't drift
+    val weights = totals.map { case (g, n) =>
+      val x = n.toDouble
+      g -> (if (temperature == 2.0) math.sqrt(x) else math.pow(x, 1.0 / temperature))
+    }
+    val z = weights.foldLeft(0.0)(_ + _._2)
+    val budget = weights.map { case (g, w) =>
+      g -> math.floor(totalBudget * w / z).toLong
+    }.toMap
+    val budgetExpr = budget.foldLeft(lit(0L)) { case (acc, (g, b)) =>
+      when(col(groupCol) === g, lit(b)).otherwise(acc)
+    }
+    mixtureByTokenBudget(df, groupCol, keyCol, tokCol, _ => budgetExpr, seed, buckets)
+  }
+
   /** Deterministic weighted source interleaving (stride scheduling):
     * assign every row a `sched_key` such that reading the corpus in
     * (sched_key, group, key) order yields each source at a rate

@@ -476,6 +476,33 @@ object TrainingOps {
              |       ELSE ((start_tok + n_tokens - 1) // 2048) * 4 + shard END AS BIGINT) AS win_last
              |FROM o""".stripMargin)),
 
+    // ---- temperature-sampled mixture (mT5-style): per-source budgets
+    //      ∝ sqrt(source totals) at T=2, scaled to a 10k-token target —
+    //      damps head sources, boosts the tail. Budgets re-derive
+    //      exactly in SQL (sqrt is IEEE-correctly-rounded on both
+    //      engines; the z fold runs in lexicographic source order) ----
+    "ta_mixture_temperature" -> Q(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextFunctions.wsTokenCount(col("text")).as("n_tokens"))
+        Sampling.mixtureByTemperature(d, "source", "doc_id", "n_tokens",
+            totalBudget = 10000L, temperature = 2.0)
+          .select(col("source"), col("doc_id"), col("cum_tokens"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+             |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens FROM documents),
+             |t AS (SELECT source, CAST(sum(n_tokens) AS DOUBLE) AS n FROM d GROUP BY source),
+             |z AS (SELECT list_sum(list(sqrt(n) ORDER BY source)) AS z FROM t),
+             |b AS (SELECT source, CAST(floor(10000 * sqrt(n) / z) AS BIGINT) AS budget FROM t, z),
+             |o AS (SELECT source, doc_id,
+             |  CAST(sum(n_tokens) OVER (PARTITION BY source
+             |    ORDER BY ((doc_id*37 + 7) % 1000000007) % 1000000, doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+             |  FROM d)
+             |SELECT source, doc_id, cum_tokens FROM o JOIN b USING (source)
+             |WHERE cum_tokens <= budget""".stripMargin)),
+
     // ---- weighted mixture: per-source budgets (the "x tokens of web,
     //      y of code" shape) — budget is a function of the group key ----
     "ta_mixture_weighted" -> Q(

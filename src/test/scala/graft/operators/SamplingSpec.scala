@@ -45,6 +45,32 @@ class SamplingSpec extends SparkSpec {
     assert(one.nonEmpty)
   }
 
+  test("temperature mixture: T=1 keeps natural shares, higher T flattens toward uniform") {
+    import spark.implicits._
+    // skewed corpus: source s0 has 4x the tokens of s1
+    val df = ((1 to 400).map(i => ("s0", i.toLong, 10L)) ++
+        (1 to 100).map(i => ("s1", 1000L + i, 10L)))
+      .toDF("source", "doc_id", "n_tokens")
+    def kept(t: Double): Map[String, Long] =
+      Sampling.mixtureByTemperature(df, "source", "doc_id", "n_tokens",
+          totalBudget = 2000L, temperature = t)
+        .groupBy("source").agg(sum("n_tokens").as("tok"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // T=1: budgets ∝ totals → kept shares ≈ natural 4:1
+    val nat = kept(1.0)
+    assert(nat("s0").toDouble / nat("s1") > 3.0, nat.toString)
+    // T=2: ∝ sqrt(totals) → ratio ≈ 2:1, strictly flatter
+    val damped = kept(2.0)
+    val r2 = damped("s0").toDouble / damped("s1")
+    assert(r2 > 1.5 && r2 < 3.0, damped.toString)
+    // very high T: near-uniform budgets
+    val flat = kept(1000.0)
+    val rInf = flat("s0").toDouble / flat("s1")
+    assert(rInf < 1.5, flat.toString)
+    // total stays within the target (floor rounding only loses tokens)
+    assert(Seq(nat, damped, flat).forall(_.values.sum <= 2000L))
+  }
+
   test("samplePerGroup caps group size and is deterministic") {
     import spark.implicits._
     val df = (1 to 300).map(i => (s"g${i % 3}", i.toLong)).toDF("g", "id")
