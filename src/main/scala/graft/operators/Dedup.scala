@@ -429,6 +429,34 @@ object Dedup {
     out
   }
 
+  /** Cross-document repeated spans — the exact-substring dedup signal
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): every position whose `n`-word window also occurs
+    * in at least `minDocs − 1` OTHER documents, with the document
+    * count. Downstream either drops the span (surgical dedup) or drops
+    * docs past a flagged-fraction threshold.
+    *
+    * Plan shape: positional shingle hashes (codegen kernel, 8-byte
+    * keys) → ONE distinct-doc count per hash (partial-aggregated) →
+    * hash-keyed join back to positions. No pair space anywhere —
+    * unlike near-dup pairing, output is linear in flagged POSITIONS by
+    * construction, so no occupancy cap is needed: a boilerplate span in
+    * 10⁶ docs contributes 10⁶ position rows, not 10¹² pairs.
+    * Within-doc repetition alone does not flag (that signal is
+    * [[graft.functions.TextFunctions.repetitionPpm]]'s job).
+    */
+  def repeatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Long = 2L): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"),
+      posexplode(graft.functions.Kernels.shingleHashes(col(textCol), n)).as(Seq("pos", "s")))
+    val freq = sh.groupBy("s")
+      .agg(countDistinct("doc_id").as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    sh.join(freq, "s")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("n_docs"))
+  }
+
   /** The deduplicated corpus in one call: MinHash-LSH candidates →
     * connected components → drop every non-canonical member (keep each
     * dup group's minimum id plus all unpaired docs) — the composition

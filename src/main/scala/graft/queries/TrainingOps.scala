@@ -874,6 +874,22 @@ object TrainingOps {
               |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
               |WHERE bit_count(xor(a.v, b.v)) <= 3""".stripMargin)),
 
+    // ---- cross-document repeated spans (exact-substring dedup signal,
+    //      Lee et al. 2022): positions whose 5-word window occurs in
+    //      ≥2 docs, with the doc count — output linear in positions,
+    //      never a pair space ----
+    "dd_repeated_spans" -> Q(
+      (s, dir) =>
+        Dedup.repeatedSpans(Tables(s, dir, "documents"), "doc_id", "text",
+          n = 5, minDocs = 2L),
+      Some(s"""WITH tok AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+              |gi AS (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM tok WHERE len(w) >= 5),
+              |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+              |  ${duckShingleKey("array_to_string(w[CAST(i AS INT):CAST(i AS INT)+4], ' ')")} AS s FROM gi),
+              |f AS (SELECT s, count(DISTINCT doc_id) AS n_docs FROM g GROUP BY s
+              |      HAVING count(DISTINCT doc_id) >= 2)
+              |SELECT doc_id, pos, n_docs FROM g JOIN f USING (s)""".stripMargin)),
+
     // ---- the STREAMING simhash operator, batch-driven: per-block
     //      bucket state pairs arrivals with residents under the exact
     //      hamming filter; distinct-ing the at-least-once emissions

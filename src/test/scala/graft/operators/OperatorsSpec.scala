@@ -160,6 +160,19 @@ class OperatorsSpec extends SparkSpec {
     assert(comps(plain) == comps(collapsed), "collapse changed dedup groups")
   }
 
+  test("repeated spans: cross-doc windows flag with positions; within-doc repetition alone does not") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e x y z w v"),          // shares 'a b c d e' with doc 2
+      (2L, "q r a b c d e s t u"),          // ... at position 2
+      (3L, "m m m m m m m m m m"),          // within-doc repetition only
+      (4L, "p q r s t")                      // unique 5-gram, no flag
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, "doc_id", "text", n = 5, minDocs = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set((1L, 0L, 2L), (2L, 2L, 2L)), spans.toString)
+  }
+
   test("IVF empty clusters reseed to the furthest training points") {
     import spark.implicits._
     // ids 1-4 share one direction, so all four init centroids are
