@@ -457,6 +457,30 @@ object Dedup {
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("n_docs"))
   }
 
+  /** Corpus minus documents whose REPEATED-SPAN fraction reaches
+    * `num/den` — the document-level apply over [[repeatedSpans]]: a doc
+    * mostly made of spans that exist elsewhere is boilerplate or a
+    * clone and is dropped whole (span-surgical removal is the
+    * chunk-level alternative). The fraction compares by integer
+    * cross-multiplication (`den·flagged ≥ num·windows`), so no float
+    * tie can flip membership across engines. Docs with fewer than `n`
+    * words have no windows and are always kept.
+    */
+  def dropByRepeatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Long = 2L,
+      num: Int = 1, den: Int = 2): DataFrame = {
+    require(num >= 0 && den > 0, "threshold must be a non-negative ratio")
+    val flagged = repeatedSpans(df, idCol, textCol, n, minDocs)
+      .groupBy("doc_id").agg(count(lit(1)).as("__flagged"))
+    val windows = df.select(col(idCol).as("doc_id"),
+      size(graft.functions.Kernels.shingleHashes(col(textCol), n)).cast("long").as("__win"))
+    val drop = windows.join(flagged, "doc_id")
+      .filter(col("__flagged") * den >= col("__win") * num)
+      .select(col("doc_id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** The deduplicated corpus in one call: MinHash-LSH candidates →
     * connected components → drop every non-canonical member (keep each
     * dup group's minimum id plus all unpaired docs) — the composition

@@ -890,6 +890,25 @@ object TrainingOps {
               |      HAVING count(DISTINCT doc_id) >= 2)
               |SELECT doc_id, pos, n_docs FROM g JOIN f USING (s)""".stripMargin)),
 
+    // ---- document-level apply over repeated spans: drop docs whose
+    //      flagged-window fraction reaches 1/2 (integer
+    //      cross-multiplied, so no float tie can flip membership) ----
+    "dd_drop_repeated" -> Q(
+      (s, dir) =>
+        Dedup.dropByRepeatedSpans(Tables(s, dir, "documents"), "doc_id", "text",
+            n = 5, minDocs = 2L, num = 1, den = 2)
+          .select(col("doc_id")),
+      Some(s"""WITH tok AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+              |gi AS (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM tok WHERE len(w) >= 5),
+              |g AS (SELECT doc_id, i - 1 AS pos,
+              |  ${duckShingleKey("array_to_string(w[CAST(i AS INT):CAST(i AS INT)+4], ' ')")} AS s FROM gi),
+              |f AS (SELECT s FROM g GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+              |fl AS (SELECT doc_id, count(*) AS n_flagged FROM g JOIN f USING (s) GROUP BY doc_id),
+              |tw AS (SELECT doc_id, count(*) AS n_win FROM g GROUP BY doc_id),
+              |dr AS (SELECT tw.doc_id FROM tw JOIN fl USING (doc_id)
+              |       WHERE n_flagged * 2 >= n_win * 1)
+              |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dr)""".stripMargin)),
+
     // ---- the STREAMING simhash operator, batch-driven: per-block
     //      bucket state pairs arrivals with residents under the exact
     //      hamming filter; distinct-ing the at-least-once emissions
