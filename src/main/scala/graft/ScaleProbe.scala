@@ -45,12 +45,14 @@ object ScaleProbe {
       }
       val tfidf = best(graft.operators.TextSim.tfidfCosinePairs(
         docs, "doc_id", "text", tNum = 9, tDen = 10, maxTermDocs = 1000L).count())
+      val spans = best(graft.operators.Dedup.repeatedSpans(
+        docs, "doc_id", "text", n = 5, minDocs = 2L).count())
       val pack = best {
         val chunks = graft.operators.Chunking.chunk(docs, "doc_id", "text", 64, 16)
         graft.operators.Packing.packOffsets(spark, chunks,
           "doc_id", "chunk_idx", "n_tokens", budget = 2048L, buckets = 32).count()
       }
-      println(f"[scale] $label%-4s docs=$nDocs%7d ngram_jaccard=$jac%6.2f minhash_lsh=$lsh%6.2f simhash32=$sim%6.2f simhash63=$sim63%6.2f components=$comp%6.2f tfidf=$tfidf%6.2f pack=$pack%6.2f")
+      println(f"[scale] $label%-4s docs=$nDocs%7d ngram_jaccard=$jac%6.2f minhash_lsh=$lsh%6.2f simhash32=$sim%6.2f simhash63=$sim63%6.2f components=$comp%6.2f tfidf=$tfidf%6.2f pack=$pack%6.2f spans=$spans%6.2f")
     }
     bench("1x", args(0))
     bench("2x", args(1))

@@ -445,11 +445,22 @@ object Dedup {
     * Within-doc repetition alone does not flag (that signal is
     * [[graft.functions.TextFunctions.repetitionPpm]]'s job).
     */
+  /** (doc_id, pos, s) positional window hashes, snapshotted once (lazy
+    * local checkpoint): every consumer reads the frame at least twice
+    * (frequency side + join-back side), and without the snapshot each
+    * branch would re-scan the corpus and re-run the shingle kernel —
+    * the Packing/groupedHashCumsum lesson. Checkpoint blocks are freed
+    * by the ContextCleaner when callers drop the result.
+    */
+  private def positionalShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.Kernels.shingleHashes(col(textCol), n)).as(Seq("pos", "s")))
+      .localCheckpoint(false)
+
   def repeatedSpans(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, minDocs: Long = 2L): DataFrame = {
-    val sh = df.select(col(idCol).as("doc_id"),
-      posexplode(graft.functions.Kernels.shingleHashes(col(textCol), n)).as(Seq("pos", "s")))
+    val sh = positionalShingles(df, idCol, textCol, n)
     val freq = sh.groupBy("s")
       .agg(countDistinct("doc_id").as("n_docs"))
       .filter(col("n_docs") >= minDocs)
@@ -471,10 +482,16 @@ object Dedup {
       n: Int = 5, minDocs: Long = 2L,
       num: Int = 1, den: Int = 2): DataFrame = {
     require(num >= 0 && den > 0, "threshold must be a non-negative ratio")
-    val flagged = repeatedSpans(df, idCol, textCol, n, minDocs)
+    // one snapshot feeds frequency, flagged counts, AND window totals —
+    // a doc with zero windows never reaches `drop` and is always kept
+    val sh = positionalShingles(df, idCol, textCol, n)
+    val freq = sh.groupBy("s")
+      .agg(countDistinct("doc_id").as("__ndocs"))
+      .filter(col("__ndocs") >= minDocs)
+      .select("s")
+    val flagged = sh.join(freq, "s")
       .groupBy("doc_id").agg(count(lit(1)).as("__flagged"))
-    val windows = df.select(col(idCol).as("doc_id"),
-      size(graft.functions.Kernels.shingleHashes(col(textCol), n)).cast("long").as("__win"))
+    val windows = sh.groupBy("doc_id").agg(count(lit(1)).as("__win"))
     val drop = windows.join(flagged, "doc_id")
       .filter(col("__flagged") * den >= col("__win") * num)
       .select(col("doc_id").as(idCol))
