@@ -57,6 +57,26 @@ object ScaleProbe {
     bench("1x", args(0))
     bench("2x", args(1))
     bench("8x", args(2))
+    // pathological-chain components: a 20k-vertex path graph has
+    // diameter 20k — pure min-label propagation would need 20k rounds;
+    // the auto-switch hands it to star contraction after `switchAfter`
+    // rounds. Measures the switch's value on the shape it exists for.
+    locally {
+      import spark.implicits._
+      val chain = spark.range(0L, 20000L).select(col("id").as("da"), (col("id") + 1).as("db"))
+        .localCheckpoint(true)
+      def run(switchAfter: Int, label: String): Unit = {
+        val t0 = System.nanoTime()
+        val (out, st) = graft.operators.Dedup.connectedComponentsWithStats(
+          chain, "da", "db", maxIters = 60, switchAfter = switchAfter)
+        val n = out.count()
+        println(f"[scale] chain $label%-12s -> $n%6d labeled in ${(System.nanoTime() - t0) / 1e9}%6.2f s " +
+          s"(propRounds=${st.propRounds} switched=${st.switchedToStar})")
+      }
+      run(5, "auto-switch")
+      run(60, "prop-only") // capped at maxIters: will NOT converge — timing shows the per-round cost it avoids
+    }
+
     // mass-duplicate probe: 10% of docs share ONE boilerplate text, so
     // the shared band bucket grows linearly with the corpus and uncapped
     // all-pairs candidate volume grows QUADRATICALLY; the band-occupancy
