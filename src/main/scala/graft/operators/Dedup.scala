@@ -581,4 +581,102 @@ object Dedup {
       .filter(col("cos") > minCosine)
       .select("ida", "idb")
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
+    * embedding clustering. The corpus is partitioned by a learned IVF
+    * coarse quantizer ([[Similarity.ivfCentroids]] — deterministic and
+    * engine-reproducible end to end), pairwise cosine runs only WITHIN
+    * each cluster (the paper's trick: k-means blocking turns the O(n²)
+    * pair space into Σ mᵢ² with mᵢ ≈ n/nList), pairs above `eps` form a
+    * duplicate graph, and each connected component keeps exactly one
+    * member: the doc LEAST similar to its cluster centroid (the paper's
+    * keep-low rule — the component member nearest the cluster edge is
+    * the most informative example to retain; ties → lowest id).
+    *
+    * At 100 TB, size `nList` ∝ corpus so mᵢ stays constant (the paper
+    * uses 50k clusters for LAION); the within-cluster join is then a
+    * plain hash join on the list id with bounded per-key work. As a
+    * guard for MIS-sized nList or a degenerate quantizer (mass-duplicate
+    * embeddings collapsing into one list), lists larger than
+    * `maxListOccupancy` are EXCLUDED from pairing (their members stay,
+    * un-deduped) — same boilerplate contract as `maxBucket` on the
+    * vector-LSH path, and visibly conservative: semantic dedup of a
+    * cluster it cannot afford to compare is skipped, not guessed.
+    *
+    * Returns one row per input id: (id, grp, keep) where `grp` is the
+    * component label (own id for singletons) and `keep` marks the
+    * retained representative.
+    */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      eps: Double = 0.4, nList: Int = 16, iters: Int = 2,
+      maxListOccupancy: Long = 100000L): DataFrame = {
+    val assigned = ivfAssignedWithCc(df, idCol, vecCol, nList, iters)
+    val pairs = pairsFromAssigned(assigned, eps, maxListOccupancy)
+    val comp = connectedComponents(pairs, "da", "db")
+    val withComp = assigned.join(comp, Seq("id"), "left")
+    // representative per component: min (cc, id) — a groupBy the size of
+    // the component count, joined back (never a window over the corpus)
+    val reps = withComp.filter(col("comp").isNotNull)
+      .groupBy("comp").agg(min(struct(col("cc"), col("id"))).as("m"))
+      .select(col("comp"), col("m.id").as("rep"))
+    withComp.join(reps, Seq("comp"), "left")
+      .select(col("id"),
+        coalesce(col("comp"), col("id")).as("grp"),
+        (col("comp").isNull || (col("id") === col("rep"))).as("keep"))
+  }
+
+  /** The candidate-pair stage of [[semanticDedup]], standalone: (da, db)
+    * pairs with cosine above `eps` inside the same IVF list. Exposed so
+    * the eps-graph can feed other consumers (audit, custom keep rules)
+    * and so the plan shape is pinnable — the pairing must stay a hash
+    * join on the list id, never a cartesian.
+    */
+  def semanticPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      eps: Double = 0.4, nList: Int = 16, iters: Int = 2,
+      maxListOccupancy: Long = 100000L): DataFrame =
+    pairsFromAssigned(
+      ivfAssignedWithCc(df, idCol, vecCol, nList, iters), eps, maxListOccupancy)
+
+  /** Corpus rows labeled by the learned quantizer: (id, vec, list, nrm,
+    * cc) where cc is the cosine to the assigned centroid (the keep
+    * rule's ordering key; -1 for zero vectors so no NaN is ever
+    * compared). Snapshot via localCheckpoint: the assignment feeds the
+    * occupancy count, both pair-join sides, and the final output — four
+    * consumers, one quantizer run.
+    */
+  private def ivfAssignedWithCc(
+      df: DataFrame, idCol: String, vecCol: String,
+      nList: Int, iters: Int): DataFrame = {
+    val unit = Similarity.unitNorm(
+      Similarity.ivfCentroids(df, idCol, vecCol, nList, iters))
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("list", graft.functions.Kernels.ivfAssign(col("vec"), unit))
+      .withColumn("nrm", Similarity.norm2(col("vec")))
+      .withColumn("cc",
+        when(col("nrm") === 0d, lit(-1d)).otherwise(
+          element_at(graft.functions.Kernels.ivfScores(col("vec"), unit),
+            col("list") + 1) / sqrt(col("nrm"))))
+      .localCheckpoint(true)
+  }
+
+  /** Within-list eps-graph edges over a labeled corpus. Oversized-list
+    * keys are component-cardinality-sized → broadcast anti join, which
+    * keeps a degenerate hot list out of any single-task window/sort.
+    */
+  private def pairsFromAssigned(
+      assigned: DataFrame, eps: Double, maxListOccupancy: Long): DataFrame = {
+    val over = assigned.groupBy("list").agg(count(lit(1)).as("m"))
+      .filter(col("m") > maxListOccupancy).select("list")
+    val ok = assigned.join(broadcast(over), Seq("list"), "left_anti")
+    val a = ok.select(col("list"), col("id").as("da"), col("vec").as("va"), col("nrm").as("na"))
+    val b = ok.select(col("list"), col("id").as("db"), col("vec").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("list"))
+      .where(col("da") < col("db"))
+      .filter(col("na") > 0d && col("nb") > 0d)
+      .filter((Similarity.dot(col("va"), col("vb")) /
+        sqrt(col("na") * col("nb"))) > eps)
+      .select("da", "db")
+  }
 }

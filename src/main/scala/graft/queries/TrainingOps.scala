@@ -159,6 +159,70 @@ object TrainingOps {
        |  LEFT JOIN (SELECT $e.c, $f.vec FROM $e JOIN $f USING (j)) rs USING (c))""".stripMargin
   }
 
+  /** DuckDB oracle for [[graft.operators.Dedup.semanticDedup]]: the
+    * ann_ivf quantizer CTEs verbatim (identical learned index), then
+    * within-list pairs above eps, a recursive-CTE component closure
+    * (same shape as dd_components), and the keep-low-centroid-cosine
+    * representative rule. `maxListOccupancy` None → no cap (the
+    * operator default never binds at test SFs); Some(cap) mirrors the
+    * oversized-list exclusion.
+    */
+  private def duckSemdedupSql(maxListOccupancy: Option[Long]): String = {
+    val okCte = maxListOccupancy match {
+      case Some(cap) =>
+        s"""ok AS (SELECT * FROM asg WHERE list NOT IN (
+           |  SELECT list FROM (SELECT list, count(*) AS m FROM asg GROUP BY list)
+           |  WHERE m > $cap)),""".stripMargin
+      case None => "ok AS (SELECT * FROM asg),"
+    }
+    s"""WITH RECURSIVE v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |train AS (SELECT id, vec FROM v
+       |          ORDER BY ((id % 1000000007) * 1103515245 + 12345) % 1000000007, id
+       |          LIMIT 100000),
+       |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS c, vec
+       |       FROM (SELECT id, vec FROM train ORDER BY id LIMIT 16)),
+       |${duckIvfIter(0)},
+       |${duckIvfIter(1)},
+       |uf AS (
+       |  SELECT c, CASE WHEN nrm = 0 THEN vec
+       |    ELSE list_transform(vec, x -> CAST(CAST(x AS DOUBLE) / sqrt(nrm) AS REAL)) END AS uvec
+       |  FROM (SELECT c, vec,
+       |          list_sum(list_transform(vec, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nrm
+       |        FROM c2)),
+       |vs AS (
+       |  SELECT v.id, v.vec, u.c,
+       |    list_sum(list_transform(list_zip(v.vec, u.uvec),
+       |      p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))) AS s,
+       |    row_number() OVER (PARTITION BY v.id
+       |      ORDER BY list_sum(list_transform(list_zip(v.vec, u.uvec),
+       |        p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))) DESC, u.c ASC) AS rn
+       |  FROM v CROSS JOIN uf u),
+       |nrm AS (SELECT id, list_sum(list_transform(vec, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nrm FROM v),
+       |asg AS (SELECT vs.id, vs.vec, vs.c AS list, n.nrm,
+       |          CASE WHEN n.nrm = 0 THEN -1.0 ELSE vs.s / sqrt(n.nrm) END AS cc
+       |        FROM vs JOIN nrm n ON vs.id = n.id WHERE vs.rn = 1),
+       |$okCte
+       |pr AS (SELECT a.id AS da, b.id AS db
+       |       FROM ok a JOIN ok b ON a.list = b.list AND a.id < b.id
+       |       WHERE a.nrm > 0 AND b.nrm > 0
+       |         AND list_sum(list_transform(list_zip(a.vec, b.vec),
+       |               z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)))
+       |             / sqrt(a.nrm * b.nrm) > 0.4),
+       |e AS (SELECT da AS a, db AS b FROM pr UNION ALL SELECT db, da FROM pr),
+       |reach AS (
+       |  SELECT a AS id, a AS r FROM e
+       |  UNION
+       |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+       |cmp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+       |wc AS (SELECT asg.id, asg.cc, cmp.comp FROM asg LEFT JOIN cmp ON asg.id = cmp.id),
+       |rep AS (SELECT comp, id AS rep FROM (
+       |         SELECT comp, id, row_number() OVER (PARTITION BY comp ORDER BY cc ASC, id ASC) AS rn
+       |         FROM wc WHERE comp IS NOT NULL) WHERE rn = 1)
+       |SELECT wc.id AS vec_id, COALESCE(wc.comp, wc.id) AS grp,
+       |       (wc.comp IS NULL OR wc.id = rep.rep) AS keep
+       |FROM wc LEFT JOIN rep ON wc.comp = rep.comp""".stripMargin
+  }
+
   def defs: Map[String, Q] = Map(
 
     // ---- token-window chunking (64-token chunks, 16-token overlap):
@@ -1328,6 +1392,30 @@ object TrainingOps {
               |rk AS (SELECT qid, nid,
               |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM cand)
               |SELECT qid, rank, nid FROM rk WHERE rank <= 5""".stripMargin)),
+
+    // ---- SemDeDup (Abbas et al. 2023): semantic dedup through the
+    //      SAME deterministic IVF quantizer — cluster, pair within
+    //      cluster above eps, connected components, keep the member
+    //      least similar to its centroid. The oracle re-learns the
+    //      identical index, re-pairs, and closes the duplicate graph
+    //      with a recursive CTE ----
+    "dd_semdedup" -> Q(
+      (s, dir) =>
+        Dedup.semanticDedup(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+            eps = 0.4, nList = 16)
+          .select(col("id").as("vec_id"), col("grp"), col("keep")),
+      Some(duckSemdedupSql(maxListOccupancy = None))),
+
+    // ---- SemDeDup with a BINDING list-occupancy cap (35 < max list
+    //      size at every SF): oversized lists are excluded from pairing
+    //      and their members kept un-deduped — the conservative
+    //      boilerplate contract, exercised with data ----
+    "dd_semdedup_capped" -> Q(
+      (s, dir) =>
+        Dedup.semanticDedup(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+            eps = 0.4, nList = 16, maxListOccupancy = 35L)
+          .select(col("id").as("vec_id"), col("grp"), col("keep")),
+      Some(duckSemdedupSql(maxListOccupancy = Some(35L)))),
 
     // ---- deterministic train/test split (pure function of doc_id:
     //      re-runs and engines agree; no rand()) ----

@@ -372,4 +372,47 @@ class OperatorsSpec extends SparkSpec {
       .select(size(col("f"))).distinct().collect()
     assert(feat.map(_.getInt(0)).toList == List(8))
   }
+
+  test("semantic dedup: one keeper per group, min-id group labels, total coverage") {
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding", eps = 0.4, nList = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == emb.count(), "every input id labeled exactly once")
+    val byGrp = out.groupBy(_._2)
+    assert(byGrp.values.forall(_.count(_._3) == 1),
+      s"a group without exactly one keeper: ${byGrp.find(_._2.count(_._3) != 1)}")
+    // component labels follow the min-reachable-id convention
+    assert(byGrp.forall { case (g, rows) => rows.map(_._1).min == g })
+    // singletons keep themselves
+    assert(byGrp.valuesIterator.filter(_.length == 1).forall(_.head._3))
+  }
+
+  test("semantic dedup groups same-direction vectors; ties keep the lowest id") {
+    import spark.implicits._
+    // 8 directions (one-hot), 5 copies each at different magnitudes:
+    // cosine is 1 within a direction, 0 across — so each direction is
+    // one duplicate group regardless of what centroids Lloyd learns,
+    // and the keep rule's centroid-cosine ties resolve to the lowest id
+    val vecs = for (d <- 0 until 8; c <- 0 until 5) yield {
+      val v = Array.fill(8)(0f); v(d) = (c + 1).toFloat
+      (d * 100L + c, v.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding", eps = 0.4, nList = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == 40)
+    val byGrp = out.groupBy(_._2)
+    assert(byGrp.size == 8, s"expected 8 direction groups: ${byGrp.keySet}")
+    assert(byGrp.forall { case (g, rows) =>
+      rows.length == 5 && rows.filter(_._3).map(_._1).toList == List(g)
+    }, "each direction keeps exactly its lowest id")
+  }
+
+  test("semantic dedup occupancy cap is conservative: capped-out lists dedup nothing") {
+    // cap 0 excludes every list from pairing — all rows survive as
+    // their own singleton group (skipped, not guessed)
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding",
+        eps = 0.4, nList = 16, maxListOccupancy = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.forall(r => r._3 && r._1 == r._2))
+  }
 }

@@ -349,4 +349,21 @@ class PlanSpec extends SparkSpec {
       s"probe side not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in quantized scoring:\n$p")
   }
+
+  test("dd_semdedup pairs: a hash join keyed on the IVF list, guard anti-joins broadcast") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = graft.operators.Dedup.semanticPairs(emb, "vec_id", "embedding",
+      eps = 0.4, nList = 16).queryExecution.executedPlan.toString
+    // within-cluster pairing must stay keyed on the list id — never the
+    // O(n²) pair space
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"semantic pairing degenerated to all-pairs:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+        || p.contains("BroadcastHashJoin"),
+      s"expected an equi-join on the list id:\n$p")
+    // the oversized-list guard is a broadcast anti join, not a window
+    // count over the (possibly hot) list key
+    assert(p.contains("LeftAnti"), s"occupancy guard missing:\n$p")
+    assert(!p.contains("Window"), s"occupancy guard fell back to a window:\n$p")
+  }
 }
