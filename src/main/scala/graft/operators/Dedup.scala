@@ -73,17 +73,50 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, num: Int = 1, den: Int = 10,
-      maxShingleFreq: Long = 1000L): DataFrame = {
+      maxShingleFreq: Long = 1000L): DataFrame =
+    shingleOverlapPairs(df, idCol, textCol, n, maxShingleFreq)
+      .select(
+        col("da"), col("db"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("un"))
+      .filter(col("inter") * den >= col("un") * num)
+
+  /** Asymmetric near-dup: pairs whose shared-shingle count covers at
+    * least `num/den` of the SMALLER document's shingle set (containment
+    * ≥ threshold). Jaccard misses subset duplication — a paragraph
+    * quoted inside a 100× longer page has tiny union-relative overlap
+    * but full containment — and subset dups are exactly what survives
+    * boilerplate stripping in web corpora (Broder 1997 defines both
+    * resemblance AND containment for this reason). Output keeps both
+    * per-doc shingle counts so the caller can drop the CONTAINED side
+    * (the smaller `n_sh`), not an arbitrary one. Same inverted-index
+    * plan and `maxShingleFreq` guard as [[ngramJaccardPairs]].
+    */
+  def ngramContainmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, num: Int = 1, den: Int = 2,
+      maxShingleFreq: Long = 1000L): DataFrame =
+    shingleOverlapPairs(df, idCol, textCol, n, maxShingleFreq)
+      .filter(col("inter") * den >= least(col("na"), col("nb")) * num)
+
+  /** Shared stage of [[ngramJaccardPairs]] / [[ngramContainmentPairs]]:
+    * (da, db, inter, na, nb) for every document pair sharing ≥ 1
+    * sub-cap shingle.
+    *
+    * Inverted index: ONE shuffle keyed on shingle builds the posting
+    * list, and the frequency cap is a size() filter on that list — no
+    * separate hot-count pass, no anti-join, and the shingle kernel runs
+    * once instead of once per join branch. The cap bounds every posting
+    * list at maxShingleFreq docs, so the nested pair explode below is
+    * O(cap²) worst-case per shingle — no reducer ever sees a
+    * degenerate hot key. Per-doc sizes count only sub-cap shingles, so
+    * ratios stay consistent with the pairs they filter.
+    */
+  private def shingleOverlapPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxShingleFreq: Long): DataFrame = {
     val sh = df.select(
       col(idCol).as("doc"),
       explode(array_distinct(graft.functions.Kernels.shingleHashes(col(textCol), n))).as("s"))
-    // Inverted index: ONE shuffle keyed on shingle builds the posting
-    // list, and the frequency cap is a size() filter on that list — no
-    // separate hot-count pass, no anti-join, and the shingle kernel runs
-    // once instead of once per join branch. The cap bounds every posting
-    // list at maxShingleFreq docs, so the nested pair explode below is
-    // O(cap²) worst-case per shingle — no reducer ever sees a
-    // degenerate hot key.
     val inv = sh.groupBy("s").agg(collect_list("doc").as("docs"))
       .filter(size(col("docs")) <= maxShingleFreq)
     val sizes = inv.select(explode(col("docs")).as("doc"))
@@ -98,10 +131,8 @@ object Dedup {
     pairs
       .join(sizes.as("sa"), col("da") === col("sa.doc"))
       .join(sizes.as("sb"), col("db") === col("sb.doc"))
-      .select(
-        col("da"), col("db"), col("inter"),
-        (col("sa.n_sh") + col("sb.n_sh") - col("inter")).as("un"))
-      .filter(col("inter") * den >= col("un") * num)
+      .select(col("da"), col("db"), col("inter"),
+        col("sa.n_sh").as("na"), col("sb.n_sh").as("nb"))
   }
 
   /** MinHash + LSH candidate pairs: signature → band keys → per-band

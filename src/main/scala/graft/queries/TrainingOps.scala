@@ -807,6 +807,29 @@ object TrainingOps {
               |WHERE inter * 10 >= (sa.n_sh + sb.n_sh - inter) * 1""".stripMargin),
       headline = true),
 
+    // ---- asymmetric containment near-dup (Broder 1997): shared
+    //      shingles cover ≥ half of the SMALLER doc's shingle set —
+    //      catches subset duplication (a doc quoted inside a longer
+    //      one) that union-relative Jaccard misses. Same inverted
+    //      index; output carries both sizes so the contained side is
+    //      identifiable ----
+    "dd_containment" -> Q(
+      (s, dir) =>
+        Dedup.ngramContainmentPairs(Tables(s, dir, "documents"), "doc_id", "text",
+          n = 3, num = 1, den = 2, maxShingleFreq = 1000L),
+      Some(s"""WITH $duckShingles,
+              |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(s, t -> ${duckShingleKey("t")})) AS s FROM shl),
+              |capped AS (SELECT * FROM (
+              |  SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS s_freq FROM sh)
+              |  WHERE s_freq <= 1000),
+              |sizes AS (SELECT doc_id, count(*) n_sh FROM capped GROUP BY doc_id),
+              |pairs AS (SELECT a.doc_id da, b.doc_id db, count(*) inter
+              |  FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT da, db, inter, sa.n_sh AS na, sb.n_sh AS nb
+              |FROM pairs p JOIN sizes sa ON p.da = sa.doc_id JOIN sizes sb ON p.db = sb.doc_id
+              |WHERE inter * 2 >= LEAST(sa.n_sh, sb.n_sh) * 1""".stripMargin)),
+
     // ---- MinHash + LSH candidates (k=8, 2 bands × 4 rows) ----
     "dd_minhash_lsh" -> Q(
       (s, dir) =>

@@ -373,6 +373,25 @@ class OperatorsSpec extends SparkSpec {
     assert(feat.map(_.getInt(0)).toList == List(8))
   }
 
+  test("containment pairs catch subset dups that jaccard misses") {
+    import spark.implicits._
+    val para = "the quick brown fox jumps over the lazy dog again and again"
+    // doc 2 embeds doc 1 verbatim inside ~9× more text: containment of
+    // the small side is ~1, jaccard is far below the 1/2 line
+    val page = ("aaaa bbbb cccc dddd " * 12) + para + (" eeee ffff gggg hhhh" * 12)
+    val df = Seq((1L, para), (2L, page), (3L, "entirely unrelated text body")).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(df, "doc_id", "text", n = 3, num = 1, den = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cont.toSet == Set((1L, 2L)), s"expected the embedded pair only: ${cont.toList}")
+    val jac = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 3, num = 5, den = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!jac.contains((1L, 2L)), "jaccard at the same 1/2 line should miss the subset dup")
+    // the contained side is identifiable as the smaller shingle set
+    val row = Dedup.ngramContainmentPairs(df, "doc_id", "text", n = 3, num = 1, den = 2)
+      .collect().head
+    assert(row.getLong(3) < row.getLong(4), "na (doc 1, the contained side) must be smaller")
+  }
+
   test("semantic dedup: one keeper per group, min-id group labels, total coverage") {
     val out = Dedup.semanticDedup(emb, "vec_id", "embedding", eps = 0.4, nList = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
