@@ -183,6 +183,60 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental (two-table) MinHash-LSH candidates: for a batch of
+    * INCOMING documents, which already-ingested CORPUS documents are
+    * near-dup candidates — the continuous-pipeline question ("is this
+    * new crawl shard already in the training set?") that the self-join
+    * variant answers only by re-pairing the whole corpus. Both sides
+    * hash with the same signature family; the corpus side builds the
+    * banded posting lists (ONE groupBy, same shape as
+    * [[minhashLshCandidates]]), and incoming bands hash-join against
+    * them — cost scales with |incoming| + |corpus|, not their product,
+    * and an unchanged corpus index is reusable across batches.
+    *
+    * `maxBandOccupancy` caps the CORPUS posting lists: an oversized
+    * (boilerplate) bucket collapses to its minimum doc id, so an
+    * incoming doc still learns it HAS a corpus near-dup (the drop
+    * signal) while pair output stays linear — the two-table analogue of
+    * the self-join star rule.
+    *
+    * Returns distinct (da = incoming id, db = corpus id). Rows whose
+    * ids coincide across frames are skipped (overlapping inputs pair a
+    * doc with itself; dropping them keeps the operator idempotent).
+    */
+  def minhashLshCandidatesAgainst(
+      incoming: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 8, bands: Int = 2,
+      maxBandOccupancy: Long = 1000L): DataFrame = {
+    def banded(df: DataFrame, out: String) = df.select(
+        col(idCol).as(out),
+        Hashing.minhashSignature(TextFunctions.shingles(col(textCol), n), k).as("sig"))
+      .select(col(out), explode(Hashing.lshBandKeys(col("sig"), k, bands)).as("band"))
+    val inv = banded(corpus, "db").groupBy("band").agg(collect_list("db").as("docs"))
+      .select(col("band"),
+        when(size(col("docs")) <= lit(maxBandOccupancy), col("docs"))
+          .otherwise(array(array_min(col("docs")))).as("docs"))
+    banded(incoming, "da").join(inv, Seq("band"))
+      .select(col("da"), explode(col("docs")).as("db"))
+      .where(col("da") =!= col("db"))
+      .select("da", "db")
+      .distinct()
+  }
+
+  /** Apply [[minhashLshCandidatesAgainst]]: the incoming batch minus
+    * every doc with a corpus near-dup candidate — one left-anti join on
+    * the incoming id.
+    */
+  def dedupIncomingByMinhash(
+      incoming: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 8, bands: Int = 2,
+      maxBandOccupancy: Long = 1000L): DataFrame = {
+    val hits = minhashLshCandidatesAgainst(
+        incoming, corpus, idCol, textCol, n, k, bands, maxBandOccupancy)
+      .select(col("da").as(idCol)).distinct()
+    incoming.join(hits, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-dup pairs with hamming ≤ `maxHamming` (≤ 3 for the
     * 4-byte blocking to be lossless by pigeonhole). Blocked self-join on
     * simhash bytes — exact result, linear pair generation.
@@ -655,6 +709,21 @@ object Dedup {
       .select(col("id"),
         coalesce(col("comp"), col("id")).as("grp"),
         (col("comp").isNull || (col("id") === col("rep"))).as("keep"))
+  }
+
+  /** Apply [[semanticDedup]]: the corpus minus semantic duplicates —
+    * every input row whose id the keep rule retained (one member per
+    * eps-component, the one least similar to its centroid). A left-semi
+    * join on the keeper ids; both sides key on the id, no row data
+    * crosses the join.
+    */
+  def dedupBySemantic(
+      df: DataFrame, idCol: String, vecCol: String,
+      eps: Double = 0.4, nList: Int = 16, iters: Int = 2,
+      maxListOccupancy: Long = 100000L): DataFrame = {
+    val keep = semanticDedup(df, idCol, vecCol, eps, nList, iters, maxListOccupancy)
+      .filter(col("keep")).select(col("id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
   }
 
   /** The candidate-pair stage of [[semanticDedup]], standalone: (da, db)

@@ -167,7 +167,8 @@ object TrainingOps {
     * operator default never binds at test SFs); Some(cap) mirrors the
     * oversized-list exclusion.
     */
-  private def duckSemdedupSql(maxListOccupancy: Option[Long]): String = {
+  private def duckSemdedupSql(
+      maxListOccupancy: Option[Long], keepOnly: Boolean = false): String = {
     val okCte = maxListOccupancy match {
       case Some(cap) =>
         s"""ok AS (SELECT * FROM asg WHERE list NOT IN (
@@ -218,9 +219,14 @@ object TrainingOps {
        |rep AS (SELECT comp, id AS rep FROM (
        |         SELECT comp, id, row_number() OVER (PARTITION BY comp ORDER BY cc ASC, id ASC) AS rn
        |         FROM wc WHERE comp IS NOT NULL) WHERE rn = 1)
-       |SELECT wc.id AS vec_id, COALESCE(wc.comp, wc.id) AS grp,
-       |       (wc.comp IS NULL OR wc.id = rep.rep) AS keep
-       |FROM wc LEFT JOIN rep ON wc.comp = rep.comp""".stripMargin
+       |${if (keepOnly)
+            """SELECT wc.id AS vec_id
+              |FROM wc LEFT JOIN rep ON wc.comp = rep.comp
+              |WHERE wc.comp IS NULL OR wc.id = rep.rep""".stripMargin
+          else
+            """SELECT wc.id AS vec_id, COALESCE(wc.comp, wc.id) AS grp,
+              |       (wc.comp IS NULL OR wc.id = rep.rep) AS keep
+              |FROM wc LEFT JOIN rep ON wc.comp = rep.comp""".stripMargin}""".stripMargin
   }
 
   def defs: Map[String, Q] = Map(
@@ -872,6 +878,68 @@ object TrainingOps {
               |  SELECT o.mn AS da, b.doc_id AS db
               |  FROM bands b JOIN occ o ON b.band = o.band AND o.m > 2 AND b.doc_id > o.mn)""".stripMargin)),
 
+    // ---- incremental dedup: a 10% "incoming batch" (doc_id % 10 = 0)
+    //      probes the 90% corpus for near-dup candidates — the
+    //      new-crawl-vs-training-set question. Corpus posting lists
+    //      capped at 2 (binds at sf0.01/0.1), oversized buckets star
+    //      to their min id ----
+    "dd_incremental" -> Q(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        Dedup.minhashLshCandidatesAgainst(
+          d.filter(col("doc_id") % 10 === 0), d.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", n = 3, k = 8, bands = 2, maxBandOccupancy = 2L)
+      },
+      Some(s"""WITH $duckShingles,
+              |hs AS (SELECT doc_id, list_transform(list_distinct(s), t -> ${duckCharHash("t")}) h FROM shl),
+              |sig AS (SELECT doc_id, list_transform(range(0,8), i ->
+              |  list_min(list_transform(h, x -> ((37+101*i)*x + 7+139*i) % 1000000007))) sg FROM hs),
+              |bands AS (
+              |  SELECT doc_id, '0-' || sg[1] || '-' || sg[2] || '-' || sg[3] || '-' || sg[4] AS band FROM sig
+              |  UNION ALL
+              |  SELECT doc_id, '1-' || sg[5] || '-' || sg[6] || '-' || sg[7] || '-' || sg[8] AS band FROM sig),
+              |nb AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
+              |cb AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
+              |occ AS (SELECT band, count(*) AS m, min(doc_id) AS mn FROM cb GROUP BY band)
+              |SELECT DISTINCT da, db FROM (
+              |  SELECT n.doc_id AS da, c.doc_id AS db
+              |  FROM nb n JOIN cb c ON n.band = c.band JOIN occ o ON c.band = o.band AND o.m <= 2
+              |  UNION ALL
+              |  SELECT n.doc_id AS da, o.mn AS db
+              |  FROM nb n JOIN occ o ON n.band = o.band AND o.m > 2)
+              |WHERE da <> db""".stripMargin)),
+
+    // ---- incremental dedup APPLY: the incoming batch minus docs with
+    //      any corpus near-dup candidate ----
+    "dd_incremental_apply" -> Q(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        Dedup.dedupIncomingByMinhash(
+            d.filter(col("doc_id") % 10 === 0), d.filter(col("doc_id") % 10 =!= 0),
+            "doc_id", "text", n = 3, k = 8, bands = 2, maxBandOccupancy = 2L)
+          .select(col("doc_id"))
+      },
+      Some(s"""WITH $duckShingles,
+              |hs AS (SELECT doc_id, list_transform(list_distinct(s), t -> ${duckCharHash("t")}) h FROM shl),
+              |sig AS (SELECT doc_id, list_transform(range(0,8), i ->
+              |  list_min(list_transform(h, x -> ((37+101*i)*x + 7+139*i) % 1000000007))) sg FROM hs),
+              |bands AS (
+              |  SELECT doc_id, '0-' || sg[1] || '-' || sg[2] || '-' || sg[3] || '-' || sg[4] AS band FROM sig
+              |  UNION ALL
+              |  SELECT doc_id, '1-' || sg[5] || '-' || sg[6] || '-' || sg[7] || '-' || sg[8] AS band FROM sig),
+              |nb AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
+              |cb AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
+              |occ AS (SELECT band, count(*) AS m, min(doc_id) AS mn FROM cb GROUP BY band),
+              |hits AS (SELECT DISTINCT da FROM (
+              |  SELECT n.doc_id AS da
+              |  FROM nb n JOIN cb c ON n.band = c.band JOIN occ o ON c.band = o.band AND o.m <= 2
+              |    AND n.doc_id <> c.doc_id
+              |  UNION ALL
+              |  SELECT n.doc_id AS da
+              |  FROM nb n JOIN occ o ON n.band = o.band AND o.m > 2 AND n.doc_id <> o.mn))
+              |SELECT doc_id FROM documents
+              |WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT da FROM hits)""".stripMargin)),
+
     // ---- dedup groups: connected components over the MinHash-LSH
     //      candidate pairs (pairs → groups → canonical min id); oracle
     //      re-derives the closure with a recursive CTE ----
@@ -1439,6 +1507,15 @@ object TrainingOps {
             eps = 0.4, nList = 16, maxListOccupancy = 35L)
           .select(col("id").as("vec_id"), col("grp"), col("keep")),
       Some(duckSemdedupSql(maxListOccupancy = Some(35L)))),
+
+    // ---- end-to-end semantic dedup apply: the embeddings table minus
+    //      semantic duplicates (left-semi on the keep rule's ids) ----
+    "dd_dedup_apply_semantic" -> Q(
+      (s, dir) =>
+        Dedup.dedupBySemantic(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+            eps = 0.4, nList = 16)
+          .select(col("vec_id")),
+      Some(duckSemdedupSql(maxListOccupancy = None, keepOnly = true))),
 
     // ---- deterministic train/test split (pure function of doc_id:
     //      re-runs and engines agree; no rand()) ----

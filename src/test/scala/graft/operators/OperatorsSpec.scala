@@ -373,6 +373,30 @@ class OperatorsSpec extends SparkSpec {
     assert(feat.map(_.getInt(0)).toList == List(8))
   }
 
+  test("incremental dedup flags incoming docs already in the corpus") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"),
+      (3L, "totally different corpus content down here")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+      (11L, "nothing like anything stored before at all ok")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshCandidatesAgainst(incoming, corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((10L, 1L)), s"exact dup not flagged: ${pairs.toList}")
+    assert(!pairs.exists(_._1 == 11L), s"novel doc flagged: ${pairs.toList}")
+    val kept = Dedup.dedupIncomingByMinhash(incoming, corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L), s"apply should keep only the novel doc: $kept")
+    // cap=1 stars every corpus bucket to its min — the dup is still
+    // caught (the drop signal survives the cap)
+    val starred = Dedup.minhashLshCandidatesAgainst(incoming, corpus, "doc_id", "text",
+        maxBandOccupancy = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(starred.contains((10L, 1L)), s"star path lost the dup signal: ${starred.toList}")
+  }
+
   test("containment pairs catch subset dups that jaccard misses") {
     import spark.implicits._
     val para = "the quick brown fox jumps over the lazy dog again and again"

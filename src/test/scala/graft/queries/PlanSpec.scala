@@ -350,6 +350,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in quantized scoring:\n$p")
   }
 
+  test("dd_incremental: incoming bands hash-join the corpus posting lists, never all-pairs") {
+    val p = plan("dd_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"incremental dedup degenerated to all-pairs:\n$p")
+    // corpus side is ONE groupBy into posting lists; pairs come from a
+    // codegen Generate over the (capped) list, not a second self-join
+    assert(p.contains("Generate"), s"expected the posting-list explode:\n$p")
+    assert(!p.contains("Window"), s"no window should touch the band key:\n$p")
+  }
+
   test("dd_semdedup pairs: a hash join keyed on the IVF list, guard anti-joins broadcast") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val p = graft.operators.Dedup.semanticPairs(emb, "vec_id", "embedding",
