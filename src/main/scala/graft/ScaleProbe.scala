@@ -125,6 +125,49 @@ object ScaleProbe {
         println(f"[scale] massdup ${m}x simhash63=$tP%6.2f s ($nP%9d pairs)  collapsed=$tS%6.2f s ($nS%9d pairs)")
       }
     }
+    // SemDeDup scale curves, self-contained (synthetic deterministic
+    // embeddings, no input dir): 10% of vectors share ONE direction
+    // (boilerplate embeddings), the rest are id-hashed pseudo-random.
+    // All boilerplate lands in a single IVF list, so the within-list
+    // pair stage is quadratic in corpus size there — the
+    // maxListOccupancy guard must exclude that list once it outgrows
+    // the cap (binds at 8× here), holding cost ~flat. The nList sweep
+    // measures the paper's sizing rule (nList ∝ corpus ⇒ constant list
+    // size ⇒ linear total pair work).
+    locally {
+      def syntheticEmb(n: Long) = spark.range(n).select(
+        col("id").as("vec_id"),
+        when(pmod(col("id"), lit(10)) === 0,
+          expr("transform(sequence(0, 15), j -> CAST(1.0 + j AS FLOAT))"))
+          .otherwise(expr(
+            "transform(sequence(0, 15), j -> CAST(((id * 31 + j * 7919) % 1000 - 500) / 500.0 AS FLOAT))"))
+          .as("embedding"))
+        .localCheckpoint(true)
+      for (m <- Seq(1, 2, 8)) {
+        val d = syntheticEmb(2000L * m)
+        def run(cap: Long): (Double, Long) = {
+          var n = 0L
+          time { n = graft.operators.Dedup.semanticPairs(
+            d, "vec_id", "embedding", eps = 0.8, nList = 16, maxListOccupancy = cap).count(); n }
+          val t = time(graft.operators.Dedup.semanticPairs(
+            d, "vec_id", "embedding", eps = 0.8, nList = 16, maxListOccupancy = cap).count())
+          (t, n)
+        }
+        val (tU, nU) = run(Long.MaxValue)
+        val (tC, nC) = run(1000L)
+        println(f"[scale] semdedup ${m}x uncapped=$tU%6.2f s ($nU%9d pairs)  capped@1000=$tC%6.2f s ($nC%9d pairs)")
+      }
+      locally {
+        val d = syntheticEmb(16000L)
+        Seq(16, 128).foreach { nl =>
+          var n = 0L
+          val t = time { n = graft.operators.Dedup.semanticPairs(
+            d, "vec_id", "embedding", eps = 0.8, nList = nl,
+            maxListOccupancy = Long.MaxValue).count(); n }
+          println(f"[scale] semdedup 8x nList=$nl%3d -> $n%9d pairs in $t%6.2f s")
+        }
+      }
+    }
     // optional 4th arg: an embeddings parquet with heavy duplication —
     // demonstrates the vector-LSH bucket cap holding candidate volume
     // flat where the uncapped run goes quadratic

@@ -46,6 +46,21 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Weight-proportional subsampling: keep a row with probability
+    * `weightUnits / den`, deterministically — the quality-weighted
+    * curation step (keep high-quality docs with high probability, low
+    * with low) without rand(): membership is a pure function of
+    * (key, seed), so re-runs, task retries, and engines agree row for
+    * row. `weightUnits` must be an INTEGER column in [0, den] (e.g.
+    * [[graft.functions.TextFunctions.qualityScorePpm]] with
+    * den = 1000000): the comparison is integer-vs-integer, so there is
+    * no float threshold to diverge cross-engine. A pure map-side
+    * filter — no shuffle, no state, pushes down like any predicate.
+    */
+  def sampleByWeight(df: DataFrame, keyCol: String, weightUnits: Column,
+                     den: Int = 1000000, seed: Int = 0): DataFrame =
+    df.filter(hashBucket(col(keyCol), den, seed) < weightUnits)
+
   /** Corpus mixture sampling by token budget: per group (data source),
     * keep rows in key-hash order until the group's cumulative token
     * count reaches its budget — how a training mix hits target

@@ -1700,6 +1700,25 @@ object TrainingOps {
              |  // (100 * len(regexp_extract_all(text,'\S+'))) AS score_ppm
              |FROM documents""".stripMargin)),
 
+    // ---- quality-proportional subsampling: keep probability =
+    //      qualityScorePpm / 1e6, deterministic by doc_id hash (the
+    //      DCLM-style curation step; integer-vs-integer comparison, no
+    //      float threshold) ----
+    "ta_sample_quality" -> Q(
+      (s, dir) =>
+        graft.operators.Sampling.sampleByWeight(
+            Tables(s, dir, "documents"), "doc_id",
+            TextFunctions.qualityScorePpm(col("text")), den = 1000000, seed = 3)
+          .select(col("doc_id")),
+      Some("""SELECT doc_id FROM documents
+             |WHERE ((doc_id % 1000000007) * 340 + 424) % 1000000007 % 1000000 <
+             |  (least(len(regexp_extract_all(text,'\S+')), 100)
+             |    * (len(regexp_extract_all(text,'\S+'))
+             |       - len(list_filter(string_split(text,' '),
+             |           w -> w IN ('the','a','of','to','and','in','or','is'))))
+             |    * 1000000)
+             |  // (100 * len(regexp_extract_all(text,'\S+')))""".stripMargin)),
+
     // ---- language ID heuristic ----
     "ta_langid" -> Q(
       (s, dir) =>

@@ -49,6 +49,27 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Similarity.ivfTopK(emptyEmb, "vec_id", "embedding", 5, nList = 4).count() == 0)
   }
 
+  test("semantic and incremental dedup are empty- and tiny-input-safe") {
+    // empty corpus: an empty labeled frame, no crash in the quantizer
+    assert(Dedup.semanticDedup(emptyEmb, "vec_id", "embedding", nList = 4).count() == 0)
+    assert(Dedup.dedupBySemantic(emptyEmb, "vec_id", "embedding", nList = 4).count() == 0)
+    // corpus smaller than nList: fewer centroids than requested, every
+    // row still labeled and kept as its own singleton
+    val s = spark; import s.implicits._
+    val two = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(two, "vec_id", "embedding", nList = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == 2 && out.forall(r => r._3 && r._1 == r._2))
+    // incremental: empty incoming, empty corpus — both directions safe
+    assert(Dedup.minhashLshCandidatesAgainst(emptyDocs,
+      docsOf((1L, "a b c d e")), "doc_id", "text").count() == 0)
+    assert(Dedup.minhashLshCandidatesAgainst(docsOf((1L, "a b c d e")),
+      emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.dedupIncomingByMinhash(docsOf((1L, "a b c d e")),
+      emptyDocs, "doc_id", "text").count() == 1)
+    assert(Dedup.ngramContainmentPairs(emptyDocs, "doc_id", "text").count() == 0)
+  }
+
   test("single-document and empty-text corpora produce no pairs, no crashes") {
     val single = docsOf((1L, "a b c d e f"))
     assert(Dedup.ngramJaccardPairs(single, "doc_id", "text").count() == 0)

@@ -120,4 +120,26 @@ class SamplingSpec extends SparkSpec {
         assert(k2(id) == k, s"doc $id before the insertion point moved: $k -> ${k2(id)}")
     }
   }
+
+  test("weight-proportional sampling: deterministic, monotone in weight, exact at the edges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1L to 2000L).toDF("id")
+    def kept(w: Long) = Sampling.sampleByWeight(df, "id", lit(w), den = 1000)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept(0L).isEmpty, "weight 0 keeps nothing")
+    assert(kept(1000L).size == 2000, "weight = den keeps everything")
+    // a row kept at weight w stays kept at any higher weight (membership
+    // is hash < w, so the kept sets are nested) — and re-runs agree
+    val (k300, k700) = (kept(300L), kept(700L))
+    assert(k300.subsetOf(k700), "kept sets must nest as weight grows")
+    assert(kept(300L) == k300, "membership must be deterministic")
+    // keep rate tracks the weight within sampling noise
+    assert(math.abs(k300.size / 2000.0 - 0.3) < 0.05, s"rate ${k300.size / 2000.0}")
+    // per-row weights: rows with weight 0 never survive, den always do
+    val wdf = df.withColumn("w", when(col("id") % 2 === 0, 1000L).otherwise(0L))
+    val sel = Sampling.sampleByWeight(wdf, "id", col("w"), den = 1000)
+      .collect().map(_.getLong(0))
+    assert(sel.forall(_ % 2 == 0) && sel.length == 1000)
+  }
 }
