@@ -242,7 +242,7 @@ object Similarity {
     * argmax dot(v, ĉ_i) — the row's own norm is constant across i and
     * drops out of the comparison entirely.
     */
-  private[operators] def unitNorm(centroids: Array[Array[Float]]): Array[Array[Float]] =
+  private[graft] def unitNorm(centroids: Array[Array[Float]]): Array[Array[Float]] =
     centroids.map { c =>
       val n = math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
       if (n == 0.0) c else c.map(x => (x / n).toFloat)

@@ -167,8 +167,12 @@ object TrainingOps {
     * operator default never binds at test SFs); Some(cap) mirrors the
     * oversized-list exclusion.
     */
+  /** `out`: "labels" = (vec_id, grp, keep); "keep" = kept vec_ids only;
+    * "pairs" = the raw eps-graph edges (da, db) — shared by the batch
+    * pair stage and the batch-driven streaming variant.
+    */
   private def duckSemdedupSql(
-      maxListOccupancy: Option[Long], keepOnly: Boolean = false): String = {
+      maxListOccupancy: Option[Long], out: String = "labels"): String = {
     val okCte = maxListOccupancy match {
       case Some(cap) =>
         s"""ok AS (SELECT * FROM asg WHERE list NOT IN (
@@ -219,14 +223,17 @@ object TrainingOps {
        |rep AS (SELECT comp, id AS rep FROM (
        |         SELECT comp, id, row_number() OVER (PARTITION BY comp ORDER BY cc ASC, id ASC) AS rn
        |         FROM wc WHERE comp IS NOT NULL) WHERE rn = 1)
-       |${if (keepOnly)
+       |${out match {
+          case "keep" =>
             """SELECT wc.id AS vec_id
               |FROM wc LEFT JOIN rep ON wc.comp = rep.comp
               |WHERE wc.comp IS NULL OR wc.id = rep.rep""".stripMargin
-          else
+          case "pairs" =>
+            "SELECT da, db FROM pr"
+          case _ =>
             """SELECT wc.id AS vec_id, COALESCE(wc.comp, wc.id) AS grp,
               |       (wc.comp IS NULL OR wc.id = rep.rep) AS keep
-              |FROM wc LEFT JOIN rep ON wc.comp = rep.comp""".stripMargin}""".stripMargin
+              |FROM wc LEFT JOIN rep ON wc.comp = rep.comp""".stripMargin}}""".stripMargin
   }
 
   def defs: Map[String, Q] = Map(
@@ -1508,6 +1515,22 @@ object TrainingOps {
           .select(col("id").as("vec_id"), col("grp"), col("keep")),
       Some(duckSemdedupSql(maxListOccupancy = Some(35L)))),
 
+    // ---- the STREAMING SemDeDup operator, driven in batch mode (same
+    //      code path, one micro-batch of state transitions): per-list
+    //      pairing against a pre-trained quantizer must reproduce the
+    //      batch eps-graph exactly, so it shares the batch pair
+    //      oracle ----
+    "dd_semdedup_stateful" -> Q(
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val cents = graft.operators.Similarity.ivfCentroids(
+          emb, "vec_id", "embedding", nList = 16, iters = 2)
+        graft.streaming.StatefulOps.streamingSemanticCandidates(
+            emb, "vec_id", "embedding", cents, eps = 0.4, maxList = Int.MaxValue)
+          .toDF().select(col("da"), col("db")).distinct()
+      },
+      Some(duckSemdedupSql(maxListOccupancy = None, out = "pairs"))),
+
     // ---- end-to-end semantic dedup apply: the embeddings table minus
     //      semantic duplicates (left-semi on the keep rule's ids) ----
     "dd_dedup_apply_semantic" -> Q(
@@ -1515,7 +1538,7 @@ object TrainingOps {
         Dedup.dedupBySemantic(Tables(s, dir, "embeddings"), "vec_id", "embedding",
             eps = 0.4, nList = 16)
           .select(col("vec_id")),
-      Some(duckSemdedupSql(maxListOccupancy = None, keepOnly = true))),
+      Some(duckSemdedupSql(maxListOccupancy = None, out = "keep"))),
 
     // ---- deterministic train/test split (pure function of doc_id:
     //      re-runs and engines agree; no rand()) ----

@@ -511,4 +511,107 @@ object StatefulOps {
           nearDupGroup(band, rows, state, maxBucket, ttlMs)
       }
   }
+
+  // ---- streaming semantic (SemDeDup) near-dup candidates ----
+
+  final case class ListedVec(list: Int, docId: Long, vec: Seq[Float])
+  final case class SemPair(da: Long, db: Long, cos: Double)
+  final case class ListState(docs: List[(Long, Seq[Float])])
+
+  implicit val listKeyEnc: Encoder[Int] = Encoders.scalaInt
+  implicit val listedVecEnc: Encoder[ListedVec] = Encoders.product[ListedVec]
+  implicit val semPairEnc: Encoder[SemPair] = Encoders.product[SemPair]
+  implicit val listStateEnc: Encoder[ListState] = Encoders.product[ListState]
+
+  /** dot and squared norm folded left-to-right in double — the SAME
+    * summation order as the batch kernels
+    * ([[graft.functions.Kernels.vecDot]]/`vecNorm2`), so a streaming
+    * pair's cosine is bit-identical to the batch self-join's and the
+    * batch-drive oracle can share [[graft.operators.Dedup.semanticPairs]]'
+    * SQL re-derivation.
+    */
+  private def dotD(a: Seq[Float], b: Seq[Float]): Double = {
+    var s = 0.0; var i = 0; val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+  }
+  private def norm2D(a: Seq[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }; s
+  }
+
+  /** Per-IVF-list transition for [[streamingSemanticCandidates]]: every
+    * arrival pairs against the list's residents under the exact
+    * cosine > eps filter (qualifying pairs, like the simhash variant —
+    * not candidates). Same `maxList` contract as every streaming
+    * bucket: a list at capacity is boilerplate (or an undersized
+    * quantizer), stops pairing, and stops growing, so state and
+    * per-event output are bounded. Zero-norm vectors never pair (no
+    * NaN cosine is ever computed), mirroring the batch guard.
+    */
+  def semGroup(list: Int, rows: Iterator[ListedVec], state: GroupState[ListState],
+               eps: Double, maxList: Int, ttlMs: Long): Iterator[SemPair] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val prior = state.getOption.map(_.docs).getOrElse(Nil)
+      val seen = scala.collection.mutable.HashSet.empty[Long]
+      prior.foreach(seen += _._1)
+      val fresh = rows.map(e => (e.docId, e.vec)).toSeq.distinctBy(_._1)
+        .filterNot(e => seen.contains(e._1)).sortBy(_._1)
+      val pairs = scala.collection.mutable.ListBuffer[SemPair]()
+      var resident = prior
+      var count = seen.size
+      fresh.foreach { case (id, vec) =>
+        if (count < maxList) {
+          val na = norm2D(vec)
+          if (na > 0) resident.foreach { case (oid, ovec) =>
+            val nb = norm2D(ovec)
+            if (nb > 0) {
+              val cos = dotD(vec, ovec) / math.sqrt(na * nb)
+              if (cos > eps)
+                pairs += SemPair(math.min(id, oid), math.max(id, oid), cos)
+            }
+          }
+          resident = (id, vec) :: resident
+          seen += id
+          count += 1
+        }
+      }
+      state.update(ListState(resident))
+      if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+      pairs.iterator
+    }
+
+  /** Streaming SemDeDup candidates: arrivals are assigned to their IVF
+    * list by a PRE-TRAINED quantizer (train offline with
+    * [[graft.operators.Similarity.ivfCentroids]] — the deployment shape:
+    * the centroid model is a broadcast-sized artifact, re-trained per
+    * corpus version, while the stream runs against it), and per-list
+    * state pairs each arrival with the residents above the cosine eps —
+    * the incremental form of [[graft.operators.Dedup.semanticPairs]].
+    * Batch-driving the full corpus and distinct-ing (da, db) equals the
+    * batch operator at the same (centroids, eps), which is how the
+    * driver oracle gates it.
+    */
+  def streamingSemanticCandidates(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]],
+      eps: Double = 0.4, maxList: Int = 100000, ttlMs: Long = 0L): Dataset[SemPair] = {
+    import org.apache.spark.sql.functions._
+    val unit = graft.operators.Similarity.unitNorm(centroids)
+    val timeout =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    docs
+      .select(
+        graft.functions.Kernels.ivfAssign(col(vecCol), unit).as("list"),
+        col(idCol).cast("long").as("docId"),
+        col(vecCol).as("vec"))
+      .as[ListedVec]
+      .groupByKey(_.list)
+      .flatMapGroupsWithState[ListState, SemPair](OutputMode.Append, timeout) {
+        (list: Int, rows: Iterator[ListedVec], state: GroupState[ListState]) =>
+          semGroup(list, rows, state, eps, maxList, ttlMs)
+      }
+  }
 }

@@ -450,4 +450,60 @@ class StatefulOpsSpec extends SparkSpec {
     assert(out2 == List(CandidatePair(2L, 5L, "b")))
     assert(open.get.docIds.toSet == Set(2L, 5L))
   }
+
+  test("semantic list transition: eps filter, zero-norm guard, cap") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    def st(docs: List[(Long, Seq[Float])]) = TestGroupState.create[ListState](
+      optionalState = org.apache.spark.api.java.Optional.of(ListState(docs)),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(),
+      hasTimedOut = false)
+    // resident (1,0): arrival (1,0.1) → cos ~0.995 (emitted);
+    // arrival (0,1) → cos 0 (suppressed); zero vector → never pairs
+    val state = st(List((1L, Seq(1f, 0f))))
+    val out = semGroup(0, Iterator(
+        ListedVec(0, 2L, Seq(1f, 0.1f)), ListedVec(0, 3L, Seq(0f, 1f)),
+        ListedVec(0, 4L, Seq(0f, 0f))),
+      state, eps = 0.5, maxList = 10, ttlMs = 0L).toList
+    assert(out.map(p => (p.da, p.db)) == List((1L, 2L)), out.toString)
+    assert(out.head.cos > 0.99)
+    assert(state.get.docs.map(_._1).toSet == Set(1L, 2L, 3L, 4L))
+    // at cap: nothing pairs, nothing stored
+    val full = st(List((3L, Seq(1f, 0f)), (2L, Seq(1f, 0f)), (1L, Seq(1f, 0f))))
+    val capped = semGroup(0, Iterator(ListedVec(0, 9L, Seq(1f, 0f))),
+      full, eps = 0.5, maxList = 3, ttlMs = 0L).toList
+    assert(capped.isEmpty && full.get.docs.length == 3)
+    // timed-out state is removed and emits nothing
+    val timed = TestGroupState.create[ListState](
+      optionalState = org.apache.spark.api.java.Optional.of(ListState(List((1L, Seq(1f, 0f))))),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 99999L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(),
+      hasTimedOut = true)
+    assert(semGroup(0, Iterator(ListedVec(0, 9L, Seq(1f, 0f))), timed, 0.5, 10, 60000L).isEmpty)
+    assert(timed.isRemoved)
+  }
+
+  test("streaming semantic batch-drive equals the batch eps-graph") {
+    val s = spark
+    import s.implicits._
+    // deterministic 4-d vectors; every 5th doc shares one boilerplate
+    // direction (a dense near-dup cluster), the rest spread out
+    val docs = (1L to 60L).map { i =>
+      val v =
+        if (i % 5 == 0) Seq(1f, 0.01f * (i % 3), 0f, 0f)
+        else Seq((i % 7).toFloat, (i % 11).toFloat, (i % 13).toFloat, 1f)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val batch = graft.operators.Dedup.semanticPairs(docs, "vec_id", "embedding",
+        eps = 0.4, nList = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = graft.operators.Similarity.ivfCentroids(
+      docs, "vec_id", "embedding", nList = 4, iters = 2)
+    val streamed = streamingSemanticCandidates(docs, "vec_id", "embedding", cents, eps = 0.4)
+      .collect().map(p => (p.da, p.db)).toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(batch.nonEmpty, "test corpus produced no semantic near-dups")
+  }
 }
