@@ -62,6 +62,30 @@ object TextFunctions {
   def punctCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0))).cast("long")
 
+  // ---- per-rule inputs for [[graft.operators.QualityRules]] ----
+
+  /** total non-whitespace characters (mean-word-length numerator). */
+  def nonWsCharCount(text: Column): Column =
+    length(regexp_replace(text, "\\s+", "")).cast("long")
+
+  /** DISTINCT stopwords present — Gopher's "contains at least 2 of the
+    * stop set" rule counts distinct hits, not occurrences. */
+  def distinctStopwordCount(text: Column): Column =
+    size(array_distinct(filter(words(text), w => w.isInCollection(Stopwords)))).cast("long")
+
+  /** distinct whitespace tokens (unique-word-ratio numerator). */
+  def distinctWordCount(text: Column): Column =
+    size(array_distinct(regexp_extract_all(text, lit("\\S+"), lit(0)))).cast("long")
+
+  /** words containing at least one ASCII letter. */
+  def alphaWordCount(text: Column): Column =
+    size(filter(regexp_extract_all(text, lit("\\S+"), lit(0)),
+      w => w.rlike("[A-Za-z]"))).cast("long")
+
+  /** Gopher symbol count: '#' marks and '...' ellipses. */
+  def symbolCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0))).cast("long")
+
   /** quality score in parts-per-million:
     * ppm = floor(least(words,100) * (words - stop) * 1e6 / (100 * words))
     * (= lengthFactor * (1 - stopwordRatio), scaled). Numerator < 2^53 so

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Gopher-style per-document quality rules (Rae et al. 2021, "Scaling
+  * Language Models", App. A; and the C4 heuristics of Raffel et al.
+  * 2020) — the standard pre-training corpus filter: each document gets
+  * one boolean per rule plus an all-rules `pass` flag, so downstream
+  * can either drop failures or audit WHICH rule fired (the audit
+  * projection is what quality-curation loops actually consume).
+  *
+  * Scale shape: a pure narrow projection + filter over codegen
+  * built-ins (regexp/array kernels) — no shuffle, no UDF, survives any
+  * corpus size by construction. All thresholds are integer
+  * cross-multiplications (ratio r ≥ a/b ⇔ num·b ≥ den·a), so engines
+  * agree exactly and the DuckDB oracle hash-matches.
+  */
+object QualityRules {
+
+  /** Thresholds; ratios are expressed as integer numerators over a
+    * fixed denominator of 10 (e.g. `minUniquePerTen = 3` ⇔ at least
+    * 30% of words distinct). Defaults follow the published rules where
+    * the corpus makes them meaningful; mean-word-length bounds are the
+    * Gopher [3, 10] in tenths.
+    */
+  final case class Params(
+      minWords: Long = 20L,
+      maxWords: Long = 100000L,
+      minMeanLenTenths: Long = 30L,
+      maxMeanLenTenths: Long = 100L,
+      minDistinctStop: Long = 2L,
+      minUniquePerTen: Long = 3L,
+      minAlphaPerTen: Long = 8L,
+      maxSymbolPerTen: Long = 1L)
+
+  val RuleCols: Seq[String] =
+    Seq("ok_words", "ok_wordlen", "ok_stop", "ok_unique", "ok_alpha", "ok_symbol")
+
+  /** Append the six rule booleans + `pass` to `df`. One projection;
+    * every input column is kept so this composes with any downstream
+    * op.
+    */
+  def ruleFlags(df: DataFrame, textCol: String, p: Params = Params()): DataFrame = {
+    val t = col(textCol)
+    val nw = TextFunctions.wsTokenCount(t)
+    val nc = TextFunctions.nonWsCharCount(t)
+    val okWords = nw >= p.minWords && nw <= p.maxWords
+    // mean word length in [min,max] tenths: nc/nw ≥ m/10 ⇔ nc·10 ≥ nw·m
+    val okLen = nc * 10L >= nw * p.minMeanLenTenths &&
+      nc * 10L <= nw * p.maxMeanLenTenths
+    val okStop = TextFunctions.distinctStopwordCount(t) >= p.minDistinctStop
+    val okUnique = TextFunctions.distinctWordCount(t) * 10L >= nw * p.minUniquePerTen
+    val okAlpha = TextFunctions.alphaWordCount(t) * 10L >= nw * p.minAlphaPerTen
+    val okSymbol = TextFunctions.symbolCount(t) * 10L <= nw * p.maxSymbolPerTen
+    df.withColumn("ok_words", okWords)
+      .withColumn("ok_wordlen", okLen)
+      .withColumn("ok_stop", okStop)
+      .withColumn("ok_unique", okUnique)
+      .withColumn("ok_alpha", okAlpha)
+      .withColumn("ok_symbol", okSymbol)
+      .withColumn("pass",
+        okWords && okLen && okStop && okUnique && okAlpha && okSymbol)
+  }
+
+  /** Documents surviving every rule, original schema — the filter
+    * actually applied before tokenization in a training pipeline.
+    */
+  def applyRules(df: DataFrame, textCol: String, p: Params = Params()): DataFrame =
+    ruleFlags(df, textCol, p)
+      .filter(col("pass"))
+      .drop(RuleCols :+ "pass": _*)
+}

@@ -14,6 +14,30 @@ import graft.operators.{Chunking, Dedup, Multimodal, Packing, Sampling, Similari
   */
 object TrainingOps {
 
+  /** DuckDB mirror of QualityRules.ruleFlags at default Params: the
+    * per-doc counts CTE plus one boolean per rule, thresholds as the
+    * same integer cross-multiplications.
+    */
+  private val duckDocRulesCte: String =
+    """WITH c AS (SELECT doc_id,
+      |  len(regexp_extract_all(text,'\S+')) AS nw,
+      |  len(regexp_replace(text,'\s+','','g')) AS nc,
+      |  len(list_distinct(regexp_extract_all(text,'\S+'))) AS uniq,
+      |  len(list_distinct(list_filter(string_split(text,' '),
+      |      w -> w IN ('the','a','of','to','and','in','or','is')))) AS dstop,
+      |  len(list_filter(regexp_extract_all(text,'\S+'),
+      |      w -> regexp_matches(w,'[A-Za-z]'))) AS alph,
+      |  len(regexp_extract_all(text,'#|\.\.\.')) AS sym
+      |  FROM documents),
+      |r AS (SELECT doc_id,
+      |  (nw >= 20 AND nw <= 100000) AS ok_words,
+      |  (nc*10 >= nw*30 AND nc*10 <= nw*100) AS ok_wordlen,
+      |  (dstop >= 2) AS ok_stop,
+      |  (uniq*10 >= nw*3) AS ok_unique,
+      |  (alph*10 >= nw*8) AS ok_alpha,
+      |  (sym*10 <= nw*1) AS ok_symbol
+      |  FROM c)""".stripMargin
+
   /** DuckDB mirror of TextFunctions.charHash. */
   private def duckCharHash(x: String): String =
     s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
@@ -1761,6 +1785,33 @@ object TrainingOps {
              |       WHEN de > 0 AND de >= en AND de >= fr AND de >= es THEN 'de'
              |       ELSE 'unknown' END AS pred_lang
              |FROM c""".stripMargin)),
+
+    // ---- Gopher-style per-document quality rules: one boolean per
+    //      rule + all-rules pass, every threshold an integer
+    //      cross-multiplication (engine-exact). The audit projection a
+    //      curation loop consumes — WHICH rule fired, not just a drop ----
+    "ta_doc_rules" -> Q(
+      (s, dir) =>
+        graft.operators.QualityRules.ruleFlags(Tables(s, dir, "documents"), "text")
+          .select(col("doc_id"), col("ok_words"), col("ok_wordlen"), col("ok_stop"),
+            col("ok_unique"), col("ok_alpha"), col("ok_symbol"), col("pass")),
+      Some(s"""$duckDocRulesCte
+              |SELECT doc_id, ok_words, ok_wordlen, ok_stop, ok_unique,
+              |  ok_alpha, ok_symbol,
+              |  (ok_words AND ok_wordlen AND ok_stop AND ok_unique
+              |   AND ok_alpha AND ok_symbol) AS pass
+              |FROM r""".stripMargin)),
+
+    // ---- the applied filter: documents surviving every rule ----
+    "ta_doc_rules_apply" -> Q(
+      (s, dir) =>
+        graft.operators.QualityRules.applyRules(Tables(s, dir, "documents"), "text")
+          .select(col("doc_id"), col("source")),
+      Some(s"""$duckDocRulesCte
+              |SELECT d.doc_id, d.source
+              |FROM documents d JOIN r ON d.doc_id = r.doc_id
+              |WHERE ok_words AND ok_wordlen AND ok_stop AND ok_unique
+              |  AND ok_alpha AND ok_symbol""".stripMargin)),
 
     // ---- document fingerprint (rolling hash) ----
     "ta_fingerprint" -> Q(

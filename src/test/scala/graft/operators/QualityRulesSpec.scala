@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+class QualityRulesSpec extends SparkSpec {
+
+  private def flags(text: String): Map[String, Boolean] = {
+    val s = spark
+    import s.implicits._
+    val row = QualityRules.ruleFlags(Seq((1L, text)).toDF("id", "text"), "text")
+      .select((QualityRules.RuleCols :+ "pass").map(col): _*)
+      .head()
+    (QualityRules.RuleCols :+ "pass").zipWithIndex
+      .map { case (n, i) => n -> row.getBoolean(i) }.toMap
+  }
+
+  private val good =
+    "the quick brown fox jumps over a lazy dog and then runs " +
+      "of to the nearby field in search or pursuit is what it does " +
+      "every single morning before anyone else wakes up at dawn light"
+
+  test("a well-formed document passes every rule") {
+    val f = flags(good)
+    assert(f.values.forall(identity), f.toString)
+  }
+
+  test("each rule fails on its own violation") {
+    // too short
+    assert(!flags("the a dog")("ok_words"))
+    // no two distinct stopwords
+    assert(!flags(Seq.fill(30)("lorem ipsum dolor").mkString(" "))("ok_stop"))
+    // one word repeated: unique ratio below 30%
+    val rep = flags("the a " + Seq.fill(40)("word").mkString(" "))
+    assert(!rep("ok_unique") && rep("ok_words"), rep.toString)
+    // mean word length above 10
+    assert(!flags(Seq.fill(25)("incomprehensibilities").mkString(" "))("ok_wordlen"))
+    // digit-only words: alpha ratio below 80%
+    assert(!flags((1 to 30).map(_.toString).mkString("the a ", " ", ""))("ok_alpha"))
+    // symbol-laden: more than one '#'/'...' per 10 words
+    assert(!flags(good + " " + Seq.fill(8)("# ... #").mkString(" "))("ok_symbol"))
+    // pass is the conjunction
+    assert(!flags("the a dog")("pass"))
+  }
+
+  test("applyRules keeps the original schema and only passing docs") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, good, "web"), (2L, "the a dog", "web")).toDF("id", "text", "src")
+    val out = QualityRules.applyRules(df, "text")
+    assert(out.columns.toSeq == Seq("id", "text", "src"))
+    assert(out.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("rule evaluation is a narrow plan: no exchange, stays in codegen") {
+    // a file-backed relation (local Seqs constant-fold to LocalTableScan)
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = QualityRules.applyRules(df, "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"rule filter shuffled:\n$p")
+    assert(p.contains("*("), s"rule filter fell out of codegen:\n$p")
+  }
+}
