@@ -81,7 +81,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => { arity("graft_bpe_count_file", args, 2)
         BpeCountK(args(1), ranksFor(litStr(args(0), "graft_bpe_count_file", "path"))) },
       "graft_bpe_count_file(path, text) - BPE token count under the merges.txt at path " +
-        "(literal; loaded once per path, so any model's table plugs into SQL)"))
+        "(literal; loaded once per path, so any model's table plugs into SQL)"),
+    ("graft_topk",
+      (args: Seq[Expression]) => { arity("graft_topk", args, 3)
+        TopKPairs(args(0), args(1), args(2)) },
+      "graft_topk(ord, id, k) - aggregate: top-k (ord, id) pairs per group by " +
+        "(ord DESC, id ASC); k-bounded partial state, map-side combined"))
 
   private def litStr(e: Expression, fn: String, arg: String): String = e match {
     case other if other.foldable => other.eval() match {

@@ -1,0 +1,180 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionDescription, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Bounded top-k-per-group aggregation — the scale-correct form of
+  * "rank within key, keep the first k".
+  *
+  * The window formulation (`row_number() OVER (PARTITION BY key ORDER
+  * BY ord)`) funnels every row of a hot key through one task's sort
+  * before dropping all but k of them — the canonical straggler when one
+  * domain/source holds 10⁸ documents. This aggregate keeps AT MOST k
+  * entries per partial state: map-side combine reduces each partition's
+  * contribution to ≤ k rows BEFORE the exchange, the shuffle carries
+  * O(partitions · k) per key instead of the key's full cardinality, and
+  * merge is k-bounded too. State is a binary min-heap on the eviction
+  * order — O(log k) per row, O(k) memory, no sort until the final
+  * k-element eval.
+  *
+  * Ordering: best = (ord DESC, id ASC) — deterministic under ties, the
+  * same discipline as every keep-rule in the library. Output: the top-k
+  * as `array<struct<ord, id>>` sorted best-first (explode for rows).
+  */
+object TopK {
+
+  import org.apache.spark.sql.graft.ColumnBridge.{toColumn, toExpression}
+
+  /** `topkPairs(ord, id, k)` as a Column aggregate. */
+  def topkPairs(ord: Column, id: Column, k: Int): Column = {
+    require(k > 0, s"topkPairs: k must be positive, got $k")
+    toColumn(TopKPairs(
+        toExpression(ord.cast("long")), toExpression(id.cast("long")), Literal(k))
+      .toAggregateExpression())
+  }
+}
+
+/** Mutable k-bounded buffer: a binary min-heap whose root is the WORST
+  * kept entry (smallest ord, then largest id), so a beat-the-worst
+  * check is O(1) and replacement O(log k).
+  */
+final class TopKHeap(val k: Int) {
+  // parallel arrays — no boxing in the hot path
+  private[functions] var ords = new Array[Long](math.min(k, 16))
+  private[functions] var ids = new Array[Long](math.min(k, 16))
+  private[functions] var n = 0
+
+  /** a strictly worse than b (a evicted first). */
+  private def worse(ao: Long, ai: Long, bo: Long, bi: Long): Boolean =
+    ao < bo || (ao == bo && ai > bi)
+
+  private def swap(i: Int, j: Int): Unit = {
+    val to = ords(i); ords(i) = ords(j); ords(j) = to
+    val ti = ids(i); ids(i) = ids(j); ids(j) = ti
+  }
+
+  private def siftUp(start: Int): Unit = {
+    var i = start
+    while (i > 0 && worse(ords(i), ids(i), ords((i - 1) / 2), ids((i - 1) / 2))) {
+      swap(i, (i - 1) / 2); i = (i - 1) / 2
+    }
+  }
+
+  private def siftDown(): Unit = {
+    var i = 0
+    var done = false
+    while (!done) {
+      val l = 2 * i + 1; val r = 2 * i + 2
+      var w = i
+      if (l < n && worse(ords(l), ids(l), ords(w), ids(w))) w = l
+      if (r < n && worse(ords(r), ids(r), ords(w), ids(w))) w = r
+      if (w == i) done = true else { swap(i, w); i = w }
+    }
+  }
+
+  def add(ord: Long, id: Long): Unit =
+    if (n < k) {
+      if (n == ords.length) {
+        val cap = math.min(k.toLong, ords.length * 2L).toInt
+        ords = java.util.Arrays.copyOf(ords, cap)
+        ids = java.util.Arrays.copyOf(ids, cap)
+      }
+      ords(n) = ord; ids(n) = id; n += 1
+      siftUp(n - 1)
+    } else if (worse(ords(0), ids(0), ord, id)) {
+      ords(0) = ord; ids(0) = id
+      siftDown()
+    }
+
+  /** (ord, id) pairs best-first: ord DESC, id ASC. */
+  def sortedPairs: Array[(Long, Long)] = {
+    val out = Array.tabulate(n)(i => (ords(i), ids(i)))
+    out.sortBy { case (o, i) => (-o, i) }
+  }
+}
+
+@ExpressionDescription(
+  usage = "_FUNC_(ord, id, k) - top-k (ord, id) pairs per group by (ord DESC, id ASC), k-bounded partial state.")
+case class TopKPairs(
+    ordExpr: Expression,
+    idExpr: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKHeap] {
+
+  private lazy val k: Int = kExpr.eval() match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"graft_topk: k must be an integer literal, got $other")
+  }
+
+  override def children: Seq[Expression] = Seq(ordExpr, idExpr, kExpr)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (ordExpr.dataType == LongType && idExpr.dataType == LongType &&
+        (kExpr.dataType == IntegerType || kExpr.dataType == LongType) && kExpr.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_topk expects (bigint ord, bigint id, foldable int k), got " +
+          s"(${ordExpr.dataType.sql}, ${idExpr.dataType.sql}, ${kExpr.dataType.sql})")
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("ord", LongType, nullable = false),
+      StructField("id", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_topk"
+
+  override def createAggregationBuffer(): TopKHeap = new TopKHeap(math.max(k, 1))
+
+  override def update(buffer: TopKHeap, input: InternalRow): TopKHeap = {
+    val o = ordExpr.eval(input)
+    val i = idExpr.eval(input)
+    if (o != null && i != null)
+      buffer.add(o.asInstanceOf[Long], i.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: TopKHeap, other: TopKHeap): TopKHeap = {
+    var i = 0
+    while (i < other.n) { buffer.add(other.ords(i), other.ids(i)); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: TopKHeap): Any =
+    new GenericArrayData(buffer.sortedPairs.map { case (o, i) =>
+      InternalRow(o, i)
+    }.asInstanceOf[Array[Any]])
+
+  override def serialize(buffer: TopKHeap): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buffer.n)
+    bb.putInt(buffer.n)
+    var i = 0
+    while (i < buffer.n) { bb.putLong(buffer.ords(i)); bb.putLong(buffer.ids(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKHeap = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val h = createAggregationBuffer()
+    var i = 0
+    while (i < n) { h.add(bb.getLong, bb.getLong); i += 1 }
+    h
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKPairs =
+    copy(ordExpr = newChildren(0), idExpr = newChildren(1), kExpr = newChildren(2))
+}

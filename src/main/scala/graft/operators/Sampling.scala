@@ -226,4 +226,24 @@ object Sampling {
       .filter(col("__rn") <= perGroup)
       .drop("__rn")
   }
+
+  /** At most `k` rows per group, the BEST k by (ord DESC, id ASC) — the
+    * per-domain/per-source cap every web-corpus pipeline applies (keep
+    * the k highest-quality docs per domain).
+    *
+    * Unlike [[samplePerGroup]]'s window (whose per-partition heaps are
+    * bounded, but whose hot key still sorts through one task), this
+    * rides [[graft.functions.TopK.topkPairs]] — a k-bounded
+    * TypedImperativeAggregate: map-side combine caps every
+    * partition's contribution at k rows BEFORE the exchange, so a
+    * boilerplate domain with 10⁸ docs ships O(partitions · k) rows,
+    * not 10⁸, and no task ever sorts the full key. Output: (group, id,
+    * ord) rows, best-first order not guaranteed (it's a set).
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, ordCol: Column,
+                  idCol: String, k: Int): DataFrame =
+    df.groupBy(groupCol)
+      .agg(graft.functions.TopK.topkPairs(ordCol, col(idCol), k).as("__top"))
+      .select(col(groupCol), explode(col("__top")).as("__e"))
+      .select(col(groupCol), col("__e.id").as(idCol), col("__e.ord").as("ord"))
 }

@@ -1813,6 +1813,30 @@ object TrainingOps {
               |WHERE ok_words AND ok_wordlen AND ok_stop AND ok_unique
               |  AND ok_alpha AND ok_symbol""".stripMargin)),
 
+    // ---- per-source cap: keep the k highest-quality docs per source
+    //      via the k-bounded top-k aggregate (map-side combine ships
+    //      ≤ k rows per partition per source — never the hot source's
+    //      full cardinality; the window formulation would) ----
+    "ta_source_cap" -> Q(
+      (s, dir) =>
+        graft.operators.Sampling.capPerGroup(
+            Tables(s, dir, "documents").select(col("doc_id"), col("source"),
+              TextFunctions.qualityScorePpm(col("text")).as("ppm")),
+            "source", col("ppm"), "doc_id", k = 10)
+          .select(col("source"), col("doc_id"), col("ord").as("score_ppm")),
+      Some("""WITH s AS (SELECT doc_id, source,
+             |  (least(len(regexp_extract_all(text,'\S+')), 100)
+             |    * (len(regexp_extract_all(text,'\S+'))
+             |       - len(list_filter(string_split(text,' '),
+             |           w -> w IN ('the','a','of','to','and','in','or','is'))))
+             |    * 1000000)
+             |  // (100 * len(regexp_extract_all(text,'\S+'))) AS ppm
+             |  FROM documents),
+             |r AS (SELECT source, doc_id, ppm,
+             |  row_number() OVER (PARTITION BY source ORDER BY ppm DESC, doc_id ASC) AS rn
+             |  FROM s)
+             |SELECT source, doc_id, ppm AS score_ppm FROM r WHERE rn <= 10""".stripMargin)),
+
     // ---- document fingerprint (rolling hash) ----
     "ta_fingerprint" -> Q(
       (s, dir) =>

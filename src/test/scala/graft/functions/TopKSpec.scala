@@ -1,0 +1,73 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TopKSpec extends SparkSpec {
+
+  test("heap keeps the best k by (ord desc, id asc), ties to the lower id") {
+    val h = new TopKHeap(3)
+    Seq((5L, 1L), (9L, 2L), (5L, 0L), (1L, 3L), (9L, 9L)).foreach { case (o, i) => h.add(o, i) }
+    // best three: (9,2), (9,9), then ord-5 tie → id 0 beats id 1
+    assert(h.sortedPairs.toSeq == Seq((9L, 2L), (9L, 9L), (5L, 0L)))
+    // fewer than k stays partial
+    val small = new TopKHeap(8)
+    small.add(1L, 1L)
+    assert(small.sortedPairs.toSeq == Seq((1L, 1L)))
+  }
+
+  test("serialize/deserialize round-trips the buffer") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val agg = TopKPairs(Literal(0L), Literal(0L), Literal(3))
+    val h = new TopKHeap(3)
+    Seq((5L, 1L), (9L, 2L), (7L, 0L), (8L, 4L)).foreach { case (o, i) => h.add(o, i) }
+    val back = agg.deserialize(agg.serialize(h))
+    assert(back.sortedPairs.toSeq == h.sortedPairs.toSeq)
+  }
+
+  test("capPerGroup equals the window rank on a skewed corpus") {
+    val s = spark
+    import s.implicits._
+    // one hot group (900 rows) + two small ones; scores collide heavily
+    val rows = (1L to 900L).map(i => ("hot", i, i % 7)) ++
+      (1L to 40L).map(i => ("a", 1000L + i, i % 3)) ++
+      (1L to 5L).map(i => ("b", 2000L + i, i))
+    val df = rows.toDF("src", "id", "score")
+    val got = graft.operators.Sampling.capPerGroup(df, "src", col("score"), "id", k = 10)
+      .select("src", "id", "ord")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("src").orderBy(col("score").desc, col("id").asc)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        .select("src", "id", "score")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(got == want)
+    // group smaller than k returns all of it
+    assert(got.count(_._1 == "b") == 5)
+  }
+
+  test("aggregate is k-bounded map-side: partial ObjectHashAggregate before the exchange") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = graft.operators.Sampling.capPerGroup(
+        df, "source", TextFunctions.qualityScorePpm(col("text")), "doc_id", 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), s"not an object-hash aggregate:\n$p")
+    assert(p.contains("partial_graft_topk"), s"no map-side partial top-k:\n$p")
+    assert(p.contains("Exchange hashpartitioning(source"), s"no source-keyed exchange:\n$p")
+  }
+
+  test("graft_topk works through the SQL registration route") {
+    GraftFunctions.register(spark)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("docs_topk")
+    val out = spark.sql(
+      """SELECT source, e.id AS doc_id
+        |FROM (SELECT source, graft_topk(n_chars, doc_id, 3) AS top
+        |      FROM docs_topk GROUP BY source)
+        |LATERAL VIEW explode(top) t AS e""".stripMargin)
+      .collect()
+    assert(out.length == 60, s"expected 20 sources x 3, got ${out.length}")
+  }
+}
