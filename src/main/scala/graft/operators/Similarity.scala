@@ -161,6 +161,84 @@ object Similarity {
       .select("qid", "rank", "nid")
   }
 
+  // ---- product quantization (Jégou, Douze, Schmid 2011: "Product
+  //      Quantization for Nearest Neighbor Search") ----
+
+  /** PQ codebooks: the vector is split into `m` contiguous subspaces
+    * and each subspace gets its own `ksub`-codeword quantizer — the
+    * SAME deterministic bounded-sample Lloyd as [[ivfCentroids]], run
+    * per subspace on the sliced vectors (the training sample is keyed
+    * on id, so all subspaces train on the same rows). Memory contract
+    * at 100 TB: a row's embedding becomes `m` small codes instead of
+    * `dim` floats (64-dim float → 4 codes here = 64× smaller), which
+    * is what lets a billion-vector index live in executor memory.
+    * Model is m·ksub·(dim/m) floats — broadcast-sized, like every
+    * learned artifact in this library, and re-derivable by an external
+    * engine because the trainer is engine-exact.
+    */
+  def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+                  m: Int = 4, ksub: Int = 8, iters: Int = 2): Array[Array[Array[Float]]] = {
+    val dim = df.select(size(col(vecCol)).as("d")).head().getInt(0)
+    require(dim % m == 0, s"pqCodebooks: dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    (0 until m).map { s =>
+      ivfCentroids(
+        df.select(col(idCol), slice(col(vecCol), s * dsub + 1, dsub).as("__sub")),
+        idCol, "__sub", ksub, iters)
+    }.toArray
+  }
+
+  /** Encode every row to its `m` subspace codes (argmax cosine to the
+    * unit-normed codewords, ties → lowest index — the [[ivfCentroids]]
+    * assignment rule, one codegen kernel per subspace). Output:
+    * (`id`, `pq_code` array<int> of length m).
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codebooks: Array[Array[Array[Float]]]): DataFrame = {
+    val dsub = codebooks(0)(0).length
+    val codes = codebooks.zipWithIndex.map { case (cb, s) =>
+      graft.functions.Kernels.ivfAssign(
+        slice(col(vecCol), s * dsub + 1, dsub), unitNorm(cb))
+    }
+    df.select(col(idCol).as("id"), array(codes: _*).as("pq_code"))
+  }
+
+  /** The reconstruction a code stands for: per subspace, the RAW
+    * codeword (the quantized-integer cluster mean — not unit-normed;
+    * normalization is only the assignment metric), concatenated back
+    * to a dim-length vector. Codebooks are literal columns, so this
+    * stays inside whole-stage codegen.
+    */
+  def pqReconstruct(codeCol: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    concat(codebooks.zipWithIndex.map { case (cb, s) =>
+      element_at(typedLit(cb.map(_.toSeq).toSeq), codeCol.getItem(s) + 1)
+    }: _*)
+
+  /** Asymmetric top-k over PQ codes: full-precision queries scored
+    * against code reconstructions (ADC — the query never gets
+    * quantized, only the corpus does). Score is the raw inner product
+    * (MIPS), ties → lowest id. The corpus side carries `m` ints per
+    * row through the scoring join instead of `dim` floats — the PQ
+    * bandwidth win; queries broadcast by the small-probe-set contract
+    * shared with [[bruteForceTopK]]/[[int8TopK]]. Recall vs the exact
+    * ranking is bounded in spec, and rank determinism is engine-exact
+    * (reconstructions are identical on any engine, dot folds
+    * left-to-right in double on both).
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+             idCol: String, vecCol: String, k: Int,
+             m: Int = 4, ksub: Int = 8): DataFrame = {
+    val cb = pqCodebooks(corpus, idCol, vecCol, m, ksub)
+    val enc = pqEncode(corpus, idCol, vecCol, cb)
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")))
+    val c = enc.select(col("id").as("nid"), pqReconstruct(col("pq_code"), cb).as("rvec"))
+    val scored = q.join(c, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), dot(col("qvec"), col("rvec")).as("ip"))
+    val w = Window.partitionBy("qid").orderBy(col("ip").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("qid", "rank", "nid")
+  }
+
   /** Quantization scale for the centroid update: float coordinates are
     * rounded to 1/2²⁰ before summing, so the per-cluster mean is pure
     * int64 arithmetic — exact, summation-order-free, and therefore

@@ -146,9 +146,9 @@ object TrainingOps {
     * training vectors (lowest best-dot, ties → lowest id; j-th empty
     * list by index ← j-th furthest point), same rule as the Spark loop.
     */
-  private def duckIvfIter(i: Int): String = {
+  private def duckIvfIter(i: Int, p: String = ""): String = {
     val (c, u, s, a, q, e, f, cn) =
-      (s"c$i", s"u$i", s"s$i", s"a$i", s"q$i", s"e$i", s"f$i", s"c${i + 1}")
+      (s"${p}c$i", s"${p}u$i", s"${p}s$i", s"${p}a$i", s"${p}q$i", s"${p}e$i", s"${p}f$i", s"${p}c${i + 1}")
     s"""$u AS (
        |  SELECT c, CASE WHEN nrm = 0 THEN vec
        |    ELSE list_transform(vec, x -> CAST(CAST(x AS DOUBLE) / sqrt(nrm) AS REAL)) END AS uvec
@@ -159,7 +159,7 @@ object TrainingOps {
        |  SELECT t.id, t.vec, u.c,
        |    list_sum(list_transform(list_zip(t.vec, u.uvec),
        |      p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))) AS s
-       |  FROM train t CROSS JOIN $u u),
+       |  FROM ${p}train t CROSS JOIN $u u),
        |$a AS (
        |  SELECT id, vec, c AS cluster, s FROM (
        |    SELECT id, vec, c, s, row_number() OVER (PARTITION BY id ORDER BY s DESC, c ASC) AS rn
@@ -182,6 +182,36 @@ object TrainingOps {
        |    FROM $q GROUP BY 1) n USING (c)
        |  LEFT JOIN (SELECT $e.c, $f.vec FROM $e JOIN $f USING (j)) rs USING (c))""".stripMargin
   }
+
+  /** Per-subspace PQ quantizer CTEs (prefix `p`): slice the shared
+    * `train` sample to [lo..hi], init `ksub` codewords, two Lloyd
+    * iterations via the SAME [[duckIvfIter]] the IVF oracles use, then
+    * assign every corpus row (argmax dot on unit codewords, ties →
+    * lowest index) and join back the RAW codeword as the subspace
+    * reconstruction — mirrors
+    * [[graft.operators.Similarity.pqCodebooks]]/`pqEncode`/`pqReconstruct`.
+    */
+  private def duckPqSubspace(p: String, lo: Int, hi: Int, ksub: Int): String =
+    s"""${p}train AS (SELECT id, vec[$lo:$hi] AS vec FROM train),
+       |${p}c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS c, vec
+       |       FROM (SELECT id, vec FROM ${p}train ORDER BY id LIMIT $ksub)),
+       |${duckIvfIter(0, p)},
+       |${duckIvfIter(1, p)},
+       |${p}uf AS (
+       |  SELECT c, CASE WHEN nrm = 0 THEN vec
+       |    ELSE list_transform(vec, x -> CAST(CAST(x AS DOUBLE) / sqrt(nrm) AS REAL)) END AS uvec
+       |  FROM (SELECT c, vec,
+       |          list_sum(list_transform(vec, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nrm
+       |        FROM ${p}c2)),
+       |${p}asg AS (
+       |  SELECT id, c FROM (
+       |    SELECT sv.id, u.c,
+       |      row_number() OVER (PARTITION BY sv.id
+       |        ORDER BY list_sum(list_transform(list_zip(sv.vec, u.uvec),
+       |          z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) DESC, u.c ASC) AS rn
+       |    FROM (SELECT id, vec[$lo:$hi] AS vec FROM v) sv CROSS JOIN ${p}uf u)
+       |  WHERE rn = 1),
+       |${p}rec AS (SELECT a.id, cb.vec AS rvec FROM ${p}asg a JOIN ${p}c2 cb USING (c))""".stripMargin
 
   /** DuckDB oracle for [[graft.operators.Dedup.semanticDedup]]: the
     * ann_ivf quantizer CTEs verbatim (identical learned index), then
@@ -1467,6 +1497,39 @@ object TrainingOps {
               |  WHERE p.qid <> cp.nid),
               |rk AS (SELECT qid, nid,
               |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM cand)
+              |SELECT qid, rank, nid FROM rk WHERE rank <= 10""".stripMargin)),
+
+    // ---- ANN over product-quantization codes (Jégou et al. 2011):
+    //      4 subspace quantizers × 8 codewords each, corpus rows carry
+    //      4 codes instead of 64 floats, probes score reconstructions
+    //      asymmetrically (ADC). The oracle re-trains all four
+    //      subspace codebooks with the shared Lloyd CTEs, re-encodes,
+    //      and re-ranks — the learned compression is engine-exact ----
+    "ann_pq_topk" -> Q(
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        Similarity.pqTopK(e.filter(col("vec_id") < 20), e,
+          "vec_id", "embedding", k = 10, m = 4, ksub = 8)
+      },
+      Some(s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+              |train AS (SELECT id, vec FROM v
+              |          ORDER BY ((id % 1000000007) * 1103515245 + 12345) % 1000000007, id
+              |          LIMIT 100000),
+              |${duckPqSubspace("p0", 1, 16, 8)},
+              |${duckPqSubspace("p1", 17, 32, 8)},
+              |${duckPqSubspace("p2", 33, 48, 8)},
+              |${duckPqSubspace("p3", 49, 64, 8)},
+              |recon AS (
+              |  SELECT p0rec.id, p0rec.rvec || p1rec.rvec || p2rec.rvec || p3rec.rvec AS rvec
+              |  FROM p0rec JOIN p1rec USING (id) JOIN p2rec USING (id) JOIN p3rec USING (id)),
+              |probes AS (SELECT id AS qid, vec AS qvec FROM v WHERE id < 20),
+              |cand AS (
+              |  SELECT p.qid, r.id AS nid,
+              |    list_sum(list_transform(list_zip(p.qvec, r.rvec),
+              |      z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) AS ip
+              |  FROM probes p JOIN recon r ON p.qid <> r.id),
+              |rk AS (SELECT qid, nid,
+              |  row_number() OVER (PARTITION BY qid ORDER BY ip DESC, nid ASC) AS rank FROM cand)
               |SELECT qid, rank, nid FROM rk WHERE rank <= 10""".stripMargin)),
 
     // ---- two-table ANN join through the learned IVF index: probe set

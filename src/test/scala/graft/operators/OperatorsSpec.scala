@@ -284,6 +284,32 @@ class OperatorsSpec extends SparkSpec {
     assert(recall > 0.1, s"ANN recall $recall")
   }
 
+  test("PQ codes are compact and reconstruct to the right shape") {
+    val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, ksub = 8)
+    assert(cb.length == 4 && cb.forall(_.length == 8) && cb.forall(_.forall(_.length == 16)))
+    val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+    val codes = enc.collect()
+    assert(codes.forall(_.getSeq[Int](1).length == 4))
+    assert(codes.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 8)))
+    import org.apache.spark.sql.functions.{col, size => asize}
+    val dims = enc.select(asize(Similarity.pqReconstruct(col("pq_code"), cb)))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    assert(dims == Seq(64), s"reconstruction dims: $dims")
+  }
+
+  test("PQ top-k has useful recall of exact top-k") {
+    val probes = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(probes, emb, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.pqTopK(probes, emb, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    // 4 subspaces x 8 codewords compresses 64 floats to 4 codes (64x);
+    // exact cosine ranks by angle while ADC ranks by inner product of
+    // reconstructions — still far above chance (10/500 = 2%)
+    assert(recall > 0.1, s"PQ recall $recall")
+  }
+
   test("profile: per-column stats from one pass, nulls/distincts/min-max correct") {
     val s = spark; import s.implicits._
     val df = Seq((1L, Option("a")), (2L, None), (3L, Option("b")), (4L, Option("a")))
