@@ -239,6 +239,61 @@ object Similarity {
       .select("qid", "rank", "nid")
   }
 
+  /** IVFADC (the Jégou et al. 2011 deployment shape): IVF coarse
+    * quantizer prunes the search to `nProbe` lists per probe, and
+    * within a list the corpus is scored through PQ codes of the
+    * RESIDUAL (vector − its coarse centroid) — residuals are tighter
+    * than raw vectors, so the same code budget buys more precision.
+    * Reconstruction = coarse centroid + residual codeword concat;
+    * probes stay full-precision (asymmetric).
+    *
+    * All float edits (residual subtract, reconstruction add) go
+    * through double and round once back to float — exactly-rounded
+    * IEEE on any engine, so the oracle re-derives codes and ranks
+    * bit-for-bit. The assigned/residual frame is localCheckpointed:
+    * it feeds 4 subspace trainings plus the encode — at production
+    * scale this materialization IS the index build (write codes once,
+    * serve many probe batches; probe-side work never touches raw
+    * corpus vectors again — nProbe/nList of the corpus' CODES per
+    * probe is the whole read).
+    */
+  def ivfPqTopK(probes: DataFrame, corpus: DataFrame,
+                idCol: String, vecCol: String, k: Int,
+                nList: Int = 16, nProbe: Int = 4,
+                m: Int = 4, ksub: Int = 8): DataFrame = {
+    val coarse = ivfCentroids(corpus, idCol, vecCol, nList, iters = 2)
+    val unit = unitNorm(coarse)
+    val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
+    val asg = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("list", Kernels.ivfAssign(col("vec"), unit))
+      .withColumn("cvec", element_at(coarseLit, col("list") + 1))
+      .withColumn("resid", zip_with(col("vec"), col("cvec"),
+        (a, b) => (a.cast("double") - b.cast("double")).cast("float")))
+      .select("id", "list", "cvec", "resid")
+      .localCheckpoint(true)
+    val cb = pqCodebooks(asg, "id", "resid", m, ksub)
+    val dsub = cb(0)(0).length
+    val codeCols = cb.zipWithIndex.map { case (cbS, s) =>
+      Kernels.ivfAssign(slice(col("resid"), s * dsub + 1, dsub), unitNorm(cbS))
+    }
+    val enc = asg.select(col("id").as("nid"), col("list"),
+      zip_with(col("cvec"), pqReconstruct(array(codeCols: _*), cb),
+        (a, b) => (a.cast("double") + b.cast("double")).cast("float")).as("rvec"))
+
+    val pw = Window.partitionBy("id").orderBy(col("s").desc, col("c").asc)
+    val p = probes.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .select(col("id"), col("vec"),
+        posexplode(Kernels.ivfScores(col("vec"), unit)).as(Seq("c", "s")))
+      .withColumn("pr", row_number().over(pw)).filter(col("pr") <= nProbe)
+      .select(col("id").as("qid"), col("vec").as("qvec"), col("c").as("list"))
+
+    val cand = p.join(enc, Seq("list")).filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), dot(col("qvec"), col("rvec")).as("ip"))
+    val w = Window.partitionBy("qid").orderBy(col("ip").desc, col("nid").asc)
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("qid", "rank", "nid")
+  }
+
   /** Quantization scale for the centroid update: float coordinates are
     * rounded to 1/2²⁰ before summing, so the per-cluster mean is pure
     * int64 arithmetic — exact, summation-order-free, and therefore

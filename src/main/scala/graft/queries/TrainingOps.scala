@@ -191,8 +191,9 @@ object TrainingOps {
     * reconstruction — mirrors
     * [[graft.operators.Similarity.pqCodebooks]]/`pqEncode`/`pqReconstruct`.
     */
-  private def duckPqSubspace(p: String, lo: Int, hi: Int, ksub: Int): String =
-    s"""${p}train AS (SELECT id, vec[$lo:$hi] AS vec FROM train),
+  private def duckPqSubspace(p: String, lo: Int, hi: Int, ksub: Int,
+                             trainSrc: String = "train", corpusSrc: String = "v"): String =
+    s"""${p}train AS (SELECT id, vec[$lo:$hi] AS vec FROM $trainSrc),
        |${p}c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS c, vec
        |       FROM (SELECT id, vec FROM ${p}train ORDER BY id LIMIT $ksub)),
        |${duckIvfIter(0, p)},
@@ -209,7 +210,7 @@ object TrainingOps {
        |      row_number() OVER (PARTITION BY sv.id
        |        ORDER BY list_sum(list_transform(list_zip(sv.vec, u.uvec),
        |          z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) DESC, u.c ASC) AS rn
-       |    FROM (SELECT id, vec[$lo:$hi] AS vec FROM v) sv CROSS JOIN ${p}uf u)
+       |    FROM (SELECT id, vec[$lo:$hi] AS vec FROM $corpusSrc) sv CROSS JOIN ${p}uf u)
        |  WHERE rn = 1),
        |${p}rec AS (SELECT a.id, cb.vec AS rvec FROM ${p}asg a JOIN ${p}c2 cb USING (c))""".stripMargin
 
@@ -1531,6 +1532,66 @@ object TrainingOps {
               |rk AS (SELECT qid, nid,
               |  row_number() OVER (PARTITION BY qid ORDER BY ip DESC, nid ASC) AS rank FROM cand)
               |SELECT qid, rank, nid FROM rk WHERE rank <= 10""".stripMargin)),
+
+    // ---- IVFADC: coarse IVF pruning + PQ codes of the RESIDUAL
+    //      (vector − coarse centroid), scored asymmetrically within
+    //      the probed lists — the production composition of the two
+    //      learned indexes. Residual subtract and reconstruction add
+    //      round once through double, so the oracle re-derives the
+    //      full two-level index bit-for-bit ----
+    "ann_ivfpq_topk" -> Q(
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        Similarity.ivfPqTopK(e.filter(col("vec_id") < 50), e,
+          "vec_id", "embedding", k = 5, nList = 16, nProbe = 4, m = 4, ksub = 8)
+      },
+      Some(s"""WITH v AS MATERIALIZED (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+              |train AS MATERIALIZED (SELECT id, vec FROM v
+              |          ORDER BY ((id % 1000000007) * 1103515245 + 12345) % 1000000007, id
+              |          LIMIT 100000),
+              |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS c, vec
+              |       FROM (SELECT id, vec FROM train ORDER BY id LIMIT 16)),
+              |${duckIvfIter(0)},
+              |${duckIvfIter(1)},
+              |uf AS (
+              |  SELECT c, CASE WHEN nrm = 0 THEN vec
+              |    ELSE list_transform(vec, x -> CAST(CAST(x AS DOUBLE) / sqrt(nrm) AS REAL)) END AS uvec
+              |  FROM (SELECT c, vec,
+              |          list_sum(list_transform(vec, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nrm
+              |        FROM c2)),
+              |vs AS (
+              |  SELECT v.id, v.vec, u.c,
+              |    row_number() OVER (PARTITION BY v.id
+              |      ORDER BY list_sum(list_transform(list_zip(v.vec, u.uvec),
+              |        p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))) DESC, u.c ASC) AS rn
+              |  FROM v CROSS JOIN uf u),
+              |asgc AS (SELECT id, vec, c AS list FROM vs WHERE rn = 1),
+              |resid AS MATERIALIZED (SELECT a.id, a.list, cb.vec AS cvec,
+              |  list_transform(list_zip(a.vec, cb.vec),
+              |    z -> CAST(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE) AS REAL)) AS vec
+              |  FROM asgc a JOIN c2 cb ON a.list = cb.c),
+              |rtrain AS MATERIALIZED (SELECT id, vec FROM resid WHERE id IN (SELECT id FROM train)),
+              |${duckPqSubspace("p0", 1, 16, 8, trainSrc = "rtrain", corpusSrc = "resid")},
+              |${duckPqSubspace("p1", 17, 32, 8, trainSrc = "rtrain", corpusSrc = "resid")},
+              |${duckPqSubspace("p2", 33, 48, 8, trainSrc = "rtrain", corpusSrc = "resid")},
+              |${duckPqSubspace("p3", 49, 64, 8, trainSrc = "rtrain", corpusSrc = "resid")},
+              |recon AS (
+              |  SELECT r.id, r.list,
+              |    list_transform(list_zip(r.cvec,
+              |        p0rec.rvec || p1rec.rvec || p2rec.rvec || p3rec.rvec),
+              |      z -> CAST(CAST(z[1] AS DOUBLE) + CAST(z[2] AS DOUBLE) AS REAL)) AS rvec
+              |  FROM resid r JOIN p0rec USING (id) JOIN p1rec USING (id)
+              |    JOIN p2rec USING (id) JOIN p3rec USING (id)),
+              |probes AS (SELECT id AS qid, vec AS qvec, c AS list FROM vs
+              |           WHERE rn <= 4 AND id < 50),
+              |cand AS (
+              |  SELECT p.qid, r.id AS nid,
+              |    list_sum(list_transform(list_zip(p.qvec, r.rvec),
+              |      z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) AS ip
+              |  FROM probes p JOIN recon r USING (list) WHERE p.qid <> r.id),
+              |rk AS (SELECT qid, nid,
+              |  row_number() OVER (PARTITION BY qid ORDER BY ip DESC, nid ASC) AS rank FROM cand)
+              |SELECT qid, rank, nid FROM rk WHERE rank <= 5""".stripMargin)),
 
     // ---- two-table ANN join through the learned IVF index: probe set
     //      scans only its nProbe closest lists of the corpus-trained

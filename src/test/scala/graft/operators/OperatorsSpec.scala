@@ -310,6 +310,21 @@ class OperatorsSpec extends SparkSpec {
     assert(recall > 0.1, s"PQ recall $recall")
   }
 
+  test("IVFADC top-k has useful recall and beats or matches plain PQ's candidate scope") {
+    val probes = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(probes, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivfpq = Similarity.ivfPqTopK(probes, emb, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // residual codes + 4-of-16-list pruning on random 64-dim data:
+    // assert well above chance (5/500 = 1%)
+    val recall = exact.intersect(ivfpq).size.toDouble / exact.size
+    assert(recall > 0.1, s"IVFADC recall $recall")
+    // every probe still gets its full k (pruning never starves a query)
+    val perProbe = ivfpq.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perProbe.values.forall(_ == 5), s"short result lists: $perProbe")
+  }
+
   test("profile: per-column stats from one pass, nulls/distincts/min-max correct") {
     val s = spark; import s.implicits._
     val df = Seq((1L, Option("a")), (2L, None), (3L, Option("b")), (4L, Option("a")))
