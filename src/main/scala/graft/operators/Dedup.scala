@@ -593,6 +593,46 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Maximal cross-document common word spans (the exact-substring
+    * dedup signal of Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", computed over bounded n-gram
+    * postings instead of a suffix array): for every doc pair sharing
+    * at least one positional n-gram, consecutive matches at the same
+    * position offset are consolidated (gaps-and-islands) into maximal
+    * runs, emitted as (da, db, start_a, start_b, span_len ≥ minSpan).
+    *
+    * Scale shape: the posting list is doc-frequency-capped
+    * (`maxDocsPerShingle`, the [[ngramJaccardPairs]] contract — an
+    * n-gram in more docs than that is boilerplate whose pairs the
+    * span signal doesn't need; at the default it never binds at test
+    * SFs), the pair join is keyed on the shingle hash, and the island
+    * window partitions by (da, db, offset-delta) — partition size is
+    * bounded by document length, never corpus size.
+    */
+  def commonSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minSpan: Int = 8, maxDocsPerShingle: Long = 50L): DataFrame = {
+    val sh = positionalShingles(df, idCol, textCol, n)
+    val ok = sh.groupBy("s")
+      .agg(countDistinct("doc_id").as("__nd"))
+      .filter(col("__nd") >= 2L && col("__nd") <= maxDocsPerShingle)
+      .select("s")
+    val g = sh.join(ok, "s")
+    val a = g.select(col("s"), col("doc_id").as("da"), col("pos").as("pa"))
+    val b = g.select(col("s"), col("doc_id").as("db"), col("pos").as("pb"))
+    val pr = a.join(b, Seq("s")).where(col("da") < col("db"))
+      .select(col("da"), col("pa"), col("db"), col("pb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("da"), col("db"), col("pa") - col("pb")).orderBy("pa")
+    pr.withColumn("__grp", col("pa") - row_number().over(w))
+      .groupBy(col("da"), col("db"), (col("pa") - col("pb")).as("__delta"), col("__grp"))
+      .agg(min("pa").cast("long").as("start_a"),
+        (count(lit(1)) + (n - 1)).as("span_len"))
+      .withColumn("start_b", (col("start_a") - col("__delta")).cast("long"))
+      .filter(col("span_len") >= minSpan)
+      .select("da", "db", "start_a", "start_b", "span_len")
+  }
+
   /** The deduplicated corpus in one call: MinHash-LSH candidates →
     * connected components → drop every non-canonical member (keep each
     * dup group's minimum id plus all unpaired docs) — the composition

@@ -1107,6 +1107,32 @@ object TrainingOps {
               |      HAVING count(DISTINCT doc_id) >= 2)
               |SELECT doc_id, pos, n_docs FROM g JOIN f USING (s)""".stripMargin)),
 
+    // ---- maximal cross-doc common spans (Lee et al. 2022 exact-
+    //      substring signal over bounded postings): doc pairs' shared
+    //      positional 5-grams consolidated gaps-and-islands into
+    //      maximal runs of ≥ 8 words, with both start offsets ----
+    "dd_common_spans" -> Q(
+      (s, dir) =>
+        Dedup.commonSpans(Tables(s, dir, "documents"), "doc_id", "text",
+          n = 5, minSpan = 8),
+      Some(s"""WITH tok AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+              |gi AS (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM tok WHERE len(w) >= 5),
+              |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+              |  ${duckShingleKey("array_to_string(w[CAST(i AS INT):CAST(i AS INT)+4], ' ')")} AS s FROM gi),
+              |f AS (SELECT s FROM g GROUP BY s
+              |      HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50),
+              |pr AS (SELECT a.doc_id da, a.pos pa, b.doc_id db, b.pos pb
+              |       FROM (SELECT * FROM g JOIN f USING (s)) a
+              |       JOIN (SELECT * FROM g JOIN f USING (s)) b
+              |         ON a.s = b.s AND a.doc_id < b.doc_id),
+              |isl AS (SELECT da, db, pa - pb AS delta, pa,
+              |        row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) AS rn FROM pr),
+              |sp AS (SELECT da, db, delta, min(pa) AS start_a,
+              |       CAST(count(*) + 4 AS BIGINT) AS span_len
+              |       FROM isl GROUP BY da, db, delta, pa - rn)
+              |SELECT da, db, start_a, start_a - delta AS start_b, span_len
+              |FROM sp WHERE span_len >= 8""".stripMargin)),
+
     // ---- document-level apply over repeated spans: drop docs whose
     //      flagged-window fraction reaches 1/2 (integer
     //      cross-multiplied, so no float tie can flip membership) ----

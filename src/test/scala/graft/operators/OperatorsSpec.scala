@@ -284,6 +284,29 @@ class OperatorsSpec extends SparkSpec {
     assert(recall > 0.1, s"ANN recall $recall")
   }
 
+  test("common spans: maximal cross-doc runs with exact offsets") {
+    val s = spark
+    import s.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"one two $shared three four"),
+      (2L, s"$shared x y z w v u t s r q p"),
+      (3L, "unrelated words only here nothing shared at all today friend")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.commonSpans(docs, "doc_id", "text", n = 5, minSpan = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // doc 1 carries the 10-word shared run at word 2; doc 2 at word 0
+    assert(spans.toSeq == Seq((1L, 2L, 2L, 0L, 10L)), spans.mkString(","))
+    // below minSpan: a 7-word overlap is suppressed at minSpan=8, found at 7
+    val short = Seq(
+      (1L, "a b c d e f g tail1 tail2 tail3"),
+      (2L, "a b c d e f g other1 other2 other3")).toDF("doc_id", "text")
+    assert(Dedup.commonSpans(short, "doc_id", "text", n = 5, minSpan = 8).count() == 0)
+    val found = Dedup.commonSpans(short, "doc_id", "text", n = 5, minSpan = 7)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(found == Seq((0L, 0L, 7L)), found.mkString(","))
+  }
+
   test("PQ codes are compact and reconstruct to the right shape") {
     val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, ksub = 8)
     assert(cb.length == 4 && cb.forall(_.length == 8) && cb.forall(_.forall(_.length == 16)))
