@@ -633,6 +633,48 @@ object Dedup {
       .select("da", "db", "start_a", "start_b", "span_len")
   }
 
+  /** Surgical span removal over [[commonSpans]] (the Lee et al. 2022
+    * apply): each shared run survives ONCE — in the lower-id doc — and
+    * the later doc's occurrence is cut out word-wise; overlapping
+    * spans union before cutting, and untouched docs pass through
+    * verbatim. Output: (id, text) with the cleaned text.
+    *
+    * Rebuild is a per-doc sort of ≤ doc-length word structs — bounded
+    * like every window in the span family. A doc that is entirely
+    * shared text comes back as the empty string (kept, so token
+    * accounting downstream still sees the row).
+    */
+  def removeCommonSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minSpan: Int = 8, maxDocsPerShingle: Long = 50L): DataFrame = {
+    val spans = commonSpans(df, idCol, textCol, n, minSpan, maxDocsPerShingle)
+    val covered = spans
+      .select(col("db").as("doc_id"),
+        explode(sequence(col("start_b"), col("start_b") + col("span_len") - 1)).as("pos"))
+      .distinct()
+    // only AFFECTED docs are word-exploded and rebuilt — at corpus
+    // scale the duplicated slice is a small fraction, and untouched
+    // text stays byte-identical (never re-tokenized)
+    val affected = df.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .join(covered.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+    val words = affected.select(col("doc_id"),
+        posexplode(split(col("__t"), " ")).as(Seq("pos", "word")))
+      .withColumn("pos", col("pos").cast("long"))
+    val kept = words.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("word")))),
+        e => e.getField("word")), " ").as("__joined"))
+    // a fully-covered doc has no kept words: it must come back as the
+    // EMPTY string, not its original text
+    val rebuilt = affected.select(col("doc_id").as("id")).distinct()
+      .join(kept.withColumnRenamed("doc_id", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__joined"), lit("")).as("__clean"))
+    df.select(col(idCol).as("id"), col(textCol).as("__orig"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__clean"), col("__orig")).as("text"))
+  }
+
   /** The deduplicated corpus in one call: MinHash-LSH candidates →
     * connected components → drop every non-canonical member (keep each
     * dup group's minimum id plus all unpaired docs) — the composition

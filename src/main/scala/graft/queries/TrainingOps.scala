@@ -1133,6 +1133,44 @@ object TrainingOps {
               |SELECT da, db, start_a, start_a - delta AS start_b, span_len
               |FROM sp WHERE span_len >= 8""".stripMargin)),
 
+    // ---- surgical span removal (the Lee et al. apply): each shared
+    //      run survives once, in the lower-id doc; the later doc's
+    //      occurrence is cut word-wise, overlaps unioned; untouched
+    //      docs pass through byte-identical ----
+    "dd_trim_spans" -> Q(
+      (s, dir) =>
+        Dedup.removeCommonSpans(Tables(s, dir, "documents"), "doc_id", "text",
+            n = 5, minSpan = 8)
+          .select(col("id").as("doc_id"), col("text")),
+      Some(s"""WITH tok AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+              |gi AS (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM tok WHERE len(w) >= 5),
+              |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+              |  ${duckShingleKey("array_to_string(w[CAST(i AS INT):CAST(i AS INT)+4], ' ')")} AS s FROM gi),
+              |f AS (SELECT s FROM g GROUP BY s
+              |      HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50),
+              |pr AS (SELECT a.doc_id da, a.pos pa, b.doc_id db, b.pos pb
+              |       FROM (SELECT * FROM g JOIN f USING (s)) a
+              |       JOIN (SELECT * FROM g JOIN f USING (s)) b
+              |         ON a.s = b.s AND a.doc_id < b.doc_id),
+              |isl AS (SELECT da, db, pa - pb AS delta, pa,
+              |        row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) AS rn FROM pr),
+              |sp AS (SELECT da, db, delta, min(pa) AS start_a,
+              |       CAST(count(*) + 4 AS BIGINT) AS span_len
+              |       FROM isl GROUP BY da, db, delta, pa - rn),
+              |sp8 AS (SELECT db, start_a - delta AS start_b, span_len FROM sp WHERE span_len >= 8),
+              |cov AS (SELECT DISTINCT db AS doc_id, unnest(range(start_b, start_b + span_len)) AS pos
+              |        FROM sp8),
+              |wrd AS (SELECT t.doc_id, CAST(j - 1 AS BIGINT) AS pos, t.w[CAST(j AS INT)] AS word
+              |        FROM tok t, unnest(range(1, len(t.w) + 1)) r(j)
+              |        WHERE t.doc_id IN (SELECT doc_id FROM cov)),
+              |reb AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean
+              |        FROM (SELECT wrd.* FROM wrd ANTI JOIN cov USING (doc_id, pos))
+              |        GROUP BY doc_id)
+              |SELECT d.doc_id,
+              |  CASE WHEN d.doc_id IN (SELECT doc_id FROM cov)
+              |       THEN COALESCE(reb.clean, '') ELSE d.text END AS text
+              |FROM documents d LEFT JOIN reb USING (doc_id)""".stripMargin)),
+
     // ---- document-level apply over repeated spans: drop docs whose
     //      flagged-window fraction reaches 1/2 (integer
     //      cross-multiplied, so no float tie can flip membership) ----

@@ -307,6 +307,24 @@ class OperatorsSpec extends SparkSpec {
     assert(found == Seq((0L, 0L, 7L)), found.mkString(","))
   }
 
+  test("trim spans: later doc loses the run, earlier keeps it, untouched verbatim") {
+    val s = spark
+    import s.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"one two $shared three four"),
+      (2L, s"$shared x y z w v u t s r"),
+      (3L, shared), // doc 3 is ENTIRELY the shared run → trimmed to empty
+      (4L, "untouched doc with completely different words here today friend")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeCommonSpans(docs, "doc_id", "text", n = 5, minSpan = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == s"one two $shared three four") // lowest id keeps the run
+    assert(out(2L) == "x y z w v u t s r", out(2L))
+    assert(out(3L) == "", out(3L))
+    assert(out(4L) == "untouched doc with completely different words here today friend")
+  }
+
   test("PQ codes are compact and reconstruct to the right shape") {
     val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, ksub = 8)
     assert(cb.length == 4 && cb.forall(_.length == 8) && cb.forall(_.forall(_.length == 16)))
