@@ -71,4 +71,32 @@ object QualityRules {
     ruleFlags(df, textCol, p)
       .filter(col("pass"))
       .drop(RuleCols :+ "pass": _*)
+
+  /** Corpus-frequency document score — the unigram-LM quality proxy
+    * (the CCNet-style signal: a doc made of very rare tokens is noise,
+    * OCR garbage, or another language; one made only of ultra-common
+    * tokens is boilerplate). Emits per doc the average relative corpus
+    * frequency of its words, in ppm, integer arithmetic throughout:
+    * `freq_ppm = (Σ_w count(w) · 10⁶) DIV (n_words · N_total)`.
+    *
+    * Two partial-aggregated shuffles (word counts; per-doc sums) and a
+    * word-keyed join — vocabulary is language-bounded, so the count
+    * side stays joinable at any corpus size; N_total rides along as a
+    * broadcast scalar (one row). Hot words skew the JOIN INPUT, not a
+    * reducer: counts are one row per word and the exploded side hashes
+    * uniformly over (doc, pos).
+    */
+  def corpusFrequencyScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("word"))
+      .localCheckpoint(false)
+    val counts = words.groupBy("word").agg(count(lit(1)).as("__cnt"))
+    val total = counts.agg(sum("__cnt").as("__n")).select(col("__n"))
+    words.join(counts, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("__cnt").as("sum_freq"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_words"), col("sum_freq"),
+        expr("(sum_freq * 1000000) DIV (n_words * __n)").as("freq_ppm"))
+  }
 }

@@ -2025,6 +2025,24 @@ object TrainingOps {
              |  FROM s)
              |SELECT source, doc_id, ppm AS score_ppm FROM r WHERE rn <= 10""".stripMargin)),
 
+    // ---- unigram-LM quality proxy: average relative corpus frequency
+    //      of each doc's words, integer ppm (rare-token docs = noise,
+    //      all-common docs = boilerplate) ----
+    "ta_word_rarity" -> Q(
+      (s, dir) =>
+        graft.operators.QualityRules.corpusFrequencyScore(
+          Tables(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+             |c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+             |n AS (SELECT sum(cnt) AS total FROM c),
+             |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             |         CAST(sum(cnt) AS BIGINT) AS sum_freq
+             |      FROM w JOIN c USING (word) GROUP BY doc_id)
+             |SELECT doc_id, n_words, sum_freq,
+             |  CAST((sum_freq * 1000000) // (n_words * CAST((SELECT total FROM n) AS BIGINT))
+             |       AS BIGINT) AS freq_ppm
+             |FROM d""".stripMargin)),
+
     // ---- document fingerprint (rolling hash) ----
     "ta_fingerprint" -> Q(
       (s, dir) =>

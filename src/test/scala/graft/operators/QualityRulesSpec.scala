@@ -52,6 +52,24 @@ class QualityRulesSpec extends SparkSpec {
     assert(out.select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("corpus frequency score: exact ppm, rare-word docs rank below common-word docs") {
+    val s = spark
+    import s.implicits._
+    // corpus of 10 words total: "a" x6 spread over docs, singletons elsewhere
+    val df = Seq(
+      (1L, "a a a"),        // all common
+      (2L, "a a rare1"),    // mixed
+      (3L, "rare2 rare3 rare4 a")  // mostly rare
+    ).toDF("doc_id", "text")
+    val out = QualityRules.corpusFrequencyScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // counts: a=6, each rare=1, total=10
+    assert(out(1L) == ((3L, 18L, (18L * 1000000L) / (3L * 10L))))
+    assert(out(2L) == ((3L, 13L, (13L * 1000000L) / (3L * 10L))))
+    assert(out(3L) == ((4L, 9L, (9L * 1000000L) / (4L * 10L))))
+    assert(out(3L)._3 < out(2L)._3 && out(2L)._3 < out(1L)._3)
+  }
+
   test("rule evaluation is a narrow plan: no exchange, stays in codegen") {
     // a file-backed relation (local Seqs constant-fold to LocalTableScan)
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
