@@ -217,6 +217,59 @@ object ScaleProbe {
         println(f"[scale] emb  ivfTopK nList=$nl%3d nProbe=${nl / 4}%2d -> $n%10d rows in $t%6.2f s")
       }
     }
+
+    // common-spans on the mass-dup corpus: the 10% boilerplate cluster
+    // makes every one of its positional shingles occur in 0.1·n docs,
+    // so UNCAPPED pair volume is quadratic in corpus size (measured at
+    // 1×/2× only — 8× uncapped is the blow-up the cap exists to stop);
+    // maxDocsPerShingle=50 must hold output and runtime near-linear.
+    locally {
+      def massdup(mult: Int) = {
+        val boiler = ("breaking news subscribe to our newsletter all rights reserved " * 6).trim
+        val base = spark.read.parquet(args(0))
+        (0 until mult).map(i => base.select(
+            (col("doc_id") + lit(i * 100000000L)).as("doc_id"),
+            when(pmod(col("doc_id"), lit(10)) === 0, lit(boiler))
+              .otherwise(concat(col("text"), lit(" r" + i))).as("text")))
+          .reduce(_ union _)
+          .localCheckpoint(true)
+      }
+      for (m <- Seq(1, 2, 8)) {
+        val d = massdup(m)
+        def run(cap: Long): (Double, Long) = {
+          var n = 0L
+          val t = time { n = graft.operators.Dedup.commonSpans(
+            d, "doc_id", "text", n = 5, minSpan = 8, maxDocsPerShingle = cap).count(); n }
+          (t, n)
+        }
+        val (tC, nC) = run(50L)
+        val unc = if (m <= 2) { val (tU, nU) = run(Long.MaxValue); f"uncapped=$tU%6.2f s ($nU%9d spans)" }
+          else "uncapped=skipped(quadratic)"
+        println(f"[scale] cspans ${m}x capped@50=$tC%6.2f s ($nC%9d spans)  $unc")
+      }
+    }
+
+    // k-bounded top-k vs window rank on ONE hot key: both scan n rows,
+    // but the window funnels the hot key through a single task's sort
+    // while the aggregate partial-combines to k rows per partition
+    // before the exchange — the curve gap is the point of TopKPairs.
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      for (m <- Seq(1, 2, 8)) {
+        val n = 1000000L * m
+        val d = spark.range(n).select(
+          when(pmod(col("id"), lit(100)) === 0, concat(lit("src"), pmod(col("id"), lit(7))))
+            .otherwise(lit("hot")).as("source"),
+          col("id"), pmod(col("id") * 2654435761L, lit(1000000L)).as("score"))
+          .localCheckpoint(true)
+        val tAgg = time(graft.operators.Sampling.capPerGroup(
+          d, "source", col("score"), "id", k = 100).count())
+        val w = Window.partitionBy("source").orderBy(col("score").desc, col("id").asc)
+        val tWin = time(d.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 100).count())
+        println(f"[scale] topk ${m}x rows=$n%9d agg=$tAgg%6.2f s  window=$tWin%6.2f s")
+      }
+    }
     spark.stop()
   }
 }
