@@ -516,7 +516,9 @@ object StatefulOps {
 
   final case class ListedVec(list: Int, docId: Long, vec: Seq[Float])
   final case class SemPair(da: Long, db: Long, cos: Double)
-  final case class ListState(docs: List[(Long, Seq[Float])])
+  /** residents carry their squared norm so the pair loop computes ONE
+    * dot per pair instead of dot + two norms (3× fewer O(d) passes). */
+  final case class ListState(docs: List[(Long, Seq[Float], Double)])
 
   implicit val listKeyEnc: Encoder[Int] = Encoders.scalaInt
   implicit val listedVecEnc: Encoder[ListedVec] = Encoders.product[ListedVec]
@@ -565,15 +567,14 @@ object StatefulOps {
       fresh.foreach { case (id, vec) =>
         if (count < maxList) {
           val na = norm2D(vec)
-          if (na > 0) resident.foreach { case (oid, ovec) =>
-            val nb = norm2D(ovec)
+          if (na > 0) resident.foreach { case (oid, ovec, nb) =>
             if (nb > 0) {
               val cos = dotD(vec, ovec) / math.sqrt(na * nb)
               if (cos > eps)
                 pairs += SemPair(math.min(id, oid), math.max(id, oid), cos)
             }
           }
-          resident = (id, vec) :: resident
+          resident = (id, vec, na) :: resident
           seen += id
           count += 1
         }

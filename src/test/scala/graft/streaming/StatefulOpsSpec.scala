@@ -453,7 +453,7 @@ class StatefulOpsSpec extends SparkSpec {
 
   test("semantic list transition: eps filter, zero-norm guard, cap") {
     import org.apache.spark.sql.streaming.TestGroupState
-    def st(docs: List[(Long, Seq[Float])]) = TestGroupState.create[ListState](
+    def st(docs: List[(Long, Seq[Float], Double)]) = TestGroupState.create[ListState](
       optionalState = org.apache.spark.api.java.Optional.of(ListState(docs)),
       timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
       batchProcessingTimeMs = 1000L,
@@ -461,7 +461,7 @@ class StatefulOpsSpec extends SparkSpec {
       hasTimedOut = false)
     // resident (1,0): arrival (1,0.1) → cos ~0.995 (emitted);
     // arrival (0,1) → cos 0 (suppressed); zero vector → never pairs
-    val state = st(List((1L, Seq(1f, 0f))))
+    val state = st(List((1L, Seq(1f, 0f), 1.0)))
     val out = semGroup(0, Iterator(
         ListedVec(0, 2L, Seq(1f, 0.1f)), ListedVec(0, 3L, Seq(0f, 1f)),
         ListedVec(0, 4L, Seq(0f, 0f))),
@@ -470,13 +470,13 @@ class StatefulOpsSpec extends SparkSpec {
     assert(out.head.cos > 0.99)
     assert(state.get.docs.map(_._1).toSet == Set(1L, 2L, 3L, 4L))
     // at cap: nothing pairs, nothing stored
-    val full = st(List((3L, Seq(1f, 0f)), (2L, Seq(1f, 0f)), (1L, Seq(1f, 0f))))
+    val full = st(List((3L, Seq(1f, 0f), 1.0), (2L, Seq(1f, 0f), 1.0), (1L, Seq(1f, 0f), 1.0)))
     val capped = semGroup(0, Iterator(ListedVec(0, 9L, Seq(1f, 0f))),
       full, eps = 0.5, maxList = 3, ttlMs = 0L).toList
     assert(capped.isEmpty && full.get.docs.length == 3)
     // timed-out state is removed and emits nothing
     val timed = TestGroupState.create[ListState](
-      optionalState = org.apache.spark.api.java.Optional.of(ListState(List((1L, Seq(1f, 0f))))),
+      optionalState = org.apache.spark.api.java.Optional.of(ListState(List((1L, Seq(1f, 0f), 1.0)))),
       timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
       batchProcessingTimeMs = 99999L,
       eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(),
