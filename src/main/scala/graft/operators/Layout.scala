@@ -61,4 +61,33 @@ object Layout {
       .sortBy(key, sortCols: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Z-order (Morton) key: interleave the low `bits` of two
+    * non-negative dimensions so 2-D-close rows get close keys — the
+    * space-filling-curve answer to [[sorted]]'s lexicographic
+    * tradeoff: a predicate on EITHER dimension prunes files, not just
+    * the leading one. Pure integer bit arithmetic (shift/and/add), so
+    * the key is engine-exact and an external writer/reader derives the
+    * identical clustering. Inputs are masked to `bits`; at the default
+    * 16 bits the key fits in 32 bits of a long.
+    */
+  def zOrderKey(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"zOrderKey: bits must be in [1,31], got $bits")
+    val mask = (1L << bits) - 1
+    val am = a.cast("long").bitwiseAND(lit(mask))
+    val bm = b.cast("long").bitwiseAND(lit(mask))
+    (0 until bits).map { i =>
+      shiftright(am, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(bm, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** [[writeSorted]] clustered on the Morton key of (a, b): range
+    * partitioning over the curve gives every file a compact 2-D tile,
+    * so footer min/max prunes on predicates over either dimension.
+    */
+  def writeZOrdered(df: DataFrame, path: String, numFiles: Int,
+                    a: Column, b: Column, bits: Int = 16): Unit =
+    writeSorted(df.withColumn("__zkey", zOrderKey(a, b, bits)), path, numFiles,
+      col("__zkey"))
 }

@@ -2043,6 +2043,20 @@ object TrainingOps {
              |       AS BIGINT) AS freq_ppm
              |FROM d""".stripMargin)),
 
+    // ---- Z-order (Morton) layout key: bit-interleave two dimensions
+    //      so range predicates on either prune files — pure integer
+    //      shift/and/add, engine-exact ----
+    "ta_zorder_key" -> Q(
+      (s, dir) =>
+        Tables(s, dir, "documents").select(
+          col("doc_id"),
+          graft.operators.Layout.zOrderKey(col("doc_id"), col("n_chars")).as("zkey")),
+      Some("""SELECT doc_id,
+             |  CAST(list_sum(list_transform(range(0, 16), i ->
+             |    ((((doc_id & 65535) >> i) & 1) << (2*i)) +
+             |    ((((n_chars & 65535) >> i) & 1) << (2*i + 1)))) AS BIGINT) AS zkey
+             |FROM documents""".stripMargin)),
+
     // ---- document fingerprint (rolling hash) ----
     "ta_fingerprint" -> Q(
       (s, dir) =>

@@ -78,4 +78,39 @@ class LayoutSpec extends SparkSpec {
     val files = narrow.select(input_file_name()).distinct().count()
     assert(files == 1L, s"predicate touched $files files, expected 1")
   }
+
+  test("z-order key interleaves bits exactly") {
+    import spark.implicits._
+    def ref(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).map { i =>
+        (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }.sum
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (70000L, 3L)) // 70000 masks down to 16 bits
+    val df = cases.toDF("a", "b")
+    val got = df.select(Layout.zOrderKey(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    val want = cases.map { case (a, b) => ref(a & 65535L, b & 65535L, 16) }
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("z-order layout prunes on the SECOND dimension where linear order cannot") {
+    import spark.implicits._
+    // a 64x64 grid: every (a, b) combination once
+    val grid = (for (a <- 0 until 64; b <- 0 until 64) yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    val zdir = Files.createTempDirectory("graft-z").toString + "/z"
+    val ldir = Files.createTempDirectory("graft-z").toString + "/linear"
+    Layout.writeZOrdered(grid, zdir, 16, col("a"), col("b"))
+    Layout.writeSorted(grid.withColumn("__zkey", lit(0L)), ldir, 16, col("a"))
+    def filesMatching(dir: String): Long =
+      spark.read.parquet(dir).filter(col("b") < 8)
+        .select(input_file_name()).distinct().count()
+    val zFiles = filesMatching(zdir)
+    val lFiles = filesMatching(ldir)
+    // linear order on `a` spreads every b-slice over ALL files; the
+    // curve confines a b-range to a subset of tiles
+    assert(lFiles == 16L, s"linear layout should spread b over all files, got $lFiles")
+    assert(zFiles <= 8L, s"z-order should confine the b-slice, got $zFiles of 16 files")
+  }
 }
