@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -710,6 +710,30 @@ object Dedup {
       .filter(col("id") =!= col("comp"))
       .select(col("id").as(idCol))
     df.join(dupes, Seq(idCol), "left_anti")
+  }
+
+  /** [[dedupByMinhash]] with a QUALITY keep-rule: each duplicate group
+    * keeps its best member by (`ord` DESC, ties → lowest id) instead
+    * of the minimum id — what a curation pipeline wants when the
+    * near-dup cluster mixes a clean original with mangled clones.
+    * The representative comes from a struct-max partial aggregate
+    * (`max(struct(ord, -id))` — map-side combined, no window), so the
+    * keep decision costs one component-keyed agg; everything else is
+    * the dedupByMinhash composition unchanged, and components are
+    * invariant under the band cap's star-pairing.
+    */
+  def dedupByMinhashKeepBest(
+      df: DataFrame, idCol: String, textCol: String, ord: Column,
+      n: Int = 3, k: Int = 8, bands: Int = 2,
+      maxBandOccupancy: Long = 1000L): DataFrame = {
+    val pairs = minhashLshCandidates(df, idCol, textCol, n, k, bands, maxBandOccupancy)
+    val labels = connectedComponents(pairs, "da", "db")
+    val scored = df.select(col(idCol).as("id"), ord.as("__ord")).join(labels, "id")
+    val keep = scored.groupBy("comp")
+      .agg(max(struct(col("__ord"), (-col("id")).as("__nid"))).as("__b"))
+      .select((-col("__b.__nid")).as("id"))
+    val drop = labels.select("id").join(keep, Seq("id"), "left_anti")
+    df.join(drop.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
   /** Embedding cosine near-dup pairs, LSH-blocked — the scale path and

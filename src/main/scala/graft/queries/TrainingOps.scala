@@ -691,6 +691,48 @@ object TrainingOps {
               |SELECT doc_id FROM documents
               |WHERE doc_id NOT IN (SELECT id FROM cmp WHERE id <> comp)""".stripMargin)),
 
+    // ---- dedup apply with the QUALITY keep-rule: each near-dup group
+    //      keeps its highest-qualityScorePpm member (ties → lowest id)
+    //      instead of the minimum id; struct-max partial agg, no
+    //      window. Components invariant under the band cap ----
+    "dd_dedup_apply_best" -> Q(
+      (s, dir) =>
+        Dedup.dedupByMinhashKeepBest(Tables(s, dir, "documents"), "doc_id", "text",
+            TextFunctions.qualityScorePpm(col("text")),
+            n = 3, k = 8, bands = 2, maxBandOccupancy = 2L)
+          .select(col("doc_id")),
+      Some(s"""WITH RECURSIVE $duckShingles,
+              |hs AS (SELECT doc_id, list_transform(list_distinct(s), t -> ${duckCharHash("t")}) h FROM shl),
+              |sig AS (SELECT doc_id, list_transform(range(0,8), i ->
+              |  list_min(list_transform(h, x -> ((37+101*i)*x + 7+139*i) % 1000000007))) sg FROM hs),
+              |bands AS (
+              |  SELECT doc_id, '0-' || sg[1] || '-' || sg[2] || '-' || sg[3] || '-' || sg[4] AS band FROM sig
+              |  UNION ALL
+              |  SELECT doc_id, '1-' || sg[5] || '-' || sg[6] || '-' || sg[7] || '-' || sg[8] AS band FROM sig),
+              |pr AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              |       FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+              |e AS (SELECT da AS a, db AS b FROM pr UNION ALL SELECT db, da FROM pr),
+              |reach AS (
+              |  SELECT a AS id, a AS r FROM e
+              |  UNION
+              |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+              |cmp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+              |qual AS (SELECT doc_id,
+              |  (least(len(regexp_extract_all(text,'\\S+')), 100)
+              |    * (len(regexp_extract_all(text,'\\S+'))
+              |       - len(list_filter(string_split(text,' '),
+              |           w -> w IN ('the','a','of','to','and','in','or','is'))))
+              |    * 1000000)
+              |  // (100 * len(regexp_extract_all(text,'\\S+'))) AS ppm
+              |  FROM documents),
+              |kp AS (SELECT id FROM (
+              |  SELECT cmp.id,
+              |    row_number() OVER (PARTITION BY comp ORDER BY qual.ppm DESC, cmp.id ASC) AS rn
+              |  FROM cmp JOIN qual ON cmp.id = qual.doc_id) WHERE rn = 1)
+              |SELECT doc_id FROM documents
+              |WHERE doc_id NOT IN (SELECT id FROM cmp)
+              |   OR doc_id IN (SELECT id FROM kp)""".stripMargin)),
+
     // ---- the SQL function surface under the correctness gate: the
     //      same simhash/minhash kernels, invoked through spark.sql via
     //      the registered function names (GraftFunctions) ----

@@ -284,6 +284,28 @@ class OperatorsSpec extends SparkSpec {
     assert(recall > 0.1, s"ANN recall $recall")
   }
 
+  test("dedup keep-best keeps the highest-quality member, not the lowest id") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.TextFunctions
+    // docs 1 and 2 are near-identical; doc 2 is longer (higher
+    // qualityScorePpm) so the keep-best rule must pick id 2 where the
+    // canonical rule keeps id 1
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3).trim
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " " + base), // same shingle set + repeat-boundary grams: longer ⇒ higher ppm
+      (3L, "completely different content words nothing in common here at all today")
+    ).toDF("doc_id", "text")
+    val best = Dedup.dedupByMinhashKeepBest(docs, "doc_id", "text",
+        TextFunctions.qualityScorePpm(col("text")))
+      .select("doc_id").as[Long].collect().toSet
+    val canonical = Dedup.dedupByMinhash(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(canonical == Set(1L, 3L), canonical.toString)
+    assert(best == Set(2L, 3L), best.toString)
+  }
+
   test("common spans: maximal cross-doc runs with exact offsets") {
     val s = spark
     import s.implicits._
