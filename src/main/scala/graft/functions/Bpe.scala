@@ -183,6 +183,21 @@ object Bpe {
   def markedPieces(text: Column, ranks: Ranks): Column =
     toColumn(BpeMarkedPiecesK(toExpression(text), ranks))
 
+  /** Inverse of [[markedPieces]]: concatenate and turn each ▁ marker
+    * back into a word boundary. Round-trip invariant (spec- and
+    * oracle-pinned): `detokenize(markedPieces(text)) == text` for any
+    * single-space-tokenized text — the property that makes the marked
+    * form safe to ship as the training artifact. Pure built-ins
+    * (array_join + replace + substring), fully codegen.
+    */
+  def detokenize(pieces: Column): Column = {
+    import org.apache.spark.sql.functions.{array_join, length, lit, regexp_replace}
+    val spaced = regexp_replace(array_join(pieces, ""), "▁", " ")
+    // drop the leading space from the first word's marker (empty input
+    // yields the empty string: substr past the end is "")
+    spaced.substr(lit(2), length(spaced))
+  }
+
   /** Train a merge table from a corpus — the textbook BPE learner
     * (Sennrich et al. 2016) split Spark-style: the 100 TB part (word
     * frequency counting) is ONE distributed groupBy whose output is

@@ -2085,6 +2085,18 @@ object TrainingOps {
              |       AS BIGINT) AS freq_ppm
              |FROM d""".stripMargin)),
 
+    // ---- tokenizer round-trip: detokenize(markedPieces(text)) must
+    //      reproduce the text exactly for single-space-tokenized input
+    //      (the invariant that makes the marked form a safe training
+    //      artifact) — the oracle is the identity on documents ----
+    "ta_detok_roundtrip" -> Q(
+      (s, dir) =>
+        Tables(s, dir, "documents").select(
+          col("doc_id"),
+          graft.functions.Bpe.detokenize(
+            graft.functions.Bpe.markedPieces(col("text"))).as("text")),
+      Some("SELECT doc_id, text FROM documents")),
+
     // ---- Z-order (Morton) layout key: bit-interleave two dimensions
     //      so range predicates on either prune files — pure integer
     //      shift/and/add, engine-exact ----

@@ -142,6 +142,20 @@ class BpeSpec extends SparkSpec {
       s"characters lost across chunk boundaries: $rebuilt")
   }
 
+  test("detokenize is the exact inverse of markedPieces for spaced text") {
+    import spark.implicits._
+    val cases = Seq(
+      "the quick brown fox",
+      "a",
+      "",                       // empty stays empty
+      "naïve café ß 漢字 mix")  // multi-byte codepoints survive
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val out = df.select($"text",
+        Bpe.detokenize(Bpe.markedPieces($"text")).as("back"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    out.foreach { case (orig, back) => assert(back == orig, s"'$orig' -> '$back'") }
+  }
+
   test("distributed training reproduces the shipped merge table from the corpus") {
     // the shipped 1024-merge table trains on the sf0.1 union corpus
     // (documents.text + part names/types + customer names + event
