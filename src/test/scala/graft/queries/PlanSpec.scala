@@ -360,6 +360,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no window should touch the band key:\n$p")
   }
 
+  test("dd_common_spans: shingle-keyed pair join, no all-pairs, island window on the pair key") {
+    val p = plan("dd_common_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span pairing degenerated to all-pairs:\n$p")
+    // the only window is the island row_number partitioned by
+    // (da, db, delta) — never by a bare corpus-wide key
+    assert(p.contains("windowspecdefinition(da"),
+      s"island window not keyed on the doc pair:\n$p")
+  }
+
+  test("ta_source_cap: k-bounded partial top-k aggregate, never a window rank") {
+    val p = plan("ta_source_cap")
+    assert(p.contains("partial_graft_topk"), s"no map-side partial top-k:\n$p")
+    assert(!p.contains("Window"), s"per-source cap fell back to a window rank:\n$p")
+  }
+
+  test("ann_pq_topk: corpus carries codes, probes broadcast, reconstruction in codegen") {
+    val p = plan("ann_pq_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in ADC scoring:\n$p")
+  }
+
+  test("ta_doc_rules_apply: pure narrow filter — no exchange anywhere") {
+    val p = plan("ta_doc_rules_apply")
+    assert(!p.contains("Exchange"), s"rule filter shuffled:\n$p")
+  }
+
   test("dd_semdedup pairs: a hash join keyed on the IVF list, guard anti-joins broadcast") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val p = graft.operators.Dedup.semanticPairs(emb, "vec_id", "embedding",
