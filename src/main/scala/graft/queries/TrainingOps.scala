@@ -2111,6 +2111,31 @@ object TrainingOps {
              |    ((((n_chars & 65535) >> i) & 1) << (2*i + 1)))) AS BIGINT) AS zkey
              |FROM documents""".stripMargin)),
 
+    // ---- the STREAMING leaderboard, batch-driven: per-source top-k
+    //      via the same k-bounded heap as the batch aggregate — one
+    //      micro-batch over the corpus must equal capPerGroup, so it
+    //      shares ta_source_cap's oracle ----
+    "ta_source_cap_stateful" -> Q(
+      (s, dir) =>
+        graft.streaming.StatefulOps.streamingTopK(
+            Tables(s, dir, "documents").select(col("doc_id"), col("source"),
+              TextFunctions.qualityScorePpm(col("text")).as("ppm")),
+            "source", col("ppm"), "doc_id", k = 10)
+          .toDF().select(col("key").as("source"), col("id").as("doc_id"),
+            col("ord").as("score_ppm")),
+      Some("""WITH s AS (SELECT doc_id, source,
+             |  (least(len(regexp_extract_all(text,'\S+')), 100)
+             |    * (len(regexp_extract_all(text,'\S+'))
+             |       - len(list_filter(string_split(text,' '),
+             |           w -> w IN ('the','a','of','to','and','in','or','is'))))
+             |    * 1000000)
+             |  // (100 * len(regexp_extract_all(text,'\S+'))) AS ppm
+             |  FROM documents),
+             |r AS (SELECT source, doc_id, ppm,
+             |  row_number() OVER (PARTITION BY source ORDER BY ppm DESC, doc_id ASC) AS rn
+             |  FROM s)
+             |SELECT source, doc_id, ppm AS score_ppm FROM r WHERE rn <= 10""".stripMargin)),
+
     // ---- document fingerprint (rolling hash) ----
     "ta_fingerprint" -> Q(
       (s, dir) =>

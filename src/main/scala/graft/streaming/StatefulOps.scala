@@ -584,6 +584,57 @@ object StatefulOps {
       pairs.iterator
     }
 
+  // ---- streaming per-key top-k (the curation leaderboard) ----
+
+  final case class KeyedOrd(key: String, ord: Long, id: Long)
+  final case class TopKState(pairs: List[(Long, Long)])
+  final case class TopKRow(key: String, ord: Long, id: Long)
+
+  implicit val keyedOrdEnc: Encoder[KeyedOrd] = Encoders.product[KeyedOrd]
+  implicit val topKStateEnc: Encoder[TopKState] = Encoders.product[TopKState]
+  implicit val topKRowEnc: Encoder[TopKRow] = Encoders.product[TopKRow]
+
+  /** Per-key transition for [[streamingTopK]]: fold the micro-batch
+    * into the k-bounded heap ([[graft.functions.TopKHeap]] — the SAME
+    * eviction rule as the batch aggregate) and emit the key's CURRENT
+    * top-k, best-first. Emissions are per-batch snapshots (a
+    * leaderboard, not a delta); batch-driving the whole corpus in one
+    * batch therefore equals [[graft.operators.Sampling.capPerGroup]]
+    * exactly. State is ≤ k (ord, id) pairs per key — bounded by
+    * construction, no TTL needed for the state size.
+    */
+  def topKGroup(key: String, rows: Iterator[KeyedOrd], state: GroupState[TopKState],
+                k: Int): Iterator[TopKRow] = {
+    val heap = new graft.functions.TopKHeap(k)
+    state.getOption.foreach(_.pairs.foreach { case (o, i) => heap.add(o, i) })
+    rows.foreach(e => heap.add(e.ord, e.id))
+    val best = heap.sortedPairs.toList
+    state.update(TopKState(best))
+    best.iterator.map { case (o, i) => TopKRow(key, o, i) }
+  }
+
+  /** Streaming leaderboard: the incremental form of
+    * [[graft.operators.Sampling.capPerGroup]] — per key, the best k
+    * rows by (ord DESC, id ASC) seen so far, re-emitted as a snapshot
+    * every micro-batch. Same k-bounded heap as the batch aggregate,
+    * so state is O(k) per key and a hot key costs O(log k) per
+    * arrival, never a sort.
+    */
+  def streamingTopK(df: org.apache.spark.sql.DataFrame,
+                    keyCol: String, ordCol: org.apache.spark.sql.Column,
+                    idCol: String, k: Int): Dataset[TopKRow] = {
+    import org.apache.spark.sql.functions.col
+    df.select(col(keyCol).cast("string").as("key"),
+        ordCol.cast("long").as("ord"), col(idCol).cast("long").as("id"))
+      .as[KeyedOrd]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[TopKState, TopKRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[KeyedOrd], state: GroupState[TopKState]) =>
+          topKGroup(key, rows, state, k)
+      }
+  }
+
   /** Streaming SemDeDup candidates: arrivals are assigned to their IVF
     * list by a PRE-TRAINED quantizer (train offline with
     * [[graft.operators.Similarity.ivfCentroids]] — the deployment shape:

@@ -485,6 +485,38 @@ class StatefulOpsSpec extends SparkSpec {
     assert(timed.isRemoved)
   }
 
+  test("streaming top-k: snapshots across batches, displacement, k-bound") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    def st(pairs: List[(Long, Long)]) = TestGroupState.create[TopKState](
+      optionalState = org.apache.spark.api.java.Optional.of(TopKState(pairs)),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(),
+      hasTimedOut = false)
+    // batch 1 established top-3 (9,1)(7,2)(5,3); batch 2 brings an 8
+    // that displaces the 5, and a 1 that changes nothing
+    val state = st(List((9L, 1L), (7L, 2L), (5L, 3L)))
+    val out = topKGroup("src", Iterator(
+        KeyedOrd("src", 8L, 9L), KeyedOrd("src", 1L, 8L)),
+      state, k = 3).toList
+    assert(out == List(TopKRow("src", 9L, 1L), TopKRow("src", 8L, 9L), TopKRow("src", 7L, 2L)),
+      out.toString)
+    assert(state.get.pairs == List((9L, 1L), (8L, 9L), (7L, 2L)))
+  }
+
+  test("streaming top-k batch-drive equals the batch capPerGroup") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = (1L to 300L).map(i => (s"src${i % 5}", i, (i * 31) % 97))
+      .toDF("src", "id", "score")
+    val batch = graft.operators.Sampling.capPerGroup(rows, "src", col("score"), "id", k = 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = streamingTopK(rows, "src", col("score"), "id", k = 7)
+      .collect().map(r => (r.key, r.id, r.ord)).toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+
   test("streaming semantic batch-drive equals the batch eps-graph") {
     val s = spark
     import s.implicits._
