@@ -4,19 +4,22 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Chunking, Decontaminate, Dedup, Layout, Packing, Sampling}
+import graft.operators.{Chunking, Decontaminate, Dedup, Layout, Packing, QualityRules, Sampling}
 
 /** End-to-end training-data curation pipeline — every stage is a graft
   * operator, composed the way a real 100 TB corpus run would be:
   *
-  *   1. quality gate (drop low-score and repetitive docs)
+  *   1. quality gate: Gopher-style rule filter, then score/repetition
+  *      thresholds (drop rule-failing, low-score, repetitive docs)
   *   2. PII redaction
   *   3. exact dedup on content fingerprint (keep min doc_id)
-  *   4. near-dup group assembly: MinHash-LSH pairs → connected
-  *      components → drop every non-canonical member
+  *   4. near-dup dedup with the QUALITY keep-rule (each group keeps
+  *      its best member) + cross-doc span surgery (shared runs
+  *      survive once)
   *   5. eval-set decontamination (drop benchmark leakage)
-  *   6. deterministic train/valid/test split
-  *   7. range-partitioned sorted write (file-pruning layout)
+  *   6. per-source cap (k best docs per source — domain balancing)
+  *   7. deterministic train/valid/test split + range-partitioned
+  *      sorted write (file-pruning layout)
   *   8. chunk + sequence-pack the train split into context windows
   *   9. weighted source interleave of the train split on the BPE
   *      subword budget (the curriculum order a trainer reads)
@@ -48,8 +51,10 @@ object TrainingPipelineDemo {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val c0 = docs.count()
 
-    // 1. quality gate: score >= 250k ppm AND under 50% repeated 3-grams
-    val quality = docs
+    // 1. quality gate: published per-doc rules first (word count, mean
+    //    word length, stopwords, uniqueness, alpha/symbol ratios), then
+    //    score >= 250k ppm AND under 50% repeated 3-grams
+    val quality = QualityRules.applyRules(docs, "text")
       .withColumn("score_ppm", TextFunctions.qualityScorePpm(col("text")))
       .withColumn("rep_ppm", TextFunctions.repetitionPpm(col("text")))
       .filter(col("score_ppm") >= 250000 && col("rep_ppm") <= 500000)
@@ -66,11 +71,19 @@ object TrainingPipelineDemo {
     val exactKept = redacted.join(keep, "doc_id")
     val c2 = exactKept.count()
 
-    // 4. near-dup groups: LSH pairs → components → keep the canonical
-    val pairs = Dedup.minhashLshCandidates(exactKept, "doc_id", "text")
-    val comps = Dedup.connectedComponents(pairs, "da", "db")
-    val nonCanonical = comps.filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
-    val nearKept = exactKept.join(nonCanonical, Seq("doc_id"), "left_anti")
+    // 4. near-dup dedup, QUALITY keep-rule: each group keeps its best
+    //    member (ties → lowest id), then cross-doc span surgery cuts
+    //    any remaining shared runs out of the later doc
+    val nearKeptIds = Dedup.dedupByMinhashKeepBest(exactKept, "doc_id", "text",
+        TextFunctions.qualityScorePpm(col("text")))
+      .select("doc_id")
+    val nearKeptRaw = exactKept.join(nearKeptIds, "doc_id")
+    val nearKept = nearKeptRaw
+      .join(Dedup.removeCommonSpans(nearKeptRaw, "doc_id", "text")
+          .withColumnRenamed("id", "doc_id").withColumnRenamed("text", "__trim"),
+        "doc_id")
+      .withColumn("text", col("__trim")).drop("__trim")
+      .filter(length(col("text")) > 0)
     val c3 = nearKept.count()
 
     // 5. decontaminate against a held-out eval slice (benchmark guard)
@@ -79,9 +92,19 @@ object TrainingPipelineDemo {
       nearKept.filter(pmod(col("doc_id"), lit(97)) =!= 0), evalSet, "doc_id", "text", n = 5)
     val c4 = clean.count()
 
-    // 6. deterministic split, 7. sorted layout per split
+    // 6. per-source cap: at most 20 best-quality docs per source (the
+    //    domain-balancing step; k-bounded aggregate, never a window)
+    val capped = clean.join(
+      Sampling.capPerGroup(
+          clean.withColumn("__q", TextFunctions.qualityScorePpm(col("text"))),
+          "source", col("__q"), "doc_id", k = 20)
+        .select("doc_id"),
+      "doc_id")
+    val c5 = capped.count()
+
+    // 7. deterministic split + sorted layout per split
     val split = Sampling.splitByHash(
-      clean, "doc_id", Seq("train" -> 80, "valid" -> 10, "test" -> 10), seed = 1)
+      capped, "doc_id", Seq("train" -> 80, "valid" -> 10, "test" -> 10), seed = 1)
     Seq("train", "valid", "test").foreach { s =>
       Layout.writeSorted(
         split.filter(col("split") === s).drop("split"),
@@ -119,8 +142,9 @@ object TrainingPipelineDemo {
       "input" -> c0,
       "quality-gate" -> c1,
       "exact-dedup" -> c2,
-      "near-dup-components" -> c3,
+      "near-dup-keep-best" -> c3,
       "decontaminated" -> c4,
+      "source-capped" -> c5,
       "written-splits" -> written,
       "context-windows" -> nWindows,
       "scheduled-train-docs" -> cSched)

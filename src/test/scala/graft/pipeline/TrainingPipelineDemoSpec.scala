@@ -17,10 +17,11 @@ class TrainingPipelineDemoSpec extends SparkSpec {
     assert(counts("input") > 0)
     assert(counts("quality-gate") <= counts("input"))
     assert(counts("exact-dedup") <= counts("quality-gate"))
-    assert(counts("near-dup-components") <= counts("exact-dedup"))
-    assert(counts("decontaminated") <= counts("near-dup-components"))
-    // splits are a partition of the decontaminated survivors
-    assert(counts("written-splits") == counts("decontaminated"))
+    assert(counts("near-dup-keep-best") <= counts("exact-dedup"))
+    assert(counts("decontaminated") <= counts("near-dup-keep-best"))
+    assert(counts("source-capped") <= counts("decontaminated"))
+    // splits are a partition of the capped survivors
+    assert(counts("written-splits") == counts("source-capped"))
     // packing produced at least one full context-window stream
     assert(counts("context-windows") > 0)
     // every train doc got a curriculum schedule slot

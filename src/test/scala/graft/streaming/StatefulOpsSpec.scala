@@ -267,6 +267,41 @@ class StatefulOpsSpec extends SparkSpec {
       s"budget state lost across restart: ${rows.toList}")
   }
 
+  test("streaming top-k state survives a checkpointed query restart") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("topk_restart").toString
+    val (inDir, cpDir, outDir) = (s"$root/in", s"$root/cp", s"$root/out")
+    new java.io.File(inDir).mkdirs()
+    def writeBatch(name: String, rows: Seq[(String, Long, Long)]): Unit = {
+      val tmp = java.nio.file.Files.createTempFile("tkb", ".json")
+      java.nio.file.Files.writeString(tmp,
+        rows.map { case (k, o, i) => s"""{"key":"$k","ord":$o,"id":$i}""" }.mkString("\n"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$inDir/$name.json"))
+    }
+    val schema = implicitly[org.apache.spark.sql.Encoder[KeyedOrd]].schema
+    def run(): Unit = {
+      val in = spark.readStream.schema(schema).json(inDir)
+      val q = streamingTopK(in, "key", col("ord"), "id", k = 2).toDF()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", cpDir)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
+    writeBatch("b1", Seq(("src", 9L, 1L), ("src", 5L, 2L)))
+    run() // leaderboard after b1: (9,1)(5,2)
+    writeBatch("b2", Seq(("src", 7L, 3L)))
+    run() // restored state must displace (5,2): snapshot (9,1)(7,3)
+    val snaps = spark.read.parquet(outDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // with state lost, batch 2 would emit (7,3) alone as the full top-2
+    // and never re-emit (9,1); with state kept the b2 snapshot is both
+    val b2 = snaps.filter(_._3 == 3L)
+    assert(b2.nonEmpty && snaps.count(t => t._2 == 9L && t._3 == 1L) == 2,
+      s"top-k state lost across restart: ${snaps.toList}")
+  }
+
   test("streaming pack offset state survives a checkpointed query restart") {
     val s = spark
     import s.implicits._
