@@ -183,6 +183,49 @@ object Bpe {
   def markedPieces(text: Column, ranks: Ranks): Column =
     toColumn(BpeMarkedPiecesK(toExpression(text), ranks))
 
+  /** Deterministic id space derived from the table ALONE (no corpus
+    * pass, no stored vocab file): a single-codepoint piece's id is its
+    * Unicode codepoint; a merged piece's id is 0x110000 (one past the
+    * codepoint space, so the ranges can never collide) + the rank of
+    * the lowest-rank merge whose concatenation equals the piece. Any
+    * engine holding the same merges.txt derives the identical ids.
+    */
+  type IdMap = java.util.HashMap[String, java.lang.Long]
+
+  def idMapOf(ranks: Ranks): IdMap = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    ranks.forEach { (k: String, r: Integer) =>
+      val sp = k.indexOf(' ')
+      if (sp > 0) {
+        val tok = k.substring(0, sp) + k.substring(sp + 1)
+        val id = 0x110000L + r.longValue
+        val prev = m.get(tok)
+        if (prev == null || id < prev.longValue) m.put(tok, java.lang.Long.valueOf(id))
+      }
+    }
+    m
+  }
+
+  def idsEval(text: UTF8String, ranks: Ranks, ids: IdMap): ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    Whitespace.split(text.toString).foreach { w =>
+      if (w.nonEmpty) mergeWord(w, ranks).foreach { p =>
+        out += (if (p.codePointCount(0, p.length) == 1) p.codePointAt(0).toLong
+          else {
+            val v = ids.get(p)
+            if (v == null) -1L else v.longValue // unreachable for table-formed pieces
+          })
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** token IDS of `text` — what a trainer actually consumes. */
+  def pieceIds(text: Column): Column = pieceIds(text, defaultRanks)
+
+  def pieceIds(text: Column, ranks: Ranks): Column =
+    toColumn(BpeIdsK(toExpression(text), ranks))
+
   /** Inverse of [[markedPieces]]: concatenate and turn each ▁ marker
     * back into a word boundary. Round-trip invariant (spec- and
     * oracle-pinned): `detokenize(markedPieces(text)) == text` for any
@@ -291,6 +334,22 @@ case class BpePiecesK(child: Expression, ranks: Bpe.Ranks) extends UnaryExpressi
   }
   override protected def withNewChildInternal(newChild: Expression): BpePiecesK = copy(child = newChild)
   override def prettyName: String = "graft_bpe_pieces"
+}
+
+case class BpeIdsK(child: Expression, ranks: Bpe.Ranks) extends UnaryExpression {
+  // derived once per expression instance; rides into codegen as a
+  // reference object exactly like the ranks table itself
+  @transient private lazy val ids: Bpe.IdMap = Bpe.idMapOf(ranks)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Bpe.idsEval(input.asInstanceOf[UTF8String], ranks, ids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rref = ctx.addReferenceObj("bpeRanks", ranks, classOf[java.util.HashMap[String, Integer]].getName)
+    val iref = ctx.addReferenceObj("bpeIds", ids, classOf[java.util.HashMap[String, java.lang.Long]].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.Bpe.idsEval($c, $rref, $iref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeIdsK = copy(child = newChild)
+  override def prettyName: String = "graft_bpe_ids"
 }
 
 case class BpeMarkedPiecesK(child: Expression, ranks: Bpe.Ranks) extends UnaryExpression {

@@ -82,6 +82,10 @@ object GraftFunctions {
         BpeCountK(args(1), ranksFor(litStr(args(0), "graft_bpe_count_file", "path"))) },
       "graft_bpe_count_file(path, text) - BPE token count under the merges.txt at path " +
         "(literal; loaded once per path, so any model's table plugs into SQL)"),
+    ("graft_bpe_ids",
+      (args: Seq[Expression]) => { arity("graft_bpe_ids", args, 1)
+        BpeIdsK(args(0), Bpe.defaultRanks) },
+      "graft_bpe_ids(text) - BPE token ids (codepoint | 0x110000+merge-rank) under the shipped table"),
     ("graft_topk",
       (args: Seq[Expression]) => { arity("graft_topk", args, 3)
         TopKPairs(args(0), args(1), args(2)) },

@@ -2085,6 +2085,29 @@ object TrainingOps {
              |       AS BIGINT) AS freq_ppm
              |FROM d""".stripMargin)),
 
+    // ---- token IDS (what a trainer consumes): codepoint ids for
+    //      single-char pieces, 0x110000+merge-rank for merged pieces —
+    //      an id space derived from the table alone, no vocab file.
+    //      Exploded (doc_id, pos, id) so the hash covers order ----
+    "ta_piece_ids" -> Q(
+      (s, dir) =>
+        Tables(s, dir, "documents").select(col("doc_id"),
+            posexplode(graft.functions.Bpe.pieceIds(col("text"))).as(Seq("pos", "id")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"), col("id")),
+      Some(s"""WITH RECURSIVE $duckBpeCore,
+              |wp AS (SELECT word, min_by(toks, len(toks)) AS toks FROM bpe GROUP BY word),
+              |pos AS (SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws) + 1)) AS p FROM wl),
+              |docp AS (SELECT pos.doc_id, flatten(list(wp.toks ORDER BY pos.p)) AS pieces
+              |         FROM pos JOIN wp USING (word) GROUP BY pos.doc_id),
+              |im AS (SELECT replace(k, ' ', '') AS tok,
+              |         CAST(min(1114112 + r) AS BIGINT) AS id FROM mr GROUP BY 1),
+              |ex AS (SELECT doc_id, unnest(pieces) AS piece,
+              |         unnest(range(1, len(pieces) + 1)) AS pp FROM docp)
+              |SELECT ex.doc_id, CAST(ex.pp - 1 AS BIGINT) AS pos,
+              |  CAST(CASE WHEN length(ex.piece) = 1 THEN unicode(ex.piece)
+              |       ELSE COALESCE(im.id, -1) END AS BIGINT) AS id
+              |FROM ex LEFT JOIN im ON ex.piece = im.tok""".stripMargin)),
+
     // ---- tokenizer round-trip: detokenize(markedPieces(text)) must
     //      reproduce the text exactly for single-space-tokenized input
     //      (the invariant that makes the marked form a safe training

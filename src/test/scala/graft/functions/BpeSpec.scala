@@ -156,6 +156,32 @@ class BpeSpec extends SparkSpec {
     out.foreach { case (orig, back) => assert(back == orig, s"'$orig' -> '$back'") }
   }
 
+  test("piece ids: codepoints for singles, rank-offset for merges, count-consistent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "the table 漢 zq")).toDF("doc_id", "text")
+    val row = df.select(
+        Bpe.pieceIds($"text").as("ids"),
+        Bpe.pieces($"text").as("ps"),
+        Bpe.tokenCount($"text").as("n"))
+      .head()
+    val ids = row.getSeq[Long](0)
+    val ps = row.getSeq[String](1)
+    assert(ids.length == row.getLong(2) && ids.length == ps.length)
+    // ids and pieces are positionally consistent under the documented rule
+    val idMap = Bpe.idMapOf(Bpe.defaultRanks)
+    ps.zip(ids).foreach { case (p, id) =>
+      if (p.codePointCount(0, p.length) == 1)
+        assert(id == p.codePointAt(0).toLong, s"'$p' -> $id")
+      else {
+        assert(id >= 0x110000L, s"merged piece '$p' got codepoint-range id $id")
+        assert(id == idMap.get(p).longValue, s"'$p' -> $id")
+      }
+    }
+    // the two ranges cannot collide: codepoints < 0x110000 <= merge ids
+    assert(ids.forall(i => i >= 0))
+  }
+
   test("distributed training reproduces the shipped merge table from the corpus") {
     // the shipped 1024-merge table trains on the sf0.1 union corpus
     // (documents.text + part names/types + customer names + event
