@@ -43,6 +43,29 @@ object Decontaminate {
     flag(train, eval, idCol, textCol, n)
       .filter(!col("contaminated")).drop("contaminated")
 
+  /** STREAMING-composable flag: the eval gram set is collected once
+    * (guarded — eval sets are small by contract) and the per-doc check
+    * becomes a pure row-local `exists` over the doc's shingles — no
+    * join, no distinct, no state, so it drops into a `readStream`
+    * transform chain unchanged (the ingest-time decontamination shape:
+    * every arriving doc checked map-side against the benchmark set).
+    * Batch-driving equals [[flag]] exactly, which is how the oracle
+    * gates it. At 100 TB the corpus side is untouched either way; this
+    * variant trades [[flag]]'s broadcast JOIN for a broadcast SET —
+    * same bound, streaming-legal operators.
+    */
+  def flagStreaming(train: DataFrame, eval: DataFrame,
+                    idCol: String, textCol: String, n: Int = 13,
+                    maxEvalGrams: Long = 10000000L): DataFrame = {
+    val grams = Guards.assertBroadcastable(
+        eval.select(explode(TextFunctions.shingles(col(textCol), n)).as("g")).distinct(),
+        maxEvalGrams, "decontamination eval gram set")
+      .collect().map(_.getString(0)).toSet
+    train.withColumn("contaminated",
+      exists(array_distinct(TextFunctions.shingles(col(textCol), n)),
+        g => g.isInCollection(grams)))
+  }
+
   /** [[flag]] with a Bloom pre-filter — the 100 TB shape when the eval
     * n-gram set is large: a sketch of the eval grams (fpp-tunable, a
     * few MB instead of the gram strings) rides into a codegen

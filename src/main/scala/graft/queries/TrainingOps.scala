@@ -778,6 +778,30 @@ object TrainingOps {
              |SELECT doc_id, doc_id IN (SELECT doc_id FROM bad) AS contaminated
              |FROM documents WHERE doc_id % 97 <> 0""".stripMargin)),
 
+    // ---- streaming-composable decontamination: the eval grams become
+    //      a broadcast SET probed by a row-local exists — no join, no
+    //      distinct, no state, so the same code drops into a
+    //      readStream chain. Batch-drive == flag, shared oracle ----
+    "ta_decontaminate_stream" -> Q(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val eval = d.filter(pmod(col("doc_id"), lit(97)) === 0)
+        val train = d.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        graft.operators.Decontaminate.flagStreaming(train, eval, "doc_id", "text", n = 5)
+          .select(col("doc_id"), col("contaminated"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+             |shl AS (SELECT doc_id, CASE WHEN len(w) >= 5
+             |  THEN list_transform(range(1, len(w)-3), i -> array_to_string(w[i:i+4], ' '))
+             |  ELSE [] END AS s FROM tok),
+             |ev AS (SELECT DISTINCT unnest(s) AS g FROM shl WHERE doc_id % 97 = 0),
+             |bad AS (SELECT DISTINCT t.doc_id
+             |        FROM (SELECT doc_id, unnest(list_distinct(s)) AS g FROM shl
+             |              WHERE doc_id % 97 <> 0) t
+             |        JOIN ev USING (g))
+             |SELECT doc_id, doc_id IN (SELECT doc_id FROM bad) AS contaminated
+             |FROM documents WHERE doc_id % 97 <> 0""".stripMargin)),
+
     // ---- Bloom-prefiltered decontamination: identical result to
     //      ta_decontaminate (sketch hits are exactly confirmed; Bloom
     //      has no false negatives) with the corpus gram stream thinned

@@ -90,4 +90,35 @@ class DecontaminateSpec extends SparkSpec {
     assert(out(1L) == 4L * 1000000L / 7L)
     assert(out(2L) == 0L && out(3L) == 0L)
   }
+
+  test("flagStreaming runs on a real readStream and matches the batch flag") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("decon_stream").toString
+    val (inDir, outDir, cpDir) = (s"$root/in", s"$root/out", s"$root/cp")
+    new java.io.File(inDir).mkdirs()
+    val evalDocs = Seq((100L, "the quick brown fox jumps over a lazy dog")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix words then the quick brown fox jumps over something"),
+      (2L, "completely clean text with no overlap at all here today")
+    )
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$inDir/b1.json"),
+      train.map { case (i, t) => s"""{"doc_id":$i,"text":"$t"}""" }.mkString("\n"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).json(inDir)
+    val q = Decontaminate.flagStreaming(stream, evalDocs, "doc_id", "text", n = 5)
+      .select("doc_id", "contaminated")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", cpDir).outputMode("append").start()
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    val streamed = spark.read.parquet(outDir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val batch = Decontaminate.flag(train.toDF("doc_id", "text"), evalDocs,
+        "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(streamed == Map(1L -> true, 2L -> false), streamed.toString)
+    assert(streamed == batch)
+  }
 }
