@@ -93,13 +93,11 @@ object TrainingPipelineDemo {
     val c4 = clean.count()
 
     // 6. per-source cap: at most 20 best-quality docs per source (the
-    //    domain-balancing step; k-bounded aggregate, never a window)
-    val capped = clean.join(
-      Sampling.capPerGroup(
-          clean.withColumn("__q", TextFunctions.qualityScorePpm(col("text"))),
-          "source", col("__q"), "doc_id", k = 20)
-        .select("doc_id"),
-      "doc_id")
+    //    domain-balancing step), through the SQL surface — the same
+    //    k-bounded `graft_topk` aggregate `Sampling.capPerGroup` rides
+    //    (map-side partial combine, never a window), here as the SQL a
+    //    platform user would write
+    val capped = clean.join(sourceCapIds(spark, clean, k = 20), "doc_id")
     val c5 = capped.count()
 
     // 7. deterministic split + sorted layout per split
@@ -148,5 +146,25 @@ object TrainingPipelineDemo {
       "written-splits" -> written,
       "context-windows" -> nWindows,
       "scheduled-train-docs" -> cSched)
+  }
+
+  /** Stage-6 helper: the doc ids surviving the per-source cap, written
+    * as the SQL a platform user would — `graft_topk(ord, id, k)` +
+    * LATERAL VIEW explode. Identical plan to
+    * [[graft.operators.Sampling.capPerGroup]]: ObjectHashAggregate
+    * with a `partial_graft_topk` map-side phase, ≤ k entries per
+    * source per partition into the exchange, no window anywhere
+    * (pinned by TrainingPipelineDemoSpec).
+    */
+  def sourceCapIds(spark: SparkSession,
+                   docs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    docs.withColumn("__q", TextFunctions.qualityScorePpm(col("text")))
+      .createOrReplaceTempView("graft_demo_cap_in")
+    spark.sql(
+      s"""SELECT e.id AS doc_id
+         |FROM (SELECT source, graft_topk(__q, doc_id, $k) AS top
+         |      FROM graft_demo_cap_in GROUP BY source)
+         |LATERAL VIEW explode(top) t AS e""".stripMargin)
   }
 }

@@ -31,13 +31,39 @@ object TopK {
 
   import org.apache.spark.sql.graft.ColumnBridge.{toColumn, toExpression}
 
-  /** `topkPairs(ord, id, k)` as a Column aggregate. */
+  /** `topkPairs(ord, id, k)` as a Column aggregate (integer ord). */
   def topkPairs(ord: Column, id: Column, k: Int): Column = {
     require(k > 0, s"topkPairs: k must be positive, got $k")
     toColumn(TopKPairs(
         toExpression(ord.cast("long")), toExpression(id.cast("long")), Literal(k))
       .toAggregateExpression())
   }
+
+  /** `topkPairs` over a DOUBLE ord (cosine/inner-product scores): same
+    * k-bounded heap, ordering via the IEEE-754 sortable-bits total
+    * order — exact (no fixed-point rounding), identical to
+    * `java.lang.Double.compare` incl. NaN-largest, which is Spark's own
+    * sort order for doubles. This is the aggregate the ANN top-k paths
+    * ride instead of a per-query `row_number()` window.
+    */
+  def topkPairsDouble(ord: Column, id: Column, k: Int): Column = {
+    require(k > 0, s"topkPairsDouble: k must be positive, got $k")
+    toColumn(TopKPairs(
+        toExpression(ord.cast("double")), toExpression(id.cast("long")), Literal(k))
+      .toAggregateExpression())
+  }
+
+  /** Monotone bijection double → long: preserves `Double.compare` order
+    * (negatives flip their low 63 bits; NaN canonicalizes largest).
+    * Self-inverse.
+    */
+  @inline private[functions] def toSortable(d: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(d)
+    b ^ ((b >> 63) & Long.MaxValue)
+  }
+
+  @inline private[functions] def fromSortable(s: Long): Double =
+    java.lang.Double.longBitsToDouble(s ^ ((s >> 63) & Long.MaxValue))
 }
 
 /** Mutable k-bounded buffer: a binary min-heap whose root is the WORST
@@ -116,18 +142,26 @@ case class TopKPairs(
       s"graft_topk: k must be an integer literal, got $other")
   }
 
+  private def ordIsDouble: Boolean = ordExpr.dataType == DoubleType
+
   override def children: Seq[Expression] = Seq(ordExpr, idExpr, kExpr)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (ordExpr.dataType == LongType && idExpr.dataType == LongType &&
-        (kExpr.dataType == IntegerType || kExpr.dataType == LongType) && kExpr.foldable)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else
+    if (!((ordExpr.dataType == LongType || ordExpr.dataType == DoubleType) &&
+          idExpr.dataType == LongType &&
+          (kExpr.dataType == IntegerType || kExpr.dataType == LongType) && kExpr.foldable))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"graft_topk expects (bigint ord, bigint id, foldable int k), got " +
+        s"graft_topk expects (bigint|double ord, bigint id, foldable int k), got " +
           s"(${ordExpr.dataType.sql}, ${idExpr.dataType.sql}, ${kExpr.dataType.sql})")
+    else if (k <= 0)
+      // same contract as the Column API's require(k > 0) — a silent
+      // clamp-to-1 would make graft_topk(ord, id, 0) lie about its k
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_topk: k must be positive, got $k")
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
-    StructType(Seq(StructField("ord", LongType, nullable = false),
+    StructType(Seq(StructField("ord", ordExpr.dataType, nullable = false),
       StructField("id", LongType, nullable = false))),
     containsNull = false)
   override def prettyName: String = "graft_topk"
@@ -137,8 +171,12 @@ case class TopKPairs(
   override def update(buffer: TopKHeap, input: InternalRow): TopKHeap = {
     val o = ordExpr.eval(input)
     val i = idExpr.eval(input)
-    if (o != null && i != null)
-      buffer.add(o.asInstanceOf[Long], i.asInstanceOf[Long])
+    if (o != null && i != null) {
+      val ord =
+        if (ordIsDouble) TopK.toSortable(o.asInstanceOf[Double])
+        else o.asInstanceOf[Long]
+      buffer.add(ord, i.asInstanceOf[Long])
+    }
     buffer
   }
 
@@ -150,7 +188,7 @@ case class TopKPairs(
 
   override def eval(buffer: TopKHeap): Any =
     new GenericArrayData(buffer.sortedPairs.map { case (o, i) =>
-      InternalRow(o, i)
+      if (ordIsDouble) InternalRow(TopK.fromSortable(o), i) else InternalRow(o, i)
     }.asInstanceOf[Array[Any]])
 
   override def serialize(buffer: TopKHeap): Array[Byte] = {

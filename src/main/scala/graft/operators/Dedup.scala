@@ -238,8 +238,14 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with hamming ≤ `maxHamming` (≤ 3 for the
-    * 4-byte blocking to be lossless by pigeonhole). Blocked self-join on
-    * simhash bytes — exact result, linear pair generation.
+    * 4-byte blocking to be lossless by pigeonhole). Blocked self-join
+    * on simhash bytes — exact result; pair generation is linear PER
+    * BUCKET, but identical-fingerprint clusters share every block and
+    * emit m²/2 pairs from one reducer (measured 16× runtime at 8×
+    * corpus in SCALING.md). AUDIT/REFERENCE FORM for bounded corpora:
+    * production dedup should ride [[simhashPairsCollapsed]] /
+    * [[simhashPairs63Collapsed]], whose output is linear in cluster
+    * size with identical connected components.
     */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
@@ -267,11 +273,14 @@ object Dedup {
   final case class CcStats(propRounds: Int, switchedToStar: Boolean)
 
   /** [[simhashPairs]] on the 63-bit fingerprint — the corpus-scale
-    * variant: 16-bit blocks keep bucket occupancy ~n/65536 per block
-    * position where the 8-bit blocks of the 32-bit variant saturate at
-    * n/256 (quadratic candidates once the corpus outgrows a few
-    * thousand docs — measured 15× runtime at 8× corpus). Same exact
-    * hamming ≤ `maxHamming` contract, same plan shape.
+    * fingerprint: 16-bit blocks keep bucket occupancy ~n/65536 per
+    * block position where the 8-bit blocks of the 32-bit variant
+    * saturate at n/256 (quadratic candidates once the corpus outgrows
+    * a few thousand docs — measured 15× runtime at 8× corpus). Same
+    * exact hamming ≤ `maxHamming` contract, same plan shape — and the
+    * same identical-fingerprint caveat: linear per bucket, m²/2 pairs
+    * inside a byte-identical cluster (measured 11× at 8×). Audit form;
+    * production dedup rides [[simhashPairs63Collapsed]].
     */
   def simhashPairs63(
       df: DataFrame, idCol: String, textCol: String,
@@ -290,6 +299,41 @@ object Dedup {
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** [[simhashPairs]] (32-bit) with identical-fingerprint collapse —
+    * same construction as [[simhashPairs63Collapsed]] on the 32-bit
+    * fingerprint: docs group by full fingerprint, members star-pair to
+    * the group minimum (hamming 0), and the blocked join runs over
+    * DISTINCT fingerprints only. Closes the 32-bit family's measured
+    * 16×-at-8× blow-up while keeping connected components identical to
+    * [[simhashPairs]]'s; the 63-bit family remains the corpus-scale
+    * choice (8-bit blocks still saturate at n/256 DISTINCT prints).
+    */
+  def simhashPairsCollapsed(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-byte blocking is only lossless for hamming <= 3")
+    val sh = df.select(
+      col(idCol).as("doc"),
+      Hashing.simhash32(TextFunctions.shingles(col(textCol), n)).as("sh"))
+    val groups = sh.groupBy("sh").agg(min("doc").as("rep"), collect_list("doc").as("docs"))
+    val star = groups
+      .select(col("rep").as("da"), explode(col("docs")).as("db"))
+      .where(col("da") < col("db"))
+      .select(col("da"), col("db"), lit(0L).as("hamming"))
+    val reps = groups.select(col("rep").as("doc"), col("sh"))
+    val blocked = reps.select(col("doc"), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"), Hashing.simhashBlock(col("sh"), b).as("v"))): _*)).as("blk"))
+    val repPairs = blocked.as("a").join(blocked.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc") < col("b.doc"))
+      .select(
+        col("a.doc").as("da"), col("b.doc").as("db"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+    star.union(repPairs)
   }
 
   /** [[simhashPairs63]] with IDENTICAL-FINGERPRINT COLLAPSE — the
@@ -365,6 +409,25 @@ object Dedup {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Per-round plan-truncating snapshot for the iterative CC loops.
+    *
+    * `localCheckpoint` stores blocks only on executors — losing ONE
+    * executor mid-run (dynamic allocation decommission, spot preemption)
+    * makes the job unrecoverable, because the truncated lineage has no
+    * fallback. That trade is wrong for an operator pitched at 100 TB,
+    * so when the session has a RELIABLE checkpoint dir configured
+    * (`sparkContext.setCheckpointDir` — HDFS/object store), rounds
+    * snapshot through `DataFrame.checkpoint` instead: same
+    * plan-to-a-leaf truncation, survives executor loss. Without a
+    * checkpoint dir we keep the fast executor-local form (single-JVM
+    * bench, short-lived jobs). Long-running clusters should also set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` so
+    * superseded round files are reclaimed like the local blocks are.
+    */
+  private def snapshotRound(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
+
   /** [[connectedComponents]] plus [[CcStats]] — the stats make the
     * auto-switch observable to specs and operators dashboards.
     * `switchAfter` counts propagation rounds BEYOND the folded-in init
@@ -405,7 +468,7 @@ object Dedup {
     // under identical load).
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(first("src"), min("dst")).as("comp"))
-      .localCheckpoint(true)
+      .transform(snapshotRound)
     // labels decrease monotonically, so an unchanged label-sum IS the
     // fixpoint — one single-table agg per round instead of a self-join
     // diff (decimal sum: overflow-proof for arbitrary id magnitudes)
@@ -419,7 +482,7 @@ object Dedup {
         .select(edges("src").as("id"), col("comp"))
       val next = labels.select("id", "comp").union(viaNbr)
         .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint(true)
+        .transform(snapshotRound)
       val cur = checksum(next)
       labels = next
       converged = cur == prev
@@ -487,7 +550,7 @@ object Dedup {
     var edges = pairs
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint(true)
+      .transform(snapshotRound)
     var prev = checksum(edges)
     var converged = false
     var i = 0
@@ -507,7 +570,7 @@ object Dedup {
           explode(array_union(col("nbrs"), array(col("u")))).as("w"))
         .select(col("w").as("a"), col("m").as("b"))
         .filter(col("a") =!= col("b")).distinct()
-        .localCheckpoint(true)
+        .transform(snapshotRound)
       val cur = checksum(small)
       edges = small
       converged = cur == prev
@@ -521,7 +584,7 @@ object Dedup {
         struct(col("b").as("id"), col("b").as("comp")))).as("p"))
       .select("p.id", "p.comp")
       .groupBy("id").agg(min("comp").as("comp"))
-      .localCheckpoint(true)
+      .transform(snapshotRound)
   }
 
   /** Cross-document repeated spans — the exact-substring dedup signal

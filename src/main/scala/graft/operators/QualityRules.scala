@@ -97,6 +97,12 @@ object QualityRules {
       .agg(count(lit(1)).as("n_words"), sum("__cnt").as("sum_freq"))
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("n_words"), col("sum_freq"),
-        expr("(sum_freq * 1000000) DIV (n_words * __n)").as("freq_ppm"))
+        // numerator through decimal(38,0): sum_freq is bounded only by
+        // n_words × hottest-word count, so int64 × 1e6 wraps silently
+        // past ~9.2e12 (long docs of stopwords on a trillion-token
+        // corpus). DIV on decimals still returns BIGINT — same dtype,
+        // same values wherever int64 didn't overflow.
+        expr("(CAST(sum_freq AS DECIMAL(38,0)) * 1000000) " +
+          "DIV (CAST(n_words AS DECIMAL(38,0)) * __n)").as("freq_ppm"))
   }
 }

@@ -1,10 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Kernels
+import graft.functions.{Kernels, TopK}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`).
@@ -29,6 +28,43 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(norm2(a) * norm2(b))
 
+  /** Rows a broadcast query/probe set may hold before the guard fails
+    * loud — the [[Guards.assertBroadcastable]] contract shared with
+    * fuzzy-match. Ids must be integral (they ride the long-keyed
+    * k-bounded heap, like every keep rule in the library).
+    */
+  private val MaxBroadcastProbes = 100000L
+
+  /** Final k-selection shared by every ANN path: `groupBy(qid)` over
+    * the k-bounded [[TopK.topkPairsDouble]] aggregate instead of a
+    * `row_number() OVER (PARTITION BY qid)` window. The window funnels
+    * each probe's FULL candidate list — the whole corpus for the exact
+    * paths, ≈ nProbe/nList × corpus for IVF — through ONE task's sort
+    * before dropping all but k; the aggregate combines map-side, so
+    * each partition ships ≤ k candidates per probe to the exchange and
+    * no task ever holds more than k entries per probe. Tie rule
+    * unchanged (ord DESC, id ASC — sortable-bits double order ==
+    * Spark's own). Output matches the window form: (qid, rank 1..k,
+    * nid).
+    */
+  private def selectTopK(scored: DataFrame, ordCol: String, k: Int): DataFrame =
+    scored.groupBy("qid")
+      .agg(TopK.topkPairsDouble(col(ordCol), col("nid"), k).as("__tk"))
+      .select(col("qid"), posexplode(col("__tk")).as(Seq("__pos", "__p")))
+      .select(col("qid"), (col("__pos") + 1).as("rank"), col("__p.id").as("nid"))
+
+  /** The `nProbe` highest-scoring list ids from an [[Kernels.ivfScores]]
+    * array, computed ROW-LOCALLY: ascending `array_sort` over
+    * struct(−s, c) = (s DESC, c ASC — the shared probe tie rule) on an
+    * nList-length array, then slice. Replaces a posexplode + per-probe
+    * window — probe-list selection now needs no shuffle at all.
+    */
+  private def topProbeLists(scores: Column, nProbe: Int): Column =
+    transform(
+      slice(array_sort(transform(scores, (s, c) => struct((-s).as("ns"), c.as("c")))),
+        1, nProbe),
+      p => p.getField("c"))
+
   /** Exact top-k: for each query vector, the k nearest corpus vectors
     * by cosine (descending, id tie-break). Query side is broadcast.
     */
@@ -36,16 +72,16 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     // norms are computed once per side before the pair join, not per pair
-    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
-      norm2(col(vecCol)).as("qnrm")))
+    val q = broadcast(Guards.assertBroadcastable(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        norm2(col(vecCol)).as("qnrm")),
+      MaxBroadcastProbes, "bruteForceTopK query set"))
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
       norm2(col(vecCol)).as("nnrm"))
     val scored = q.join(c, col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         (dot(col("qvec"), col("nvec")) / sqrt(col("qnrm") * col("nnrm"))).as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("qid", "rank", "nid")
+    selectTopK(scored, "cos", k)
   }
 
   /** deterministic ±1 hyperplane weight for (plane p, dim d). */
@@ -145,8 +181,10 @@ object Similarity {
   def int8TopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(quantizeInt8(queries, idCol, vecCol)
-      .select(col("id").as("qid"), col("q").as("qq"), col("qnrm").as("qn")))
+    val q = broadcast(Guards.assertBroadcastable(
+      quantizeInt8(queries, idCol, vecCol)
+        .select(col("id").as("qid"), col("q").as("qq"), col("qnrm").as("qn")),
+      MaxBroadcastProbes, "int8TopK query set"))
     val c = quantizeInt8(corpus, idCol, vecCol)
       .select(col("id").as("nid"), col("q").as("nq"), col("qnrm").as("nn"))
     val intDot = aggregate(
@@ -156,9 +194,7 @@ object Similarity {
         when(col("qn") === 0 || col("nn") === 0, lit(-2d))
           .otherwise(intDot.cast("double") / sqrt((col("qn") * col("nn")).cast("double")))
           .as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("qid", "rank", "nid")
+    selectTopK(scored, "cos", k)
   }
 
   // ---- product quantization (Jégou, Douze, Schmid 2011: "Product
@@ -230,13 +266,13 @@ object Similarity {
              m: Int = 4, ksub: Int = 8): DataFrame = {
     val cb = pqCodebooks(corpus, idCol, vecCol, m, ksub)
     val enc = pqEncode(corpus, idCol, vecCol, cb)
-    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")))
+    val q = broadcast(Guards.assertBroadcastable(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")),
+      MaxBroadcastProbes, "pqTopK query set"))
     val c = enc.select(col("id").as("nid"), pqReconstruct(col("pq_code"), cb).as("rvec"))
     val scored = q.join(c, col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), dot(col("qvec"), col("rvec")).as("ip"))
-    val w = Window.partitionBy("qid").orderBy(col("ip").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("qid", "rank", "nid")
+    selectTopK(scored, "ip", k)
   }
 
   /** IVFADC (the Jégou et al. 2011 deployment shape): IVF coarse
@@ -280,18 +316,13 @@ object Similarity {
       zip_with(col("cvec"), pqReconstruct(array(codeCols: _*), cb),
         (a, b) => (a.cast("double") + b.cast("double")).cast("float")).as("rvec"))
 
-    val pw = Window.partitionBy("id").orderBy(col("s").desc, col("c").asc)
-    val p = probes.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .select(col("id"), col("vec"),
-        posexplode(Kernels.ivfScores(col("vec"), unit)).as(Seq("c", "s")))
-      .withColumn("pr", row_number().over(pw)).filter(col("pr") <= nProbe)
-      .select(col("id").as("qid"), col("vec").as("qvec"), col("c").as("list"))
+    val p = probes.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .select(col("qid"), col("qvec"),
+        explode(topProbeLists(Kernels.ivfScores(col("qvec"), unit), nProbe)).as("list"))
 
     val cand = p.join(enc, Seq("list")).filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), dot(col("qvec"), col("rvec")).as("ip"))
-    val w = Window.partitionBy("qid").orderBy(col("ip").desc, col("nid").asc)
-    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("qid", "rank", "nid")
+    selectTopK(cand, "ip", k)
   }
 
   /** Quantization scale for the centroid update: float coordinates are
@@ -413,21 +444,15 @@ object Similarity {
       .withColumn("nnrm", norm2(col("nvec")))
     // per-query probe lists: the nProbe highest-cosine centroids
     // (unit-normalized, so plain dots order identically to cosines;
-    // ties → lowest list index)
-    val pw = Window.partitionBy("id").orderBy(col("s").desc, col("c").asc)
-    val p = probes.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .select(col("id"), col("vec"),
-        posexplode(Kernels.ivfScores(col("vec"), unit)).as(Seq("c", "s")))
-      .withColumn("pr", row_number().over(pw)).filter(col("pr") <= nProbe)
-      .select(col("id").as("qid"), col("vec").as("qvec"),
-        norm2(col("vec")).as("qnrm"), col("c").as("list"))
+    // ties → lowest list index), selected row-locally — no shuffle
+    val p = probes.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .select(col("qid"), col("qvec"), norm2(col("qvec")).as("qnrm"),
+        explode(topProbeLists(Kernels.ivfScores(col("qvec"), unit), nProbe)).as("list"))
 
     val cand = p.join(c, Seq("list")).filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         (dot(col("qvec"), col("nvec")) / sqrt(col("qnrm") * col("nnrm"))).as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
-    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("qid", "rank", "nid")
+    selectTopK(cand, "cos", k)
   }
 
   /** Two-table ANN join (retrieval shape): each probe row gets its top-k
@@ -472,9 +497,7 @@ object Similarity {
     val scored = cand.join(qv, "qid").join(nv, "nid")
       .select(col("qid"), col("nid"),
         (dot(col("qvec"), col("nvec")) / sqrt(col("qnrm") * col("nnrm"))).as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("qid", "rank", "nid")
+    selectTopK(scored, "cos", k)
   }
 
   /** ANN top-k via LSH buckets + exact re-rank of candidates.
@@ -494,8 +517,6 @@ object Similarity {
         struct(col("ida").as("qid"), col("idb").as("nid"), col("cos")),
         struct(col("idb").as("qid"), col("ida").as("nid"), col("cos")))).as("p"))
       .select(col("p.qid").as("qid"), col("p.nid").as("nid"), col("p.cos").as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
-    sym.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("qid", "rank", "nid")
+    selectTopK(sym, "cos", k)
   }
 }

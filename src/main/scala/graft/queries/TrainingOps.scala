@@ -63,15 +63,34 @@ object TrainingOps {
       |    ELSE [] END AS s
       |  FROM tok)""".stripMargin
 
-  /** Absolute path of the shipped merges.txt — the SAME file
-    * [[graft.functions.Bpe.defaultRanks]] loads as a classpath
-    * resource, so the Spark kernel and the DuckDB oracle read one
-    * source of truth. File-loaded (not an inline MAP literal) so the
-    * oracle scales with the table: at 1k+ merges an inlined literal
-    * bloats every query string and re-parses per query.
+  /** Path of a temp-file copy of the merges.txt CLASSPATH RESOURCE —
+    * the exact bytes [[graft.functions.Bpe.defaultRanks]] parsed, so
+    * the Spark kernel and the DuckDB oracle provably share one merge
+    * table even when the app runs from a packaged jar (a hardcoded
+    * source-tree path could silently diverge from a stale classpath
+    * copy). File-loaded (not an inline MAP literal) so the oracle
+    * scales with the table: at 1k+ merges an inlined literal bloats
+    * every query string and re-parses per query.
     */
-  private val bpeMergesPath =
-    "/root/repo/src/main/resources/graft/bpe_merges.txt"
+  private lazy val bpeMergesPath: String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val in = graft.functions.Bpe.getClass.getResourceAsStream("/graft/bpe_merges.txt")
+    require(in != null, "classpath resource /graft/bpe_merges.txt missing")
+    val bytes = try in.readAllBytes() finally in.close()
+    // CONTENT-ADDRESSED, not deleted on exit: the oracle SQL string
+    // outlives this JVM (the driver runs it in DuckDB after Verify
+    // exits), and the hash in the name makes a stale copy impossible
+    val hex = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+      .take(8).map("%02x".format(_)).mkString
+    val f = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_bpe_merges_$hex.txt")
+    if (!Files.exists(f)) {
+      val tmp = Files.createTempFile("graft_bpe_merges", ".tmp")
+      Files.write(tmp, bytes)
+      try Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException => Files.delete(tmp) }
+    }
+    f.toString
+  }
 
   /** DuckDB CTEs loading the merge table from [[bpeMergesPath]] into a
     * MAP (`mt.mm`): rank = order of lines after dropping blanks and the
@@ -1292,6 +1311,27 @@ object TrainingOps {
               |  CASE WHEN list_sum(list_transform(h, x ->
               |         CASE WHEN ((37+101*j)*x + 7+139*j) % 1000000007 * 2 < 1000000007
               |              THEN 1 ELSE -1 END)) > 0
+              |       THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)), 0) v FROM hs),
+              |g AS (SELECT v, min(doc_id) AS rep FROM sh GROUP BY v),
+              |star AS (SELECT g.rep AS da, s.doc_id AS db, CAST(0 AS BIGINT) AS hamming
+              |         FROM sh s JOIN g USING (v) WHERE s.doc_id > g.rep),
+              |reps AS (SELECT rep AS doc_id, v FROM g),
+              |rp AS (SELECT a.doc_id AS da, b.doc_id AS db,
+              |         CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming
+              |       FROM reps a JOIN reps b ON a.doc_id < b.doc_id
+              |       WHERE bit_count(xor(a.v, b.v)) <= 3)
+              |SELECT da, db, hamming FROM star UNION ALL SELECT da, db, hamming FROM rp""".stripMargin)),
+
+    // ---- 32-bit collapse: closes the 32-bit family's measured
+    //      16x-at-8x identical-fingerprint blow-up the same way ----
+    "dd_simhash_collapsed32" -> Q(
+      (s, dir) =>
+        Dedup.simhashPairsCollapsed(Tables(s, dir, "documents"), "doc_id", "text",
+          n = 3, maxHamming = 3),
+      Some(s"""WITH $duckShingles,
+              |hs AS (SELECT doc_id, list_transform(s, t -> ${duckCharHash("t")}) h FROM shl),
+              |sh AS (SELECT doc_id, COALESCE(list_sum(list_transform(range(0,32), j ->
+              |  CASE WHEN list_sum(list_transform(h, x -> ((x >> j) & 1)*2 - 1)) > 0
               |       THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)), 0) v FROM hs),
               |g AS (SELECT v, min(doc_id) AS rep FROM sh GROUP BY v),
               |star AS (SELECT g.rep AS da, s.doc_id AS db, CAST(0 AS BIGINT) AS hamming

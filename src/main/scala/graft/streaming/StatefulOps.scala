@@ -595,43 +595,86 @@ object StatefulOps {
   implicit val topKRowEnc: Encoder[TopKRow] = Encoders.product[TopKRow]
 
   /** Per-key transition for [[streamingTopK]]: fold the micro-batch
-    * into the k-bounded heap ([[graft.functions.TopKHeap]] — the SAME
-    * eviction rule as the batch aggregate) and emit the key's CURRENT
+    * into a k-bounded leaderboard (same eviction rule as the batch
+    * aggregate: best = ord DESC, id ASC) and emit the key's CURRENT
     * top-k, best-first. Emissions are per-batch snapshots (a
     * leaderboard, not a delta); batch-driving the whole corpus in one
     * batch therefore equals [[graft.operators.Sampling.capPerGroup]]
-    * exactly. State is ≤ k (ord, id) pairs per key — bounded by
-    * construction, no TTL needed for the state size.
+    * exactly. Unlike the batch aggregate, membership is per-ID: a
+    * re-delivered event (at-least-once sources re-emit ids across
+    * micro-batches) updates its resident entry if it beats it instead
+    * of occupying a second slot and evicting a distinct doc. State is
+    * ≤ k (ord, id) pairs per key; PER-KEY size is bounded by
+    * construction, but KEY CARDINALITY is not — `ttlMs` expires idle
+    * keys like every sibling op (the open-web-domain leaderboard would
+    * otherwise accrete state forever).
     */
   def topKGroup(key: String, rows: Iterator[KeyedOrd], state: GroupState[TopKState],
-                k: Int): Iterator[TopKRow] = {
-    val heap = new graft.functions.TopKHeap(k)
-    state.getOption.foreach(_.pairs.foreach { case (o, i) => heap.add(o, i) })
-    rows.foreach(e => heap.add(e.ord, e.id))
-    val best = heap.sortedPairs.toList
-    state.update(TopKState(best))
-    best.iterator.map { case (o, i) => TopKRow(key, o, i) }
-  }
+                k: Int, ttlMs: Long = 0L): Iterator[TopKRow] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      // worst-first tree + id index: O(log k) per arrival, O(k) memory
+      val worstFirst: Ordering[(Long, Long)] = new Ordering[(Long, Long)] {
+        def compare(a: (Long, Long), b: (Long, Long)): Int = {
+          val c = java.lang.Long.compare(a._1, b._1) // ord ASC
+          if (c != 0) c else java.lang.Long.compare(b._2, a._2) // id DESC
+        }
+      }
+      val byId = scala.collection.mutable.HashMap.empty[Long, Long]
+      val tree = scala.collection.mutable.TreeSet.empty[(Long, Long)](worstFirst)
+      state.getOption.foreach(_.pairs.foreach { case (o, i) =>
+        byId(i) = o; tree += ((o, i))
+      })
+      rows.foreach { e =>
+        byId.get(e.id) match {
+          case Some(o) =>
+            if (e.ord > o) { // same id: keep its best observation
+              tree -= ((o, e.id)); tree += ((e.ord, e.id)); byId(e.id) = e.ord
+            }
+          case None =>
+            if (byId.size < k) {
+              byId(e.id) = e.ord; tree += ((e.ord, e.id))
+            } else {
+              val worst = tree.head
+              if (worst._1 < e.ord || (worst._1 == e.ord && worst._2 > e.id)) {
+                tree -= worst; byId -= worst._2
+                byId(e.id) = e.ord; tree += ((e.ord, e.id))
+              }
+            }
+        }
+      }
+      val best = tree.toList.reverse // best-first: ord DESC, id ASC
+      state.update(TopKState(best))
+      if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+      best.iterator.map { case (o, i) => TopKRow(key, o, i) }
+    }
 
   /** Streaming leaderboard: the incremental form of
     * [[graft.operators.Sampling.capPerGroup]] — per key, the best k
     * rows by (ord DESC, id ASC) seen so far, re-emitted as a snapshot
-    * every micro-batch. Same k-bounded heap as the batch aggregate,
-    * so state is O(k) per key and a hot key costs O(log k) per
-    * arrival, never a sort.
+    * every micro-batch. State is O(k) per key, a hot key costs
+    * O(log k) per arrival (never a sort), re-delivered ids update
+    * their resident entry instead of double-counting, and `ttlMs`
+    * (processing-time, like every sibling stateful op) expires keys
+    * idle past it — per-key state is bounded by construction but key
+    * cardinality is only bounded by the TTL.
     */
   def streamingTopK(df: org.apache.spark.sql.DataFrame,
                     keyCol: String, ordCol: org.apache.spark.sql.Column,
-                    idCol: String, k: Int): Dataset[TopKRow] = {
+                    idCol: String, k: Int, ttlMs: Long = 0L): Dataset[TopKRow] = {
     import org.apache.spark.sql.functions.col
+    val timeout =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     df.select(col(keyCol).cast("string").as("key"),
         ordCol.cast("long").as("ord"), col(idCol).cast("long").as("id"))
       .as[KeyedOrd]
       .groupByKey(_.key)
       .flatMapGroupsWithState[TopKState, TopKRow](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout) {
         (key: String, rows: Iterator[KeyedOrd], state: GroupState[TopKState]) =>
-          topKGroup(key, rows, state, k)
+          topKGroup(key, rows, state, k, ttlMs)
       }
   }
 

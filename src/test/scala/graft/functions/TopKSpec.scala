@@ -58,6 +58,50 @@ class TopKSpec extends SparkSpec {
     assert(p.contains("Exchange hashpartitioning(source"), s"no source-keyed exchange:\n$p")
   }
 
+  test("sortable-bits double mapping preserves Double.compare order and round-trips") {
+    val vals = Seq(Double.NegativeInfinity, -1e300, -2.5, -1e-300, -0.0, 0.0,
+      1e-300, 2.5, 1e300, Double.PositiveInfinity, Double.NaN)
+    for (a <- vals; b <- vals) {
+      assert(java.lang.Long.compare(TopK.toSortable(a), TopK.toSortable(b)).sign ==
+        java.lang.Double.compare(a, b).sign, s"order mismatch at ($a, $b)")
+    }
+    for (v <- vals if !v.isNaN)
+      assert(TopK.fromSortable(TopK.toSortable(v)) == v ||
+        (v == 0.0 && TopK.fromSortable(TopK.toSortable(v)) == 0.0), s"round-trip broke $v")
+    assert(TopK.fromSortable(TopK.toSortable(Double.NaN)).isNaN)
+  }
+
+  test("topkPairsDouble equals the window rank, negative and tied scores included") {
+    val s = spark
+    import s.implicits._
+    // scores cross zero and collide; ties must break id ASC like the window
+    val df = (1L to 500L).map(i => (i, ((i % 13).toDouble - 6.0) / 7.0)).toDF("id", "cos")
+      .withColumn("qid", lit(1L))
+    val got = df.groupBy("qid")
+      .agg(TopK.topkPairsDouble(col("cos"), col("id"), 25).as("tk"))
+      .select(explode(col("tk")).as("p")).select("p.ord", "p.id")
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    val want = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id").asc)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 25)
+        .orderBy("rn").select("cos", "id")
+        .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    }
+    assert(got == want)
+  }
+
+  test("graft_topk rejects k <= 0 on the SQL route, same contract as the Column API") {
+    GraftFunctions.register(spark)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("docs_topk_k0")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT graft_topk(n_chars, doc_id, 0) FROM docs_topk_k0 GROUP BY source").collect()
+    }
+    assert(e.getMessage.contains("k must be positive"), e.getMessage)
+  }
+
   test("graft_topk works through the SQL registration route") {
     GraftFunctions.register(spark)
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

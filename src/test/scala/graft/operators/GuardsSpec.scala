@@ -26,6 +26,17 @@ class GuardsSpec extends SparkSpec {
     assert(e.getMessage.contains("50"), e.getMessage)
   }
 
+  test("ANN query-side broadcast is guarded: an oversized query set fails loudly") {
+    import org.apache.spark.sql.functions._
+    // 100001 one-dim vectors — one past the ANN broadcast contract
+    val big = spark.range(100001L).toDF("vec_id")
+      .withColumn("embedding", array(lit(1.0f)))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(big, big, "vec_id", "embedding", k = 2).collect()
+    }
+    assert(e.getMessage.contains("bruteForceTopK query set"), e.getMessage)
+  }
+
   test("the guard job itself is bounded: it never counts past maxRows + 1") {
     val s = spark
     import s.implicits._

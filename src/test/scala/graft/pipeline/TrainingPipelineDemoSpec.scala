@@ -29,6 +29,16 @@ class TrainingPipelineDemoSpec extends SparkSpec {
     assert(counts("scheduled-train-docs") == train)
   }
 
+  test("the SQL source-cap stage rides the k-bounded aggregate, not a window") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ids = TrainingPipelineDemo.sourceCapIds(spark, docs, k = 20)
+    ids.collect()
+    val p = ids.queryExecution.executedPlan.toString
+    assert(p.contains("partial_graft_topk"), s"no map-side partial top-k:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"not an object-hash aggregate:\n$p")
+    assert(!p.contains("Window"), s"source cap fell back to a window rank:\n$p")
+  }
+
   test("the pipeline is deterministic across runs") {
     val a = TrainingPipelineDemo.run(spark, "/root/testdata/sf0.001",
       Files.createTempDirectory("graft-demo-a").toString)

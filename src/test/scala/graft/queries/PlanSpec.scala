@@ -141,6 +141,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_ivf_scores"), s"probe-scores kernel missing:\n$p")
   }
 
+  test("every ANN top-k selection is the k-bounded aggregate, never a per-probe window") {
+    // row_number() OVER (PARTITION BY qid) sorts each probe's FULL
+    // candidate list (whole corpus for the exact paths) in ONE task —
+    // the hot-key straggler TopKPairs exists to kill. The aggregate
+    // combines map-side: ≤ k candidates per probe per partition reach
+    // the exchange. Probe-list selection (IVF) is row-local array_sort,
+    // so the whole ANN family carries zero Window operators.
+    for (name <- Seq("ann_topk_bruteforce", "ann_int8_topk", "ann_pq_topk",
+        "ann_ivfpq_topk", "ann_ivf", "ann_ivf_join",
+        "ann_lsh_bucketed", "ann_lsh_capped", "ann_lsh_join")) {
+      val p = executedPlanOf(name)
+      assert(p.contains("partial_graft_topk"), s"$name: no map-side partial top-k:\n$p")
+      assert(!p.contains("Window"), s"$name: per-probe window selection remains:\n$p")
+    }
+  }
+
   test("dd_components: group sizes come from an aggregate + join, not a per-component window") {
     // a window partitioned on comp funnels a mega-component into one
     // reducer at scale; groupBy+join keeps the size side

@@ -539,6 +539,40 @@ class StatefulOpsSpec extends SparkSpec {
     assert(state.get.pairs == List((9L, 1L), (8L, 9L), (7L, 2L)))
   }
 
+  test("streaming top-k: re-delivered id updates its slot, never double-counts; TTL expires") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    def st(pairs: List[(Long, Long)], timedOut: Boolean = false) =
+      TestGroupState.create[TopKState](
+        optionalState = org.apache.spark.api.java.Optional.of(TopKState(pairs)),
+        timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+        batchProcessingTimeMs = 1000L,
+        eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(),
+        hasTimedOut = timedOut)
+    // id 2 re-delivered with a WORSE ord: must not evict the distinct
+    // id 3 from the k=3 board (the at-least-once double-count bug)
+    val s1 = st(List((9L, 1L), (7L, 2L), (5L, 3L)))
+    val out1 = topKGroup("src", Iterator(KeyedOrd("src", 6L, 2L)), s1, k = 3, ttlMs = 60000L).toList
+    assert(out1 == List(TopKRow("src", 9L, 1L), TopKRow("src", 7L, 2L), TopKRow("src", 5L, 3L)),
+      out1.toString)
+    // id 2 re-delivered BETTER: updates its own entry in place
+    val s2 = st(List((9L, 1L), (7L, 2L), (5L, 3L)))
+    val out2 = topKGroup("src", Iterator(KeyedOrd("src", 11L, 2L)), s2, k = 3, ttlMs = 60000L).toList
+    assert(out2 == List(TopKRow("src", 11L, 2L), TopKRow("src", 9L, 1L), TopKRow("src", 5L, 3L)),
+      out2.toString)
+    // same id twice WITHIN a batch occupies one slot
+    val s3 = st(Nil)
+    val out3 = topKGroup("src", Iterator(
+        KeyedOrd("src", 4L, 7L), KeyedOrd("src", 8L, 7L), KeyedOrd("src", 2L, 5L)),
+      s3, k = 2, ttlMs = 60000L).toList
+    assert(out3 == List(TopKRow("src", 8L, 7L), TopKRow("src", 2L, 5L)), out3.toString)
+    // timed-out key: state removed, nothing emitted
+    val timed = st(List((9L, 1L)), timedOut = true)
+    assert(topKGroup("src", Iterator(KeyedOrd("src", 3L, 4L)), timed, k = 3, ttlMs = 60000L).isEmpty)
+    assert(timed.isRemoved)
+    // live path re-arms the timeout
+    assert(s1.getTimeoutTimestampMs.isPresent)
+  }
+
   test("streaming top-k batch-drive equals the batch capPerGroup") {
     val s = spark
     import s.implicits._
