@@ -249,6 +249,67 @@ object ScaleProbe {
       }
     }
 
+    // ANN serving shape (the r7 selection rewrite): per-probe top-k
+    // selection must scale with candidate volume ≈ probes × corpus ×
+    // nProbe/nList. Two curves:
+    //  (a) hot-probe: ONE probe × growing corpus, SAME materialized
+    //      candidate frame selected via the shipped k-bounded
+    //      graft_topk aggregate vs the pre-r7 row_number() window —
+    //      the window funnels the probe's whole candidate list
+    //      (nProbe/nList × corpus rows) through one task's sort, the
+    //      aggregate partial-combines to k rows per partition;
+    //  (b) probe-batch: the SHIPPED ivfJoin end-to-end at 1/32/1024
+    //      probes on a fixed corpus — index build is the constant
+    //      term, probe-side cost must grow ~linearly in probes and
+    //      never concentrate in one task.
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.Similarity
+      import graft.functions.{Kernels, TopK}
+      def synthEmb(n: Long) = spark.range(n).select(
+        col("id").as("vec_id"),
+        expr("transform(sequence(0, 15), j -> " +
+          "CAST(((id * 31 + j * 7919) % 1000 - 500) / 500.0 AS FLOAT))").as("embedding"))
+        .localCheckpoint(true)
+      for (m <- Seq(1, 2, 8)) {
+        val corpus = synthEmb(32000L * m)
+        val unit = Similarity.unitNorm(
+          Similarity.ivfCentroids(corpus, "vec_id", "embedding", nList = 16, iters = 2))
+        // one probe's candidate list, materialized once so the two
+        // selections time ONLY the selection
+        val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+          .withColumn("list", Kernels.ivfAssign(col("nvec"), unit))
+        val pLists = corpus.filter(col("vec_id") === 3L)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+            posexplode(Kernels.ivfScores(col("embedding"), unit)).as(Seq("c", "s")))
+          .orderBy(col("s").desc, col("c").asc).limit(4)
+          .select(col("qid"), col("qvec"), col("c").as("list"))
+        val cand = pLists.join(c, Seq("list")).filter(col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"),
+            Kernels.vecDot(col("qvec"), col("nvec")).as("cos"))
+          .localCheckpoint(true)
+        val nCand = cand.count()
+        val tAgg = time(cand.groupBy("qid")
+          .agg(TopK.topkPairsDouble(col("cos"), col("nid"), 10).as("tk"))
+          .select(explode(col("tk"))).count())
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+        val tWin = time(cand.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10).count())
+        println(f"[scale] annsel ${m}x cand=$nCand%8d agg=$tAgg%6.2f s  window=$tWin%6.2f s")
+      }
+      locally {
+        val corpus = synthEmb(256000L)
+        for (p <- Seq(1, 32, 1024)) {
+          val probes = corpus.filter(pmod(col("vec_id"), lit(256000L / p)) === 3L)
+            .localCheckpoint(true)
+          val np = probes.count()
+          val t = time(Similarity.ivfJoin(probes, corpus, "vec_id", "embedding",
+            k = 10, nList = 16, nProbe = 4).count())
+          println(f"[scale] annserve probes=$np%5d ivfJoin=$t%6.2f s")
+        }
+      }
+    }
+
     // k-bounded top-k vs window rank on ONE hot key: both scan n rows,
     // but the window funnels the hot key through a single task's sort
     // while the aggregate partial-combines to k rows per partition

@@ -61,6 +61,30 @@ object Sampling {
                      den: Int = 1000000, seed: Int = 0): DataFrame =
     df.filter(hashBucket(col(keyCol), den, seed) < weightUnits)
 
+  /** Epoch-aware mixture: per-source repeat factors in PPM OF EPOCHS
+    * (2_500_000 = 2.5 epochs), the up-sampling recipe of modern LLM
+    * data mixes (small high-quality sources repeat; the fractional
+    * epoch is a hash-selected subset, not a random one). Every row is
+    * emitted floor(f) times, plus once more iff
+    * `hashBucket(key) < frac_ppm` — so re-runs, task retries, and
+    * engines emit the IDENTICAL multiset, and the fractional subset is
+    * growth-stable (a new doc never flips an old doc's copy count).
+    * Output: (key, group, copy 0..n−1) — a map-side explode, no
+    * shuffle, no rand(). Sources with f < 1 are a strict hash-subset —
+    * the same operator downsamples.
+    */
+  def mixtureByEpochs(df: DataFrame, keyCol: String, groupCol: String,
+                      epochsPpmOf: Column => Column, seed: Int = 0): DataFrame =
+    df.select(col(keyCol), col(groupCol))
+      .withColumn("__ppm", epochsPpmOf(col(groupCol)).cast("long"))
+      .withColumn("__n",
+        expr("__ppm DIV 1000000") +
+          when(hashBucket(col(keyCol), 1000000, seed) < pmod(col("__ppm"), lit(1000000L)),
+            lit(1L)).otherwise(lit(0L)))
+      .filter(col("__n") > 0)
+      .select(col(keyCol), col(groupCol),
+        explode(sequence(lit(0L), col("__n") - 1)).as("copy"))
+
   /** Corpus mixture sampling by token budget: per group (data source),
     * keep rows in key-hash order until the group's cumulative token
     * count reaches its budget — how a training mix hits target

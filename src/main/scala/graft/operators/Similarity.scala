@@ -275,6 +275,82 @@ object Similarity {
     selectTopK(scored, "ip", k)
   }
 
+  /** Two-stage retrieval — the production serving pattern: a cheap PQ
+    * (ADC) shortlist of `shortlist` candidates per probe, then an
+    * EXACT cosine re-rank of only those. Full-precision corpus vectors
+    * are read for shortlist rows only — an id-keyed hash join of
+    * |probes|·shortlist rows against the corpus — so exact-grade
+    * ranking costs O(probes·shortlist·dim) bandwidth instead of the
+    * brute-force O(probes·corpus·dim): the composition that makes
+    * exact quality affordable once the corpus outgrows executor
+    * memory. Both stages select through the k-bounded aggregate.
+    */
+  def pqRerankTopK(queries: DataFrame, corpus: DataFrame,
+                   idCol: String, vecCol: String, k: Int,
+                   shortlist: Int = 50, m: Int = 4, ksub: Int = 8): DataFrame = {
+    require(shortlist >= k, s"pqRerankTopK: shortlist $shortlist must be >= k $k")
+    val short = pqTopK(queries, corpus, idCol, vecCol, shortlist, m, ksub)
+      .select(col("qid"), col("nid"))
+    // queries were guarded inside pqTopK already; re-broadcast is free
+    val qv = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      norm2(col(vecCol)).as("qnrm")))
+    val nv = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+      norm2(col(vecCol)).as("nnrm"))
+    val scored = short.join(nv, "nid").join(qv, "qid")
+      .select(col("qid"), col("nid"),
+        (dot(col("qvec"), col("nvec")) / sqrt(col("qnrm") * col("nnrm"))).as("cos"))
+    selectTopK(scored, "cos", k)
+  }
+
+  /** Incremental IVF index maintenance — the continuous-ingest shape:
+    * the quantizer stays FROZEN (trained once on the existing corpus;
+    * a broadcast-sized model), an incoming batch is assigned to its
+    * lists in one map-side kernel pass (no retrain, no corpus
+    * re-shuffle), and the output is the per-list occupancy ledger
+    * (existing vs incoming counts) — the drift signal an operator
+    * watches to decide when list skew warrants a re-train (the
+    * nList ∝ corpus sizing rule measured in SCALING.md).
+    */
+  def ivfAppendStats(corpus: DataFrame, incoming: DataFrame,
+                     idCol: String, vecCol: String,
+                     nList: Int = 16, iters: Int = 2): DataFrame = {
+    val unit = unitNorm(ivfCentroids(corpus, idCol, vecCol, nList, iters))
+    def lists(df: DataFrame) = df
+      .select(Kernels.ivfAssign(col(vecCol), unit).as("list"))
+    val before = lists(corpus).groupBy("list").agg(count(lit(1)).as("n_corpus"))
+    val after = lists(incoming).groupBy("list").agg(count(lit(1)).as("n_incoming"))
+    // nList-sized frames — the join is model-sized regardless of corpus
+    before.join(after, Seq("list"), "full_outer")
+      .select(col("list"),
+        coalesce(col("n_corpus"), lit(0L)).as("n_corpus"),
+        coalesce(col("n_incoming"), lit(0L)).as("n_incoming"))
+  }
+
+  /** Embedding-space outlier prune: rows whose cosine to their own
+    * nearest IVF centroid falls below `minCos` — far-from-every-
+    * cluster vectors are the garbage/mislabeled-embedding signal
+    * (encoder failures, zero pads, wrong-modality rows) that SemDeDup
+    * and ANN recall both degrade on. One kernel pass per row (the
+    * nearest-centroid score is `array_max` over the score vector — no
+    * join, no shuffle; the quantizer is the same broadcast model every
+    * IVF op shares). Zero-norm vectors are always outliers (cos
+    * undefined; scored −2 like [[int8TopK]]'s guard). Output:
+    * (id, cos_c) for outliers only — engine-exact doubles, so an
+    * external SQL oracle reproduces the exact row set.
+    */
+  def centroidOutliers(df: DataFrame, idCol: String, vecCol: String,
+                       nList: Int = 16, iters: Int = 2,
+                       minCos: Double = 0.2): DataFrame = {
+    val unit = unitNorm(ivfCentroids(df, idCol, vecCol, nList, iters))
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("__best", array_max(Kernels.ivfScores(col("vec"), unit)))
+      .withColumn("__nrm", norm2(col("vec")))
+      .withColumn("cos_c", when(col("__nrm") === 0d, lit(-2d))
+        .otherwise(col("__best") / sqrt(col("__nrm"))))
+      .filter(col("cos_c") < minCos)
+      .select(col("id"), col("cos_c"))
+  }
+
   /** IVFADC (the Jégou et al. 2011 deployment shape): IVF coarse
     * quantizer prunes the search to `nProbe` lists per probe, and
     * within a list the corpus is scored through PQ codes of the

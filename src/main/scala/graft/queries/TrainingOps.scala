@@ -632,6 +632,23 @@ object TrainingOps {
     //      damps head sources, boosts the tail. Budgets re-derive
     //      exactly in SQL (sqrt is IEEE-correctly-rounded on both
     //      engines; the z fold runs in lexicographic source order) ----
+    // ---- epoch-aware mixture: per-source repeat factors in ppm of
+    //      epochs (even-numbered sources 2.5 epochs, odd 0.7) — every
+    //      doc emits floor(f) copies plus a hash-selected extra for
+    //      the fraction; map-side explode, no rand(), no shuffle ----
+    "ta_mixture_epochs" -> Q(
+      (s, dir) =>
+        Sampling.mixtureByEpochs(Tables(s, dir, "documents"), "doc_id", "source",
+          src => when(pmod(regexp_extract(src, "(\\d+)", 1).cast("long"), lit(2)) === 0,
+            lit(2500000L)).otherwise(lit(700000L))),
+      Some("""WITH d AS (SELECT doc_id, source,
+             |  CASE WHEN CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 2 = 0
+             |       THEN 2500000 ELSE 700000 END AS ppm FROM documents),
+             |n AS (SELECT doc_id, source, CAST(ppm // 1000000
+             |  + CASE WHEN ((doc_id % 1000000007) * 37 + 7) % 1000000007 % 1000000
+             |         < ppm % 1000000 THEN 1 ELSE 0 END AS BIGINT) AS n FROM d)
+             |SELECT doc_id, source, unnest(range(0, n)) AS copy FROM n WHERE n > 0""".stripMargin)),
+
     "ta_mixture_temperature" -> Q(
       (s, dir) => {
         val d = Tables(s, dir, "documents")
@@ -1808,6 +1825,120 @@ object TrainingOps {
               |rk AS (SELECT qid, nid,
               |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM cand)
               |SELECT qid, rank, nid FROM rk WHERE rank <= 5""".stripMargin)),
+
+    // ---- two-stage retrieval: PQ (ADC) shortlist of 50 per probe,
+    //      then an EXACT cosine re-rank of only those — the serving
+    //      composition that reads full-precision vectors for shortlist
+    //      rows only. Oracle = the ann_pq_topk index CTEs, shortlist
+    //      cut, exact re-rank ----
+    "ann_rerank" -> Q(
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        Similarity.pqRerankTopK(e.filter(col("vec_id") < 20), e,
+          "vec_id", "embedding", k = 10, shortlist = 50, m = 4, ksub = 8)
+      },
+      Some(s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+              |train AS (SELECT id, vec FROM v
+              |          ORDER BY ((id % 1000000007) * 1103515245 + 12345) % 1000000007, id
+              |          LIMIT 100000),
+              |${duckPqSubspace("p0", 1, 16, 8)},
+              |${duckPqSubspace("p1", 17, 32, 8)},
+              |${duckPqSubspace("p2", 33, 48, 8)},
+              |${duckPqSubspace("p3", 49, 64, 8)},
+              |recon AS (
+              |  SELECT p0rec.id, p0rec.rvec || p1rec.rvec || p2rec.rvec || p3rec.rvec AS rvec
+              |  FROM p0rec JOIN p1rec USING (id) JOIN p2rec USING (id) JOIN p3rec USING (id)),
+              |probes AS (SELECT id AS qid, vec AS qvec FROM v WHERE id < 20),
+              |cand AS (
+              |  SELECT p.qid, r.id AS nid,
+              |    list_sum(list_transform(list_zip(p.qvec, r.rvec),
+              |      z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) AS ip
+              |  FROM probes p JOIN recon r ON p.qid <> r.id),
+              |rk AS (SELECT qid, nid,
+              |  row_number() OVER (PARTITION BY qid ORDER BY ip DESC, nid ASC) AS rank FROM cand),
+              |short AS (SELECT qid, nid FROM rk WHERE rank <= 50),
+              |nrm AS (SELECT id, list_sum(list_transform(vec, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nrm FROM v),
+              |ex AS (
+              |  SELECT sh.qid, sh.nid,
+              |    list_sum(list_transform(list_zip(p.qvec, n.vec),
+              |      z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / sqrt(nq.nrm * nn.nrm) AS cos
+              |  FROM short sh JOIN probes p USING (qid) JOIN v n ON sh.nid = n.id
+              |  JOIN nrm nq ON sh.qid = nq.id JOIN nrm nn ON sh.nid = nn.id),
+              |rk2 AS (SELECT qid, nid,
+              |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM ex)
+              |SELECT qid, rank, nid FROM rk2 WHERE rank <= 10""".stripMargin)),
+
+    // ---- incremental IVF maintenance: the quantizer trains on the
+    //      EXISTING corpus only and stays frozen; the incoming batch
+    //      (vec_id % 10 = 0, the dd_incremental split) is assigned in
+    //      one map-side kernel pass; output is the per-list occupancy
+    //      ledger (the re-train drift signal) ----
+    "ann_ivf_append" -> Q(
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        Similarity.ivfAppendStats(
+          e.filter(pmod(col("vec_id"), lit(10)) =!= 0),
+          e.filter(pmod(col("vec_id"), lit(10)) === 0),
+          "vec_id", "embedding", nList = 16)
+      },
+      Some(s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+              |cv AS (SELECT id, vec FROM v WHERE id % 10 <> 0),
+              |train AS (SELECT id, vec FROM cv
+              |          ORDER BY ((id % 1000000007) * 1103515245 + 12345) % 1000000007, id
+              |          LIMIT 100000),
+              |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS c, vec
+              |       FROM (SELECT id, vec FROM train ORDER BY id LIMIT 16)),
+              |${duckIvfIter(0)},
+              |${duckIvfIter(1)},
+              |uf AS (
+              |  SELECT c, CASE WHEN nrm = 0 THEN vec
+              |    ELSE list_transform(vec, x -> CAST(CAST(x AS DOUBLE) / sqrt(nrm) AS REAL)) END AS uvec
+              |  FROM (SELECT c, vec,
+              |          list_sum(list_transform(vec, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nrm
+              |        FROM c2)),
+              |vs AS (
+              |  SELECT v.id, u.c,
+              |    row_number() OVER (PARTITION BY v.id
+              |      ORDER BY list_sum(list_transform(list_zip(v.vec, u.uvec),
+              |        p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))) DESC, u.c ASC) AS rn
+              |  FROM v CROSS JOIN uf u)
+              |SELECT CAST(c AS INT) AS list,
+              |  CAST(count(*) FILTER (WHERE id % 10 <> 0) AS BIGINT) AS n_corpus,
+              |  CAST(count(*) FILTER (WHERE id % 10 = 0) AS BIGINT) AS n_incoming
+              |FROM vs WHERE rn = 1 GROUP BY 1""".stripMargin)),
+
+    // ---- embedding outlier prune: cosine to the nearest IVF centroid
+    //      below threshold = garbage/mislabeled embedding; one kernel
+    //      pass, no join. Oracle re-learns the quantizer and takes the
+    //      max dot over unit centroids ----
+    "ta_outlier_filter" -> Q(
+      (s, dir) =>
+        Similarity.centroidOutliers(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding", nList = 16, minCos = 0.2)
+          .select(col("id").as("vec_id"), col("cos_c")),
+      Some(s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+              |train AS (SELECT id, vec FROM v
+              |          ORDER BY ((id % 1000000007) * 1103515245 + 12345) % 1000000007, id
+              |          LIMIT 100000),
+              |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS c, vec
+              |       FROM (SELECT id, vec FROM train ORDER BY id LIMIT 16)),
+              |${duckIvfIter(0)},
+              |${duckIvfIter(1)},
+              |uf AS (
+              |  SELECT c, CASE WHEN nrm = 0 THEN vec
+              |    ELSE list_transform(vec, x -> CAST(CAST(x AS DOUBLE) / sqrt(nrm) AS REAL)) END AS uvec
+              |  FROM (SELECT c, vec,
+              |          list_sum(list_transform(vec, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nrm
+              |        FROM c2)),
+              |sc AS (SELECT v.id,
+              |  max(list_sum(list_transform(list_zip(v.vec, u.uvec),
+              |    z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)))) AS best
+              |  FROM v CROSS JOIN uf u GROUP BY v.id),
+              |nrm AS (SELECT id, list_sum(list_transform(vec, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nrm FROM v)
+              |SELECT s.id AS vec_id,
+              |  CASE WHEN n.nrm = 0 THEN -2.0 ELSE s.best / sqrt(n.nrm) END AS cos_c
+              |FROM sc s JOIN nrm n ON s.id = n.id
+              |WHERE CASE WHEN n.nrm = 0 THEN -2.0 ELSE s.best / sqrt(n.nrm) END < 0.2""".stripMargin)),
 
     // ---- SemDeDup (Abbas et al. 2023): semantic dedup through the
     //      SAME deterministic IVF quantizer — cluster, pair within

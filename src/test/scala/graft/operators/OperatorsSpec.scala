@@ -373,6 +373,58 @@ class OperatorsSpec extends SparkSpec {
     assert(recall > 0.1, s"PQ recall $recall")
   }
 
+  test("PQ rerank: exact re-rank beats raw PQ recall; full shortlist equals brute force") {
+    val probes = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(probes, emb, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // shortlist >= corpus: every candidate re-ranked exactly -> must
+    // EQUAL brute force rank-for-rank (the rerank stage is exact)
+    val full = Similarity.pqRerankTopK(probes, emb, "vec_id", "embedding",
+        k = 10, shortlist = 600)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(full == exact, "full-shortlist rerank must equal brute force")
+    // at shortlist=50 the rerank's recall dominates raw PQ's (the
+    // exact stage can only fix ranks within the shortlist, never hurt)
+    val exactIds = exact.map(t => (t._1, t._3))
+    def recallOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+        .intersect(exactIds).size.toDouble / exactIds.size
+    val rawPq = recallOf(Similarity.pqTopK(probes, emb, "vec_id", "embedding", 10))
+    val rerank = recallOf(Similarity.pqRerankTopK(probes, emb, "vec_id", "embedding",
+      k = 10, shortlist = 50))
+    assert(rerank >= rawPq, s"rerank recall $rerank < raw PQ recall $rawPq")
+  }
+
+  test("IVF append stats: frozen-quantizer ledger partitions both sides over the lists") {
+    import org.apache.spark.sql.functions._
+    val corpus = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+    val incoming = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+    val stats = Similarity.ivfAppendStats(corpus, incoming, "vec_id", "embedding", nList = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(stats.map(_._2).sum == corpus.count(), "every corpus row in exactly one list")
+    assert(stats.map(_._3).sum == incoming.count(), "every incoming row in exactly one list")
+    assert(stats.forall(s => s._1 >= 0 && s._1 < 16))
+    // deterministic: the frozen model assigns identically on re-run
+    val again = Similarity.ivfAppendStats(corpus, incoming, "vec_id", "embedding", nList = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(stats.toSet == again.toSet)
+  }
+
+  test("centroid outliers: zero vectors always flagged, centroid-aligned vectors never") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // 40 vectors on one direction (their centroid), 1 zero vector,
+    // 1 near-orthogonal stray
+    val rows = (1L to 40L).map(i => (i, Seq(1f, 0f, 0f, 0f))) ++
+      Seq((98L, Seq(0f, 0f, 0f, 0f)), (99L, Seq(0.01f, 1f, 0f, 0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.centroidOutliers(df, "vec_id", "embedding", nList = 2, minCos = 0.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out.contains(98L) && out(98L) == -2.0, s"zero vector not flagged: $out")
+    assert(!(1L to 40L).exists(out.contains), s"aligned vectors flagged: $out")
+  }
+
   test("IVFADC top-k has useful recall and beats or matches plain PQ's candidate scope") {
     val probes = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(probes, emb, "vec_id", "embedding", 5)

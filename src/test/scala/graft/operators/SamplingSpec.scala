@@ -121,6 +121,39 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("epoch mixture: copies are floor(f) or floor(f)+1, hash-exact, subset when f<1") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // scattered keys: consecutive small ids all land in the same low
+    // hash band (the affine hash is linear), which would make the
+    // fractional cut degenerate
+    val df = (1L to 1000L).map(i => (i * 2654435761L, if (i % 2 == 0) "even" else "odd"))
+      .toDF("doc_id", "source")
+    val ppmOf = (src: org.apache.spark.sql.Column) =>
+      when(src === "even", lit(2500000L)).otherwise(lit(700000L))
+    val out = Sampling.mixtureByEpochs(df, "doc_id", "source", ppmOf)
+      .groupBy("doc_id", "source").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // per-doc copy count is floor(f) or floor(f)+1 for its source
+    assert(out.filter(_._2 == "even").forall(r => r._3 == 2 || r._3 == 3))
+    assert(out.filter(_._2 == "odd").forall(r => r._3 == 1))
+    // the fractional subset is EXACTLY the hash predicate, not approximate
+    val extraEven = out.count(r => r._2 == "even" && r._3 == 3)
+    val predEven = df.filter(col("source") === "even")
+      .filter(Sampling.hashBucket(col("doc_id"), 1000000, 0) < 500000).count()
+    assert(extraEven.toLong == predEven, s"hash-selected extras $extraEven != $predEven")
+    // f < 1 downsamples: odd docs with f=0.7 emit 0 or 1 copies, a
+    // strict hash-subset of the odd keys
+    val oddKept = out.filter(_._2 == "odd").map(_._1).toSet
+    assert(oddKept.size < 500, s"f=0.7 must drop some odd docs, kept ${oddKept.size}")
+    // deterministic multiset across runs
+    val again = Sampling.mixtureByEpochs(df, "doc_id", "source", ppmOf)
+      .groupBy("doc_id", "source").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSet == again.toSet)
+  }
+
   test("weight-proportional sampling: deterministic, monotone in weight, exact at the edges") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
