@@ -1940,6 +1940,99 @@ object TrainingOps {
               |FROM sc s JOIN nrm n ON s.id = n.id
               |WHERE CASE WHEN n.nrm = 0 THEN -2.0 ELSE s.best / sqrt(n.nrm) END < 0.2""".stripMargin)),
 
+    // ---- embed-free topic clustering (hashing trick + the shared
+    //      deterministic Lloyd): feature-hashed bag-of-words vectors,
+    //      8 topics over a 64-dim hash space — the corpus-balance
+    //      label that needs no encoder pass. Oracle re-derives the
+    //      feature vectors word-by-word and re-learns the quantizer ----
+    "ta_topics" -> Q(
+      (s, dir) =>
+        graft.operators.Topics.topicClusters(Tables(s, dir, "documents"),
+            "doc_id", "text", nTopics = 8, dim = 64)
+          .select(col("id").as("doc_id"), col("topic")),
+      Some(s"""WITH wl AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+              |wq AS (SELECT doc_id, unnest(ws) AS word FROM wl),
+              |hx AS (SELECT doc_id, ${duckShingleKey("word")} AS h FROM wq),
+              |fe AS (SELECT doc_id, CAST(h % 64 AS INT) AS i,
+              |       CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS s FROM hx),
+              |fa AS (SELECT doc_id, i, CAST(sum(s) AS BIGINT) AS v FROM fe GROUP BY 1, 2),
+              |fm AS (SELECT doc_id, map(list(i ORDER BY i), list(v ORDER BY i)) AS m
+              |       FROM fa GROUP BY doc_id),
+              |v AS (SELECT doc_id AS id, list_transform(range(0, 64), i ->
+              |       CAST(COALESCE(m[CAST(i AS INT)][1], 0) AS REAL)) AS vec FROM fm),
+              |train AS (SELECT id, vec FROM v
+              |          ORDER BY ((id % 1000000007) * 1103515245 + 12345) % 1000000007, id
+              |          LIMIT 100000),
+              |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS c, vec
+              |       FROM (SELECT id, vec FROM train ORDER BY id LIMIT 8)),
+              |${duckIvfIter(0)},
+              |${duckIvfIter(1)},
+              |uf AS (
+              |  SELECT c, CASE WHEN nrm = 0 THEN vec
+              |    ELSE list_transform(vec, x -> CAST(CAST(x AS DOUBLE) / sqrt(nrm) AS REAL)) END AS uvec
+              |  FROM (SELECT c, vec,
+              |          list_sum(list_transform(vec, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nrm
+              |        FROM c2)),
+              |vs AS (
+              |  SELECT v.id, u.c,
+              |    row_number() OVER (PARTITION BY v.id
+              |      ORDER BY list_sum(list_transform(list_zip(v.vec, u.uvec),
+              |        p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))) DESC, u.c ASC) AS rn
+              |  FROM v CROSS JOIN uf u)
+              |SELECT id AS doc_id, CAST(c AS INT) AS topic FROM vs WHERE rn = 1""".stripMargin)),
+
+    // ---- topic-balanced curation: k best docs per TOPIC by quality
+    //      (capPerGroup keyed on the learned topic — the k-bounded
+    //      aggregate, never a window) ----
+    "ta_topic_balance" -> Q(
+      (s, dir) =>
+        graft.operators.Topics.topicBalancedSample(Tables(s, dir, "documents"),
+          "doc_id", "text",
+          graft.functions.TextFunctions.qualityScorePpm(col("text")), k = 15,
+          nTopics = 8, dim = 64),
+      Some(s"""WITH wl AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+              |wq AS (SELECT doc_id, unnest(ws) AS word FROM wl),
+              |hx AS (SELECT doc_id, ${duckShingleKey("word")} AS h FROM wq),
+              |fe AS (SELECT doc_id, CAST(h % 64 AS INT) AS i,
+              |       CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS s FROM hx),
+              |fa AS (SELECT doc_id, i, CAST(sum(s) AS BIGINT) AS v FROM fe GROUP BY 1, 2),
+              |fm AS (SELECT doc_id, map(list(i ORDER BY i), list(v ORDER BY i)) AS m
+              |       FROM fa GROUP BY doc_id),
+              |v AS (SELECT doc_id AS id, list_transform(range(0, 64), i ->
+              |       CAST(COALESCE(m[CAST(i AS INT)][1], 0) AS REAL)) AS vec FROM fm),
+              |train AS (SELECT id, vec FROM v
+              |          ORDER BY ((id % 1000000007) * 1103515245 + 12345) % 1000000007, id
+              |          LIMIT 100000),
+              |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS c, vec
+              |       FROM (SELECT id, vec FROM train ORDER BY id LIMIT 8)),
+              |${duckIvfIter(0)},
+              |${duckIvfIter(1)},
+              |uf AS (
+              |  SELECT c, CASE WHEN nrm = 0 THEN vec
+              |    ELSE list_transform(vec, x -> CAST(CAST(x AS DOUBLE) / sqrt(nrm) AS REAL)) END AS uvec
+              |  FROM (SELECT c, vec,
+              |          list_sum(list_transform(vec, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nrm
+              |        FROM c2)),
+              |vs AS (
+              |  SELECT v.id, u.c,
+              |    row_number() OVER (PARTITION BY v.id
+              |      ORDER BY list_sum(list_transform(list_zip(v.vec, u.uvec),
+              |        p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))) DESC, u.c ASC) AS rn
+              |  FROM v CROSS JOIN uf u),
+              |tp AS (SELECT id, CAST(c AS INT) AS topic FROM vs WHERE rn = 1),
+              |q AS (SELECT doc_id AS id,
+              |  CAST((least(len(regexp_extract_all(text,'\\S+')), 100)
+              |    * (len(regexp_extract_all(text,'\\S+'))
+              |       - len(list_filter(string_split(text,' '),
+              |           w -> w IN ('the','a','of','to','and','in','or','is'))))
+              |    * 1000000)
+              |  // (100 * len(regexp_extract_all(text,'\\S+'))) AS BIGINT) AS ord
+              |  FROM documents),
+              |rk AS (SELECT tp.id, tp.topic, q.ord,
+              |  row_number() OVER (PARTITION BY tp.topic ORDER BY q.ord DESC, tp.id ASC) AS rn
+              |  FROM tp JOIN q USING (id))
+              |SELECT id, topic, ord FROM rk WHERE rn <= 15""".stripMargin)),
+
     // ---- SemDeDup (Abbas et al. 2023): semantic dedup through the
     //      SAME deterministic IVF quantizer — cluster, pair within
     //      cluster above eps, connected components, keep the member
