@@ -130,4 +130,37 @@ object Decontaminate {
       .drop("__id")
       .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
   }
+
+  /** Graded contamination: instead of [[flag]]'s binary verdict, the
+    * FRACTION of each train doc's distinct `n`-grams that appear in the
+    * eval set — reported as exact integer parts-per-million
+    * (`hits·10⁶ DIV n_grams`, so both engines agree bit-for-bit). The
+    * graded score is what leakage POLICY needs: a 13-gram hit from a
+    * ubiquitous idiom should down-weight, not delete, while a doc whose
+    * grams are 40% benchmark text is a verbatim leak (GPT-3 appendix C
+    * and PaLM §C both use overlap thresholds, not any-hit).
+    *
+    * Same 100 TB shape as [[flag]]: eval grams broadcast, the corpus is
+    * never shuffled except the per-doc-id hit count (partial-agg count
+    * on the id the data is already narrow in). Docs too short to have
+    * any n-gram score 0.
+    */
+  def overlapScore(train: DataFrame, eval: DataFrame,
+                   idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    val evalGrams = broadcast(
+      eval.select(explode(TextFunctions.shingles(col(textCol), n)).as("g")).distinct())
+    val hits = train
+      .select(col(idCol).as("__id"),
+        explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("g"))
+      .join(evalGrams, Seq("g"), "left_semi")
+      .groupBy("__id").agg(count(lit(1)).as("__hits"))
+    train
+      .select(col(idCol),
+        size(array_distinct(TextFunctions.shingles(col(textCol), n))).cast("long").as("n_grams"))
+      .join(hits, col(idCol) === col("__id"), "left")
+      .drop("__id")
+      .withColumn("hits", coalesce(col("__hits"), lit(0L))).drop("__hits")
+      .withColumn("hit_ppm",
+        when(col("n_grams") > 0, expr("hits * 1000000 DIV n_grams")).otherwise(lit(0L)))
+  }
 }
