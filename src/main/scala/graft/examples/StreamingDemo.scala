@@ -53,7 +53,12 @@ object StreamingDemo {
       .parquet(sfDir)
       .select(
         concat(col("event_type"), lit(":"), col("event_id")).cast("string").as("payload"),
-        timestamp_micros(expr("ts DIV 1000")).as("created"),
+        // same ts-encoding tolerance as queries.Tables (nanos-long vs
+        // TIMESTAMP/NTZ testdata generations)
+        (schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts DIV 1000"))
+          case _ => col("ts").cast(org.apache.spark.sql.types.TimestampType)
+        }).as("created"),
         lit(false).as("recovery"))
 
     val running = StreamingPipeline.run(

@@ -44,7 +44,7 @@ object Dedup {
         max(struct(col(tsCol).as("ts"), col(tieCol).as("id"))).as("m"),
         count(lit(1)).as("n_versions"))
       .select(keys.map(col) ++ Seq(
-        expr("unix_micros(m.ts) DIV 1000").as("last_ms"),
+        graft.functions.EpochTime.epochMillis(col("m.ts")).as("last_ms"),
         col("m.id").as("last_id"),
         col("n_versions")): _*)
 

@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.EpochTime.epochSeconds
+
 /** Temporal joins the reference lacks entirely (SURVEY §2.6) but a
   * training-data/observability pipeline needs: as-of (point-in-time)
   * join.
@@ -87,8 +89,8 @@ object Temporal {
           .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         val fwd = first(col("__rv"), ignoreNulls = true)
           .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing))
-        val db = col("__ts").cast("long") - col("__b").getField("__rts").cast("long")
-        val df = col("__f").getField("__rts").cast("long") - col("__ts").cast("long")
+        val db = epochSeconds(col("__ts")) - epochSeconds(col("__b").getField("__rts"))
+        val df = epochSeconds(col("__f").getField("__rts")) - epochSeconds(col("__ts"))
         union.withColumn("__b", bwd).withColumn("__f", fwd)
           .withColumn("__rv",
             when(col("__b").isNull, col("__f"))
@@ -102,11 +104,12 @@ object Temporal {
       else union.withColumn("__rv",
         last(col("__rv"), ignoreNulls = true)
           .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val rts = col("__rv").getField("__rts").cast("long")
+    val rts = epochSeconds(col("__rv").getField("__rts"))
+    val lts = epochSeconds(col("__ts"))
     val staleness =
-      if (nearest) greatest(col("__ts").cast("long") - rts, rts - col("__ts").cast("long"))
-      else if (forward) rts - col("__ts").cast("long")
-      else col("__ts").cast("long") - rts
+      if (nearest) greatest(lts - rts, rts - lts)
+      else if (forward) rts - lts
+      else lts - rts
     val bounded = toleranceSeconds.fold(carried)(tol =>
       carried.withColumn("__rv", when(staleness <= tol, col("__rv"))))
     bounded.filter(col("__side") === leftSide)
@@ -145,13 +148,13 @@ object Temporal {
       maxBucketsPerInterval: Option[Long] = None): DataFrame = {
     val b = lit(bucketSeconds)
     def nBuckets(df: DataFrame) =
-      (df(endCol).cast("long") / b).cast("long") - (df(startCol).cast("long") / b).cast("long") + 1
+      (epochSeconds(df(endCol)) / b).cast("long") - (epochSeconds(df(startCol)) / b).cast("long") + 1
     val normals = maxBucketsPerInterval.fold(intervals)(m => intervals.filter(nBuckets(intervals) <= m))
     val iv = normals.withColumn("__bucket",
       explode(sequence(
-        (col(startCol).cast("long") / b).cast("long"),
-        (col(endCol).cast("long") / b).cast("long"))))
-    val pt = points.withColumn("__bucket", (col(tsCol).cast("long") / b).cast("long"))
+        (epochSeconds(col(startCol)) / b).cast("long"),
+        (epochSeconds(col(endCol)) / b).cast("long"))))
+    val pt = points.withColumn("__bucket", (epochSeconds(col(tsCol)) / b).cast("long"))
     val bucketedJoin = pt.join(iv, pt("__bucket") === iv("__bucket") &&
         pt(tsCol) >= iv(startCol) && pt(tsCol) <= iv(endCol))
       .drop(pt("__bucket")).drop(iv("__bucket"))
@@ -190,11 +193,11 @@ object Temporal {
       maxBucketsPerInterval: Option[Long] = None): DataFrame = {
     val b = lit(bucketSeconds)
     def nBuckets(df: DataFrame, s: String, e: String) =
-      (df(e).cast("long") / b).cast("long") - (df(s).cast("long") / b).cast("long") + 1
+      (epochSeconds(df(e)) / b).cast("long") - (epochSeconds(df(s)) / b).cast("long") + 1
     def bucketed(df: DataFrame, s: String, e: String) = df.withColumn("__bucket",
       explode(sequence(
-        (col(s).cast("long") / b).cast("long"),
-        (col(e).cast("long") / b).cast("long"))))
+        (epochSeconds(col(s)) / b).cast("long"),
+        (epochSeconds(col(e)) / b).cast("long"))))
     def overlaps(lDf: DataFrame, rDf: DataFrame) =
       lDf(lStartCol) <= rDf(rEndCol) && rDf(rStartCol) <= lDf(lEndCol)
     def bucketedJoin(lDf: DataFrame, rDf: DataFrame) = {
@@ -202,7 +205,7 @@ object Temporal {
       val r = bucketed(rDf, rStartCol, rEndCol)
       l.join(r,
           l("__bucket") === r("__bucket") && overlaps(l, r) &&
-            l("__bucket") === (greatest(l(lStartCol).cast("long"), r(rStartCol).cast("long")) / b).cast("long"))
+            l("__bucket") === (greatest(epochSeconds(l(lStartCol)), epochSeconds(r(rStartCol))) / b).cast("long"))
         .drop(l("__bucket")).drop(r("__bucket"))
     }
     maxBucketsPerInterval match {

@@ -280,7 +280,7 @@ object Relational {
         val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
         val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val e = Tables(s, dir, "events")
-          .withColumn("sec", col("ts").cast("long"))
+          .withColumn("sec", graft.functions.EpochTime.epochSeconds(col("ts")))
           .withColumn("gap", col("sec") - lag("sec", 1).over(w))
           .withColumn("newisland",
             when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
@@ -436,7 +436,7 @@ object Relational {
       (s, dir) => {
         val w = Window.partitionBy("user_id").orderBy("event_id")
         Tables(s, dir, "events")
-          .withColumn("sec", col("ts").cast("long"))
+          .withColumn("sec", graft.functions.EpochTime.epochSeconds(col("ts")))
           .withColumn("gap", col("sec") - lag("sec", 1).over(w))
           .withColumn("newsess",
             when(col("gap").isNull || col("gap") > 1800, 1).otherwise(0))

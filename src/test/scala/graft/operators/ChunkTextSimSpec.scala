@@ -103,8 +103,7 @@ class ChunkTextSimSpec extends SparkSpec {
 
   test("keepLatest plan is a single hash aggregation (no window sort)") {
     val plan = Dedup.keepLatest(
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000"))),
+      graft.queries.Tables(spark, dir, "events"),
       Seq("user_id", "event_type"), "ts", "event_id")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"expected no window operator:\n$plan")
