@@ -140,13 +140,20 @@ object Decontaminate {
     * grams are 40% benchmark text is a verbatim leak (GPT-3 appendix C
     * and PaLM §C both use overlap thresholds, not any-hit).
     *
-    * Same 100 TB shape as [[flag]]: eval grams broadcast, the corpus is
-    * never shuffled except the per-doc-id hit count (partial-agg count
-    * on the id the data is already narrow in). Docs too short to have
-    * any n-gram score 0.
+    * Same 100 TB scan/shuffle shape as [[flag]] (eval grams broadcast,
+    * the corpus is never shuffled except the per-doc-id aggregation on
+    * the id the data is already narrow in) but NOT the same output
+    * shape: unlike [[flag]] (row-preserving, adds a column), this
+    * returns a SCORE TABLE keyed by `idCol` — `(idCol, n_grams, hits,
+    * hit_ppm)`, one row per id — for the caller to join back. If ids
+    * repeat, same-id rows aggregate as one logical document (gram and
+    * hit counts sum, per-row multiplicities and all, so `hit_ppm` stays
+    * ≤ 10⁶). Docs too short to have any n-gram score 0.
     */
   def overlapScore(train: DataFrame, eval: DataFrame,
                    idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    require(!Seq("n_grams", "hits", "hit_ppm").contains(idCol),
+      s"overlapScore: idCol [$idCol] collides with an output column")
     val evalGrams = broadcast(
       eval.select(explode(TextFunctions.shingles(col(textCol), n)).as("g")).distinct())
     val hits = train
@@ -157,10 +164,11 @@ object Decontaminate {
     train
       .select(col(idCol),
         size(array_distinct(TextFunctions.shingles(col(textCol), n))).cast("long").as("n_grams"))
+      .groupBy(idCol).agg(sum("n_grams").as("n_grams"))
       .join(hits, col(idCol) === col("__id"), "left")
       .drop("__id")
       .withColumn("hits", coalesce(col("__hits"), lit(0L))).drop("__hits")
       .withColumn("hit_ppm",
-        when(col("n_grams") > 0, expr("hits * 1000000 DIV n_grams")).otherwise(lit(0L)))
+        when(col("n_grams") > 0, expr("(hits * 1000000) DIV n_grams")).otherwise(lit(0L)))
   }
 }

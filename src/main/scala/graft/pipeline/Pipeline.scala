@@ -96,14 +96,32 @@ object Pipeline {
       persistShared: Boolean,
       persisted: scala.collection.mutable.ListBuffer[DataFrame]): BuiltNode = {
     val stage = registry.instantiateNode(conf.name, conf.params)
+    // discard_on_full_buffer load shedding (node/node.go:206-209): the
+    // reference drops an event at delivery when the child's bounded
+    // channel is full, instead of blocking the parent. Spark has no
+    // per-operator buffer to fill — the micro-batch analog (documented
+    // divergence, SURVEY §2.4) is a PER-TRIGGER admission cap: at most
+    // `buffersize` events reach the node per batch, overflow is
+    // discarded. `limit` plans as a per-partition LocalLimit before the
+    // small global head — each task prunes to the cap locally, no full
+    // shuffle, so the guard itself is scale-safe. `<id>.offered` vs
+    // `<id>.received` observe metrics expose the discard count
+    // (reference DiscardedEvents, metrics/metrics.go).
+    val admitted =
+      if (conf.discardOnFullBuffer) {
+        val offered =
+          if (observe) input.observe(s"${conf.id}.offered", count(lit(1)).as("count"))
+          else input
+        offered.limit(conf.bufferSize)
+      } else input
     // An observe value is idempotent within a batch: when several
     // downstream actions (multiple leaves, dead-letter branch)
     // re-evaluate the operator, each reports the same total for this
     // node — PipelineMetrics therefore takes last-value-per-batch, not
     // a sum (see its scaladoc).
     val observed =
-      if (observe) input.observe(s"${conf.id}.received", count(lit(1)).as("count"))
-      else input
+      if (observe) admitted.observe(s"${conf.id}.received", count(lit(1)).as("count"))
+      else admitted
 
     val split = ErrorRouting(observed, stage)
 

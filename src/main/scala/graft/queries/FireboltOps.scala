@@ -108,6 +108,41 @@ object FireboltOps {
              |SELECT 'err', event_type || ':' || event_id
              |FROM events WHERE event_type NOT LIKE 'click%' AND event_type LIKE 'error%'""".stripMargin)),
 
+    // ---- discard_on_full_buffer load shedding (node/node.go:206-209):
+    //      per-trigger admission cap at the flagged node, overflow
+    //      dropped. WHICH rows survive is arrival-order-arbitrary in
+    //      both engines, so the oracle checks the deterministic part:
+    //      kept/discarded counts ----
+    "fb_shed_cap" -> Q(
+      (s, dir) => {
+        val yaml =
+          s"""application: shedtest
+             |source:
+             |  name: stringsource
+             |  params:
+             |    path: $dir/events.parquet
+             |    payloadexpr: "concat(event_type, ':', CAST(event_id AS STRING))"
+             |    createdcolumn: ts
+             |nodes:
+             |  - name: filternode
+             |    params:
+             |      prefix: click
+             |    children:
+             |      - name: resultsnode
+             |        buffersize: 500
+             |        discard_on_full_buffer: true
+             |""".stripMargin
+        val cfg = AppConfig.parse(yaml, reg).fold(e => sys.error(e), identity)
+        val built = Pipeline.build(s, cfg, reg, persistShared = false)
+        val kept = built.find("resultsnode").get.output.agg(count(lit(1)).as("kept"))
+        val offered = built.find("filternode").get.output.agg(count(lit(1)).as("offered"))
+        kept.crossJoin(offered)
+          .select(col("kept"), (col("offered") - col("kept")).as("discarded"))
+      },
+      Some("""SELECT CAST(LEAST(count(*), 500) AS BIGINT) AS kept,
+             |  CAST(GREATEST(count(*) - 500, 0) AS BIGINT) AS discarded
+             |FROM events WHERE event_type NOT LIKE 'click%'""".stripMargin)),
+
     // ---- kafkaproducer sink shape: ProduceRequest → (topic, value) ----
     "fb_produce_request" -> Q(
       (s, dir) => {

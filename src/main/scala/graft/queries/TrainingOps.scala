@@ -814,6 +814,33 @@ object TrainingOps {
              |SELECT doc_id, doc_id IN (SELECT doc_id FROM bad) AS contaminated
              |FROM documents WHERE doc_id % 97 <> 0""".stripMargin)),
 
+    // ---- graded contamination: per-doc fraction of distinct 5-grams
+    //      appearing in the eval set, as exact integer ppm — leakage
+    //      POLICY input (down-weight vs delete), vs flag's binary
+    //      verdict. Score table keyed by doc_id ----
+    "ta_decontaminate_score" -> Q(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val eval = d.filter(pmod(col("doc_id"), lit(97)) === 0)
+        val train = d.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        graft.operators.Decontaminate.overlapScore(train, eval, "doc_id", "text", n = 5)
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+             |shl AS (SELECT doc_id, CASE WHEN len(w) >= 5
+             |  THEN list_transform(range(1, len(w)-3), i -> array_to_string(w[i:i+4], ' '))
+             |  ELSE [] END AS s FROM tok),
+             |ev AS (SELECT DISTINCT unnest(s) AS g FROM shl WHERE doc_id % 97 = 0),
+             |tr AS (SELECT doc_id, list_distinct(s) AS ds FROM shl WHERE doc_id % 97 <> 0),
+             |h AS (SELECT t.doc_id, count(*) AS hits
+             |      FROM (SELECT doc_id, unnest(ds) AS g FROM tr) t
+             |      JOIN ev USING (g) GROUP BY t.doc_id)
+             |SELECT tr.doc_id, CAST(len(tr.ds) AS BIGINT) AS n_grams,
+             |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+             |  CAST(CASE WHEN len(tr.ds) > 0
+             |    THEN (coalesce(h.hits, 0) * 1000000) // len(tr.ds)
+             |    ELSE 0 END AS BIGINT) AS hit_ppm
+             |FROM tr LEFT JOIN h ON tr.doc_id = h.doc_id""".stripMargin)),
+
     // ---- streaming-composable decontamination: the eval grams become
     //      a broadcast SET probed by a row-local exists — no join, no
     //      distinct, no state, so the same code drops into a

@@ -69,4 +69,13 @@ final class PipelineMetrics(spark: SparkSession) {
     flush()
     (counters.getOrElse(s"$id.received", 0L), counters.getOrElse(s"$id.emitted", 0L))
   }
+
+  /** events shed by a `discard_on_full_buffer` node this snapshot
+    * (reference DiscardedEvents counter): offered − admitted. Zero for
+    * nodes without the flag (no `.offered` metric is emitted). */
+  def discardedEvents(id: String): Long = {
+    flush()
+    math.max(0L,
+      counters.getOrElse(s"$id.offered", 0L) - counters.getOrElse(s"$id.received", 0L))
+  }
 }

@@ -121,4 +121,47 @@ class DecontaminateSpec extends SparkSpec {
     assert(streamed == Map(1L -> true, 2L -> false), streamed.toString)
     assert(streamed == batch)
   }
+
+  test("overlapScore: exact ppm, agrees with flag, zero for gram-less docs") {
+    import spark.implicits._
+    val train = Seq(
+      // 6 words -> 2 distinct 5-grams, 1 of them in eval -> 500000 ppm
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"), // disjoint -> 0 ppm
+      (3L, "tiny doc")                           // < n words -> n_grams = 0
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "Z alpha beta gamma delta epsilon Q")).toDF("doc_id", "text")
+    val score = Decontaminate.overlapScore(train, eval, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(r.fieldIndex("n_grams")), r.getLong(r.fieldIndex("hits")),
+          r.getLong(r.fieldIndex("hit_ppm"))))).toMap
+    assert(score == Map(
+      1L -> ((2L, 1L, 500000L)),
+      2L -> ((3L, 0L, 0L)),
+      3L -> ((0L, 0L, 0L))), score.toString)
+    // policy invariant: hit_ppm > 0 exactly where flag says contaminated
+    val flagged = Decontaminate.flag(train, eval, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("contaminated"))).toMap
+    assert(score.keySet == flagged.keySet)
+    score.foreach { case (id, (_, _, ppm)) => assert((ppm > 0) == flagged(id), s"doc $id") }
+  }
+
+  test("overlapScore aggregates duplicate ids as one document (ppm stays <= 1e6)") {
+    import spark.implicits._
+    val train = Seq( // same id twice: 2 + 3 grams, 1 + 0 hits -> 200000 ppm
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val rows = Decontaminate.overlapScore(train, eval, "doc_id", "text", n = 5).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getLong(r.fieldIndex("n_grams")), r.getLong(r.fieldIndex("hits")),
+      r.getLong(r.fieldIndex("hit_ppm"))) == ((5L, 1L, 200000L)))
+    // reserved output names are rejected up front, not silently shadowed
+    intercept[IllegalArgumentException] {
+      Decontaminate.overlapScore(train.withColumnRenamed("doc_id", "hits"), eval,
+        "hits", "text", n = 5)
+    }
+  }
 }

@@ -302,6 +302,39 @@ class StatefulOpsSpec extends SparkSpec {
       s"top-k state lost across restart: ${snaps.toList}")
   }
 
+  test("streaming top-k: a re-delivered id updates its resident entry, never occupies a second slot") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("topk_redeliver").toString
+    val (inDir, cpDir, outDir) = (s"$root/in", s"$root/cp", s"$root/out")
+    new java.io.File(inDir).mkdirs()
+    def writeBatch(name: String, rows: Seq[(String, Long, Long)]): Unit = {
+      val tmp = java.nio.file.Files.createTempFile("tkr", ".json")
+      java.nio.file.Files.writeString(tmp,
+        rows.map { case (k, o, i) => s"""{"key":"$k","ord":$o,"id":$i}""" }.mkString("\n"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$inDir/$name.json"))
+    }
+    val schema = implicitly[org.apache.spark.sql.Encoder[KeyedOrd]].schema
+    val in = spark.readStream.schema(schema).json(inDir)
+    val q = streamingTopK(in, "key", col("ord"), "id", k = 2).toDF()
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", cpDir)
+      .outputMode("append").start()
+    writeBatch("b1", Seq(("src", 9L, 1L), ("src", 5L, 2L)))
+    q.processAllAvailable() // snapshot: (9,1)(5,2)
+    // batch 2, against restored state: id 1 re-delivered verbatim (at-least-once
+    // source), id 2 re-observed BETTER, id 3 new but below the board
+    writeBatch("b2", Seq(("src", 9L, 1L), ("src", 6L, 2L), ("src", 4L, 3L)))
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    val snaps = spark.read.parquet(outDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // double-counting id 1 would evict id 2 from the b2 snapshot entirely
+    val b2 = snaps.diff(Seq(("src", 9L, 1L), ("src", 5L, 2L))).sorted.reverse
+    assert(b2 == Seq(("src", 9L, 1L), ("src", 6L, 2L)),
+      s"redelivered id mishandled; batch-2 snapshot: $b2 (all: ${snaps.toList})")
+  }
+
   test("streaming pack offset state survives a checkpointed query restart") {
     val s = spark
     import s.implicits._

@@ -158,4 +158,40 @@ class StreamingPipelineSpec extends SparkSpec {
       assert(received == 15 && emitted == 10)
     } finally metrics.uninstall()
   }
+
+  test("discard_on_full_buffer sheds to the per-trigger cap and counts discards") {
+    val s = spark
+    val metrics = new PipelineMetrics(s).install()
+    try {
+      import s.implicits._
+      val reg = Registry.builtins()
+      val cfg = AppConfig.parse(
+        """application: shedtest
+          |source:
+          |  name: stringsource
+          |  params: {path: unused}
+          |nodes:
+          |  - name: filternode
+          |    children:
+          |      - name: resultsnode
+          |        buffersize: 7
+          |        discard_on_full_buffer: true
+          |""".stripMargin, reg).fold(e => sys.error(e), identity)
+      val mix = ((1 to 20).map(i => s"success $i") ++ (1 to 5).map(i => s"filterme $i"))
+        .toDF("payload")
+        .select(col("payload"), current_timestamp().as("created"), lit(false).as("recovery"))
+      val built = graft.pipeline.Pipeline.buildOn(mix, cfg.nodes, reg,
+        observeMetrics = true, persistShared = false)
+      val out = built.find("resultsnode").get.output.collect()
+      assert(out.length == 7, s"expected the cap, got ${out.length}")
+      // survivors are real upstream rows, not fabricated
+      assert(out.map(_.getString(0)).forall(_.startsWith("success")))
+      val deadline = System.currentTimeMillis() + 10000
+      while (metrics.nodeCounts("resultsnode")._1 == 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(metrics.nodeCounts("resultsnode") == ((7L, 7L)))
+      assert(metrics.discardedEvents("resultsnode") == 13L) // 20 offered - 7 admitted
+      assert(metrics.discardedEvents("filternode") == 0L)   // unflagged node sheds nothing
+    } finally metrics.uninstall()
+  }
 }
