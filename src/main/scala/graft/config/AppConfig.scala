@@ -32,7 +32,11 @@ final case class AppConfig(
     internalData: Option[InternalDataConf],
     source: SourceConf,
     nodes: List[NodeConf],
-    shutdownTimeout: Int)
+    shutdownTimeout: Int,
+    /** shared directory for multi-instance leader election (the analog
+      * of the reference's `zookeeper`+`zkleaderelectionpath`,
+      * `config/config.go:20-21`); None = single-instance, driver leads. */
+    leaderElectionPath: Option[String] = None)
 
 /** What a node/source type declares it consumes/produces — the Spark
   * analog of the reference registry's `reflect.Type` tags
@@ -136,6 +140,7 @@ object AppConfig {
     AppConfig(
       applicationName = str(root, "application"),
       metricsPrefix = str(root, "metricsprefix"),
+      leaderElectionPath = Option(str(root, "leaderelectionpath")).filter(_.nonEmpty),
       metricsPort = int(root, "metricsport"),
       internalData = internal,
       source = source,

@@ -9,16 +9,26 @@ import scala.jdk.CollectionConverters._
   * send/ack against the control-plane bus, leader identity, and the
   * instance id.
   *
-  * Cluster-singleton concerns collapse on Spark: the driver IS the
-  * singleton, so ZK leader election (`leader/leader.go:27-122`) reduces
-  * to a constant-`true` shim kept for API parity, and the instance id
-  * is the Spark application id rather than IP+random suffix
-  * (`util/util.go:68-76`).
+  * Cluster-singleton concerns usually collapse on Spark: within ONE
+  * application the driver IS the singleton, so leadership defaults to
+  * constant `true`, and the instance id is the Spark application id
+  * rather than IP+random suffix (`util/util.go:68-76`). Deployments
+  * running SEVERAL pipeline drivers configure `leaderelectionpath` —
+  * [[GraftApp]] then wires a real [[LeaderElection]] (the ZK recipe of
+  * `leader/leader.go:27-122` on shared storage) through
+  * [[configureLeader]], the analog of the reference's
+  * `ConfigureLeader` (`fbcontext/fbcontext.go:35-39`).
   */
 final class FbContext(bus: MessageBus, val instanceId: String) {
 
-  /** the Spark driver is the cluster singleton. */
-  def isLeader: Boolean = true
+  @volatile private var leaderFunc: () => Boolean = () => true
+
+  /** single-app deployments: the driver is the cluster singleton;
+    * multi-instance deployments: whatever the election says. */
+  def isLeader: Boolean = leaderFunc()
+
+  /** Inject the leadership source (`fbcontext.go:35-39`). */
+  def configureLeader(f: () => Boolean): Unit = leaderFunc = f
 
   private val accepted = ConcurrentHashMap.newKeySet[String]()
   private val handlers = new ConcurrentHashMap[String, BusMessage => Unit]()

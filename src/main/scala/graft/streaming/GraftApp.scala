@@ -22,14 +22,16 @@ import graft.sinks.Sink
   *   5. Execute(): the streaming query over the stage tree
   *   6. Shutdown(): graceful stop after the in-flight micro-batch
   *
-  * Cluster-singleton parts collapse onto the driver (no ZK election,
-  * no cross-instance delivery) — see `FbContext`.
+  * Cluster-singleton parts default onto the driver; deployments with
+  * several pipeline drivers set `leaderelectionpath` (shared dir) and
+  * get a real election — see `FbContext` / `LeaderElection`.
   */
 final class GraftApp private (
     val config: AppConfig,
     val registry: Registry,
     val ctx: FbContext,
-    val recovery: Option[RecoveryOrchestrator]) {
+    val recovery: Option[RecoveryOrchestrator],
+    val election: Option[LeaderElection] = None) {
 
   private var running: Option[StreamingPipeline.Running] = None
 
@@ -56,6 +58,8 @@ final class GraftApp private (
   def shutdown(): Unit = {
     running.foreach(_.shutdown())
     running = None
+    // resign so followers promote immediately (leader.go:52-55)
+    election.foreach(_.shutdown())
   }
 }
 
@@ -74,6 +78,16 @@ object GraftApp {
       val ctx = new FbContext(
         bus.getOrElse(new NoopMessageBus),
         spark.sparkContext.applicationId)
+      // multi-instance deployments coordinate through shared storage
+      // (executor.go:84-87: election only when configured; otherwise
+      // the driver is the singleton and isLeader stays true)
+      val election = config.leaderElectionPath.map { p =>
+        val e = new LeaderElection(java.nio.file.Paths.get(p), ctx.instanceId)
+        e.start()
+        e.startHeartbeats()
+        ctx.configureLeader(() => e.isLeader)
+        e
+      }
       val recovery = for {
         b <- bus
         src = config.source
@@ -86,7 +100,7 @@ object GraftApp {
       // StartMessaging semantics: replay-to-EOF BEFORE execution so the
       // ledger holds all pending recovery requests (`message.go:30-48`)
       bus.foreach(_.start())
-      new GraftApp(config, registry, ctx, recovery)
+      new GraftApp(config, registry, ctx, recovery, election)
     }
 }
 
