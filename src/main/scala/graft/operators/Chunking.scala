@@ -23,12 +23,81 @@ import org.apache.spark.sql.functions._
   */
 object Chunking {
 
-  /** Explode `textCol` into overlapping token-window chunks.
+  /** Content-defined chunking (CDC): chunk boundaries chosen by the
+    * CONTENT, not by position — the rsync/LBFS idea (Muthitacharoen et
+    * al., SOSP '01) on word streams. A cut falls after word `i` iff the
+    * mixed hash of the TRAILING 3-gram (words i−2..i) ≡ `avgWords−1
+    * (mod avgWords)`, so boundaries survive insertions and deletions:
+    * editing one sentence shifts every fixed-window chunk after it, but
+    * reshapes only the couple of CDC chunks whose gear windows overlap
+    * the edit — the property that makes CHUNK-level exact dedup catch
+    * partial duplication (boilerplate + small edits) that
+    * document-level hashing misses.
     *
-    * Output: idCol, `chunk_idx` (0-based), `chunk_text`, `n_tokens`.
-    * All arithmetic is integer, so chunk boundaries are engine-exact
-    * (an external SQL oracle re-derives identical chunks).
+    * The gear rolls over a 3-word window, not a single word, for two
+    * reasons: (a) a small vocabulary still yields a rich gear space
+    * (|V|³ windows), and (b) the packed polynomial key's LOW BITS are
+    * structurally biased (31/37-polynomials collapse into small
+    * subgroups mod 2^k — measured cut rate 0.0 on one synthetic vocab),
+    * so the key is diffused through a 33/17/7 xorshift before the mod:
+    * integer-only, overflow-free, and expressible identically in SQL
+    * (measured cut rate 0.064 ≈ 1/16 on the corpus at avgWords=16).
+    *
+    * Chunk sizes are geometric with mean ≈ `avgWords`; the stateless
+    * rule has no min/max clamps — those need a sequential scan, and the
+    * dedup use case tolerates size variance. Same execution shape as
+    * [[chunk]]: split + higher-order expressions + one Generate, a pure
+    * map with NO shuffle at any corpus size; gram hashes ride the
+    * shared codegen kernel ([[graft.functions.Kernels.shingleHashes]]).
+    *
+    * Output: idCol, `chunk_idx` (0-based), `chunk_text`
+    * (single-space-normalized words), `n_words`, `chunk_fp`
+    * ([[graft.functions.TextFunctions.fingerprint]] of the chunk).
+    * Docs shorter than 3 words form one chunk;
+    * empty/whitespace-only docs yield no chunks.
     */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                avgWords: Int = 32): DataFrame = {
+    require(avgWords >= 2, s"cdcChunks: avgWords must be >= 2, got $avgWords")
+    val d = lit(avgWords.toLong)
+    def mix(h: Column): Column = {
+      val a = h.bitwiseXOR(shiftright(h, 33))
+      val b = a.bitwiseXOR(shiftright(a, 17))
+      b.bitwiseXOR(shiftright(b, 7))
+    }
+    val base = df
+      .select(col(idCol),
+        filter(split(coalesce(col(textCol), lit("")), " "), w => w =!= "").as("__ws"))
+      .filter(size(col("__ws")) > 0)
+      // re-join so the kernel's split matches the normalized words;
+      // __hs(j) is the packed key of words j..j+2 (1-based)
+      .withColumn("__hs",
+        graft.functions.Kernels.shingleHashes(array_join(col("__ws"), " "), 3))
+    // cut AFTER 1-based word position i (i >= 3) when the mixed hash of
+    // the trailing 3-gram (at index i-2) lands on D-1. Guard n < 3:
+    // Spark's sequence(3, n) would COUNT DOWN, not come back empty
+    val cuts = when(size(col("__ws")) >= 3,
+      filter(sequence(lit(3), size(col("__ws"))),
+        i => pmod(mix(element_at(col("__hs"), i - 2)), d) === d - 1L))
+      .otherwise(array().cast("array<int>"))
+    val withChunks = base.withColumn("__cuts", cuts).withColumn("__chunks", {
+      val starts = concat(array(lit(1)), transform(col("__cuts"), c => c + 1))
+      val ends = concat(col("__cuts"), array(size(col("__ws"))))
+      // a trailing cut at the last word yields an empty (start>end) pair
+      filter(
+        zip_with(starts, ends, (a, b) =>
+          when(a <= b, struct(
+            array_join(slice(col("__ws"), a, b - a + 1), " ").as("chunk_text"),
+            (b - a + 1).cast("long").as("n_words")))),
+        s => s.isNotNull)
+    })
+    withChunks
+      .select(col(idCol), posexplode(col("__chunks")).as(Seq("chunk_idx", "__c")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("__c.chunk_text").as("chunk_text"), col("__c.n_words").as("n_words"),
+        graft.functions.TextFunctions.fingerprint(col("__c.chunk_text")).as("chunk_fp"))
+  }
+
   /** The chunk texts of one string column as `array<string>` — the
     * pure-expression form for pipeline stages (explode downstream).
     * Null text is treated as empty (one empty chunk), so the operator
@@ -46,6 +115,12 @@ object Chunking {
       array_join(slice(toks, (i * stride + 1).cast("int"), lit(chunkSize)), " "))
   }
 
+  /** Explode `textCol` into overlapping token-window chunks.
+    *
+    * Output: idCol, `chunk_idx` (0-based), `chunk_text`, `n_tokens`.
+    * All arithmetic is integer, so chunk boundaries are engine-exact
+    * (an external SQL oracle re-derives identical chunks).
+    */
   def chunk(
       df: DataFrame, idCol: String, textCol: String,
       chunkSize: Int, overlap: Int): DataFrame = {

@@ -738,6 +738,36 @@ object Dedup {
       .select(col("id"), coalesce(col("__clean"), col("__orig")).as("text"))
   }
 
+  /** Chunk-level exact duplication via content-defined chunking
+    * ([[Chunking.cdcChunks]]): which CDC chunks recur across documents.
+    * Because CDC boundaries are content-anchored, a boilerplate block
+    * shared by thousands of pages hashes to the SAME chunks regardless
+    * of what surrounds it — catching partial duplication that
+    * whole-document hashing misses and [[repeatedSpans]]' fixed
+    * n-gram spans pay shingle-explosion for.
+    *
+    * Plan: the chunker's shuffle-free map, then ONE hash aggregation on
+    * the chunk fingerprint with map-side partials — count state per
+    * group, never a posting list, so a chunk shared by a million docs
+    * costs a counter, not a million-row bucket. `minWords` drops
+    * sub-threshold chunks (single stopwords would dominate otherwise).
+    *
+    * Output, one row per duplicated chunk: `chunk_fp`, `n_docs`
+    * (distinct docs containing it), `n_occurrences`, `min_doc`
+    * (canonical owner).
+    */
+  def cdcDuplicateChunks(
+      df: DataFrame, idCol: String, textCol: String,
+      avgWords: Int = 32, minWords: Int = 5): DataFrame =
+    Chunking.cdcChunks(df, idCol, textCol, avgWords)
+      .filter(col("n_words") >= minWords)
+      .groupBy("chunk_fp")
+      .agg(
+        countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col(idCol)).as("min_doc"))
+      .filter(col("n_docs") >= 2)
+
   /** The deduplicated corpus in one call: MinHash-LSH candidates →
     * connected components → drop every non-canonical member (keep each
     * dup group's minimum id plus all unpaired docs) — the composition

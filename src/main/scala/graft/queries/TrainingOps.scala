@@ -331,6 +331,74 @@ object TrainingOps {
              |  least(CAST(64 AS BIGINT), n - chunk_idx*48) AS n_tokens
              |FROM i""".stripMargin)),
 
+    // ---- content-defined chunking: boundaries anchored to CONTENT
+    //      (word-hash ≡ D-1 mod D), so an edit reshapes one chunk, not
+    //      every window after it — the rsync/LBFS trick on word
+    //      streams. Shuffle-free map; oracle re-derives every boundary
+    //      and fingerprint from the shared integer hash ----
+    "ta_cdc_chunk" -> Q(
+      (s, dir) =>
+        graft.operators.Chunking.cdcChunks(
+          Tables(s, dir, "documents"), "doc_id", "text", avgWords = 16),
+      Some(s"""WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), w -> w <> '') AS ws
+              |          FROM documents),
+              |b AS (SELECT doc_id, ws, list_transform(range(1, len(ws)-1),
+              |        i -> ${duckShingleKey("array_to_string(ws[i:i+2], ' ')")}) AS ks
+              |      FROM t WHERE len(ws) > 0),
+              |m1 AS (SELECT doc_id, ws, list_transform(ks, k -> xor(k, k >> 33)) AS ms FROM b),
+              |m2 AS (SELECT doc_id, ws, list_transform(ms, k -> xor(k, k >> 17)) AS ms FROM m1),
+              |m3 AS (SELECT doc_id, ws, list_transform(ms, k -> xor(k, k >> 7)) AS ms FROM m2),
+              |c AS (SELECT doc_id, ws, list_filter(range(3, len(ws)+1), i -> ms[i-2] % 16 = 15) AS cuts
+              |      FROM m3),
+              |s AS (SELECT doc_id, ws, list_prepend(1, list_transform(cuts, x -> x+1)) AS st,
+              |        list_append(cuts, len(ws)) AS en FROM c),
+              |j AS (SELECT doc_id, ws, st, en,
+              |        unnest(list_filter(range(1, len(st)+1), k -> st[k] <= en[k])) AS k FROM s),
+              |r AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY k) - 1 AS chunk_idx,
+              |        array_to_string(ws[st[k]:en[k]], ' ') AS chunk_text,
+              |        en[k] - st[k] + 1 AS n_words FROM j)
+              |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_text,
+              |  CAST(n_words AS BIGINT) AS n_words,
+              |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+              |    list_transform(string_split(chunk_text,' '), w -> ${duckCharHash("w")})),
+              |    (a,b) -> (a*131+b) % 1000000007) AS chunk_fp
+              |FROM r""".stripMargin)),
+
+    // ---- chunk-level exact dedup over the CDC chunks: which chunks
+    //      recur across docs. One count-state hash agg on the chunk
+    //      fingerprint — a million-doc boilerplate chunk costs a
+    //      counter, never a posting list ----
+    "dd_cdc_dedup" -> Q(
+      (s, dir) =>
+        graft.operators.Dedup.cdcDuplicateChunks(
+          Tables(s, dir, "documents"), "doc_id", "text",
+          avgWords = 16, minWords = 5),
+      Some(s"""WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), w -> w <> '') AS ws
+              |          FROM documents),
+              |b AS (SELECT doc_id, ws, list_transform(range(1, len(ws)-1),
+              |        i -> ${duckShingleKey("array_to_string(ws[i:i+2], ' ')")}) AS ks
+              |      FROM t WHERE len(ws) > 0),
+              |m1 AS (SELECT doc_id, ws, list_transform(ks, k -> xor(k, k >> 33)) AS ms FROM b),
+              |m2 AS (SELECT doc_id, ws, list_transform(ms, k -> xor(k, k >> 17)) AS ms FROM m1),
+              |m3 AS (SELECT doc_id, ws, list_transform(ms, k -> xor(k, k >> 7)) AS ms FROM m2),
+              |c AS (SELECT doc_id, ws, list_filter(range(3, len(ws)+1), i -> ms[i-2] % 16 = 15) AS cuts
+              |      FROM m3),
+              |s AS (SELECT doc_id, ws, list_prepend(1, list_transform(cuts, x -> x+1)) AS st,
+              |        list_append(cuts, len(ws)) AS en FROM c),
+              |j AS (SELECT doc_id, ws, st, en,
+              |        unnest(list_filter(range(1, len(st)+1), k -> st[k] <= en[k])) AS k FROM s),
+              |r AS (SELECT doc_id, array_to_string(ws[st[k]:en[k]], ' ') AS chunk_text,
+              |        en[k] - st[k] + 1 AS n_words FROM j),
+              |f AS (SELECT doc_id,
+              |        list_reduce(list_prepend(CAST(7 AS BIGINT),
+              |          list_transform(string_split(chunk_text,' '), w -> ${duckCharHash("w")})),
+              |          (a,b) -> (a*131+b) % 1000000007) AS chunk_fp
+              |      FROM r WHERE n_words >= 5)
+              |SELECT chunk_fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              |  CAST(count(*) AS BIGINT) AS n_occurrences,
+              |  CAST(min(doc_id) AS BIGINT) AS min_doc
+              |FROM f GROUP BY chunk_fp HAVING count(DISTINCT doc_id) >= 2""".stripMargin)),
+
     // ---- CDC keep-latest compaction (newest row per key — upsert log
     //      to current snapshot). ONE hash agg via lexicographic struct
     //      max, not a row_number window: partial aggregation keeps a

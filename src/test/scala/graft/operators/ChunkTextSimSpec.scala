@@ -185,4 +185,57 @@ class ChunkTextSimSpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.8, s"mean int8 recall@10 = $mean")
   }
+
+  // ---- content-defined chunking ----
+
+  test("cdcChunks: boundaries are content-anchored — an edit reshapes only local chunks") {
+    import spark.implicits._
+    val words = (1 to 400).map(i => s"w${i * 7919 % 1000}")
+    val original = words.mkString(" ")
+    // replace ONE word a third of the way in
+    val edited = words.updated(133, "EDITED").mkString(" ")
+    val df = Seq((1L, original), (2L, edited)).toDF("doc_id", "text")
+    val chunks = Chunking.cdcChunks(df, "doc_id", "text", avgWords = 16)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    val a = chunks.filter(_._1 == 1L).map(_._2)
+    val b = chunks.filter(_._1 == 2L).map(_._2)
+    assert(a.nonEmpty && b.nonEmpty)
+    // the tail far from the edit is chunked IDENTICALLY (fixed windows
+    // would shift every chunk after the edit point)
+    val shared = a.toSet.intersect(b.toSet)
+    assert(a.takeRight(3) == b.takeRight(3), "tail chunks must be untouched by an early edit")
+    assert(shared.size >= a.size - 3,
+      s"edit should reshape at most a couple of chunks: ${a.size} vs shared ${shared.size}")
+    assert(a.toSet != b.toSet, "the edited chunk itself must differ")
+    // lossless: chunks concatenate back to the normalized document
+    assert(a.mkString(" ") == original)
+    assert(b.mkString(" ") == words.updated(133, "EDITED").mkString(" "))
+  }
+
+  test("cdcChunks: empty and whitespace-only docs yield no chunks; sizes track avgWords") {
+    import spark.implicits._
+    val dense = (1 to 2000).map(i => s"t${i * 104729 % 9973}").mkString(" ")
+    val df = Seq((1L, dense), (2L, ""), (3L, "   "), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Chunking.cdcChunks(df, "doc_id", "text", avgWords = 16).collect()
+    assert(out.forall(_.getLong(0) == 1L), "only the dense doc chunks")
+    val sizes = out.map(_.getLong(3))
+    assert(sizes.sum == 2000)
+    val mean = sizes.sum.toDouble / sizes.length
+    assert(mean > 8 && mean < 32, s"geometric mean size should track avgWords=16, got $mean")
+  }
+
+  test("cdcDuplicateChunks finds a boilerplate block shared across different documents") {
+    import spark.implicits._
+    val boiler = (1 to 60).map(i => s"boiler$i").mkString(" ")
+    val docs = (1L to 5L).map(i =>
+      (i, s"unique lead ${i} " + boiler + s" unique tail ${i * 31}")) :+
+      (99L, "completely unrelated text with none of the shared block")
+    val dups = Dedup.cdcDuplicateChunks(docs.toDF("doc_id", "text"), "doc_id", "text",
+        avgWords = 16, minWords = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(dups.nonEmpty, "shared boilerplate must surface as duplicated chunks")
+    // the interior boilerplate chunks appear in all 5 docs with min_doc = 1
+    assert(dups.exists { case (nDocs, minDoc) => nDocs == 5L && minDoc == 1L }, dups.toList.toString)
+  }
 }
