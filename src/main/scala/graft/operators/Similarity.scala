@@ -197,6 +197,74 @@ object Similarity {
     selectTopK(scored, "cos", k)
   }
 
+  // ---- binary sign quantization (1 bit/dim + exact rerank) ----
+
+  /** Sign-bit signature: bit j of block b set iff `vec[32b+j] > 0` —
+    * 1 bit per dimension, the most compressed point on the library's
+    * quantization ladder (float32 → int8 → PQ → binary; 32× smaller
+    * than float, the memory shape that keeps a trillion-vector sign
+    * index executor-resident at 100 TB). Blocks pack 32 dims into a
+    * long, NOT 64: bit 63 would need 2⁶³, which overflows the signed
+    * BIGINT a SQL engine sums when re-deriving the signature — 32-bit
+    * blocks keep every intermediate exactly representable on both
+    * engines. Zero and negative components clear the bit, so the
+    * signature is engine-exact (no float rounding enters — only the
+    * sign test). Row-local projection: zero shuffles.
+    */
+  def binarizeSign(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val pow2 = array((0 until 32).map(j => lit(1L << j)): _*)
+    val d = size(col(vecCol))
+    val nb = ceil(d.cast("double") / 32d).cast("int")
+    val sig = when(d >= 1,
+      transform(sequence(lit(0), nb - 1), b =>
+        aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, j) => {
+          val idx = b * 32 + j + 1
+          acc + when(idx <= d && element_at(col(vecCol), idx) > 0f,
+            element_at(pow2, j + 1)).otherwise(lit(0L))
+        })))
+      .otherwise(array().cast("array<bigint>"))
+    df.select(col(idCol).as("id"), sig.as("sig"))
+  }
+
+  /** Hamming distance between two packed sign signatures. */
+  def hammingSig(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (s, x) => s + x)
+
+  /** Binary-quantized ANN with exact rerank (the faiss
+    * IndexBinaryFlat + refine shape): shortlist by signature hamming
+    * (ASC, id tie-break), then exact cosine over the shortlist only.
+    * The scan side costs bit_count over `dim/32` longs per pair — the
+    * XOR-popcount loop that makes sign indexes the fastest first-pass
+    * filter — and exact float work is confined to `shortlist`
+    * candidates per probe. Same probe-broadcast + k-bounded top-k
+    * aggregate discipline as every sibling (no Window, no pair
+    * materialization beyond the shortlist).
+    */
+  def binaryRerankTopK(queries: DataFrame, corpus: DataFrame,
+                       idCol: String, vecCol: String, k: Int,
+                       shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, s"binaryRerankTopK: shortlist $shortlist must be >= k $k")
+    val qs = broadcast(Guards.assertBroadcastable(
+      binarizeSign(queries, idCol, vecCol)
+        .select(col("id").as("qid"), col("sig").as("qsig")),
+      MaxBroadcastProbes, "binaryRerankTopK query set"))
+    val cs = binarizeSign(corpus, idCol, vecCol)
+      .select(col("id").as("nid"), col("sig").as("nsig"))
+    val scored = qs.join(cs, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (-hammingSig(col("qsig"), col("nsig"))).cast("double").as("negham"))
+    val short = selectTopK(scored, "negham", shortlist).select("qid", "nid")
+    val qv = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      norm2(col(vecCol)).as("qnrm")))
+    val nv = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+      norm2(col(vecCol)).as("nnrm"))
+    val rescored = short.join(nv, "nid").join(qv, "qid")
+      .select(col("qid"), col("nid"),
+        (dot(col("qvec"), col("nvec")) / sqrt(col("qnrm") * col("nnrm"))).as("cos"))
+    selectTopK(rescored, "cos", k)
+  }
+
   // ---- product quantization (Jégou, Douze, Schmid 2011: "Product
   //      Quantization for Nearest Neighbor Search") ----
 

@@ -1963,6 +1963,42 @@ object TrainingOps {
               |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM ex)
               |SELECT qid, rank, nid FROM rk2 WHERE rank <= 10""".stripMargin)),
 
+    // ---- binary sign quantization + exact rerank: 1 bit/dim (32×
+    //      smaller than float), XOR-popcount shortlist, float cosine
+    //      confined to the shortlist. The most compressed rung of the
+    //      quantization ladder; oracle re-packs every sign bit ----
+    "ann_binary_rerank" -> Q(
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        Similarity.binaryRerankTopK(e.filter(col("vec_id") < 20), e,
+          "vec_id", "embedding", k = 10, shortlist = 50)
+      },
+      Some("""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+             |sig AS (SELECT id, list_transform(range(0, CAST(ceil(len(vec)/32.0) AS BIGINT)),
+             |  b -> list_sum(list_transform(range(0, 32),
+             |    j -> CASE WHEN 32*b+j+1 <= len(vec) AND vec[CAST(32*b+j+1 AS BIGINT)] > 0
+             |         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))) AS sg
+             |  FROM v),
+             |probes AS (SELECT id AS qid, sg AS qsg FROM sig WHERE id < 20),
+             |ham AS (SELECT p.qid, s.id AS nid,
+             |  list_sum(list_transform(list_zip(p.qsg, s.sg),
+             |    z -> bit_count(xor(z[1], z[2])))) AS h
+             |  FROM probes p JOIN sig s ON p.qid <> s.id),
+             |rk AS (SELECT qid, nid,
+             |  row_number() OVER (PARTITION BY qid ORDER BY h ASC, nid ASC) AS rank FROM ham),
+             |short AS (SELECT qid, nid FROM rk WHERE rank <= 50),
+             |qv AS (SELECT id AS qid, vec AS qvec FROM v WHERE id < 20),
+             |nrm AS (SELECT id, list_sum(list_transform(vec, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nrm FROM v),
+             |ex AS (
+             |  SELECT sh.qid, sh.nid,
+             |    list_sum(list_transform(list_zip(p.qvec, n.vec),
+             |      z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / sqrt(nq.nrm * nn.nrm) AS cos
+             |  FROM short sh JOIN qv p USING (qid) JOIN v n ON sh.nid = n.id
+             |  JOIN nrm nq ON sh.qid = nq.id JOIN nrm nn ON sh.nid = nn.id),
+             |rk2 AS (SELECT qid, nid,
+             |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM ex)
+             |SELECT qid, rank, nid FROM rk2 WHERE rank <= 10""".stripMargin)),
+
     // ---- incremental IVF maintenance: the quantizer trains on the
     //      EXISTING corpus only and stays frozen; the incoming batch
     //      (vec_id % 10 = 0, the dd_incremental split) is assigned in

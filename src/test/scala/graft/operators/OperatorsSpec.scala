@@ -373,6 +373,41 @@ class OperatorsSpec extends SparkSpec {
     assert(recall > 0.1, s"PQ recall $recall")
   }
 
+  test("binary sign signatures pack exactly the positive dims, 32 per block") {
+    import spark.implicits._
+    val v = Array.tabulate(70)(i => if (i % 3 == 0) 0.5f else if (i % 3 == 1) -0.5f else 0f)
+    val sig = Similarity.binarizeSign(Seq((1L, v)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+      .collect().head.getSeq[Long](1)
+    assert(sig.length == 3) // ceil(70/32)
+    val expected = (0 until 70).filter(i => v(i) > 0f)
+    val got = for {
+      b <- sig.indices; j <- 0 until 32
+      if (sig(b) & (1L << j)) != 0L
+    } yield b * 32 + j
+    assert(got.toSet == expected.toSet)
+    assert(sig.forall(_ >= 0L), "32-bit blocks must never set the sign bit")
+  }
+
+  test("binary rerank: useful recall at shortlist 50; full shortlist equals brute force") {
+    val probes = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(probes, emb, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.binaryRerankTopK(probes, emb, "vec_id", "embedding",
+        k = 10, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    // 1 bit/dim keeps only the orthant; with exact rerank on a 50-deep
+    // shortlist recall is strong on 64-dim data
+    assert(recall > 0.5, s"binary+rerank recall $recall")
+    // shortlist >= corpus: hamming ordering becomes irrelevant, the
+    // exact rerank must reproduce brute force bit-for-bit
+    val full = Similarity.binaryRerankTopK(probes, emb, "vec_id", "embedding",
+        k = 10, shortlist = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(full == exact)
+  }
+
   test("PQ rerank: exact re-rank beats raw PQ recall; full shortlist equals brute force") {
     val probes = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(probes, emb, "vec_id", "embedding", 10)
