@@ -30,6 +30,20 @@ object TextFunctions {
       lit(7L),
       (acc, x) => pmod(acc * 31 + x, lit(P)))
 
+  /** packed double hash of one string — charHash·P2 + (base-37,
+    * seed-11, mod-P2 fold over the same characters): the single-string
+    * form of [[Kernels.shingleHashes]]' packed 64-bit key. Range
+    * [0, P·P2): two independent 30-bit hashes make the collision rate
+    * ~2⁻⁶⁰, good enough to treat values as uniform draws from [0, P·P2)
+    * (the KMV sketch contract) while staying exactly reproducible in
+    * any SQL engine.
+    */
+  def packedHash(s: Column): Column =
+    charHash(s) * lit(Kernels.P2) + aggregate(
+      transform(filter(split(s, ""), c => c =!= ""), c => ascii(c).cast("long")),
+      lit(11L),
+      (acc, x) => pmod(acc * 37 + x, lit(Kernels.P2)))
+
   /** document fingerprint: rolling hash over word hashes —
     * fold(words, 7, (h,w) => (h*131 + charHash(w)) mod P). */
   def fingerprint(text: Column): Column =

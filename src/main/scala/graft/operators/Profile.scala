@@ -46,6 +46,51 @@ object Profile {
     row.select(explode(array(perCol: _*)).as("p")).select("p.*")
   }
 
+  /** KMV (k-minimum-values) distinct-cardinality sketch per group —
+    * the ORACLE-EXACT mergeable counterpart to `approx_count_distinct`:
+    * HLL register contents are engine-private, but the k smallest
+    * values of a deterministic hash are a pure function of the data,
+    * so the whole sketch (and its estimate) is reproducible bit-for-bit
+    * in any SQL engine — an auditable cardinality number for a 100 TB
+    * profiling pass.
+    *
+    * Values hash through [[graft.functions.TextFunctions.packedHash]]
+    * into [0, R), R = P·P2 ≈ 1.000000016e18; per group the k smallest
+    * DISTINCT hashes are kept (two k-bounded hash aggregations, both
+    * with map-side partials — the [[graft.functions.TopK]] aggregate
+    * over negated hash keeps shuffle traffic at O(partitions·k)).
+    * Estimate: exact `n_kept` when the group holds < k distinct values,
+    * else the classic KMV estimator (k−1)·R DIV kth_hash (computed in
+    * decimal — (k−1)·R overflows int64).
+    *
+    * The sketch MERGES by union: k-smallest-of-union = k-smallest of
+    * the concatenated kept sets, so per-partition/per-day sketches
+    * roll up without touching the raw data (the property the spec
+    * pins). Output: (group…, n_kept, kth_hash, est_distinct).
+    */
+  def distinctKmv(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Int = 64): DataFrame = {
+    require(k >= 2, s"distinctKmv: k must be >= 2, got $k")
+    val R = graft.functions.TextFunctions.P * graft.functions.Kernels.P2
+    val g = groupCols.map(col)
+    val dedup = df
+      .filter(col(valueCol).isNotNull)
+      .select(g :+ graft.functions.TextFunctions.packedHash(
+        col(valueCol).cast("string")).as("__h"): _*)
+      .distinct()
+    val sk = dedup.groupBy(g: _*)
+      .agg(graft.functions.TopK.topkPairs(-col("__h"), col("__h"), k).as("__tk"))
+      .select(g ++ Seq(
+        size(col("__tk")).cast("long").as("n_kept"),
+        element_at(col("__tk"), size(col("__tk"))).getField("id").as("kth_hash")): _*)
+    sk.select(g ++ Seq(col("n_kept"), col("kth_hash"),
+      when(col("n_kept") < k, col("n_kept"))
+        .otherwise(floor(
+          (lit(k - 1).cast("decimal(38,0)") * lit(R)) / col("kth_hash"))
+          .cast("long"))
+        .as("est_distinct")): _*)
+  }
+
   /** Equal-width histogram of a numeric column in ONE partial-agg'd
     * aggregation (the profiling companion to the sketch family): values
     * clamp into `bins` buckets over [lo, hi). Bin assignment is a

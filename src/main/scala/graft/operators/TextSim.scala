@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sparse TF-IDF cosine similarity over raw text — the lexical
@@ -70,5 +70,81 @@ object TextSim {
       .select(col("da"), col("db"), col("num"),
         col("sa.nrm").as("na"), col("sb.nrm").as("nb"))
       .filter(graft.functions.Kernels.cosineGte(col("num"), col("na"), col("nb"), tNum, tDen))
+  }
+
+  /** BM25-style lexical top-k retrieval: for each probe query, the k
+    * highest-scoring corpus documents — the lexical twin of the ANN
+    * `*TopK` family (term match instead of embedding cosine), the
+    * retrieval half of a retrieval-augmented data pipeline.
+    *
+    * Scoring is the BM25 shape (k1 = 6/5, b = 3/4) with every quantity
+    * integer so ranking is bit-identical on any engine:
+    *
+    *   score(q,d) = Σ_{t ∈ terms(q)} (idf_t · tf · 22 · avgdl)
+    *                  DIV (10·avgdl·tf + 3·avgdl + 9·dl)
+    *   idf_t      = ((N − df)·2 + 1) · 1000 DIV (df·2 + 1)
+    *
+    * which is idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with the
+    * rational cleared through 10·avgdl, and idf the classic
+    * (N−df+0.5)/(df+0.5) ratio ×1000 WITHOUT the log — kept rational
+    * for exactness; monotone in df like the original but weighting
+    * rare terms harder (documented divergence from log-idf BM25).
+    * avgdl = Σdl DIV N (floor — one global integer).
+    *
+    * Scale: the probe set broadcasts (guarded); corpus terms with
+    * df > maxTermDocs are dropped BEFORE the term join (stopword
+    * shedding — same cap discipline as [[tfidfCosinePairs]]'s
+    * `maxTermDocs`), so per-term fan-out is bounded and no hot term
+    * creates a quadratic reducer. Selection is the k-bounded
+    * [[graft.functions.TopK]] aggregate — map-side partials, no
+    * per-query window. Candidate volume is Σ_t df_t over query terms,
+    * never |queries|×|corpus|.
+    *
+    * Output: `qid`, `rank` (1..k by score DESC, doc id ASC), `nid`,
+    * `score` (int64, scale 1000·idf-units). Docs sharing no surviving
+    * term with a query are absent (score-0 rows are not emitted).
+    */
+  def bm25TopK(
+      corpus: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int = 10,
+      maxTermDocs: Long = 100000L,
+      maxQueries: Long = 100000L): DataFrame = {
+    require(k > 0, s"bm25TopK: k must be positive, got $k")
+    val words = (c: Column) => filter(split(c, " "), w => w =!= "")
+    val tf = corpus
+      .select(col(idCol).as("__doc"), explode(words(col(textCol))).as("__w"))
+      .groupBy("__doc", "__w").agg(count(lit(1)).as("__tf"))
+    // dl derives from tf (one tokenize pass feeds both aggregations)
+    val dl = tf.groupBy("__doc").agg(sum("__tf").as("__dl"))
+    // N and avgdl: one 1-row frame, broadcast into the scoring join —
+    // never collected (the plan stays a pure dataflow)
+    val stats = dl.agg(count(lit(1)).as("__n"), sum("__dl").as("__tot"))
+      .select(col("__n"), expr("__tot DIV __n").as("__avgdl"))
+    val dfreq = tf.groupBy("__w").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxTermDocs)
+    // distinct query terms (BM25 ignores query-side tf); probe side is
+    // model-sized and broadcast behind the guard
+    val qt = broadcast(Guards.assertBroadcastable(
+      queries
+        .select(col(qIdCol).as("__qid"), explode(words(col(qTextCol))).as("__w"))
+        .distinct(),
+      maxQueries, "bm25TopK query-term set"))
+    val scored = qt
+      .join(dfreq, "__w")
+      .join(tf, "__w")
+      .join(dl, "__doc")
+      .crossJoin(broadcast(stats))
+      .select(col("__qid"), col("__doc"),
+        expr("""((((__n - __df) * 2 + 1) * 1000 DIV (__df * 2 + 1))
+               |  * __tf * 22 * __avgdl)
+               |DIV (10 * __avgdl * __tf + 3 * __avgdl + 9 * __dl)""".stripMargin)
+          .as("__contrib"))
+      .groupBy("__qid", "__doc").agg(sum("__contrib").as("__score"))
+    scored.groupBy("__qid")
+      .agg(graft.functions.TopK.topkPairs(col("__score"), col("__doc"), k).as("__tk"))
+      .select(col("__qid").as("qid"), posexplode(col("__tk")).as(Seq("__pos", "__p")))
+      .select(col("qid"), (col("__pos") + 1).as("rank"),
+        col("__p.id").as("nid"), col("__p.ord").as("score"))
   }
 }

@@ -436,6 +436,37 @@ object TrainingOps {
              |FROM pr p JOIN nrm sa ON p.da = sa.doc_id JOIN nrm sb ON p.db = sb.doc_id
              |WHERE 100 * CAST(p.num AS HUGEINT) * p.num >= 81 * CAST(sa.nrm AS HUGEINT) * sb.nrm""".stripMargin)),
 
+    // ---- BM25 lexical top-k retrieval (the term-match twin of the
+    //      ANN top-k family): integer-rational BM25 (k1=6/5, b=3/4,
+    //      ratio idf ×1000 without the log), df-capped posting lists,
+    //      probe terms broadcast, k-bounded top-k aggregate. Probes =
+    //      every 100th doc querying with its own text, so the corpus
+    //      scan is shared and the probe count scales with SF ----
+    "ta_bm25" -> Q(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        TextSim.bm25TopK(d, "doc_id", "text",
+          d.filter(col("doc_id") % 100 === 0), "doc_id", "text",
+          k = 10, maxTermDocs = 100000L)
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |  unnest(list_filter(string_split(text,' '), w -> w <> '')) AS w FROM documents),
+             |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+             |av AS (SELECT count(*) AS n, sum(dl) // count(*) AS avgdl FROM dl),
+             |dfr AS (SELECT w, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= 100000),
+             |qt AS (SELECT DISTINCT doc_id AS qid, w FROM tok WHERE doc_id % 100 = 0),
+             |sc AS (SELECT q.qid, t.doc_id AS nid,
+             |    CAST(sum(((((av.n - f.df) * 2 + 1) * 1000 // (f.df * 2 + 1))
+             |           * t.tf * 22 * av.avgdl)
+             |        // (10 * av.avgdl * t.tf + 3 * av.avgdl + 9 * d.dl)) AS BIGINT) AS score
+             |  FROM qt q JOIN dfr f USING (w) JOIN tf t USING (w)
+             |       JOIN dl d ON t.doc_id = d.doc_id, av
+             |  GROUP BY 1, 2),
+             |rk AS (SELECT qid, nid, score,
+             |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank FROM sc)
+             |SELECT qid, rank, nid, score FROM rk WHERE rank <= 10""".stripMargin)),
+
     // ---- int8-quantized ANN top-k: 4×-compressed vectors, integer
     //      dot-product scoring (scales cancel from the cosine), exact
     //      quantization reproduced by the oracle ----
