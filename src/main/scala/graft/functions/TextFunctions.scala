@@ -30,19 +30,32 @@ object TextFunctions {
       lit(7L),
       (acc, x) => pmod(acc * 31 + x, lit(P)))
 
-  /** packed double hash of one string — charHash·P2 + (base-37,
-    * seed-11, mod-P2 fold over the same characters): the single-string
-    * form of [[Kernels.shingleHashes]]' packed 64-bit key. Range
-    * [0, P·P2): two independent 30-bit hashes make the collision rate
-    * ~2⁻⁶⁰, good enough to treat values as uniform draws from [0, P·P2)
-    * (the KMV sketch contract) while staying exactly reproducible in
-    * any SQL engine.
-    */
-  def packedHash(s: Column): Column =
-    charHash(s) * lit(Kernels.P2) + aggregate(
+  /** base-37, seed-11, mod-P2 char fold — the second component of
+    * [[Kernels.shingleHashes]]' packed key, as a standalone column. */
+  def charHash37(s: Column): Column =
+    aggregate(
       transform(filter(split(s, ""), c => c =!= ""), c => ascii(c).cast("long")),
       lit(11L),
       (acc, x) => pmod(acc * 37 + x, lit(Kernels.P2)))
+
+  /** UNIFORM hash of one string into [0, P·P2) — the KMV-sketch hash.
+    *
+    * The raw polynomial folds are NOT uniform for short strings
+    * (charHash of a ≤6-char string never wraps mod P, so all values
+    * crowd the bottom of the range and any order statistic over them
+    * is meaningless). Here the two independent folds are each pushed
+    * through an affine map modulo its prime — multiplication by a
+    * >2³⁰ constant wraps the modulus ~10⁷ times across even a
+    * short-string input range, spreading images over the full field —
+    * and recombined as u1·P2 + u2, uniform on [0, P·P2 ≈ 1.000016e18).
+    * Every intermediate stays < 4·10¹⁸ (exact int64 on any engine).
+    */
+  def kmvHash(s: Column): Column = {
+    val ch = charHash(s)
+    val f37 = charHash37(s)
+    pmod(ch * 1103515245L + f37 * 2654435761L + 12345L, lit(P)) * lit(Kernels.P2) +
+      pmod(ch * 1000003L + f37 * 999999937L + 67867967L, lit(Kernels.P2))
+  }
 
   /** document fingerprint: rolling hash over word hashes —
     * fold(words, 7, (h,w) => (h*131 + charHash(w)) mod P). */

@@ -54,7 +54,7 @@ object Profile {
     * in any SQL engine — an auditable cardinality number for a 100 TB
     * profiling pass.
     *
-    * Values hash through [[graft.functions.TextFunctions.packedHash]]
+    * Values hash through [[graft.functions.TextFunctions.kmvHash]]
     * into [0, R), R = P·P2 ≈ 1.000000016e18; per group the k smallest
     * DISTINCT hashes are kept (two k-bounded hash aggregations, both
     * with map-side partials — the [[graft.functions.TopK]] aggregate
@@ -69,26 +69,64 @@ object Profile {
     * pins). Output: (group…, n_kept, kth_hash, est_distinct).
     */
   def distinctKmv(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                  k: Int = 64): DataFrame = {
-    require(k >= 2, s"distinctKmv: k must be >= 2, got $k")
-    val R = graft.functions.TextFunctions.P * graft.functions.Kernels.P2
+                  k: Int = 64): DataFrame =
+    kmvEstimate(distinctKmvSketch(df, groupCols, valueCol, k), groupCols, k)
+
+  /** The raw per-group KMV sketch: `kmv` = the ≤ k smallest distinct
+    * hashes, ascending (`array<long>`). This is the ROLLUP artifact —
+    * persist one per partition/day/source and [[kmvMerge]] them without
+    * re-reading the data.
+    */
+  def distinctKmvSketch(df: DataFrame, groupCols: Seq[String],
+                        valueCol: String, k: Int = 64): DataFrame = {
+    require(k >= 2, s"distinctKmvSketch: k must be >= 2, got $k")
     val g = groupCols.map(col)
-    val dedup = df
-      .filter(col(valueCol).isNotNull)
-      .select(g :+ graft.functions.TextFunctions.packedHash(
+    df.filter(col(valueCol).isNotNull)
+      .select(g :+ graft.functions.TextFunctions.kmvHash(
         col(valueCol).cast("string")).as("__h"): _*)
       .distinct()
-    val sk = dedup.groupBy(g: _*)
+      .groupBy(g: _*)
+      // top-k by (−h DESC, h ASC) = the k SMALLEST hashes; the
+      // aggregate's best-first output order is therefore h ascending
       .agg(graft.functions.TopK.topkPairs(-col("__h"), col("__h"), k).as("__tk"))
+      .select(g :+ transform(col("__tk"), p => p.getField("id")).as("kmv"): _*)
+  }
+
+  /** Union-merge partial sketches (same k): k-smallest of the distinct
+    * union of kept hashes — exactly the sketch of the concatenated
+    * data, the property that makes per-partition sketches roll up.
+    */
+  def kmvMerge(sketches: DataFrame, groupCols: Seq[String],
+               k: Int = 64): DataFrame = {
+    val g = groupCols.map(col)
+    sketches
+      .select(g :+ explode(col("kmv")).as("__h"): _*)
+      .distinct()
+      .groupBy(g: _*)
+      .agg(graft.functions.TopK.topkPairs(-col("__h"), col("__h"), k).as("__tk"))
+      .select(g :+ transform(col("__tk"), p => p.getField("id")).as("kmv"): _*)
+  }
+
+  /** Scalars from a sketch: (group…, n_kept, kth_hash, est_distinct).
+    * Exact `n_kept` below k; else (k−1)·R DIV kth_hash. (k−1)·R
+    * overflows int64, and decimal `/` rounds HALF_UP at the result
+    * scale (a quotient within 5e-7 of an integer would round past the
+    * floor) — DIV on decimals is divideToIntegralValue: exact, and
+    * exactly DuckDB's HUGEINT `//`.
+    */
+  def kmvEstimate(sketch: DataFrame, groupCols: Seq[String],
+                  k: Int = 64): DataFrame = {
+    val R = graft.functions.TextFunctions.P * graft.functions.Kernels.P2
+    val g = groupCols.map(col)
+    sketch
       .select(g ++ Seq(
-        size(col("__tk")).cast("long").as("n_kept"),
-        element_at(col("__tk"), size(col("__tk"))).getField("id").as("kth_hash")): _*)
-    sk.select(g ++ Seq(col("n_kept"), col("kth_hash"),
-      when(col("n_kept") < k, col("n_kept"))
-        .otherwise(floor(
-          (lit(k - 1).cast("decimal(38,0)") * lit(R)) / col("kth_hash"))
-          .cast("long"))
-        .as("est_distinct")): _*)
+        size(col("kmv")).cast("long").as("n_kept"),
+        element_at(col("kmv"), size(col("kmv"))).as("kth_hash")): _*)
+      .select(g ++ Seq(col("n_kept"), col("kth_hash"),
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(
+            s"(CAST(${k - 1} AS DECIMAL(38,0)) * ${R}L) DIV kth_hash"))
+          .as("est_distinct")): _*)
   }
 
   /** Equal-width histogram of a numeric column in ONE partial-agg'd

@@ -1652,6 +1652,36 @@ object TrainingOps {
     //      exact, which DuckDB checks as literal TRUE. The production
     //      path at scale is sketch-only (ApproxSpec bounds the error);
     //      the exact distinct here is the verification harness. ----
+    // ---- KMV distinct sketch: the ORACLE-EXACT mergeable cardinality
+    //      estimate next to dd_approx_distinct's engine-private HLL —
+    //      k smallest packed-hash values per group are a pure function
+    //      of the data, so sketch AND estimate hash-match across
+    //      engines. sf0.001 exercises the exact (<k) branch, sf0.01+
+    //      the estimator branch ----
+    "ta_distinct_kmv" -> Q(
+      (s, dir) =>
+        graft.operators.Profile.distinctKmv(
+          Tables(s, dir, "events"), Seq("event_type"), "user_id", k = 64),
+      Some(s"""WITH f AS (SELECT DISTINCT event_type,
+              |  ${duckCharHash("CAST(user_id AS VARCHAR)")} AS ch,
+              |  list_reduce(list_prepend(CAST(11 AS BIGINT),
+              |    list_transform(list_filter(string_split(CAST(user_id AS VARCHAR),''), c -> c <> ''),
+              |      c -> CAST(ascii(c) AS BIGINT))), (a,b) -> (a*37+b) % 1000000009) AS f37
+              |  FROM events WHERE user_id IS NOT NULL),
+              |h AS (SELECT DISTINCT event_type,
+              |  ((ch * 1103515245 + f37 * 2654435761 + 12345) % 1000000007) * 1000000009
+              |    + ((ch * 1000003 + f37 * 999999937 + 67867967) % 1000000009) AS h
+              |  FROM f),
+              |rk AS (SELECT event_type, h,
+              |  row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn FROM h),
+              |sk AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+              |  max(h) AS kth_hash FROM rk WHERE rn <= 64 GROUP BY 1)
+              |SELECT event_type, n_kept, kth_hash,
+              |  CASE WHEN n_kept < 64 THEN n_kept
+              |       ELSE CAST(63 * CAST(1000000016000000063 AS HUGEINT) // kth_hash AS BIGINT)
+              |  END AS est_distinct
+              |FROM sk""".stripMargin)),
+
     "dd_approx_distinct" -> Q(
       (s, dir) =>
         Tables(s, dir, "events")
