@@ -46,6 +46,38 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Leakage-safe train/valid/test split: every member of a near-dup
+    * component lands in the SAME split. [[splitByHash]] alone is safe
+    * against dataset growth but not against duplication — a doc and
+    * its near-duplicate hash to independent buckets, and the test set
+    * silently contains paraphrases of training rows. Here the split
+    * key is the doc's connected-component label over the candidate
+    * pair graph (its own id when unpaired), so duplicates can never
+    * straddle a split boundary.
+    *
+    * `pairs` is any candidate edge list ([[Dedup.minhashLshCandidates]],
+    * [[Dedup.simhashPairs]], [[Similarity.lshCandidates]] …) with ids
+    * in `aCol`/`bCol`. Scale: the component table is sized by PAIRED
+    * docs only (dup clusters, typically ≪ corpus) — the join back is
+    * an AQE broadcast in practice and a co-partitioned hash join at
+    * worst; the corpus never reshuffles for singletons.
+    *
+    * Output: `df` + `split`, assignment a pure function of
+    * (component label, seed) — stable across runs, engines, and
+    * corpus growth that doesn't merge components.
+    */
+  def splitByComponent(df: DataFrame, idCol: String,
+                       pairs: DataFrame, aCol: String, bCol: String,
+                       fractions: Seq[(String, Int)], seed: Int = 0): DataFrame = {
+    val comp = Dedup.connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as("__cc_id"), col("comp").as("__comp"))
+    val keyed = df
+      .join(comp, col(idCol) === col("__cc_id"), "left")
+      .withColumn("__split_key", coalesce(col("__comp"), col(idCol)))
+      .drop("__cc_id", "__comp")
+    splitByHash(keyed, "__split_key", fractions, seed).drop("__split_key")
+  }
+
   /** Weight-proportional subsampling: keep a row with probability
     * `weightUnits / den`, deterministically — the quality-weighted
     * curation step (keep high-quality docs with high probability, low

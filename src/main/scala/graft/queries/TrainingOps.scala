@@ -63,6 +63,29 @@ object TrainingOps {
       |    ELSE [] END AS s
       |  FROM tok)""".stripMargin
 
+  /** DuckDB CTEs re-deriving minhash-LSH (n=3, k=8, bands=2) candidate
+    * pairs and their min-label connected components (`cmp(id, comp)`) —
+    * shared by `dd_components` and `ta_split_leakfree`. Requires a
+    * `WITH RECURSIVE` prefix.
+    */
+  private lazy val duckComponentsCtes: String =
+    s"""$duckShingles,
+       |hs AS (SELECT doc_id, list_transform(list_distinct(s), t -> ${duckCharHash("t")}) h FROM shl),
+       |sig AS (SELECT doc_id, list_transform(range(0,8), i ->
+       |  list_min(list_transform(h, x -> ((37+101*i)*x + 7+139*i) % 1000000007))) sg FROM hs),
+       |bands AS (
+       |  SELECT doc_id, '0-' || sg[1] || '-' || sg[2] || '-' || sg[3] || '-' || sg[4] AS band FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, '1-' || sg[5] || '-' || sg[6] || '-' || sg[7] || '-' || sg[8] AS band FROM sig),
+       |pr AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |       FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+       |e AS (SELECT da AS a, db AS b FROM pr UNION ALL SELECT db, da FROM pr),
+       |reach AS (
+       |  SELECT a AS id, a AS r FROM e
+       |  UNION
+       |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+       |cmp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)""".stripMargin
+
   /** Path of a temp-file copy of the merges.txt CLASSPATH RESOURCE —
     * the exact bytes [[graft.functions.Bpe.defaultRanks]] parsed, so
     * the Spark kernel and the DuckDB oracle provably share one merge
@@ -1246,24 +1269,31 @@ object TrainingOps {
         comp.join(sizes, "comp")
           .select(col("id").as("doc_id"), col("comp"), col("n_group"))
       },
-      Some(s"""WITH RECURSIVE $duckShingles,
-              |hs AS (SELECT doc_id, list_transform(list_distinct(s), t -> ${duckCharHash("t")}) h FROM shl),
-              |sig AS (SELECT doc_id, list_transform(range(0,8), i ->
-              |  list_min(list_transform(h, x -> ((37+101*i)*x + 7+139*i) % 1000000007))) sg FROM hs),
-              |bands AS (
-              |  SELECT doc_id, '0-' || sg[1] || '-' || sg[2] || '-' || sg[3] || '-' || sg[4] AS band FROM sig
-              |  UNION ALL
-              |  SELECT doc_id, '1-' || sg[5] || '-' || sg[6] || '-' || sg[7] || '-' || sg[8] AS band FROM sig),
-              |pr AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-              |       FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
-              |e AS (SELECT da AS a, db AS b FROM pr UNION ALL SELECT db, da FROM pr),
-              |reach AS (
-              |  SELECT a AS id, a AS r FROM e
-              |  UNION
-              |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
-              |cmp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+      Some(s"""WITH RECURSIVE $duckComponentsCtes
               |SELECT id AS doc_id, comp, count(*) OVER (PARTITION BY comp) AS n_group
               |FROM cmp""".stripMargin)),
+
+    // ---- leakage-safe split: near-dup components share a split (the
+    //      split key is the component label, own id when unpaired) —
+    //      splitByHash's growth stability PLUS immunity to train/test
+    //      contamination through paraphrase duplicates ----
+    "ta_split_leakfree" -> Q(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val pairs = Dedup.minhashLshCandidates(
+          d, "doc_id", "text", n = 3, k = 8, bands = 2)
+        graft.operators.Sampling.splitByComponent(
+            d, "doc_id", pairs, "da", "db",
+            Seq("train" -> 80, "valid" -> 10, "test" -> 10), seed = 1)
+          .select(col("doc_id"), col("split"))
+      },
+      Some(s"""WITH RECURSIVE $duckComponentsCtes,
+              |sp AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS key
+              |       FROM documents d LEFT JOIN cmp c ON d.doc_id = c.id)
+              |SELECT doc_id,
+              |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+              |FROM (SELECT doc_id, ((key % 1000000007) * 138 + 146) % 1000000007 % 100 AS b
+              |      FROM sp)""".stripMargin)),
 
     // ---- the STREAMING near-dup operator, driven in batch mode (same
     //      code path, one micro-batch's worth of state transitions):
