@@ -129,6 +129,48 @@ object Profile {
           .as("est_distinct")): _*)
   }
 
+  /** Set-overlap estimation from two KMV sketches ALONE — corpus-level
+    * contamination measurement (how much of eval's id/url/text-hash
+    * space appears in train?) without ever joining the raw 100 TB
+    * corpora: each side reduces to its ≤ k-hash sketch first, the
+    * overlap math is row-local array arithmetic on model-sized state.
+    *
+    * The union sketch U = k smallest of kept(A) ∪ kept(B) is exactly
+    * the sketch OF the union (the KMV merge property), and every
+    * element of U is a uniform sample of A ∪ B, so the fraction of U
+    * present in both kept sets estimates Jaccard(A, B) (Beyer et al.,
+    * SIGMOD '07). |U| < k only when BOTH sketches are unsaturated —
+    * then U is the exact union and the numbers are exact, the same
+    * exact-below-k contract as [[distinctKmv]].
+    *
+    * Output per group: `j_num` (|U ∩ kept(A) ∩ kept(B)|), `j_den`
+    * (|U|), `jaccard_ppm` (j_num·10⁶ DIV j_den), `est_union`,
+    * `est_intersection` (jaccard_ppm·est_union DIV 10⁶). All integer —
+    * engine-exact.
+    */
+  def kmvJaccard(skA: DataFrame, skB: DataFrame, groupCols: Seq[String],
+                 k: Int = 64): DataFrame = {
+    val R = graft.functions.TextFunctions.P * graft.functions.Kernels.P2
+    val g = groupCols.map(col)
+    val joined = skA.select(g :+ col("kmv").as("__a"): _*)
+      .join(skB.select(g :+ col("kmv").as("__b"): _*), groupCols)
+      .withColumn("__u", slice(array_sort(array_union(col("__a"), col("__b"))), 1, k))
+    joined
+      .select(g ++ Seq(
+        size(filter(col("__u"), x =>
+          array_contains(col("__a"), x) && array_contains(col("__b"), x)))
+          .cast("long").as("j_num"),
+        size(col("__u")).cast("long").as("j_den"),
+        col("__u").as("__u")): _*)
+      .withColumn("jaccard_ppm", expr("(j_num * 1000000) DIV j_den"))
+      .withColumn("est_union",
+        when(col("j_den") < k, col("j_den"))
+          .otherwise(expr(
+            s"(CAST(${k - 1} AS DECIMAL(38,0)) * ${R}L) DIV element_at(__u, CAST(j_den AS INT))")))
+      .withColumn("est_intersection", expr("(jaccard_ppm * est_union) DIV 1000000"))
+      .drop("__u")
+  }
+
   /** Equal-width histogram of a numeric column in ONE partial-agg'd
     * aggregation (the profiling companion to the sketch family): values
     * clamp into `bins` buckets over [lo, hi). Bin assignment is a

@@ -1712,6 +1712,53 @@ object TrainingOps {
               |  END AS est_distinct
               |FROM sk""".stripMargin)),
 
+    // ---- KMV set-overlap: Jaccard/intersection of two user
+    //      populations estimated from their sketches alone — the
+    //      corpus-contamination measurement that never joins the raw
+    //      tables. Predicates carve partially-overlapping sets (uid%3≠0
+    //      vs uid%2=0 → true J = 1/3 of the union in-common-ish) ----
+    "ta_kmv_overlap" -> Q(
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        graft.operators.Profile.kmvJaccard(
+          graft.operators.Profile.distinctKmvSketch(
+            ev.filter(col("user_id") % 3 =!= 0), Seq("event_type"), "user_id", 64),
+          graft.operators.Profile.distinctKmvSketch(
+            ev.filter(col("user_id") % 2 === 0), Seq("event_type"), "user_id", 64),
+          Seq("event_type"), 64)
+      },
+      Some(s"""WITH f AS (SELECT DISTINCT event_type, user_id,
+              |  ${duckCharHash("CAST(user_id AS VARCHAR)")} AS ch,
+              |  list_reduce(list_prepend(CAST(11 AS BIGINT),
+              |    list_transform(list_filter(string_split(CAST(user_id AS VARCHAR),''), c -> c <> ''),
+              |      c -> CAST(ascii(c) AS BIGINT))), (a,b) -> (a*37+b) % 1000000009) AS f37
+              |  FROM events WHERE user_id IS NOT NULL),
+              |h AS (SELECT event_type, user_id,
+              |  ((ch * 1103515245 + f37 * 2654435761 + 12345) % 1000000007) * 1000000009
+              |    + ((ch * 1000003 + f37 * 999999937 + 67867967) % 1000000009) AS h
+              |  FROM f),
+              |ka AS (SELECT event_type, list(h ORDER BY h) AS a FROM (
+              |    SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+              |    FROM (SELECT DISTINCT event_type, h FROM h WHERE user_id % 3 <> 0))
+              |  WHERE rn <= 64 GROUP BY 1),
+              |kb AS (SELECT event_type, list(h ORDER BY h) AS b FROM (
+              |    SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+              |    FROM (SELECT DISTINCT event_type, h FROM h WHERE user_id % 2 = 0))
+              |  WHERE rn <= 64 GROUP BY 1),
+              |j AS (SELECT event_type, a, b, list_sort(list_distinct(a || b))[1:64] AS u
+              |      FROM ka JOIN kb USING (event_type)),
+              |m AS (SELECT event_type,
+              |  CAST(len(list_filter(u, x -> list_contains(a, x) AND list_contains(b, x))) AS BIGINT) AS j_num,
+              |  CAST(len(u) AS BIGINT) AS j_den, u FROM j),
+              |e AS (SELECT event_type, j_num, j_den,
+              |  (j_num * 1000000) // j_den AS jaccard_ppm,
+              |  CASE WHEN j_den < 64 THEN j_den
+              |       ELSE CAST(63 * CAST(1000000016000000063 AS HUGEINT) // u[CAST(len(u) AS INT)] AS BIGINT)
+              |  END AS est_union FROM m)
+              |SELECT event_type, j_num, j_den, jaccard_ppm, est_union,
+              |  (jaccard_ppm * est_union) // 1000000 AS est_intersection
+              |FROM e""".stripMargin)),
+
     "dd_approx_distinct" -> Q(
       (s, dir) =>
         Tables(s, dir, "events")
