@@ -74,11 +74,19 @@ object Chunking {
       .withColumn("__hs",
         graft.functions.Kernels.shingleHashes(array_join(col("__ws"), " "), 3))
     // cut AFTER 1-based word position i (i >= 3) when the mixed hash of
-    // the trailing 3-gram (at index i-2) lands on D-1. Guard n < 3:
-    // Spark's sequence(3, n) would COUNT DOWN, not come back empty
+    // the trailing 3-gram (at index i-2) lands on D-1. Iterate the HASH
+    // ARRAY with an indexed transform (hash h at 0-based j ↦ cut at
+    // j+3), never element_at(__hs, i) inside a lambda: projection
+    // collapse inlines __hs into the lambda body, re-running the whole
+    // shingle kernel PER POSITION — measured 65 s for 5 000 docs at
+    // sf0.1 (O(n²·chars) per doc) vs 0.4 s for this form. A transform's
+    // collection argument is evaluated once; only the lambda variable
+    // is per-element. Empty-array cast keeps the n<3 branch typed.
     val cuts = when(size(col("__ws")) >= 3,
-      filter(sequence(lit(3), size(col("__ws"))),
-        i => pmod(mix(element_at(col("__hs"), i - 2)), d) === d - 1L))
+      filter(
+        transform(col("__hs"), (h, j) =>
+          when(pmod(mix(h), d) === d - 1L, j + 3).otherwise(lit(null).cast("int"))),
+        x => x.isNotNull))
       .otherwise(array().cast("array<int>"))
     val withChunks = base.withColumn("__cuts", cuts).withColumn("__chunks", {
       val starts = concat(array(lit(1)), transform(col("__cuts"), c => c + 1))
