@@ -48,6 +48,43 @@ object Dedup {
         col("m.id").as("last_id"),
         col("n_versions")): _*)
 
+  /** Snapshot diff — the audit step between two versions of a keyed
+    * table (yesterday's snapshot vs today's, the raw log vs its
+    * [[keepLatest]] compaction): per key, whether the row was `added`,
+    * `removed`, `changed`, or `unchanged`, plus WHICH columns changed.
+    *
+    * One co-partitioned full-outer hash join on the key — the only
+    * shape that holds at 100 TB (both sides shuffle once on the same
+    * key; no fingerprint precomputation pass, since column comparison
+    * happens inside the join projection). Comparison is null-safe
+    * (`<=>`): a null→value transition counts as a change, null→null
+    * does not.
+    *
+    * Output: key columns (coalesced across sides), `status`,
+    * `changed_cols` (array of differing column names, empty unless
+    * `changed`).
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   keys: Seq[String], compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "snapshotDiff: need at least one compare column")
+    val o = oldDf.select((keys ++ compareCols).map(col): _*).as("o")
+    val n = newDf.select((keys ++ compareCols).map(col): _*).as("n")
+    val joinCond = keys.map(k => col(s"o.$k") === col(s"n.$k")).reduce(_ && _)
+    val oldPresent = col(s"o.${keys.head}").isNotNull
+    val newPresent = col(s"n.${keys.head}").isNotNull
+    val changed = array(compareCols.map(c =>
+      when(!(col(s"o.$c") <=> col(s"n.$c")), lit(c))): _*)
+    o.join(n, joinCond, "full_outer")
+      .select(
+        keys.map(k => coalesce(col(s"o.$k"), col(s"n.$k")).as(k)) ++ Seq(
+          when(!oldPresent, lit("added"))
+            .when(!newPresent, lit("removed"))
+            .when(size(filter(changed, x => x.isNotNull)) > 0, lit("changed"))
+            .otherwise(lit("unchanged")).as("status"),
+          when(oldPresent && newPresent, filter(changed, x => x.isNotNull))
+            .otherwise(array().cast("array<string>")).as("changed_cols")): _*)
+  }
+
   /** n-gram Jaccard near-dup pairs.
     *
     * Plan shape: explode distinct shingles → self-join on shingle

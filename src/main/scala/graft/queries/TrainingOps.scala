@@ -438,6 +438,45 @@ object TrainingOps {
              |    count(*) OVER (PARTITION BY user_id, event_type) AS n_versions
              |  FROM events) WHERE rn = 1""".stripMargin)),
 
+    // ---- snapshot diff: keyed audit between two table versions (one
+    //      co-partitioned full-outer join; per-row status + which
+    //      columns changed). Versions carved from events: old drops
+    //      id%7=0, new drops id%5=0 and perturbs value on id%3=0 ----
+    "dd_snapshot_diff" -> Q(
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val old = ev.filter(col("event_id") % 7 =!= 0)
+          .select("event_id", "event_type", "value", "props")
+        val nw = ev.filter(col("event_id") % 5 =!= 0)
+          .select(col("event_id"), col("event_type"),
+            when(col("event_id") % 3 === 0, col("value") + 1.0)
+              .otherwise(col("value")).as("value"),
+            col("props"))
+        Dedup.snapshotDiff(old, nw, Seq("event_id"),
+            Seq("event_type", "value", "props"))
+          // join the array to a string for the cross-engine hash gate
+          .withColumn("changed_cols", array_join(col("changed_cols"), ","))
+      },
+      Some("""WITH o AS (SELECT event_id, event_type, value, props FROM events
+             |            WHERE event_id % 7 <> 0),
+             |n AS (SELECT event_id, event_type,
+             |        CASE WHEN event_id % 3 = 0 THEN value + 1.0 ELSE value END AS value,
+             |        props
+             |      FROM events WHERE event_id % 5 <> 0),
+             |j AS (SELECT coalesce(o.event_id, n.event_id) AS event_id,
+             |        o.event_id IS NOT NULL AS op, n.event_id IS NOT NULL AS np,
+             |        list_filter([
+             |          CASE WHEN NOT (o.event_type IS NOT DISTINCT FROM n.event_type) THEN 'event_type' END,
+             |          CASE WHEN NOT (o.value IS NOT DISTINCT FROM n.value) THEN 'value' END,
+             |          CASE WHEN NOT (o.props IS NOT DISTINCT FROM n.props) THEN 'props' END],
+             |          x -> x IS NOT NULL) AS ch
+             |      FROM o FULL JOIN n ON o.event_id = n.event_id)
+             |SELECT event_id,
+             |  CASE WHEN NOT op THEN 'added' WHEN NOT np THEN 'removed'
+             |       WHEN len(ch) > 0 THEN 'changed' ELSE 'unchanged' END AS status,
+             |  CASE WHEN op AND np THEN coalesce(array_to_string(ch, ','), '') ELSE '' END AS changed_cols
+             |FROM j""".stripMargin)),
+
     // ---- sparse TF-IDF cosine pairs (lexical similarity without an
     //      embedding model): weighted inverted index, integer weights
     //      tf·1000 DIV df, threshold as decimal cross-multiplication —
