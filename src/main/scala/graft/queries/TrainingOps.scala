@@ -86,6 +86,32 @@ object TrainingOps {
        |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
        |cmp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)""".stripMargin
 
+  /** DuckDB re-derivation of the KMV distinct sketch over
+    * events.user_id per event_type (k = 64): kmvHash's two affine-mixed
+    * folds, k smallest distinct per group, exact-below-k / estimator
+    * split. Shared by the batch and batch-driven-streaming entries.
+    */
+  private lazy val duckKmvSql: String =
+    s"""WITH f AS (SELECT DISTINCT event_type,
+       |  ${duckCharHash("CAST(user_id AS VARCHAR)")} AS ch,
+       |  list_reduce(list_prepend(CAST(11 AS BIGINT),
+       |    list_transform(list_filter(string_split(CAST(user_id AS VARCHAR),''), c -> c <> ''),
+       |      c -> CAST(ascii(c) AS BIGINT))), (a,b) -> (a*37+b) % 1000000009) AS f37
+       |  FROM events WHERE user_id IS NOT NULL),
+       |h AS (SELECT DISTINCT event_type,
+       |  ((ch * 1103515245 + f37 * 2654435761 + 12345) % 1000000007) * 1000000009
+       |    + ((ch * 1000003 + f37 * 999999937 + 67867967) % 1000000009) AS h
+       |  FROM f),
+       |rk AS (SELECT event_type, h,
+       |  row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn FROM h),
+       |sk AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+       |  max(h) AS kth_hash FROM rk WHERE rn <= 64 GROUP BY 1)
+       |SELECT event_type, n_kept, kth_hash,
+       |  CASE WHEN n_kept < 64 THEN n_kept
+       |       ELSE CAST(63 * CAST(1000000016000000063 AS HUGEINT) // kth_hash AS BIGINT)
+       |  END AS est_distinct
+       |FROM sk""".stripMargin
+
   /** Path of a temp-file copy of the merges.txt CLASSPATH RESOURCE —
     * the exact bytes [[graft.functions.Bpe.defaultRanks]] parsed, so
     * the Spark kernel and the DuckDB oracle provably share one merge
@@ -1731,25 +1757,19 @@ object TrainingOps {
       (s, dir) =>
         graft.operators.Profile.distinctKmv(
           Tables(s, dir, "events"), Seq("event_type"), "user_id", k = 64),
-      Some(s"""WITH f AS (SELECT DISTINCT event_type,
-              |  ${duckCharHash("CAST(user_id AS VARCHAR)")} AS ch,
-              |  list_reduce(list_prepend(CAST(11 AS BIGINT),
-              |    list_transform(list_filter(string_split(CAST(user_id AS VARCHAR),''), c -> c <> ''),
-              |      c -> CAST(ascii(c) AS BIGINT))), (a,b) -> (a*37+b) % 1000000009) AS f37
-              |  FROM events WHERE user_id IS NOT NULL),
-              |h AS (SELECT DISTINCT event_type,
-              |  ((ch * 1103515245 + f37 * 2654435761 + 12345) % 1000000007) * 1000000009
-              |    + ((ch * 1000003 + f37 * 999999937 + 67867967) % 1000000009) AS h
-              |  FROM f),
-              |rk AS (SELECT event_type, h,
-              |  row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn FROM h),
-              |sk AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
-              |  max(h) AS kth_hash FROM rk WHERE rn <= 64 GROUP BY 1)
-              |SELECT event_type, n_kept, kth_hash,
-              |  CASE WHEN n_kept < 64 THEN n_kept
-              |       ELSE CAST(63 * CAST(1000000016000000063 AS HUGEINT) // kth_hash AS BIGINT)
-              |  END AS est_distinct
-              |FROM sk""".stripMargin)),
+      Some(duckKmvSql)),
+
+    // ---- the STREAMING KMV sketch, batch-driven: one micro-batch over
+    //      the whole corpus must equal the batch operator exactly, so
+    //      it shares its oracle ----
+    "ta_distinct_kmv_stateful" -> Q(
+      (s, dir) =>
+        graft.streaming.StatefulOps.streamingDistinctKmv(
+            Tables(s, dir, "events"), "event_type", "user_id", k = 64)
+          .toDF().select(col("key").as("event_type"),
+            col("nKept").as("n_kept"), col("kthHash").as("kth_hash"),
+            col("estDistinct").as("est_distinct")),
+      Some(duckKmvSql)),
 
     // ---- KMV set-overlap: Jaccard/intersection of two user
     //      populations estimated from their sketches alone — the

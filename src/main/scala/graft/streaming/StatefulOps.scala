@@ -709,4 +709,80 @@ object StatefulOps {
           semGroup(list, rows, state, eps, maxList, ttlMs)
       }
   }
+
+  // ---- streaming KMV distinct sketch ----
+
+  final case class KeyedHash(key: String, h: Long)
+  final case class KmvState(hashes: List[Long])
+  final case class KmvSnapshot(key: String, nKept: Long, kthHash: Long, estDistinct: Long)
+
+  implicit val keyedHashEnc: Encoder[KeyedHash] = Encoders.product[KeyedHash]
+  implicit val kmvStateEnc: Encoder[KmvState] = Encoders.product[KmvState]
+  implicit val kmvSnapshotEnc: Encoder[KmvSnapshot] = Encoders.product[KmvSnapshot]
+
+  private val KmvRange: BigInt =
+    BigInt(graft.functions.TextFunctions.P) * BigInt(graft.functions.Kernels.P2)
+
+  /** Per-group transition for [[streamingDistinctKmv]]: fold arriving
+    * hashes into the ≤ k smallest distinct set (TreeSet — O(log k) per
+    * arrival, duplicates are set-idempotent so at-least-once
+    * redelivery never inflates the estimate), emit one snapshot per
+    * batch. The estimate reproduces the batch
+    * [[graft.operators.Profile.kmvEstimate]] EXACTLY: exact count
+    * below k, else (k−1)·R DIV kth in BigInt (both floor positive
+    * quotients).
+    */
+  def kmvGroup(key: String, rows: Iterator[KeyedHash], state: GroupState[KmvState],
+               k: Int, ttlMs: Long): Iterator[KmvSnapshot] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val set = scala.collection.mutable.TreeSet.empty[Long]
+      state.getOption.foreach(s => set ++= s.hashes)
+      rows.foreach { r =>
+        set += r.h
+        if (set.size > k) set -= set.last
+      }
+      if (set.isEmpty) Iterator.empty
+      else {
+        val kept = set.toList // ascending
+        state.update(KmvState(kept))
+        if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+        val n = kept.size.toLong
+        val kth = kept.last
+        val est =
+          if (n < k) n else (BigInt(k - 1) * KmvRange / BigInt(kth)).toLong
+        Iterator.single(KmvSnapshot(key, n, kth, est))
+      }
+    }
+
+  /** Streaming distinct-cardinality: the incremental form of
+    * [[graft.operators.Profile.distinctKmv]] — per key, the KMV
+    * sketch of every value seen so far, snapshot re-emitted each
+    * micro-batch. Values hash through the same
+    * [[graft.functions.TextFunctions.kmvHash]] column expression
+    * BEFORE the shuffle (map-side, codegen), so state carries longs,
+    * never values. Batch-driving the whole corpus in one batch equals
+    * the batch operator exactly — the driver oracle gates it. State is
+    * O(k) per key; key cardinality is bounded by `ttlMs` like every
+    * sibling op.
+    */
+  def streamingDistinctKmv(df: org.apache.spark.sql.DataFrame,
+                           keyCol: String, valueCol: String,
+                           k: Int = 64, ttlMs: Long = 0L): Dataset[KmvSnapshot] = {
+    import org.apache.spark.sql.functions.col
+    require(k >= 2, s"streamingDistinctKmv: k must be >= 2, got $k")
+    val timeout =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"),
+        graft.functions.TextFunctions.kmvHash(col(valueCol).cast("string")).as("h"))
+      .as[KeyedHash]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[KmvState, KmvSnapshot](OutputMode.Append, timeout) {
+        (key: String, rows: Iterator[KeyedHash], state: GroupState[KmvState]) =>
+          kmvGroup(key, rows, state, k, ttlMs)
+      }
+  }
 }

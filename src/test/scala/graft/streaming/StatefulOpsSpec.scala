@@ -640,4 +640,51 @@ class StatefulOpsSpec extends SparkSpec {
     assert(streamed == batch, s"stream=$streamed batch=$batch")
     assert(batch.nonEmpty, "test corpus produced no semantic near-dups")
   }
+
+  test("streaming KMV: cross-batch accumulation, redelivery idempotence, TTL") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    def st(hashes: List[Long], timedOut: Boolean = false) =
+      TestGroupState.create[KmvState](
+        optionalState =
+          if (hashes.isEmpty) org.apache.spark.api.java.Optional.empty()
+          else org.apache.spark.api.java.Optional.of(KmvState(hashes)),
+        timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+        batchProcessingTimeMs = 1000L,
+        eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(),
+        hasTimedOut = timedOut)
+    // batch 2 merges into batch 1's sketch; only the k smallest survive
+    val s1 = st(List(10L, 20L, 30L))
+    val out1 = kmvGroup("g", Iterator(KeyedHash("g", 5L), KeyedHash("g", 25L)),
+      s1, k = 4, ttlMs = 60000L).toList
+    assert(s1.get.hashes == List(5L, 10L, 20L, 25L))
+    assert(out1 == List(KmvSnapshot("g", 4L, 25L, (BigInt(3) *
+      (BigInt(1000000007L) * 1000000009L) / 25L).toLong)))
+    // re-delivered hash is set-idempotent: sketch unchanged
+    val s2 = st(List(5L, 10L, 20L, 25L))
+    val out2 = kmvGroup("g", Iterator(KeyedHash("g", 10L)), s2, k = 4, ttlMs = 60000L).toList
+    assert(s2.get.hashes == List(5L, 10L, 20L, 25L) && out2.head.nKept == 4L)
+    // below k the estimate is the exact count
+    val s3 = st(Nil)
+    val out3 = kmvGroup("g", Iterator(KeyedHash("g", 7L), KeyedHash("g", 3L)),
+      s3, k = 4, ttlMs = 0L).toList
+    assert(out3 == List(KmvSnapshot("g", 2L, 7L, 2L)))
+    // timed-out key: removed, silent
+    val timed = st(List(1L), timedOut = true)
+    assert(kmvGroup("g", Iterator(KeyedHash("g", 2L)), timed, k = 4, ttlMs = 60000L).isEmpty)
+    assert(timed.isRemoved)
+    assert(s1.getTimeoutTimestampMs.isPresent)
+  }
+
+  test("streaming KMV batch-drive equals the batch distinctKmv") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 5000L).map(i => (s"g${i % 4}", i % 700)).toDF("g", "v")
+    val batch = graft.operators.Profile.distinctKmv(rows, Seq("g"), "v", k = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val streamed = streamingDistinctKmv(rows, "g", "v", k = 64)
+      .collect().map(r => (r.key, r.nKept, r.kthHash, r.estDistinct)).toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    // 700 distinct values spread over 4 groups -> every group saturates
+    assert(batch.forall(_._2 == 64L))
+  }
 }
