@@ -112,13 +112,22 @@ object TextSim {
       maxQueries: Long = 100000L): DataFrame = {
     require(k > 0, s"bm25TopK: k must be positive, got $k")
     val words = (c: Column) => filter(split(c, " "), w => w =!= "")
-    val tf = corpus
-      .select(col(idCol).as("__doc"), explode(words(col(textCol))).as("__w"))
+    val toks = corpus
+      .select(col(idCol).as("__doc"), words(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) > 0)
+    // tf feeds both the df aggregation and the scoring join; measured
+    // at sf0.1 the double evaluation is NOT the cost center (the
+    // term join dominates — this corpus's 31-word vocabulary makes
+    // every posting list ~78% of the corpus; real Zipf vocabularies
+    // shed exactly those lists through maxTermDocs), so tf stays an
+    // unmaterialized view rather than paying an eager checkpoint
+    val tf = toks
+      .select(col("__doc"), explode(col("__ws")).as("__w"))
       .groupBy("__doc", "__w").agg(count(lit(1)).as("__tf"))
-    // dl derives from tf (one tokenize pass feeds both aggregations)
-    val dl = tf.groupBy("__doc").agg(sum("__tf").as("__dl"))
-    // N and avgdl: one 1-row frame, broadcast into the scoring join —
-    // never collected (the plan stays a pure dataflow)
+    // dl/N/avgdl are ROW-LOCAL on the token arrays (array size), never
+    // an aggregation over tf; the 1-row stats frame broadcasts into the
+    // scoring join — nothing is collected
+    val dl = toks.select(col("__doc"), size(col("__ws")).cast("long").as("__dl"))
     val stats = dl.agg(count(lit(1)).as("__n"), sum("__dl").as("__tot"))
       .select(col("__n"), expr("__tot DIV __n").as("__avgdl"))
     val dfreq = tf.groupBy("__w").agg(count(lit(1)).as("__df"))
