@@ -171,6 +171,86 @@ object Profile {
       .drop("__u")
   }
 
+  /** One-pass data-quality gate for an embedding table — the checks an
+    * ANN/SemDeDup pipeline must run BEFORE building an index at 100 TB
+    * (a handful of NaN vectors poisons every cosine they touch; a
+    * dimension mismatch crashes the kernel mid-build; zero vectors
+    * rank nowhere but occupy index lists).
+    *
+    * ONE aggregation job, all predicates row-local integer/boolean
+    * counts (engine-exact, no float aggregates): `n_rows`, `n_null`,
+    * `n_wrong_dim` (≠ expectedDim), `n_nan` (any NaN element),
+    * `n_zero` (all elements 0), `n_ok` (none of the above).
+    */
+  def embeddingStats(df: DataFrame, vecCol: String, expectedDim: Int): DataFrame = {
+    require(expectedDim > 0, s"embeddingStats: expectedDim must be positive")
+    val v = col(vecCol)
+    val isNull = v.isNull
+    val wrongDim = !isNull && size(v) =!= expectedDim
+    val hasNan = !isNull && exists(v, x => isnan(x))
+    val isZero = !isNull && size(v) > 0 && forall(v, x => x === 0f)
+    def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      cnt(isNull).as("n_null"),
+      cnt(wrongDim).as("n_wrong_dim"),
+      cnt(hasNan).as("n_nan"),
+      cnt(isZero).as("n_zero"),
+      cnt(!isNull && !wrongDim && !hasNan && !isZero).as("n_ok"))
+  }
+
+  /** Oracle-exact approximate quantiles via a DETERMINISTIC uniform
+    * sample — the auditable counterpart to `percentile_approx`'s
+    * engine-private sketch (`dd_quantile_sketch` can only bound-check
+    * it; this one hash-matches across engines).
+    *
+    * Per group, the k rows whose [[graft.functions.TextFunctions
+    * .kmvHash]] of the row KEY is smallest form a uniform k-sample of
+    * the group (hash order is independent of the value), exactly the
+    * KMV membership rule — so the sample MERGES like the sketch does
+    * (k-smallest of unioned part-samples = the whole-data sample) and
+    * re-runs/engines agree row for row, where `TABLESAMPLE`/`rand()`
+    * do not. Quantiles are type-1 (lower) order statistics of the
+    * sorted sample: `p` maps to element 1 + (p·(m−1)) DIV 100 — an
+    * exact element, no interpolation float math. Groups below k
+    * degrade to exact quantiles of the whole group.
+    *
+    * Plan: k-bounded top-k aggregate on (−hash, key), join back on
+    * (group, key) for the values (co-partitioned hash join; sampled
+    * side is |groups|·k), then a k-bounded sorted-array aggregation —
+    * no window, no global sort. `keyCol` must be numeric and unique
+    * per (group, key); duplicate keys would enter the sample together
+    * and skew weights.
+    *
+    * Output: group cols, `n_sampled`, one `p<N>` column per requested
+    * percent.
+    */
+  def sampleQuantiles(df: DataFrame, groupCols: Seq[String],
+                      keyCol: String, valueCol: String,
+                      k: Int = 256, percents: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(k >= 1, s"sampleQuantiles: k must be >= 1, got $k")
+    require(percents.nonEmpty && percents.forall(p => p >= 0 && p <= 100),
+      s"sampleQuantiles: percents must be in [0,100], got $percents")
+    val g = groupCols.map(col)
+    val hashed = df
+      .filter(col(valueCol).isNotNull)
+      .select(g ++ Seq(col(keyCol).as("__key"),
+        graft.functions.TextFunctions.kmvHash(col(keyCol).cast("string")).as("__h")): _*)
+    val sampledKeys = hashed.groupBy(g: _*)
+      .agg(graft.functions.TopK.topkPairs(-col("__h"), col("__key"), k).as("__tk"))
+      .select(g :+ explode(transform(col("__tk"), p => p.getField("id"))).as("__key"): _*)
+    val vals = sampledKeys.join(
+      df.select(g ++ Seq(col(keyCol).cast("long").as("__key"),
+        col(valueCol).as("__v")): _*),
+      groupCols :+ "__key")
+    val agg = vals.groupBy(g: _*)
+      .agg(sort_array(collect_list(col("__v"))).as("__s"),
+        count(lit(1)).as("n_sampled"))
+    agg.select(g ++ (col("n_sampled") +: percents.map(p =>
+      element_at(col("__s"),
+        (expr(s"($p * (n_sampled - 1)) DIV 100") + 1).cast("int")).as(s"p$p"))): _*)
+  }
+
   /** Equal-width histogram of a numeric column in ONE partial-agg'd
     * aggregation (the profiling companion to the sketch family): values
     * clamp into `bins` buckets over [lo, hi). Bin assignment is a

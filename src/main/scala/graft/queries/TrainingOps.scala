@@ -1932,6 +1932,55 @@ object TrainingOps {
              |  TRUE AS qs_ok
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // ---- embedding-table quality gate: the pre-index checks (NaN /
+    //      dim-mismatch / zero / null counts) in ONE aggregation ----
+    "ta_embedding_stats" -> Q(
+      (s, dir) =>
+        graft.operators.Profile.embeddingStats(
+          Tables(s, dir, "embeddings"), "embedding", expectedDim = 64),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(*) FILTER (embedding IS NULL) AS BIGINT) AS n_null,
+             |  CAST(count(*) FILTER (embedding IS NOT NULL AND len(embedding) <> 64) AS BIGINT) AS n_wrong_dim,
+             |  CAST(count(*) FILTER (embedding IS NOT NULL
+             |    AND len(list_filter(embedding, x -> isnan(x))) > 0) AS BIGINT) AS n_nan,
+             |  CAST(count(*) FILTER (embedding IS NOT NULL AND len(embedding) > 0
+             |    AND len(list_filter(embedding, x -> x <> 0)) = 0) AS BIGINT) AS n_zero,
+             |  CAST(count(*) FILTER (embedding IS NOT NULL AND len(embedding) = 64
+             |    AND len(list_filter(embedding, x -> isnan(x))) = 0
+             |    AND len(list_filter(embedding, x -> x <> 0)) > 0) AS BIGINT) AS n_ok
+             |FROM embeddings""".stripMargin)),
+
+    // ---- deterministic-sample quantiles: the ORACLE-EXACT mergeable
+    //      percentile path next to dd_quantile_sketch's bound-checked
+    //      percentile_approx — hash-ordered uniform k-sample, type-1
+    //      order statistics, every number hash-matches ----
+    "ta_sample_quantiles" -> Q(
+      (s, dir) =>
+        graft.operators.Profile.sampleQuantiles(
+          Tables(s, dir, "events"), Seq("event_type"), "event_id", "value",
+          k = 128, percents = Seq(50, 90, 99)),
+      Some(s"""WITH f AS (SELECT event_type, event_id, value,
+              |  ${duckCharHash("CAST(event_id AS VARCHAR)")} AS ch,
+              |  list_reduce(list_prepend(CAST(11 AS BIGINT),
+              |    list_transform(list_filter(string_split(CAST(event_id AS VARCHAR),''), c -> c <> ''),
+              |      c -> CAST(ascii(c) AS BIGINT))), (a,b) -> (a*37+b) % 1000000009) AS f37
+              |  FROM events WHERE value IS NOT NULL),
+              |h AS (SELECT event_type, event_id, value,
+              |  ((ch * 1103515245 + f37 * 2654435761 + 12345) % 1000000007) * 1000000009
+              |    + ((ch * 1000003 + f37 * 999999937 + 67867967) % 1000000009) AS h
+              |  FROM f),
+              |rk AS (SELECT event_type, event_id, value,
+              |  row_number() OVER (PARTITION BY event_type ORDER BY h ASC, event_id ASC) AS rn
+              |  FROM h),
+              |sm AS (SELECT event_type, list(value ORDER BY value) AS sv,
+              |  CAST(count(*) AS BIGINT) AS n_sampled
+              |  FROM rk WHERE rn <= 128 GROUP BY 1)
+              |SELECT event_type, n_sampled,
+              |  sv[CAST(1 + (50 * (n_sampled - 1)) // 100 AS INT)] AS p50,
+              |  sv[CAST(1 + (90 * (n_sampled - 1)) // 100 AS INT)] AS p90,
+              |  sv[CAST(1 + (99 * (n_sampled - 1)) // 100 AS INT)] AS p99
+              |FROM sm""".stripMargin)),
+
     // ---- ANN via IVF coarse quantizer (learned partitions; the
     //      second scale path next to LSH). The quantizer is
     //      deterministic AND integer/double-fold reproducible end to
