@@ -109,13 +109,32 @@ object TextSim {
       queries: DataFrame, qIdCol: String, qTextCol: String,
       k: Int = 10,
       maxTermDocs: Long = 100000L,
-      maxQueries: Long = 100000L): DataFrame = {
-    require(k > 0, s"bm25TopK: k must be positive, got $k")
+      maxQueries: Long = 100000L): DataFrame =
+    bm25TopKAgainst(bm25Index(corpus, idCol, textCol, maxTermDocs),
+      queries, qIdCol, qTextCol, k, maxQueries)
+
+  /** A frozen BM25 index: `postings` (one row per (term, doc) with tf,
+    * doc length and term df — the per-term statistics fully joined, so
+    * query time is ONE term join) and `stats` (the 1-row N/avgdl
+    * frame). The serving-tier artifact of the lexical family, like the
+    * ANN index builds: persist `postings` partitioned/bucketed by
+    * `__w` and re-use across query batches; rebuild when the corpus
+    * version changes.
+    */
+  final case class Bm25Index(postings: DataFrame, stats: DataFrame)
+
+  /** Build the [[Bm25Index]] for a corpus. Terms with df > maxTermDocs
+    * are shed HERE (stopword-grade posting lists never reach disk).
+    * Plan: one tokenize pass feeds tf; dl and corpus stats are
+    * row-local on the token arrays; df is one aggregation over tf.
+    */
+  def bm25Index(corpus: DataFrame, idCol: String, textCol: String,
+                maxTermDocs: Long = 100000L): Bm25Index = {
     val words = (c: Column) => filter(split(c, " "), w => w =!= "")
     val toks = corpus
       .select(col(idCol).as("__doc"), words(col(textCol)).as("__ws"))
       .filter(size(col("__ws")) > 0)
-    // tf feeds both the df aggregation and the scoring join; measured
+    // tf feeds both the df aggregation and the postings join; measured
     // at sf0.1 the double evaluation is NOT the cost center (the
     // term join dominates — this corpus's 31-word vocabulary makes
     // every posting list ~78% of the corpus; real Zipf vocabularies
@@ -132,18 +151,31 @@ object TextSim {
       .select(col("__n"), expr("__tot DIV __n").as("__avgdl"))
     val dfreq = tf.groupBy("__w").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxTermDocs)
+    val postings = tf.join(dfreq, "__w").join(dl, "__doc")
+      .select(col("__w"), col("__doc"), col("__tf"), col("__df"), col("__dl"))
+    Bm25Index(postings, stats)
+  }
+
+  /** Query a (possibly persisted) [[Bm25Index]]: broadcast the probe
+    * terms, one hash join against the postings, two k-bounded
+    * aggregations. `bm25TopK(corpus, …) == bm25TopKAgainst(
+    * bm25Index(corpus), …)` exactly (spec-pinned).
+    */
+  def bm25TopKAgainst(
+      index: Bm25Index, queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int = 10, maxQueries: Long = 100000L): DataFrame = {
+    require(k > 0, s"bm25TopKAgainst: k must be positive, got $k")
+    val words = (c: Column) => filter(split(c, " "), w => w =!= "")
     // distinct query terms (BM25 ignores query-side tf); probe side is
     // model-sized and broadcast behind the guard
     val qt = broadcast(Guards.assertBroadcastable(
       queries
         .select(col(qIdCol).as("__qid"), explode(words(col(qTextCol))).as("__w"))
         .distinct(),
-      maxQueries, "bm25TopK query-term set"))
+      maxQueries, "bm25TopKAgainst query-term set"))
     val scored = qt
-      .join(dfreq, "__w")
-      .join(tf, "__w")
-      .join(dl, "__doc")
-      .crossJoin(broadcast(stats))
+      .join(index.postings, "__w")
+      .crossJoin(broadcast(index.stats))
       .select(col("__qid"), col("__doc"),
         expr("""((((__n - __df) * 2 + 1) * 1000 DIV (__df * 2 + 1))
                |  * __tf * 22 * __avgdl)

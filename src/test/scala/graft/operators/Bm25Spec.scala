@@ -119,6 +119,24 @@ class Bm25Spec extends SparkSpec {
     }
   }
 
+  test("a persisted index answers identically to the direct path") {
+    // the serving-tier shape: build once, write the postings+stats to
+    // parquet, reload cold, query — bit-identical ranking
+    val probes = docs.filter(col("doc_id") % 100 === 0)
+    val direct = TextSim.bm25TopK(docs, "doc_id", "text",
+        probes, "doc_id", "text", k = 5, maxTermDocs = 1000L)
+      .collect().map(_.toSeq).toSet
+    val idx = TextSim.bm25Index(docs, "doc_id", "text", maxTermDocs = 1000L)
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    idx.postings.write.mode("overwrite").parquet(s"$dir/postings")
+    idx.stats.write.mode("overwrite").parquet(s"$dir/stats")
+    val reloaded = TextSim.Bm25Index(
+      spark.read.parquet(s"$dir/postings"), spark.read.parquet(s"$dir/stats"))
+    val served = TextSim.bm25TopKAgainst(reloaded, probes, "doc_id", "text", k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(served == direct)
+  }
+
   test("selection is the k-bounded aggregate and probes broadcast — no window, no cartesian") {
     val probes = docs.filter(col("doc_id") % 100 === 0)
     val df = TextSim.bm25TopK(docs, "doc_id", "text",
