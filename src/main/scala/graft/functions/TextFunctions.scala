@@ -139,6 +139,22 @@ object TextFunctions {
       .otherwise(floor(((cnt - uniq) * 1000000L) / cnt).cast("long"))
   }
 
+  // ---- dedup-normalization (the C4/near-dup preprocessing step) ----
+
+  /** Canonical text for duplicate detection: lower-cased, punctuation
+    * stripped to spaces, whitespace runs collapsed, trimmed — so
+    * "Hello,  World!" and "hello world" hash identically. Feed THIS to
+    * [[charHash]]/[[fingerprint]]/the shingle family when case or
+    * punctuation variants must count as duplicates (the C4 dedup
+    * convention); raw text keeps them distinct. Pure codegen column
+    * expressions (lower + two regexp passes), exactly reproducible in
+    * any engine.
+    */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "),
+      "\\s+", " "))
+
   // ---- PII redaction (training-data scrubbing) ----
 
   /** conservative patterns; order matters (emails before bare digit

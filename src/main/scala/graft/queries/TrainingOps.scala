@@ -2836,6 +2836,27 @@ object TrainingOps {
               |    (a,b) -> (a*131+b) % 1000000007) AS fp
               |FROM documents""".stripMargin)),
 
+    // ---- normalized exact dedup: case/punctuation variants collapse
+    //      before hashing (the C4 preprocessing convention); one hash
+    //      shuffle on the normalized fingerprint ----
+    "dd_exact_normalized" -> Q(
+      (s, dir) =>
+        Dedup.exact(
+          Tables(s, dir, "documents").withColumn("norm_fp",
+            TextFunctions.fingerprint(
+              TextFunctions.normalizeForDedup(col("text")))),
+          Seq("norm_fp"), "doc_id"),
+      Some(s"""WITH n AS (SELECT doc_id,
+              |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+              |    '\\s+', ' ', 'g')) AS norm FROM documents),
+              |f AS (SELECT doc_id,
+              |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+              |    list_transform(string_split(norm,' '), w -> ${duckCharHash("w")})),
+              |    (a,b) -> (a*131+b) % 1000000007) AS norm_fp FROM n)
+              |SELECT norm_fp, min(doc_id) AS keep_id,
+              |  CAST(count(*) AS BIGINT) AS n_dups
+              |FROM f GROUP BY 1""".stripMargin)),
+
     // ---- multimodal: binary column + stub decode metadata ----
     "mm_decode_meta" -> Q(
       (s, dir) => {

@@ -649,4 +649,31 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     assert(out.forall(r => r._3 && r._1 == r._2))
   }
+
+  test("normalizeForDedup collapses case/punct/whitespace variants; exact dedup catches them") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (1L, "Hello,  World!"),
+      (2L, "hello world"),
+      (3L, "HELLO... world"),
+      (4L, "hello worlds"), // NOT a variant
+      (5L, "  hello\tworld ")
+    ).toDF("doc_id", "text")
+    val norm = docs.select(col("doc_id"),
+        TextFunctions.normalizeForDedup(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(norm(1L) == "hello world" && norm(2L) == "hello world" &&
+      norm(3L) == "hello world" && norm(5L) == "hello world")
+    assert(norm(4L) == "hello worlds")
+    val grouped = Dedup.exact(
+        docs.withColumn("fp", TextFunctions.fingerprint(
+          TextFunctions.normalizeForDedup(col("text")))),
+        Seq("fp"), "doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // raw-text exact dedup would find 5 singletons; normalized finds
+    // the 4-member variant group
+    assert(grouped.toSeq == Seq((1L, 4L), (4L, 1L)))
+  }
 }
