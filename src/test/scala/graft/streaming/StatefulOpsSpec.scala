@@ -675,6 +675,30 @@ class StatefulOpsSpec extends SparkSpec {
     assert(s1.getTimeoutTimestampMs.isPresent)
   }
 
+  test("streaming KMV over a real stream: each batch snapshots the union-so-far") {
+    implicit val sqlCtx = spark.sqlContext
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[(String, Long)]
+    val query = streamingDistinctKmv(
+        input.toDS().toDF("g", "v"), "g", "v", k = 64)
+      .writeStream.format("memory").queryName("kmv_out")
+      .outputMode("append").start()
+    input.addData((1L to 100L).map(v => ("g", v)): _*)
+    query.processAllAvailable()
+    // batch 2 overlaps batch 1 — the sketch must reflect the DISTINCT
+    // union, exactly the batch operator over each prefix
+    input.addData((50L to 150L).map(v => ("g", v)): _*)
+    query.processAllAvailable()
+    query.stop()
+    def batchSnap(hi: Long) = graft.operators.Profile.distinctKmv(
+        (1L to hi).map(v => ("g", v)).toDF("g", "v"), Seq("g"), "v", k = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).head
+    val got = spark.table("kmv_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(batchSnap(100L), batchSnap(150L)), got.toString)
+  }
+
   test("streaming KMV batch-drive equals the batch distinctKmv") {
     val s = spark
     import s.implicits._
