@@ -52,7 +52,20 @@ object ScaleProbe {
         graft.operators.Packing.packOffsets(spark, chunks,
           "doc_id", "chunk_idx", "n_tokens", budget = 2048L, buckets = 32).count()
       }
-      println(f"[scale] $label%-4s docs=$nDocs%7d ngram_jaccard=$jac%6.2f minhash_lsh=$lsh%6.2f simhash32=$sim%6.2f simhash63=$sim63%6.2f components=$comp%6.2f tfidf=$tfidf%6.2f pack=$pack%6.2f spans=$spans%6.2f")
+      // round-8 additions: CDC chunking (pure map — must stay linear),
+      // BM25 retrieval (posting-bound; probe count held constant),
+      // KMV sketch + sample quantiles (k-bounded aggregations)
+      val cdc = best(graft.operators.Chunking.cdcChunks(
+        docs, "doc_id", "text", avgWords = 16).count())
+      val bm25 = best(graft.operators.TextSim.bm25TopK(
+        docs, "doc_id", "text",
+        docs.filter(pmod(col("doc_id"), lit(1000L)) === 0 && col("doc_id") < 100000000L),
+        "doc_id", "text", k = 10, maxTermDocs = 1000L).count())
+      val kmv = best(graft.operators.Profile.distinctKmv(
+        docs, Seq("source"), "text", k = 64).count())
+      val sq = best(graft.operators.Profile.sampleQuantiles(
+        docs, Seq("source"), "doc_id", "n_chars", k = 256).count())
+      println(f"[scale] $label%-4s docs=$nDocs%7d ngram_jaccard=$jac%6.2f minhash_lsh=$lsh%6.2f simhash32=$sim%6.2f simhash63=$sim63%6.2f components=$comp%6.2f tfidf=$tfidf%6.2f pack=$pack%6.2f spans=$spans%6.2f cdc=$cdc%6.2f bm25=$bm25%6.2f kmv=$kmv%6.2f squant=$sq%6.2f")
     }
     bench("1x", args(0))
     bench("2x", args(1))
