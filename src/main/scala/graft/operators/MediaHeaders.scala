@@ -1,0 +1,98 @@
+package graft.operators
+
+/** REAL media metadata decode, pure JVM — no imaging library: header
+  * parsers for the dominant container formats. This closes the "codec
+  * is a stub" seam for METADATA (dimensions, duration): what a
+  * curation pipeline actually filters on (resolution floors, duration
+  * caps) comes from these headers; pixel/sample decode — the part that
+  * genuinely needs a native codec — remains behind the
+  * [[Multimodal.MediaCodec]] batch contract.
+  *
+  * Formats (byte-level, per spec):
+  *  - PNG: 8-byte signature `89 50 4E 47 0D 0A 1A 0A`; IHDR is always
+  *    the first chunk, so width/height are big-endian u32 at offsets
+  *    16/20.
+  *  - GIF (87a/89a): logical-screen width/height little-endian u16 at
+  *    offsets 6/8.
+  *  - JPEG: `FF D8` then marker segments; width/height are in the
+  *    frame header (SOF0..15 except DHT/JPG/DAC): height BE u16 at
+  *    segment+5, width at +7. Segments are length-prefixed, so the
+  *    walk is linear and bounded.
+  *  - WAV: `RIFF....WAVE` then chunks; `fmt ` carries byteRate (LE u32
+  *    at chunk+8), `data` carries the payload size → duration_ms =
+  *    dataLen·1000 / byteRate.
+  *
+  * Every parser returns None on malformed/foreign bytes — callers
+  * decide the fallback, nothing throws on a corrupt corpus (at 100 TB
+  * there WILL be truncated files; a poison-pill row must not kill the
+  * stage).
+  */
+object MediaHeaders {
+
+  /** (width, height) for PNG / GIF / JPEG bytes; None otherwise. */
+  def imageDims(b: Array[Byte]): Option[(Long, Long)] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    if (b.length >= 24 && u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G' &&
+        u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a)
+      Some((be32(16), be32(20)))
+    else if (b.length >= 10 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8' &&
+        (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a')
+      Some((le16(6).toLong, le16(8).toLong))
+    else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8)
+      jpegDims(b)
+    else None
+  }
+
+  /** Walk JPEG marker segments to the first frame header (SOFn). */
+  private def jpegDims(b: Array[Byte]): Option[(Long, Long)] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    var i = 2
+    while (i + 3 < b.length) {
+      if (u8(i) != 0xff) return None // lost sync
+      val marker = u8(i + 1)
+      if (marker == 0xff) { i += 1 } // fill byte
+      else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) {
+        i += 2 // standalone marker, no length
+      } else {
+        if (i + 3 >= b.length) return None
+        val len = be16(i + 2)
+        if (len < 2) return None
+        val isSof = (marker >= 0xc0 && marker <= 0xcf) &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc // not DHT/JPG/DAC
+        if (isSof) {
+          if (i + 8 < b.length && len >= 7)
+            return Some((be16(i + 7).toLong, be16(i + 5).toLong))
+          return None
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  /** duration_ms for RIFF/WAVE bytes; None otherwise. */
+  def wavDurationMs(b: Array[Byte]): Option[Long] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int, s: String): Boolean =
+      i + s.length <= b.length && s.indices.forall(j => u8(i + j) == s.charAt(j))
+    if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i = 12
+    var byteRate = 0L
+    var dataLen = -1L
+    while (i + 8 <= b.length && (byteRate == 0L || dataLen < 0L)) {
+      val size = le32(i + 4)
+      if (tag(i, "fmt ") && i + 20 <= b.length) byteRate = le32(i + 16)
+      else if (tag(i, "data")) dataLen = size
+      if (size < 0 || size > b.length.toLong) return None
+      i += 8 + size.toInt + (size.toInt & 1) // chunks are 2-byte aligned
+    }
+    if (byteRate > 0 && dataLen >= 0) Some(dataLen * 1000L / byteRate) else None
+  }
+}

@@ -120,6 +120,33 @@ object Multimodal {
     }
   }
 
+  /** REAL metadata codec: PNG/GIF/JPEG dimensions and WAV duration
+    * parsed from the actual bytes ([[MediaHeaders]], pure JVM — no
+    * imaging library), with the deterministic stub as the fallback for
+    * formats the header parsers don't cover (raw video containers,
+    * unknown bytes) — a truncated or foreign file degrades to stub
+    * metadata instead of killing the stage. Features remain the stub
+    * encoder (pixel/sample decode is the part that genuinely needs a
+    * native codec; it slots into this same class).
+    */
+  final class HeaderCodec(featureDim: Int) extends MediaCodec {
+    private val stub = new StubCodec(featureDim)
+    def decode(rows: Iterator[MediaRow]): Iterator[DecodedRow] = rows.map { r =>
+      val s = stub.decode(Iterator.single(r)).next()
+      if (r.kind == "image")
+        MediaHeaders.imageDims(r.content) match {
+          case Some((w, h)) => s.copy(width = w, height = h)
+          case None => s
+        }
+      else if (r.kind == "audio")
+        MediaHeaders.wavDurationMs(r.content) match {
+          case Some(ms) => s.copy(duration_ms = ms)
+          case None => s
+        }
+      else s
+    }
+  }
+
   /** Distributed decode: one codec per partition, streamed batches —
     * the Scala analog of `mapInPandas` (same batch shape, same
     * executor-side init contract). Partition sizing comes from the

@@ -112,6 +112,27 @@ object TrainingOps {
        |  END AS est_distinct
        |FROM sk""".stripMargin
 
+  /** Byte fixtures for `mm_header_meta` (id, kind, hex): real format
+    * headers assembled per spec — PNG 320×200, GIF89a 12×34, JPEG
+    * 640×480 with APP0+DQT before the SOF0, WAV 60 bytes with
+    * byteRate 8000 and a 16-byte data chunk (duration 2 ms), plus
+    * foreign bytes in both kinds (stub-fallback path). Shared between
+    * the Spark frame and the oracle's VALUES so both engines parse
+    * identical bytes.
+    */
+  private lazy val mmHeaderFixtures: Seq[(Long, String, String)] = Seq(
+    (1L, "image",
+      "89504E470D0A1A0A0000000D4948445200000140000000C80802000000"),
+    (2L, "image", "4749463839610C002200F7000000"),
+    (3L, "image",
+      "FFD8FFE000104A46494600010100000100010000FFDB0005000102" +
+        "FFC000110801E0028003011100021101031101FFD9"),
+    (4L, "audio",
+      "524946462400000057415645666D74201000000001000100401F0000401F000002001000" +
+        "6461746110000000" + "00" * 16),
+    (5L, "image", "DEADBEEF"),
+    (6L, "audio", "DEADBEEF"))
+
   /** Path of a temp-file copy of the merges.txt CLASSPATH RESOURCE —
     * the exact bytes [[graft.functions.Bpe.defaultRanks]] parsed, so
     * the Spark kernel and the DuckDB oracle provably share one merge
@@ -2879,6 +2900,53 @@ object TrainingOps {
              |  CASE WHEN kind = 'image' THEN (n_chars % 48 + 1) * 16 ELSE 0 END AS height,
              |  CASE WHEN kind <> 'image' THEN n_chars * 40 ELSE 0 END AS duration_ms
              |FROM k""".stripMargin)),
+
+    // ---- multimodal: REAL header decode (PNG/GIF/JPEG dims, WAV
+    //      duration parsed from actual bytes — MediaHeaders, pure JVM)
+    //      through the per-partition codec contract; unknown bytes
+    //      degrade to the stub. The oracle re-parses the SAME hex
+    //      literals byte-by-byte in SQL (JPEG/WAV offsets fixed for
+    //      these literals; the variable-position scans are spec-pinned
+    //      in MediaHeadersSpec) ----
+    "mm_header_meta" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.{Encoder, Encoders}
+        implicit val mediaEnc: Encoder[Multimodal.MediaRow] =
+          Encoders.product[Multimodal.MediaRow]
+        val rows = mmHeaderFixtures.map { case (id, kind, hx) => (id, kind, hx) }
+        val df = s.createDataFrame(rows).toDF("doc_id", "kind", "hx")
+          .select(col("doc_id"), col("kind"), unhex(col("hx")).as("content"))
+        Multimodal.decodePartitions(
+            df.as[Multimodal.MediaRow],
+            () => new Multimodal.HeaderCodec(4))
+          .toDF()
+          .select(col("doc_id"), col("kind"), col("n_bytes"),
+            col("width"), col("height"), col("duration_ms"))
+      },
+      Some(s"""WITH r(doc_id, kind, hx) AS (VALUES
+              |  ${mmHeaderFixtures.map { case (id, k, hx) => s"($id, '$k', '$hx')" }.mkString(",\n  ")}),
+              |b AS (SELECT doc_id, kind, hx, octet_length(unhex(hx)) AS n FROM r),
+              |bt AS (SELECT doc_id, kind, hx, n,
+              |  list_transform(range(0, n), k ->
+              |    (strpos('0123456789ABCDEF', upper(substr(hx, 1 + 2*k, 1))) - 1) * 16
+              |    + (strpos('0123456789ABCDEF', upper(substr(hx, 2 + 2*k, 1))) - 1)) AS bb
+              |  FROM b)
+              |SELECT doc_id, kind, CAST(n AS BIGINT) AS n_bytes,
+              |  CAST(CASE
+              |    WHEN doc_id = 1 THEN bb[17]*16777216 + bb[18]*65536 + bb[19]*256 + bb[20]
+              |    WHEN doc_id = 2 THEN bb[7] + bb[8]*256
+              |    WHEN doc_id = 3 THEN bb[35]*256 + bb[36]
+              |    WHEN kind = 'image' THEN (n % 64 + 1) * 16 ELSE 0 END AS BIGINT) AS width,
+              |  CAST(CASE
+              |    WHEN doc_id = 1 THEN bb[21]*16777216 + bb[22]*65536 + bb[23]*256 + bb[24]
+              |    WHEN doc_id = 2 THEN bb[9] + bb[10]*256
+              |    WHEN doc_id = 3 THEN bb[33]*256 + bb[34]
+              |    WHEN kind = 'image' THEN (n % 48 + 1) * 16 ELSE 0 END AS BIGINT) AS height,
+              |  CAST(CASE
+              |    WHEN doc_id = 4 THEN ((bb[41] + bb[42]*256 + bb[43]*65536 + bb[44]*16777216) * 1000)
+              |      // (bb[29] + bb[30]*256 + bb[31]*65536 + bb[32]*16777216)
+              |    WHEN kind <> 'image' THEN n * 40 ELSE 0 END AS BIGINT) AS duration_ms
+              |FROM bt""".stripMargin)),
 
     // ---- multimodal: resize planning (aspect-preserving fit into a
     //      224×224 box, pure integer arithmetic) ----

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Byte-level header parsing: the variable-position JPEG scan, WAV
+  * chunk walk with alignment, and every malformed-input None path (a
+  * 100 TB corpus WILL contain truncated files — nothing may throw).
+  */
+class MediaHeadersSpec extends AnyFunSuite {
+
+  private def hex(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("PNG: IHDR dims; truncated signature rejected") {
+    val png = hex("89504E470D0A1A0A 0000000D 49484452 00000140 000000C8 0802000000")
+    assert(MediaHeaders.imageDims(png).contains((320L, 200L)))
+    assert(MediaHeaders.imageDims(png.take(20)).isEmpty) // < 24 bytes
+    assert(MediaHeaders.imageDims(hex("88504E470D0A1A0A" + "00" * 16)).isEmpty) // bad sig
+  }
+
+  test("GIF: 87a and 89a little-endian dims") {
+    assert(MediaHeaders.imageDims(hex("474946383961 0C00 2200 F7000000"))
+      .contains((12L, 34L)))
+    assert(MediaHeaders.imageDims(hex("474946383761 FF01 0300 00000000"))
+      .contains((511L, 3L)))
+    assert(MediaHeaders.imageDims(hex("474946383861 0C00 2200 F7000000")).isEmpty) // GIF88a
+  }
+
+  test("JPEG: SOF found behind APP/DQT segments, fill bytes, restart markers") {
+    // FFD8, APP1, RST0 standalone, DHT (len 4, must be SKIPPED, not
+    // parsed as a frame), then a progressive SOF2
+    val jpeg = hex("FFD8" + "FFE10004" + "0000" + // APP1 len 4 (2 payload)
+      "FFD0" +                                     // restart marker, standalone
+      "FFC40004" + "0000" +                        // DHT len 4 — not a frame
+      "FFC2000B" + "08" + "0064" + "00C8" + "03" + "000000" + // SOF2: h=100 w=200
+      "FFD9")
+    assert(MediaHeaders.imageDims(jpeg).contains((200L, 100L)))
+    // lost sync (segment points past a non-FF byte) -> None, no throw
+    assert(MediaHeaders.imageDims(hex("FFD8 00C0 0011")).isEmpty)
+    // truncated before any SOF -> None
+    assert(MediaHeaders.imageDims(hex("FFD8 FFE10004 00")).isEmpty)
+  }
+
+  test("WAV: chunk walk honors 2-byte alignment and chunk order") {
+    // RIFF/WAVE with an ODD-sized junk chunk before fmt: the walk must
+    // skip its pad byte to stay aligned
+    val wav = hex("52494646" + "30000000" + "57415645" +
+      "4A554E4B" + "03000000" + "AABBCC" + "00" + // 'JUNK' size 3 + pad
+      "666D7420" + "10000000" + "0100" + "0100" + "401F0000" + "401F0000" + "0200" + "1000" +
+      "64617461" + "08000000" + "00" * 8)
+    assert(MediaHeaders.wavDurationMs(wav).contains(1L)) // 8*1000/8000
+    // missing fmt -> None; foreign container -> None; truncated -> None
+    val noFmt = hex("52494646" + "10000000" + "57415645" + "64617461" + "04000000" + "00" * 4)
+    assert(MediaHeaders.wavDurationMs(noFmt).isEmpty)
+    assert(MediaHeaders.wavDurationMs(hex("4F676753" + "00" * 40)).isEmpty)
+    assert(MediaHeaders.wavDurationMs(wav.take(30)).isEmpty)
+  }
+
+  test("HeaderCodec: real parse for known formats, stub fallback for foreign bytes") {
+    val codec = new Multimodal.HeaderCodec(4)
+    val png = hex("89504E470D0A1A0A 0000000D 49484452 00000010 00000020 0802000000")
+    val out = codec.decode(Iterator(
+      Multimodal.MediaRow(1L, "image", png),
+      Multimodal.MediaRow(2L, "image", hex("DEADBEEF")),
+      Multimodal.MediaRow(3L, "audio", hex("DEADBEEF")))).toList
+    assert(out(0).width == 16L && out(0).height == 32L)
+    assert(out(1).width == (4 % 64 + 1) * 16L) // stub fallback
+    assert(out(2).duration_ms == 4L * 40)      // stub audio fallback
+  }
+}
