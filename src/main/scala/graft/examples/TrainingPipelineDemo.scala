@@ -63,9 +63,12 @@ object TrainingPipelineDemo {
     // 2. PII redaction (pure projection, fuses into the scan)
     val redacted = quality.withColumn("text", TextFunctions.redact(col("text")))
 
-    // 3. exact dedup on content fingerprint
+    // 3. exact dedup on the NORMALIZED content fingerprint — case /
+    //    punctuation / whitespace variants collapse before hashing
+    //    (the C4 convention)
     val keep = Dedup.exact(
-        redacted.withColumn("fp", TextFunctions.fingerprint(col("text"))),
+        redacted.withColumn("fp", TextFunctions.fingerprint(
+          TextFunctions.normalizeForDedup(col("text")))),
         Seq("fp"), "doc_id")
       .select(col("keep_id").as("doc_id"))
     val exactKept = redacted.join(keep, "doc_id")
@@ -100,9 +103,15 @@ object TrainingPipelineDemo {
     val capped = clean.join(sourceCapIds(spark, clean, k = 20), "doc_id")
     val c5 = capped.count()
 
-    // 7. deterministic split + sorted layout per split
-    val split = Sampling.splitByHash(
-      capped, "doc_id", Seq("train" -> 80, "valid" -> 10, "test" -> 10), seed = 1)
+    // 7. LEAKAGE-SAFE deterministic split + sorted layout per split:
+    //    any near-dup pair that survived the keep-best stage lands in
+    //    ONE split (component-keyed hash), so test never holds a
+    //    paraphrase of a train row
+    val split = Sampling.splitByComponent(
+      capped, "doc_id",
+      Dedup.minhashLshCandidates(capped, "doc_id", "text", n = 3, k = 8, bands = 2),
+      "da", "db",
+      Seq("train" -> 80, "valid" -> 10, "test" -> 10), seed = 1)
     Seq("train", "valid", "test").foreach { s =>
       Layout.writeSorted(
         split.filter(col("split") === s).drop("split"),

@@ -56,6 +56,27 @@ class MediaHeadersSpec extends AnyFunSuite {
     assert(MediaHeaders.wavDurationMs(wav.take(30)).isEmpty)
   }
 
+  test("assemble→parse round-trips across the dimension range") {
+    def px(v: Long, n: Int): String = ("%0" + (2 * n) + "X").format(v) // big-endian
+    def le(v: Long, n: Int): String =
+      (0 until n).map(i => "%02X".format((v >> (8 * i)) & 0xff)).mkString
+    for (w <- Seq(1L, 7L, 255L, 256L, 65535L); h <- Seq(1L, 199L, 65535L)) {
+      val png = hex("89504E470D0A1A0A0000000D49484452" + px(w, 4) + px(h, 4) + "0802000000")
+      assert(MediaHeaders.imageDims(png).contains((w, h)), s"png $w x $h")
+      val gif = hex("474946383961" + le(w.min(65535L), 2) + le(h.min(65535L), 2) + "00000000")
+      assert(MediaHeaders.imageDims(gif).contains((w.min(65535L), h.min(65535L))), s"gif $w x $h")
+      val jpg = hex("FFD8" + "FFC0000B08" + px(h, 2) + px(w, 2) + "03000000" + "FFD9")
+      assert(MediaHeaders.imageDims(jpg).contains((w, h)), s"jpeg $w x $h")
+    }
+    for (rate <- Seq(1L, 8000L, 192000L); dlen <- Seq(0L, 16L, 1000L)) {
+      val wav = hex("52494646" + le(36 + dlen, 4) + "57415645" +
+        "666D74201000000001000100" + le(8000L, 4) + le(rate, 4) + "02001000" +
+        "64617461" + le(dlen, 4) + "00" * dlen.toInt)
+      assert(MediaHeaders.wavDurationMs(wav).contains(dlen * 1000L / rate),
+        s"wav rate=$rate dlen=$dlen")
+    }
+  }
+
   test("HeaderCodec: real parse for known formats, stub fallback for foreign bytes") {
     val codec = new Multimodal.HeaderCodec(4)
     val png = hex("89504E470D0A1A0A 0000000D 49484452 00000010 00000020 0802000000")
