@@ -29,13 +29,18 @@ package graft.operators
   */
 object MediaHeaders {
 
-  /** (width, height) for PNG / GIF / JPEG bytes; None otherwise. */
+  /** (width, height) for PNG / GIF / JPEG / WebP / BMP bytes; None
+    * otherwise. */
   def imageDims(b: Array[Byte]): Option[(Long, Long)] = {
     def u8(i: Int): Int = b(i) & 0xff
     def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
     def be32(i: Int): Long =
       (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
     def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le24(i: Int): Long = u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16)
+    def le32(i: Int): Long = le24(i) | (u8(i + 3).toLong << 24)
+    def tag(i: Int, s: String): Boolean =
+      i + s.length <= b.length && s.indices.forall(j => u8(i + j) == s.charAt(j))
     if (b.length >= 24 && u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G' &&
         u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a)
       Some((be32(16), be32(20)))
@@ -44,6 +49,20 @@ object MediaHeaders {
       Some((le16(6).toLong, le16(8).toLong))
     else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8)
       jpegDims(b)
+    else if (b.length >= 16 && tag(0, "RIFF") && tag(8, "WEBP")) {
+      // three container flavors, dims at spec'd fixed offsets
+      if (tag(12, "VP8X") && b.length >= 30)
+        Some((le24(24) + 1, le24(27) + 1)) // canvas size, stored −1
+      else if (tag(12, "VP8 ") && b.length >= 30 &&
+          u8(23) == 0x9d && u8(24) == 0x01 && u8(25) == 0x2a)
+        Some(((le16(26) & 0x3fff).toLong, (le16(28) & 0x3fff).toLong)) // lossy keyframe
+      else if (tag(12, "VP8L") && b.length >= 25 && u8(20) == 0x2f) {
+        val bits = le32(21)
+        Some(((bits & 0x3fff) + 1, ((bits >> 14) & 0x3fff) + 1)) // lossless, stored −1
+      } else None
+    } else if (b.length >= 26 && u8(0) == 'B' && u8(1) == 'M')
+      // BITMAPINFOHEADER; height may be negative (top-down rows)
+      Some((le32(18), math.abs(le32(22).toInt).toLong))
     else None
   }
 
@@ -73,6 +92,27 @@ object MediaHeaders {
       }
     }
     None
+  }
+
+  /** duration_ms for WAV or FLAC bytes; None otherwise. */
+  def audioDurationMs(b: Array[Byte]): Option[Long] =
+    wavDurationMs(b).orElse(flacDurationMs(b))
+
+  /** duration_ms from a FLAC STREAMINFO block (always the first
+    * metadata block after the `fLaC` marker): sample rate is a 20-bit
+    * big-endian field at STREAMINFO offset 10, total samples the
+    * 36-bit field ending at offset 17 → duration = samples·1000/rate.
+    */
+  def flacDurationMs(b: Array[Byte]): Option[Long] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    if (b.length < 26 || u8(0) != 'f' || u8(1) != 'L' || u8(2) != 'a' || u8(3) != 'C')
+      return None
+    if ((u8(4) & 0x7f) != 0) return None // first block must be STREAMINFO
+    // STREAMINFO data starts at byte 8; rate bits at data+10..12
+    val rate = (u8(18).toLong << 12) | (u8(19) << 4) | (u8(20) >> 4)
+    val total = ((u8(21) & 0x0f).toLong << 32) | (u8(22).toLong << 24) |
+      (u8(23).toLong << 16) | (u8(24).toLong << 8) | u8(25).toLong
+    if (rate > 0) Some(total * 1000L / rate) else None
   }
 
   /** duration_ms for RIFF/WAVE bytes; None otherwise. */

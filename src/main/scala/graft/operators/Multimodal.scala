@@ -139,7 +139,7 @@ object Multimodal {
           case None => s
         }
       else if (r.kind == "audio")
-        MediaHeaders.wavDurationMs(r.content) match {
+        MediaHeaders.audioDurationMs(r.content) match {
           case Some(ms) => s.copy(duration_ms = ms)
           case None => s
         }

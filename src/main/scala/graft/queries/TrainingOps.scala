@@ -131,7 +131,13 @@ object TrainingOps {
       "524946462400000057415645666D74201000000001000100401F0000401F000002001000" +
         "6461746110000000" + "00" * 16),
     (5L, "image", "DEADBEEF"),
-    (6L, "audio", "DEADBEEF"))
+    (6L, "audio", "DEADBEEF"),
+    (7L, "image", // WebP VP8L 17×9 (packed 14-bit fields, stored −1)
+      "5249464618000000574542505650384C100000002F1000020000"),
+    (8L, "image", // BMP 320×12
+      "424D4600000000000000360000002800000040010000" + "0C000000"),
+    (9L, "audio", // FLAC 44100 Hz, 441000 samples → 10 000 ms
+      "664C614300000022001000100000000000000AC440000006BAA8"))
 
   /** Path of a temp-file copy of the merges.txt CLASSPATH RESOURCE —
     * the exact bytes [[graft.functions.Bpe.defaultRanks]] parsed, so
@@ -2936,15 +2942,22 @@ object TrainingOps {
               |    WHEN doc_id = 1 THEN bb[17]*16777216 + bb[18]*65536 + bb[19]*256 + bb[20]
               |    WHEN doc_id = 2 THEN bb[7] + bb[8]*256
               |    WHEN doc_id = 3 THEN bb[35]*256 + bb[36]
+              |    WHEN doc_id = 7 THEN (bb[22] + bb[23]*256 + bb[24]*65536 + bb[25]*16777216) % 16384 + 1
+              |    WHEN doc_id = 8 THEN bb[19] + bb[20]*256 + bb[21]*65536 + bb[22]*16777216
               |    WHEN kind = 'image' THEN (n % 64 + 1) * 16 ELSE 0 END AS BIGINT) AS width,
               |  CAST(CASE
               |    WHEN doc_id = 1 THEN bb[21]*16777216 + bb[22]*65536 + bb[23]*256 + bb[24]
               |    WHEN doc_id = 2 THEN bb[9] + bb[10]*256
               |    WHEN doc_id = 3 THEN bb[33]*256 + bb[34]
+              |    WHEN doc_id = 7 THEN ((bb[22] + bb[23]*256 + bb[24]*65536 + bb[25]*16777216) // 16384) % 16384 + 1
+              |    WHEN doc_id = 8 THEN bb[23] + bb[24]*256 + bb[25]*65536 + bb[26]*16777216
               |    WHEN kind = 'image' THEN (n % 48 + 1) * 16 ELSE 0 END AS BIGINT) AS height,
               |  CAST(CASE
               |    WHEN doc_id = 4 THEN ((bb[41] + bb[42]*256 + bb[43]*65536 + bb[44]*16777216) * 1000)
               |      // (bb[29] + bb[30]*256 + bb[31]*65536 + bb[32]*16777216)
+              |    WHEN doc_id = 9 THEN (((bb[22] % 16) * 4294967296 + bb[23]*16777216
+              |        + bb[24]*65536 + bb[25]*256 + bb[26]) * 1000)
+              |      // (bb[19]*4096 + bb[20]*16 + bb[21] // 16)
               |    WHEN kind <> 'image' THEN n * 40 ELSE 0 END AS BIGINT) AS duration_ms
               |FROM bt""".stripMargin)),
 

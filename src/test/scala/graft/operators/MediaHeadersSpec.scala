@@ -56,6 +56,47 @@ class MediaHeadersSpec extends AnyFunSuite {
     assert(MediaHeaders.wavDurationMs(wav.take(30)).isEmpty)
   }
 
+  test("WebP: all three container flavors at their spec'd offsets") {
+    // VP8X extended: canvas stored −1 as LE24 pairs
+    val vp8x = hex("52494646" + "24000000" + "57454250" + "56503858" + "0A000000" +
+      "00000000" + "2B0100" + "C70000")
+    assert(MediaHeaders.imageDims(vp8x).contains((300L, 200L)))
+    // VP8 lossy: keyframe sync 9D 01 2A then 14-bit dims
+    val vp8 = hex("52494646" + "20000000" + "57454250" + "56503820" + "12000000" +
+      "000000" + "9D012A" + "8002" + "E001")
+    assert(MediaHeaders.imageDims(vp8).contains((640L, 480L)))
+    // VP8L lossless: 0x2F signature then packed 14-bit fields, stored −1
+    val vp8l = hex("52494646" + "18000000" + "57454250" + "5650384C" + "10000000" +
+      "2F" + "10000200" + "00")
+    assert(MediaHeaders.imageDims(vp8l).contains((17L, 9L)))
+    // bad lossy sync -> None
+    val badSync = hex("52494646" + "20000000" + "57454250" + "56503820" + "12000000" +
+      "000000" + "9D012B" + "8002" + "E001")
+    assert(MediaHeaders.imageDims(badSync).isEmpty)
+  }
+
+  test("BMP: LE dims; negative (top-down) height reported absolute") {
+    val bmp = hex("424D" + "46000000" + "00000000" + "36000000" + "28000000" +
+      "40010000" + "0C000000")
+    assert(MediaHeaders.imageDims(bmp).contains((320L, 12L)))
+    val topDown = hex("424D" + "46000000" + "00000000" + "36000000" + "28000000" +
+      "40010000" + "F4FFFFFF")
+    assert(MediaHeaders.imageDims(topDown).contains((320L, 12L)))
+  }
+
+  test("FLAC: STREAMINFO rate/total-samples -> duration") {
+    // 44100 Hz, 441000 samples -> exactly 10 s
+    val flac = hex("664C6143" + "00" + "000022" + "00100010000000000000" +
+      "0A" + "C4" + "40" + "00" + "0006BAA8")
+    assert(MediaHeaders.flacDurationMs(flac).contains(10000L))
+    assert(MediaHeaders.audioDurationMs(flac).contains(10000L))
+    // first block not STREAMINFO -> None; foreign bytes -> None
+    val wrongBlock = hex("664C6143" + "04" + "000022" + "00100010000000000000" +
+      "0A" + "C4" + "40" + "00" + "0006BAA8")
+    assert(MediaHeaders.flacDurationMs(wrongBlock).isEmpty)
+    assert(MediaHeaders.flacDurationMs(hex("DEADBEEF" + "00" * 30)).isEmpty)
+  }
+
   test("assemble→parse round-trips across the dimension range") {
     def px(v: Long, n: Int): String = ("%0" + (2 * n) + "X").format(v) // big-endian
     def le(v: Long, n: Int): String =
