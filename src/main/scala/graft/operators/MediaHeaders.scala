@@ -94,9 +94,38 @@ object MediaHeaders {
     None
   }
 
-  /** duration_ms for WAV or FLAC bytes; None otherwise. */
+  /** duration_ms for WAV, FLAC or MP3 bytes; None otherwise. */
   def audioDurationMs(b: Array[Byte]): Option[Long] =
-    wavDurationMs(b).orElse(flacDurationMs(b))
+    wavDurationMs(b).orElse(flacDurationMs(b)).orElse(mp3DurationMs(b))
+
+  /** MPEG1 Layer III bitrate table, kbps by header index (0 = free
+    * format, 15 = invalid — both rejected). */
+  private val Mp3KbpsV1L3 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+
+  /** CBR MP3 duration: audio bytes ÷ bitrate. Skips a leading ID3v2
+    * tag (syncsafe 28-bit size), then reads the first MPEG1 Layer III
+    * frame header's bitrate index; duration_ms = audioBytes·8 DIV
+    * kbps. VBR files (no Xing parsing) and other MPEG versions return
+    * None — documented: CBR MPEG1-L3 is the dominant corpus case, and
+    * a None falls back to the stub rather than a wrong number.
+    */
+  def mp3DurationMs(b: Array[Byte]): Option[Long] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    var off = 0
+    if (b.length >= 10 && u8(0) == 'I' && u8(1) == 'D' && u8(2) == '3') {
+      val size = ((u8(6) & 0x7f) << 21) | ((u8(7) & 0x7f) << 14) |
+        ((u8(8) & 0x7f) << 7) | (u8(9) & 0x7f)
+      off = 10 + size
+    }
+    if (off + 4 > b.length || u8(off) != 0xff || (u8(off + 1) & 0xe0) != 0xe0) return None
+    val version = (u8(off + 1) >> 3) & 3
+    val layer = (u8(off + 1) >> 1) & 3
+    if (version != 3 || layer != 1) return None // MPEG1 Layer III only
+    val kbps = Mp3KbpsV1L3((u8(off + 2) >> 4) & 0xf)
+    if (kbps == 0) return None // free-format or invalid index
+    Some((b.length - off).toLong * 8L / kbps)
+  }
 
   /** duration_ms from a FLAC STREAMINFO block (always the first
     * metadata block after the `fLaC` marker): sample rate is a 20-bit

@@ -137,7 +137,10 @@ object TrainingOps {
     (8L, "image", // BMP 320×12
       "424D4600000000000000360000002800000040010000" + "0C000000"),
     (9L, "audio", // FLAC 44100 Hz, 441000 samples → 10 000 ms
-      "664C614300000022001000100000000000000AC440000006BAA8"))
+      "664C614300000022001000100000000000000AC440000006BAA8"),
+    (10L, "audio", // MP3: 10-byte ID3v2 payload + MPEG1-L3 @128 kbps,
+      // 100 audio bytes → 6 ms
+      "4944330300000000000A" + "00" * 10 + "FFFB9000" + "00" * 96))
 
   /** Path of a temp-file copy of the merges.txt CLASSPATH RESOURCE —
     * the exact bytes [[graft.functions.Bpe.defaultRanks]] parsed, so
@@ -2958,6 +2961,10 @@ object TrainingOps {
               |    WHEN doc_id = 9 THEN (((bb[22] % 16) * 4294967296 + bb[23]*16777216
               |        + bb[24]*65536 + bb[25]*256 + bb[26]) * 1000)
               |      // (bb[19]*4096 + bb[20]*16 + bb[21] // 16)
+              |    WHEN doc_id = 10 THEN
+              |      ((n - (10 + (bb[7]%128)*2097152 + (bb[8]%128)*16384 + (bb[9]%128)*128 + (bb[10]%128))) * 8)
+              |      // ([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320,0][
+              |           bb[(10 + (bb[7]%128)*2097152 + (bb[8]%128)*16384 + (bb[9]%128)*128 + (bb[10]%128)) + 3] // 16 + 1])
               |    WHEN kind <> 'image' THEN n * 40 ELSE 0 END AS BIGINT) AS duration_ms
               |FROM bt""".stripMargin)),
 

@@ -97,6 +97,23 @@ class MediaHeadersSpec extends AnyFunSuite {
     assert(MediaHeaders.flacDurationMs(hex("DEADBEEF" + "00" * 30)).isEmpty)
   }
 
+  test("MP3: CBR duration behind an ID3v2 tag; VBR-adjacent shapes rejected") {
+    // ID3v2 tag of 10 bytes payload, then an MPEG1-L3 header at 128
+    // kbps followed by 96 payload bytes: audio = 100 bytes -> 6 ms
+    val mp3 = hex("494433030000" + "0000000A" + "00" * 10 +
+      "FFFB9000" + "00" * 96)
+    assert(MediaHeaders.mp3DurationMs(mp3).contains(100L * 8 / 128))
+    assert(MediaHeaders.audioDurationMs(mp3).contains(6L))
+    // bare frame with no tag
+    val bare = hex("FFFB1000" + "00" * 60) // 32 kbps, 64 bytes -> 16 ms
+    assert(MediaHeaders.mp3DurationMs(bare).contains(16L))
+    // MPEG2 (version bits 10) and free-format bitrate -> None
+    assert(MediaHeaders.mp3DurationMs(hex("FFF39000" + "00" * 60)).isEmpty)
+    assert(MediaHeaders.mp3DurationMs(hex("FFFB0000" + "00" * 60)).isEmpty)
+    // tag pointing past the buffer -> None, no throw
+    assert(MediaHeaders.mp3DurationMs(hex("494433030000" + "00000F7F")).isEmpty)
+  }
+
   test("assemble→parse round-trips across the dimension range") {
     def px(v: Long, n: Int): String = ("%0" + (2 * n) + "X").format(v) // big-endian
     def le(v: Long, n: Int): String =
