@@ -56,11 +56,26 @@ object Bench {
           name -> Some(if (warm.nonEmpty) median(warm) else cold)
       }
     }
-    val qs = results.collect { case (k, Some(v)) => s"\"" + k + "\":" + v }
+    // The driver captures a bounded stdout TAIL: r8 lost 92/153 per-query
+    // timings because the (single, last) JSON line was longer than the
+    // captured tail and its head was cut. Two defenses: (a) the stdout
+    // line rounds seconds to 0.1 ms so the whole 153-query map fits well
+    // inside any plausible tail buffer; (b) the full-precision JSON is
+    // also written to bench_out.json next to the process cwd, which a
+    // reader can always parse whole.
+    def fmt(v: Double): String = f"$v%.4f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+    val qs = results.collect { case (k, Some(v)) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val qsFull = results.collect { case (k, Some(v)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.flatten.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","protocol":"median-of-$reps-warm"}""")
+    def line(q: String, t: String): String =
+      s"""{"metric":"total","value":$t,"unit":"sec","queries":$q,"errors":$errJson,"sf":"$sfDir","protocol":"median-of-$reps-warm"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), line(qsFull, total.toString) + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}") }
+    println(line(qs, fmt(total)))
     spark.stop()
   }
 }

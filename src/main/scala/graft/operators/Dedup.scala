@@ -67,11 +67,18 @@ object Dedup {
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
                    keys: Seq[String], compareCols: Seq[String]): DataFrame = {
     require(compareCols.nonEmpty, "snapshotDiff: need at least one compare column")
-    val o = oldDf.select((keys ++ compareCols).map(col): _*).as("o")
-    val n = newDf.select((keys ++ compareCols).map(col): _*).as("n")
+    // Explicit presence markers rather than key-IS-NOT-NULL inference:
+    // with the latter, a row whose key column is genuinely NULL never
+    // joins (the join is not null-safe by design — NULL keys should not
+    // match each other across snapshots) and would be misclassified
+    // `added` even when it came from the old side.
+    val o = oldDf.select(keys.map(col) ++ compareCols.map(col) :+
+      lit(true).as("__o_present"): _*).as("o")
+    val n = newDf.select(keys.map(col) ++ compareCols.map(col) :+
+      lit(true).as("__n_present"): _*).as("n")
     val joinCond = keys.map(k => col(s"o.$k") === col(s"n.$k")).reduce(_ && _)
-    val oldPresent = col(s"o.${keys.head}").isNotNull
-    val newPresent = col(s"n.${keys.head}").isNotNull
+    val oldPresent = col("o.__o_present").isNotNull
+    val newPresent = col("n.__n_present").isNotNull
     val changed = array(compareCols.map(c =>
       when(!(col(s"o.$c") <=> col(s"n.$c")), lit(c))): _*)
     o.join(n, joinCond, "full_outer")

@@ -60,10 +60,19 @@ object MediaHeaders {
         val bits = le32(21)
         Some(((bits & 0x3fff) + 1, ((bits >> 14) & 0x3fff) + 1)) // lossless, stored −1
       } else None
-    } else if (b.length >= 26 && u8(0) == 'B' && u8(1) == 'M')
-      // BITMAPINFOHEADER; height may be negative (top-down rows)
-      Some((le32(18), math.abs(le32(22).toInt).toLong))
-    else None
+    } else if (b.length >= 22 && u8(0) == 'B' && u8(1) == 'M') {
+      // Dispatch on the DIB header size at offset 14: the 12-byte
+      // BITMAPCOREHEADER stores u16 width/height at 18/20; the INFO
+      // family (40/52/56/108/124) stores s32 at 18/22 (height may be
+      // negative = top-down rows). Unknown sizes → None, keeping the
+      // "None on malformed/foreign bytes" contract.
+      val dib = le32(14)
+      if (dib == 12L) Some((le16(18).toLong, le16(20).toLong))
+      else if (b.length >= 26 &&
+          (dib == 40L || dib == 52L || dib == 56L || dib == 108L || dib == 124L))
+        Some((le32(18), math.abs(le32(22).toInt).toLong))
+      else None
+    } else None
   }
 
   /** Walk JPEG marker segments to the first frame header (SOFn). */
@@ -106,12 +115,19 @@ object MediaHeaders {
   /** CBR MP3 duration: audio bytes ÷ bitrate. Skips a leading ID3v2
     * tag (syncsafe 28-bit size), then reads the first MPEG1 Layer III
     * frame header's bitrate index; duration_ms = audioBytes·8 DIV
-    * kbps. VBR files (no Xing parsing) and other MPEG versions return
-    * None — documented: CBR MPEG1-L3 is the dominant corpus case, and
-    * a None falls back to the stub rather than a wrong number.
+    * kbps. A trailing 128-byte ID3v1 `TAG` block is excluded from the
+    * audio byte count. VBR files are DETECTED (a `Xing`/`Info` marker
+    * in the first frame — at 36/21 bytes past the header for
+    * stereo/mono side-info — means the first frame's bitrate index is
+    * the header frame's, not the stream's) and return None, as do
+    * other MPEG versions — documented: CBR MPEG1-L3 is the dominant
+    * corpus case, and a None falls back to the stub rather than a
+    * wrong number.
     */
   def mp3DurationMs(b: Array[Byte]): Option[Long] = {
     def u8(i: Int): Int = b(i) & 0xff
+    def tag(i: Int, s: String): Boolean =
+      i >= 0 && i + s.length <= b.length && s.indices.forall(j => u8(i + j) == s.charAt(j))
     var off = 0
     if (b.length >= 10 && u8(0) == 'I' && u8(1) == 'D' && u8(2) == '3') {
       val size = ((u8(6) & 0x7f) << 21) | ((u8(7) & 0x7f) << 14) |
@@ -124,7 +140,16 @@ object MediaHeaders {
     if (version != 3 || layer != 1) return None // MPEG1 Layer III only
     val kbps = Mp3KbpsV1L3((u8(off + 2) >> 4) & 0xf)
     if (kbps == 0) return None // free-format or invalid index
-    Some((b.length - off).toLong * 8L / kbps)
+    // VBR sniff: MPEG1-L3 side info is 32 bytes (stereo/joint/dual) or
+    // 17 (mono, channel-mode bits == 3); a Xing/Info tag right after it
+    // marks a VBR header frame whose bitrate index lies about the stream
+    val sideInfo = if (((u8(off + 3) >> 6) & 3) == 3) 17 else 32
+    val xingAt = off + 4 + sideInfo
+    if (tag(xingAt, "Xing") || tag(xingAt, "Info")) return None
+    // trailing ID3v1 tag is metadata, not audio
+    val end = if (tag(b.length - 128, "TAG")) b.length - 128 else b.length
+    if (end <= off) return None
+    Some((end - off).toLong * 8L / kbps)
   }
 
   /** duration_ms from a FLAC STREAMINFO block (always the first

@@ -176,10 +176,19 @@ object TextSim {
     val scored = qt
       .join(index.postings, "__w")
       .crossJoin(broadcast(index.stats))
+      // The idf×tf×avgdl numerator is computed in DECIMAL(38,0): with
+      // int64 arithmetic, idf (~667·N for rare terms) times tf·22·avgdl
+      // silently wraps past ~6e14 docs in non-ANSI Spark while the
+      // DuckDB oracle's BIGINT errors — the decimal intermediate keeps
+      // both engines exact (DIV is integral, so the final value and the
+      // bigint schema are unchanged). Remaining bound: the idf itself
+      // fits int64 for N ≲ 1.3e16 documents.
       .select(col("__qid"), col("__doc"),
-        expr("""((((__n - __df) * 2 + 1) * 1000 DIV (__df * 2 + 1))
+        expr("""(CAST(((CAST(__n AS DECIMAL(38,0)) - __df) * 2 + 1) * 1000
+               |      DIV (__df * 2 + 1) AS DECIMAL(38,0))
                |  * __tf * 22 * __avgdl)
-               |DIV (10 * __avgdl * __tf + 3 * __avgdl + 9 * __dl)""".stripMargin)
+               |DIV (CAST(10 AS DECIMAL(38,0)) * __avgdl * __tf
+               |     + 3 * __avgdl + 9 * __dl)""".stripMargin)
           .as("__contrib"))
       .groupBy("__qid", "__doc").agg(sum("__contrib").as("__score"))
     scored.groupBy("__qid")

@@ -575,9 +575,11 @@ object TrainingOps {
              |dfr AS (SELECT w, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= 100000),
              |qt AS (SELECT DISTINCT doc_id AS qid, w FROM tok WHERE doc_id % 100 = 0),
              |sc AS (SELECT q.qid, t.doc_id AS nid,
-             |    CAST(sum(((((av.n - f.df) * 2 + 1) * 1000 // (f.df * 2 + 1))
+             |    CAST(sum((CAST((((CAST(av.n AS HUGEINT) - f.df) * 2 + 1) * 1000
+             |               // (f.df * 2 + 1)) AS HUGEINT)
              |           * t.tf * 22 * av.avgdl)
-             |        // (10 * av.avgdl * t.tf + 3 * av.avgdl + 9 * d.dl)) AS BIGINT) AS score
+             |        // (CAST(10 AS HUGEINT) * av.avgdl * t.tf
+             |           + 3 * av.avgdl + 9 * d.dl)) AS BIGINT) AS score
              |  FROM qt q JOIN dfr f USING (w) JOIN tf t USING (w)
              |       JOIN dl d ON t.doc_id = d.doc_id, av
              |  GROUP BY 1, 2),
@@ -1393,12 +1395,20 @@ object TrainingOps {
     // ---- the STREAMING near-dup operator, driven in batch mode (same
     //      code path, one micro-batch's worth of state transitions):
     //      its per-band pairing must reproduce exactly the batch LSH
-    //      candidate self-join, so it shares that oracle ----
+    //      candidate self-join, so it shares that oracle. The benched
+    //      configuration keeps the operator's FINITE default cap
+    //      (maxBucket=1000 — r8's Int.MaxValue pin made one hot band
+    //      bucket pair O(bucket²) unbounded, an 8× bench outlier and a
+    //      straggler-killer at 100 TB); 1000 never binds at the test SFs
+    //      (max observed bucket is 10 at sf0.1), so the uncapped oracle
+    //      stays exact, while the truly-uncapped form survives only as a
+    //      spec-level audit (StatefulOpsSpec) and the BINDING cap is
+    //      oracled by dd_neardup_stateful_capped below ----
     "dd_neardup_stateful" -> Q(
       (s, dir) =>
         graft.streaming.StatefulOps.streamingNearDupCandidates(
             Tables(s, dir, "documents"), "doc_id", "text",
-            n = 3, k = 8, bands = 2, maxBucket = Int.MaxValue)
+            n = 3, k = 8, bands = 2, maxBucket = 1000)
           .toDF().select(col("da"), col("db")).distinct(),
       Some(s"""WITH $duckShingles,
               |hs AS (SELECT doc_id, list_transform(list_distinct(s), t -> ${duckCharHash("t")}) h FROM shl),
@@ -1410,6 +1420,34 @@ object TrainingOps {
               |  SELECT doc_id, '1-' || sg[5] || '-' || sg[6] || '-' || sg[7] || '-' || sg[8] AS band FROM sig)
               |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
               |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id""".stripMargin)),
+
+    // ---- the BINDING-cap configuration of the same operator:
+    //      maxBucket=2 binds at every test SF (buckets of 3 exist at
+    //      sf0.01, of 10 at sf0.1), pinning the cap semantics
+    //      cross-engine: within one batch the group sees its distinct
+    //      doc_ids sorted ascending, so the first `maxBucket` smallest
+    //      ids become residents and pair all-vs-all; later ids neither
+    //      pair nor enter state. Oracle: rank per band by doc_id, keep
+    //      pairs where both ranks ≤ 2 ----
+    "dd_neardup_stateful_capped" -> Q(
+      (s, dir) =>
+        graft.streaming.StatefulOps.streamingNearDupCandidates(
+            Tables(s, dir, "documents"), "doc_id", "text",
+            n = 3, k = 8, bands = 2, maxBucket = 2)
+          .toDF().select(col("da"), col("db")).distinct(),
+      Some(s"""WITH $duckShingles,
+              |hs AS (SELECT doc_id, list_transform(list_distinct(s), t -> ${duckCharHash("t")}) h FROM shl),
+              |sig AS (SELECT doc_id, list_transform(range(0,8), i ->
+              |  list_min(list_transform(h, x -> ((37+101*i)*x + 7+139*i) % 1000000007))) sg FROM hs),
+              |bands AS (
+              |  SELECT doc_id, '0-' || sg[1] || '-' || sg[2] || '-' || sg[3] || '-' || sg[4] AS band FROM sig
+              |  UNION ALL
+              |  SELECT doc_id, '1-' || sg[5] || '-' || sg[6] || '-' || sg[7] || '-' || sg[8] AS band FROM sig),
+              |rk AS (SELECT doc_id, band,
+              |  row_number() OVER (PARTITION BY band ORDER BY doc_id) AS r FROM bands)
+              |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              |FROM rk a JOIN rk b ON a.band = b.band AND a.doc_id < b.doc_id
+              |WHERE a.r <= 2 AND b.r <= 2""".stripMargin)),
 
     // ---- SimHash near-dups (hamming ≤ 3; oracle brute-forces all pairs,
     //      Spark uses lossless 4-byte blocking — same result set) ----

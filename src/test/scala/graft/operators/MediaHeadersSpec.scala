@@ -84,6 +84,17 @@ class MediaHeadersSpec extends AnyFunSuite {
     assert(MediaHeaders.imageDims(topDown).contains((320L, 12L)))
   }
 
+  test("BMP: BITMAPCOREHEADER u16 dims; unknown DIB header size rejected") {
+    // 12-byte core header: u16 width/height at 18/20
+    val core = hex("424D" + "1E000000" + "00000000" + "1A000000" + "0C000000" +
+      "4001" + "0C00")
+    assert(MediaHeaders.imageDims(core).contains((320L, 12L)))
+    // DIB size 32 is no real header — must be None, not garbage dims
+    val unknown = hex("424D" + "46000000" + "00000000" + "36000000" + "20000000" +
+      "40010000" + "0C000000")
+    assert(MediaHeaders.imageDims(unknown).isEmpty)
+  }
+
   test("FLAC: STREAMINFO rate/total-samples -> duration") {
     // 44100 Hz, 441000 samples -> exactly 10 s
     val flac = hex("664C6143" + "00" + "000022" + "00100010000000000000" +
@@ -112,6 +123,24 @@ class MediaHeadersSpec extends AnyFunSuite {
     assert(MediaHeaders.mp3DurationMs(hex("FFFB0000" + "00" * 60)).isEmpty)
     // tag pointing past the buffer -> None, no throw
     assert(MediaHeaders.mp3DurationMs(hex("494433030000" + "00000F7F")).isEmpty)
+  }
+
+  test("MP3: Xing/Info VBR header frames rejected; trailing ID3v1 excluded") {
+    // stereo frame (mode bits 00): side info 32 bytes, Xing at header+36
+    val xingStereo = hex("FFFB9000" + "00" * 32 + "58696E67" + "00" * 20)
+    assert(MediaHeaders.mp3DurationMs(xingStereo).isEmpty)
+    // 'Info' marker (CBR-written LAME header) is still a header frame
+    val infoStereo = hex("FFFB9000" + "00" * 32 + "496E666F" + "00" * 20)
+    assert(MediaHeaders.mp3DurationMs(infoStereo).isEmpty)
+    // mono frame (mode bits 11): side info 17 bytes, Xing at header+21
+    val xingMono = hex("FFFB90C0" + "00" * 17 + "58696E67" + "00" * 20)
+    assert(MediaHeaders.mp3DurationMs(xingMono).isEmpty)
+    // same bytes WITHOUT the marker parse as CBR again
+    val cbrMono = hex("FFFB90C0" + "00" * 41)
+    assert(MediaHeaders.mp3DurationMs(cbrMono).contains(45L * 8 / 128))
+    // trailing 128-byte ID3v1 'TAG' block is metadata, not audio
+    val tagged = hex("FFFB1000" + "00" * 60 + "544147" + "00" * 125)
+    assert(MediaHeaders.mp3DurationMs(tagged).contains(16L)) // 64 audio bytes
   }
 
   test("assemble→parse round-trips across the dimension range") {

@@ -57,6 +57,20 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(out.toSeq == Seq(("ap", "added"), ("eu", "removed"), ("us", "unchanged")))
   }
 
+  test("null-key rows classify by actual side, not inferred presence") {
+    // NULL keys never join (non-null-safe equality by design), so each
+    // side's null-key row stands alone — old side must read 'removed',
+    // new side 'added'; key-IS-NOT-NULL inference would call both 'added'
+    val o = Seq((Some(1L), "a", 1.0), (None, "oldnull", 2.0))
+      .toDF("id", "name", "value")
+    val n = Seq((Some(1L), "a", 1.0), (None, "newnull", 3.0))
+      .toDF("id", "name", "value")
+    val out = Dedup.snapshotDiff(o, n, Seq("id"), Seq("name", "value"))
+      .collect().map(r => (Option(r.get(0)), r.getString(1))).toSeq
+    assert(out.sortBy(_.toString) == Seq(
+      (None, "added"), (None, "removed"), (Some(1L), "unchanged")).sortBy(_.toString))
+  }
+
   test("plan is one shuffled full-outer hash join — no window, no cartesian") {
     val df = Dedup.snapshotDiff(oldDf, newDf, Seq("id"), Seq("name", "value"))
     df.collect()

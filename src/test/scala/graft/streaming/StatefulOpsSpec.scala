@@ -91,6 +91,41 @@ class StatefulOpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (1L, 4L), (2L, 4L)), s"got $pairs")
   }
 
+  test("UNCAPPED batch-driven near-dup audit: equals the batch LSH self-join") {
+    // The truly-uncapped configuration lives here as a spec-only audit
+    // (the oracled/benched entries use finite caps — an unbounded
+    // bucket pairs O(bucket²) and is a straggler-killer at scale):
+    // batch-driving the stream operator with maxBucket=Int.MaxValue and
+    // distinct-ing must reproduce the batch operator's full pairing.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val streamed = streamingNearDupCandidates(docs, "doc_id", "text",
+        n = 3, k = 8, bands = 2, maxBucket = Int.MaxValue)
+      .toDF().select("da", "db").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.Dedup.minhashLshCandidates(
+        docs, "doc_id", "text", n = 3, k = 8, bands = 2,
+        maxBandOccupancy = Long.MaxValue)
+      .select("da", "db").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("CAPPED near-dup: only the maxBucket smallest ids per band pair") {
+    // mirrors dd_neardup_stateful_capped's oracle contract: within one
+    // batch the group's distinct ids arrive sorted, so residents are
+    // the maxBucket smallest and later ids neither pair nor enter state
+    val s = spark
+    import s.implicits._
+    val dup = "the quick brown fox jumps over the lazy dog again"
+    val docs = Seq((5L, dup), (1L, dup), (3L, dup), (9L, dup))
+      .toDF("doc_id", "text")
+    val pairs = streamingNearDupCandidates(docs, "doc_id", "text",
+        n = 3, k = 8, bands = 2, maxBucket = 2)
+      .toDF().select("da", "db").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L)), s"got $pairs")
+  }
+
   test("streaming keep-latest emits a key's new winner only when it changes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Keyed]
