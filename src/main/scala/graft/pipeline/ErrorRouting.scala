@@ -34,6 +34,10 @@ object ErrorRouting {
       col("recovery"))
 
   def apply(input: DataFrame, stage: Stage): Split = {
+    // async stages (Stage.pre) run their per-row call FIRST, so the
+    // declarative branches below route on the call's outcome columns —
+    // an AsyncNode error-routes exactly like a SyncNode
+    val pred = stage.pre.map(f => f(input)).getOrElse(input)
     val (ok0, dead) = stage.failWhen match {
       case Some(spec) =>
         // A NULL predicate (e.g. null payload reaching a parse check) must
@@ -41,8 +45,8 @@ object ErrorRouting {
         // input row lands in exactly one branch, matching the reference's
         // route-every-row contract (node/node.go:178-196).
         val failCond = coalesce(spec.cond, lit(true))
-        (input.filter(!failCond), Some(toEventError(input.filter(failCond), spec)))
-      case None => (input, None)
+        (pred.filter(!failCond), Some(toEventError(pred.filter(failCond), spec)))
+      case None => (pred, None)
     }
     val kept = stage.keepWhen.map(ok0.filter).getOrElse(ok0)
     val expanded = stage.expand.map(f => f(kept)).getOrElse(kept)

@@ -16,9 +16,11 @@ import graft.config.{AppConfig, NodeConf}
   *     same DataFrame is reused by every consumer; when a node has >1
   *     consumer (children + error handler) its input is persisted in
   *     batch mode so the upstream work runs once.
-  *   - per-node workers/buffersize: scheduling belongs to Spark
-  *     (task parallelism per partition); the knobs are accepted and
-  *     surfaced but do not hand-schedule anything.
+  *   - per-node workers (`executor/executor.go:319-337`): a partition
+  *     floor — the node's input is repartitioned up when it plans to
+  *     fewer partitions than its configured workers (see buildNode).
+  *     buffersize only matters with discard_on_full_buffer (below);
+  *     finer scheduling belongs to Spark.
   *   - disabled node: skip node and whole subtree (`node/node.go:76-80`).
   *   - per-node received/success counters: `observe` metrics (collected
   *     by the driver on action, zero extra jobs) named
@@ -123,7 +125,24 @@ object Pipeline {
       if (observe) admitted.observe(s"${conf.id}.received", count(lit(1)).as("count"))
       else admitted
 
-    val split = ErrorRouting(observed, stage)
+    // Per-node `workers` (executor/executor.go:319-337): the reference
+    // runs N goroutines per node pulling from its channel; Spark's
+    // analog of per-stage concurrency is the partition count, so
+    // `workers` acts as a parallelism FLOOR — a node whose input plans
+    // to fewer partitions than its configured workers is round-robin
+    // repartitioned up before the stage applies (this also restores
+    // parallelism after the single-partition GlobalLimit a
+    // discard_on_full_buffer cap plans). workers=1 (the reference
+    // default, config/config.go:219-228) never forces a shuffle, and
+    // inputs already at or above the floor are left alone — coalescing
+    // DOWN would serialize a wide stage, which is Spark's scheduler's
+    // call, not the config's.
+    val parallel =
+      if (conf.workers > 1 && observed.rdd.getNumPartitions < conf.workers)
+        observed.repartition(conf.workers)
+      else observed
+
+    val split = ErrorRouting(parallel, stage)
 
     // Terminal stages (kafkaproducer returns (nil, nil),
     // kafkaproducer.go:92-115) propagate nothing: children configured

@@ -264,6 +264,40 @@ object Registry {
               col("payload").cast("string"), size, overlap)))))
       }
     })
+    // per-row ASYNC node (node/node.go:36-39, docs/async-nodes.md):
+    // each event fires a blocking RPC-style call on a bounded in-flight
+    // pool; the outcome routes declaratively (ReturnEvent → children,
+    // ReturnError → error_handler, ReturnFiltered → dropped). The call
+    // here is a DETERMINISTIC fake (no network offline): payloads with
+    // `filter_prefix` filter, with `error_prefix` error, the rest
+    // return md5(payload) — the md5 standing in for the remote
+    // system's response so batch results are oracle-able.
+    r.registerNodeType("asyncrpcnode", new StageFactory {
+      val consumes = StringT
+      val produces = StringT
+      def build(params: Map[String, String]): Stage = {
+        val errorPrefix = params.getOrElse("error_prefix", "error")
+        val filterPrefix = params.getOrElse("filter_prefix", "filterme")
+        val maxInFlight = params.getOrElse("max_in_flight", "8").toInt
+        val latencyMs = params.getOrElse("latency_ms", "0").toLong
+        AsyncStage.stage(
+          payload => {
+            if (latencyMs > 0) Thread.sleep(latencyMs) // simulated RPC round trip
+            if (payload == null)
+              AsyncStage.Errored("ERR_CONVERSION_FAILED", "null payload")
+            else if (payload.startsWith(errorPrefix))
+              AsyncStage.Errored("ERR_ASYNC", s"async rpc failed on $payload")
+            else if (payload.startsWith(filterPrefix))
+              AsyncStage.Filtered
+            else {
+              val d = java.security.MessageDigest.getInstance("MD5")
+              AsyncStage.Returned(
+                d.digest(payload.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+            }
+          },
+          maxInFlight)
+      }
+    })
     r.registerNodeType("resultsnode", new StageFactory {
       val consumes = StringT
       val produces = StringT

@@ -32,7 +32,12 @@ final case class Stage(
     project: DataFrame => DataFrame = identity,
     /** terminal sink behavior (KafkaProducer returns (nil, nil):
       * `kafkaproducer.go:92-115`) — output is written, not propagated */
-    terminal: Boolean = false)
+    terminal: Boolean = false,
+    /** applied BEFORE failWhen — the AsyncNode hook
+      * (`node/node.go:36-39`): runs the per-row call and attaches
+      * outcome columns that failWhen/keepWhen then route on
+      * declaratively. None for every synchronous stage. */
+    pre: Option[DataFrame => DataFrame] = None)
 
 /** Error predicate + structured error columns (reference FBError,
   * `error.go:50-54`).

@@ -348,6 +348,35 @@ object FireboltOps {
              |SELECT pid, min(f) AS merge_from, max(t) AS merge_to, count(*) AS n_merged
              |FROM g GROUP BY pid, grp""".stripMargin)),
 
+    // ---- per-row AsyncNode (node/node.go:36-39, docs/async-nodes.md):
+    //      bounded-in-flight async call, outcome routed through the
+    //      standard error/filter machinery. The fake RPC is
+    //      deterministic (md5 of the payload), so the full
+    //      async → route → project path is oracle-able: 'click%'
+    //      events filter, 'error%' events dead-letter with the async
+    //      error code, everything else returns the RPC result ----
+    "fb_async_rpc" -> Q(
+      (s, dir) => {
+        val stage = reg.instantiateNode("asyncrpcnode", Map(
+          "error_prefix" -> "error", "filter_prefix" -> "click",
+          "max_in_flight" -> "8"))
+        val split = ErrorRouting(envelope(s, dir), stage)
+        val ok = split.output.select(
+          lit("ok").as("branch"),
+          col("payload").cast("string").as("result"),
+          lit("").as("code"))
+        val err = split.deadLetters.get.select(
+          lit("err").as("branch"),
+          col("payload.event").as("result"),
+          col("payload.error.code").as("code"))
+        ok.union(err)
+      },
+      Some("""SELECT 'ok' AS branch, md5(event_type || ':' || event_id) AS result, '' AS code
+             |FROM events WHERE event_type NOT LIKE 'click%' AND event_type NOT LIKE 'error%'
+             |UNION ALL
+             |SELECT 'err', event_type || ':' || event_id, 'ERR_ASYNC'
+             |FROM events WHERE event_type LIKE 'error%'""".stripMargin)),
+
     // ---- per-node metric counters (metrics/metrics.go:106-185) ----
     "fb_metrics_counts" -> Q(
       (s, dir) => {

@@ -131,6 +131,38 @@ class EndToEndSpec extends SparkSpec {
     assert(dlq.forall(s => s.contains("\"error\":{\"code\":\"ERR_TEST\"") && s.contains("error time")))
   }
 
+  test("per-node workers is a partition floor; workers=1 adds no shuffle") {
+    val reg = Registry.builtins()
+    def build(workersLine: String) = {
+      val yaml =
+        s"""application: workers-pipeline
+           |source:
+           |  name: stringsource
+           |nodes:
+           |  - name: filternode
+           |$workersLine
+           |    params:
+           |      prefix: filter
+           |""".stripMargin
+      val cfg = AppConfig.parse(yaml, reg).fold(e => fail(s"config rejected: $e"), identity)
+      // single-partition source: the floor must raise it
+      val src = spark.range(64).select(
+        concat(lit("event-"), col("id")).as("payload"),
+        current_timestamp().as("created"),
+        lit(false).as("recovery")).coalesce(1)
+      Pipeline.buildOn(src, cfg.nodes, reg).find("filternode").get.output
+    }
+    val wide = build("    workers: 4")
+    assert(wide.rdd.getNumPartitions >= 4,
+      s"workers: 4 stage planned ${wide.rdd.getNumPartitions} partitions")
+    assert(wide.count() == 64)
+    // reference default workers=1 (config/config.go:219-228): no forced
+    // shuffle — the stage keeps its input's single partition
+    val narrow = build("    workers: 1")
+    assert(narrow.rdd.getNumPartitions == 1)
+    assert(!narrow.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("slownode injects per-event latency without altering the stream (test-kit parity)") {
     val reg = registry()
     val slowYaml =
