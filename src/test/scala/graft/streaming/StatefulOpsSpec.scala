@@ -337,6 +337,39 @@ class StatefulOpsSpec extends SparkSpec {
       s"top-k state lost across restart: ${snaps.toList}")
   }
 
+  test("streaming KMV state survives a checkpointed query restart") {
+    // the classic silent breaker is a state-schema mismatch on restore;
+    // this drill restarts the query from its checkpoint between batches
+    // and proves the union-so-far sketch, not just within-run state
+    val root = java.nio.file.Files.createTempDirectory("kmv_restart").toString
+    val (inDir, cpDir, outDir) = (s"$root/in", s"$root/cp", s"$root/out")
+    new java.io.File(inDir).mkdirs()
+    def writeBatch(name: String, rows: Seq[(String, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempFile("kmvb", ".json")
+      java.nio.file.Files.writeString(tmp,
+        rows.map { case (k, v) => s"""{"key":"$k","value":"$v"}""" }.mkString("\n"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$inDir/$name.json"))
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("key STRING, value STRING")
+    def run(): Unit = {
+      val in = spark.readStream.schema(schema).json(inDir)
+      val q = streamingDistinctKmv(in, "key", "value", k = 4).toDF()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", cpDir)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
+    writeBatch("b1", Seq(("src", "v1"), ("src", "v2")))
+    run() // snapshot after b1: 2 distinct (exact, below k)
+    writeBatch("b2", Seq(("src", "v2"), ("src", "v3")))
+    run() // restored sketch must union: {v1,v2,v3} → 3; lost state → 2
+    val snaps = spark.read.parquet(outDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(snaps.contains(("src", 2L, 2L)), s"b1 snapshot missing: $snaps")
+    assert(snaps.contains(("src", 3L, 3L)),
+      s"KMV state lost across restart (b2 snapshot should be 3 distinct): $snaps")
+  }
+
   test("streaming top-k: a re-delivered id updates its resident entry, never occupies a second slot") {
     val s = spark
     import s.implicits._
