@@ -21,6 +21,9 @@ package graft.operators
   *  - WAV: `RIFF....WAVE` then chunks; `fmt ` carries byteRate (LE u32
   *    at chunk+8), `data` carries the payload size → duration_ms =
   *    dataLen·1000 / byteRate.
+  *  - MP4/MOV (ISO BMFF): linear box walk to `moov`→`mvhd`;
+  *    duration_ms = duration·1000 / timescale (both mvhd versions,
+  *    64-bit `largesize` boxes handled).
   *
   * Every parser returns None on malformed/foreign bytes — callers
   * decide the fallback, nothing throws on a corrupt corpus (at 100 TB
@@ -103,29 +106,101 @@ object MediaHeaders {
     None
   }
 
-  /** duration_ms for WAV, FLAC or MP3 bytes; None otherwise. */
+  /** duration_ms for WAV, FLAC, MP3 or MP4/M4A bytes; None otherwise. */
   def audioDurationMs(b: Array[Byte]): Option[Long] =
     wavDurationMs(b).orElse(flacDurationMs(b)).orElse(mp3DurationMs(b))
+      .orElse(mp4DurationMs(b))
+
+  /** duration_ms for video containers (ISO BMFF — MP4/MOV/M4V); None
+    * otherwise. */
+  def videoDurationMs(b: Array[Byte]): Option[Long] = mp4DurationMs(b)
+
+  /** Top-level box types that can legally open an ISO BMFF file —
+    * anything else is foreign bytes, not a truncated MP4. */
+  private val Mp4TopBoxes =
+    Set("ftyp", "moov", "mdat", "free", "skip", "wide", "pdin", "pnot", "uuid")
+
+  /** MP4/MOV duration from the `moov`→`mvhd` movie header (ISO 14496-12
+    * §8.2.2): duration_ms = duration·1000 / timescale. The box walk is
+    * linear and bounded — sizes that fail to advance abort with None,
+    * so a corrupt length field cannot loop. Handles u32 sizes, the
+    * size==1 64-bit `largesize` form, and size==0 (box extends to EOF);
+    * both mvhd versions (v0: u32 fields, v1: u64 ctime/mtime+duration).
+    */
+  def mp4DurationMs(b: Array[Byte]): Option[Long] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def fourcc(i: Int): String =
+      new String(Array(u8(i), u8(i + 1), u8(i + 2), u8(i + 3)).map(_.toByte), "ISO-8859-1")
+    // find a child box's payload range within [start, end)
+    def find(start: Long, end: Long, target: String): Option[(Long, Long)] = {
+      var i = start
+      while (i + 8 <= end) {
+        val size0 = be32(i.toInt)
+        val typ = fourcc(i.toInt + 4)
+        val (payload, boxEnd) =
+          if (size0 == 1L) {
+            if (i + 16 > end) return None
+            (i + 16, i + be64(i.toInt + 8))
+          } else if (size0 == 0L) (i + 8, end) // last box, to EOF
+          else (i + 8, i + size0)
+        if (boxEnd <= i || boxEnd > end) return None // corrupt length
+        if (typ == target) return Some((payload, boxEnd))
+        i = boxEnd
+      }
+      None
+    }
+    if (b.length < 16 || !Mp4TopBoxes.contains(fourcc(4))) None // foreign bytes
+    else
+      find(0L, b.length.toLong, "moov").flatMap { case (moovStart, moovEnd) =>
+        find(moovStart, moovEnd, "mvhd").flatMap { case (mvhd, mvhdEnd) =>
+          // v0: ctime/mtime u32 → timescale at payload+12, duration u32 at +16
+          // v1: ctime/mtime u64 → timescale at payload+20, duration u64 at +24
+          if (mvhd >= mvhdEnd) None
+          else u8(mvhd.toInt) match {
+            case 0 if mvhd + 20 <= mvhdEnd =>
+              val ts = be32(mvhd.toInt + 12)
+              if (ts > 0) Some(be32(mvhd.toInt + 16) * 1000L / ts) else None
+            case 1 if mvhd + 32 <= mvhdEnd =>
+              val ts = be32(mvhd.toInt + 20)
+              if (ts > 0) Some(be64(mvhd.toInt + 24) * 1000L / ts) else None
+            case _ => None
+          }
+        }
+      }
+  }
 
   /** MPEG1 Layer III bitrate table, kbps by header index (0 = free
     * format, 15 = invalid — both rejected). */
   private val Mp3KbpsV1L3 =
     Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
 
-  /** CBR MP3 duration: audio bytes ÷ bitrate. Skips a leading ID3v2
-    * tag (syncsafe 28-bit size), then reads the first MPEG1 Layer III
-    * frame header's bitrate index; duration_ms = audioBytes·8 DIV
-    * kbps. A trailing 128-byte ID3v1 `TAG` block is excluded from the
-    * audio byte count. VBR files are DETECTED (a `Xing`/`Info` marker
-    * in the first frame — at 36/21 bytes past the header for
-    * stereo/mono side-info — means the first frame's bitrate index is
-    * the header frame's, not the stream's) and return None, as do
-    * other MPEG versions — documented: CBR MPEG1-L3 is the dominant
-    * corpus case, and a None falls back to the stub rather than a
-    * wrong number.
+  /** MPEG1 sample rates by header index (3 = reserved → rejected). */
+  private val Mp3RateV1 = Array(44100, 48000, 32000, 0)
+
+  /** MP3 duration. Skips a leading ID3v2 tag (syncsafe 28-bit size),
+    * then reads the first MPEG1 Layer III frame header. Two paths:
+    *
+    *  - VBR (`Xing`/`Info` marker right after the side info — 32 bytes
+    *    for stereo/joint/dual, 17 for mono): the first frame's bitrate
+    *    index is the header frame's, not the stream's, so duration
+    *    comes from the Xing FRAME COUNT instead:
+    *    frames·1152·1000 / samplerate. A Xing header without the
+    *    frame-count flag returns None (no honest number exists).
+    *  - CBR: audio bytes ÷ bitrate, duration_ms = audioBytes·8 DIV
+    *    kbps, with a trailing 128-byte ID3v1 `TAG` block excluded from
+    *    the byte count.
+    *
+    * Other MPEG versions return None — documented: MPEG1-L3 is the
+    * dominant corpus case, and a None falls back to the stub rather
+    * than a wrong number.
     */
   def mp3DurationMs(b: Array[Byte]): Option[Long] = {
     def u8(i: Int): Int = b(i) & 0xff
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
     def tag(i: Int, s: String): Boolean =
       i >= 0 && i + s.length <= b.length && s.indices.forall(j => u8(i + j) == s.charAt(j))
     var off = 0
@@ -140,12 +215,17 @@ object MediaHeaders {
     if (version != 3 || layer != 1) return None // MPEG1 Layer III only
     val kbps = Mp3KbpsV1L3((u8(off + 2) >> 4) & 0xf)
     if (kbps == 0) return None // free-format or invalid index
-    // VBR sniff: MPEG1-L3 side info is 32 bytes (stereo/joint/dual) or
-    // 17 (mono, channel-mode bits == 3); a Xing/Info tag right after it
-    // marks a VBR header frame whose bitrate index lies about the stream
+    val rate = Mp3RateV1((u8(off + 2) >> 2) & 3)
     val sideInfo = if (((u8(off + 3) >> 6) & 3) == 3) 17 else 32
     val xingAt = off + 4 + sideInfo
-    if (tag(xingAt, "Xing") || tag(xingAt, "Info")) return None
+    if (tag(xingAt, "Xing") || tag(xingAt, "Info")) {
+      // VBR header frame: flags u32, then (flags&1) → u32 total frames;
+      // each MPEG1-L3 frame carries 1152 samples
+      if (xingAt + 12 > b.length || rate == 0) return None
+      val flags = be32(xingAt + 4)
+      if ((flags & 1L) == 0L) return None // no frame count recorded
+      return Some(be32(xingAt + 8) * 1152L * 1000L / rate)
+    }
     // trailing ID3v1 tag is metadata, not audio
     val end = if (tag(b.length - 128, "TAG")) b.length - 128 else b.length
     if (end <= off) return None

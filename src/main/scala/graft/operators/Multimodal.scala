@@ -120,14 +120,14 @@ object Multimodal {
     }
   }
 
-  /** REAL metadata codec: PNG/GIF/JPEG dimensions and WAV duration
-    * parsed from the actual bytes ([[MediaHeaders]], pure JVM — no
-    * imaging library), with the deterministic stub as the fallback for
-    * formats the header parsers don't cover (raw video containers,
-    * unknown bytes) — a truncated or foreign file degrades to stub
-    * metadata instead of killing the stage. Features remain the stub
-    * encoder (pixel/sample decode is the part that genuinely needs a
-    * native codec; it slots into this same class).
+  /** REAL metadata codec: PNG/GIF/JPEG/WebP/BMP dimensions,
+    * WAV/FLAC/MP3 audio duration and MP4/MOV video duration parsed
+    * from the actual bytes ([[MediaHeaders]], pure JVM — no imaging
+    * library), with the deterministic stub as the fallback for formats
+    * the header parsers don't cover — a truncated or foreign file
+    * degrades to stub metadata instead of killing the stage. Features
+    * remain the stub encoder (pixel/sample decode is the part that
+    * genuinely needs a native codec; it slots into this same class).
     */
   final class HeaderCodec(featureDim: Int) extends MediaCodec {
     private val stub = new StubCodec(featureDim)
@@ -143,7 +143,11 @@ object Multimodal {
           case Some(ms) => s.copy(duration_ms = ms)
           case None => s
         }
-      else s
+      else
+        MediaHeaders.videoDurationMs(r.content) match {
+          case Some(ms) => s.copy(duration_ms = ms)
+          case None => s
+        }
     }
   }
 

@@ -115,10 +115,11 @@ object TrainingOps {
   /** Byte fixtures for `mm_header_meta` (id, kind, hex): real format
     * headers assembled per spec — PNG 320×200, GIF89a 12×34, JPEG
     * 640×480 with APP0+DQT before the SOF0, WAV 60 bytes with
-    * byteRate 8000 and a 16-byte data chunk (duration 2 ms), plus
-    * foreign bytes in both kinds (stub-fallback path). Shared between
-    * the Spark frame and the oracle's VALUES so both engines parse
-    * identical bytes.
+    * byteRate 8000 and a 16-byte data chunk (duration 2 ms), WebP
+    * VP8L, BMP, FLAC, MP3 (CBR behind an ID3v2 tag AND a VBR Xing
+    * frame), MP4 (moov→mvhd), plus foreign bytes in every kind
+    * (stub-fallback path). Shared between the Spark frame and the
+    * oracle's VALUES so both engines parse identical bytes.
     */
   private lazy val mmHeaderFixtures: Seq[(Long, String, String)] = Seq(
     (1L, "image",
@@ -140,7 +141,16 @@ object TrainingOps {
       "664C614300000022001000100000000000000AC440000006BAA8"),
     (10L, "audio", // MP3: 10-byte ID3v2 payload + MPEG1-L3 @128 kbps,
       // 100 audio bytes → 6 ms
-      "4944330300000000000A" + "00" * 10 + "FFFB9000" + "00" * 96))
+      "4944330300000000000A" + "00" * 10 + "FFFB9000" + "00" * 96),
+    (11L, "video", // MP4: ftyp + moov(mvhd v0, timescale 600,
+      // duration 3000) → 5000 ms
+      "0000001066747970" + "69736F6D00000200" +
+        "000000746D6F6F76" + "0000006C6D766864" +
+        "00000000" + "00000000" + "00000000" + "00000258" + "00000BB8" + "00" * 80),
+    (12L, "video", "DEADBEEF"), // foreign bytes → stub fallback
+    (13L, "audio", // VBR MP3: stereo 44.1 kHz Xing frame at the stream
+      // head, flags=1, 1000 frames → 1000·1152·1000/44100 = 26122 ms
+      "FFFB9000" + "00" * 32 + "58696E67" + "00000001" + "000003E8" + "00" * 8))
 
   /** Path of a temp-file copy of the merges.txt CLASSPATH RESOURCE —
     * the exact bytes [[graft.functions.Bpe.defaultRanks]] parsed, so
@@ -3003,6 +3013,10 @@ object TrainingOps {
               |      ((n - (10 + (bb[7]%128)*2097152 + (bb[8]%128)*16384 + (bb[9]%128)*128 + (bb[10]%128))) * 8)
               |      // ([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320,0][
               |           bb[(10 + (bb[7]%128)*2097152 + (bb[8]%128)*16384 + (bb[9]%128)*128 + (bb[10]%128)) + 3] // 16 + 1])
+              |    WHEN doc_id = 11 THEN ((bb[49]*16777216 + bb[50]*65536 + bb[51]*256 + bb[52]) * 1000)
+              |      // (bb[45]*16777216 + bb[46]*65536 + bb[47]*256 + bb[48])
+              |    WHEN doc_id = 13 THEN ((bb[45]*16777216 + bb[46]*65536 + bb[47]*256 + bb[48]) * 1152 * 1000)
+              |      // 44100
               |    WHEN kind <> 'image' THEN n * 40 ELSE 0 END AS BIGINT) AS duration_ms
               |FROM bt""".stripMargin)),
 

@@ -125,8 +125,9 @@ class MediaHeadersSpec extends AnyFunSuite {
     assert(MediaHeaders.mp3DurationMs(hex("494433030000" + "00000F7F")).isEmpty)
   }
 
-  test("MP3: Xing/Info VBR header frames rejected; trailing ID3v1 excluded") {
-    // stereo frame (mode bits 00): side info 32 bytes, Xing at header+36
+  test("MP3: Xing/Info VBR header frames never use the lying bitrate; trailing ID3v1 excluded") {
+    // stereo frame (mode bits 00): side info 32 bytes, Xing at header+36;
+    // flags=0 → no frame count recorded → None, not a wrong CBR number
     val xingStereo = hex("FFFB9000" + "00" * 32 + "58696E67" + "00" * 20)
     assert(MediaHeaders.mp3DurationMs(xingStereo).isEmpty)
     // 'Info' marker (CBR-written LAME header) is still a header frame
@@ -141,6 +142,50 @@ class MediaHeadersSpec extends AnyFunSuite {
     // trailing 128-byte ID3v1 'TAG' block is metadata, not audio
     val tagged = hex("FFFB1000" + "00" * 60 + "544147" + "00" * 125)
     assert(MediaHeaders.mp3DurationMs(tagged).contains(16L)) // 64 audio bytes
+  }
+
+  test("MP3: VBR duration from the Xing frame count") {
+    // stereo 44.1 kHz (rate bits 00): flags=1, frames=1000
+    // → 1000 × 1152 / 44100 = 26122 ms
+    val vbr = hex("FFFB9000" + "00" * 32 + "58696E67" + "00000001" + "000003E8" + "00" * 8)
+    assert(MediaHeaders.mp3DurationMs(vbr).contains(1000L * 1152L * 1000L / 44100L))
+    // 48 kHz (rate bits 01 → header byte2 = 0x94): 1000 × 1152 / 48000 = 24000 ms
+    val vbr48 = hex("FFFB9400" + "00" * 32 + "58696E67" + "00000001" + "000003E8" + "00" * 8)
+    assert(MediaHeaders.mp3DurationMs(vbr48).contains(24000L))
+    // mono Xing with a frame count also resolves
+    val vbrMono = hex("FFFB90C0" + "00" * 17 + "58696E67" + "00000001" + "00000064" + "00" * 8)
+    assert(MediaHeaders.mp3DurationMs(vbrMono).contains(100L * 1152L * 1000L / 44100L))
+    // truncated right after the marker → None, no throw
+    assert(MediaHeaders.mp3DurationMs(hex("FFFB9000" + "00" * 32 + "58696E67")).isEmpty)
+  }
+
+  test("MP4/MOV: mvhd duration, both versions, largesize and foreign bytes") {
+    def box(typ: String, payloadHex: String): String = {
+      val size = 8 + payloadHex.length / 2
+      f"$size%08X" + typ.getBytes("ISO-8859-1").map("%02X".format(_)).mkString + payloadHex
+    }
+    // mvhd v0: version+flags, ctime, mtime, timescale=600, duration=3000 → 5000 ms
+    val mvhd0 = box("mvhd", "00000000" + "00000000" + "00000000" + "00000258" + "00000BB8" + "00" * 80)
+    val ftyp = box("ftyp", "69736F6D" + "00000200")
+    val mp4 = hex(ftyp + box("moov", mvhd0))
+    assert(MediaHeaders.mp4DurationMs(mp4).contains(5000L))
+    assert(MediaHeaders.videoDurationMs(mp4).contains(5000L))
+    assert(MediaHeaders.audioDurationMs(mp4).contains(5000L)) // m4a path
+    // mvhd v1: u64 ctime/mtime, timescale=1000 at +20, u64 duration=90000 → 90 s
+    val mvhd1 = box("mvhd", "01000000" + "00" * 16 + "000003E8" + "0000000000015F90" + "00" * 80)
+    assert(MediaHeaders.mp4DurationMs(hex(ftyp + box("moov", mvhd1))).contains(90000L))
+    // moov AFTER a skipped mdat box, and moov declared with size==1 largesize
+    val moovPayload = mvhd0
+    val moovLarge = "00000001" + "6D6F6F76" + f"${16 + moovPayload.length / 2}%016X" + moovPayload
+    val mdat = box("mdat", "AA" * 12)
+    assert(MediaHeaders.mp4DurationMs(hex(ftyp + mdat + moovLarge)).contains(5000L))
+    // foreign bytes / corrupt sizes → None, no throw, no infinite walk
+    assert(MediaHeaders.mp4DurationMs(hex("00" * 32)).isEmpty)
+    assert(MediaHeaders.mp4DurationMs(hex(box("ftyp", "69736F6D") + "00000003" + "6D6F6F76")).isEmpty)
+    assert(MediaHeaders.mp4DurationMs(hex(ftyp)).isEmpty) // no moov at all
+    // zero timescale cannot divide
+    val mvhdZero = box("mvhd", "00000000" + "00000000" + "00000000" + "00000000" + "00000BB8" + "00" * 80)
+    assert(MediaHeaders.mp4DurationMs(hex(ftyp + box("moov", mvhdZero))).isEmpty)
   }
 
   test("assemble→parse round-trips across the dimension range") {
