@@ -105,4 +105,53 @@ object QualityRules {
         expr("(CAST(sum_freq AS DECIMAL(38,0)) * 1000000) " +
           "DIV (CAST(n_words AS DECIMAL(38,0)) * __n)").as("freq_ppm"))
   }
+
+  /** Corpus-trained bigram language-model quality score — the
+    * STATISTICAL quality filter of CCNet/Gopher-style pipelines
+    * (train an LM on the corpus, rank documents by how well the LM
+    * predicts them), distinct from the heuristic [[ruleFlags]]. The
+    * model is the corpus's own bigram table; a document's score is the
+    * mean conditional probability of its word bigrams, all in exact
+    * integer ppm so any engine reproduces it bit-for-bit:
+    *
+    *   `lm_ppm = (Σ_{(a,b)} 10⁶·C(a,b) DIV C(a·)) DIV n_bigrams`
+    *
+    * where `C(a·) = Σ_b C(a,b)` (prefix occurrences), so per-prefix
+    * probabilities sum to ≤1 and no smoothing is needed — every doc
+    * bigram exists in the corpus by construction. Boilerplate scores
+    * HIGH (its bigrams dominate the model), incoherent text LOW — the
+    * standard signal, thresholded downstream like `score_ppm`.
+    *
+    * Scale shape (same discipline as [[corpusFrequencyScore]]): the
+    * exploded bigram frame is computed once (localCheckpoint) and
+    * feeds (a) one partial-aggregated count shuffle, (b) the
+    * prefix-sum over the COUNTS table (vocabulary-sized, not
+    * corpus-sized), (c) one hash join back. Hot bigrams skew the join
+    * INPUT (one row per bigram on the build side), never a reducer.
+    * Docs under 2 tokens have no bigrams and are absent — callers
+    * treat missing as unscorable.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = df.select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextFunctions.shingles(col(textCol), 2)).as("bg"))
+      .localCheckpoint(false)
+    val bgCounts = bg.groupBy("bg").agg(count(lit(1)).as("__cb"))
+    val prefCounts = bgCounts
+      .select(element_at(split(col("bg"), " "), 1).as("__w1"), col("__cb"))
+      .groupBy("__w1").agg(sum("__cb").as("__cp"))
+    bg.join(bgCounts, "bg")
+      .withColumn("__w1", element_at(split(col("bg"), " "), 1))
+      .join(prefCounts, "__w1")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        // int64 fast path; a single bigram must occur >9e12 times
+        // before the ×1e6 could wrap, then the decimal branch takes
+        // over (same value, same bigint dtype — the BM25 pattern)
+        sum(expr("""CASE WHEN __cb <= 9000000000000
+                   |  THEN __cb * 1000000 DIV __cp
+                   |  ELSE CAST(CAST(__cb AS DECIMAL(38,0)) * 1000000
+                   |            DIV __cp AS BIGINT) END""".stripMargin)).as("__s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("__s DIV n_bigrams").as("lm_ppm"))
+  }
 }

@@ -2698,6 +2698,29 @@ object TrainingOps {
              |  row_number() OVER (PARTITION BY w1 ORDER BY cnt DESC, bigram ASC) AS rank FROM c)
              |SELECT w1, bigram AS top_bigram, cnt FROM rk WHERE rank = 1 AND cnt >= 3""".stripMargin)),
 
+    // ---- corpus-trained bigram-LM quality score (CCNet/Gopher-style
+    //      statistical filter; exact integer ppm, no floats, no
+    //      smoothing — the corpus is its own model so every doc bigram
+    //      has a count). One bigram-count shuffle + a vocabulary-sized
+    //      prefix table + one join back; no window ----
+    "ta_lm_score" -> Q(
+      (s, dir) =>
+        graft.operators.QualityRules.bigramLmScore(
+          Tables(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH tok AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+             |bgt AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+             |  THEN list_transform(range(1, len(w)), i -> w[i]||' '||w[i+1])
+             |  ELSE [] END) AS bg FROM tok),
+             |c AS (SELECT bg, count(*) AS cb FROM bgt GROUP BY 1),
+             |p AS (SELECT string_split(bg,' ')[1] AS w1, CAST(sum(cb) AS BIGINT) AS cp
+             |      FROM c GROUP BY 1),
+             |sc AS (SELECT b.doc_id, c.cb, p.cp
+             |       FROM bgt b JOIN c USING (bg)
+             |       JOIN p ON string_split(b.bg,' ')[1] = p.w1)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  CAST(sum(cb * 1000000 // cp) // count(*) AS BIGINT) AS lm_ppm
+             |FROM sc GROUP BY doc_id""".stripMargin)),
+
     // ---- quality scoring (integer ppm) ----
     "ta_quality" -> Q(
       (s, dir) =>

@@ -70,6 +70,40 @@ class QualityRulesSpec extends SparkSpec {
     assert(out(3L)._3 < out(2L)._3 && out(2L)._3 < out(1L)._3)
   }
 
+  test("bigram LM score: exact ppm values, boilerplate up, gibberish down") {
+    val s = spark
+    import s.implicits._
+    // corpus: "a b" occurs 3× of the 4 bigrams starting with 'a';
+    // "a x" once. doc 1 is pure boilerplate, doc 3 the rare sequence.
+    val df = Seq(
+      (1L, "a b a b"),   // bigrams: (a b),(b a),(a b)
+      (2L, "a b"),       // (a b)
+      (3L, "a x")        // (a x)
+    ).toDF("doc_id", "text")
+    val out = QualityRules.bigramLmScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // counts: C(a b)=3, C(b a)=1, C(a x)=1; prefixes: C(a·)=4, C(b·)=1
+    val pAB = 3L * 1000000L / 4L  // 750000
+    val pBA = 1L * 1000000L / 1L  // 1000000
+    val pAX = 1L * 1000000L / 4L  // 250000
+    assert(out(1L) == ((3L, (pAB + pBA + pAB) / 3L)))
+    assert(out(2L) == ((1L, pAB)))
+    assert(out(3L) == ((1L, pAX)))
+    assert(out(3L)._2 < out(2L)._2) // rare continuation scores lower
+    // docs without bigrams are absent, not scored 0
+    val single = QualityRules.bigramLmScore(
+      Seq((9L, "lonely")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(single.count() == 0)
+  }
+
+  test("bigram LM score plan: aggregations + hash joins, no window, no cartesian") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = QualityRules.bigramLmScore(df, "doc_id", "text")
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("rule evaluation is a narrow plan: no exchange, stays in codegen") {
     // a file-backed relation (local Seqs constant-fold to LocalTableScan)
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
