@@ -70,6 +70,53 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally running.shutdown()
   }
 
+  test("async RPC node streams: per-batch pool lifecycle, outcomes routed per micro-batch") {
+    val s = spark
+    import s.implicits._
+    val reg = Registry.builtins()
+    val cfg = AppConfig.parse(
+      """application: asyncstream
+        |source:
+        |  name: stringsource
+        |  params: {path: unused}
+        |nodes:
+        |  - name: asyncrpcnode
+        |    params:
+        |      error_prefix: error
+        |      filter_prefix: filterme
+        |      max_in_flight: 4
+        |      latency_ms: 1
+        |    error_handler:
+        |      name: errorhandlernode
+        |    children:
+        |      - name: resultsnode
+        |""".stripMargin, reg).fold(e => sys.error(e), identity)
+    val input = MemoryStream[String](s)
+    val source = input.toDF().select(
+      col("value").as("payload"),
+      lit(Timestamp.valueOf("2024-01-01 00:00:00")).as("created"),
+      lit(false).as("recovery"))
+    val results = new CollectingSink
+    val deadLetters = new CollectingSink
+    val running = StreamingPipeline.run(
+      source, cfg, reg,
+      sinks = Map("resultsnode" -> results),
+      deadLetterSinks = Map("asyncrpcnode" -> deadLetters),
+      trigger = Trigger.ProcessingTime(0L))
+    try {
+      input.addData((1 to 8).map(i => s"success $i") ++ Seq("error 1", "filterme 1"))
+      running.query.processAllAvailable()
+      assert(results.rows.size == 8)
+      assert(results.rows.forall(_.getString(0).matches("[0-9a-f]{32}"))) // RPC result
+      assert(deadLetters.rows.size == 1)
+      assert(deadLetters.rows.head.getStruct(0).getStruct(2).getString(0) == "ERR_ASYNC")
+      // a second micro-batch gets a fresh pool — no exhausted-executor carryover
+      input.addData(Seq("success again", "error again"))
+      running.query.processAllAvailable()
+      assert(results.rows.size == 9 && deadLetters.rows.size == 2)
+    } finally running.shutdown()
+  }
+
   test("chunker node fans documents into chunk events over a stream") {
     val s = spark
     import s.implicits._
