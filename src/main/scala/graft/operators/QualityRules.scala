@@ -154,4 +154,54 @@ object QualityRules {
       .select(col("doc_id"), col("n_bigrams"),
         expr("__s DIV n_bigrams").as("lm_ppm"))
   }
+
+  /** A frozen bigram LM — the serving-tier artifact of the quality
+    * family, like [[graft.operators.TextSim.Bm25Index]]: train once on
+    * a reference corpus (the high-quality set), persist both count
+    * frames partitioned by their key, score candidate batches forever
+    * after. `bigrams` is one row per (bigram, count); `prefixes` one
+    * row per (first-word, total count) — both vocabulary-sized, never
+    * corpus-sized.
+    */
+  final case class BigramLm(bigrams: DataFrame, prefixes: DataFrame)
+
+  /** Train the [[BigramLm]]: one explode + two partial-aggregated
+    * count shuffles (the prefix table aggregates the COUNTS frame, not
+    * the corpus). */
+  def bigramLm(df: DataFrame, textCol: String): BigramLm = {
+    val bgCounts = df
+      .select(explode(graft.functions.TextFunctions.shingles(col(textCol), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("__cb"))
+    val prefCounts = bgCounts
+      .select(element_at(split(col("bg"), " "), 1).as("__w1"), col("__cb"))
+      .groupBy("__w1").agg(sum("__cb").as("__cp"))
+    BigramLm(bgCounts, prefCounts)
+  }
+
+  /** Score candidate documents against a FROZEN [[BigramLm]] — the
+    * real-world usage (CCNet trains on Wikipedia, scores Common
+    * Crawl): bigrams unseen by the model contribute 0 ppm (no
+    * smoothing mass is invented; a doc of entirely-unseen text scores
+    * 0), everything else as [[bigramLmScore]]. Self-scoring a corpus
+    * against its own LM equals [[bigramLmScore]] exactly
+    * (spec-pinned). Two left hash joins against vocabulary-sized count
+    * frames + one aggregation — no window, model side broadcastable by
+    * AQE when the vocabulary is small.
+    */
+  def bigramLmScoreAgainst(
+      model: BigramLm, docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextFunctions.shingles(col(textCol), 2)).as("bg"))
+      .join(model.bigrams, Seq("bg"), "left")
+      .withColumn("__w1", element_at(split(col("bg"), " "), 1))
+      .join(model.prefixes, Seq("__w1"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr("""CASE WHEN __cb IS NULL THEN 0
+                   |  WHEN __cb <= 9000000000000
+                   |  THEN __cb * 1000000 DIV __cp
+                   |  ELSE CAST(CAST(__cb AS DECIMAL(38,0)) * 1000000
+                   |            DIV __cp AS BIGINT) END""".stripMargin)).as("__s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("__s DIV n_bigrams").as("lm_ppm"))
 }

@@ -2721,6 +2721,33 @@ object TrainingOps {
              |  CAST(sum(cb * 1000000 // cp) // count(*) AS BIGINT) AS lm_ppm
              |FROM sc GROUP BY doc_id""".stripMargin)),
 
+    // ---- the FROZEN-LM serving path: train the bigram LM on the 90%
+    //      "reference" corpus, score the held-out 10% against it —
+    //      the CCNet shape (train on quality text, score the crawl).
+    //      Bigrams unseen by the model contribute 0 ppm ----
+    "ta_lm_score_apply" -> Q(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        graft.operators.QualityRules.bigramLmScoreAgainst(
+          graft.operators.QualityRules.bigramLm(
+            d.filter(col("doc_id") % 10 =!= 0), "text"),
+          d.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+             |bgt AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+             |  THEN list_transform(range(1, len(w)), i -> w[i]||' '||w[i+1])
+             |  ELSE [] END) AS bg FROM tok),
+             |c AS (SELECT bg, count(*) AS cb FROM bgt WHERE doc_id % 10 <> 0 GROUP BY 1),
+             |p AS (SELECT string_split(bg,' ')[1] AS w1, CAST(sum(cb) AS BIGINT) AS cp
+             |      FROM c GROUP BY 1),
+             |sc AS (SELECT b.doc_id, coalesce(c.cb * 1000000 // p.cp, 0) AS v
+             |       FROM bgt b LEFT JOIN c USING (bg)
+             |       LEFT JOIN p ON string_split(b.bg,' ')[1] = p.w1
+             |       WHERE b.doc_id % 10 = 0)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  CAST(sum(v) // count(*) AS BIGINT) AS lm_ppm
+             |FROM sc GROUP BY doc_id""".stripMargin)),
+
     // ---- quality scoring (integer ppm) ----
     "ta_quality" -> Q(
       (s, dir) =>

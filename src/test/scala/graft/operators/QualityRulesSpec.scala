@@ -96,6 +96,24 @@ class QualityRulesSpec extends SparkSpec {
     assert(single.count() == 0)
   }
 
+  test("frozen-LM scoring: self-score equals in-corpus score; unseen text scores 0") {
+    val s = spark
+    import s.implicits._
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val self = QualityRules.bigramLmScore(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val against = QualityRules.bigramLmScoreAgainst(
+        QualityRules.bigramLm(corpus, "text"), corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(self.nonEmpty && self == against)
+    // a doc of entirely-unseen bigrams scores 0, not null and not absent
+    val alien = Seq((777L, "zzq1 zzq2 zzq3")).toDF("doc_id", "text")
+    val out = QualityRules.bigramLmScoreAgainst(
+      QualityRules.bigramLm(corpus, "text"), alien, "doc_id", "text").collect()
+    assert(out.length == 1 && out.head.getLong(1) == 2L && out.head.getLong(2) == 0L)
+  }
+
   test("bigram LM score plan: aggregations + hash joins, no window, no cartesian") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val q = QualityRules.bigramLmScore(df, "doc_id", "text")
