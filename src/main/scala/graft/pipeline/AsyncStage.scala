@@ -53,19 +53,39 @@ object AsyncStage {
     * so the pipeline stays `maxInFlight` deep for the whole partition.
     */
   def boundedMap[A, B](it: Iterator[A], maxInFlight: Int)(f: A => B)(
-      implicit ec: ExecutionContext): Iterator[B] = {
+      implicit ec: ExecutionContext): Iterator[B] =
+    boundedMapWithTimeout(it, maxInFlight, 0L)(f,
+      a => throw new java.util.concurrent.TimeoutException(s"unreachable for $a"))
+
+  /** [[boundedMap]] plus a per-call deadline — the timeout the
+    * reference's own future-work note asks firebolt to enforce
+    * (`node/node.go:45-46`): a call that exceeds `timeoutMs` resolves
+    * to `onTimeout(input)` and its in-flight slot is released so the
+    * window keeps moving (the abandoned call's thread finishes or is
+    * interrupted at task completion — the "replace the worker"
+    * semantics of the reference's note, which is why the pool backing
+    * `ec` should grow on demand rather than be hard-capped).
+    * `timeoutMs <= 0` disables the deadline.
+    */
+  def boundedMapWithTimeout[A, B](it: Iterator[A], maxInFlight: Int, timeoutMs: Long)(
+      f: A => B, onTimeout: A => B)(implicit ec: ExecutionContext): Iterator[B] = {
     require(maxInFlight > 0, s"maxInFlight must be positive, got $maxInFlight")
     new Iterator[B] {
-      private val inFlight = mutable.Queue.empty[Future[B]]
+      private val inFlight = mutable.Queue.empty[(A, Future[B])]
       private def fill(): Unit =
         while (inFlight.size < maxInFlight && it.hasNext) {
           val a = it.next()
-          inFlight.enqueue(Future(f(a)))
+          inFlight.enqueue((a, Future(f(a))))
         }
       fill()
       override def hasNext: Boolean = inFlight.nonEmpty
       override def next(): B = {
-        val b = Await.result(inFlight.dequeue(), Duration.Inf)
+        val (a, fut) = inFlight.dequeue()
+        val b =
+          if (timeoutMs <= 0L) Await.result(fut, Duration.Inf)
+          else
+            try Await.result(fut, Duration.fromNanos(timeoutMs * 1000000L))
+            catch { case _: java.util.concurrent.TimeoutException => onTimeout(a) }
         fill()
         b
       }
@@ -79,10 +99,14 @@ object AsyncStage {
 
   /** Build the [[Stage]] for an async call: `rpc` maps the string
     * payload to its [[Outcome]] on a bounded pool; routing happens
-    * declaratively on the attached outcome columns.
+    * declaratively on the attached outcome columns. `timeoutMs > 0`
+    * dead-letters calls that exceed the deadline as
+    * `ERR_ASYNC_TIMEOUT` (the reference's own future-work ask,
+    * `node/node.go:45-46`) instead of stalling the stage on one hung
+    * endpoint.
     */
-  def stage(rpc: String => Outcome, maxInFlight: Int): Stage = Stage(
-    pre = Some(df => callPartitions(df, rpc, maxInFlight)),
+  def stage(rpc: String => Outcome, maxInFlight: Int, timeoutMs: Long = 0L): Stage = Stage(
+    pre = Some(df => callPartitions(df, rpc, maxInFlight, timeoutMs)),
     failWhen = Some(FailSpec(
       cond = col(CodeCol).isNotNull,
       code = col(CodeCol),
@@ -92,7 +116,8 @@ object AsyncStage {
       col(ResultCol).as("payload"), col("created"), col("recovery")))
 
   private def callPartitions(
-      df: DataFrame, rpc: String => Outcome, maxInFlight: Int): DataFrame = {
+      df: DataFrame, rpc: String => Outcome, maxInFlight: Int,
+      timeoutMs: Long = 0L): DataFrame = {
     val inSchema = df.schema
     val payloadIdx = inSchema.fieldIndex("payload")
     val outSchema = inSchema
@@ -101,16 +126,17 @@ object AsyncStage {
     df.mapPartitions { it =>
       // dedicated pool per partition: the call is allowed to BLOCK
       // (that is the point of an async node) — a shared/global EC would
-      // let one slow node starve unrelated tasks' futures
-      val pool = Executors.newFixedThreadPool(maxInFlight)
+      // let one slow node starve unrelated tasks' futures. Cached (not
+      // hard-capped at maxInFlight): live concurrency is bounded by the
+      // in-flight window anyway, and after a TIMEOUT the abandoned
+      // call's thread must not eat a fixed slot — a new worker replaces
+      // it (node/node.go:45-46), the stuck one dies with the task
+      // (shutdownNow interrupts at completion).
+      val pool = Executors.newCachedThreadPool()
       Option(TaskContext.get()).foreach(
         _.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      boundedMap(it, maxInFlight) { row =>
-        val payload = Option(row.get(payloadIdx)).map(_.toString).orNull
-        val out =
-          try rpc(payload)
-          catch { case t: Throwable => Errored("ERR_ASYNC_PANIC", String.valueOf(t.getMessage)) }
+      def rowOf(row: Row, out: Outcome): Row = {
         val extras = out match {
           case Returned(p)      => Seq(p, null, null, false)
           case Errored(c, m)    => Seq(null, c, m, false)
@@ -118,6 +144,16 @@ object AsyncStage {
         }
         Row.fromSeq(row.toSeq ++ extras)
       }
+      boundedMapWithTimeout(it, maxInFlight, timeoutMs)(
+        row => {
+          val payload = Option(row.get(payloadIdx)).map(_.toString).orNull
+          val out =
+            try rpc(payload)
+            catch { case t: Throwable => Errored("ERR_ASYNC_PANIC", String.valueOf(t.getMessage)) }
+          rowOf(row, out)
+        },
+        row => rowOf(row,
+          Errored("ERR_ASYNC_TIMEOUT", s"async call exceeded $timeoutMs ms")))
     }(Encoders.row(outSchema))
   }
 }

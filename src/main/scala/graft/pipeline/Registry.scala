@@ -280,12 +280,20 @@ object Registry {
         val filterPrefix = params.getOrElse("filter_prefix", "filterme")
         val maxInFlight = params.getOrElse("max_in_flight", "8").toInt
         val latencyMs = params.getOrElse("latency_ms", "0").toLong
+        // a payload with `slow_prefix` sleeps slow_ms — the hung-endpoint
+        // drill for the per-call deadline (timeout_ms; 0 = disabled)
+        val slowPrefix = params.getOrElse("slow_prefix", "")
+        val slowMs = params.getOrElse("slow_ms", "5000").toLong
+        val timeoutMs = params.getOrElse("timeout_ms", "0").toLong
         AsyncStage.stage(
           payload => {
             if (latencyMs > 0) Thread.sleep(latencyMs) // simulated RPC round trip
             if (payload == null)
               AsyncStage.Errored("ERR_CONVERSION_FAILED", "null payload")
-            else if (payload.startsWith(errorPrefix))
+            else if (slowPrefix.nonEmpty && payload.startsWith(slowPrefix)) {
+              Thread.sleep(slowMs) // hung endpoint
+              AsyncStage.Returned(payload)
+            } else if (payload.startsWith(errorPrefix))
               AsyncStage.Errored("ERR_ASYNC", s"async rpc failed on $payload")
             else if (payload.startsWith(filterPrefix))
               AsyncStage.Filtered
@@ -295,7 +303,7 @@ object Registry {
                 d.digest(payload.getBytes("UTF-8")).map("%02x".format(_)).mkString)
             }
           },
-          maxInFlight)
+          maxInFlight, timeoutMs)
       }
     })
     r.registerNodeType("resultsnode", new StageFactory {

@@ -88,6 +88,37 @@ class AsyncStageSpec extends SparkSpec {
     assert(dead.head.getStruct(0).getStruct(2).getString(1).contains("kaboom on boom-1"))
   }
 
+  test("per-call timeout dead-letters hung calls as ERR_ASYNC_TIMEOUT; the window keeps moving") {
+    val reg = Registry.builtins()
+    val stage = reg.instantiateNode("asyncrpcnode", Map(
+      "slow_prefix" -> "slow", "slow_ms" -> "30000",
+      "max_in_flight" -> "4", "timeout_ms" -> "200"))
+    val src = spark.range(12).select(
+      when(col("id") === 5, lit("slow-endpoint"))
+        .otherwise(concat(lit("event-"), col("id"))).as("payload"),
+      current_timestamp().as("created"),
+      lit(false).as("recovery"))
+      .coalesce(1) // one partition: the hung call sits in the same window as the rest
+    val t0 = System.nanoTime()
+    val split = ErrorRouting(src, stage)
+    val ok = split.output.collect()
+    val dead = split.deadLetters.get.collect()
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(ok.length == 11 && dead.length == 1)
+    assert(dead.head.getStruct(0).getString(1) == "slow-endpoint")
+    assert(dead.head.getStruct(0).getStruct(2).getString(0) == "ERR_ASYNC_TIMEOUT")
+    // a 30s hang must NOT stall the stage — the deadline releases it
+    assert(elapsedMs < 15000, s"stage stalled behind the hung call: $elapsedMs ms")
+  }
+
+  test("timeout_ms=0 (default) never times a call out") {
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val out = AsyncStage.boundedMapWithTimeout((1 to 5).iterator, 2, 0L)(
+      i => { Thread.sleep(30); i * 2 },
+      _ => fail("timed out with the deadline disabled")).toList
+    assert(out == List(2, 4, 6, 8, 10))
+  }
+
   test("async node composes in a YAML pipeline tree with an error_handler") {
     val reg = Registry.builtins()
     val yaml =
