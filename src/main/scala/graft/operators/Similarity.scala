@@ -644,6 +644,31 @@ object Similarity {
     selectTopK(scored, "cos", k)
   }
 
+  /** Recall@k audit — the evaluation operator every approximate index
+    * needs before it replaces the exact scan: per probe, how many of
+    * the exact top-k the approximate result recovered, in exact
+    * integer ppm (`recall_ppm = 10⁶·n_hits DIV n_exact`). Both inputs
+    * are (qid, nid[, …]) top-k frames from this module's own
+    * operators; a probe the approximate side missed entirely still
+    * reports (hits=0), never drops.
+    *
+    * Plan: one left-semi hash join on (qid, nid) — the ground-truth
+    * frame is k·|probes| rows, so the whole audit is probe-sized, not
+    * corpus-sized; at 100 TB the expensive parts are the two top-k
+    * inputs, which carry their own scale guarantees.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("qid"), col("nid"))
+    val x = exact.select(col("qid"), col("nid"))
+    val hits = x.join(a, Seq("qid", "nid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    x.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("coalesce(n_hits, 0) * 1000000 DIV n_exact").as("recall_ppm"))
+  }
+
   /** ANN top-k via LSH buckets + exact re-rank of candidates.
     * `maxBucket` (finite by default) drops boilerplate buckets before
     * pair generation — see [[lshCandidates]].

@@ -1742,6 +1742,70 @@ object TrainingOps {
              |SELECT qid, rank, nid FROM ranked WHERE rank <= 10""".stripMargin),
       headline = true),
 
+    // ---- recall@10 of the IVF index against the brute-force ground
+    //      truth — the evaluation every approximate index needs before
+    //      it replaces the exact scan. Both rankings are bit-identical
+    //      cross-engine (their own oracles prove it), so the overlap
+    //      and the integer recall_ppm are too ----
+    "ann_recall" -> Q(
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val probes = e.filter(col("vec_id") < 20)
+        Similarity.recallAtK(
+          Similarity.ivfJoin(probes, e, "vec_id", "embedding",
+            k = 10, nList = 16, nProbe = 4),
+          Similarity.bruteForceTopK(probes, e, "vec_id", "embedding", k = 10))
+      },
+      Some(s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+              |train AS (SELECT id, vec FROM v
+              |          ORDER BY ((id % 1000000007) * 1103515245 + 12345) % 1000000007, id
+              |          LIMIT 100000),
+              |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS c, vec
+              |       FROM (SELECT id, vec FROM train ORDER BY id LIMIT 16)),
+              |${duckIvfIter(0)},
+              |${duckIvfIter(1)},
+              |uf AS (
+              |  SELECT c, CASE WHEN nrm = 0 THEN vec
+              |    ELSE list_transform(vec, x -> CAST(CAST(x AS DOUBLE) / sqrt(nrm) AS REAL)) END AS uvec
+              |  FROM (SELECT c, vec,
+              |          list_sum(list_transform(vec, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nrm
+              |        FROM c2)),
+              |vs AS (
+              |  SELECT v.id, v.vec, u.c,
+              |    row_number() OVER (PARTITION BY v.id
+              |      ORDER BY list_sum(list_transform(list_zip(v.vec, u.uvec),
+              |        p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))) DESC, u.c ASC) AS rn
+              |  FROM v CROSS JOIN uf u),
+              |nrm AS (SELECT id, list_sum(list_transform(vec, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nrm FROM v),
+              |corpus AS (SELECT id AS nid, vec AS nvec, c AS list FROM vs WHERE rn = 1),
+              |probes AS (SELECT id AS qid, vec AS qvec, c AS list FROM vs
+              |           WHERE rn <= 4 AND id < 20),
+              |cand AS (
+              |  SELECT p.qid, cp.nid,
+              |    list_sum(list_transform(list_zip(p.qvec, cp.nvec),
+              |      z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / sqrt(nq.nrm * nn.nrm) AS cos
+              |  FROM probes p JOIN corpus cp USING (list)
+              |  JOIN nrm nq ON p.qid = nq.id JOIN nrm nn ON cp.nid = nn.id
+              |  WHERE p.qid <> cp.nid),
+              |rka AS (SELECT qid, nid FROM (SELECT qid, nid,
+              |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM cand)
+              |  WHERE rank <= 10),
+              |sx AS (
+              |  SELECT q.id AS qid, c.id AS nid,
+              |    list_sum(list_transform(list_zip(q.vec, c.vec),
+              |      p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))) / sqrt(nq.nrm * nn.nrm) AS cos
+              |  FROM v q JOIN v c ON q.id < 20 AND q.id <> c.id
+              |  JOIN nrm nq ON q.id = nq.id JOIN nrm nn ON c.id = nn.id),
+              |rkx AS (SELECT qid, nid FROM (SELECT qid, nid,
+              |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM sx)
+              |  WHERE rank <= 10),
+              |h AS (SELECT x.qid, count(*) AS n_hits
+              |      FROM rkx x JOIN rka a ON x.qid = a.qid AND x.nid = a.nid GROUP BY 1),
+              |e AS (SELECT qid, count(*) AS n_exact FROM rkx GROUP BY 1)
+              |SELECT e.qid, e.n_exact, coalesce(h.n_hits, 0) AS n_hits,
+              |  CAST(coalesce(h.n_hits, 0) * 1000000 // e.n_exact AS BIGINT) AS recall_ppm
+              |FROM e LEFT JOIN h USING (qid)""".stripMargin)),
+
     // ---- ANN via random-hyperplane LSH buckets (scale path). Fully
     //      oracle-able: the hyperplane family is a pure integer formula
     //      (Kernels.lshSigEval) and the signature/cosine sums fold

@@ -545,6 +545,23 @@ class OperatorsSpec extends SparkSpec {
     assert(again == ivf, "IVF index not deterministic")
   }
 
+  test("recallAtK: exact self-recall, missed probes kept at 0, integer ppm") {
+    val s = spark
+    import s.implicits._
+    val exact = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L),
+      (2L, 1, 20L), (2L, 2, 21L), (2L, 3, 22L)).toDF("qid", "rank", "nid")
+    // approx: qid 1 recovers 2 of 3; qid 2 recovers nothing (missed
+    // entirely — e.g. its probe landed in empty lists)
+    val approx = Seq((1L, 1, 10L), (1L, 2, 12L), (1L, 3, 99L)).toDF("qid", "rank", "nid")
+    val out = Similarity.recallAtK(approx, exact)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((3L, 2L, 2L * 1000000L / 3L)))
+    assert(out(2L) == ((3L, 0L, 0L))) // present with zero recall, not dropped
+    // perfect self-recall is exactly 1e6
+    val self = Similarity.recallAtK(exact, exact).collect()
+    assert(self.forall(_.getLong(3) == 1000000L))
+  }
+
   test("multimodal: frame sampling shape and stub decode schema") {
     val d = docs.select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("content"))
       .select(col("doc_id"),
