@@ -65,7 +65,15 @@ object ScaleProbe {
         docs, Seq("source"), "text", k = 64).count())
       val sq = best(graft.operators.Profile.sampleQuantiles(
         docs, Seq("source"), "doc_id", "n_chars", k = 256).count())
-      println(f"[scale] $label%-4s docs=$nDocs%7d ngram_jaccard=$jac%6.2f minhash_lsh=$lsh%6.2f simhash32=$sim%6.2f simhash63=$sim63%6.2f components=$comp%6.2f tfidf=$tfidf%6.2f pack=$pack%6.2f spans=$spans%6.2f cdc=$cdc%6.2f bm25=$bm25%6.2f kmv=$kmv%6.2f squant=$sq%6.2f")
+      // round-9 additions: bigram-LM scoring (count shuffles + join
+      // back — must stay linear) and the capped stateful LSH batch
+      // drive (the maxBucket guard must hold the curve that the
+      // uncapped form loses)
+      val lm = best(graft.operators.QualityRules.bigramLmScore(
+        docs, "doc_id", "text").count())
+      val nds = best(graft.streaming.StatefulOps.streamingNearDupCandidates(
+        docs, "doc_id", "text", n = 3, k = 8, bands = 2, maxBucket = 1000).toDF().count())
+      println(f"[scale] $label%-4s docs=$nDocs%7d ngram_jaccard=$jac%6.2f minhash_lsh=$lsh%6.2f simhash32=$sim%6.2f simhash63=$sim63%6.2f components=$comp%6.2f tfidf=$tfidf%6.2f pack=$pack%6.2f spans=$spans%6.2f cdc=$cdc%6.2f bm25=$bm25%6.2f kmv=$kmv%6.2f squant=$sq%6.2f lm=$lm%6.2f neardup_stateful=$nds%6.2f")
     }
     bench("1x", args(0))
     bench("2x", args(1))

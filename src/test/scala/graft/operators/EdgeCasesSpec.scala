@@ -47,6 +47,23 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Similarity.bruteForceTopK(emptyEmb, emptyEmb, "vec_id", "embedding", 5).count() == 0)
     assert(Similarity.lshTopK(emptyEmb, "vec_id", "embedding", 5).count() == 0)
     assert(Similarity.ivfTopK(emptyEmb, "vec_id", "embedding", 5, nList = 4).count() == 0)
+    // recall over empty rankings: no probes, no rows, no division
+    val noPairs = docsOf().select(col("doc_id").as("qid"), col("doc_id").as("nid"))
+    assert(Similarity.recallAtK(noPairs, noPairs).count() == 0)
+  }
+
+  test("bigram LM scoring is empty-, null- and short-text-safe") {
+    assert(QualityRules.bigramLmScore(emptyDocs, "doc_id", "text").count() == 0)
+    // null text and sub-2-token docs yield no bigrams → absent, no throw
+    val mixed = docsOf((1L, null), (2L, "one"), (3L, ""), (4L, "two words"))
+    val out = QualityRules.bigramLmScore(mixed, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(4L))
+    // frozen-model path: empty model scores everything 0, never errors
+    val model = QualityRules.bigramLm(emptyDocs, "text")
+    val scored = QualityRules.bigramLmScoreAgainst(
+      model, docsOf((7L, "a b c")), "doc_id", "text").collect()
+    assert(scored.length == 1 && scored.head.getLong(2) == 0L)
   }
 
   test("semantic and incremental dedup are empty- and tiny-input-safe") {
