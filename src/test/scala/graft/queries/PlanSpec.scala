@@ -421,4 +421,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), s"occupancy guard missing:\n$p")
     assert(!p.contains("Window"), s"occupancy guard fell back to a window:\n$p")
   }
+
+  test("ta_lm_score: count shuffles + equi-joins; the hot ppm math stays in int64 codegen") {
+    val p = executedPlanOf("ta_lm_score")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"LM scoring fell off the agg+join shape:\n$p")
+    // partial aggregation before every exchange (the count shuffles)
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"bigram counts not map-side combined:\n$p")
+    // the decimal fallback branch must not surface as the static result
+    // type: the column stays bigint end to end
+    val schema = graft.SparkEntry.queries("ta_lm_score")(spark, dir).schema
+    assert(schema("lm_ppm").dataType == org.apache.spark.sql.types.LongType)
+  }
+
+  test("ann_recall: the audit itself is probe-sized — semi join + aggregates, no window") {
+    // the expensive parts are the two top-k INPUTS (pinned elsewhere);
+    // the recall overlay must not add a window or a cartesian of its own
+    val p = plan("ann_recall")
+    assert(p.contains("LeftSemi"), s"hit counting should be a semi join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"recall overlay went all-pairs:\n$p")
+  }
 }
