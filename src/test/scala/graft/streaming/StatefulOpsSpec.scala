@@ -337,6 +337,36 @@ class StatefulOpsSpec extends SparkSpec {
       s"top-k state lost across restart: ${snaps.toList}")
   }
 
+  test("near-dup bucket state survives a checkpointed query restart") {
+    val root = java.nio.file.Files.createTempDirectory("nd_restart").toString
+    val (inDir, cpDir, outDir) = (s"$root/in", s"$root/cp", s"$root/out")
+    new java.io.File(inDir).mkdirs()
+    val dup = "the quick brown fox jumps over the lazy dog again"
+    def writeBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempFile("ndb", ".json")
+      java.nio.file.Files.writeString(tmp,
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }.mkString("\n"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$inDir/$name.json"))
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, text STRING")
+    def run(): Unit = {
+      val in = spark.readStream.schema(schema).json(inDir)
+      val q = streamingNearDupCandidates(in, "doc_id", "text").toDF()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", cpDir)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
+    writeBatch("b1", Seq((1L, dup), (2L, dup)))
+    run() // residents {1,2}; pair (1,2)
+    writeBatch("b2", Seq((3L, dup)))
+    run() // restored residents must pair 3 with BOTH; lost state → nothing
+    val pairs = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"bucket state lost across restart: $pairs")
+  }
+
   test("streaming KMV state survives a checkpointed query restart") {
     // the classic silent breaker is a state-schema mismatch on restore;
     // this drill restarts the query from its checkpoint between batches
