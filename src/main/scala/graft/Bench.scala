@@ -63,7 +63,12 @@ object Bench {
     // inside any plausible tail buffer; (b) the full-precision JSON is
     // also written to bench_out.json next to the process cwd, which a
     // reader can always parse whole.
-    def fmt(v: Double): String = f"$v%.4f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+    // Locale.ROOT: the f-interpolator honors the default locale, and a
+    // comma-decimal locale (de_DE, fr_FR) would render 1,2345 — breaking
+    // the JSON line this very function exists to keep parseable
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+        .reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
     val qs = results.collect { case (k, Some(v)) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val qsFull = results.collect { case (k, Some(v)) => s"\"" + k + "\":" + v }

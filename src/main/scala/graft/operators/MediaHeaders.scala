@@ -158,14 +158,19 @@ object MediaHeaders {
         find(moovStart, moovEnd, "mvhd").flatMap { case (mvhd, mvhdEnd) =>
           // v0: ctime/mtime u32 → timescale at payload+12, duration u32 at +16
           // v1: ctime/mtime u64 → timescale at payload+20, duration u64 at +24
+          // all-ones duration is the spec's "unknown" sentinel (ISO
+          // 14496-12 §8.2.2 — fragmented files carry the real duration
+          // in mehd/sidx): return None, not a ~49-day fabrication
           if (mvhd >= mvhdEnd) None
           else u8(mvhd.toInt) match {
             case 0 if mvhd + 20 <= mvhdEnd =>
               val ts = be32(mvhd.toInt + 12)
-              if (ts > 0) Some(be32(mvhd.toInt + 16) * 1000L / ts) else None
+              val dur = be32(mvhd.toInt + 16)
+              if (ts > 0 && dur != 0xFFFFFFFFL) Some(dur * 1000L / ts) else None
             case 1 if mvhd + 32 <= mvhdEnd =>
               val ts = be32(mvhd.toInt + 20)
-              if (ts > 0) Some(be64(mvhd.toInt + 24) * 1000L / ts) else None
+              val dur = be64(mvhd.toInt + 24)
+              if (ts > 0 && dur != -1L) Some(dur * 1000L / ts) else None
             case _ => None
           }
         }
@@ -217,7 +222,11 @@ object MediaHeaders {
     if (kbps == 0) return None // free-format or invalid index
     val rate = Mp3RateV1((u8(off + 2) >> 2) & 3)
     val sideInfo = if (((u8(off + 3) >> 6) & 3) == 3) 17 else 32
-    val xingAt = off + 4 + sideInfo
+    // protection bit 0 = a 2-byte CRC sits between header and side info
+    // (ISO 11172-3) — without this offset a CRC-protected Xing frame
+    // would be missed and the lying header bitrate used as CBR
+    val crc = if ((u8(off + 1) & 1) == 0) 2 else 0
+    val xingAt = off + 4 + crc + sideInfo
     if (tag(xingAt, "Xing") || tag(xingAt, "Info")) {
       // VBR header frame: flags u32, then (flags&1) → u32 total frames;
       // each MPEG1-L3 frame carries 1152 samples

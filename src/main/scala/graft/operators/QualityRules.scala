@@ -135,47 +135,37 @@ object QualityRules {
     val bg = df.select(col(idCol).as("doc_id"),
         explode(graft.functions.TextFunctions.shingles(col(textCol), 2)).as("bg"))
       .localCheckpoint(false)
-    val bgCounts = bg.groupBy("bg").agg(count(lit(1)).as("__cb"))
-    val prefCounts = bgCounts
-      .select(element_at(split(col("bg"), " "), 1).as("__w1"), col("__cb"))
-      .groupBy("__w1").agg(sum("__cb").as("__cp"))
-    bg.join(bgCounts, "bg")
-      .withColumn("__w1", element_at(split(col("bg"), " "), 1))
-      .join(prefCounts, "__w1")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        // int64 fast path; a single bigram must occur >9e12 times
-        // before the ×1e6 could wrap, then the decimal branch takes
-        // over (same value, same bigint dtype — the BM25 pattern)
-        sum(expr("""CASE WHEN __cb <= 9000000000000
-                   |  THEN __cb * 1000000 DIV __cp
-                   |  ELSE CAST(CAST(__cb AS DECIMAL(38,0)) * 1000000
-                   |            DIV __cp AS BIGINT) END""".stripMargin)).as("__s"))
-      .select(col("doc_id"), col("n_bigrams"),
-        expr("__s DIV n_bigrams").as("lm_ppm"))
+    scoreBigrams(bigramLmFrom(bg.select(col("bg"))), bg, joinType = "inner")
   }
 
   /** A frozen bigram LM — the serving-tier artifact of the quality
     * family, like [[graft.operators.TextSim.Bm25Index]]: train once on
-    * a reference corpus (the high-quality set), persist both count
-    * frames partitioned by their key, score candidate batches forever
-    * after. `bigrams` is one row per (bigram, count); `prefixes` one
-    * row per (first-word, total count) — both vocabulary-sized, never
-    * corpus-sized.
+    * a reference corpus (the high-quality set), persist the count
+    * frame partitioned by bigram, score candidate batches forever
+    * after. `bigrams` is one row per (bigram, bigram count, prefix
+    * total) — the prefix total is PRE-JOINED at train time
+    * (vocabulary⋈vocabulary), so scoring needs exactly ONE
+    * corpus-sized join instead of two.
     */
-  final case class BigramLm(bigrams: DataFrame, prefixes: DataFrame)
+  final case class BigramLm(bigrams: DataFrame)
 
   /** Train the [[BigramLm]]: one explode + two partial-aggregated
     * count shuffles (the prefix table aggregates the COUNTS frame, not
-    * the corpus). */
-  def bigramLm(df: DataFrame, textCol: String): BigramLm = {
-    val bgCounts = df
-      .select(explode(graft.functions.TextFunctions.shingles(col(textCol), 2)).as("bg"))
-      .groupBy("bg").agg(count(lit(1)).as("__cb"))
+    * the corpus) + one vocabulary-sized join. */
+  def bigramLm(df: DataFrame, textCol: String): BigramLm =
+    bigramLmFrom(df.select(
+      explode(graft.functions.TextFunctions.shingles(col(textCol), 2)).as("bg")))
+
+  /** [[bigramLm]] over an already-exploded one-column `bg` frame. */
+  private def bigramLmFrom(bg: DataFrame): BigramLm = {
+    val bgCounts = bg.groupBy("bg").agg(count(lit(1)).as("__cb"))
     val prefCounts = bgCounts
       .select(element_at(split(col("bg"), " "), 1).as("__w1"), col("__cb"))
       .groupBy("__w1").agg(sum("__cb").as("__cp"))
-    BigramLm(bgCounts, prefCounts)
+    BigramLm(bgCounts
+      .withColumn("__w1", element_at(split(col("bg"), " "), 1))
+      .join(prefCounts, "__w1")
+      .select(col("bg"), col("__cb"), col("__cp")))
   }
 
   /** Score candidate documents against a FROZEN [[BigramLm]] — the
@@ -184,19 +174,25 @@ object QualityRules {
     * smoothing mass is invented; a doc of entirely-unseen text scores
     * 0), everything else as [[bigramLmScore]]. Self-scoring a corpus
     * against its own LM equals [[bigramLmScore]] exactly
-    * (spec-pinned). Two left hash joins against vocabulary-sized count
-    * frames + one aggregation — no window, model side broadcastable by
-    * AQE when the vocabulary is small.
+    * (spec-pinned). ONE left hash join against the vocabulary-sized
+    * model frame + one aggregation — no window, model side
+    * broadcastable by AQE when the vocabulary is small.
     */
   def bigramLmScoreAgainst(
       model: BigramLm, docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(graft.functions.TextFunctions.shingles(col(textCol), 2)).as("bg"))
-      .join(model.bigrams, Seq("bg"), "left")
-      .withColumn("__w1", element_at(split(col("bg"), " "), 1))
-      .join(model.prefixes, Seq("__w1"), "left")
+    scoreBigrams(model,
+      docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextFunctions.shingles(col(textCol), 2)).as("bg")),
+      joinType = "left")
+
+  private def scoreBigrams(model: BigramLm, bg: DataFrame, joinType: String): DataFrame =
+    bg.join(model.bigrams, Seq("bg"), joinType)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
+        // int64 fast path; a single bigram must occur >9e12 times
+        // before the ×1e6 could wrap, then the decimal branch takes
+        // over (same value, same bigint dtype — the BM25 pattern).
+        // NULL __cb (unseen bigram under a left join) contributes 0.
         sum(expr("""CASE WHEN __cb IS NULL THEN 0
                    |  WHEN __cb <= 9000000000000
                    |  THEN __cb * 1000000 DIV __cp

@@ -65,27 +65,44 @@ object AsyncStage {
     * interrupted at task completion — the "replace the worker"
     * semantics of the reference's note, which is why the pool backing
     * `ec` should grow on demand rather than be hard-capped).
-    * `timeoutMs <= 0` disables the deadline.
+    * `timeoutMs <= 0` disables the deadline. The deadline runs from
+    * SUBMISSION, not from the (possibly later) await; a call whose
+    * result is already available when its deadline is checked is
+    * delivered rather than discarded — timeouts exist to unblock the
+    * window, not to throw away finished work.
     */
   def boundedMapWithTimeout[A, B](it: Iterator[A], maxInFlight: Int, timeoutMs: Long)(
       f: A => B, onTimeout: A => B)(implicit ec: ExecutionContext): Iterator[B] = {
     require(maxInFlight > 0, s"maxInFlight must be positive, got $maxInFlight")
     new Iterator[B] {
-      private val inFlight = mutable.Queue.empty[(A, Future[B])]
+      // each entry carries its SUBMISSION time: the deadline is per
+      // call, not per await — measuring from dequeue would credit
+      // queue-wait time (a 250 ms call behind a 190 ms one would pass
+      // a 200 ms deadline), and a partition of hung calls would pay
+      // rows×timeout serially instead of ~one timeout per window
+      private val inFlight = mutable.Queue.empty[(A, Future[B], Long)]
       private def fill(): Unit =
         while (inFlight.size < maxInFlight && it.hasNext) {
           val a = it.next()
-          inFlight.enqueue((a, Future(f(a))))
+          inFlight.enqueue((a, Future(f(a)), System.nanoTime()))
         }
       fill()
       override def hasNext: Boolean = inFlight.nonEmpty
       override def next(): B = {
-        val (a, fut) = inFlight.dequeue()
+        val (a, fut, submitted) = inFlight.dequeue()
         val b =
           if (timeoutMs <= 0L) Await.result(fut, Duration.Inf)
-          else
-            try Await.result(fut, Duration.fromNanos(timeoutMs * 1000000L))
-            catch { case _: java.util.concurrent.TimeoutException => onTimeout(a) }
+          else {
+            val remainNs = submitted + timeoutMs * 1000000L - System.nanoTime()
+            // deadline already passed while queued: a completed future
+            // still counts (the call finished in time — only the await
+            // was late); an incomplete one is timed out immediately
+            if (remainNs <= 0L) {
+              if (fut.isCompleted) Await.result(fut, Duration.Zero) else onTimeout(a)
+            } else
+              try Await.result(fut, Duration.fromNanos(remainNs))
+              catch { case _: java.util.concurrent.TimeoutException => onTimeout(a) }
+          }
         fill()
         b
       }

@@ -157,6 +157,11 @@ class MediaHeadersSpec extends AnyFunSuite {
     assert(MediaHeaders.mp3DurationMs(vbrMono).contains(100L * 1152L * 1000L / 44100L))
     // truncated right after the marker → None, no throw
     assert(MediaHeaders.mp3DurationMs(hex("FFFB9000" + "00" * 32 + "58696E67")).isEmpty)
+    // CRC-protected frame (protection bit 0, header FFFA): 2 CRC bytes
+    // sit before the side info, so Xing is at header+2+36 — the marker
+    // must still be found, not mistaken for a CBR stream
+    val vbrCrc = hex("FFFA9000" + "0000" + "00" * 32 + "58696E67" + "00000001" + "000003E8" + "00" * 8)
+    assert(MediaHeaders.mp3DurationMs(vbrCrc).contains(1000L * 1152L * 1000L / 44100L))
   }
 
   test("MP4/MOV: mvhd duration, both versions, largesize and foreign bytes") {
@@ -186,6 +191,12 @@ class MediaHeadersSpec extends AnyFunSuite {
     // zero timescale cannot divide
     val mvhdZero = box("mvhd", "00000000" + "00000000" + "00000000" + "00000000" + "00000BB8" + "00" * 80)
     assert(MediaHeaders.mp4DurationMs(hex(ftyp + box("moov", mvhdZero))).isEmpty)
+    // all-ones duration = the spec's "unknown" sentinel (fragmented
+    // files) → None, not a ~49-day fabrication
+    val mvhdUnk0 = box("mvhd", "00000000" + "00000000" + "00000000" + "00000258" + "FFFFFFFF" + "00" * 80)
+    assert(MediaHeaders.mp4DurationMs(hex(ftyp + box("moov", mvhdUnk0))).isEmpty)
+    val mvhdUnk1 = box("mvhd", "01000000" + "00" * 16 + "000003E8" + "FFFFFFFFFFFFFFFF" + "00" * 80)
+    assert(MediaHeaders.mp4DurationMs(hex(ftyp + box("moov", mvhdUnk1))).isEmpty)
   }
 
   test("assemble→parse round-trips across the dimension range") {

@@ -111,6 +111,29 @@ class AsyncStageSpec extends SparkSpec {
     assert(elapsedMs < 15000, s"stage stalled behind the hung call: $elapsedMs ms")
   }
 
+  test("the RPC fires EXACTLY ONCE per row even when both branches evaluate") {
+    // without the pre-result cache, the output and dead-letter branches
+    // are separate lineages and each action re-fires every call —
+    // doubling side effects and, near a timeout boundary, letting the
+    // same row time out in one evaluation and succeed in the other
+    val calls = spark.sparkContext.longAccumulator("rpc_calls")
+    val stage = AsyncStage.stage(
+      p => {
+        calls.add(1L)
+        if (p.startsWith("error")) AsyncStage.Errored("ERR_ASYNC", p)
+        else AsyncStage.Returned(p.toUpperCase)
+      },
+      maxInFlight = 2)
+    val src = spark.range(20).select(
+      when(col("id") % 5 === 0, concat(lit("error-"), col("id")))
+        .otherwise(concat(lit("event-"), col("id"))).as("payload"),
+      current_timestamp().as("created"), lit(false).as("recovery"))
+    val split = ErrorRouting(src, stage)
+    assert(split.output.count() == 16)
+    assert(split.deadLetters.get.count() == 4)
+    assert(calls.value == 20L, s"RPC fired ${calls.value} times for 20 rows")
+  }
+
   test("timeout_ms=0 (default) never times a call out") {
     implicit val ec: ExecutionContext = ExecutionContext.global
     val out = AsyncStage.boundedMapWithTimeout((1 to 5).iterator, 2, 0L)(
