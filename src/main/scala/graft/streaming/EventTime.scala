@@ -32,6 +32,31 @@ object EventTime {
     wm.groupBy(session_window(col(tsCol), gap) +: keys.map(col): _*)
   }
 
+  /** Event-time streaming dedup: suppress key duplicates arriving
+    * within the watermark horizon, with state expired by EVENT time —
+    * the replay-correct counterpart of
+    * [[StatefulOps.streamingDedup]]'s processing-time TTL. Under a
+    * fast historical replay a wall-clock TTL expires (almost) nothing
+    * and state grows with the whole replayed keyspace; under lagging
+    * live traffic it expires state the data's own clock says is still
+    * current. Watermark-driven expiry keys retention to the stream's
+    * event time in both cases. Thin over Spark's native
+    * `dropDuplicatesWithinWatermark` — the whole point: the state
+    * store, expiry and exactly-once bookkeeping are Spark's.
+    *
+    * Semantics per Spark: the FIRST arrival of a key is emitted;
+    * further arrivals are dropped for at least `delay` of event time;
+    * once the watermark passes, the key may be emitted again (use
+    * [[StatefulOps.streamingDedup]] with ttlMs=0 for forever-dedup).
+    * State ≈ keys seen within one watermark window — bounded by key
+    * arrival rate × delay, independent of stream length.
+    */
+  def dedupWithinWatermark(
+      df: DataFrame, keys: Seq[String], tsCol: String, delay: String): DataFrame = {
+    require(keys.nonEmpty, "dedupWithinWatermark: need at least one key column")
+    df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
+  }
+
   /** Watermarked stream-stream interval join (click-attribution shape):
     * rows match when keys are equal and
     * `leftTs + lower <= rightTs <= leftTs + upper`.

@@ -37,6 +37,33 @@ class EventTimeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time dedup: duplicates within the watermark drop; keys re-emit after it passes") {
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[(String, Timestamp)](s)
+    val out = EventTime.dedupWithinWatermark(
+      input.toDF().toDF("key", "ts"), Seq("key"), "ts", delay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("wmdedup")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0L)).start()
+    try {
+      // k1 arrives at 10:00 and again (redelivery) at 10:03 → one emission
+      input.addData(Seq(("k1", t(0)), ("k2", t(1))))
+      q.processAllAvailable()
+      input.addData(Seq(("k1", t(3))))
+      q.processAllAvailable()
+      assert(s.table("wmdedup").collect().map(_.getString(0)).sorted.toSeq
+        == Seq("k1", "k2"))
+      // advance event time far past the watermark: k1's dedup state has
+      // expired, so a genuinely NEW k1 occurrence emits again
+      input.addData(Seq(("adv", t(40))))
+      q.processAllAvailable()
+      input.addData(Seq(("k1", t(45))))
+      q.processAllAvailable()
+      val k1s = s.table("wmdedup").collect().count(_.getString(0) == "k1")
+      assert(k1s == 2, s"expired key did not re-emit (k1 rows: $k1s)")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes clicks to impressions within the window") {
     val s = spark
     import s.implicits._
