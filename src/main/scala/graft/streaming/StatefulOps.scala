@@ -512,6 +512,67 @@ object StatefulOps {
       }
   }
 
+  final case class BandedDocTs(band: String, docId: Long, ts: java.sql.Timestamp)
+  implicit val bandedTsEnc: Encoder[BandedDocTs] = Encoders.product[BandedDocTs]
+
+  /** EVENT-TIME variant of [[streamingNearDupCandidates]]: bucket state
+    * expires when the stream's WATERMARK passes the bucket's last
+    * event time + `ttl` — the replay-correct retention rule. A
+    * processing-time TTL is wrong in both directions at 100 TB: a fast
+    * historical replay expires (almost) nothing, so bucket-key
+    * cardinality grows with the whole replayed corpus; lagging live
+    * traffic expires buckets the data's own clock says are current.
+    * Here retention follows event time in both cases.
+    *
+    * The input must carry `eventTimeCol` and the caller-supplied
+    * `watermarkDelay` is applied here (the watermark must be on THIS
+    * frame for the timeout clock to advance). Pairing semantics are
+    * identical to the processing-time operator: same bands, same
+    * `maxBucket` cap, same at-least-once per-band emission.
+    */
+  def streamingNearDupCandidatesEventTime(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      eventTimeCol: String, watermarkDelay: String, ttlMs: Long,
+      n: Int = 3, k: Int = 8, bands: Int = 2,
+      maxBucket: Int = 1000): Dataset[CandidatePair] = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{Hashing, TextFunctions}
+    require(ttlMs > 0, "streamingNearDupCandidatesEventTime: ttlMs must be positive")
+    docs
+      .select(
+        col(idCol).cast("long").as("docId"),
+        col(eventTimeCol).cast("timestamp").as("ts"),
+        explode(Hashing.lshBandKeys(
+          Hashing.minhashSignature(TextFunctions.shingles(col(textCol), n), k),
+          k, bands)).as("band"))
+      // watermark AFTER the projection: a cast/rename strips the
+      // watermark metadata, and EventTimeTimeout requires the marked
+      // column to reach the flatMapGroupsWithState input
+      .withWatermark("ts", watermarkDelay)
+      .as[BandedDocTs]
+      .groupByKey(_.band)
+      .flatMapGroupsWithState[BucketState, CandidatePair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (band: String, rows: Iterator[BandedDocTs], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val buffered = rows.toSeq
+            val out = nearDupGroup(band,
+              buffered.map(r => BandedDoc(r.band, r.docId)).iterator,
+              state, maxBucket, ttlMs = 0L)
+            // expire when the watermark passes last-event-time + ttl;
+            // the timestamp must sit above the current watermark, so a
+            // late straggler batch clamps to watermark + ttl
+            val maxTs = buffered.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs()) + ttlMs)
+            out
+          }
+      }
+  }
+
   // ---- streaming semantic (SemDeDup) near-dup candidates ----
 
   final case class ListedVec(list: Int, docId: Long, vec: Seq[Float])

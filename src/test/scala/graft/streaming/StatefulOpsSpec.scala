@@ -126,6 +126,42 @@ class StatefulOpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 3L)), s"got $pairs")
   }
 
+  test("event-time near-dup: bucket state expires by WATERMARK, not wall clock") {
+    implicit val sqlCtx = spark.sqlContext
+    val s = spark
+    import s.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val dup = "the quick brown fox jumps over the lazy dog again"
+    val other = "completely different words with no overlap at all today"
+    val other2 = "yet another unrelated sentence about gardening and mild weather patterns"
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val result = streamingNearDupCandidatesEventTime(
+      input.toDF().toDF("doc_id", "text", "ts"),
+      "doc_id", "text", eventTimeCol = "ts", watermarkDelay = "0 seconds",
+      ttlMs = 10 * 60 * 1000L)
+    val q = result.toDF().writeStream.format("memory").queryName("nd_et")
+      .outputMode("append").start()
+    try {
+      // two dups at 10:00 pair; bucket expiry set to 10:10
+      input.addData((1L, dup, ts(0)), (2L, dup, ts(0)))
+      q.processAllAvailable()
+      // advance the watermark far past the expiry (unrelated text);
+      // the timeout for the idle dup-bucket fires on the NEXT trigger
+      input.addData((50L, other, ts(40)))
+      q.processAllAvailable()
+      input.addData((51L, other2, ts(41)))
+      q.processAllAvailable()
+      // a new copy of the dup arrives: the expired bucket is EMPTY, so
+      // no pairs with the long-gone residents — a wall-clock TTL in a
+      // fast replay would still hold docs 1 and 2 and emit stale pairs
+      input.addData((3L, dup, ts(45)))
+      q.processAllAvailable()
+      val pairs = spark.table("nd_et").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 2L)), s"expired residents still paired: $pairs")
+    } finally q.stop()
+  }
+
   test("streaming keep-latest emits a key's new winner only when it changes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Keyed]
