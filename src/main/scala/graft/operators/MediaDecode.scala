@@ -1,0 +1,217 @@
+package graft.operators
+
+/** REAL pixel/sample decode, pure JVM — the part of the multimodal
+  * seam that does NOT need a native codec, decoded for real:
+  *
+  *  - BMP: uncompressed 24 bpp BITMAPINFOHEADER — raw BGR rows with
+  *    4-byte padding, bottom-up (positive height) or top-down.
+  *  - PNG: 8-bit greyscale/RGB/RGBA (color types 0/2/6), the dominant
+  *    lossless web shapes — IDAT chunks concatenated, zlib-inflated
+  *    with `java.util.zip.Inflater` (in every JVM), then per-row
+  *    filter reversal (None/Sub/Up/Average/Paeth, RFC 2083 §6).
+  *  - WAV: PCM 16-bit LE samples (any channel count, interleaved).
+  *
+  * JPEG (Huffman+DCT) and lossy audio stay behind the
+  * [[Multimodal.MediaCodec]] stub — those genuinely need a codec
+  * library. Everything here returns None on malformed/foreign/
+  * unsupported bytes (interlaced PNG, 16-bit channels, palette,
+  * compressed BMP): at corpus scale a truncated file must degrade,
+  * never throw.
+  *
+  * [[Multimodal.HeaderCodec]] uses these to emit REAL features
+  * (channel means / luma for images, RMS/peak for audio) instead of
+  * the byte-hash stub whenever the bytes decode.
+  */
+object MediaDecode {
+
+  /** Interleaved 8-bit channel data, row-major from the top-left. */
+  final case class PixelImage(width: Int, height: Int, channels: Int, data: Array[Byte]) {
+    def meanChannel(c: Int): Double = {
+      var s = 0L; var i = c
+      val n = width * height
+      while (i < data.length) { s += (data(i) & 0xff); i += channels }
+      if (n == 0) 0.0 else s.toDouble / n
+    }
+    /** Rec.601 luma over the first three channels (grey = itself). */
+    def meanLuma: Double =
+      if (channels >= 3) 0.299 * meanChannel(0) + 0.587 * meanChannel(1) + 0.114 * meanChannel(2)
+      else meanChannel(0)
+  }
+
+  // ---- BMP ---------------------------------------------------------
+
+  /** Uncompressed 24 bpp BMP → RGB pixels. */
+  def bmpPixels(b: Array[Byte]): Option[PixelImage] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    if (b.length < 54 || u8(0) != 'B' || u8(1) != 'M') return None
+    if (le32(14) != 40L) return None                  // BITMAPINFOHEADER only
+    val w = le32(18).toInt
+    val hRaw = le32(22).toInt
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) return None
+    if (le16(26) != 1 || le16(28) != 24) return None  // 1 plane, 24 bpp
+    if (le32(30) != 0L) return None                   // BI_RGB (uncompressed)
+    val off = le32(10).toInt
+    val rowBytes = (w * 3 + 3) & ~3                   // rows pad to 4 bytes
+    if (off < 0 || off.toLong + rowBytes.toLong * h > b.length) return None
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = off + (if (topDown) y else h - 1 - y) * rowBytes
+      var x = 0
+      while (x < w) {
+        val s = srcRow + x * 3
+        val d = (y * w + x) * 3
+        out(d) = b(s + 2); out(d + 1) = b(s + 1); out(d + 2) = b(s) // BGR → RGB
+        x += 1
+      }
+      y += 1
+    }
+    Some(PixelImage(w, h, 3, out))
+  }
+
+  // ---- PNG ---------------------------------------------------------
+
+  /** 8-bit non-interlaced grey/RGB/RGBA PNG → pixels. */
+  def pngPixels(b: Array[Byte]): Option[PixelImage] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    if (b.length < 45) return None
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    if (!(0 until 8).forall(i => u8(i) == sig(i))) return None
+    // IHDR is first: dims, bit depth, color type, interlace
+    if (be32(8) != 13L || u8(12) != 'I' || u8(13) != 'H' || u8(14) != 'D' || u8(15) != 'R')
+      return None
+    val w = be32(16).toInt
+    val h = be32(20).toInt
+    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) return None
+    if (u8(24) != 8) return None                       // 8-bit channels only
+    val channels = u8(25) match {
+      case 0 => 1   // greyscale
+      case 2 => 3   // RGB
+      case 6 => 4   // RGBA
+      case _ => return None                            // palette/grey-alpha/16-bit
+    }
+    if (u8(28) != 0) return None                       // no Adam7 interlace
+    // walk chunks, concatenate IDAT payloads
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 8
+    var sawEnd = false
+    while (i + 8 <= b.length && !sawEnd) {
+      val len = be32(i)
+      if (len < 0 || i + 12 + len > b.length) return None
+      val typ = new String(b.slice(i + 4, i + 8), "ISO-8859-1")
+      if (typ == "IDAT") idat.write(b, i + 8, len.toInt)
+      else if (typ == "IEND") sawEnd = true
+      i += 12 + len.toInt // len + type + crc
+    }
+    if (idat.size() == 0) return None
+    // zlib inflate to the filtered scanlines: h rows of 1 filter byte +
+    // w·channels data bytes
+    val stride = w * channels
+    val raw = new Array[Byte](h * (1 + stride))
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        // truncated stream or preset-dictionary demand: no progress
+        // possible — bail rather than spin
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+        got += n
+      }
+      if (got < raw.length) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    // reverse per-row filters (RFC 2083 §6.1): a = left, b = up, c = up-left
+    val out = new Array[Byte](h * stride)
+    val bpp = channels
+    var y = 0
+    while (y < h) {
+      val filter = raw(y * (1 + stride)) & 0xff
+      val src = y * (1 + stride) + 1
+      val dst = y * stride
+      var x = 0
+      while (x < stride) {
+        val rawV = raw(src + x) & 0xff
+        val a = if (x >= bpp) out(dst + x - bpp) & 0xff else 0
+        val up = if (y > 0) out(dst - stride + x) & 0xff else 0
+        val c = if (y > 0 && x >= bpp) out(dst - stride + x - bpp) & 0xff else 0
+        val v = filter match {
+          case 0 => rawV
+          case 1 => rawV + a
+          case 2 => rawV + up
+          case 3 => rawV + (a + up) / 2
+          case 4 => // Paeth predictor
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+            rawV + pred
+          case _ => return None                        // invalid filter id
+        }
+        out(dst + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(PixelImage(w, h, channels, out))
+  }
+
+  /** pixels for any pure-JVM-decodable image format; None otherwise. */
+  def imagePixels(b: Array[Byte]): Option[PixelImage] =
+    pngPixels(b).orElse(bmpPixels(b))
+
+  // ---- WAV PCM -----------------------------------------------------
+
+  /** PCM 16-bit LE samples (interleaved across channels). */
+  def wavPcm16(b: Array[Byte]): Option[Array[Short]] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int, s: String): Boolean =
+      i + s.length <= b.length && s.indices.forall(j => u8(i + j) == s.charAt(j))
+    if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i = 12
+    var isPcm16 = false
+    var data: Option[(Int, Int)] = None
+    while (i + 8 <= b.length && (!isPcm16 || data.isEmpty)) {
+      val size = le32(i + 4)
+      if (tag(i, "fmt ") && i + 24 <= b.length)
+        isPcm16 = le16(i + 8) == 1 && le16(i + 22) == 16 // PCM, 16-bit
+      else if (tag(i, "data")) data = Some((i + 8, size.toInt))
+      if (size < 0 || size > b.length.toLong) return None
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    data match {
+      case Some((off, len)) if isPcm16 && off + len <= b.length =>
+        val n = len / 2
+        val out = new Array[Short](n)
+        var j = 0
+        while (j < n) { out(j) = (u8(off + 2 * j) | (u8(off + 2 * j + 1) << 8)).toShort; j += 1 }
+        Some(out)
+      case _ => None
+    }
+  }
+
+  /** Root-mean-square amplitude normalized to [0, 1]. */
+  def rms(samples: Array[Short]): Double =
+    if (samples.isEmpty) 0.0
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < samples.length) { val v = samples(i).toDouble; s += v * v; i += 1 }
+      math.sqrt(s / samples.length) / 32768.0
+    }
+
+  /** Peak |amplitude| normalized to [0, 1]. */
+  def peak(samples: Array[Short]): Double =
+    if (samples.isEmpty) 0.0
+    else samples.iterator.map(s => math.abs(s.toInt)).max / 32768.0
+}

@@ -8,13 +8,20 @@ import org.apache.spark.sql.functions._
   * frame-sample operators.
   *
   * The Spark-side mechanics (schema, partition-sized batching, explode
-  * shape) are real and tested; the actual codecs are STUBBED —
-  * `decodeMeta` derives deterministic fake metadata from the bytes
-  * because no image/audio libraries exist in this environment. A
-  * production deployment swaps [[decodeMeta]]'s body for a real codec
-  * behind the same column contract (and should then run it in
-  * `mapPartitions` with per-partition codec init, batching partitions
-  * to ~128 MB via spark.sql.files.maxPartitionBytes).
+  * shape) are real and tested. Decode is layered by what a pure JVM
+  * can honestly do: header metadata (dimensions, durations) is REAL
+  * for PNG/GIF/JPEG/WebP/BMP/WAV/FLAC/MP3/MP4 ([[MediaHeaders]]);
+  * pixel/sample CONTENT decode is REAL for PNG (zlib via
+  * `java.util.zip`), uncompressed 24 bpp BMP and PCM16 WAV
+  * ([[MediaDecode]], feeding real channel-mean/luma and RMS/peak
+  * features through [[HeaderCodec]]); only formats that genuinely
+  * need a native codec library (JPEG entropy decode, lossy audio)
+  * remain STUBBED — `decodeMeta`/`StubCodec` derive deterministic
+  * fake values there. A production deployment swaps the stub branch
+  * for the native codec behind the same column contract (and should
+  * then run it in `mapPartitions` with per-partition codec init,
+  * batching partitions to ~128 MB via
+  * spark.sql.files.maxPartitionBytes).
   */
 object Multimodal {
 
@@ -125,25 +132,47 @@ object Multimodal {
     * from the actual bytes ([[MediaHeaders]], pure JVM — no imaging
     * library), with the deterministic stub as the fallback for formats
     * the header parsers don't cover — a truncated or foreign file
-    * degrades to stub metadata instead of killing the stage. Features
-    * remain the stub encoder (pixel/sample decode is the part that
-    * genuinely needs a native codec; it slots into this same class).
+    * degrades to stub metadata instead of killing the stage.
+    *
+    * Features are REAL where pure-JVM decode exists
+    * ([[MediaDecode]]): PNG (zlib via `java.util.zip`) and
+    * uncompressed 24 bpp BMP yield per-channel means + luma; PCM16
+    * WAV yields RMS/peak amplitude — the rest of the feature vector
+    * keeps the deterministic stub layout so the schema and per-row
+    * cost profile are unchanged. JPEG/lossy-audio content decode is
+    * the one part that genuinely needs a native codec and stays
+    * stubbed.
     */
   final class HeaderCodec(featureDim: Int) extends MediaCodec {
     private val stub = new StubCodec(featureDim)
+    private def withReal(base: Array[Float], real: Array[Double]): Array[Float] = {
+      val out = base.clone()
+      var i = 0
+      while (i < real.length && i < out.length) { out(i) = real(i).toFloat; i += 1 }
+      out
+    }
     def decode(rows: Iterator[MediaRow]): Iterator[DecodedRow] = rows.map { r =>
       val s = stub.decode(Iterator.single(r)).next()
-      if (r.kind == "image")
-        MediaHeaders.imageDims(r.content) match {
-          case Some((w, h)) => s.copy(width = w, height = h)
-          case None => s
+      if (r.kind == "image") {
+        val dims = MediaHeaders.imageDims(r.content)
+          .map { case (w, h) => s.copy(width = w, height = h) }.getOrElse(s)
+        MediaDecode.imagePixels(r.content) match {
+          case Some(px) => dims.copy(features = withReal(dims.features, Array(
+            px.meanLuma / 255.0,
+            px.meanChannel(0) / 255.0,
+            px.meanChannel(math.min(1, px.channels - 1)) / 255.0,
+            px.meanChannel(math.min(2, px.channels - 1)) / 255.0)))
+          case None => dims
         }
-      else if (r.kind == "audio")
-        MediaHeaders.audioDurationMs(r.content) match {
-          case Some(ms) => s.copy(duration_ms = ms)
-          case None => s
+      } else if (r.kind == "audio") {
+        val dur = MediaHeaders.audioDurationMs(r.content)
+          .map(ms => s.copy(duration_ms = ms)).getOrElse(s)
+        MediaDecode.wavPcm16(r.content) match {
+          case Some(pcm) => dur.copy(features = withReal(dur.features,
+            Array(MediaDecode.rms(pcm), MediaDecode.peak(pcm))))
+          case None => dur
         }
-      else
+      } else
         MediaHeaders.videoDurationMs(r.content) match {
           case Some(ms) => s.copy(duration_ms = ms)
           case None => s

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-JVM pixel/sample decode: BMP 24 bpp row/padding/orientation
+  * handling, the full PNG filter matrix (round-trip against an
+  * independent forward-filter implementation), WAV PCM16 extraction,
+  * and every unsupported-shape None path.
+  */
+class MediaDecodeSpec extends AnyFunSuite {
+
+  private def hex(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  private def le(v: Long, n: Int): String =
+    (0 until n).map(i => "%02X".format((v >> (8 * i)) & 0xff)).mkString
+  private def be(v: Long, n: Int): String =
+    (0 until n).reverse.map(i => "%02X".format((v >> (8 * i)) & 0xff)).mkString
+
+  // ---- BMP ---------------------------------------------------------
+
+  /** 2×2 24 bpp BMP: rows stored BGR bottom-up with 2 pad bytes. */
+  private def bmp2x2(topDown: Boolean): Array[Byte] = {
+    val h = if (topDown) -2L & 0xFFFFFFFFL else 2L
+    // logical image: (0,0)=red (0,1)=green / (1,0)=blue (1,1)=white
+    val rowTop = "0000FF" + "00FF00" + "0000"    // BGR red, green + pad
+    val rowBot = "FF0000" + "FFFFFF" + "0000"    // BGR blue, white + pad
+    val rows = if (topDown) rowTop + rowBot else rowBot + rowTop
+    hex("424D" + le(54 + 16, 4) + "00000000" + le(54, 4) +
+      le(40, 4) + le(2, 4) + le(h, 4) + "0100" + "1800" + le(0, 4) +
+      le(16, 4) + "00000000" + "00000000" + "00000000" + "00000000" + rows)
+  }
+
+  test("BMP: bottom-up and top-down 24bpp decode to identical RGB pixels") {
+    for (td <- Seq(false, true)) {
+      val img = MediaDecode.bmpPixels(bmp2x2(td)).get
+      assert(img.width == 2 && img.height == 2 && img.channels == 3)
+      val px = img.data.map(_ & 0xff).grouped(3).map(_.toList).toList
+      assert(px == List(
+        List(255, 0, 0), List(0, 255, 0),   // top row: red, green
+        List(0, 0, 255), List(255, 255, 255)), s"topDown=$td got $px")
+    }
+    // imagePixels dispatches to the BMP path
+    assert(MediaDecode.imagePixels(bmp2x2(false)).isDefined)
+  }
+
+  test("BMP: unsupported shapes return None") {
+    val good = bmp2x2(false)
+    assert(MediaDecode.bmpPixels(good.take(40)).isEmpty)     // truncated
+    val bpp8 = good.clone(); bpp8(28) = 8                    // 8 bpp
+    assert(MediaDecode.bmpPixels(bpp8).isEmpty)
+    val rle = good.clone(); rle(30) = 1                      // compressed
+    assert(MediaDecode.bmpPixels(rle).isEmpty)
+    assert(MediaDecode.bmpPixels(hex("DEADBEEF" + "00" * 60)).isEmpty)
+  }
+
+  // ---- PNG ---------------------------------------------------------
+
+  /** forward filter (RFC 2083 §6.1) — the independent inverse of the
+    * decoder's reversal, per row. */
+  private def forwardFilter(filter: Int, row: Array[Int], prev: Array[Int], bpp: Int): Array[Int] =
+    row.indices.map { x =>
+      val a = if (x >= bpp) row(x - bpp) else 0
+      val up = prev(x)
+      val c = if (x >= bpp) prev(x - bpp) else 0
+      val pred = filter match {
+        case 0 => 0
+        case 1 => a
+        case 2 => up
+        case 3 => (a + up) / 2
+        case 4 =>
+          val p = a + up - c
+          val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+          if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+      }
+      (row(x) - pred) & 0xff
+    }.toArray
+
+  /** assemble a PNG from raw pixels with the given per-row filters. */
+  private def png(w: Int, h: Int, colorType: Int, channels: Int,
+                  pixels: Array[Int], filters: Seq[Int],
+                  interlace: Int = 0, bitDepth: Int = 8): Array[Byte] = {
+    val stride = w * channels
+    val filtered = new java.io.ByteArrayOutputStream()
+    var prev = Array.fill(stride)(0)
+    for (y <- 0 until h) {
+      val row = pixels.slice(y * stride, (y + 1) * stride)
+      filtered.write(filters(y))
+      forwardFilter(filters(y), row, prev, channels).foreach(filtered.write)
+      prev = row
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(filtered.toByteArray); deflater.finish()
+    val comp = new Array[Byte](filtered.size() + 64)
+    val n = deflater.deflate(comp)
+    deflater.end()
+    def chunk(typ: String, payload: String): String =
+      be(payload.length / 2, 4) +
+        typ.getBytes("ISO-8859-1").map("%02X".format(_)).mkString +
+        payload + "00000000" // CRC unchecked by the parser
+    val ihdr = be(w, 4) + be(h, 4) + "%02X".format(bitDepth) +
+      "%02X".format(colorType) + "0000" + "%02X".format(interlace)
+    val idat = comp.take(n).map("%02X".format(_)).mkString
+    hex("89504E470D0A1A0A" + chunk("IHDR", ihdr) + chunk("IDAT", idat) + chunk("IEND", ""))
+  }
+
+  test("PNG: every filter type round-trips (RGB)") {
+    val w = 5; val h = 5; val ch = 3
+    // deterministic pseudo-random pixels exercising all value ranges
+    val pixels = Array.tabulate(w * h * ch)(i => (i * 73 + 11) % 256)
+    val bytes = png(w, h, colorType = 2, channels = ch, pixels, filters = Seq(0, 1, 2, 3, 4))
+    val img = MediaDecode.pngPixels(bytes).get
+    assert(img.width == w && img.height == h && img.channels == ch)
+    assert(img.data.map(_ & 0xff).toSeq == pixels.toSeq)
+  }
+
+  test("PNG: greyscale and RGBA decode; split IDAT chunks concatenate") {
+    val grey = Array.tabulate(6)(i => i * 40)
+    val g = MediaDecode.pngPixels(png(3, 2, 0, 1, grey, Seq(1, 4))).get
+    assert(g.channels == 1 && g.data.map(_ & 0xff).toSeq == grey.toSeq)
+    val rgba = Array.tabulate(2 * 2 * 4)(i => (i * 97 + 5) % 256)
+    val a = MediaDecode.pngPixels(png(2, 2, 6, 4, rgba, Seq(3, 2))).get
+    assert(a.channels == 4 && a.data.map(_ & 0xff).toSeq == rgba.toSeq)
+    // split one IDAT into two chunks: decoder must concatenate
+    val whole = png(3, 2, 0, 1, grey, Seq(0, 0))
+    val ihdrEnd = 8 + 12 + 13
+    val idatLen = ((whole(ihdrEnd) & 0xff) << 24) | ((whole(ihdrEnd + 1) & 0xff) << 16) |
+      ((whole(ihdrEnd + 2) & 0xff) << 8) | (whole(ihdrEnd + 3) & 0xff)
+    val payload = whole.slice(ihdrEnd + 8, ihdrEnd + 8 + idatLen)
+    val (p1, p2) = payload.splitAt(3)
+    def chunkB(typ: String, body: Array[Byte]): Array[Byte] =
+      hex(be(body.length, 4)) ++ typ.getBytes("ISO-8859-1") ++ body ++ hex("00000000")
+    val split = whole.take(ihdrEnd) ++ chunkB("IDAT", p1) ++ chunkB("IDAT", p2) ++
+      chunkB("IEND", Array.emptyByteArray)
+    assert(MediaDecode.pngPixels(split).get.data.map(_ & 0xff).toSeq == grey.toSeq)
+  }
+
+  test("PNG: unsupported shapes return None, never throw") {
+    val grey = Array.tabulate(6)(i => i * 40)
+    assert(MediaDecode.pngPixels(png(3, 2, 0, 1, grey, Seq(0, 0), interlace = 1)).isEmpty)
+    assert(MediaDecode.pngPixels(png(3, 2, 0, 1, grey, Seq(0, 0), bitDepth = 16)).isEmpty)
+    assert(MediaDecode.pngPixels(png(3, 2, 3, 1, grey, Seq(0, 0))).isEmpty) // palette
+    // truncated IDAT: inflate cannot fill the scanlines
+    val whole = png(3, 2, 0, 1, grey, Seq(0, 0))
+    assert(MediaDecode.pngPixels(whole.take(whole.length - 20)).isEmpty)
+    assert(MediaDecode.pngPixels(hex("89504E470D0A1A0A" + "00" * 20)).isEmpty)
+  }
+
+  // ---- WAV PCM -----------------------------------------------------
+
+  private def wavPcm(samples: Seq[Int]): Array[Byte] = {
+    val data = samples.map(s => le(s.toLong & 0xffff, 2)).mkString
+    hex("52494646" + le(36 + samples.size * 2, 4) + "57415645" +
+      "666D7420" + le(16, 4) + "0100" + "0100" + le(8000, 4) + le(16000, 4) + "0200" + "1000" +
+      "64617461" + le(samples.size * 2, 4) + data)
+  }
+
+  test("WAV PCM16: samples, RMS and peak are exact") {
+    val pcm = MediaDecode.wavPcm16(wavPcm(Seq(0, 16384, -16384, 32767))).get
+    assert(pcm.toSeq == Seq[Short](0, 16384, -16384, 32767))
+    assert(MediaDecode.peak(pcm) == 32767.0 / 32768.0)
+    val expectedRms = math.sqrt(
+      (0.0 + 16384.0 * 16384 + 16384.0 * 16384 + 32767.0 * 32767) / 4) / 32768.0
+    assert(math.abs(MediaDecode.rms(pcm) - expectedRms) < 1e-12)
+    // non-PCM format tag → None
+    val alaw = wavPcm(Seq(1, 2)); alaw(20) = 6
+    assert(MediaDecode.wavPcm16(alaw).isEmpty)
+  }
+
+  test("HeaderCodec emits REAL features for decodable bytes, stub otherwise") {
+    val codec = new Multimodal.HeaderCodec(6)
+    val out = codec.decode(Iterator(
+      Multimodal.MediaRow(1L, "image", bmp2x2(false)),
+      Multimodal.MediaRow(2L, "audio", wavPcm(Seq(0, 16384, -16384, 32767))),
+      Multimodal.MediaRow(3L, "image", hex("DEADBEEF")))).toList
+    // image: meanLuma + RGB channel means (each channel mean = (255+0+0+255)/4... per channel)
+    val img = out(0)
+    assert(img.width == 2 && img.height == 2)
+    val meanR = (255 + 0 + 0 + 255) / 4.0 / 255.0
+    assert(math.abs(img.features(1) - meanR) < 1e-6)
+    // audio: features(0)=rms, features(1)=peak
+    val aud = out(1)
+    assert(math.abs(aud.features(1) - 32767f / 32768f) < 1e-6)
+    assert(aud.features(0) > 0f && aud.features(0) < 1f)
+    // undecodable image keeps the full stub vector
+    val stub = new Multimodal.StubCodec(6)
+      .decode(Iterator(Multimodal.MediaRow(3L, "image", hex("DEADBEEF")))).next()
+    assert(out(2).features.toSeq == stub.features.toSeq)
+  }
+}
