@@ -152,6 +152,25 @@ object TrainingOps {
       // head, flags=1, 1000 frames → 1000·1152·1000/44100 = 26122 ms
       "FFFB9000" + "00" * 32 + "58696E67" + "00000001" + "000003E8" + "00" * 8))
 
+  /** Byte fixtures for `mm_pixel_stats` (id, kind, hex): content whose
+    * PIXELS/SAMPLES decode in pure JVM — a 2×2 bottom-up 24 bpp BMP
+    * with distinct channel means (R 113.75, G 88.75, B 76.25) and a
+    * 4-sample PCM16 WAV (1000, −2000, 3000, −32768 → peak exactly 1.0)
+    * — so the oracle re-derives the decoded feature values from the
+    * same bytes in SQL.
+    */
+  private lazy val mmPixelFixtures: Seq[(Long, String, String)] = Seq(
+    (1L, "image", // BMP: red green / blue (200,100,50), bottom-up, padded rows
+      "424D" + "46000000" + "00000000" + "36000000" +
+        "28000000" + "02000000" + "02000000" + "0100" + "1800" + "00000000" +
+        "10000000" + "00000000" + "00000000" + "00000000" + "00000000" +
+        "FF0000" + "3264C8" + "0000" +   // bottom row: blue, (200,100,50)
+        "0000FF" + "00FF00" + "0000"),   // top row: red, green
+    (2L, "audio", // WAV PCM16 mono: 1000, -2000, 3000, -32768
+      "52494646" + "2C000000" + "57415645" +
+        "666D7420" + "10000000" + "0100" + "0100" + "401F0000" + "803E0000" + "0200" + "1000" +
+        "64617461" + "08000000" + "E803" + "30F8" + "B80B" + "0080"))
+
   /** Path of a temp-file copy of the merges.txt CLASSPATH RESOURCE —
     * the exact bytes [[graft.functions.Bpe.defaultRanks]] parsed, so
     * the Spark kernel and the DuckDB oracle provably share one merge
@@ -3133,6 +3152,67 @@ object TrainingOps {
               |      // 44100
               |    WHEN kind <> 'image' THEN n * 40 ELSE 0 END AS BIGINT) AS duration_ms
               |FROM bt""".stripMargin)),
+
+    // ---- multimodal: REAL pixel/sample content decode (pure JVM:
+    //      uncompressed BMP pixels, PCM16 WAV samples — MediaDecode)
+    //      producing real features (channel means/luma; RMS/peak).
+    //      The oracle re-derives every decoded value from the same hex
+    //      bytes in SQL: BMP channel means from the padded bottom-up
+    //      rows, WAV samples sign-decoded from LE int16 pairs, and the
+    //      stub tail features from the byte-fold hash. (PNG content is
+    //      also real but zlib is not SQL-expressible — spec-pinned in
+    //      MediaDecodeSpec instead.) ----
+    "mm_pixel_stats" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.{Encoder, Encoders}
+        implicit val mediaEnc: Encoder[Multimodal.MediaRow] =
+          Encoders.product[Multimodal.MediaRow]
+        val df = s.createDataFrame(mmPixelFixtures).toDF("doc_id", "kind", "hx")
+          .select(col("doc_id"), col("kind"), unhex(col("hx")).as("content"))
+        Multimodal.decodePartitions(
+            df.as[Multimodal.MediaRow], () => new Multimodal.HeaderCodec(4))
+          .toDF()
+          .select(col("doc_id"),
+            element_at(col("features"), 1).cast("double").as("f0"),
+            element_at(col("features"), 2).cast("double").as("f1"),
+            element_at(col("features"), 3).cast("double").as("f2"),
+            element_at(col("features"), 4).cast("double").as("f3"))
+      },
+      Some(s"""WITH r(doc_id, kind, hx) AS (VALUES
+              |  ${mmPixelFixtures.map { case (id, k, hx) => s"($id, '$k', '$hx')" }.mkString(",\n  ")}),
+              |b AS (SELECT doc_id, hx, octet_length(unhex(hx)) AS n FROM r),
+              |bt AS (SELECT doc_id, n,
+              |  list_transform(range(0, n), k ->
+              |    (strpos('0123456789ABCDEF', upper(substr(hx, 1 + 2*k, 1))) - 1) * 16
+              |    + (strpos('0123456789ABCDEF', upper(substr(hx, 2 + 2*k, 1))) - 1)) AS bb
+              |  FROM b),
+              |m AS (SELECT doc_id, n, bb,
+              |  CAST(bb[57]+bb[60]+bb[65]+bb[68] AS DOUBLE)/4 AS mr,
+              |  CAST(bb[56]+bb[59]+bb[64]+bb[67] AS DOUBLE)/4 AS mg,
+              |  CAST(bb[55]+bb[58]+bb[63]+bb[66] AS DOUBLE)/4 AS mb,
+              |  list_transform(range(0,4), j ->
+              |    CASE WHEN bb[45+2*j] + bb[46+2*j]*256 >= 32768
+              |         THEN bb[45+2*j] + bb[46+2*j]*256 - 65536
+              |         ELSE bb[45+2*j] + bb[46+2*j]*256 END) AS sm,
+              |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+              |    list_transform(bb, x -> CAST(x AS BIGINT))),
+              |    (a, x) -> (a*31 + x) % 1000000007) AS h
+              |  FROM bt)
+              |SELECT doc_id,
+              |  CAST(CAST(CASE WHEN doc_id = 1
+              |    THEN (0.299*mr + 0.587*mg + 0.114*mb)/255.0
+              |    ELSE sqrt(CAST(sm[1]*sm[1]+sm[2]*sm[2]+sm[3]*sm[3]+sm[4]*sm[4] AS DOUBLE)/4)/32768.0
+              |  END AS REAL) AS DOUBLE) AS f0,
+              |  CAST(CAST(CASE WHEN doc_id = 1 THEN mr/255.0
+              |    ELSE CAST(list_max(list_transform(sm, x -> abs(x))) AS DOUBLE)/32768.0
+              |  END AS REAL) AS DOUBLE) AS f1,
+              |  CAST(CAST(CASE WHEN doc_id = 1 THEN mg/255.0
+              |    ELSE CAST((h*3) % 1000 - 500 AS DOUBLE)/1000.0
+              |  END AS REAL) AS DOUBLE) AS f2,
+              |  CAST(CAST(CASE WHEN doc_id = 1 THEN mb/255.0
+              |    ELSE CAST((h*4) % 1000 - 500 AS DOUBLE)/1000.0
+              |  END AS REAL) AS DOUBLE) AS f3
+              |FROM m""".stripMargin)),
 
     // ---- multimodal: resize planning (aspect-preserving fit into a
     //      224×224 box, pure integer arithmetic) ----
