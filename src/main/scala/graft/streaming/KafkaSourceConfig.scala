@@ -22,11 +22,25 @@ object KafkaSourceConfig {
 
   /** Options for readStream.format("kafka"). `startingOffsetsJson`
     * comes from [[OffsetMath]] when a capped-lag start is in effect.
+    *
+    * `librdkafka.`-prefixed params pass through as `kafka.`-prefixed
+    * source options — the reference's client-tuning escape hatch
+    * (`util/util.go` ApplyLibrdkafkaConf strips the prefix and hands
+    * the pair to the client config), mapped onto Spark's identical
+    * mechanism (its Kafka source forwards `kafka.*` options to the
+    * consumer). A migrating user's `librdkafka.fetch.max.bytes: …`
+    * keeps working. Passthrough keys are applied FIRST so the
+    * explicit contract options (group id, bootstrap servers) cannot
+    * be silently overridden.
     */
   def options(params: Map[String, String], startingOffsetsJson: Option[String] = None): Map[String, String] = {
     val brokers = params.getOrElse("brokers", "")
     val topic = params.getOrElse("topic", "")
-    Map(
+    val passthrough = params.collect {
+      case (k, v) if k.startsWith("librdkafka.") =>
+        "kafka." + k.stripPrefix("librdkafka.") -> v
+    }
+    passthrough ++ Map(
       "kafka.bootstrap.servers" -> brokers,
       "subscribe" -> topic,
       "kafka.group.id" -> params.getOrElse("consumergroup", ""),

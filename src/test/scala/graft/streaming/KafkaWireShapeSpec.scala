@@ -56,6 +56,22 @@ class KafkaWireShapeSpec extends AnyFunSuite {
       "maxOffsetsPerTrigger" -> "500"))
   }
 
+  test("librdkafka.* params pass through as kafka.* options; contract keys win") {
+    // the reference's client-tuning escape hatch (util/util.go
+    // ApplyLibrdkafkaConf) mapped onto Spark's kafka.* forwarding
+    val opts = KafkaSourceConfig.options(Map(
+      "brokers" -> "b:9092",
+      "topic" -> "t",
+      "librdkafka.fetch.max.bytes" -> "52428800",
+      "librdkafka.session.timeout.ms" -> "10000",
+      // a passthrough colliding with a contract option must NOT win
+      "librdkafka.group.id" -> "evil-override"))
+    assert(opts("kafka.fetch.max.bytes") == "52428800")
+    assert(opts("kafka.session.timeout.ms") == "10000")
+    assert(opts("kafka.group.id") == "") // contract key (consumergroup) wins
+    assert(opts("kafka.bootstrap.servers") == "b:9092")
+  }
+
   test("startingOffsets golden: capped-lag assignment across partitions") {
     // reference decision table (kafkaconsumer.go:336-384) at maxLag=300:
     //   p0: lag within cap        → start at committed
