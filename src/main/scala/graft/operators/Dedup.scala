@@ -513,12 +513,22 @@ object Dedup {
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(first("src"), min("dst")).as("comp"))
       .transform(snapshotRound)
-    // labels decrease monotonically, so an unchanged label-sum IS the
-    // fixpoint — one single-table agg per round instead of a self-join
-    // diff (decimal sum: overflow-proof for arbitrary id magnitudes)
+    // Fixpoint check, exact for ANY id type. Numeric ids keep the
+    // one-agg-per-round shortcut: labels decrease monotonically, so an
+    // unchanged decimal label-sum IS the fixpoint. Non-numeric ids get
+    // an id-keyed null-safe diff between two checkpointed leaves — the
+    // decimal cast nulls on them, and its null == null compare used to
+    // read as instant convergence (silent partial labels for string
+    // ids); a diff join per round is the honest price of a type the
+    // cheap invariant can't cover.
+    val numericIds =
+      labels.schema("comp").dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
     def checksum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast("decimal(38,0)"))).first().getDecimal(0)
-    var prev = checksum(labels)
+    def changed(next: DataFrame, cur: DataFrame): Boolean =
+      !next.join(cur.select(col("id"), col("comp").as("__prev")), "id")
+        .filter(!(col("comp") <=> col("__prev"))).isEmpty
+    var prev = if (numericIds) checksum(labels) else null
     var converged = false
     var i = 0
     while (!converged && i < maxIters && i < switchAfter) {
@@ -527,13 +537,24 @@ object Dedup {
       val next = labels.select("id", "comp").union(viaNbr)
         .groupBy("id").agg(min("comp").as("comp"))
         .transform(snapshotRound)
-      val cur = checksum(next)
+      if (numericIds) {
+        val cur = checksum(next)
+        converged = cur == prev
+        prev = cur
+      } else converged = !changed(next, labels)
       labels = next
-      converged = cur == prev
-      prev = cur
       i += 1
     }
     edges.unpersist()
+    if (!converged && i >= maxIters && maxIters <= switchAfter) {
+      // the caller pinned propagation (switchAfter >= maxIters) AND the
+      // budget ran out: the labels below are PARTIAL. Loud, and
+      // scrapeable — a silent partial label frame is how duplicate
+      // survivors sneak through a 100 TB run
+      log.warn(s"connectedComponents: NOT converged after $i rounds " +
+        s"(maxIters=$maxIters, switchAfter=$switchAfter) — labels are partial")
+      graft.OpGauges.set("cc_unconverged", 1L)
+    } else graft.OpGauges.set("cc_unconverged", 0L)
     val result = if (!converged && i >= switchAfter && i < maxIters) {
       // diameter exceeded the propagation budget (long-chain graph):
       // hand the ORIGINAL pair list to star contraction, which squares
@@ -567,8 +588,9 @@ object Dedup {
     * large-star attaches every larger neighbor of u to u's minimum
     * neighborhood label; small-star re-points u and its smaller
     * neighbors at that minimum. The edge set is persisted per round
-    * and converges to stars (child, root); fixpoint = unchanged
-    * (count, decimal checksum). High-degree hubs concentrate one
+    * and converges to stars (child, root); fixpoint = exact set
+    * equality (equal counts + empty one-sided difference over the
+    * distinct edge frames). High-degree hubs concentrate one
     * node's neighbor list in one task — acceptable because star
     * contraction EXISTS to shrink exactly those quickly.
     */
@@ -582,20 +604,25 @@ object Dedup {
         struct(col("b").as("u"), col("a").as("v")))).as("p"))
       .select(col("p.u").as("u"), col("p.v").as("v"))
       .filter(col("u") =!= col("v")).distinct()
-    def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = e.agg(count(lit(1)),
-        sum(col("a").cast("decimal(38,0)") * 4294967296L + col("b"))).first()
-      (r.getLong(0), r.getDecimal(1))
-    }
+    // EXACT fixpoint: both rounds' edge sets are DISTINCT, so equal
+    // counts plus an empty one-sided difference is set equality. The
+    // earlier (count, a·2³² + b decimal sum) shortcut was systematically
+    // collidable for ids ≥ 2³² (two different edge sets summing equal →
+    // false convergence → wrong components), and its long cast nulled
+    // string ids entirely; ids now keep their input type (the
+    // algorithm only needs an ordering — lexicographic for strings,
+    // matching the propagation path's min-label).
+    def same(x: DataFrame, xCount: Long, y: DataFrame, yCount: Long): Boolean =
+      xCount == yCount && x.except(y).isEmpty
     // per-round EAGER localCheckpoint, not persist: the plan tree would
     // otherwise compound across iterations (see the propagation loop's
     // note — measured driver OOM / 30× slowdown once rounds reach a
     // few dozen)
     var edges = pairs
-      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .select(col(aCol).as("a"), col(bCol).as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .transform(snapshotRound)
-    var prev = checksum(edges)
+    var edgeCount = edges.count()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -615,12 +642,15 @@ object Dedup {
         .select(col("w").as("a"), col("m").as("b"))
         .filter(col("a") =!= col("b")).distinct()
         .transform(snapshotRound)
-      val cur = checksum(small)
+      val cur = small.count()
+      converged = same(small, cur, edges, edgeCount)
       edges = small
-      converged = cur == prev
-      prev = cur
+      edgeCount = cur
       i += 1
     }
+    if (!converged)
+      log.warn(s"connectedComponentsStar: NOT converged after $i rounds " +
+        s"(maxIters=$maxIters) — labels are partial")
     // fixpoint edges are (child, root) stars; label children and roots
     // (edges is a checkpointed leaf, so this plan stays O(1))
     edges.select(explode(array(
@@ -853,11 +883,13 @@ object Dedup {
     * keeps its best member by (`ord` DESC, ties → lowest id) instead
     * of the minimum id — what a curation pipeline wants when the
     * near-dup cluster mixes a clean original with mangled clones.
-    * The representative comes from a struct-max partial aggregate
-    * (`max(struct(ord, -id))` — map-side combined, no window), so the
-    * keep decision costs one component-keyed agg; everything else is
-    * the dedupByMinhash composition unchanged, and components are
-    * invariant under the band cap's star-pairing.
+    * The representative comes from two component-keyed partial
+    * aggregates (max ord, then min id among the maximizers — a
+    * struct-max over `(ord, -id)` would be one agg but silently nulls
+    * non-numeric ids, emptying the keep set and dropping every group
+    * member); no window anywhere, and components are invariant under
+    * the band cap's star-pairing. Null-safe on `ord`: a group whose
+    * members all score null keeps its minimum id.
     */
   def dedupByMinhashKeepBest(
       df: DataFrame, idCol: String, textCol: String, ord: Column,
@@ -866,9 +898,12 @@ object Dedup {
     val pairs = minhashLshCandidates(df, idCol, textCol, n, k, bands, maxBandOccupancy)
     val labels = connectedComponents(pairs, "da", "db")
     val scored = df.select(col(idCol).as("id"), ord.as("__ord")).join(labels, "id")
-    val keep = scored.groupBy("comp")
-      .agg(max(struct(col("__ord"), (-col("id")).as("__nid"))).as("__b"))
-      .select((-col("__b.__nid")).as("id"))
+      .localCheckpoint(false) // feeds both the max-ord agg and the keep join
+    val bestOrd = scored.groupBy("comp").agg(max("__ord").as("__bord"))
+    val keep = scored.join(bestOrd, "comp")
+      .filter(col("__ord") <=> col("__bord"))
+      .groupBy("comp").agg(min("id").as("id"))
+      .select("id")
     val drop = labels.select("id").join(keep, Seq("id"), "left_anti")
     df.join(drop.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
@@ -887,8 +922,7 @@ object Dedup {
       planes: Int = 16, tables: Int = 4, maxBucket: Long = 1000L): DataFrame =
     Similarity.lshCandidates(df, idCol, vecCol, planes, tables, maxBucket)
       .select(col("ida"), col("idb"),
-        (Similarity.dot(col("veca"), col("vecb")) /
-          sqrt(Similarity.norm2(col("veca")) * Similarity.norm2(col("vecb")))).as("cos"))
+        Similarity.cosine(col("veca"), col("vecb")).as("cos"))
       .filter(col("cos") > minCosine)
       .select("ida", "idb")
 

@@ -84,12 +84,6 @@ object Similarity {
     selectTopK(scored, "cos", k)
   }
 
-  /** deterministic ±1 hyperplane weight for (plane p, dim d). */
-  private def planeSign(p: Int, d: Column): Column = {
-    val x = (lit(1103515245L * p + 12345L) * (d + 1) + lit(2654435761L)) % lit(2147483647L)
-    when(pmod(x, lit(2L)) === 0, lit(1.0)).otherwise(lit(-1.0))
-  }
-
   /** sign-signature of a vector under `planes` hyperplanes (bit p set
     * iff Σ_d sign(p,d)·v_d > 0).
     */

@@ -2605,8 +2605,12 @@ object TrainingOps {
         val emb = Tables(s, dir, "embeddings")
         val cents = graft.operators.Similarity.ivfCentroids(
           emb, "vec_id", "embedding", nList = 16, iters = 2)
+        // the operator's FINITE default cap (maxList=100000) — far above
+        // every test-SF corpus so the uncapped batch oracle stays exact,
+        // while the benched configuration keeps the state/pairing bound
+        // (the dd_neardup_stateful discipline)
         graft.streaming.StatefulOps.streamingSemanticCandidates(
-            emb, "vec_id", "embedding", cents, eps = 0.4, maxList = Int.MaxValue)
+            emb, "vec_id", "embedding", cents, eps = 0.4)
           .toDF().select(col("da"), col("db")).distinct()
       },
       Some(duckSemdedupSql(maxListOccupancy = None, out = "pairs"))),

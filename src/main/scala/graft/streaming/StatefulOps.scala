@@ -426,7 +426,10 @@ object StatefulOps {
       val prior = state.getOption.map(_.docs).getOrElse(Nil)
       val seen = scala.collection.mutable.HashSet.empty[Long]
       prior.foreach(seen += _._1)
-      val fresh = rows.map(e => (e.docId, e.fp)).toSeq.distinct
+      // distinct BY ID, not by (id, fp): a doc re-delivered in one
+      // batch with a changed fingerprint would otherwise self-pair
+      // (da == db) and occupy two resident slots (semGroup discipline)
+      val fresh = rows.map(e => (e.docId, e.fp)).toSeq.distinctBy(_._1)
         .filterNot(e => seen.contains(e._1)).sortBy(_._1)
       val pairs = scala.collection.mutable.ListBuffer[SimhashPair]()
       var resident = prior
@@ -545,6 +548,10 @@ object StatefulOps {
         explode(Hashing.lshBandKeys(
           Hashing.minhashSignature(TextFunctions.shingles(col(textCol), n), k),
           k, bands)).as("band"))
+      // a null/uncastable event time would NPE in the group function's
+      // max-ts fold and poison-pill the query on every restart; rows
+      // without a clock cannot participate in event-time retention
+      .filter(col("ts").isNotNull)
       // watermark AFTER the projection: a cast/rename strips the
       // watermark metadata, and EventTimeTimeout requires the marked
       // column to reach the flatMapGroupsWithState input
@@ -749,6 +756,13 @@ object StatefulOps {
     * Batch-driving the full corpus and distinct-ing (da, db) equals the
     * batch operator at the same (centroids, eps), which is how the
     * driver oracle gates it.
+    *
+    * STATE SIZE is `maxList` full vectors per list key — at the default
+    * cap and 768-dim float embeddings that is up to ~300 MB in ONE
+    * state row, rewritten every batch that touches the list (unlike
+    * the batch operator, whose cap only bounds pairing). Size `maxList`
+    * to dim and state-store budget: 1000–10000 is the realistic range
+    * for high-dim streams; the default suits low-dim/bench corpora.
     */
   def streamingSemanticCandidates(
       docs: org.apache.spark.sql.DataFrame, idCol: String, vecCol: String,

@@ -545,6 +545,32 @@ class OperatorsSpec extends SparkSpec {
     assert(again == ivf, "IVF index not deterministic")
   }
 
+  test("connected components and keep-best dedup work on STRING ids") {
+    val s = spark
+    import s.implicits._
+    // a 4-hop chain needs >1 propagation round: the old decimal-sum
+    // convergence check nulled on strings and read null==null as
+    // instant convergence (partial labels); the old star path cast ids
+    // to long (all-null edges). Both now exact and type-preserving.
+    val chain = Seq(("urlB", "urlC"), ("urlC", "urlD"), ("urlD", "urlE"),
+      ("urlA", "urlB")).toDF("da", "db")
+    val prop = Dedup.connectedComponents(chain, "da", "db")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(prop == Map("urlA" -> "urlA", "urlB" -> "urlA", "urlC" -> "urlA",
+      "urlD" -> "urlA", "urlE" -> "urlA"), s"propagation: $prop")
+    val star = Dedup.connectedComponentsStar(chain, "da", "db")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(star == prop, s"star: $star")
+    // keep-best with string ids: highest ord survives, ties -> min id
+    val dup = "the quick brown fox jumps over the lazy dog again"
+    val docs = Seq(("urlX", dup, 1L), ("urlY", dup, 9L), ("urlZ", dup, 9L),
+      ("urlSolo", "completely different words with no overlap at all", 5L))
+      .toDF("doc_id", "text", "quality")
+    val kept = Dedup.dedupByMinhashKeepBest(docs, "doc_id", "text", col("quality"))
+      .collect().map(_.getString(0)).toSet
+    assert(kept == Set("urlY", "urlSolo"), s"kept: $kept")
+  }
+
   test("recallAtK: exact self-recall, missed probes kept at 0, integer ppm") {
     val s = spark
     import s.implicits._
