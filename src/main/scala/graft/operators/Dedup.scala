@@ -295,12 +295,29 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-byte blocking is only lossless for hamming <= 3")
-    val sh = df.select(
-      col(idCol).as("doc"),
-      Hashing.simhash32(TextFunctions.shingles(col(textCol), n)).as("sh"))
-    val blocked = sh.select(col("doc"), col("sh"),
+    blockedSimhashJoin(
+      simhashFingerprints(df, idCol, textCol, n, Hashing.simhash32),
+      Hashing.simhashBlock, maxHamming)
+  }
+
+  /** (doc, sh) fingerprint frame — shared head of the simhash family. */
+  private def simhashFingerprints(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      hashFn: Column => Column): DataFrame =
+    df.select(col(idCol).as("doc"),
+      hashFn(TextFunctions.shingles(col(textCol), n)).as("sh"))
+
+  /** The lossless 4-block pairing every simhash variant shares: each
+    * fingerprint explodes into its block keys, equal blocks join
+    * (pigeonhole: any pair within hamming ≤ 3 shares ≥1 of 4 blocks),
+    * and the EXACT hamming filter keeps qualifying pairs.
+    */
+  private def blockedSimhashJoin(
+      fingerprints: DataFrame, blockFn: (Column, Int) => Column,
+      maxHamming: Int): DataFrame = {
+    val blocked = fingerprints.select(col("doc"), col("sh"),
       explode(array((0 until 4).map(b =>
-        struct(lit(b).as("b"), Hashing.simhashBlock(col("sh"), b).as("v"))): _*)).as("blk"))
+        struct(lit(b).as("b"), blockFn(col("sh"), b).as("v"))): _*)).as("blk"))
     blocked.as("a").join(blocked.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc") < col("b.doc"))
       .select(
@@ -308,6 +325,24 @@ object Dedup {
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Identical-fingerprint collapse shared by the *Collapsed variants:
+    * docs group by full fingerprint, members star-pair to the group
+    * minimum (hamming 0 — genuinely qualifying), and the blocked join
+    * runs over DISTINCT fingerprints only.
+    */
+  private def collapsedSimhashPairs(
+      fingerprints: DataFrame, blockFn: (Column, Int) => Column,
+      maxHamming: Int): DataFrame = {
+    val groups = fingerprints.groupBy("sh")
+      .agg(min("doc").as("rep"), collect_list("doc").as("docs"))
+    val star = groups
+      .select(col("rep").as("da"), explode(col("docs")).as("db"))
+      .where(col("da") < col("db"))
+      .select(col("da"), col("db"), lit(0L).as("hamming"))
+    val reps = groups.select(col("rep").as("doc"), col("sh"))
+    star.union(blockedSimhashJoin(reps, blockFn, maxHamming))
   }
 
   /** per-run stats for [[connectedComponentsWithStats]]: propagation
@@ -330,19 +365,9 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-block blocking is only lossless for hamming <= 3")
-    val sh = df.select(
-      col(idCol).as("doc"),
-      Hashing.simhash63(TextFunctions.shingles(col(textCol), n)).as("sh"))
-    val blocked = sh.select(col("doc"), col("sh"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("b"), Hashing.simhash63Block(col("sh"), b).as("v"))): _*)).as("blk"))
-    blocked.as("a").join(blocked.as("b"),
-        col("a.blk") === col("b.blk") && col("a.doc") < col("b.doc"))
-      .select(
-        col("a.doc").as("da"), col("b.doc").as("db"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    blockedSimhashJoin(
+      simhashFingerprints(df, idCol, textCol, n, Hashing.simhash63),
+      Hashing.simhash63Block, maxHamming)
   }
 
   /** [[simhashPairs]] (32-bit) with identical-fingerprint collapse —
@@ -358,26 +383,9 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-byte blocking is only lossless for hamming <= 3")
-    val sh = df.select(
-      col(idCol).as("doc"),
-      Hashing.simhash32(TextFunctions.shingles(col(textCol), n)).as("sh"))
-    val groups = sh.groupBy("sh").agg(min("doc").as("rep"), collect_list("doc").as("docs"))
-    val star = groups
-      .select(col("rep").as("da"), explode(col("docs")).as("db"))
-      .where(col("da") < col("db"))
-      .select(col("da"), col("db"), lit(0L).as("hamming"))
-    val reps = groups.select(col("rep").as("doc"), col("sh"))
-    val blocked = reps.select(col("doc"), col("sh"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("b"), Hashing.simhashBlock(col("sh"), b).as("v"))): _*)).as("blk"))
-    val repPairs = blocked.as("a").join(blocked.as("b"),
-        col("a.blk") === col("b.blk") && col("a.doc") < col("b.doc"))
-      .select(
-        col("a.doc").as("da"), col("b.doc").as("db"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-    star.union(repPairs)
+    collapsedSimhashPairs(
+      simhashFingerprints(df, idCol, textCol, n, Hashing.simhash32),
+      Hashing.simhashBlock, maxHamming)
   }
 
   /** [[simhashPairs63]] with IDENTICAL-FINGERPRINT COLLAPSE — the
@@ -402,26 +410,9 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-block blocking is only lossless for hamming <= 3")
-    val sh = df.select(
-      col(idCol).as("doc"),
-      Hashing.simhash63(TextFunctions.shingles(col(textCol), n)).as("sh"))
-    val groups = sh.groupBy("sh").agg(min("doc").as("rep"), collect_list("doc").as("docs"))
-    val star = groups
-      .select(col("rep").as("da"), explode(col("docs")).as("db"))
-      .where(col("da") < col("db"))
-      .select(col("da"), col("db"), lit(0L).as("hamming"))
-    val reps = groups.select(col("rep").as("doc"), col("sh"))
-    val blocked = reps.select(col("doc"), col("sh"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("b"), Hashing.simhash63Block(col("sh"), b).as("v"))): _*)).as("blk"))
-    val repPairs = blocked.as("a").join(blocked.as("b"),
-        col("a.blk") === col("b.blk") && col("a.doc") < col("b.doc"))
-      .select(
-        col("a.doc").as("da"), col("b.doc").as("db"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-    star.union(repPairs)
+    collapsedSimhashPairs(
+      simhashFingerprints(df, idCol, textCol, n, Hashing.simhash63),
+      Hashing.simhash63Block, maxHamming)
   }
 
   /** Connected components over a near-dup pair list — the final stage
