@@ -66,6 +66,14 @@ final class EsBulkSink(
       while (true) {
         try return client.bulk(batch)
         catch {
+          // a task kill surfaces as InterruptedException from the HTTP
+          // client (clearing the interrupt flag): swallowing it into
+          // the retry loop would keep a CANCELLED task hammering ES
+          // through the full backoff schedule — restore the flag and
+          // let the cancellation proceed
+          case ie: InterruptedException =>
+            Thread.currentThread().interrupt()
+            throw ie
           case e: Exception =>
             if (attempt + 1 >= maxRequestAttempts)
               throw new RuntimeException(s"bulk request failed after $maxRequestAttempts attempts", e)

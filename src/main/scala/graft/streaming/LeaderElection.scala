@@ -53,6 +53,10 @@ final class LeaderElection(
   private val Name = "candidate-([0-9]{10})".r
   @volatile private var own: Option[Path] = None
   @volatile private var heartbeater: Option[Thread] = None
+  /** set by shutdown() BEFORE the daemon is interrupted so a daemon
+    * blocked at the lock cannot re-enroll a zombie candidate after the
+    * resign — a fresh start() re-arms. */
+  @volatile private var stopping = false
 
   private def seqOf(p: Path): Option[Long] = p.getFileName.toString match {
     case Name(s) => Some(s.toLong)
@@ -61,8 +65,14 @@ final class LeaderElection(
 
   private def candidates(): List[(Long, Path)] =
     if (!Files.isDirectory(dir)) Nil
-    else Files.list(dir).iterator().asScala.toList
-      .flatMap(p => seqOf(p).map(_ -> p)).sortBy(_._1)
+    else {
+      // Files.list holds a directory handle until closed — isLeader
+      // runs per micro-batch, and leaked fds accumulate until ulimit
+      val s = Files.list(dir)
+      try s.iterator().asScala.toList
+        .flatMap(p => seqOf(p).map(_ -> p)).sortBy(_._1)
+      finally s.close()
+    }
 
   /** heartbeat millis recorded in a candidate file; None if unreadable
     * (mid-replace on a non-atomic store, or concurrently deleted) —
@@ -73,15 +83,29 @@ final class LeaderElection(
       if (lines.length >= 2) Some(lines(1).trim.toLong) else None
     } catch { case NonFatal(_) => None }
 
-  private def writeOwn(p: Path): Unit = {
-    val tmp = Files.createTempFile(dir, ".hb", ".tmp")
-    Files.write(tmp, s"$instanceId\n${clock()}\n".getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-  }
+  private def writeOwn(p: Path): Unit =
+    // NON-CREATE write: a candidate whose file was GC'd by a peer must
+    // never recreate it — a tmp+move refresh could resurrect an old
+    // (possibly leading) sequence after a GC pause, giving two
+    // simultaneous leaders (the check-then-move TOCTOU). Write-without-
+    // CREATE cannot recreate: if the file is gone it throws
+    // NoSuchFileException and the candidate drops out (ZK session-loss
+    // semantics). A torn concurrent read is benign — tsOf counts an
+    // unreadable file as live for one ttl. This also removes the
+    // tmp-file litter and the ATOMIC_MOVE-unsupported failure mode of
+    // the previous implementation.
+    Files.write(p, s"$instanceId\n${clock()}\n".getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
 
   /** Enter the election: allocate the next free sequence atomically and
     * write the first heartbeat. Idempotent while enrolled. */
   def start(): Unit = synchronized {
+    stopping = false // an explicit (re-)start re-arms the election
+    enroll()
+  }
+
+  private def enroll(): Unit =
     if (own.isEmpty) {
       Files.createDirectories(dir)
       var seq = candidates().lastOption.fold(0L)(_._1 + 1)
@@ -89,16 +113,18 @@ final class LeaderElection(
       while (acquired.isEmpty) {
         val p = dir.resolve(f"candidate-$seq%010d")
         try {
-          Files.createFile(p) // atomic claim; losers move to the next seq
+          // atomic claim; losers move to the next seq. The first
+          // heartbeat content is written right here — heartbeat()'s
+          // non-CREATE write needs the file to exist with content
+          Files.write(p, s"$instanceId\n${clock()}\n".getBytes(StandardCharsets.UTF_8),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
           acquired = Some(p)
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => seq += 1
         }
       }
       own = acquired
-      heartbeat()
     }
-  }
 
   /** Refresh this candidate's liveness timestamp. A candidate whose
     * file was garbage-collected by a peer has EXPIRED (ZK session loss,
@@ -108,10 +134,11 @@ final class LeaderElection(
     * startElection retry loop (`leader.go:57-70`). */
   def heartbeat(): Unit = synchronized {
     own.foreach { p =>
-      if (Files.exists(p))
-        try writeOwn(p)
-        catch { case NonFatal(_) => () } // next beat retries; ttl gives slack
-      else own = None
+      try writeOwn(p)
+      catch {
+        case _: java.nio.file.NoSuchFileException => own = None // GC'd: expired
+        case NonFatal(_) => () // transient I/O: next beat retries; ttl gives slack
+      }
     }
   }
 
@@ -160,9 +187,12 @@ final class LeaderElection(
   def startHeartbeats(): Unit = synchronized {
     if (heartbeater.isEmpty) {
       val t = new Thread(() => {
-        try while (!Thread.currentThread().isInterrupted) {
+        try while (!stopping && !Thread.currentThread().isInterrupted) {
           Thread.sleep(math.max(1L, ttlMs / 3))
-          if (own.isEmpty) start() else heartbeat() // expired → rejoin fresh
+          // expired → rejoin fresh; guarded against a concurrent
+          // shutdown so the daemon cannot re-enroll a zombie candidate
+          if (own.isEmpty) synchronized { if (!stopping) enroll() }
+          else heartbeat()
         } catch { case _: InterruptedException => () }
       }, s"graft-leader-heartbeat-$instanceId")
       t.setDaemon(true)
@@ -172,6 +202,7 @@ final class LeaderElection(
   }
 
   def shutdown(): Unit = synchronized {
+    stopping = true // before the interrupt: see the field note
     heartbeater.foreach(_.interrupt())
     heartbeater = None
     resign()

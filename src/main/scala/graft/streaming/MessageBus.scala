@@ -61,15 +61,24 @@ final class FileMessageBus(path: Path, replayCap: Int = 50000) extends MessageBu
   }
 
   override def start(): Unit = synchronized {
-    // replay to EOF first, delivering only the latest per key, unacked
-    val latest = readCompacted()
+    // replay to EOF first, delivering only the latest per key, unacked.
+    // The replay view is CAPPED (the reference's 50k/partition replay
+    // cap, kakfamessagereceiver.go:32) …
+    val latest = readCompacted(capped = true)
     latest.values.filterNot(_.acknowledged).foreach { w =>
       deliver(BusMessage(w.messageType, w.key, Base64.getDecoder.decode(w.payloadB64)))
     }
-    // compact the file in place
+    // … then compact the file in place from a FRESH, UNCAPPED read:
+    //  - fresh: handlers ack/send DURING replay and those appends must
+    //    survive the rewrite — compacting the pre-delivery snapshot
+    //    would clobber them (acked messages redelivered forever, sent
+    //    messages silently dropped from the durable log);
+    //  - uncapped: the cap bounds REPLAY, not retention — rewriting
+    //    only the newest replayCap lines would permanently delete older
+    //    unacked requests.
     if (Files.exists(path)) {
       val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
-      Files.write(tmp, latest.values.map(_.render).toList.asJava)
+      Files.write(tmp, readCompacted(capped = false).values.map(_.render).toList.asJava)
       Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
@@ -85,9 +94,10 @@ final class FileMessageBus(path: Path, replayCap: Int = 50000) extends MessageBu
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
   }
 
-  private def readCompacted(): Map[String, Wire] = {
+  private def readCompacted(capped: Boolean): Map[String, Wire] = {
     if (!Files.exists(path)) return Map.empty
-    val lines = Files.readAllLines(path).asScala.takeRight(replayCap)
+    val all = Files.readAllLines(path).asScala
+    val lines = if (capped) all.takeRight(replayCap) else all
     val re = """\{"messagetype":"(.*?)","key":"(.*?)","payload":"(.*?)","acknowledged":(true|false)\}""".r
     val latest = scala.collection.mutable.LinkedHashMap[String, Wire]()
     lines.foreach {
@@ -101,6 +111,36 @@ final class FileMessageBus(path: Path, replayCap: Int = 50000) extends MessageBu
 }
 
 object FileMessageBus {
-  private def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
-  private def unesc(s: String): String = s.replace("\\\"", "\"").replace("\\\\", "\\")
+  // \n/\r/\t must escape too: a raw newline in a messageType or key
+  // would split the JSONL record into two corrupt lines — the message
+  // delivers live but is lost from replay AND dropped by compaction
+  private def esc(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '"'  => "\\\""
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c => c.toString
+  }
+  // single-pass: sequential replace() would mis-decode an escaped
+  // backslash followed by a literal 'n' as a newline
+  private def unesc(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '\\' => b.append('\\')
+          case '"'  => b.append('"')
+          case 'n'  => b.append('\n')
+          case 'r'  => b.append('\r')
+          case 't'  => b.append('\t')
+          case o    => b.append('\\').append(o)
+        }
+        i += 2
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
 }

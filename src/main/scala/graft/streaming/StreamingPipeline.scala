@@ -25,8 +25,15 @@ import graft.sinks.Sink
 object StreamingPipeline {
 
   final case class Running(query: StreamingQuery) {
-    /** graceful stop: finish the in-flight micro-batch, then stop —
-      * the analog of cascade-close draining (`executor.go:368-395`). */
+    /** stop the stream — the analog of cascade-close draining
+      * (`executor.go:368-395`), with Spark's semantics: `stop()`
+      * interrupts the execution thread, so an in-flight micro-batch is
+      * CANCELLED rather than drained, and not checkpointed — it re-runs
+      * whole on restart. That is exactly why every bundled sink is
+      * idempotent per (sink, batchId) (`IdempotentParquetSink`,
+      * EsBulkSink doc-id upserts): replay-safe sinks make cancel+rerun
+      * equivalent to a drain. Non-idempotent custom sinks should
+      * drain explicitly (await a quiet trigger) before calling this. */
     def shutdown(): Unit = query.stop()
     def awaitTermination(): Unit = query.awaitTermination()
   }
@@ -47,22 +54,28 @@ object StreamingPipeline {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cached = batch.persist()
-        // built outside try so the finally can unpersist the per-node
-        // MEMORY_AND_DISK caches Pipeline.buildOn created — without this
-        // a long-running stream accumulates cached blocks batch by batch
-        val built = Pipeline.buildOn(cached, config.nodes, registry,
-          observeMetrics = observeMetrics, persistShared = true)
+        // the OUTER finally guards the micro-batch cache even when
+        // buildOn itself throws (a schema-dependent node expression can
+        // fail analysis per batch) — without it every failed batch
+        // leaks a persisted frame and a restart-supervised stream
+        // bleeds storage memory failure after failure. The inner
+        // finally unpersists the per-node MEMORY_AND_DISK caches
+        // Pipeline.buildOn created.
         try {
-          built.leaves.foreach { case (id, df) =>
-            sinks.get(id).foreach(_.writeBatch(df, batchId))
-          }
-          walk(built.roots).foreach { node =>
-            for {
-              dead <- node.deadLetters
-              sink <- deadLetterSinks.get(node.conf.id)
-            } sink.writeBatch(dead, batchId)
-          }
-        } finally { built.unpersistAll(); cached.unpersist(); () }
+          val built = Pipeline.buildOn(cached, config.nodes, registry,
+            observeMetrics = observeMetrics, persistShared = true)
+          try {
+            built.leaves.foreach { case (id, df) =>
+              sinks.get(id).foreach(_.writeBatch(df, batchId))
+            }
+            walk(built.roots).foreach { node =>
+              for {
+                dead <- node.deadLetters
+                sink <- deadLetterSinks.get(node.conf.id)
+              } sink.writeBatch(dead, batchId)
+            }
+          } finally { built.unpersistAll(); () }
+        } finally { cached.unpersist(); () }
       }
 
     val withCp = checkpoint.fold(writer)(cp => writer.option("checkpointLocation", cp))

@@ -70,6 +70,26 @@ class LeaderElectionSpec extends AnyFunSuite {
     assert(!left.exists(_ == f"candidate-${0L}%010d"), s"stale file not GC'd: $left")
   }
 
+  test("a GC'd candidate never resurrects its old sequence (split-brain guard)") {
+    val dir = newDir()
+    var now = 1000L
+    val a = new LeaderElection(dir, "instance-a", ttlMs = 100, () => now)
+    val b = new LeaderElection(dir, "instance-b", ttlMs = 100, () => now)
+    a.start(); b.start()
+    assert(a.isLeader && a.epoch.contains(0L))
+    // a stalls (GC pause) until a peer garbage-collects its file and
+    // promotes; a's next heartbeat must DROP enrollment, not recreate
+    // candidate-0000000000 and reclaim leadership over b
+    now += 500; b.heartbeat()
+    assert(b.isLeader)
+    a.heartbeat() // resumes after the stall
+    assert(!a.isLeader && a.epoch.isEmpty, "stalled candidate resurrected its seq")
+    assert(b.isLeader, "leadership flapped back to the stalled instance")
+    // rejoining is a FRESH, higher sequence
+    a.start()
+    assert(a.epoch.exists(_ > b.epoch.get) && b.isLeader && !a.isLeader)
+  }
+
   test("sequence allocation under contention stays unique") {
     val dir = newDir()
     val es = (1 to 8).map(i => new LeaderElection(dir, s"i$i", ttlMs = 1000))
