@@ -112,9 +112,14 @@ object MediaDecode {
     }
     if (idat.size() == 0) return None
     // zlib inflate to the filtered scanlines: h rows of 1 filter byte +
-    // w·channels data bytes
-    val stride = w * channels
-    val raw = new Array[Byte](h * (1 + stride))
+    // w·channels data bytes. Sized in Long first: a few compressed bytes
+    // can CLAIM huge dims (decompression bomb / Int overflow in h*(1+stride)),
+    // so cap the decoded footprint before allocating.
+    val strideL = w.toLong * channels
+    val rawLen = h.toLong * (1L + strideL)
+    if (rawLen > (1L << 30) || h.toLong * strideL > (1L << 30)) return None
+    val stride = strideL.toInt
+    val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(idat.toByteArray)
@@ -176,21 +181,24 @@ object MediaDecode {
     def le32(i: Int): Long =
       u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
     def tag(i: Int, s: String): Boolean =
-      i + s.length <= b.length && s.indices.forall(j => u8(i + j) == s.charAt(j))
+      i >= 0 && i + s.length <= b.length && s.indices.forall(j => u8(i + j) == s.charAt(j))
     if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
-    var i = 12
+    // chunk walk in Long: a corrupt size field must step past the end,
+    // never wrap Int into a negative index
+    var i = 12L
     var isPcm16 = false
     var data: Option[(Int, Int)] = None
     while (i + 8 <= b.length && (!isPcm16 || data.isEmpty)) {
-      val size = le32(i + 4)
-      if (tag(i, "fmt ") && i + 24 <= b.length)
-        isPcm16 = le16(i + 8) == 1 && le16(i + 22) == 16 // PCM, 16-bit
-      else if (tag(i, "data")) data = Some((i + 8, size.toInt))
-      if (size < 0 || size > b.length.toLong) return None
-      i += 8 + size.toInt + (size.toInt & 1)
+      val at = i.toInt
+      val size = le32(at + 4)
+      if (tag(at, "fmt ") && i + 24 <= b.length)
+        isPcm16 = le16(at + 8) == 1 && le16(at + 22) == 16 // PCM, 16-bit
+      else if (tag(at, "data")) data = Some((at + 8, size.toInt))
+      if (size > b.length.toLong) return None
+      i += 8L + size + (size & 1L)
     }
     data match {
-      case Some((off, len)) if isPcm16 && off + len <= b.length =>
+      case Some((off, len)) if isPcm16 && len >= 0 && off.toLong + len <= b.length =>
         val n = len / 2
         val out = new Array[Short](n)
         var j = 0

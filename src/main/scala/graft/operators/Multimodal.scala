@@ -151,12 +151,17 @@ object Multimodal {
       while (i < real.length && i < out.length) { out(i) = real(i).toFloat; i += 1 }
       out
     }
+    // One corrupt file must degrade to the stub row, never kill the task:
+    // the decoders promise None-on-malformed, but this is the corpus-scale
+    // backstop if any slips through.
+    private def safely[A](body: => Option[A]): Option[A] =
+      try body catch { case scala.util.control.NonFatal(_) => None }
     def decode(rows: Iterator[MediaRow]): Iterator[DecodedRow] = rows.map { r =>
       val s = stub.decode(Iterator.single(r)).next()
       if (r.kind == "image") {
         val dims = MediaHeaders.imageDims(r.content)
           .map { case (w, h) => s.copy(width = w, height = h) }.getOrElse(s)
-        MediaDecode.imagePixels(r.content) match {
+        safely(MediaDecode.imagePixels(r.content)) match {
           case Some(px) => dims.copy(features = withReal(dims.features, Array(
             px.meanLuma / 255.0,
             px.meanChannel(0) / 255.0,
@@ -167,7 +172,7 @@ object Multimodal {
       } else if (r.kind == "audio") {
         val dur = MediaHeaders.audioDurationMs(r.content)
           .map(ms => s.copy(duration_ms = ms)).getOrElse(s)
-        MediaDecode.wavPcm16(r.content) match {
+        safely(MediaDecode.wavPcm16(r.content)) match {
           case Some(pcm) => dur.copy(features = withReal(dur.features,
             Array(MediaDecode.rms(pcm), MediaDecode.peak(pcm))))
           case None => dur

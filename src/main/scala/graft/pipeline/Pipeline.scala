@@ -84,14 +84,25 @@ object Pipeline {
         val p = source.persist(StorageLevel.MEMORY_AND_DISK)
         persisted += p; p
       } else source
+    // Partition count for the `workers` floor decision, computed AT MOST
+    // ONCE per build (the old per-node observed.rdd.getNumPartitions
+    // compiled a throwaway physical plan per node per micro-batch) and
+    // only if some node actually configures workers > 1. Stages are
+    // narrow (select/filter/expand/mapPartitions), so the count is
+    // propagated statically through the tree below.
+    lazy val srcParts = src.rdd.getNumPartitions
+    def anyWorkers(ns: List[NodeConf]): Boolean =
+      ns.exists(n => !n.disabled && (n.workers > 1 || anyWorkers(n.children)))
+    val parts = if (anyWorkers(activeRoots)) srcParts else Int.MaxValue
     Built(
       src,
-      activeRoots.map(buildNode(src, _, registry, observeMetrics, persistShared, persisted)),
+      activeRoots.map(buildNode(src, parts, _, registry, observeMetrics, persistShared, persisted)),
       persisted.toList)
   }
 
   private def buildNode(
       input: DataFrame,
+      inputParts: Int,
       conf: NodeConf,
       registry: Registry,
       observe: Boolean,
@@ -137,10 +148,13 @@ object Pipeline {
     // inputs already at or above the floor are left alone — coalescing
     // DOWN would serialize a wide stage, which is Spark's scheduler's
     // call, not the config's.
-    val parallel =
-      if (conf.workers > 1 && observed.rdd.getNumPartitions < conf.workers)
-        observed.repartition(conf.workers)
-      else observed
+    // discard_on_full_buffer plans a single-partition GlobalLimit; all
+    // other node transforms are narrow, so the static estimate holds.
+    val partsHere = if (conf.discardOnFullBuffer) 1 else inputParts
+    val (parallel, outParts) =
+      if (conf.workers > 1 && partsHere < conf.workers)
+        (observed.repartition(conf.workers), conf.workers)
+      else (observed, partsHere)
 
     val split = ErrorRouting(parallel, stage)
 
@@ -174,6 +188,6 @@ object Pipeline {
       outObserved,
       split.deadLetters,
       errorHandlerOutput,
-      activeChildren.map(buildNode(outObserved, _, registry, observe, persistShared, persisted)))
+      activeChildren.map(buildNode(outObserved, outParts, _, registry, observe, persistShared, persisted)))
   }
 }

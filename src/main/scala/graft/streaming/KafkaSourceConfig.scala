@@ -29,24 +29,27 @@ object KafkaSourceConfig {
     * the pair to the client config), mapped onto Spark's identical
     * mechanism (its Kafka source forwards `kafka.*` options to the
     * consumer). A migrating user's `librdkafka.fetch.max.bytes: …`
-    * keeps working. Passthrough keys are applied FIRST so the
-    * explicit contract options (group id, bootstrap servers) cannot
-    * be silently overridden.
+    * keeps working. Matching the reference's precedence
+    * (ApplyLibrdkafkaConf overlays AFTER the base ConfigMap,
+    * `kafkaconsumer.go:109-127`), passthrough keys are applied LAST —
+    * `librdkafka.group.id`/`session.timeout.ms` override the
+    * contract defaults. Empty-valued contract keys (unset
+    * `consumergroup`/`brokers`) are omitted so they can't clobber a
+    * passthrough value with "".
     */
   def options(params: Map[String, String], startingOffsetsJson: Option[String] = None): Map[String, String] = {
-    val brokers = params.getOrElse("brokers", "")
-    val topic = params.getOrElse("topic", "")
     val passthrough = params.collect {
       case (k, v) if k.startsWith("librdkafka.") =>
         "kafka." + k.stripPrefix("librdkafka.") -> v
     }
-    passthrough ++ Map(
-      "kafka.bootstrap.servers" -> brokers,
-      "subscribe" -> topic,
+    val contract = Map(
+      "kafka.bootstrap.servers" -> params.getOrElse("brokers", ""),
+      "subscribe" -> params.getOrElse("topic", ""),
       "kafka.group.id" -> params.getOrElse("consumergroup", ""),
       "failOnDataLoss" -> "false", // broker truncation handled, recoveryconsumer.go:207-251
       "maxOffsetsPerTrigger" -> params.getOrElse("buffersize", "1000")
-    ) ++ startingOffsetsJson.map("startingOffsets" -> _)
+    ).filter(_._2.nonEmpty)
+    contract ++ passthrough ++ startingOffsetsJson.map("startingOffsets" -> _)
   }
 
   /** Kafka wire records → event envelope (payload bytes, created,

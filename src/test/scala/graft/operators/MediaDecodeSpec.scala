@@ -146,6 +146,32 @@ class MediaDecodeSpec extends AnyFunSuite {
     assert(MediaDecode.pngPixels(hex("89504E470D0A1A0A" + "00" * 20)).isEmpty)
   }
 
+  test("PNG decompression bomb: huge claimed dims return None, no allocation") {
+    // w and h each pass the per-dimension cap, but the product would be
+    // a multi-TB buffer (and h*(1+stride) wraps Int): must refuse early
+    val bomb = hex("89504E470D0A1A0A" +
+      "0000000D" + "49484452" +                      // IHDR len 13
+      "00100000" + "00100000" +                      // w = h = 2^20
+      "08" + "02" + "0000" + "00" + "00000000" +     // 8-bit RGB, no interlace
+      "00000001" + "49444154" + "00" + "00000000" +  // 1-byte IDAT
+      "00000000" + "49454E44" + "00000000")          // IEND
+    assert(MediaDecode.pngPixels(bomb).isEmpty)
+  }
+
+  test("WAV corrupt chunk sizes degrade to None, never negative-index") {
+    val good = wavPcm(Seq(1, 2, 3))
+    // data-chunk size field forced to 0xFFFFFFFF: the Long chunk walk
+    // must step past the end instead of wrapping Int
+    val bad = good.clone()
+    val dataSizeOff = good.length - 3 * 2 - 4
+    for (i <- 0 until 4) bad(dataSizeOff + i) = 0xff.toByte
+    assert(MediaDecode.wavPcm16(bad).isEmpty)
+    // fmt-chunk size near Int.MaxValue
+    val bad2 = good.clone()
+    bad2(16) = 0xf0.toByte; bad2(17) = 0xff.toByte; bad2(18) = 0xff.toByte; bad2(19) = 0x7f.toByte
+    assert(MediaDecode.wavPcm16(bad2).isEmpty)
+  }
+
   // ---- WAV PCM -----------------------------------------------------
 
   private def wavPcm(samples: Seq[Int]): Array[Byte] = {

@@ -56,20 +56,30 @@ class KafkaWireShapeSpec extends AnyFunSuite {
       "maxOffsetsPerTrigger" -> "500"))
   }
 
-  test("librdkafka.* params pass through as kafka.* options; contract keys win") {
+  test("librdkafka.* params pass through as kafka.* options; passthrough wins (reference precedence)") {
     // the reference's client-tuning escape hatch (util/util.go
-    // ApplyLibrdkafkaConf) mapped onto Spark's kafka.* forwarding
+    // ApplyLibrdkafkaConf) overlays AFTER the base ConfigMap
+    // (kafkaconsumer.go:109-127): librdkafka.* overrides defaults
     val opts = KafkaSourceConfig.options(Map(
       "brokers" -> "b:9092",
       "topic" -> "t",
       "librdkafka.fetch.max.bytes" -> "52428800",
       "librdkafka.session.timeout.ms" -> "10000",
-      // a passthrough colliding with a contract option must NOT win
-      "librdkafka.group.id" -> "evil-override"))
+      // with consumergroup unset, the migrating user's librdkafka
+      // group id must survive — not be clobbered by ""
+      "librdkafka.group.id" -> "legacy-group"))
     assert(opts("kafka.fetch.max.bytes") == "52428800")
     assert(opts("kafka.session.timeout.ms") == "10000")
-    assert(opts("kafka.group.id") == "") // contract key (consumergroup) wins
+    assert(opts("kafka.group.id") == "legacy-group")
     assert(opts("kafka.bootstrap.servers") == "b:9092")
+  }
+
+  test("librdkafka passthrough overrides an explicitly-set contract key, matching the reference") {
+    val opts = KafkaSourceConfig.options(Map(
+      "brokers" -> "b:9092", "topic" -> "t",
+      "consumergroup" -> "contract-group",
+      "librdkafka.group.id" -> "override-group"))
+    assert(opts("kafka.group.id") == "override-group")
   }
 
   test("startingOffsets golden: capped-lag assignment across partitions") {
