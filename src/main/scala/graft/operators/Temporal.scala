@@ -149,7 +149,20 @@ object Temporal {
     val b = lit(bucketSeconds)
     def nBuckets(df: DataFrame) =
       (epochSeconds(df(endCol)) / b).cast("long") - (epochSeconds(df(startCol)) / b).cast("long") + 1
-    val normals = maxBucketsPerInterval.fold(intervals)(m => intervals.filter(nBuckets(intervals) <= m))
+    // Plan-time probe: the cap is a skew GUARD, and in the common case
+    // (interval spans bounded by construction) the giant frame is
+    // EMPTY — yet an empty-but-planned broadcast union still costs an
+    // exchange build + cleanup per run (measured as the in-suite
+    // q36_interval_overlap outlier). A limit-1 probe over just the two
+    // predicate columns proves emptiness and drops the side-channel —
+    // and the normals filter with it — from the plan entirely.
+    val giantsOpt = maxBucketsPerInterval.flatMap { m =>
+      val g = intervals.filter(nBuckets(intervals) > m)
+      if (g.select(startCol, endCol).isEmpty) None else Some(g)
+    }
+    val normals =
+      if (giantsOpt.isEmpty) intervals
+      else intervals.filter(nBuckets(intervals) <= maxBucketsPerInterval.get)
     val iv = normals.withColumn("__bucket",
       explode(sequence(
         (epochSeconds(col(startCol)) / b).cast("long"),
@@ -158,8 +171,7 @@ object Temporal {
     val bucketedJoin = pt.join(iv, pt("__bucket") === iv("__bucket") &&
         pt(tsCol) >= iv(startCol) && pt(tsCol) <= iv(endCol))
       .drop(pt("__bucket")).drop(iv("__bucket"))
-    maxBucketsPerInterval.fold(bucketedJoin) { m =>
-      val giants = intervals.filter(nBuckets(intervals) > m)
+    giantsOpt.fold(bucketedJoin) { giants =>
       bucketedJoin.union(points.join(broadcast(giants),
         points(tsCol) >= giants(startCol) && points(tsCol) <= giants(endCol)))
     }
@@ -211,13 +223,24 @@ object Temporal {
     maxBucketsPerInterval match {
       case None => bucketedJoin(left, right)
       case Some(m) =>
-        val lNorm = left.filter(nBuckets(left, lStartCol, lEndCol) <= m)
-        val lGiant = left.filter(nBuckets(left, lStartCol, lEndCol) > m)
-        val rNorm = right.filter(nBuckets(right, rStartCol, rEndCol) <= m)
-        val rGiant = right.filter(nBuckets(right, rStartCol, rEndCol) > m)
-        bucketedJoin(lNorm, rNorm)
-          .union(broadcast(lGiant).join(right, overlaps(lGiant, right)))
-          .union(lNorm.join(broadcast(rGiant), overlaps(lNorm, rGiant)))
+        // Same plan-time emptiness probe as rangeJoin: each giant
+        // side-channel (and its paired normals filter) only enters the
+        // plan when a limit-1 probe finds an actual giant — two empty
+        // broadcast unions otherwise tax every run for a guard that
+        // never fires.
+        def probeGiants(df: DataFrame, sc: String, ec: String): Option[DataFrame] = {
+          val g = df.filter(nBuckets(df, sc, ec) > m)
+          if (g.select(sc, ec).isEmpty) None else Some(g)
+        }
+        val lGiant = probeGiants(left, lStartCol, lEndCol)
+        val rGiant = probeGiants(right, rStartCol, rEndCol)
+        val lNorm =
+          if (lGiant.isEmpty) left else left.filter(nBuckets(left, lStartCol, lEndCol) <= m)
+        val rNorm =
+          if (rGiant.isEmpty) right else right.filter(nBuckets(right, rStartCol, rEndCol) <= m)
+        val base = bucketedJoin(lNorm, rNorm)
+        val withL = lGiant.fold(base)(g => base.union(broadcast(g).join(right, overlaps(g, right))))
+        rGiant.fold(withL)(g => withL.union(lNorm.join(broadcast(g), overlaps(lNorm, g))))
     }
   }
 }
