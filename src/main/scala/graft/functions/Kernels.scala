@@ -26,6 +26,7 @@ object Kernels {
 
   def shingles(text: Column, n: Int): Column = toColumn(ShinglesK(toExpression(text), n))
   def shingleHashes(text: Column, n: Int): Column = toColumn(ShingleHashesK(toExpression(text), n))
+  def featureHash(text: Column, dim: Int, n: Int): Column = toColumn(FeatureHashK(toExpression(text), dim, n))
   def simhash32(shingles: Column): Column = toColumn(SimHash32K(toExpression(shingles)))
   def simhash63(shingles: Column): Column = toColumn(SimHash63K(toExpression(shingles)))
   def minhashSig(shingles: Column, k: Int): Column = toColumn(MinHashSigK(toExpression(shingles), k))
@@ -265,6 +266,32 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** signed-count feature-hash vector ("hashing trick"): one tight
+    * pass over the word n-gram hashes into a dim-length bucket
+    * accumulator — index = key mod dim (dim a power of two), sign =
+    * bit log₂dim of the key. Bit-identical to Topics.featureHash's
+    * per-index HOF formulation, which was O(dim·grams) interpreted
+    * lambda evals per row (measured ~10 ms/doc at dim=256 — the
+    * classifier's feature pass cost 50 s at sf0.1); this is
+    * O(grams + dim) unboxed.
+    */
+  def featureHashEval(text: UTF8String, dim: Int, n: Int): ArrayData = {
+    val hs = shingleHashesEval(text, n)
+    val bit = java.lang.Integer.numberOfTrailingZeros(dim)
+    val acc = new Array[Long](dim)
+    val m = hs.numElements()
+    var i = 0
+    while (i < m) {
+      val h = hs.getLong(i)
+      acc((h & (dim - 1L)).toInt) += (if (((h >> bit) & 1L) == 0L) 1L else -1L)
+      i += 1
+    }
+    val out = new Array[Any](dim)
+    i = 0
+    while (i < dim) { out(i) = acc(i).toFloat; i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** exact integer cosine-threshold compare num²·tDen² ≥ na·nb·tNum²
     * in BigInteger — no decimal-precision cliff at ANY int64 magnitude
     * (a decimal(15/19,0) formulation silently nulls-and-drops pairs
@@ -321,6 +348,16 @@ case class ShingleHashesK(child: Expression, n: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.shingleHashesEval($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): ShingleHashesK = copy(child = newChild)
   override def prettyName: String = "graft_shingle_hashes"
+}
+
+case class FeatureHashK(child: Expression, dim: Int, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.featureHashEval(input.asInstanceOf[UTF8String], dim, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.featureHashEval($c, $dim, $n)")
+  override protected def withNewChildInternal(newChild: Expression): FeatureHashK = copy(child = newChild)
+  override def prettyName: String = "graft_feature_hash"
 }
 
 case class SimHash32K(child: Expression) extends UnaryExpression {

@@ -50,8 +50,10 @@ object Topics {
       .select(col(idCol).as("id"), featureHash(col(textCol), dim).as("fvec"))
 
   /** The row-local feature-hash projection itself — usable directly in
-    * a streaming select. Per index i: Σ over words with
-    * `key mod dim = i` of the bit-parity sign of `key div dim`.
+    * a streaming select. Per index i: Σ over word n-grams with
+    * `key mod dim = i` of the bit-parity sign of `key div dim`
+    * (`n = 1` bag-of-words for topics; `n = 2` bigram features for the
+    * trained quality classifier, fastText-style).
     *
     * `dim` must be a power of two so both reductions are exact bit ops
     * (`key & (dim−1)`, bit log₂dim of the key): `/` on long Columns is
@@ -60,21 +62,17 @@ object Topics {
     * ONCE per row (bound via a one-element-array transform), then each
     * index folds over the bound array.
     */
-  def featureHash(text: org.apache.spark.sql.Column, dim: Int = 64): org.apache.spark.sql.Column = {
+  def featureHash(text: org.apache.spark.sql.Column, dim: Int = 64,
+                  n: Int = 1): org.apache.spark.sql.Column = {
     require(dim > 0 && (dim & (dim - 1)) == 0,
       s"featureHash: dim must be a power of two, got $dim")
-    val bit = java.lang.Integer.numberOfTrailingZeros(dim)
-    element_at(
-      transform(array(Kernels.shingleHashes(text, 1)), hs =>
-        transform(sequence(lit(0), lit(dim - 1)), i =>
-          aggregate(
-            filter(hs, h => h.bitwiseAND(lit(dim - 1L)) === i.cast("long")),
-            lit(0L),
-            (acc, h) =>
-              acc + when(shiftright(h, bit).bitwiseAND(lit(1L)) === 0L, lit(1L))
-                .otherwise(lit(-1L)))
-            .cast("float"))),
-      1)
+    // native kernel ([[Kernels.featureHashEval]]): one unboxed
+    // O(grams + dim) pass per row. The equivalent pure-Column HOF
+    // formulation (per-index filter+aggregate over the hash array) is
+    // O(dim·grams) INTERPRETED lambda evals — measured ~10 ms/doc at
+    // dim = 256, which made the quality classifier's feature pass
+    // 50 s at sf0.1.
+    Kernels.featureHash(text, dim, n)
   }
 
   /** (id, topic): every doc labeled with its nearest-centroid topic

@@ -54,6 +54,57 @@ object TrainingOps {
       s"list_transform(list_filter(string_split($x,''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT))), " +
       s"(a,b) -> (a*37+b) % 1000000009))"
 
+  /** DuckDB replay of [[graft.operators.QualityClassifier]]: hashed
+    * bigram+bias features, `iters` full-batch hard-sigmoid GD passes
+    * in exact int64 fixed point (S = 2²⁰; the single truncating
+    * division per pass is DuckDB `//` = Scala Long `/`), then
+    * frozen-weight scoring. `trainFilter`/`scoreFilter` are SQL
+    * predicates over `documents` selecting the two corpora.
+    */
+  private def duckLrClassifierSql(trainFilter: String, scoreFilter: String): String = {
+    val dim = 256; val iters = 12; val lrDen = 2
+    def it(t: Int): String =
+      s"""z$t AS (SELECT l.doc_id, l.y, COALESCE(sum(f.v * w.wv), 0) AS z
+         |  FROM lab l LEFT JOIN fa f ON l.doc_id = f.doc_id LEFT JOIN w$t w ON f.i = w.i
+         |  GROUP BY 1, 2),
+         |e$t AS (SELECT doc_id, y*4194304 - least(greatest(2097152 + z, 0), 4194304) AS e FROM z$t),
+         |g$t AS (SELECT f.i, sum(f.v * e.e) AS g FROM fa f JOIN e$t e USING (doc_id) GROUP BY 1),
+         |w${t + 1} AS MATERIALIZED (SELECT w.i, w.wv + COALESCE(g.g, 0) // ($lrDen * (SELECT n FROM n)) AS wv
+         |  FROM w$t w LEFT JOIN g$t g ON w.i = g.i)""".stripMargin
+    s"""WITH tok AS MATERIALIZED (SELECT doc_id, string_split(text,' ') w FROM documents WHERE text IS NOT NULL),
+       |bgt AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+       |  THEN list_transform(range(1, len(w)), i -> w[i]||' '||w[i+1]) ELSE [] END) AS bg FROM tok),
+       |hx AS (SELECT doc_id, ${duckShingleKey("bg")} AS h FROM bgt),
+       |faAll AS MATERIALIZED (
+       |  SELECT doc_id, CAST(h % $dim AS INT) AS i,
+       |    CAST(sum(CASE WHEN (h // $dim) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
+       |  FROM hx GROUP BY 1, 2
+       |  UNION ALL SELECT doc_id, $dim AS i, CAST(1 AS BIGINT) AS v FROM tok),
+       |labAll AS (SELECT doc_id,
+       |  CASE WHEN (least(len(regexp_extract_all(text,'\\S+')), 100)
+       |    * (len(regexp_extract_all(text,'\\S+'))
+       |       - len(list_filter(string_split(text,' '),
+       |           w -> w IN ('the','a','of','to','and','in','or','is'))))
+       |    * 1000000) // (100 * len(regexp_extract_all(text,'\\S+'))) >= 500000
+       |  THEN 1 ELSE 0 END AS y
+       |  FROM documents WHERE text IS NOT NULL),
+       |lab AS MATERIALIZED (SELECT doc_id, y FROM labAll WHERE $trainFilter
+       |  ORDER BY ((doc_id % 1000000007) * 1103515245 + 12345) % 1000000007, doc_id
+       |  LIMIT 100000),
+       |fa AS MATERIALIZED (SELECT f.* FROM faAll f JOIN lab USING (doc_id)),
+       |n AS MATERIALIZED (SELECT count(*) AS n FROM lab),
+       |w0 AS MATERIALIZED (SELECT CAST(unnest(range(0, ${dim + 1})) AS INT) AS i, CAST(0 AS BIGINT) AS wv),
+       |${(0 until iters).map(it).mkString(",\n")},
+       |sc AS (SELECT d.doc_id, COALESCE(sum(f.v * w.wv), 0) AS z
+       |  FROM (SELECT doc_id FROM tok WHERE $scoreFilter) d
+       |  LEFT JOIN faAll f ON d.doc_id = f.doc_id LEFT JOIN w$iters w ON f.i = w.i
+       |  GROUP BY 1)
+       |SELECT doc_id, CAST(z AS BIGINT) AS margin,
+       |  CAST((least(greatest(2097152 + z, 0), 4194304) * 1000000) // 4194304 AS BIGINT) AS prob_ppm,
+       |  CASE WHEN z > 0 THEN 1 ELSE 0 END AS pred
+       |FROM sc""".stripMargin
+  }
+
   /** DuckDB CTEs: word-3-gram shingle list per doc. */
   private val duckShingles =
     """tok AS (SELECT doc_id, string_split(text,' ') w FROM documents),
@@ -2834,6 +2885,36 @@ object TrainingOps {
              |SELECT doc_id, count(*) AS n_bigrams,
              |  CAST(sum(v) // count(*) AS BIGINT) AS lm_ppm
              |FROM sc GROUP BY doc_id""".stripMargin)),
+
+    // ---- TRAINED quality classifier (fastText-style): hashed-bigram
+    //      features + bias into hard-sigmoid logistic regression, all
+    //      fixed-point int64 so the oracle replays the full 12-pass
+    //      gradient descent exactly (graft.operators.QualityClassifier;
+    //      weak labels from the qualityScorePpm heuristic) ----
+    "ta_quality_clf" -> Q(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        graft.operators.QualityClassifier.classify(
+          d, "doc_id", "text",
+          TextFunctions.qualityScorePpm(col("text")) >= 500000)
+      },
+      Some(duckLrClassifierSql(trainFilter = "TRUE", scoreFilter = "TRUE"))),
+
+    // ---- the FROZEN-model serving path: train the classifier on the
+    //      90% corpus, score the held-out 10% against the frozen
+    //      weights (the CCNet/DCLM deployment shape — scoring itself
+    //      is a zero-shuffle projection) ----
+    "ta_quality_clf_apply" -> Q(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val w = graft.operators.QualityClassifier.trainWeights(
+          d.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          TextFunctions.qualityScorePpm(col("text")) >= 500000)
+        graft.operators.QualityClassifier.scoreAgainst(
+          w, d.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+      },
+      Some(duckLrClassifierSql(trainFilter = "doc_id % 10 <> 0",
+        scoreFilter = "doc_id % 10 = 0"))),
 
     // ---- quality scoring (integer ppm) ----
     "ta_quality" -> Q(
