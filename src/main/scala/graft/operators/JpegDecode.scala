@@ -1,0 +1,439 @@
+package graft.operators
+
+import graft.operators.MediaDecode.PixelImage
+
+/** Pure-JVM BASELINE JPEG decoder (ITU-T T.81 sequential DCT, the
+  * format of ~all web/camera JPEGs): marker parse → per-block Huffman
+  * entropy decode → dequant → 8×8 IDCT → nearest-neighbor chroma
+  * upsample → integer YCbCr→RGB. Closes the last stubbed content
+  * family in [[Multimodal.HeaderCodec]] (PNG/BMP/WAV already decode
+  * for real in [[MediaDecode]]).
+  *
+  * Same corpus-scale contract as the rest of the module: supported
+  * shapes decode exactly, everything else — progressive (SOF2),
+  * arithmetic coding, 12-bit precision, CMYK, lossless modes,
+  * truncated streams — returns None, never throws. Determinism: the
+  * IDCT runs on a fixed-order double butterfly against a
+  * StrictMath-derived constant table and every other step is integer
+  * arithmetic, so decoded bytes are identical on every JVM (the JDK's
+  * own ImageIO JPEG reader rides platform libjpeg and cannot promise
+  * that; the test suite uses it as an independent approximate oracle).
+  *
+  * Scope: baseline + extended-sequential Huffman (SOF0/SOF1), 8-bit,
+  * 1- or 3-component (greyscale / YCbCr), sampling factors 1–4 with
+  * restart-marker support. ~Every still produced by libjpeg/encoders
+  * at default settings fits this profile.
+  */
+object JpegDecode {
+
+  /** decoded-plane footprint cap, the [[MediaDecode]] bomb guard. */
+  private val MaxPixels = 1L << 26 // 64 Mpx ≈ 192 MB RGB
+
+  // ---- bit reader over the entropy-coded segment ------------------
+
+  /** Reads MSB-first bits with 0xFF00 byte-unstuffing; an RST marker
+    * (FFD0-FFD7) or any other marker ends the current run — restart
+    * alignment is handled by the MCU loop. Throws Bail on exhaustion;
+    * the single driver catch maps it to None.
+    */
+  private final class Bail extends RuntimeException { override def fillInStackTrace(): Throwable = this }
+  private def bail(): Nothing = throw new Bail
+
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var acc = 0L
+    private var nBits = 0
+    /** true if positioned AT a marker (FF xx, xx != 0). */
+    def atMarker: Boolean =
+      pos + 1 < b.length && (b(pos) & 0xff) == 0xff && b(pos + 1) != 0
+    def markerCode: Int = b(pos + 1) & 0xff
+    def skipMarker(): Unit = { pos += 2; acc = 0L; nBits = 0 }
+    private def fill(): Unit = {
+      while (nBits <= 56) {
+        if (pos >= b.length) { acc <<= 8; nBits += 8 } // zero-pad past end
+        else {
+          val v = b(pos) & 0xff
+          if (v == 0xff) {
+            val nxt = if (pos + 1 < b.length) b(pos + 1) & 0xff else 0xd9
+            if (nxt == 0) { acc = (acc << 8) | 0xffL; nBits += 8; pos += 2 } // stuffed FF
+            else { acc <<= 8; nBits += 8 } // AT a marker: zero-pad, don't consume
+          } else { acc = (acc << 8) | v; nBits += 8; pos += 1 }
+        }
+      }
+    }
+    def bit(): Int = {
+      if (nBits == 0) fill()
+      nBits -= 1
+      ((acc >>> nBits) & 1L).toInt
+    }
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+  }
+
+  // ---- canonical Huffman table (Annex C) --------------------------
+
+  private final class Huff(counts: Array[Int], vals: Array[Int]) {
+    // minCode/maxCode/valPtr per code length 1..16
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += counts(l - 1)
+        k += counts(l - 1)
+        maxCode(l) = code - 1
+        if (counts(l - 1) == 0) maxCode(l) = -1
+        code <<= 1
+        l += 1
+      }
+    }
+    def decode(r: BitReader): Int = {
+      var code = r.bit()
+      var l = 1
+      while (l <= 16) {
+        if (maxCode(l) >= code && code >= minCode(l))
+          return vals(valPtr(l) + code - minCode(l))
+        code = (code << 1) | r.bit()
+        l += 1
+      }
+      bail()
+    }
+  }
+
+  // ---- IDCT (separable, fixed-order double arithmetic) ------------
+
+  /** c(u)·cos((2x+1)uπ/16) / 2, StrictMath so the table — and with it
+    * every decoded byte — is identical on every JVM.
+    */
+  private val CosT: Array[Double] = {
+    val t = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var x = 0
+      while (x < 8) {
+        val cu = if (u == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0
+        t(u * 8 + x) = cu * StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0) / 2.0
+        x += 1
+      }
+      u += 1
+    }
+    t
+  }
+
+  /** in: dequantized coefficients (natural order); out: clamped +128
+    * level-shifted samples 0..255.
+    */
+  private def idct(coef: Array[Int], out: Array[Int]): Unit = {
+    val tmp = new Array[Double](64)
+    // rows (u over columns)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += coef(y * 8 + u) * CosT(u * 8 + x); u += 1 }
+        tmp(y * 8 + x) = s
+        x += 1
+      }
+      y += 1
+    }
+    // columns
+    var x2 = 0
+    while (x2 < 8) {
+      var y2 = 0
+      while (y2 < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) { s += tmp(v * 8 + x2) * CosT(v * 8 + y2); v += 1 }
+        val p = StrictMath.round(s).toInt + 128
+        out(y2 * 8 + x2) = if (p < 0) 0 else if (p > 255) 255 else p
+        y2 += 1
+      }
+      x2 += 1
+    }
+  }
+
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** sign-extend a RECEIVE'd magnitude (F.2.2.1 EXTEND). */
+  @inline private def extend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  // ---- component bookkeeping --------------------------------------
+
+  private final case class Comp(id: Int, h: Int, v: Int, tq: Int) {
+    var dcTab: Huff = null
+    var acTab: Huff = null
+    var pred: Int = 0 // DC predictor
+    var plane: Array[Byte] = null
+    var planeW: Int = 0
+    var planeH: Int = 0
+  }
+
+  /** Baseline/extended-sequential Huffman JPEG → pixels (1 channel
+    * greyscale or 3-channel RGB). None for any unsupported or
+    * malformed shape.
+    */
+  def jpegPixels(b: Array[Byte]): Option[PixelImage] =
+    try decode(b) catch { case _: Bail | _: ArrayIndexOutOfBoundsException => None }
+
+  private def decode(b: Array[Byte]): Option[PixelImage] = {
+    def u8(i: Int): Int = { if (i >= b.length) bail(); b(i) & 0xff }
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    if (b.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+
+    val qt = new Array[Array[Int]](4) // quant tables, natural order
+    val dcT = new Array[Huff](4)
+    val acT = new Array[Huff](4)
+    var comps: Array[Comp] = null
+    var w = 0; var h = 0
+    var restartInterval = 0
+
+    var i = 2
+    while (i + 4 <= b.length) {
+      if (u8(i) != 0xff) return None
+      val m = u8(i + 1)
+      if (m == 0xd9) return None // EOI before SOS
+      val len = u16(i + 2)
+      if (len < 2 || i + 2 + len > b.length) return None
+      val seg = i + 4
+      val segEnd = i + 2 + len
+      m match {
+        case 0xdb => // DQT: one or more tables
+          var p = seg
+          while (p < segEnd) {
+            val pq = u8(p) >> 4; val tq = u8(p) & 0x0f
+            if (pq != 0 || tq > 3) return None // 8-bit tables only
+            if (p + 65 > segEnd) return None
+            val t = new Array[Int](64)
+            var k = 0
+            while (k < 64) { t(ZigZag(k)) = u8(p + 1 + k); k += 1 }
+            qt(tq) = t
+            p += 65
+          }
+        case 0xc4 => // DHT: one or more tables
+          var p = seg
+          while (p < segEnd) {
+            val tc = u8(p) >> 4; val th = u8(p) & 0x0f
+            if (tc > 1 || th > 3 || p + 17 > segEnd) return None
+            val counts = Array.tabulate(16)(k => u8(p + 1 + k))
+            val total = counts.sum
+            if (total > 256 || p + 17 + total > segEnd) return None
+            val vals = Array.tabulate(total)(k => u8(p + 17 + k))
+            val tab = new Huff(counts, vals)
+            if (tc == 0) dcT(th) = tab else acT(th) = tab
+            p += 17 + total
+          }
+        case 0xc0 | 0xc1 => // SOF0/1: baseline / extended sequential
+          if (u8(seg) != 8) return None // 8-bit precision only
+          h = u16(seg + 1); w = u16(seg + 3)
+          val nf = u8(seg + 5)
+          if (w <= 0 || h <= 0 || (nf != 1 && nf != 3)) return None
+          if (w.toLong * h > MaxPixels) return None
+          comps = Array.tabulate(nf) { c =>
+            val o = seg + 6 + 3 * c
+            val hv = u8(o + 1)
+            val comp = Comp(u8(o), hv >> 4, hv & 0x0f, u8(o + 2))
+            if (comp.h < 1 || comp.h > 4 || comp.v < 1 || comp.v > 4 || comp.tq > 3)
+              return None
+            comp
+          }
+        case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+          return None // progressive / lossless / arithmetic: not baseline
+        case 0xdd => // DRI
+          restartInterval = u16(seg)
+        case 0xda => // SOS: entropy-coded data follows
+          if (comps == null) return None
+          val ns = u8(seg)
+          if (ns != comps.length) return None
+          var p = seg + 1
+          var c = 0
+          while (c < ns) {
+            val cs = u8(p); val tt = u8(p + 1)
+            val comp = comps.find(_.id == cs).getOrElse(return None)
+            comp.dcTab = dcT(tt >> 4); comp.acTab = acT(tt & 0x0f)
+            if (comp.dcTab == null || comp.acTab == null || qt(comp.tq) == null)
+              return None
+            p += 2
+            c += 1
+          }
+          return scan(b, segEnd, comps, w, h, qt, restartInterval)
+        case _ => () // APPn / COM / others: skip
+      }
+      i += 2 + len
+    }
+    None
+  }
+
+  /** entropy-decode every MCU, reassemble planes, color-convert. */
+  private def scan(b: Array[Byte], start: Int, comps: Array[Comp],
+                   w: Int, h: Int, qt: Array[Array[Int]],
+                   restartInterval: Int): Option[PixelImage] = {
+    val maxH = comps.map(_.h).max
+    val maxV = comps.map(_.v).max
+    val mcuW = 8 * maxH
+    val mcuH = 8 * maxV
+    val mcusX = (w + mcuW - 1) / mcuW
+    val mcusY = (h + mcuH - 1) / mcuH
+    comps.foreach { c =>
+      c.planeW = mcusX * c.h * 8
+      c.planeH = mcusY * c.v * 8
+      if (c.planeW.toLong * c.planeH > MaxPixels * 2) return None
+      c.plane = new Array[Byte](c.planeW * c.planeH)
+    }
+    val r = new BitReader(b, start)
+    val coef = new Array[Int](64)
+    val px = new Array[Int](64)
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        // expect RSTn; resync by skipping it and resetting predictors
+        if (!r.atMarker || (r.markerCode & 0xf8) != 0xd0) bail()
+        r.skipMarker()
+        comps.foreach(_.pred = 0)
+      }
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        val q = qt(c.tq)
+        var by = 0
+        while (by < c.v) {
+          var bx = 0
+          while (bx < c.h) {
+            // ---- decode one 8×8 block (F.2.1.3) ----
+            java.util.Arrays.fill(coef, 0)
+            val t = c.dcTab.decode(r)
+            if (t > 15) bail()
+            c.pred += extend(r.bits(t), t)
+            coef(0) = c.pred * q(0)
+            var k = 1
+            while (k < 64) {
+              val rs = c.acTab.decode(r)
+              val run = rs >> 4; val size = rs & 0x0f
+              if (size == 0) {
+                if (run == 15) k += 16 // ZRL
+                else k = 64 // EOB
+              } else {
+                k += run
+                if (k > 63) bail()
+                coef(ZigZag(k)) = extend(r.bits(size), size) * q(ZigZag(k))
+                k += 1
+              }
+            }
+            idct(coef, px)
+            // place block into the component plane
+            val ox = (mx * c.h + bx) * 8
+            val oy = (my * c.v + by) * 8
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              val rowOff = (oy + yy) * c.planeW + ox
+              while (xx < 8) { c.plane(rowOff + xx) = px(yy * 8 + xx).toByte; xx += 1 }
+              yy += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+    // ---- chroma upsampling to full resolution ----
+    // factor-2 (the universal 4:2:0/4:2:2 case) uses the centered
+    // TRIANGLE filter (out(2i) = (3·p(i)+p(i−1)+2)/4, out(2i+1) =
+    // (3·p(i)+p(i+1)+2)/4, edges clamped — libjpeg's "fancy"
+    // upsampling, separably per axis); other ratios replicate nearest.
+    def upsampleAxis(src: Array[Byte], sw: Int, sh: Int, factor: Int,
+                     horizontal: Boolean): (Array[Byte], Int, Int) = {
+      if (factor == 1) return (src, sw, sh)
+      val ow = if (horizontal) sw * factor else sw
+      val oh = if (horizontal) sh else sh * factor
+      val out = new Array[Byte](ow * oh)
+      var y = 0
+      while (y < oh) {
+        var x = 0
+        while (x < ow) {
+          // source index along the scaled axis + the two triangle taps
+          val t = if (horizontal) x else y
+          val n = if (horizontal) sw else sh
+          val c = t / factor
+          val v =
+            if (factor == 2) {
+              val o = if ((t & 1) == 0) math.max(c - 1, 0) else math.min(c + 1, n - 1)
+              val near = if (horizontal) src(y * sw + c) & 0xff else src(c * sw + x) & 0xff
+              val other = if (horizontal) src(y * sw + o) & 0xff else src(o * sw + x) & 0xff
+              (3 * near + other + 2) >> 2
+            } else if (horizontal) src(y * sw + c) & 0xff
+            else src(c * sw + x) & 0xff
+          out(y * ow + x) = v.toByte
+          x += 1
+        }
+        y += 1
+      }
+      (out, ow, oh)
+    }
+    def fullRes(c: Comp): (Array[Byte], Int) = {
+      val (h1, w1, hh1) = upsampleAxis(c.plane, c.planeW, c.planeH, maxH / c.h, horizontal = true)
+      val (v1, w2, _) = upsampleAxis(h1, w1, hh1, maxV / c.v, horizontal = false)
+      (v1, w2)
+    }
+
+    // ---- color reconstruction ----
+    if (comps.length == 1) {
+      val c = comps(0)
+      val out = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        System.arraycopy(c.plane, y * c.planeW, out, y * w, w)
+        y += 1
+      }
+      Some(PixelImage(w, h, 1, out))
+    } else {
+      // exotic non-divisible sampling ratios (e.g. 3:2) are legal per
+      // T.81 but unseen in practice — unsupported shape, not a crash
+      if (comps.exists(c => maxH % c.h != 0 || maxV % c.v != 0)) return None
+      val (yP, yW) = fullRes(comps(0))
+      val (bP, bW) = fullRes(comps(1))
+      val (rP, rW) = fullRes(comps(2))
+      val out = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val lum = yP(y * yW + x) & 0xff
+          val pb = (bP(y * bW + x) & 0xff) - 128
+          val pr = (rP(y * rW + x) & 0xff) - 128
+          // CCIR 601 integer form (16-bit fixed point, round-half-up)
+          var rr = lum + ((91881 * pr + 32768) >> 16)
+          var gg = lum - ((22554 * pb + 46802 * pr + 32768) >> 16)
+          var bb = lum + ((116130 * pb + 32768) >> 16)
+          if (rr < 0) rr = 0 else if (rr > 255) rr = 255
+          if (gg < 0) gg = 0 else if (gg > 255) gg = 255
+          if (bb < 0) bb = 0 else if (bb > 255) bb = 255
+          val o = (y * w + x) * 3
+          out(o) = rr.toByte; out(o + 1) = gg.toByte; out(o + 2) = bb.toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some(PixelImage(w, h, 3, out))
+    }
+  }
+}

@@ -11,12 +11,12 @@ package graft.operators
   *    filter reversal (None/Sub/Up/Average/Paeth, RFC 2083 §6).
   *  - WAV: PCM 16-bit LE samples (any channel count, interleaved).
   *
-  * JPEG (Huffman+DCT) and lossy audio stay behind the
-  * [[Multimodal.MediaCodec]] stub — those genuinely need a codec
-  * library. Everything here returns None on malformed/foreign/
-  * unsupported bytes (interlaced PNG, 16-bit channels, palette,
-  * compressed BMP): at corpus scale a truncated file must degrade,
-  * never throw.
+  * Baseline JPEG decodes for real too ([[JpegDecode]] — Huffman +
+  * IDCT + chroma upsample, pure JVM); only lossy AUDIO stays behind
+  * the [[Multimodal.MediaCodec]] stub. Everything here returns None
+  * on malformed/foreign/unsupported bytes (interlaced PNG, 16-bit
+  * channels, palette, compressed BMP, progressive JPEG): at corpus
+  * scale a truncated file must degrade, never throw.
   *
   * [[Multimodal.HeaderCodec]] uses these to emit REAL features
   * (channel means / luma for images, RMS/peak for audio) instead of
@@ -170,7 +170,7 @@ object MediaDecode {
 
   /** pixels for any pure-JVM-decodable image format; None otherwise. */
   def imagePixels(b: Array[Byte]): Option[PixelImage] =
-    pngPixels(b).orElse(bmpPixels(b))
+    pngPixels(b).orElse(bmpPixels(b)).orElse(JpegDecode.jpegPixels(b))
 
   // ---- WAV PCM -----------------------------------------------------
 

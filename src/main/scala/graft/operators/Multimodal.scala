@@ -12,13 +12,14 @@ import org.apache.spark.sql.functions._
   * can honestly do: header metadata (dimensions, durations) is REAL
   * for PNG/GIF/JPEG/WebP/BMP/WAV/FLAC/MP3/MP4 ([[MediaHeaders]]);
   * pixel/sample CONTENT decode is REAL for PNG (zlib via
-  * `java.util.zip`), uncompressed 24 bpp BMP and PCM16 WAV
+  * `java.util.zip`), baseline JPEG ([[JpegDecode]]: Huffman + IDCT +
+  * chroma upsample, pure JVM), uncompressed 24 bpp BMP and PCM16 WAV
   * ([[MediaDecode]], feeding real channel-mean/luma and RMS/peak
   * features through [[HeaderCodec]]); only formats that genuinely
-  * need a native codec library (JPEG entropy decode, lossy audio)
-  * remain STUBBED — `decodeMeta`/`StubCodec` derive deterministic
-  * fake values there. A production deployment swaps the stub branch
-  * for the native codec behind the same column contract (and should
+  * need a native codec library (lossy audio sample decode, video
+  * frames) remain STUBBED — `decodeMeta`/`StubCodec` derive
+  * deterministic fake values there. A production deployment swaps
+  * the stub branch for the native codec behind the same contract (and should
   * then run it in `mapPartitions` with per-partition codec init,
   * batching partitions to ~128 MB via
   * spark.sql.files.maxPartitionBytes).
@@ -135,13 +136,13 @@ object Multimodal {
     * degrades to stub metadata instead of killing the stage.
     *
     * Features are REAL where pure-JVM decode exists
-    * ([[MediaDecode]]): PNG (zlib via `java.util.zip`) and
-    * uncompressed 24 bpp BMP yield per-channel means + luma; PCM16
-    * WAV yields RMS/peak amplitude — the rest of the feature vector
-    * keeps the deterministic stub layout so the schema and per-row
-    * cost profile are unchanged. JPEG/lossy-audio content decode is
-    * the one part that genuinely needs a native codec and stays
-    * stubbed.
+    * ([[MediaDecode]]): PNG (zlib via `java.util.zip`), baseline
+    * JPEG ([[JpegDecode]]) and uncompressed 24 bpp BMP yield
+    * per-channel means + luma; PCM16 WAV yields RMS/peak amplitude —
+    * the rest of the feature vector keeps the deterministic stub
+    * layout so the schema and per-row cost profile are unchanged.
+    * Lossy-audio sample decode is the one content family that still
+    * genuinely needs a native codec and stays stubbed.
     */
   final class HeaderCodec(featureDim: Int) extends MediaCodec {
     private val stub = new StubCodec(featureDim)

@@ -213,4 +213,19 @@ class MediaDecodeSpec extends AnyFunSuite {
       .decode(Iterator(Multimodal.MediaRow(3L, "image", hex("DEADBEEF")))).next()
     assert(out(2).features.toSeq == stub.features.toSeq)
   }
+
+  test("HeaderCodec decodes JPEG content for real (flat DC-only block)") {
+    // hand-built greyscale DC-only JPEG: every sample 138 (see
+    // JpegDecodeSpec) → meanLuma feature = 138/255 exactly
+    val jpeg = hex("FFD8" + "FFDB" + "0043" + "00" + "10" * 64 +
+      "FFC0" + "000B" + "08" + "0008" + "0008" + "01" + "01" + "11" + "00" +
+      "FFC4" + "0014" + "00" + "01" + "00" * 15 + "03" +
+      "FFC4" + "0014" + "10" + "01" + "00" * 15 + "00" +
+      "FFDA" + "0008" + "01" + "01" + "00" + "00" + "3F" + "00" +
+      "57" + "FFD9") // bits: 0 101 0 + 111 pad = 01010111 = 0x57
+    val out = new Multimodal.HeaderCodec(6)
+      .decode(Iterator(Multimodal.MediaRow(9L, "image", jpeg))).next()
+    assert(out.width == 8 && out.height == 8)
+    assert(math.abs(out.features(0) - 138f / 255f) < 1e-6)
+  }
 }
