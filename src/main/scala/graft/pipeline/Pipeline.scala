@@ -132,9 +132,20 @@ object Pipeline {
     // re-evaluate the operator, each reports the same total for this
     // node — PipelineMetrics therefore takes last-value-per-batch, not
     // a sum (see its scaladoc).
-    val observed =
-      if (observe) admitted.observe(s"${conf.id}.received", count(lit(1)).as("count"))
-      else admitted
+    //
+    // ASYNC stages checkpoint their per-row call result (ErrorRouting's
+    // exactly-once guard). The localCheckpoint TRUNCATES the logical
+    // plan, so any observe upstream of the break never reaches a
+    // listener — this node's `received` would read 0. Order: workers
+    // floor (the async calls' parallelism) → `pre` + checkpoint →
+    // `received` observe downstream of the break; pre maps rows 1:1
+    // (outcome columns only), so the count is identical. ANCESTOR
+    // nodes' counters stay above the break and are not observable for
+    // the async subtree's lineage — the accepted cost of the
+    // exactly-once RPC guard (recompute-on-eviction with persist()
+    // would re-fire RPCs); a chain's parent.emitted is recoverable as
+    // the async node's own `received` (1:1), asserted in
+    // ChaosDrillSpec.
 
     // Per-node `workers` (executor/executor.go:319-337): the reference
     // runs N goroutines per node pulling from its channel; Spark's
@@ -153,10 +164,17 @@ object Pipeline {
     val partsHere = if (conf.discardOnFullBuffer) 1 else inputParts
     val (parallel, outParts) =
       if (conf.workers > 1 && partsHere < conf.workers)
-        (observed.repartition(conf.workers), conf.workers)
-      else (observed, partsHere)
+        (admitted.repartition(conf.workers), conf.workers)
+      else (admitted, partsHere)
+    val (preDone, stageForSplit) = stage.pre match {
+      case Some(f) => (f(parallel).localCheckpoint(false), stage.copy(pre = None))
+      case None => (parallel, stage)
+    }
+    val observed =
+      if (observe) preDone.observe(s"${conf.id}.received", count(lit(1)).as("count"))
+      else preDone
 
-    val split = ErrorRouting(parallel, stage)
+    val split = ErrorRouting(observed, stageForSplit)
 
     // Terminal stages (kafkaproducer returns (nil, nil),
     // kafkaproducer.go:92-115) propagate nothing: children configured
