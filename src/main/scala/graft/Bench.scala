@@ -80,7 +80,16 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), line(qsFull, total.toString) + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}") }
-    println(line(qs, fmt(total)))
+    // stop BEFORE printing so no Spark shutdown log lands after the
+    // JSON and eats the driver's bounded stdout-tail budget
     spark.stop()
+    // The driver keeps a bounded TAIL of stdout: r8/r9 both lost the
+    // single JSON line's HEAD when it outgrew the buffer ("parsed":
+    // null). Emit the big per-query line FIRST and a small,
+    // always-complete total line LAST — whatever the tail cuts, the
+    // final line parses, and bench_out.json holds full precision.
+    println(line(qs, fmt(total)))
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.values.flatten.size},"errors":$errJson,"sf":"$sfDir","protocol":"median-of-$reps-warm","queries_in":"previous line + bench_out.json"}""")
+    System.out.flush()
   }
 }
