@@ -351,6 +351,11 @@ case class ShingleHashesK(child: Expression, n: Int) extends UnaryExpression {
 }
 
 case class FeatureHashK(child: Expression, dim: Int, n: Int) extends UnaryExpression {
+  // the kernel's bucket mask (h & dim-1) and sign bit (trailing-zero
+  // count) are only meaningful for a power-of-two dim — reject wrong
+  // buckets/signs at construction, not silently per row
+  require(dim > 0 && (dim & (dim - 1)) == 0,
+    s"graft_feature_hash: dim must be a power of two, got $dim")
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     Kernels.featureHashEval(input.asInstanceOf[UTF8String], dim, n)

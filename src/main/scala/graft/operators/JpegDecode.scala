@@ -20,9 +20,11 @@ import graft.operators.MediaDecode.PixelImage
   * that; the test suite uses it as an independent approximate oracle).
   *
   * Scope: baseline + extended-sequential Huffman (SOF0/SOF1), 8-bit,
-  * 1- or 3-component (greyscale / YCbCr), sampling factors 1–4 with
-  * restart-marker support. ~Every still produced by libjpeg/encoders
-  * at default settings fits this profile.
+  * 1- or 3-component (greyscale / YCbCr / stored-RGB via Adobe APP14
+  * transform=0 or R,G,B component ids), sampling factors 1–4 with
+  * restart-marker support; a single-component scan decodes
+  * non-interleaved per T.81 A.2. ~Every still produced by
+  * libjpeg/encoders at default settings fits this profile.
   */
 object JpegDecode {
 
@@ -33,8 +35,15 @@ object JpegDecode {
 
   /** Reads MSB-first bits with 0xFF00 byte-unstuffing; an RST marker
     * (FFD0-FFD7) or any other marker ends the current run — restart
-    * alignment is handled by the MCU loop. Throws Bail on exhaustion;
-    * the single driver catch maps it to None.
+    * alignment is handled by the MCU loop. Synthesized padding bits
+    * (past end-of-data or at a marker) may be PREFETCHED into the
+    * accumulator but never legally CONSUMED — a real stream's final
+    * Huffman code ends inside real bytes (encoders 1-pad to the byte
+    * boundary), so needing a synthesized bit means the stream is
+    * truncated or the entropy data overruns its segment; the reader
+    * bails rather than decode zero-bits into plausible garbage.
+    * Throws Bail on exhaustion; the single driver catch maps it to
+    * None.
     */
   private final class Bail extends RuntimeException { override def fillInStackTrace(): Throwable = this }
   private def bail(): Nothing = throw new Bail
@@ -42,26 +51,31 @@ object JpegDecode {
   private final class BitReader(b: Array[Byte], var pos: Int) {
     private var acc = 0L
     private var nBits = 0
+    private var pad = 0 // synthesized bits currently in acc (always the newest)
     /** true if positioned AT a marker (FF xx, xx != 0). */
     def atMarker: Boolean =
       pos + 1 < b.length && (b(pos) & 0xff) == 0xff && b(pos + 1) != 0
     def markerCode: Int = b(pos + 1) & 0xff
-    def skipMarker(): Unit = { pos += 2; acc = 0L; nBits = 0 }
+    def skipMarker(): Unit = { pos += 2; acc = 0L; nBits = 0; pad = 0 }
     private def fill(): Unit = {
       while (nBits <= 56) {
-        if (pos >= b.length) { acc <<= 8; nBits += 8 } // zero-pad past end
+        if (pos >= b.length) { acc <<= 8; nBits += 8; pad += 8 } // zero-pad past end
         else {
           val v = b(pos) & 0xff
           if (v == 0xff) {
             val nxt = if (pos + 1 < b.length) b(pos + 1) & 0xff else 0xd9
             if (nxt == 0) { acc = (acc << 8) | 0xffL; nBits += 8; pos += 2 } // stuffed FF
-            else { acc <<= 8; nBits += 8 } // AT a marker: zero-pad, don't consume
+            else { acc <<= 8; nBits += 8; pad += 8 } // AT a marker: zero-pad, don't consume
           } else { acc = (acc << 8) | v; nBits += 8; pos += 1 }
         }
       }
     }
     def bit(): Int = {
       if (nBits == 0) fill()
+      // pads only ever sit BELOW real bits (pos never advances once a
+      // pad is emitted, until skipMarker resets), so the oldest
+      // remaining bit is synthesized iff nothing but pads remain
+      if (nBits <= pad) bail()
       nBits -= 1
       ((acc >>> nBits) & 1L).toInt
     }
@@ -201,6 +215,7 @@ object JpegDecode {
     var comps: Array[Comp] = null
     var w = 0; var h = 0
     var restartInterval = 0
+    var adobeTransform = -1 // APP14 transform byte; -1 = no Adobe marker
 
     var i = 2
     while (i + 4 <= b.length) {
@@ -255,6 +270,11 @@ object JpegDecode {
           return None // progressive / lossless / arithmetic: not baseline
         case 0xdd => // DRI
           restartInterval = u16(seg)
+        case 0xee => // APP14 (Adobe): transform 0 = components stored
+          // directly (RGB for a 3-component frame), 1 = YCbCr, 2 = YCCK
+          if (len >= 14 && u8(seg) == 'A' && u8(seg + 1) == 'd' && u8(seg + 2) == 'o' &&
+              u8(seg + 3) == 'b' && u8(seg + 4) == 'e')
+            adobeTransform = u8(seg + 11)
         case 0xda => // SOS: entropy-coded data follows
           if (comps == null) return None
           val ns = u8(seg)
@@ -270,7 +290,30 @@ object JpegDecode {
             p += 2
             c += 1
           }
-          return scan(b, segEnd, comps, w, h, qt, restartInterval)
+          // T.81 A.2: a scan is interleaved only when Ns > 1. A
+          // single-component scan is NON-interleaved — one 8×8 data
+          // unit per MCU in plain raster order, sampling factors
+          // irrelevant — so a greyscale frame that declares h/v > 1
+          // (e.g. jpegtran -grayscale keeps the source's 4:2:0 luma
+          // factors) must not be decoded as h×v block clusters.
+          val scanComps =
+            if (ns == 1 && (comps(0).h != 1 || comps(0).v != 1)) {
+              val c0 = comps(0)
+              val c1 = c0.copy(h = 1, v = 1)
+              c1.dcTab = c0.dcTab; c1.acTab = c0.acTab
+              Array(c1)
+            } else comps
+          // color identity: YCbCr unless the encoder says otherwise.
+          // Adobe transform 0 on a 3-component frame, or raw 'R','G','B'
+          // component ids with no Adobe marker, mean the planes are
+          // stored RGB and must NOT go through the YCbCr matrix; YCCK
+          // (transform 2) on 3 components is malformed.
+          if (comps.length == 3 && adobeTransform == 2) return None
+          val rgbDirect = comps.length == 3 &&
+            (adobeTransform == 0 ||
+              (adobeTransform == -1 &&
+                comps(0).id == 'R' && comps(1).id == 'G' && comps(2).id == 'B'))
+          return scan(b, segEnd, scanComps, w, h, qt, restartInterval, rgbDirect)
         case _ => () // APPn / COM / others: skip
       }
       i += 2 + len
@@ -281,7 +324,7 @@ object JpegDecode {
   /** entropy-decode every MCU, reassemble planes, color-convert. */
   private def scan(b: Array[Byte], start: Int, comps: Array[Comp],
                    w: Int, h: Int, qt: Array[Array[Int]],
-                   restartInterval: Int): Option[PixelImage] = {
+                   restartInterval: Int, rgbDirect: Boolean): Option[PixelImage] = {
     val maxH = comps.map(_.h).max
     val maxV = comps.map(_.v).max
     val mcuW = 8 * maxH
@@ -409,6 +452,26 @@ object JpegDecode {
       // exotic non-divisible sampling ratios (e.g. 3:2) are legal per
       // T.81 but unseen in practice — unsupported shape, not a crash
       if (comps.exists(c => maxH % c.h != 0 || maxV % c.v != 0)) return None
+      if (rgbDirect) {
+        // Adobe transform=0 / R,G,B component ids: planes ARE R,G,B
+        val (rP, rW) = fullRes(comps(0))
+        val (gP, gW) = fullRes(comps(1))
+        val (bP, bW) = fullRes(comps(2))
+        val out = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val o = (y * w + x) * 3
+            out(o) = rP(y * rW + x)
+            out(o + 1) = gP(y * gW + x)
+            out(o + 2) = bP(y * bW + x)
+            x += 1
+          }
+          y += 1
+        }
+        return Some(PixelImage(w, h, 3, out))
+      }
       val (yP, yW) = fullRes(comps(0))
       val (bP, bW) = fullRes(comps(1))
       val (rP, rW) = fullRes(comps(2))

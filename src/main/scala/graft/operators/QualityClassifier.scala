@@ -71,7 +71,12 @@ object QualityClassifier {
     val feats = df.filter(col(textCol).isNotNull)
       .orderBy(trainKey, col(idCol))
       .limit(maxTrainDocs)
-      .select(features(col(textCol), dim).as("f"), labelCol.cast("long").as("y"))
+      // NULL label (e.g. a zero-word doc's NULL quality-score ratio)
+      // counts as class 0 — totalizes the operator and matches the SQL
+      // oracle's CASE ... ELSE 0; leaving it NULL would make the
+      // gradient aggregate silently skip the row in one engine only
+      .select(features(col(textCol), dim).as("f"),
+        coalesce(labelCol.cast("long"), lit(0L)).as("y"))
       .localCheckpoint(true)
     val n = feats.count()
     var w = Array.fill(dim + 1)(0L)

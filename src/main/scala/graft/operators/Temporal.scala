@@ -156,9 +156,14 @@ object Temporal {
     // q36_interval_overlap outlier). A limit-1 probe over just the two
     // predicate columns proves emptiness and drops the side-channel —
     // and the normals filter with it — from the plan entirely.
+    // The probe is an ACTION at build time: it snapshots the input as
+    // of now (an input that gains its first giant between build and
+    // execution — e.g. a view over a growing path — keeps the
+    // probe-time plan; rebuild per run for moving data) and cannot run
+    // on a streaming frame, which keeps the guard planned instead.
     val giantsOpt = maxBucketsPerInterval.flatMap { m =>
       val g = intervals.filter(nBuckets(intervals) > m)
-      if (g.select(startCol, endCol).isEmpty) None else Some(g)
+      if (!intervals.isStreaming && g.select(startCol, endCol).isEmpty) None else Some(g)
     }
     val normals =
       if (giantsOpt.isEmpty) intervals
@@ -227,10 +232,11 @@ object Temporal {
         // side-channel (and its paired normals filter) only enters the
         // plan when a limit-1 probe finds an actual giant — two empty
         // broadcast unions otherwise tax every run for a guard that
-        // never fires.
+        // never fires. Same build-time-snapshot caveat as rangeJoin's
+        // probe; streaming frames skip the probe and keep the guard.
         def probeGiants(df: DataFrame, sc: String, ec: String): Option[DataFrame] = {
           val g = df.filter(nBuckets(df, sc, ec) > m)
-          if (g.select(sc, ec).isEmpty) None else Some(g)
+          if (!df.isStreaming && g.select(sc, ec).isEmpty) None else Some(g)
         }
         val lGiant = probeGiants(left, lStartCol, lEndCol)
         val rGiant = probeGiants(right, rStartCol, rEndCol)

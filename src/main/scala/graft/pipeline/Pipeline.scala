@@ -145,7 +145,13 @@ object Pipeline {
     // exactly-once RPC guard (recompute-on-eviction with persist()
     // would re-fire RPCs); a chain's parent.emitted is recoverable as
     // the async node's own `received` (1:1), asserted in
-    // ChaosDrillSpec.
+    // ChaosDrillSpec. The same break swallows THIS node's `.offered`
+    // counter when discard_on_full_buffer is combined with an async
+    // stage: offered is by definition upstream of the admission limit,
+    // which must run before the RPCs (shedding exists to avoid firing
+    // them), so the exact discard count of an async+discard node is
+    // unobservable — Metrics.discardedEvents max-guards to 0 for it
+    // (documented there) rather than reporting a negative.
 
     // Per-node `workers` (executor/executor.go:319-337): the reference
     // runs N goroutines per node pulling from its channel; Spark's
@@ -160,7 +166,9 @@ object Pipeline {
     // DOWN would serialize a wide stage, which is Spark's scheduler's
     // call, not the config's.
     // discard_on_full_buffer plans a single-partition GlobalLimit; all
-    // other node transforms are narrow, so the static estimate holds.
+    // built-in node transforms are narrow, so the static estimate
+    // holds (a custom wide stage opts out via Stage.narrow = false,
+    // handled at childParts below).
     val partsHere = if (conf.discardOnFullBuffer) 1 else inputParts
     val (parallel, outParts) =
       if (conf.workers > 1 && partsHere < conf.workers)
@@ -201,11 +209,19 @@ object Pipeline {
       ErrorRouting(dead, ehStage).output
     }
 
+    // static partition propagation assumes the stage is NARROW (true
+    // of every built-in); a custom wide stage declares narrow=false
+    // and children re-measure the actual count — the per-batch plan
+    // compile the estimate exists to avoid, paid only by pipelines
+    // that embed a shuffle in a stage (they pay the shuffle anyway)
+    lazy val childParts =
+      if (stage.narrow) outParts
+      else outObserved.rdd.getNumPartitions
     BuiltNode(
       conf,
       outObserved,
       split.deadLetters,
       errorHandlerOutput,
-      activeChildren.map(buildNode(outObserved, outParts, _, registry, observe, persistShared, persisted)))
+      activeChildren.map(buildNode(outObserved, childParts, _, registry, observe, persistShared, persisted)))
   }
 }

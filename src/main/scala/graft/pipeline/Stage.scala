@@ -37,7 +37,15 @@ final case class Stage(
       * (`node/node.go:36-39`): runs the per-row call and attaches
       * outcome columns that failWhen/keepWhen then route on
       * declaratively. None for every synchronous stage. */
-    pre: Option[DataFrame => DataFrame] = None)
+    pre: Option[DataFrame => DataFrame] = None,
+    /** true (the default, and true of every built-in stage) when
+      * `expand`/`project`/`pre` preserve the input partitioning —
+      * select/filter/explode/mapPartitions. A custom stage whose
+      * transform SHUFFLES (groupBy, join, repartition) must set
+      * narrow=false so the per-node `workers` floor re-measures the
+      * actual partition count downstream instead of trusting the
+      * static estimate (Pipeline.buildNode). */
+    narrow: Boolean = true)
 
 /** Error predicate + structured error columns (reference FBError,
   * `error.go:50-54`).

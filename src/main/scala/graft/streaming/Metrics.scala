@@ -72,7 +72,12 @@ final class PipelineMetrics(spark: SparkSession) {
 
   /** events shed by a `discard_on_full_buffer` node this snapshot
     * (reference DiscardedEvents counter): offered − admitted. Zero for
-    * nodes without the flag (no `.offered` metric is emitted). */
+    * nodes without the flag (no `.offered` metric is emitted), and —
+    * max-guarded rather than negative — for a node that combines the
+    * flag with an ASYNC stage: its `.offered` observe sits above the
+    * exactly-once localCheckpoint break and never reaches a listener
+    * (Pipeline.buildNode's async comment), so the exact discard count
+    * of that combination is unobservable by design. */
   def discardedEvents(id: String): Long = {
     flush()
     math.max(0L,

@@ -207,11 +207,76 @@ class JpegDecodeSpec extends AnyFunSuite {
 
     val good = encodeJpeg(gradient(16, 16, BufferedImage.TYPE_3BYTE_BGR), 0.9f)
     assert(JpegDecode.jpegPixels(good.take(20)).isEmpty)           // truncated header
-    JpegDecode.jpegPixels(good.take(good.length - 30))             // truncated stream: must not throw
+    // truncated entropy stream: the bit reader refuses to decode its
+    // synthesized zero-padding into plausible garbage — None, not Some
+    assert(JpegDecode.jpegPixels(good.take(good.length - 30)).isEmpty)
     assert(JpegDecode.jpegPixels(Array[Byte](1, 2, 3)).isEmpty)    // not a JPEG
     assert(JpegDecode.jpegPixels(Array.fill[Byte](64)(0xff.toByte)).isEmpty)
     // MediaDecode dispatch picks it up
     assert(MediaDecode.imagePixels(good).isDefined)
+  }
+
+  test("single-component scan is non-interleaved: grayscale with 2x2 sampling factors") {
+    // T.81 A.2: Ns=1 scans are NON-interleaved — one 8x8 block per MCU
+    // in raster order, sampling factors ignored. jpegtran -grayscale
+    // keeps the source's 4:2:0 luma factors, so this shape is common.
+    // An 8x8 frame declaring h=v=2 carries exactly ONE block; an
+    // (incorrect) interleaved read would demand 4 and hit the
+    // truncation guard.
+    def hex(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val jpeg = hex("FFD8" +
+      "FFDB" + "0043" + "00" + "10" * 64 +
+      "FFC0" + "000B" + "08" + "0008" + "0008" + "01" + "01" + "22" + "00" + // h=v=2
+      "FFC4" + "0014" + "00" + "01" + "00" * 15 + "03" +
+      "FFC4" + "0014" + "10" + "01" + "00" * 15 + "00" +
+      "FFDA" + "0008" + "01" + "01" + "00" + "00" + "3F" + "00" +
+      "57" + // DC code '0', +5 (101), EOB '0', 1-padded: 0101 0111
+      "FFD9")
+    val img = JpegDecode.jpegPixels(jpeg).getOrElse(fail("non-interleaved grayscale refused"))
+    assert(img.width == 8 && img.height == 8 && img.channels == 1)
+    assert(img.data.forall(b => (b & 0xff) == 138), s"got ${img.data.map(_ & 0xff).distinct.toSeq}")
+  }
+
+  test("stored-RGB JPEGs skip the YCbCr matrix (R,G,B component ids and Adobe transform=0)") {
+    def hex(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // 8x8, 3 components, 1x1 sampling, DC-only; the single DC code maps
+    // to category 3, so every block is 0|xxx|0: R=+5 -> 138,
+    // G=+4 -> 136, B=-4 (011) -> 120. Entropy: 01010 01000 00110
+    // + 1 one-pad = 0101 0010 0000 1101 = 0x52 0x0D
+    def threeComp(ids: (Int, Int, Int), app14: String): Array[Byte] = hex("FFD8" +
+      app14 +
+      "FFDB" + "0043" + "00" + "10" * 64 +
+      "FFC0" + "0011" + "08" + "0008" + "0008" + "03" +
+      f"${ids._1}%02X" + "11" + "00" + f"${ids._2}%02X" + "11" + "00" + f"${ids._3}%02X" + "11" + "00" +
+      "FFC4" + "0014" + "00" + "01" + "00" * 15 + "03" +
+      "FFC4" + "0014" + "10" + "01" + "00" * 15 + "00" +
+      "FFDA" + "000C" + "03" +
+      f"${ids._1}%02X" + "00" + f"${ids._2}%02X" + "00" + f"${ids._3}%02X" + "00" +
+      "00" + "3F" + "00" +
+      "52" + "0D" + "FFD9")
+    def checkRgbDirect(jpeg: Array[Byte]): Unit = {
+      val img = JpegDecode.jpegPixels(jpeg).getOrElse(fail("stored-RGB refused"))
+      assert(img.channels == 3)
+      for (i <- 0 until 64) {
+        assert((img.data(i * 3) & 0xff) == 138)     // R plane verbatim
+        assert((img.data(i * 3 + 1) & 0xff) == 136) // G plane verbatim
+        assert((img.data(i * 3 + 2) & 0xff) == 120) // B plane verbatim
+      }
+    }
+    // 'R','G','B' component ids, no Adobe marker
+    checkRgbDirect(threeComp((0x52, 0x47, 0x42), app14 = ""))
+    // JFIF-style ids 1,2,3 but Adobe APP14 transform=0
+    val adobe0 = "FFEE" + "000E" + "41646F6265" + "0064" + "0000" + "0000" + "00"
+    checkRgbDirect(threeComp((1, 2, 3), app14 = adobe0))
+    // control: same stream with ids 1,2,3 and NO Adobe marker is YCbCr
+    // (DC Y=+5, Cb=+4, Cr=-4 -> R=127 after the matrix, not 138)
+    val ycc = JpegDecode.jpegPixels(threeComp((1, 2, 3), app14 = "")).get
+    assert((ycc.data(0) & 0xff) != 138)
+    // Adobe transform=2 (YCCK) on 3 components is malformed -> None
+    val adobe2 = "FFEE" + "000E" + "41646F6265" + "0064" + "0000" + "0000" + "02"
+    assert(JpegDecode.jpegPixels(threeComp((1, 2, 3), app14 = adobe2)).isEmpty)
   }
 
   test("decompression bomb: huge claimed dims refused") {
