@@ -30,12 +30,25 @@ object Hashing {
   /** LSH band keys: the signature split into `bands` contiguous rows,
     * each rendered "b:v1-v2-..." — docs sharing any band key are
     * candidate duplicates.
+    *
+    * A doc with NO shingles (fewer than n words, or null text) has an
+    * all-null signature and therefore NO minhash identity: it gets an
+    * EMPTY band array (explode drops it everywhere), never candidate
+    * pairs. Without this, concat_ws's null-skipping would render every
+    * such doc to the same degenerate keys ("0", "1", …) and ALL short
+    * docs — regardless of content — would pair as near-duplicates
+    * (eval sets routinely contain two-word answers, and fuzzy
+    * decontamination would then flag every short train doc). This also
+    * matches the SQL oracle mirrors, whose `'0-' || sg[1] || …`
+    * renders NULL band keys that never equi-join.
     */
   def lshBandKeys(sig: Column, k: Int, bands: Int): Column = {
     val rows = k / bands
-    array((0 until bands).map(b =>
+    val keys = array((0 until bands).map(b =>
       concat_ws("-", (lit(b.toString) +: (0 until rows).map(r =>
         element_at(sig, b * rows + r + 1).cast("string"))): _*)): _*)
+    when(element_at(sig, 1).isNotNull, keys)
+      .otherwise(array().cast("array<string>"))
   }
 
   /** 32-bit SimHash over token array: bit j is set iff

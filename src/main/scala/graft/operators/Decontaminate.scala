@@ -62,8 +62,15 @@ object Decontaminate {
         maxEvalGrams, "decontamination eval gram set")
       .collect().map(_.getString(0)).toSet
     train.withColumn("contaminated",
-      exists(array_distinct(TextFunctions.shingles(col(textCol), n)),
-        g => g.isInCollection(grams)))
+      // coalesce: a null-text row's shingles are null -> exists is
+      // null; flag() drops the same row at its explode and left-join
+      // coalesces to false, so the streaming twin must also say false
+      // (a bare null would get DROPPED by filter(!contaminated),
+      // silently diverging from the pinned batch-equals contract)
+      coalesce(
+        exists(array_distinct(TextFunctions.shingles(col(textCol), n)),
+          g => g.isInCollection(grams)),
+        lit(false)))
   }
 
   /** [[flag]] with a Bloom pre-filter — the 100 TB shape when the eval
@@ -113,6 +120,12 @@ object Decontaminate {
     * shares any band bucket with any eval doc. The eval band set
     * broadcasts — corpus-side cost is one signature pass + broadcast
     * semi-join, no corpus shuffle.
+    *
+    * Docs with no word `n`-gram (fewer than n words, null text) have
+    * no minhash identity and produce NO band keys
+    * ([[graft.functions.Hashing.lshBandKeys]]) — so a two-word eval
+    * answer can never fuzzy-flag every short train doc; use [[flag]]
+    * with a smaller n for short-text contamination.
     */
   def fuzzyFlag(train: DataFrame, eval: DataFrame,
                 idCol: String, textCol: String,

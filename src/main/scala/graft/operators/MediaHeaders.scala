@@ -159,18 +159,21 @@ object MediaHeaders {
           // v0: ctime/mtime u32 → timescale at payload+12, duration u32 at +16
           // v1: ctime/mtime u64 → timescale at payload+20, duration u64 at +24
           // all-ones duration is the spec's "unknown" sentinel (ISO
-          // 14496-12 §8.2.2 — fragmented files carry the real duration
-          // in mehd/sidx): return None, not a ~49-day fabrication
+          // 14496-12 §8.2.2); duration ZERO is the fragmented-file
+          // convention (DASH/fMP4 set mvhd.duration = 0 and carry the
+          // real total in moov/mvex/mehd or sidx) — both map to None,
+          // not a fabricated 0 ms that a duration-floor filter would
+          // silently drop every fragmented file on
           if (mvhd >= mvhdEnd) None
           else u8(mvhd.toInt) match {
             case 0 if mvhd + 20 <= mvhdEnd =>
               val ts = be32(mvhd.toInt + 12)
               val dur = be32(mvhd.toInt + 16)
-              if (ts > 0 && dur != 0xFFFFFFFFL) Some(dur * 1000L / ts) else None
+              if (ts > 0 && dur != 0xFFFFFFFFL && dur != 0L) Some(dur * 1000L / ts) else None
             case 1 if mvhd + 32 <= mvhdEnd =>
               val ts = be32(mvhd.toInt + 20)
               val dur = be64(mvhd.toInt + 24)
-              if (ts > 0 && dur != -1L) Some(dur * 1000L / ts) else None
+              if (ts > 0 && dur != -1L && dur != 0L) Some(dur * 1000L / ts) else None
             case _ => None
           }
         }
@@ -255,7 +258,9 @@ object MediaHeaders {
     val rate = (u8(18).toLong << 12) | (u8(19) << 4) | (u8(20) >> 4)
     val total = ((u8(21) & 0x0f).toLong << 32) | (u8(22).toLong << 24) |
       (u8(23).toLong << 16) | (u8(24).toLong << 8) | u8(25).toLong
-    if (rate > 0) Some(total * 1000L / rate) else None
+    // total-samples 0 is the spec's "unknown" (live/streamed capture) —
+    // None, not a fabricated 0 ms
+    if (rate > 0 && total > 0) Some(total * 1000L / rate) else None
   }
 
   /** duration_ms for RIFF/WAVE bytes; None otherwise. */

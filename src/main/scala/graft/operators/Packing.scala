@@ -69,9 +69,16 @@ object Packing {
     }
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val span = math.max(1L, (hi - lo) / buckets + 1)
-    val withBucket = base.select(
-      col(idCol), col(idxCol), col(tokCol),
-      floor((col(idCol).cast("long") - lo) / span).cast("long").as("__b"))
+    // integer DIV, not float `/`: long/long in Spark divides as DOUBLE,
+    // whose 53-bit mantissa mis-rounds quotients past ~9e15 — a
+    // boundary id would land in the wrong bucket and break the
+    // bucket-order == id-order invariant the prefix sum rests on
+    // (id - lo >= 0 by construction, so DIV == floor here)
+    val withBucket = base
+      .select(col(idCol), col(idxCol), col(tokCol),
+        (col(idCol).cast("long") - lit(lo)).as("__rel"))
+      .withColumn("__b", expr(s"__rel DIV ${span}L"))
+      .drop("__rel")
     // phase 2: per-bucket exclusive prefix sum (parallel across buckets)
     val w = Window.partitionBy("__b").orderBy(col(idCol), col(idxCol))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -85,11 +92,16 @@ object Packing {
     import spark.implicits._
     val offDf = broadcast(offsets.toDF("__b", "__off"))
     val start = (col("__off") + col("__local")).as("start_tok")
+    // same integer-DIV discipline as the bucket id: global token
+    // offsets are exactly the quantity that outgrows a double mantissa
+    // at 100 TB (all operands non-negative, so DIV == floor)
     local.join(offDf, "__b")
-      .select(col(idCol), col(idxCol), col(tokCol), start)
-      .withColumn("win_first", floor(col("start_tok") / budget).cast("long"))
+      .select(col(idCol), col(idxCol), col(tokCol), start,
+        col(tokCol).cast("long").as("__tk"))
+      .withColumn("win_first", expr(s"start_tok DIV ${budget}L"))
       .withColumn("win_last",
-        when(col(tokCol) === 0, col("win_first"))
-          .otherwise(floor((col("start_tok") + col(tokCol) - 1) / budget).cast("long")))
+        when(col("__tk") === 0, col("win_first"))
+          .otherwise(expr(s"(start_tok + __tk - 1) DIV ${budget}L")))
+      .drop("__tk")
   }
 }

@@ -24,24 +24,30 @@ object Profile {
   def profile(df: DataFrame, cols: Seq[String] = Nil,
               exactDistinct: Boolean = false): DataFrame = {
     val names = if (cols.nonEmpty) cols else df.columns.toSeq
-    val aggs = names.flatMap { c =>
+    // references: backtick-quoted so legal-but-hostile top-level names
+    // ("user.name" from ingested JSON) resolve as the column, not as a
+    // struct-field path; aliases: INDEX-based so the internal names
+    // can never contain a dot regardless of input naming
+    def ref(c: String): org.apache.spark.sql.Column =
+      col("`" + c.replace("`", "``") + "`")
+    val aggs = names.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        count(col(c)).as(s"__nn_$c"),
-        (if (exactDistinct) countDistinct(col(c))
-         else approx_count_distinct(col(c), 0.02)).as(s"__nd_$c"),
-        min(col(c)).cast("string").as(s"__mn_$c"),
-        max(col(c)).cast("string").as(s"__mx_$c"))
+        count(ref(c)).as(s"__nn_$i"),
+        (if (exactDistinct) countDistinct(ref(c))
+         else approx_count_distinct(ref(c), 0.02)).as(s"__nd_$i"),
+        min(ref(c)).cast("string").as(s"__mn_$i"),
+        max(ref(c)).cast("string").as(s"__mx_$i"))
     } :+ count(lit(1)).as("__total")
     val row = df.agg(aggs.head, aggs.tail: _*)
     // melt: one output row per column, from the single aggregated row
-    val perCol = names.map { c =>
+    val perCol = names.zipWithIndex.map { case (c, i) =>
       struct(
         lit(c).as("col_name"),
         col("__total").as("n_rows"),
-        (col("__total") - col(s"__nn_$c")).as("n_nulls"),
-        col(s"__nd_$c").as("n_distinct"),
-        col(s"__mn_$c").as("min_s"),
-        col(s"__mx_$c").as("max_s"))
+        (col("__total") - col(s"__nn_$i")).as("n_nulls"),
+        col(s"__nd_$i").as("n_distinct"),
+        col(s"__mn_$i").as("min_s"),
+        col(s"__mx_$i").as("max_s"))
     }
     row.select(explode(array(perCol: _*)).as("p")).select("p.*")
   }
@@ -179,16 +185,22 @@ object Profile {
     *
     * ONE aggregation job, all predicates row-local integer/boolean
     * counts (engine-exact, no float aggregates): `n_rows`, `n_null`,
-    * `n_wrong_dim` (≠ expectedDim), `n_nan` (any NaN element),
-    * `n_zero` (all elements 0), `n_ok` (none of the above).
+    * `n_wrong_dim` (≠ expectedDim), `n_nan` (any NaN or NULL element —
+    * both poison every cosine they touch), `n_zero` (all elements 0),
+    * `n_ok` (none of the above).
     */
   def embeddingStats(df: DataFrame, vecCol: String, expectedDim: Int): DataFrame = {
     require(expectedDim > 0, s"embeddingStats: expectedDim must be positive")
     val v = col(vecCol)
     val isNull = v.isNull
     val wrongDim = !isNull && size(v) =!= expectedDim
-    val hasNan = !isNull && exists(v, x => isnan(x))
-    val isZero = !isNull && size(v) > 0 && forall(v, x => x === 0f)
+    // a NULL element poisons cosines exactly like NaN and must not
+    // vanish into three-valued logic (exists over no-true-some-null is
+    // null -> counted in NO category): null elements count as n_nan
+    val hasNan = !isNull && exists(v, x => x.isNull || isnan(x))
+    // null-safe: an element of unknown zero-ness makes the vector
+    // definitively NOT all-zero (it is already in n_nan)
+    val isZero = !isNull && size(v) > 0 && forall(v, x => coalesce(x === 0f, lit(false)))
     def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
     df.agg(
       count(lit(1)).as("n_rows"),

@@ -26,10 +26,29 @@ object Sampling {
     * extreme key magnitudes (and the streaming twin
     * [[graft.streaming.StatefulOps]] `hashOrd` can never wrap) — the
     * stream/batch exact-agreement contract holds for ALL int64 keys.
+    * The key must be NUMERIC (a string key would implicit-cast to
+    * null and bucket nothing) — the df-aware operators below route
+    * string keys through [[keyAsLong]] first.
     */
   def hashBucket(key: Column, buckets: Int, seed: Int = 0): Column =
     pmod(pmod(pmod(key, lit(P)) * (37L + 101L * seed) + (7L + 139L * seed), lit(P)),
       lit(buckets.toLong))
+
+  /** int64 form of a split/sampling key: numeric keys pass through
+    * unchanged (every historical assignment is preserved); STRING keys
+    * (URLs, UUIDs — explicitly supported by the dedup/components
+    * family) hash through the engine-replayable
+    * [[graft.functions.TextFunctions.charHash]] fold — without this
+    * they would implicit-cast to null inside [[hashBucket]] and every
+    * row's split/sample membership would silently come out null/empty.
+    * Oracle mirror: `duckCharHash` in the query layer.
+    */
+  private def keyAsLong(df: DataFrame, keyCol: String): Column =
+    df.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        graft.functions.TextFunctions.charHash(col(keyCol))
+      case _ => col(keyCol)
+    }
 
   /** Split rows into named fractions by key hash: e.g.
     * `Seq("train" -> 80, "test" -> 20)` (integer percents, sum 100).
@@ -38,7 +57,7 @@ object Sampling {
   def splitByHash(df: DataFrame, keyCol: String,
                   fractions: Seq[(String, Int)], seed: Int = 0): DataFrame = {
     require(fractions.map(_._2).sum == 100, "fractions must sum to 100")
-    val b = hashBucket(col(keyCol), 100, seed)
+    val b = hashBucket(keyAsLong(df, keyCol), 100, seed)
     val (expr, _) = fractions.foldLeft((lit(null).cast("string"), 0)) {
       case ((acc, lo), (name, pct)) =>
         (when(b >= lo && b < lo + pct, name).otherwise(acc), lo + pct)
@@ -91,7 +110,7 @@ object Sampling {
     */
   def sampleByWeight(df: DataFrame, keyCol: String, weightUnits: Column,
                      den: Int = 1000000, seed: Int = 0): DataFrame =
-    df.filter(hashBucket(col(keyCol), den, seed) < weightUnits)
+    df.filter(hashBucket(keyAsLong(df, keyCol), den, seed) < weightUnits)
 
   /** Epoch-aware mixture: per-source repeat factors in PPM OF EPOCHS
     * (2_500_000 = 2.5 epochs), the up-sampling recipe of modern LLM
@@ -111,7 +130,7 @@ object Sampling {
       .withColumn("__ppm", epochsPpmOf(col(groupCol)).cast("long"))
       .withColumn("__n",
         expr("__ppm DIV 1000000") +
-          when(hashBucket(col(keyCol), 1000000, seed) < pmod(col("__ppm"), lit(1000000L)),
+          when(hashBucket(keyAsLong(df, keyCol), 1000000, seed) < pmod(col("__ppm"), lit(1000000L)),
             lit(1L)).otherwise(lit(0L)))
       .filter(col("__n") > 0)
       .select(col(keyCol), col(groupCol),
@@ -277,7 +296,7 @@ object Sampling {
   def samplePerGroup(df: DataFrame, groupCol: String, keyCol: String,
                      perGroup: Int, seed: Int = 0): DataFrame = {
     val w = Window.partitionBy(groupCol)
-      .orderBy(hashBucket(col(keyCol), 1000000, seed), col(keyCol))
+      .orderBy(hashBucket(keyAsLong(df, keyCol), 1000000, seed), col(keyCol))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= perGroup)
       .drop("__rn")
@@ -299,7 +318,11 @@ object Sampling {
   def capPerGroup(df: DataFrame, groupCol: String, ordCol: Column,
                   idCol: String, k: Int): DataFrame =
     df.groupBy(groupCol)
-      .agg(graft.functions.TopK.topkPairs(ordCol, col(idCol), k).as("__top"))
+      // type-aware dispatch: string ids ride the UTF8String heap (the
+      // long-cast would null them and silently drop the whole corpus),
+      // fractional ords order as doubles (a long cast would collapse
+      // 0.93 and 0.41 to the same rank)
+      .agg(graft.functions.TopK.topkPairsFor(df, ordCol, col(idCol), k).as("__top"))
       .select(col(groupCol), explode(col("__top")).as("__e"))
       .select(col(groupCol), col("__e.id").as(idCol), col("__e.ord").as("ord"))
 }

@@ -211,7 +211,10 @@ object TextSim {
           .as("__contrib"))
       .groupBy("__qid", "__doc").agg(sum("__contrib").as("__score"))
     scored.groupBy("__qid")
-      .agg(graft.functions.TopK.topkPairs(col("__score"), col("__doc"), k).as("__tk"))
+      // topkPairsFor: string corpus ids (URLs, UUIDs) ride the
+      // string-id heap — the long-id fast path would null-cast and
+      // return empty top-k lists for every query
+      .agg(graft.functions.TopK.topkPairsFor(scored, col("__score"), col("__doc"), k).as("__tk"))
       .select(col("__qid").as("qid"), posexplode(col("__tk")).as(Seq("__pos", "__p")))
       .select(col("qid"), (col("__pos") + 1).as("rank"),
         col("__p.id").as("nid"), col("__p.ord").as("score"))

@@ -2150,15 +2150,18 @@ object TrainingOps {
       (s, dir) =>
         graft.operators.Profile.embeddingStats(
           Tables(s, dir, "embeddings"), "embedding", expectedDim = 64),
+      // n_nan counts NaN OR NULL elements (both poison cosines);
+      // n_zero requires every element definitively zero (a NULL
+      // element disqualifies) — mirrors Profile.embeddingStats exactly
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
              |  CAST(count(*) FILTER (embedding IS NULL) AS BIGINT) AS n_null,
              |  CAST(count(*) FILTER (embedding IS NOT NULL AND len(embedding) <> 64) AS BIGINT) AS n_wrong_dim,
              |  CAST(count(*) FILTER (embedding IS NOT NULL
-             |    AND len(list_filter(embedding, x -> isnan(x))) > 0) AS BIGINT) AS n_nan,
+             |    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) > 0) AS BIGINT) AS n_nan,
              |  CAST(count(*) FILTER (embedding IS NOT NULL AND len(embedding) > 0
-             |    AND len(list_filter(embedding, x -> x <> 0)) = 0) AS BIGINT) AS n_zero,
+             |    AND len(list_filter(embedding, x -> x IS NULL OR x <> 0)) = 0) AS BIGINT) AS n_zero,
              |  CAST(count(*) FILTER (embedding IS NOT NULL AND len(embedding) = 64
-             |    AND len(list_filter(embedding, x -> isnan(x))) = 0
+             |    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0
              |    AND len(list_filter(embedding, x -> x <> 0)) > 0) AS BIGINT) AS n_ok
              |FROM embeddings""".stripMargin)),
 

@@ -114,4 +114,59 @@ class TopKSpec extends SparkSpec {
       .collect()
     assert(out.length == 60, s"expected 20 sources x 3, got ${out.length}")
   }
+
+  test("string-id heap: lexicographic tie-break, serde round-trip") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def u(s: String) = UTF8String.fromString(s)
+    val h = new TopKStrHeap(3)
+    Seq((5L, "b"), (9L, "x"), (5L, "a"), (1L, "z"), (9L, "zz")).foreach {
+      case (o, i) => h.add(o, u(i))
+    }
+    assert(h.sortedPairs.toSeq.map { case (o, i) => (o, i.toString) } ==
+      Seq((9L, "x"), (9L, "zz"), (5L, "a")))
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    val agg = TopKPairsStr(Literal(0L), Literal(UTF8String.fromString(""), StringType), Literal(3))
+    val back = agg.deserialize(agg.serialize(h))
+    assert(back.sortedPairs.toSeq.map { case (o, i) => (o, i.toString) } ==
+      h.sortedPairs.toSeq.map { case (o, i) => (o, i.toString) })
+  }
+
+  test("capPerGroup with STRING ids and DOUBLE ord equals the window rank") {
+    val s = spark
+    import s.implicits._
+    // string ids (URL-ish) would null out through the long-id cast;
+    // fractional scores would collapse through a long cast — both must
+    // route through the type-aware dispatch and match the window
+    val rows = (1L to 400L).map(i =>
+      (if (i % 3 == 0) "big" else "small", s"url-${"%04d".format(i)}", (i % 17).toDouble / 7.0))
+    val df = rows.toDF("domain", "url", "quality")
+    val got = graft.operators.Sampling.capPerGroup(df, "domain", col("quality"), "url", k = 7)
+      .select("domain", "url", "ord")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    val want = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("domain").orderBy(col("quality").desc, col("url").asc)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 7)
+        .select("domain", "url", "quality")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    }
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("bm25TopKAgainst returns results for string corpus ids") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      ("doc-a", "spark streams data with spark engines"),
+      ("doc-b", "cooking pasta with tomatoes"),
+      ("doc-c", "spark catalyst optimizer rules")).toDF("doc_id", "text")
+    val queries = Seq((1L, "spark rules")).toDF("qid", "qtext")
+    val idx = graft.operators.TextSim.bm25Index(corpus, "doc_id", "text")
+    val out = graft.operators.TextSim.bm25TopKAgainst(idx, queries, "qid", "qtext", k = 2)
+      .collect()
+    assert(out.nonEmpty, "string-id corpus returned an empty top-k")
+    val ids = out.map(_.getAs[String]("nid")).toSet
+    assert(ids.subsetOf(Set("doc-a", "doc-b", "doc-c")) && ids.contains("doc-c"))
+  }
 }

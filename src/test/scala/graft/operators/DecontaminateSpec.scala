@@ -78,6 +78,44 @@ class DecontaminateSpec extends SparkSpec {
     assert(!fuzzy(2L))
   }
 
+  test("fuzzyFlag: short docs have no minhash identity and are never flagged") {
+    import spark.implicits._
+    // an eval set with a two-word answer ("yes sir" has no 3-gram):
+    // before the empty-band guard, its all-null signature rendered the
+    // same degenerate band keys as EVERY short train doc, mass-flagging
+    // unrelated short text as benchmark leakage
+    val eval = Seq((100L, "yes sir"), (101L, (1 to 50).map("e" + _).mkString(" "))).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "no"),                                        // short, unrelated
+      (2L, "totally different"),                         // short, unrelated
+      (3L, null.asInstanceOf[String]),                   // null text
+      (4L, (1 to 50).map("e" + _).mkString(" ")))        // true near-dup
+      .toDF("doc_id", "text")
+    val fuzzy = Decontaminate.fuzzyFlag(train, eval, "doc_id", "text", n = 3, k = 8, bands = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("contaminated"))).toMap
+    assert(!fuzzy(1L) && !fuzzy(2L) && !fuzzy(3L),
+      s"short/null docs must not be degenerate-band flagged: $fuzzy")
+    assert(fuzzy(4L), "a real near-dup must still be caught")
+  }
+
+  test("flagStreaming treats null text as uncontaminated, exactly like flag") {
+    import spark.implicits._
+    val eval = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val train = Seq((1L, "the quick brown fox jumps today"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // batch-driving the streaming operator (its contract): the null-text
+    // row must come back contaminated = false, not null (a null would
+    // be DROPPED by filter(!contaminated), diverging from flag())
+    val streaming = Decontaminate.flagStreaming(train, eval, "doc_id", "text", n = 3)
+      .select("doc_id", "contaminated")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val batch = Decontaminate.flag(train, eval, "doc_id", "text", n = 3)
+      .select("doc_id", "contaminated")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(streaming == Map(1L -> true, 2L -> false))
+    assert(streaming == batch)
+  }
+
   test("repetitionPpm measures the repeated-shingle fraction exactly") {
     import spark.implicits._
     val df = Seq(

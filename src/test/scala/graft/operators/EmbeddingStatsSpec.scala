@@ -33,6 +33,24 @@ class EmbeddingStatsSpec extends SparkSpec {
     assert(r.getLong(3) == 1L && r.getLong(4) == 0L && r.getLong(5) == 0L)
   }
 
+  test("a NULL element counts as n_nan, not in no category (3VL trap)") {
+    // exists(isnan) over [1.0, null, 2.0] is NULL under three-valued
+    // logic — the vector must land in n_nan (null elements poison
+    // cosines like NaN), and a [null, 0] vector must NOT count as zero
+    val df = Seq(
+      (1L, Seq[java.lang.Float](1f, null, 2f)),
+      (2L, Seq[java.lang.Float](null, 0f, 0f)),
+      (3L, Seq[java.lang.Float](1f, 2f, 3f))
+    ).toDF("id", "vec")
+    val r = Profile.embeddingStats(df, "vec", 3).collect().head
+    assert(r.getLong(0) == 3L) // n_rows
+    assert(r.getLong(3) == 2L, s"null-element vectors must count as n_nan: $r")
+    assert(r.getLong(4) == 0L) // n_zero: [null,0,0] is not definitively zero
+    assert(r.getLong(5) == 1L) // only the clean vector is ok
+    // every row is accounted for: nan + ok == rows here
+    assert(r.getLong(3) + r.getLong(5) == r.getLong(0))
+  }
+
   test("clean corpus gates fully ok in one job") {
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val r = Profile.embeddingStats(df, "embedding", 64).collect().head

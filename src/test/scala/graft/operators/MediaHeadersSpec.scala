@@ -197,6 +197,22 @@ class MediaHeadersSpec extends AnyFunSuite {
     assert(MediaHeaders.mp4DurationMs(hex(ftyp + box("moov", mvhdUnk0))).isEmpty)
     val mvhdUnk1 = box("mvhd", "01000000" + "00" * 16 + "000003E8" + "FFFFFFFFFFFFFFFF" + "00" * 80)
     assert(MediaHeaders.mp4DurationMs(hex(ftyp + box("moov", mvhdUnk1))).isEmpty)
+    // duration ZERO = fragmented-file convention (real total lives in
+    // mvex/mehd) → None, not a fabricated 0 ms a duration floor would
+    // drop every DASH/fMP4 file on
+    val mvhdFrag0 = box("mvhd", "00000000" + "00000000" + "00000000" + "00000258" + "00000000" + "00" * 80)
+    assert(MediaHeaders.mp4DurationMs(hex(ftyp + box("moov", mvhdFrag0))).isEmpty)
+    val mvhdFrag1 = box("mvhd", "01000000" + "00" * 16 + "000003E8" + "0000000000000000" + "00" * 80)
+    assert(MediaHeaders.mp4DurationMs(hex(ftyp + box("moov", mvhdFrag1))).isEmpty)
+  }
+
+  test("FLAC: total-samples 0 is the spec's 'unknown' -> None, not 0 ms") {
+    // STREAMINFO with rate 44100 but zero total samples (live capture)
+    val flacUnknown = hex("664C614300000022001000100000000000000AC440" + "0000000000")
+    assert(MediaHeaders.flacDurationMs(flacUnknown).isEmpty)
+    // the known fixture still resolves: 441000 samples at 44100 Hz
+    val flacKnown = hex("664C614300000022001000100000000000000AC440000006BAA8")
+    assert(MediaHeaders.flacDurationMs(flacKnown).contains(10000L))
   }
 
   test("assemble→parse round-trips across the dimension range") {

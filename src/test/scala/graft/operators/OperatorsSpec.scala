@@ -490,6 +490,14 @@ class OperatorsSpec extends SparkSpec {
     assert(approx("id") == 4L && approx("v") == 2L)
   }
 
+  test("profile survives column names containing dots (ingested-JSON shape)") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "x"), (2L, "y")).toDF("user.id", "user.name")
+    val p = Profile.profile(df, exactDistinct = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(p == Map("user.id" -> 2L, "user.name" -> 2L), p.toString)
+  }
+
   test("top-terms: broadcast-vocab and AQE-shuffle paths produce identical results") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet

@@ -175,4 +175,27 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(sel.forall(_ % 2 == 0) && sel.length == 1000)
   }
+
+  test("STRING keys split and sample through charHash, never to null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // string keys previously implicit-cast to null inside hashBucket:
+    // every split came out null and sampleByWeight dropped every row
+    val df = (1 to 500).map(i => s"https://example.com/doc/$i").toDF("url")
+    val f = Seq("train" -> 80, "test" -> 20)
+    val splits = Sampling.splitByHash(df, "url", f)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(splits.values.forall(v => v == "train" || v == "test"),
+      "no null split assignments allowed")
+    val trainFrac = splits.values.count(_ == "train") / 500.0
+    assert(math.abs(trainFrac - 0.8) < 0.08, s"train fraction $trainFrac")
+    // growth-stable: the same url keeps its split in a larger corpus
+    val more = (1 to 900).map(i => s"https://example.com/doc/$i").toDF("url")
+    val splits2 = Sampling.splitByHash(more, "url", f)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(splits.forall { case (k, v) => splits2(k) == v })
+    // weight sampling keeps a sane fraction instead of dropping all rows
+    val kept = Sampling.sampleByWeight(df, "url", lit(500L), den = 1000).count()
+    assert(kept > 0 && kept < 500, s"kept $kept of 500 at weight 0.5")
+  }
 }
