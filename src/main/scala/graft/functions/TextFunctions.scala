@@ -98,7 +98,13 @@ object TextFunctions {
   /** DISTINCT stopwords present — Gopher's "contains at least 2 of the
     * stop set" rule counts distinct hits, not occurrences. */
   def distinctStopwordCount(text: Column): Column =
-    size(array_distinct(filter(words(text), w => w.isInCollection(Stopwords)))).cast("long")
+    // \S+ tokens like every sibling rule input (wsTokenCount,
+    // distinctWordCount, alphaWordCount) — the single-space split
+    // fused newline/tab-separated words ("of\nthe") into tokens that
+    // never matched a stopword, failing ok_stop on normal multi-line
+    // documents
+    size(array_distinct(filter(regexp_extract_all(text, lit("\\S+"), lit(0)),
+      w => w.isInCollection(Stopwords)))).cast("long")
 
   /** distinct whitespace tokens (unique-word-ratio numerator). */
   def distinctWordCount(text: Column): Column =

@@ -87,8 +87,13 @@ object QualityRules {
     * uniformly over (doc, pos).
     */
   def corpusFrequencyScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // \S+ tokens, not split-on-space: consecutive spaces would mint an
+    // empty-string "word" whose corpus count inflates exactly the
+    // whitespace-padded boilerplate this signal penalizes, and
+    // newline-separated words would fuse into frequency-~1 tokens that
+    // score coherent multi-line text as rare-token noise
     val words = df.select(col(idCol).as("doc_id"),
-        explode(split(col(textCol), " ")).as("word"))
+        explode(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("word"))
       .localCheckpoint(false)
     val counts = words.groupBy("word").agg(count(lit(1)).as("__cnt"))
     val total = counts.agg(sum("__cnt").as("__n")).select(col("__n"))

@@ -37,6 +37,15 @@ object Temporal {
     * than the tolerance (floor-second difference) is treated as no
     * match — same nulls as a missing right row. Costs nothing extra:
     * the matched right ts already rides in the carried struct.
+    *
+    * NULL join keys never match (right null-key rows are dropped, left
+    * null-key rows keep nulls) — SQL equi-join semantics, matching
+    * DuckDB's ASOF JOIN; Spark's Window would otherwise group the two
+    * sides' NULL keys into one partition and fabricate matches. Right
+    * rows should be UNIQUE per (key, ts): among sort-equal duplicates
+    * the carried one is partition-layout-dependent (the same ambiguity
+    * the SQL ASOF has) — pre-aggregate duplicates to a deterministic
+    * representative first, as the library's own callers do.
     */
   def asofJoin(
       left: DataFrame, right: DataFrame,
@@ -69,7 +78,7 @@ object Temporal {
     // AFTER left at equal ts (<= match) and the earliest following
     // right row carries backward. Same single shuffle either way.
     val (rightSide, leftSide) = if (forward) (1, 0) else (0, 1)
-    val taggedRight = right.select(
+    val taggedRight = right.filter(col(keyCol).isNotNull).select(
       (col(keyCol) +: col(tsCol).as("__ts") +: lit(rightSide).as("__side") +:
         struct((col(tsCol).as("__rts") +: rightVals.map(col)): _*).as("__rv") +:
         leftVals.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)

@@ -101,6 +101,13 @@ object Topics {
     */
   def assignTopics(df: DataFrame, centroids: Array[Array[Float]],
                    idCol: String, textCol: String): DataFrame = {
+    // fail fast with the actual problem: an empty model would AIOOBE on
+    // centroids(0) with no hint, and a non-power-of-two dim would only
+    // surface later from featureHash's internals
+    require(centroids.nonEmpty, "assignTopics: centroid model is empty")
+    require(centroids(0).nonEmpty && (centroids(0).length & (centroids(0).length - 1)) == 0,
+      s"assignTopics: model dim ${centroids(0).length} must be a positive power of two " +
+        "(featureHash bucket space)")
     val unit = Similarity.unitNorm(centroids)
     df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"),

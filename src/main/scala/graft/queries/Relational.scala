@@ -611,7 +611,11 @@ object Relational {
         Tables(s, dir, "events")
           .groupBy(pmod(col("user_id"), lit(10)).as("decile"))
           .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-          .agg(count(lit(1))),
+          .agg(count(lit(1)))
+          // pivot leaves NULL in cells with no (decile, type) rows even
+          // for count; the oracle's sum(CASE) says 0 — fill so a sparse
+          // grid at another SF can't hash-mismatch
+          .na.fill(0L, Seq("click", "error", "purchase", "signup", "view")),
       Some("""SELECT user_id % 10 AS decile,
              |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
              |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,

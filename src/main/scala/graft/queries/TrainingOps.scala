@@ -23,7 +23,7 @@ object TrainingOps {
       |  len(regexp_extract_all(text,'\S+')) AS nw,
       |  len(regexp_replace(text,'\s+','','g')) AS nc,
       |  len(list_distinct(regexp_extract_all(text,'\S+'))) AS uniq,
-      |  len(list_distinct(list_filter(string_split(text,' '),
+      |  len(list_distinct(list_filter(regexp_extract_all(text,'\S+'),
       |      w -> w IN ('the','a','of','to','and','in','or','is')))) AS dstop,
       |  len(list_filter(regexp_extract_all(text,'\S+'),
       |      w -> regexp_matches(w,'[A-Za-z]'))) AS alph,
@@ -3038,7 +3038,7 @@ object TrainingOps {
       (s, dir) =>
         graft.operators.QualityRules.corpusFrequencyScore(
           Tables(s, dir, "documents"), "doc_id", "text"),
-      Some("""WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+      Some("""WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text,'\S+')) AS word FROM documents),
              |c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
              |n AS (SELECT sum(cnt) AS total FROM c),
              |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,

@@ -635,16 +635,23 @@ object StatefulOps {
       fresh.foreach { case (id, vec) =>
         if (count < maxList) {
           val na = norm2D(vec)
-          if (na > 0) resident.foreach { case (oid, ovec, nb) =>
-            if (nb > 0) {
-              val cos = dotD(vec, ovec) / math.sqrt(na * nb)
-              if (cos > eps)
-                pairs += SemPair(math.min(id, oid), math.max(id, oid), cos)
+          // zero-norm vectors can never pair (cosine undefined) — they
+          // are skipped entirely rather than admitted as residents,
+          // where each would permanently burn a maxList slot until the
+          // list "fills" with dead vectors and stops pairing live ones.
+          // (The nb > 0 guard stays for state written before this rule.)
+          if (na > 0) {
+            resident.foreach { case (oid, ovec, nb) =>
+              if (nb > 0) {
+                val cos = dotD(vec, ovec) / math.sqrt(na * nb)
+                if (cos > eps)
+                  pairs += SemPair(math.min(id, oid), math.max(id, oid), cos)
+              }
             }
+            resident = (id, vec, na) :: resident
+            seen += id
+            count += 1
           }
-          resident = (id, vec, na) :: resident
-          seen += id
-          count += 1
         }
       }
       state.update(ListState(resident))
@@ -733,16 +740,118 @@ object StatefulOps {
                     keyCol: String, ordCol: org.apache.spark.sql.Column,
                     idCol: String, k: Int, ttlMs: Long = 0L): Dataset[TopKRow] = {
     import org.apache.spark.sql.functions.col
+    require(k > 0, s"streamingTopK: k must be positive, got $k")
+    // the state schema is (long ord, long id): a fractional ord would
+    // silently truncate (0.93 and 0.41 both rank 0) and a string id
+    // would null-cast into a runtime encoder failure — fail LOUD at
+    // build time and point at the generic variant instead
+    val ordT = df.select(ordCol).schema.head.dataType
+    require(!(ordT == org.apache.spark.sql.types.FloatType ||
+        ordT == org.apache.spark.sql.types.DoubleType ||
+        ordT.isInstanceOf[org.apache.spark.sql.types.DecimalType]),
+      s"streamingTopK: fractional ord ($ordT) would truncate through the long state — " +
+        "use streamingTopKAny")
+    require(df.select(col(idCol)).schema.head.dataType !=
+        org.apache.spark.sql.types.StringType,
+      "streamingTopK: string ids null-cast through the long state — use streamingTopKAny")
     val timeout =
       if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     df.select(col(keyCol).cast("string").as("key"),
         ordCol.cast("long").as("ord"), col(idCol).cast("long").as("id"))
+      // null ord/id rows are skipped like the batch aggregate's update
+      // (and would otherwise fail KeyedOrd's non-nullable encoder)
+      .filter(col("ord").isNotNull && col("id").isNotNull)
       .as[KeyedOrd]
       .groupByKey(_.key)
       .flatMapGroupsWithState[TopKState, TopKRow](
         OutputMode.Append, timeout) {
         (key: String, rows: Iterator[KeyedOrd], state: GroupState[TopKState]) =>
           topKGroup(key, rows, state, k, ttlMs)
+      }
+  }
+
+  // ---- generic-typed streaming top-k (string ids / fractional ords) --
+
+  final case class KeyedOrdAny(key: String, ord: Double, id: String)
+  final case class TopKStateAny(pairs: List[(Double, String)])
+  final case class TopKRowAny(key: String, ord: Double, id: String)
+
+  implicit val keyedOrdAnyEnc: Encoder[KeyedOrdAny] = Encoders.product[KeyedOrdAny]
+  implicit val topKStateAnyEnc: Encoder[TopKStateAny] = Encoders.product[TopKStateAny]
+  implicit val topKRowAnyEnc: Encoder[TopKRowAny] = Encoders.product[TopKRowAny]
+
+  /** [[topKGroup]] over (double ord, string id) — the streaming twin
+    * of the batch string-id heap ([[graft.functions.TopKPairsStr]]):
+    * best = ord DESC (Double.compare — NaN largest, Spark's own double
+    * sort), id ASC lexicographic.
+    */
+  def topKGroupAny(key: String, rows: Iterator[KeyedOrdAny],
+                   state: GroupState[TopKStateAny],
+                   k: Int, ttlMs: Long = 0L): Iterator[TopKRowAny] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val worstFirst: Ordering[(Double, String)] = new Ordering[(Double, String)] {
+        def compare(a: (Double, String), b: (Double, String)): Int = {
+          val c = java.lang.Double.compare(a._1, b._1) // ord ASC
+          if (c != 0) c else b._2.compareTo(a._2) // id DESC
+        }
+      }
+      val byId = scala.collection.mutable.HashMap.empty[String, Double]
+      val tree = scala.collection.mutable.TreeSet.empty[(Double, String)](worstFirst)
+      state.getOption.foreach(_.pairs.foreach { case (o, i) =>
+        byId(i) = o; tree += ((o, i))
+      })
+      rows.foreach { e =>
+        byId.get(e.id) match {
+          case Some(o) =>
+            if (java.lang.Double.compare(e.ord, o) > 0) {
+              tree -= ((o, e.id)); tree += ((e.ord, e.id)); byId(e.id) = e.ord
+            }
+          case None =>
+            if (byId.size < k) {
+              byId(e.id) = e.ord; tree += ((e.ord, e.id))
+            } else {
+              val worst = tree.head
+              val cmp = java.lang.Double.compare(worst._1, e.ord)
+              if (cmp < 0 || (cmp == 0 && worst._2.compareTo(e.id) > 0)) {
+                tree -= worst; byId -= worst._2
+                byId(e.id) = e.ord; tree += ((e.ord, e.id))
+              }
+            }
+        }
+      }
+      val best = tree.toList.reverse
+      state.update(TopKStateAny(best))
+      if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+      best.iterator.map { case (o, i) => TopKRowAny(key, o, i) }
+    }
+
+  /** [[streamingTopK]] for string ids and/or fractional ords — the
+    * incremental twin of [[graft.operators.Sampling.capPerGroup]]'s
+    * string/double dispatch. Ord rides a double (exact for fractional
+    * scores; integral ords past 2^53 belong on [[streamingTopK]]'s
+    * long state), ids compare lexicographically (the batch
+    * string-heap's tie rule). Null ords or ids are dropped, matching
+    * the batch aggregate's null-skip.
+    */
+  def streamingTopKAny(df: org.apache.spark.sql.DataFrame,
+                       keyCol: String, ordCol: org.apache.spark.sql.Column,
+                       idCol: String, k: Int, ttlMs: Long = 0L): Dataset[TopKRowAny] = {
+    import org.apache.spark.sql.functions.col
+    require(k > 0, s"streamingTopKAny: k must be positive, got $k")
+    val timeout =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    df.select(col(keyCol).cast("string").as("key"),
+        ordCol.cast("double").as("ord"), col(idCol).cast("string").as("id"))
+      .filter(col("ord").isNotNull && col("id").isNotNull)
+      .as[KeyedOrdAny]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[TopKStateAny, TopKRowAny](
+        OutputMode.Append, timeout) {
+        (key: String, rows: Iterator[KeyedOrdAny], state: GroupState[TopKStateAny]) =>
+          topKGroupAny(key, rows, state, k, ttlMs)
       }
   }
 

@@ -32,6 +32,26 @@ class TemporalSpec extends SparkSpec {
       "e5" -> None))
   }
 
+  test("asof join: NULL keys never match (SQL equi-join semantics)") {
+    import spark.implicits._
+    // Spark's Window groups NULL keys into ONE partition, so without
+    // the right-side null filter a null-key left row would pick up a
+    // null-key right row's values — DuckDB's ASOF (the oracle) never
+    // matches NULL = NULL
+    val left = Seq(
+      (Option("u1"), t(10), "e1"),
+      (Option.empty[String], t(10), "e2")
+    ).toDF("k", "ts", "ev")
+    val right = Seq(
+      (Option("u1"), t(5), 100L),
+      (Option.empty[String], t(5), 999L)
+    ).toDF("k", "ts", "price")
+    val got = Temporal.asofJoin(left, right, "k", "ts")
+      .select("ev", "price").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map("e1" -> Some(100L), "e2" -> None), s"got $got")
+  }
+
   test("nearest asof picks the closer side; ties and equal timestamps go backward") {
     import spark.implicits._
     val left = Seq(

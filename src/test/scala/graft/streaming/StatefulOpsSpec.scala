@@ -469,6 +469,41 @@ class StatefulOpsSpec extends SparkSpec {
       s"redelivered id mishandled; batch-2 snapshot: $b2 (all: ${snaps.toList})")
   }
 
+  test("streamingTopKAny: string ids + double ords match capPerGroup; long path fails loud on both") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = (1 to 300).map(i =>
+      (if (i % 2 == 0) "big" else "small", (i % 17).toDouble / 7.0, s"url-${"%03d".format(i)}"))
+    val df = rows.toDF("key", "ord", "id")
+    // batch-drive the stateful transition via MemoryStream
+    val ms = MemoryStream[(String, Double, String)](spark)
+    ms.addData(rows)
+    val out = streamingTopKAny(ms.toDF().toDF("key", "ord", "id"), "key", col("ord"), "id", k = 5)
+    val root = java.nio.file.Files.createTempDirectory("topk_any").toString
+    val q = out.toDF().writeStream.format("memory").queryName("topk_any_snap")
+      .option("checkpointLocation", s"$root/cp").outputMode("append").start()
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    val got = spark.table("topk_any_snap").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSet
+    val want = graft.operators.Sampling.capPerGroup(df, "key", col("ord"), "id", k = 5)
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getString(1))).toSet
+    assert(got == want, s"streaming snapshot != batch capPerGroup:\n$got\nvs\n$want")
+    // the long-state entry points refuse the types that would corrupt
+    val e1 = intercept[IllegalArgumentException] {
+      streamingTopK(df, "key", col("ord"), "id", k = 5)
+    }
+    assert(e1.getMessage.contains("streamingTopKAny"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      streamingTopK(df.withColumn("ord", (col("ord") * 100).cast("long")), "key", col("ord"), "id", k = 5)
+    }
+    assert(e2.getMessage.contains("string ids"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      streamingTopKAny(df, "key", col("ord"), "id", k = 0)
+    }
+    assert(e3.getMessage.contains("positive"), e3.getMessage)
+  }
+
   test("streaming pack offset state survives a checkpointed query restart") {
     val s = spark
     import s.implicits._
@@ -663,6 +698,8 @@ class StatefulOpsSpec extends SparkSpec {
       hasTimedOut = false)
     // resident (1,0): arrival (1,0.1) → cos ~0.995 (emitted);
     // arrival (0,1) → cos 0 (suppressed); zero vector → never pairs
+    // AND never becomes a resident (it would burn a maxList slot
+    // forever while being unable to pair with anything)
     val state = st(List((1L, Seq(1f, 0f), 1.0)))
     val out = semGroup(0, Iterator(
         ListedVec(0, 2L, Seq(1f, 0.1f)), ListedVec(0, 3L, Seq(0f, 1f)),
@@ -670,7 +707,7 @@ class StatefulOpsSpec extends SparkSpec {
       state, eps = 0.5, maxList = 10, ttlMs = 0L).toList
     assert(out.map(p => (p.da, p.db)) == List((1L, 2L)), out.toString)
     assert(out.head.cos > 0.99)
-    assert(state.get.docs.map(_._1).toSet == Set(1L, 2L, 3L, 4L))
+    assert(state.get.docs.map(_._1).toSet == Set(1L, 2L, 3L))
     // at cap: nothing pairs, nothing stored
     val full = st(List((3L, Seq(1f, 0f), 1.0), (2L, Seq(1f, 0f), 1.0), (1L, Seq(1f, 0f), 1.0)))
     val capped = semGroup(0, Iterator(ListedVec(0, 9L, Seq(1f, 0f))),
