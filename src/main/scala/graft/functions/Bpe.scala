@@ -234,11 +234,15 @@ object Bpe {
     * (array_join + replace + substring), fully codegen.
     */
   def detokenize(pieces: Column): Column = {
-    import org.apache.spark.sql.functions.{array_join, length, lit, regexp_replace}
-    val spaced = regexp_replace(array_join(pieces, ""), "▁", " ")
-    // drop the leading space from the first word's marker (empty input
-    // yields the empty string: substr past the end is "")
-    spaced.substr(lit(2), length(spaced))
+    import org.apache.spark.sql.functions.{array_join, translate, trim}
+    // trim, NOT substr(2): dropping one leading character is only right
+    // when the slice starts at a word boundary — a mid-word slice
+    // (["ing", "▁cat"], exactly what chunkBpe emits) has no leading
+    // marker and substr would eat its first content codepoint. trim
+    // strips the boundary-marker space when present and nothing
+    // otherwise; the round-trip invariant (single-space-tokenized text
+    // has no edge whitespace) is unchanged. Same recipe as chunkBpe.
+    trim(translate(array_join(pieces, ""), "▁", " "))
   }
 
   /** Train a merge table from a corpus — the textbook BPE learner

@@ -28,6 +28,15 @@ object Kernels {
   def shingleHashes(text: Column, n: Int): Column = toColumn(ShingleHashesK(toExpression(text), n))
   def featureHash(text: Column, dim: Int, n: Int): Column = toColumn(FeatureHashK(toExpression(text), dim, n))
   def simhash32(shingles: Column): Column = toColumn(SimHash32K(toExpression(shingles)))
+
+  /** rolling hash over RAW BYTES: fold(bytes, 7, (h,b) => (h*31 + b)
+    * mod P) — the binary-column counterpart of
+    * [[TextFunctions.charHash]] (which folds decoded characters and
+    * would U+FFFD-mangle real media bytes). Mirrors
+    * [[graft.operators.Multimodal.StubCodec]]'s fold and the
+    * mm_pixel_stats oracle's SQL byte fold exactly.
+    */
+  def byteFoldHash(bin: Column): Column = toColumn(ByteFoldHashK(toExpression(bin)))
   def simhash63(shingles: Column): Column = toColumn(SimHash63K(toExpression(shingles)))
   def minhashSig(shingles: Column, k: Int): Column = toColumn(MinHashSigK(toExpression(shingles), k))
   def vecDot(a: Column, b: Column): Column = toColumn(VecDotK(toExpression(a), toExpression(b)))
@@ -275,6 +284,14 @@ object Kernels {
     * classifier's feature pass cost 50 s at sf0.1); this is
     * O(grams + dim) unboxed.
     */
+  /** eval for [[ByteFoldHashK]]: fold(bytes, 7, (h,b) => (h*31+b) mod P). */
+  def byteFoldHashEval(b: Array[Byte]): Long = {
+    var acc = 7L
+    var i = 0
+    while (i < b.length) { acc = (acc * 31 + (b(i) & 0xff)) % P; i += 1 }
+    acc
+  }
+
   def featureHashEval(text: UTF8String, dim: Int, n: Int): ArrayData = {
     val hs = shingleHashesEval(text, n)
     val bit = java.lang.Integer.numberOfTrailingZeros(dim)
@@ -363,6 +380,16 @@ case class FeatureHashK(child: Expression, dim: Int, n: Int) extends UnaryExpres
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.featureHashEval($c, $dim, $n)")
   override protected def withNewChildInternal(newChild: Expression): FeatureHashK = copy(child = newChild)
   override def prettyName: String = "graft_feature_hash"
+}
+
+case class ByteFoldHashK(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    Kernels.byteFoldHashEval(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.byteFoldHashEval($c)")
+  override protected def withNewChildInternal(newChild: Expression): ByteFoldHashK = copy(child = newChild)
+  override def prettyName: String = "graft_byte_fold_hash"
 }
 
 case class SimHash32K(child: Expression) extends UnaryExpression {

@@ -27,8 +27,12 @@ object Bucketing {
       bucketCols: Seq[String],
       buckets: Int,
       sortCols: Seq[String] = Nil,
-      mode: SaveMode = SaveMode.Overwrite): Unit = {
-    val w = df.write.mode(mode).bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      mode: SaveMode = SaveMode.Overwrite,
+      format: String = "parquet"): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketed: bucketCols must be non-empty")
+    require(buckets > 0, s"writeBucketed: buckets must be positive, got $buckets")
+    val w = df.write.mode(mode).format(format)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
     val sorted = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
     sorted.saveAsTable(table)
   }

@@ -56,11 +56,11 @@ object Layout {
     */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
                     key: String, sortCols: String*): Unit =
-    df.write.mode("overwrite")
-      .bucketBy(buckets, key)
-      .sortBy(key, sortCols: _*)
-      .format("parquet")
-      .saveAsTable(table)
+    // single implementation — delegates to Bucketing.writeBucketed so
+    // the two same-named entry points in this package cannot drift
+    // (same overwrite mode, parquet format, key-led sort order)
+    Bucketing.writeBucketed(df, table, Seq(key), buckets,
+      sortCols = key +: sortCols, format = "parquet")
 
   /** Z-order (Morton) key: interleave the low `bits` of two
     * non-negative dimensions so 2-D-close rows get close keys — the
@@ -87,7 +87,16 @@ object Layout {
     * so footer min/max prunes on predicates over either dimension.
     */
   def writeZOrdered(df: DataFrame, path: String, numFiles: Int,
-                    a: Column, b: Column, bits: Int = 16): Unit =
-    writeSorted(df.withColumn("__zkey", zOrderKey(a, b, bits)), path, numFiles,
-      col("__zkey"))
+                    a: Column, b: Column, bits: Int = 16): Unit = {
+    // the Morton key only DECIDES the clustering — drop it after the
+    // sort so the written schema is exactly the caller's (and a
+    // pre-existing __zkey column is not silently overwritten in the
+    // output files; the projection after sortWithinPartitions keeps
+    // row order)
+    require(!df.columns.contains("__zkey"),
+      "writeZOrdered: input already has a __zkey column — rename it first")
+    sorted(df.withColumn("__zkey", zOrderKey(a, b, bits)), numFiles, col("__zkey"))
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -54,12 +54,17 @@ object Multimodal {
   /** frame/sample indices for time-based media: one row per sampled
     * frame (`every_ms` sampling interval). Images yield frame 0 only.
     */
-  def sampleFrames(df: DataFrame, metaCol: String, everyMs: Long): DataFrame =
+  def sampleFrames(df: DataFrame, metaCol: String, everyMs: Long): DataFrame = {
+    // everyMs = 0 would NULL the division and silently explode away
+    // every duration-bearing row; negative would emit descending
+    // negative frame indices
+    require(everyMs > 0, s"sampleFrames: everyMs must be positive, got $everyMs")
     df.withColumn("frame_idx",
       explode(
         when(col(s"$metaCol.duration_ms") > 0,
           sequence(lit(0L), floor((col(s"$metaCol.duration_ms") - 1) / everyMs).cast("long")))
           .otherwise(array(lit(0L)))))
+  }
 
   /** Aspect-preserving fit of (width, height) into a target box —
     * thumbnail/resize planning as pure integer arithmetic (the actual
@@ -80,11 +85,15 @@ object Multimodal {
   }
 
   /** STUB feature extraction: dim-length float vector from a rolling
-    * hash of the byte prefix — stands in for a real encoder; keeps the
-    * array<float> schema and per-row cost profile.
+    * hash of the RAW BYTES — stands in for a real encoder; keeps the
+    * array<float> schema and per-row cost profile. Byte fold, not a
+    * string fold: a UTF-8 decode would substitute U+FFFD for the
+    * high bytes every real media binary contains, silently diverging
+    * from [[StubCodec]]'s per-byte fold (the two paths are pinned
+    * mirror-equal by spec and by the mm_pixel_stats stub-tail oracle).
     */
   def fakeFeatures(content: Column, dim: Int): Column = {
-    val h = graft.functions.TextFunctions.charHash(content.cast("string"))
+    val h = graft.functions.Kernels.byteFoldHash(content.cast("binary"))
     transform(sequence(lit(1), lit(dim)), i =>
       ((pmod(h * i, lit(1000L)) - 500L) / 1000.0).cast("float"))
   }
@@ -163,11 +172,16 @@ object Multimodal {
         val dims = MediaHeaders.imageDims(r.content)
           .map { case (w, h) => s.copy(width = w, height = h) }.getOrElse(s)
         safely(MediaDecode.imagePixels(r.content)) match {
-          case Some(px) => dims.copy(features = withReal(dims.features, Array(
-            px.meanLuma / 255.0,
-            px.meanChannel(0) / 255.0,
-            px.meanChannel(math.min(1, px.channels - 1)) / 255.0,
-            px.meanChannel(math.min(2, px.channels - 1)) / 255.0)))
+          case Some(px) =>
+            // color-slot mapping: <3 channels replicate the GRAY plane
+            // into the G/B slots — the min-clamp form would feed the
+            // ALPHA plane (channel 1 of a gray+alpha image) into them
+            val (gi, bi) = if (px.channels >= 3) (1, 2) else (0, 0)
+            dims.copy(features = withReal(dims.features, Array(
+              px.meanLuma / 255.0,
+              px.meanChannel(0) / 255.0,
+              px.meanChannel(gi) / 255.0,
+              px.meanChannel(bi) / 255.0)))
           case None => dims
         }
       } else if (r.kind == "audio") {
@@ -199,9 +213,17 @@ object Multimodal {
       org.apache.spark.sql.Encoders.product[DecodedRow]
     media.mapPartitions { rows =>
       val codec = codecFactory()
+      // close exactly once, and ALSO when the task ends without
+      // draining the iterator (limit(), downstream failure) — a native
+      // codec handle would otherwise leak per task; the exhaustion
+      // hook alone also re-fired close() on post-exhaustion hasNext
+      var closed = false
+      def closeOnce(): Unit = if (!closed) { closed = true; codec.close() }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
       val out = codec.decode(rows)
       new Iterator[DecodedRow] {
-        def hasNext: Boolean = { val h = out.hasNext; if (!h) codec.close(); h }
+        def hasNext: Boolean = { val h = out.hasNext; if (!h) closeOnce(); h }
         def next(): DecodedRow = out.next()
       }
     }

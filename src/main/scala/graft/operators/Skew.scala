@@ -25,12 +25,19 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** deterministic per-row salt in [0, n): xxhash64 over all columns. */
-  def salt(df: DataFrame, n: Int, saltCol: String = "__salt"): DataFrame =
+  def salt(df: DataFrame, n: Int, saltCol: String = "__salt"): DataFrame = {
+    // n = 0 would make the salt NULL (pmod by zero) and n <= 0 would
+    // explode an empty array in replicate — either silently EMPTIES a
+    // salted join instead of failing the "Result == plain join" contract
+    require(n >= 1, s"Skew.salt: salt count must be >= 1, got $n")
     df.withColumn(saltCol, pmod(xxhash64(df.columns.map(col): _*), lit(n)).cast("int"))
+  }
 
   /** replicate each row once per salt value in [0, n). */
-  def replicate(df: DataFrame, n: Int, saltCol: String = "__salt"): DataFrame =
+  def replicate(df: DataFrame, n: Int, saltCol: String = "__salt"): DataFrame = {
+    require(n >= 1, s"Skew.replicate: salt count must be >= 1, got $n")
     df.withColumn(saltCol, explode(array((0 until n).map(lit): _*)))
+  }
 
   /** Salted inner equi-join: `big` is salted, `other` replicated, the
     * join key becomes (keys..., salt). Result == plain join.

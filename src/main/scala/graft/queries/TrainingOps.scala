@@ -3345,10 +3345,19 @@ object TrainingOps {
             element_at(col("f"), 1).cast("double").as("f0"),
             element_at(col("f"), 8).cast("double").as("f7"))
       },
-      Some(s"""SELECT doc_id,
-              |  CAST(CAST(CAST((${duckCharHash("text")} * 1) % 1000 - 500 AS DOUBLE) / 1000.0 AS REAL) AS DOUBLE) AS f0,
-              |  CAST(CAST(CAST((${duckCharHash("text")} * 8) % 1000 - 500 AS DOUBLE) / 1000.0 AS REAL) AS DOUBLE) AS f7
-              |FROM documents""".stripMargin)),
+      // byte fold over the UTF-8 bytes (mirrors Kernels.byteFoldHash /
+      // StubCodec — identical to the char fold for ASCII text, and the
+      // form that stays right for bytes >= 0x80)
+      Some(s"""WITH bt AS (SELECT doc_id, upper(hex(encode(text))) AS hx, octet_length(encode(text)) AS n FROM documents),
+              |h AS (SELECT doc_id, list_reduce(list_prepend(CAST(7 AS BIGINT),
+              |  list_transform(range(0, n), k ->
+              |    CAST((strpos('0123456789ABCDEF', substr(hx, 1 + 2*k, 1)) - 1) * 16
+              |      + (strpos('0123456789ABCDEF', substr(hx, 2 + 2*k, 1)) - 1) AS BIGINT))),
+              |  (a, b) -> (a*31 + b) % 1000000007) AS h FROM bt)
+              |SELECT doc_id,
+              |  CAST(CAST(CAST((h * 1) % 1000 - 500 AS DOUBLE) / 1000.0 AS REAL) AS DOUBLE) AS f0,
+              |  CAST(CAST(CAST((h * 8) % 1000 - 500 AS DOUBLE) / 1000.0 AS REAL) AS DOUBLE) AS f7
+              |FROM h""".stripMargin)),
 
     // ---- multimodal: frame sampling (1 row per sampled frame) ----
     "mm_frame_sample" -> Q(

@@ -156,6 +156,26 @@ class BpeSpec extends SparkSpec {
     out.foreach { case (orig, back) => assert(back == orig, s"'$orig' -> '$back'") }
   }
 
+  test("detokenize is lossless on mid-word piece slices (chunkBpe's shape)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{slice, size}
+    // every suffix slice of the marked pieces must detokenize without
+    // losing its first codepoint — a slice starting mid-word has no
+    // leading marker to strip (the old substr(2) recipe ate 'i' of
+    // 'ing')
+    val df = Seq((1L, "housing market with standing reservations")).toDF("id", "text")
+    val pieces = Bpe.markedPieces($"text")
+    val n = df.select(size(pieces)).head().getInt(0)
+    for (start <- 1 to n) {
+      val back = df.select(Bpe.detokenize(slice(pieces, start, n)).as("t")).head().getString(0)
+      assert(!back.startsWith(" ") && back.nonEmpty, s"slice@$start -> '$back'")
+      // no codepoint may be lost: ignoring word boundaries, the slice's
+      // text must be an exact suffix of the document's text
+      assert("housingmarketwithstandingreservations".endsWith(back.replace(" ", "")),
+        s"slice@$start lost content: '$back'")
+    }
+  }
+
   test("piece ids: codepoints for singles, rank-offset for merges, count-consistent") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -34,4 +34,48 @@ class MultimodalDecodeSpec extends SparkSpec {
     decodePartitions(media, () => { counterAccum.add(1); new StubCodec(4) }).count()
     assert(counterAccum.value == 4L, s"expected 4 codec inits, got ${counterAccum.value}")
   }
+
+  test("fakeFeatures (expression path) mirrors StubCodec byte-for-byte, high bytes included") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // bytes >= 0x80 are exactly what a string decode would U+FFFD-mangle
+    val bytes = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0xff.toByte, 0x00, 0xe0.toByte)
+    val expr = Seq(Tuple1(bytes)).toDF("content")
+      .select(fakeFeatures(col("content"), 8).as("f"))
+      .head().getSeq[Float](0).toList
+    val codec = new StubCodec(8)
+      .decode(Iterator.single(MediaRow(1L, "image", bytes))).next().features.toList
+    assert(expr == codec, s"expression $expr != codec $codec")
+  }
+
+  test("codec closes exactly once, including when the iterator is not drained") {
+    import spark.implicits._
+    val media = (1L to 40L).map(i => MediaRow(i, "image", Array[Byte](i.toByte)))
+      .toDS().repartition(2)
+    MultimodalDecodeSpec.closeCount.set(0)
+    class CountingCodec extends MediaCodec {
+      private val inner = new StubCodec(4)
+      def decode(rows: Iterator[MediaRow]): Iterator[DecodedRow] = inner.decode(rows)
+      override def close(): Unit = MultimodalDecodeSpec.closeCount.incrementAndGet()
+    }
+    // undrained: limit() stops pulling early — the task-completion
+    // listener must still close each partition's codec exactly once
+    decodePartitions(media, () => new CountingCodec).limit(3).collect()
+    // both partitions' tasks ran (limit plans a local limit per
+    // partition before the global one), each closes its codec once
+    assert(MultimodalDecodeSpec.closeCount.get() >= 1 &&
+      MultimodalDecodeSpec.closeCount.get() <= 2,
+      s"close count ${MultimodalDecodeSpec.closeCount.get()}")
+    MultimodalDecodeSpec.closeCount.set(0)
+    // drained: exhaustion hook + completion listener must still sum to
+    // exactly one close per partition
+    val ds = decodePartitions(media, () => new CountingCodec)
+    ds.collect()
+    assert(MultimodalDecodeSpec.closeCount.get() == 2,
+      s"close count ${MultimodalDecodeSpec.closeCount.get()} (want 2: once per partition)")
+  }
+}
+
+object MultimodalDecodeSpec {
+  val closeCount = new java.util.concurrent.atomic.AtomicInteger(0)
 }
