@@ -205,10 +205,14 @@ object TrainingOps {
 
   /** Byte fixtures for `mm_pixel_stats` (id, kind, hex): content whose
     * PIXELS/SAMPLES decode in pure JVM — a 2×2 bottom-up 24 bpp BMP
-    * with distinct channel means (R 113.75, G 88.75, B 76.25) and a
-    * 4-sample PCM16 WAV (1000, −2000, 3000, −32768 → peak exactly 1.0)
-    * — so the oracle re-derives the decoded feature values from the
-    * same bytes in SQL.
+    * with distinct channel means (R 113.75, G 88.75, B 76.25), a
+    * 4-sample PCM16 WAV (1000, −2000, 3000, −32768 → peak exactly 1.0),
+    * and a DC-only greyscale JPEG whose single entropy byte is
+    * BYTE-ALIGNED by construction (1-bit DC code + 6 magnitude bits +
+    * 1-bit EOB = 8 bits), so even the Huffman-coded plane is
+    * re-derivable in SQL: v = scanbyte//2, flat value = v·q//8 + 128
+    * — the oracle re-derives every decoded feature value from the
+    * same bytes.
     */
   private lazy val mmPixelFixtures: Seq[(Long, String, String)] = Seq(
     (1L, "image", // BMP: red green / blue (200,100,50), bottom-up, padded rows
@@ -220,7 +224,16 @@ object TrainingOps {
     (2L, "audio", // WAV PCM16 mono: 1000, -2000, 3000, -32768
       "52494646" + "2C000000" + "57415645" +
         "666D7420" + "10000000" + "0100" + "0100" + "401F0000" + "803E0000" + "0200" + "1000" +
-        "64617461" + "08000000" + "E803" + "30F8" + "B80B" + "0080"))
+        "64617461" + "08000000" + "E803" + "30F8" + "B80B" + "0080"),
+    (3L, "image", // JPEG: 8×8 grey, DC-only (cat 6, diff +44), q=16 flat
+      // → every sample = 44·16/8 + 128 = 216; entropy byte = 44<<1 = 0x58
+      "FFD8" +
+        "FFDB" + "0043" + "00" + "10" * 64 +                      // DQT all-16
+        "FFC0" + "000B" + "08" + "0008" + "0008" + "01011100" +   // SOF0 8×8 grey
+        "FFC4" + "0014" + "00" + "01" + "00" * 15 + "06" +        // DC: '0'→cat 6
+        "FFC4" + "0014" + "10" + "01" + "00" * 15 + "00" +        // AC: '0'→EOB
+        "FFDA" + "0008" + "01" + "01" + "0000" + "3F00" +         // SOS
+        "58" + "FFD9"))
 
   /** Path of a temp-file copy of the merges.txt CLASSPATH RESOURCE —
     * the exact bytes [[graft.functions.Bpe.defaultRanks]] parsed, so
@@ -3284,20 +3297,29 @@ object TrainingOps {
               |         ELSE bb[45+2*j] + bb[46+2*j]*256 END) AS sm,
               |  list_reduce(list_prepend(CAST(7 AS BIGINT),
               |    list_transform(bb, x -> CAST(x AS BIGINT))),
-              |    (a, x) -> (a*31 + x) % 1000000007) AS h
+              |    (a, x) -> (a*31 + x) % 1000000007) AS h,
+              |  -- DC-only JPEG flat plane, re-derived from the entropy
+              |  -- byte (bb[139] = DC-code 0 bit + 6 magnitude bits +
+              |  -- EOB 0 bit, so diff = byte//2) and the first quant
+              |  -- byte bb[8]: value = diff*q//8 + 128 (exact: q = 16)
+              |  CAST(((bb[139] // 2) * bb[8]) // 8 + 128 AS DOUBLE) AS jg
               |  FROM bt)
               |SELECT doc_id,
               |  CAST(CAST(CASE WHEN doc_id = 1
               |    THEN (0.299*mr + 0.587*mg + 0.114*mb)/255.0
+              |    WHEN doc_id = 3 THEN jg/255.0
               |    ELSE sqrt(CAST(sm[1]*sm[1]+sm[2]*sm[2]+sm[3]*sm[3]+sm[4]*sm[4] AS DOUBLE)/4)/32768.0
               |  END AS REAL) AS DOUBLE) AS f0,
               |  CAST(CAST(CASE WHEN doc_id = 1 THEN mr/255.0
+              |    WHEN doc_id = 3 THEN jg/255.0
               |    ELSE CAST(list_max(list_transform(sm, x -> abs(x))) AS DOUBLE)/32768.0
               |  END AS REAL) AS DOUBLE) AS f1,
               |  CAST(CAST(CASE WHEN doc_id = 1 THEN mg/255.0
+              |    WHEN doc_id = 3 THEN jg/255.0
               |    ELSE CAST((h*3) % 1000 - 500 AS DOUBLE)/1000.0
               |  END AS REAL) AS DOUBLE) AS f2,
               |  CAST(CAST(CASE WHEN doc_id = 1 THEN mb/255.0
+              |    WHEN doc_id = 3 THEN jg/255.0
               |    ELSE CAST((h*4) % 1000 - 500 AS DOUBLE)/1000.0
               |  END AS REAL) AS DOUBLE) AS f3
               |FROM m""".stripMargin)),

@@ -114,6 +114,11 @@ class JpegDecodeSpec extends AnyFunSuite {
     // dc = 0 (cat 0): flat 128
     val zero = JpegDecode.jpegPixels(dcOnlyGrey(0, 0)).get
     assert(zero.data.forall(b => (b & 0xff) == 128))
+    // dc = +44 (cat 6, bits 101100): value = 44*16/8 + 128 = 216 — this
+    // is the mm_pixel_stats oracle fixture (its 8 entropy bits are
+    // byte-aligned, so DuckDB re-derives the plane from the raw bytes)
+    val cat6 = JpegDecode.jpegPixels(dcOnlyGrey(6, 44)).get
+    assert(cat6.data.forall(b => (b & 0xff) == 216))
   }
 
   test("image smaller than the MCU crops the padded plane") {
