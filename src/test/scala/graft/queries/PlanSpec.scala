@@ -305,16 +305,16 @@ class PlanSpec extends SparkSpec {
     val p = plan("q36_interval_overlap")
     assert(!p.contains("CartesianProduct"), s"overlap join degenerated to a cartesian:\n$p")
     assert(p.contains("HashJoin"), s"expected the bucket-keyed hash join:\n$p")
-    // only the two giant side-channels (left-giant, right-giant) may
-    // nested-loop, and both must BUILD the broadcast giants — never the
-    // data side (a lost broadcast() hint = full-corpus replication)
+    // the testdata intervals (30/15 min vs 1800 s buckets) have NO
+    // giants, so the plan-time emptiness probe must have PRUNED both
+    // giant side-channels entirely — zero nested-loop joins. This was
+    // the round-10 in-suite outlier: two broadcast exchanges over
+    // provably-empty frames cost ~3 s of driver-side build/cleanup
+    // inside a full Bench JVM. The giant-PRESENT shape (≤2 BNLJ, each
+    // building the broadcast giants) is pinned in TemporalSpec's
+    // giant-interval guard test.
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
-    assert(bnlj <= 2, s"data path degenerated to a nested loop:\n$p")
-    p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
-      assert(l.contains("BuildRight") || l.contains("BuildLeft"),
-        s"giant side-channel without an explicit broadcast build side:\n$l")
-      assert(!l.contains("Cartesian"), s"giant side-channel degenerated:\n$l")
-    }
+    assert(bnlj == 0, s"empty giant side-channels not pruned at plan time:\n$p")
   }
 
   test("dd_minhash_lsh: pair generation is a join-free posting-list explode with the occupancy guard") {
