@@ -207,11 +207,12 @@ object TrainingOps {
     * PIXELS/SAMPLES decode in pure JVM — a 2×2 bottom-up 24 bpp BMP
     * with distinct channel means (R 113.75, G 88.75, B 76.25), a
     * 4-sample PCM16 WAV (1000, −2000, 3000, −32768 → peak exactly 1.0),
-    * and a DC-only greyscale JPEG whose single entropy byte is
-    * BYTE-ALIGNED by construction (1-bit DC code + 6 magnitude bits +
-    * 1-bit EOB = 8 bits), so even the Huffman-coded plane is
-    * re-derivable in SQL: v = scanbyte//2, flat value = v·q//8 + 128
-    * — the oracle re-derives every decoded feature value from the
+    * and two DC-only greyscale JPEGs (one positive, one negative DC
+    * diff) whose single entropy byte is BYTE-ALIGNED by construction
+    * (1-bit DC code + 6 magnitude bits + 1-bit EOB = 8 bits), so even
+    * the Huffman-coded plane — including the one's-complement negative
+    * magnitude rule — is re-derivable in SQL from the quant and scan
+    * bytes: the oracle re-derives every decoded feature value from the
     * same bytes.
     */
   private lazy val mmPixelFixtures: Seq[(Long, String, String)] = Seq(
@@ -233,7 +234,18 @@ object TrainingOps {
         "FFC4" + "0014" + "00" + "01" + "00" * 15 + "06" +        // DC: '0'→cat 6
         "FFC4" + "0014" + "10" + "01" + "00" * 15 + "00" +        // AC: '0'→EOB
         "FFDA" + "0008" + "01" + "01" + "0000" + "3F00" +         // SOS
-        "58" + "FFD9"))
+        "58" + "FFD9"),
+    (4L, "image", // JPEG: same shape, diff −40 (cat-6 one's-complement
+      // magnitude: bits = −40+63 = 23, MSB 0 ⇒ negative; byte = 23<<1 =
+      // 0x2E) → every sample = −40·16/8 + 128 = 48 — pins the NEGATIVE
+      // Huffman magnitude rule in the SQL oracle too
+      "FFD8" +
+        "FFDB" + "0043" + "00" + "10" * 64 +
+        "FFC0" + "000B" + "08" + "0008" + "0008" + "01011100" +
+        "FFC4" + "0014" + "00" + "01" + "00" * 15 + "06" +
+        "FFC4" + "0014" + "10" + "01" + "00" * 15 + "00" +
+        "FFDA" + "0008" + "01" + "01" + "0000" + "3F00" +
+        "2E" + "FFD9"))
 
   /** Path of a temp-file copy of the merges.txt CLASSPATH RESOURCE —
     * the exact bytes [[graft.functions.Bpe.defaultRanks]] parsed, so
@@ -3300,26 +3312,29 @@ object TrainingOps {
               |    (a, x) -> (a*31 + x) % 1000000007) AS h,
               |  -- DC-only JPEG flat plane, re-derived from the entropy
               |  -- byte (bb[139] = DC-code 0 bit + 6 magnitude bits +
-              |  -- EOB 0 bit, so diff = byte//2) and the first quant
+              |  -- EOB 0 bit, so the cat-6 field = byte//2; MSB 0 means
+              |  -- negative: diff = field − 63) and the first quant
               |  -- byte bb[8]: value = diff*q//8 + 128 (exact: q = 16)
-              |  CAST(((bb[139] // 2) * bb[8]) // 8 + 128 AS DOUBLE) AS jg
+              |  CAST(((CASE WHEN bb[139] // 2 >= 32 THEN bb[139] // 2
+              |          ELSE bb[139] // 2 - 63 END) * bb[8]) // 8 + 128
+              |    AS DOUBLE) AS jg
               |  FROM bt)
               |SELECT doc_id,
               |  CAST(CAST(CASE WHEN doc_id = 1
               |    THEN (0.299*mr + 0.587*mg + 0.114*mb)/255.0
-              |    WHEN doc_id = 3 THEN jg/255.0
+              |    WHEN doc_id IN (3, 4) THEN jg/255.0
               |    ELSE sqrt(CAST(sm[1]*sm[1]+sm[2]*sm[2]+sm[3]*sm[3]+sm[4]*sm[4] AS DOUBLE)/4)/32768.0
               |  END AS REAL) AS DOUBLE) AS f0,
               |  CAST(CAST(CASE WHEN doc_id = 1 THEN mr/255.0
-              |    WHEN doc_id = 3 THEN jg/255.0
+              |    WHEN doc_id IN (3, 4) THEN jg/255.0
               |    ELSE CAST(list_max(list_transform(sm, x -> abs(x))) AS DOUBLE)/32768.0
               |  END AS REAL) AS DOUBLE) AS f1,
               |  CAST(CAST(CASE WHEN doc_id = 1 THEN mg/255.0
-              |    WHEN doc_id = 3 THEN jg/255.0
+              |    WHEN doc_id IN (3, 4) THEN jg/255.0
               |    ELSE CAST((h*3) % 1000 - 500 AS DOUBLE)/1000.0
               |  END AS REAL) AS DOUBLE) AS f2,
               |  CAST(CAST(CASE WHEN doc_id = 1 THEN mb/255.0
-              |    WHEN doc_id = 3 THEN jg/255.0
+              |    WHEN doc_id IN (3, 4) THEN jg/255.0
               |    ELSE CAST((h*4) % 1000 - 500 AS DOUBLE)/1000.0
               |  END AS REAL) AS DOUBLE) AS f3
               |FROM m""".stripMargin)),

@@ -119,6 +119,10 @@ class JpegDecodeSpec extends AnyFunSuite {
     // byte-aligned, so DuckDB re-derives the plane from the raw bytes)
     val cat6 = JpegDecode.jpegPixels(dcOnlyGrey(6, 44)).get
     assert(cat6.data.forall(b => (b & 0xff) == 216))
+    // dc = -40 (cat 6, bits 010111 = ~40): value = -40*16/8 + 128 = 48
+    // — the negative-magnitude mm_pixel_stats oracle fixture
+    val cat6n = JpegDecode.jpegPixels(dcOnlyGrey(6, 23)).get
+    assert(cat6n.data.forall(b => (b & 0xff) == 48))
   }
 
   test("image smaller than the MCU crops the padded plane") {
