@@ -1901,6 +1901,60 @@ object TrainingOps {
               |  CAST(coalesce(h.n_hits, 0) * 1000000 // e.n_exact AS BIGINT) AS recall_ppm
               |FROM e LEFT JOIN h USING (qid)""".stripMargin)),
 
+    // ---- recall@10 of the LSH-bucketed path against the same
+    //      brute-force ground truth — completes the audit pair: with
+    //      ann_recall (IVF) every approximate retrieval shape the
+    //      library ships carries a measured, oracle-exact recall
+    //      number. Same deterministic hyperplane family as
+    //      ann_lsh_join, so DuckDB rebuilds identical buckets ----
+    "ann_lsh_recall" -> Q(
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val probes = e.filter(col("vec_id") < 20)
+        Similarity.recallAtK(
+          Similarity.lshJoin(probes, e, "vec_id", "embedding",
+            k = 10, planes = 16, tables = 4),
+          Similarity.bruteForceTopK(probes, e, "vec_id", "embedding", k = 10))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding, len(embedding) AS nd FROM embeddings),
+             |sg AS (SELECT vec_id,
+             |  list_sum(list_transform(range(0,16), p ->
+             |    CASE WHEN list_sum(list_transform(range(1, nd+1), d ->
+             |        CASE WHEN ((1103515245*p + 12345)*d + 2654435761) % 2147483647 % 2 = 0
+             |             THEN CAST(embedding[d] AS DOUBLE)
+             |             ELSE -CAST(embedding[d] AS DOUBLE) END)) > 0
+             |    THEN 1 << p ELSE 0 END)) AS sig
+             |  FROM e),
+             |b AS (SELECT vec_id, r.t, sig & (15 << (r.t*4)) AS bucket
+             |      FROM sg, range(0,4) r(t)),
+             |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+             |         FROM b q JOIN b c ON q.t = c.t AND q.bucket = c.bucket
+             |         WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+             |n AS (SELECT vec_id, embedding,
+             |  list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nrm
+             |  FROM e),
+             |sc AS (SELECT cd.qid, cd.nid,
+             |  list_sum(list_transform(list_zip(q.embedding, c.embedding),
+             |    z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / sqrt(q.nrm * c.nrm) AS cos
+             |  FROM cand cd JOIN n q ON cd.qid = q.vec_id JOIN n c ON cd.nid = c.vec_id),
+             |rka AS (SELECT qid, nid FROM (SELECT qid, nid,
+             |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM sc)
+             |  WHERE rank <= 10),
+             |sx AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+             |  list_sum(list_transform(list_zip(q.embedding, c.embedding),
+             |    z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / sqrt(nq.nrm * nn.nrm) AS cos
+             |  FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id <> c.vec_id
+             |  JOIN n nq ON q.vec_id = nq.vec_id JOIN n nn ON c.vec_id = nn.vec_id),
+             |rkx AS (SELECT qid, nid FROM (SELECT qid, nid,
+             |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM sx)
+             |  WHERE rank <= 10),
+             |h AS (SELECT x.qid, count(*) AS n_hits
+             |      FROM rkx x JOIN rka a ON x.qid = a.qid AND x.nid = a.nid GROUP BY 1),
+             |ex AS (SELECT qid, count(*) AS n_exact FROM rkx GROUP BY 1)
+             |SELECT ex.qid, ex.n_exact, coalesce(h.n_hits, 0) AS n_hits,
+             |  CAST(coalesce(h.n_hits, 0) * 1000000 // ex.n_exact AS BIGINT) AS recall_ppm
+             |FROM ex LEFT JOIN h USING (qid)""".stripMargin)),
+
     // ---- ANN via random-hyperplane LSH buckets (scale path). Fully
     //      oracle-able: the hyperplane family is a pure integer formula
     //      (Kernels.lshSigEval) and the signature/cosine sums fold

@@ -151,7 +151,10 @@ class PlanSpec extends SparkSpec {
     for (name <- Seq("ann_topk_bruteforce", "ann_int8_topk", "ann_pq_topk",
         "ann_ivfpq_topk", "ann_ivf", "ann_ivf_join",
         "ann_lsh_bucketed", "ann_lsh_capped", "ann_lsh_join",
-        "ann_binary_rerank")) {
+        "ann_binary_rerank",
+        // the recall audits compose two pinned top-k inputs through a
+        // semi-join + two aggregates — still zero Window end to end
+        "ann_recall", "ann_lsh_recall")) {
       val p = executedPlanOf(name)
       assert(p.contains("partial_graft_topk"), s"$name: no map-side partial top-k:\n$p")
       assert(!p.contains("Window"), s"$name: per-probe window selection remains:\n$p")
