@@ -81,8 +81,10 @@ object Bench {
       java.nio.file.Paths.get("bench_out.json"), line(qsFull, total.toString) + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}") }
     // stop BEFORE printing so no Spark shutdown log lands after the
-    // JSON and eats the driver's bounded stdout-tail budget
-    spark.stop()
+    // JSON and eats the driver's bounded stdout-tail budget; a stop()
+    // failure must not swallow the result lines themselves
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
     // The driver keeps a bounded TAIL of stdout: r8/r9 both lost the
     // single JSON line's HEAD when it outgrew the buffer ("parsed":
     // null). Emit the big per-query line FIRST and a small,

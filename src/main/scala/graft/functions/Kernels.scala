@@ -275,6 +275,14 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** eval for [[ByteFoldHashK]]: fold(bytes, 7, (h,b) => (h*31+b) mod P). */
+  def byteFoldHashEval(b: Array[Byte]): Long = {
+    var acc = 7L
+    var i = 0
+    while (i < b.length) { acc = (acc * 31 + (b(i) & 0xff)) % P; i += 1 }
+    acc
+  }
+
   /** signed-count feature-hash vector ("hashing trick"): one tight
     * pass over the word n-gram hashes into a dim-length bucket
     * accumulator — index = key mod dim (dim a power of two), sign =
@@ -284,14 +292,6 @@ object Kernels {
     * classifier's feature pass cost 50 s at sf0.1); this is
     * O(grams + dim) unboxed.
     */
-  /** eval for [[ByteFoldHashK]]: fold(bytes, 7, (h,b) => (h*31+b) mod P). */
-  def byteFoldHashEval(b: Array[Byte]): Long = {
-    var acc = 7L
-    var i = 0
-    while (i < b.length) { acc = (acc * 31 + (b(i) & 0xff)) % P; i += 1 }
-    acc
-  }
-
   def featureHashEval(text: UTF8String, dim: Int, n: Int): ArrayData = {
     val hs = shingleHashesEval(text, n)
     val bit = java.lang.Integer.numberOfTrailingZeros(dim)

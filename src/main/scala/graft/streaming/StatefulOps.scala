@@ -784,6 +784,18 @@ object StatefulOps {
     * of the batch string-id heap ([[graft.functions.TopKPairsStr]]):
     * best = ord DESC (Double.compare — NaN largest, Spark's own double
     * sort), id ASC lexicographic.
+    *
+    * Duplicate-id contract (same as the long-ord [[topKGroup]]): ids
+    * are UPSERTED — a repeated id within a key keeps only its best
+    * ord, never two entries. The batch heap (TopKPairsStr /
+    * capPerGroup) has no id identity and keeps duplicate ids as
+    * separate heap entries, so for inputs that legitimately carry the
+    * same id twice per key the streaming result is the per-id-best
+    * top-k while the batch result is the per-ROW top-k. The
+    * batch-equals-streaming claim therefore holds exactly when
+    * (key, id) is unique in the input — which every oracle here
+    * guarantees (ids are primary keys). Pinned by
+    * `StatefulOpsSpec` "streamingTopKAny upserts duplicate ids".
     */
   def topKGroupAny(key: String, rows: Iterator[KeyedOrdAny],
                    state: GroupState[TopKStateAny],

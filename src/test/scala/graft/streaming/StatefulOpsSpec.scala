@@ -504,6 +504,37 @@ class StatefulOpsSpec extends SparkSpec {
     assert(e3.getMessage.contains("positive"), e3.getMessage)
   }
 
+  test("streamingTopKAny upserts duplicate ids (documented divergence from the batch heap)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // id "dup" arrives twice with different ords. The streaming state
+    // keys on id and keeps only its best ord (at-least-once safety);
+    // the batch heap has no id identity and keeps both rows. k = 3
+    // makes the divergence visible: batch fills the board with
+    // (9.0,dup),(7.0,dup),(5.0,a); streaming upserts dup and keeps
+    // (9.0,dup),(5.0,a),(3.0,b). Pins the contract documented on
+    // topKGroupAny — batch-equals holds only for unique (key, id).
+    val rows = Seq(("k", 9.0, "dup"), ("k", 7.0, "dup"), ("k", 5.0, "a"), ("k", 3.0, "b"))
+    val ms = MemoryStream[(String, Double, String)](spark)
+    ms.addData(rows)
+    val out = streamingTopKAny(ms.toDF().toDF("key", "ord", "id"), "key", col("ord"), "id", k = 3)
+    val root = java.nio.file.Files.createTempDirectory("topk_dup").toString
+    val q = out.toDF().writeStream.format("memory").queryName("topk_dup_snap")
+      .option("checkpointLocation", s"$root/cp").outputMode("append").start()
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    val got = spark.table("topk_dup_snap").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSet
+    assert(got == Set(("k", 9.0, "dup"), ("k", 5.0, "a"), ("k", 3.0, "b")),
+      s"streaming per-id upsert violated: $got")
+    val batch = graft.operators.Sampling.capPerGroup(
+        rows.toDF("key", "ord", "id"), "key", col("ord"), "id", k = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getString(1))).toSet
+    assert(batch == Set(("k", 9.0, "dup"), ("k", 7.0, "dup"), ("k", 5.0, "a")),
+      s"batch per-row heap changed — update topKGroupAny's contract doc: $batch")
+    assert(got != batch, "divergence disappeared; contract doc is stale")
+  }
+
   test("streaming pack offset state survives a checkpointed query restart") {
     val s = spark
     import s.implicits._
