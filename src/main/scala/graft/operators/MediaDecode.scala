@@ -208,6 +208,133 @@ object MediaDecode {
     }
   }
 
+  // ---- WAV IMA ADPCM (wFormatTag 0x0011) ---------------------------
+
+  // IMA/DVI ADPCM tables (public IMA ADPCM specification; identical
+  // across every published implementation — the step table is the
+  // 89-entry exponential ladder, the index table the 16-entry nibble
+  // adjustment)
+  private val AdpcmStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499,
+    2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+    9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767)
+  private val AdpcmIndex: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** IMA ADPCM (`wFormatTag 0x0011`) samples, interleaved across
+    * channels like [[wavPcm16]]. Block layout per the IMA spec: each
+    * `blockAlign`-byte block carries, per channel, a 4-byte header
+    * (initial predictor int16 LE — emitted as that channel's first
+    * sample — step index byte, reserved byte), then 4-byte data words
+    * round-robin across channels, two nibbles per byte LOW nibble
+    * first. Nibble decode: `diff = step/8 + b2·step + b1·step/2 +
+    * b0·step/4`, sign bit 8 subtracts, predictor clamps to int16,
+    * index moves by the index table and clamps to [0, 88]. Only full
+    * blocks decode (a truncated tail block is dropped, matching the
+    * chunked write shape); malformed headers (step index > 88,
+    * `samplesPerBlock` exceeding the block's nibble capacity,
+    * channels outside 1..8) return None, never throw.
+    */
+  def wavAdpcmSamples(b: Array[Byte]): Option[Array[Short]] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def s16(i: Int): Int = { val v = le16(i); if (v >= 0x8000) v - 0x10000 else v }
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int, s: String): Boolean =
+      i >= 0 && i + s.length <= b.length && s.indices.forall(j => u8(i + j) == s.charAt(j))
+    if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    // same Long chunk walk as wavPcm16: corrupt sizes step past the
+    // end, never wrap negative
+    var i = 12L
+    var fmt: Option[(Int, Int, Int)] = None // (channels, blockAlign, samplesPerBlock)
+    var data: Option[(Int, Int)] = None
+    while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val at = i.toInt
+      val size = le32(at + 4)
+      if (tag(at, "fmt ") && size >= 16 && i + 8 + size <= b.length) {
+        if (le16(at + 8) == 0x11 && le16(at + 22) == 4) { // IMA ADPCM, 4-bit
+          val ch = le16(at + 10)
+          val blockAlign = le16(at + 20)
+          // samplesPerBlock rides the fmt extension (cbSize >= 2);
+          // absent, derive it from the block geometry
+          val spb =
+            if (size >= 20 && le16(at + 24) >= 2) le16(at + 26)
+            else if (ch > 0) (blockAlign - 4 * ch) * 2 / ch + 1
+            else 0
+          fmt = Some((ch, blockAlign, spb))
+        }
+      } else if (tag(at, "data")) data = Some((at + 8, size.toInt))
+      if (size > b.length.toLong) return None
+      i += 8L + size + (size & 1L)
+    }
+    (fmt, data) match {
+      case (Some((ch, blockAlign, spb)), Some((off, len)))
+          if ch >= 1 && ch <= 8 && blockAlign >= 4 * ch &&
+            // data area must tile into 4-byte-per-channel words — the
+            // standard IMA WAV block geometry; anything else would
+            // walk the round-robin read out of the block
+            (blockAlign - 4 * ch) % (4 * ch) == 0 &&
+            spb >= 1 && spb <= (blockAlign - 4 * ch) * 2 / ch + 1 &&
+            len >= 0 && off.toLong + len <= b.length =>
+        val nBlocks = len / blockAlign
+        val out = new Array[Short](nBlocks * spb * ch)
+        val pred = new Array[Int](ch)
+        val idx = new Array[Int](ch)
+        var blk = 0
+        while (blk < nBlocks) {
+          val base = off + blk * blockAlign
+          var c = 0
+          while (c < ch) {
+            pred(c) = s16(base + 4 * c)
+            idx(c) = u8(base + 4 * c + 2)
+            if (idx(c) > 88) return None
+            out((blk * spb) * ch + c) = pred(c).toShort
+            c += 1
+          }
+          // data words: 4 bytes per channel round-robin; nibble t of
+          // channel c is sample 1 + t of that channel within the block
+          var t = 1 // per-channel sample cursor (0 was the header predictor)
+          var w = 0 // round-robin word group index
+          while (t < spb) {
+            val groupBase = base + 4 * ch + w * 4 * ch
+            var c2 = 0
+            while (c2 < ch) {
+              var k = 0
+              while (k < 8 && t + k < spb) {
+                val byte = u8(groupBase + c2 * 4 + k / 2)
+                val n = if (k % 2 == 0) byte & 0xf else byte >>> 4
+                val step = AdpcmStep(idx(c2))
+                var diff = step >> 3
+                if ((n & 4) != 0) diff += step
+                if ((n & 2) != 0) diff += step >> 1
+                if ((n & 1) != 0) diff += step >> 2
+                val p = if ((n & 8) != 0) pred(c2) - diff else pred(c2) + diff
+                pred(c2) = math.max(-32768, math.min(32767, p))
+                idx(c2) = math.max(0, math.min(88, idx(c2) + AdpcmIndex(n)))
+                out((blk * spb + t + k) * ch + c2) = pred(c2).toShort
+                k += 1
+              }
+              c2 += 1
+            }
+            t += 8
+            w += 1
+          }
+          blk += 1
+        }
+        Some(out)
+      case _ => None
+    }
+  }
+
+  /** samples for any pure-JVM-decodable WAV coding; None otherwise. */
+  def wavSamples(b: Array[Byte]): Option[Array[Short]] =
+    wavPcm16(b).orElse(wavAdpcmSamples(b))
+
   /** Root-mean-square amplitude normalized to [0, 1]. */
   def rms(samples: Array[Short]): Double =
     if (samples.isEmpty) 0.0

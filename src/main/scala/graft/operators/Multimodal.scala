@@ -147,11 +147,12 @@ object Multimodal {
     * Features are REAL where pure-JVM decode exists
     * ([[MediaDecode]]): PNG (zlib via `java.util.zip`), baseline
     * JPEG ([[JpegDecode]]) and uncompressed 24 bpp BMP yield
-    * per-channel means + luma; PCM16 WAV yields RMS/peak amplitude —
-    * the rest of the feature vector keeps the deterministic stub
-    * layout so the schema and per-row cost profile are unchanged.
-    * Lossy-audio sample decode is the one content family that still
-    * genuinely needs a native codec and stays stubbed.
+    * per-channel means + luma; PCM16 and IMA-ADPCM WAV yield RMS/peak
+    * amplitude — the rest of the feature vector keeps the
+    * deterministic stub layout so the schema and per-row cost profile
+    * are unchanged. Perceptual-audio sample decode (MP3/AAC) is the
+    * one content family that still genuinely needs a native codec and
+    * stays stubbed.
     */
   final class HeaderCodec(featureDim: Int) extends MediaCodec {
     private val stub = new StubCodec(featureDim)
@@ -187,7 +188,7 @@ object Multimodal {
       } else if (r.kind == "audio") {
         val dur = MediaHeaders.audioDurationMs(r.content)
           .map(ms => s.copy(duration_ms = ms)).getOrElse(s)
-        safely(MediaDecode.wavPcm16(r.content)) match {
+        safely(MediaDecode.wavSamples(r.content)) match {
           case Some(pcm) => dur.copy(features = withReal(dur.features,
             Array(MediaDecode.rms(pcm), MediaDecode.peak(pcm))))
           case None => dur

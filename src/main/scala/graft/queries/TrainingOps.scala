@@ -213,7 +213,14 @@ object TrainingOps {
     * the Huffman-coded plane — including the one's-complement negative
     * magnitude rule — is re-derivable in SQL from the quant and scan
     * bytes: the oracle re-derives every decoded feature value from the
-    * same bytes.
+    * same bytes. Fixture 5 is a mono IMA-ADPCM WAV (wFormatTag 0x0011,
+    * one 8-byte block: predictor 1000, step index 10, nibbles
+    * 1,7,F,8,4,2,0,F low-first from bytes 71 8F 24 F0) — the decoder's
+    * integer predictor/step-index state machine
+    * ([[graft.operators.MediaDecode.wavAdpcmSamples]]) is replayed
+    * nibble-by-nibble in the oracle as a recursive CTE over the same
+    * step/index tables, so the 9 decoded samples (and the RMS/peak
+    * features) are SQL-re-derived end to end.
     */
   private lazy val mmPixelFixtures: Seq[(Long, String, String)] = Seq(
     (1L, "image", // BMP: red green / blue (200,100,50), bottom-up, padded rows
@@ -245,7 +252,16 @@ object TrainingOps {
         "FFC4" + "0014" + "00" + "01" + "00" * 15 + "06" +
         "FFC4" + "0014" + "10" + "01" + "00" * 15 + "00" +
         "FFDA" + "0008" + "01" + "01" + "0000" + "3F00" +
-        "2E" + "FFD9"))
+        "2E" + "FFD9"),
+    (5L, "audio", // IMA-ADPCM WAV mono 8000 Hz: fmt tag 0x11,
+      // blockAlign 8, samplesPerBlock 9; one block — predictor 1000
+      // (= sample 0), step index 10, data nibbles 1,7,F,8,4,2,0,F
+      // (low nibble first) → samples 1000, 1006, 1037, 969, 959,
+      // 1041, 1096, 1106, 970
+      "52494646" + "30000000" + "57415645" +
+        "666D7420" + "14000000" + "1100" + "0100" + "401F0000" + "C71B0000" +
+        "0800" + "0400" + "0200" + "0900" +
+        "64617461" + "08000000" + "E803" + "0A" + "00" + "718F24F0"))
 
   /** Path of a temp-file copy of the merges.txt CLASSPATH RESOURCE —
     * the exact bytes [[graft.functions.Bpe.defaultRanks]] parsed, so
@@ -3325,10 +3341,12 @@ object TrainingOps {
     //      producing real features (channel means/luma; RMS/peak).
     //      The oracle re-derives every decoded value from the same hex
     //      bytes in SQL: BMP channel means from the padded bottom-up
-    //      rows, WAV samples sign-decoded from LE int16 pairs, and the
-    //      stub tail features from the byte-fold hash. (PNG content is
-    //      also real but zlib is not SQL-expressible — spec-pinned in
-    //      MediaDecodeSpec instead.) ----
+    //      rows, WAV samples sign-decoded from LE int16 pairs, the
+    //      DC-only JPEG plane from its entropy byte, IMA-ADPCM samples
+    //      via a recursive CTE over the predictor/step-index state
+    //      machine, and the stub tail features from the byte-fold
+    //      hash. (PNG content is also real but zlib is not
+    //      SQL-expressible — spec-pinned in MediaDecodeSpec instead.) ----
     "mm_pixel_stats" -> Q(
       (s, dir) => {
         import org.apache.spark.sql.{Encoder, Encoders}
@@ -3345,7 +3363,7 @@ object TrainingOps {
             element_at(col("features"), 3).cast("double").as("f2"),
             element_at(col("features"), 4).cast("double").as("f3"))
       },
-      Some(s"""WITH r(doc_id, kind, hx) AS (VALUES
+      Some(s"""WITH RECURSIVE r(doc_id, kind, hx) AS (VALUES
               |  ${mmPixelFixtures.map { case (id, k, hx) => s"($id, '$k', '$hx')" }.mkString(",\n  ")}),
               |b AS (SELECT doc_id, hx, octet_length(unhex(hx)) AS n FROM r),
               |bt AS (SELECT doc_id, n,
@@ -3353,6 +3371,48 @@ object TrainingOps {
               |    (strpos('0123456789ABCDEF', upper(substr(hx, 1 + 2*k, 1))) - 1) * 16
               |    + (strpos('0123456789ABCDEF', upper(substr(hx, 2 + 2*k, 1))) - 1)) AS bb
               |  FROM b),
+              |-- IMA-ADPCM replay for fixture 5: nibble list (low nibble
+              |-- first), signed initial predictor, step index, then the
+              |-- published step/index tables driven one nibble per
+              |-- recursion step — diff = step/8 (+step if bit2) (+step/2
+              |-- if bit1) (+step/4 if bit0), sign bit 8 subtracts,
+              |-- predictor clamps to int16, index clamps to [0, 88] —
+              |-- exactly MediaDecode.wavAdpcmSamples
+              |adn AS (SELECT
+              |  list_transform(range(0, 8), k ->
+              |    CASE WHEN k % 2 = 0 THEN bb[53 + k // 2] % 16
+              |         ELSE bb[53 + k // 2] // 16 END) AS nb,
+              |  CASE WHEN bb[49] + bb[50]*256 >= 32768
+              |       THEN bb[49] + bb[50]*256 - 65536
+              |       ELSE bb[49] + bb[50]*256 END AS pred0,
+              |  bb[51] AS idx0
+              |  FROM bt WHERE doc_id = 5),
+              |adt AS (SELECT
+              |  [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,
+              |   50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,
+              |   230,253,279,307,337,371,408,449,494,544,598,658,724,796,
+              |   876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,
+              |   2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,
+              |   7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,
+              |   20350,22385,24623,27086,29794,32767] AS st,
+              |  [-1,-1,-1,-1,2,4,6,8,-1,-1,-1,-1,2,4,6,8] AS it),
+              |adr AS (
+              |  SELECT 0 AS k, pred0 AS pred, idx0 AS idx FROM adn
+              |  UNION ALL
+              |  SELECT k + 1,
+              |    greatest(-32768, least(32767,
+              |      pred + CASE WHEN nx >= 8 THEN -d ELSE d END)),
+              |    least(88, greatest(0, idx + it[nx + 1]))
+              |  FROM (
+              |    SELECT k, pred, idx, it, nb[k + 1] AS nx,
+              |      st[idx + 1] // 8
+              |        + CASE WHEN (nb[k + 1] // 4) % 2 = 1 THEN st[idx + 1] ELSE 0 END
+              |        + CASE WHEN (nb[k + 1] // 2) % 2 = 1 THEN st[idx + 1] // 2 ELSE 0 END
+              |        + CASE WHEN nb[k + 1] % 2 = 1 THEN st[idx + 1] // 4 ELSE 0 END AS d
+              |    FROM adr, adn, adt WHERE k < 8)),
+              |ads AS (SELECT
+              |  sqrt(sum(CAST(pred AS DOUBLE) * pred) / 9) / 32768.0 AS arms,
+              |  CAST(max(abs(pred)) AS DOUBLE) / 32768.0 AS apeak FROM adr),
               |m AS (SELECT doc_id, n, bb,
               |  CAST(bb[57]+bb[60]+bb[65]+bb[68] AS DOUBLE)/4 AS mr,
               |  CAST(bb[56]+bb[59]+bb[64]+bb[67] AS DOUBLE)/4 AS mg,
@@ -3377,10 +3437,12 @@ object TrainingOps {
               |  CAST(CAST(CASE WHEN doc_id = 1
               |    THEN (0.299*mr + 0.587*mg + 0.114*mb)/255.0
               |    WHEN doc_id IN (3, 4) THEN jg/255.0
+              |    WHEN doc_id = 5 THEN arms
               |    ELSE sqrt(CAST(sm[1]*sm[1]+sm[2]*sm[2]+sm[3]*sm[3]+sm[4]*sm[4] AS DOUBLE)/4)/32768.0
               |  END AS REAL) AS DOUBLE) AS f0,
               |  CAST(CAST(CASE WHEN doc_id = 1 THEN mr/255.0
               |    WHEN doc_id IN (3, 4) THEN jg/255.0
+              |    WHEN doc_id = 5 THEN apeak
               |    ELSE CAST(list_max(list_transform(sm, x -> abs(x))) AS DOUBLE)/32768.0
               |  END AS REAL) AS DOUBLE) AS f1,
               |  CAST(CAST(CASE WHEN doc_id = 1 THEN mg/255.0
@@ -3391,7 +3453,7 @@ object TrainingOps {
               |    WHEN doc_id IN (3, 4) THEN jg/255.0
               |    ELSE CAST((h*4) % 1000 - 500 AS DOUBLE)/1000.0
               |  END AS REAL) AS DOUBLE) AS f3
-              |FROM m""".stripMargin)),
+              |FROM m, ads""".stripMargin)),
 
     // ---- multimodal: resize planning (aspect-preserving fit into a
     //      224×224 box, pure integer arithmetic) ----

@@ -193,6 +193,88 @@ class MediaDecodeSpec extends AnyFunSuite {
     assert(MediaDecode.wavPcm16(alaw).isEmpty)
   }
 
+  // ---- WAV IMA ADPCM -----------------------------------------------
+
+  /** mono IMA-ADPCM WAV: one 8-byte block — predictor 1000, step
+    * index 10, nibbles 1,7,F,8,4,2,0,F (low first). Hand-traced
+    * through the published tables: step 19 → +6, step 17 → +31,
+    * step 37 → −68, step 80 → −10, step 73 → +82, step 88 → +55,
+    * step 80 → +10, step 73 → −136.
+    */
+  private val adpcmMono: Array[Byte] =
+    hex("52494646" + le(48, 4) + "57415645" +
+      "666D7420" + le(20, 4) + "1100" + "0100" + le(8000, 4) + le(7111, 4) +
+      "0800" + "0400" + "0200" + "0900" +
+      "64617461" + le(8, 4) + "E803" + "0A" + "00" + "718F24F0")
+
+  test("WAV IMA-ADPCM mono: state machine matches the hand trace") {
+    val s = MediaDecode.wavAdpcmSamples(adpcmMono).get
+    assert(s.toSeq == Seq[Short](1000, 1006, 1037, 969, 959, 1041, 1096, 1106, 970))
+    // wavSamples dispatches: PCM stays PCM, ADPCM reaches the new path
+    assert(MediaDecode.wavSamples(adpcmMono).get.toSeq == s.toSeq)
+    assert(MediaDecode.wavPcm16(adpcmMono).isEmpty)
+  }
+
+  test("WAV IMA-ADPCM stereo: headers then 4-byte words round-robin, low nibble first") {
+    // ch=2, blockAlign=16, spb=9: two 4-byte headers, then one 4-byte
+    // word per channel. L: pred 100 idx 0 nibbles all 0 (+0 each via
+    // diff=step>>3 with step 7 → 0 forever... step>>3 of 7 = 0) —
+    // predictor stays 100, index clamps at 0. R: pred -200 idx 88
+    // nibbles all 8 (sign-only: diff = 32767>>3 = 4095 subtract,
+    // clamping at -32768; index 88+(-1) each step).
+    val st = Array(7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+      34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157,
+      173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+      724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272,
+      2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+      7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
+      22385, 24623, 27086, 29794, 32767)
+    val wav = hex("52494646" + le(12 + 28 + 8 + 16, 4) + "57415645" +
+      "666D7420" + le(20, 4) + "1100" + "0200" + le(8000, 4) + le(8000, 4) +
+      le(16, 2) + "0400" + "0200" + "0900" +
+      "64617461" + le(16, 4) +
+      le(100, 2) + "00" + "00" +                    // L header: pred 100, idx 0
+      le((-200).toLong & 0xffff, 2) + "58" + "00" + // R header: pred -200, idx 88
+      "00000000" + "88888888")                      // L word, R word
+    val s = MediaDecode.wavAdpcmSamples(wav).get
+    assert(s.length == 18)
+    val left = s.indices.collect { case i if i % 2 == 0 => s(i) }
+    val right = s.indices.collect { case i if i % 2 == 1 => s(i) }
+    assert(left.forall(_ == 100), left)
+    // replay R independently: sign-only nibbles walk the index down
+    var pred = -200; var idx = 88
+    val expR = Seq(pred.toShort) ++ (0 until 8).map { _ =>
+      val step = st(idx)
+      pred = math.max(-32768, pred - (step >> 3)); idx = math.max(0, idx - 1)
+      pred.toShort
+    }
+    assert(right == expR, right)
+  }
+
+  test("WAV IMA-ADPCM malformed inputs return None, never throw") {
+    // step index > 88
+    val badIdx = adpcmMono.clone(); badIdx(50) = 0x59
+    assert(MediaDecode.wavAdpcmSamples(badIdx).isEmpty)
+    // samplesPerBlock beyond nibble capacity (9 max for blockAlign 8)
+    val badSpb = adpcmMono.clone(); badSpb(38) = 0x0a
+    assert(MediaDecode.wavAdpcmSamples(badSpb).isEmpty)
+    // PCM wav is not ADPCM
+    assert(MediaDecode.wavAdpcmSamples(wavPcm(Seq(1, 2))).isEmpty)
+    // truncated tail block: decode drops it rather than reading short
+    val tail = adpcmMono.dropRight(2)
+    // (data size now claims more than present → Long walk rejects)
+    assert(MediaDecode.wavAdpcmSamples(tail).isEmpty)
+  }
+
+  test("HeaderCodec emits REAL features for ADPCM audio (RMS/peak from decoded samples)") {
+    val out = new Multimodal.HeaderCodec(6)
+      .decode(Iterator(Multimodal.MediaRow(4L, "audio", adpcmMono))).next()
+    val samples = Seq(1000, 1006, 1037, 969, 959, 1041, 1096, 1106, 970)
+    val rms = math.sqrt(samples.map(v => v.toDouble * v).sum / 9) / 32768.0
+    assert(math.abs(out.features(0) - rms.toFloat) < 1e-7)
+    assert(math.abs(out.features(1) - 1106f / 32768f) < 1e-7)
+  }
+
   test("HeaderCodec emits REAL features for decodable bytes, stub otherwise") {
     val codec = new Multimodal.HeaderCodec(6)
     val out = codec.decode(Iterator(
