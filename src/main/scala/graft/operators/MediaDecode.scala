@@ -282,7 +282,12 @@ object MediaDecode {
             spb >= 1 && spb <= (blockAlign - 4 * ch) * 2 / ch + 1 &&
             len >= 0 && off.toLong + len <= b.length =>
         val nBlocks = len / blockAlign
-        val out = new Array[Short](nBlocks * spb * ch)
+        // Long-sized first: spb·ch can reach ~2·blockAlign, so the
+        // sample count approaches 2·len — which overflows Int for a
+        // data chunk near 2 GB
+        val total = nBlocks.toLong * spb * ch
+        if (total > (1L << 30)) return None
+        val out = new Array[Short](total.toInt)
         val pred = new Array[Int](ch)
         val idx = new Array[Int](ch)
         var blk = 0

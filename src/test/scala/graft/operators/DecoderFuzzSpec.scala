@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Robustness fuzz for every binary-decode entry point: random
+  * buffers, magic-prefixed random tails, random bit/byte flips of
+  * valid fixtures, and every truncation prefix — the contract under
+  * test is None-never-throw (a corrupt file at corpus scale must
+  * degrade, never kill the task). Seeded Random, so a failure
+  * reproduces; > 10⁴ mutated buffers per run.
+  */
+class DecoderFuzzSpec extends AnyFunSuite {
+
+  private def hex(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  /** every decode entry point, by name (name shown on failure). */
+  private val entryPoints: Seq[(String, Array[Byte] => Any)] = Seq(
+    "imageDims" -> (b => MediaHeaders.imageDims(b)),
+    "audioDurationMs" -> (b => MediaHeaders.audioDurationMs(b)),
+    "videoDurationMs" -> (b => MediaHeaders.videoDurationMs(b)),
+    "pngPixels" -> (b => MediaDecode.pngPixels(b)),
+    "bmpPixels" -> (b => MediaDecode.bmpPixels(b)),
+    "jpegPixels" -> (b => JpegDecode.jpegPixels(b)),
+    "imagePixels" -> (b => MediaDecode.imagePixels(b)),
+    "wavPcm16" -> (b => MediaDecode.wavPcm16(b)),
+    "wavAdpcmSamples" -> (b => MediaDecode.wavAdpcmSamples(b)),
+    "wavSamples" -> (b => MediaDecode.wavSamples(b)))
+
+  private def assertNoThrow(label: String, buf: Array[Byte]): Unit =
+    entryPoints.foreach { case (name, f) =>
+      try f(buf)
+      catch {
+        case e: Throwable =>
+          fail(s"$name threw on $label (${buf.length} bytes, " +
+            s"head ${buf.take(24).map("%02X".format(_)).mkString}): $e")
+      }
+    }
+
+  /** valid fixtures spanning every format the decoders parse. */
+  private lazy val fixtures: Seq[(String, Array[Byte])] = {
+    // PNG needs real zlib: 2×2 RGB, filter 0 rows
+    val raw = Array[Byte](0, 10, 20, 30, 40, 50, 60, 0, 70, 80, 90, 100, 110, 120)
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val zbuf = new Array[Byte](64)
+    val zn = d.deflate(zbuf); d.end()
+    val idat = zbuf.take(zn)
+    def crc(tag: String, body: Array[Byte]): Array[Byte] = {
+      val c = new java.util.zip.CRC32()
+      c.update(tag.getBytes("ISO-8859-1")); c.update(body)
+      val v = c.getValue
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    }
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] =
+      Array(((body.length >> 24) & 0xff).toByte, ((body.length >> 16) & 0xff).toByte,
+        ((body.length >> 8) & 0xff).toByte, (body.length & 0xff).toByte) ++
+        tag.getBytes("ISO-8859-1") ++ body ++ crc(tag, body)
+    val ihdr = hex("00000002" + "00000002" + "08" + "02" + "00" + "00" + "00")
+    val png = hex("89504E470D0A1A0A") ++ chunk("IHDR", ihdr) ++
+      chunk("IDAT", idat) ++ chunk("IEND", Array.empty)
+    Seq(
+      "png" -> png,
+      "bmp" -> hex("424D" + "46000000" + "00000000" + "36000000" +
+        "28000000" + "02000000" + "02000000" + "0100" + "1800" + "00000000" +
+        "10000000" + "00000000" + "00000000" + "00000000" + "00000000" +
+        "FF0000" + "3264C8" + "0000" + "0000FF" + "00FF00" + "0000"),
+      "jpeg" -> hex("FFD8" + "FFDB" + "0043" + "00" + "10" * 64 +
+        "FFC0" + "000B" + "08" + "0008" + "0008" + "01011100" +
+        "FFC4" + "0014" + "00" + "01" + "00" * 15 + "06" +
+        "FFC4" + "0014" + "10" + "01" + "00" * 15 + "00" +
+        "FFDA" + "0008" + "01" + "01" + "0000" + "3F00" + "58FFD9"),
+      "wav_pcm" -> hex("524946462C00000057415645" +
+        "666D7420100000000100010040 1F0000803E000002001000".replaceAll(" ", "") +
+        "6461746108000000E80330F8B80B0080"),
+      "wav_adpcm" -> hex("524946463000000057415645" +
+        "666D74201400000011000100401F0000C71B00000800040002000900" +
+        "6461746108000000E8030A00718F24F0"),
+      "gif" -> hex("4749463839610C002200F7000000"),
+      "webp" -> hex("5249464618000000574542505650384C100000002F1000020000"),
+      "flac" -> hex("664C614300000022001000100000000000000AC440000006BAA8"),
+      "mp3" -> hex("4944330300000000000A" + "00" * 10 + "FFFB9000" + "00" * 96),
+      "mp4" -> hex("0000001066747970" + "69736F6D00000200" +
+        "000000746D6F6F76" + "0000006C6D766864" +
+        "00000000" + "00000000" + "00000000" + "00000258" + "00000BB8" + "00" * 80))
+  }
+
+  test("fixtures decode as themselves (fuzz baseline is live)") {
+    assert(MediaDecode.pngPixels(fixtures.toMap.apply("png")).isDefined)
+    assert(MediaDecode.bmpPixels(fixtures.toMap.apply("bmp")).isDefined)
+    assert(JpegDecode.jpegPixels(fixtures.toMap.apply("jpeg")).isDefined)
+    assert(MediaDecode.wavPcm16(fixtures.toMap.apply("wav_pcm")).isDefined)
+    assert(MediaDecode.wavAdpcmSamples(fixtures.toMap.apply("wav_adpcm")).isDefined)
+    assert(MediaHeaders.imageDims(fixtures.toMap.apply("gif")).isDefined)
+    assert(MediaHeaders.audioDurationMs(fixtures.toMap.apply("flac")).isDefined)
+    assert(MediaHeaders.videoDurationMs(fixtures.toMap.apply("mp4")).isDefined)
+  }
+
+  test("random buffers never throw (4000 buffers)") {
+    val rnd = new scala.util.Random(0xF00DL)
+    for (i <- 0 until 4000) {
+      val buf = new Array[Byte](rnd.nextInt(513))
+      rnd.nextBytes(buf)
+      assertNoThrow(s"random#$i", buf)
+    }
+  }
+
+  test("magic-prefixed random tails never throw (3000 buffers)") {
+    val rnd = new scala.util.Random(0xBEEFL)
+    val magics = Seq(
+      hex("89504E470D0A1A0A"), hex("424D"), hex("FFD8FF"),
+      "RIFF".getBytes ++ hex("24000000") ++ "WAVE".getBytes,
+      "RIFF".getBytes ++ hex("24000000") ++ "WEBP".getBytes,
+      "GIF89a".getBytes, "GIF87a".getBytes, "fLaC".getBytes,
+      "ID3".getBytes, hex("FFFB"), hex("0000001066747970"))
+    for (i <- 0 until 3000) {
+      val magic = magics(rnd.nextInt(magics.length))
+      val tail = new Array[Byte](rnd.nextInt(257))
+      rnd.nextBytes(tail)
+      assertNoThrow(s"magic#$i", magic ++ tail)
+    }
+  }
+
+  test("bit-flipped valid fixtures never throw (500 mutants per format)") {
+    val rnd = new scala.util.Random(0xCAFEL)
+    fixtures.foreach { case (name, fix) =>
+      for (i <- 0 until 500) {
+        val m = fix.clone()
+        val flips = 1 + rnd.nextInt(8)
+        for (_ <- 0 until flips) {
+          val at = rnd.nextInt(m.length)
+          m(at) = (m(at) ^ (1 << rnd.nextInt(8))).toByte
+        }
+        assertNoThrow(s"$name-flip#$i", m)
+      }
+    }
+  }
+
+  test("byte-scrambled valid fixtures never throw (300 mutants per format)") {
+    val rnd = new scala.util.Random(0xD00DL)
+    fixtures.foreach { case (name, fix) =>
+      for (i <- 0 until 300) {
+        val m = fix.clone()
+        for (_ <- 0 to rnd.nextInt(6)) m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        assertNoThrow(s"$name-scramble#$i", m)
+      }
+    }
+  }
+
+  test("every truncation prefix of every fixture never throws") {
+    fixtures.foreach { case (name, fix) =>
+      for (n <- 0 to fix.length)
+        assertNoThrow(s"$name-trunc$n", fix.take(n))
+    }
+  }
+
+  test("truncated-then-extended fixtures never throw (zero and 0xFF padding)") {
+    fixtures.foreach { case (name, fix) =>
+      for (cut <- Seq(fix.length / 3, fix.length / 2, fix.length - 4); pad <- Seq(0x00, 0xff)) {
+        val m = fix.take(cut) ++ Array.fill(64)(pad.toByte)
+        assertNoThrow(s"$name-extend$cut-$pad", m)
+      }
+    }
+  }
+}
