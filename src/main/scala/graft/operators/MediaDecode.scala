@@ -9,7 +9,11 @@ package graft.operators
   *    lossless web shapes — IDAT chunks concatenated, zlib-inflated
   *    with `java.util.zip.Inflater` (in every JVM), then per-row
   *    filter reversal (None/Sub/Up/Average/Paeth, RFC 2083 §6).
-  *  - WAV: PCM 16-bit LE samples (any channel count, interleaved).
+  *  - GIF: 87a/89a first frame — full LZW (variable 3..12-bit codes,
+  *    clear/EOI, dictionary self-reference) + 4-pass interlace,
+  *    palette-resolved to RGB.
+  *  - WAV: PCM 16-bit LE samples (any channel count, interleaved),
+  *    and IMA ADPCM (wFormatTag 0x0011) 4-bit block decode.
   *
   * Baseline JPEG decodes for real too ([[JpegDecode]] — Huffman +
   * IDCT + chroma upsample, pure JVM); only lossy AUDIO stays behind
@@ -168,9 +172,179 @@ object MediaDecode {
     Some(PixelImage(w, h, channels, out))
   }
 
+  // ---- GIF ---------------------------------------------------------
+
+  /** GIF87a/89a first-frame pixels → RGB (palette resolved; animation
+    * frames beyond the first and transparency are out of scope — the
+    * first image descriptor IS the still image for the curation
+    * features this feeds). Full LZW: variable code width 3..12 bits
+    * LSB-first across reassembled sub-blocks, clear/EOI codes,
+    * dictionary growth with the `code == next` self-reference case,
+    * and the 4-pass Adam-style row interlace. The returned frame is
+    * the image descriptor's own w×h (a frame may be smaller than the
+    * logical screen). Malformed streams — bad codes, short data,
+    * missing palette — return None, never throw.
+    */
+  def gifPixels(b: Array[Byte]): Option[PixelImage] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    if (b.length < 14) return None
+    val sig = new String(b.slice(0, 6), "ISO-8859-1")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val packed = u8(10)
+    val gctSize = if ((packed & 0x80) != 0) 2 << (packed & 7) else 0
+    var i = 13
+    if (i + 3 * gctSize > b.length) return None
+    val gctOff = i
+    i += 3 * gctSize
+    // walk extensions to the first image descriptor
+    while (i < b.length && u8(i) == 0x21) {
+      i += 2 // introducer + label
+      var done = false
+      while (!done) {
+        if (i >= b.length) return None
+        val len = u8(i); i += 1
+        if (len == 0) done = true
+        else { i += len; if (i > b.length) return None }
+      }
+    }
+    if (i + 10 > b.length || u8(i) != 0x2c) return None
+    val w = le16(i + 5)
+    val h = le16(i + 7)
+    val ip = u8(i + 9)
+    val interlaced = (ip & 0x40) != 0
+    val lctSize = if ((ip & 0x80) != 0) 2 << (ip & 7) else 0
+    i += 10
+    val palOff = if (lctSize > 0) i else gctOff
+    val palSize = if (lctSize > 0) lctSize else gctSize
+    i += 3 * lctSize
+    if (palSize == 0 || i >= b.length || palOff + 3 * palSize > b.length) return None
+    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) ||
+      w.toLong * h > (1L << 26)) return None
+    val minCode = u8(i); i += 1
+    if (minCode < 2 || minCode > 8) return None
+    // reassemble LZW sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      if (i >= b.length) return None
+      val len = u8(i); i += 1
+      if (len == 0) done = true
+      else {
+        if (i + len > b.length) return None
+        data.write(b, i, len); i += len
+      }
+    }
+    val stream = data.toByteArray
+    // LZW decode to color indices
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val nPixels = w * h
+    val indices = new Array[Byte](nPixels)
+    // dictionary as (prefix code, appended index) pairs — O(1) append,
+    // entries materialize by walking the prefix chain
+    val prefix = new Array[Int](4096)
+    val append = new Array[Byte](4096)
+    val entryLen = new Array[Int](4096)
+    var dictSize = eoi + 1
+    var codeSize = minCode + 1
+    var prev = -1
+    var bitPos = 0
+    var out = 0
+    val totalBits = stream.length * 8
+    def emit(code: Int): Boolean = { // write entry for `code`, backwards
+      val n = entryLen(code)
+      if (out + n > nPixels) return false
+      var c = code
+      var at = out + n - 1
+      while (c >= clear + 2) { indices(at) = append(c); at -= 1; c = prefix(c) }
+      indices(at) = c.toByte
+      out += n
+      true
+    }
+    var j = 0
+    while (j < clear) { prefix(j) = -1; append(j) = j.toByte; entryLen(j) = 1; j += 1 }
+    var fail = false
+    var ended = false
+    while (!ended && !fail && out < nPixels) {
+      if (bitPos + codeSize > totalBits) { fail = true }
+      else {
+        // LSB-first across byte boundaries
+        var code = 0
+        var k = 0
+        while (k < codeSize) {
+          val bp = bitPos + k
+          code |= ((stream(bp >> 3) >> (bp & 7)) & 1) << k
+          k += 1
+        }
+        bitPos += codeSize
+        if (code == clear) {
+          dictSize = eoi + 1; codeSize = minCode + 1; prev = -1
+        } else if (code == eoi) {
+          ended = true
+        } else if (prev == -1) {
+          if (code >= clear) fail = true
+          else { if (!emit(code)) fail = true; prev = code }
+        } else if (code < dictSize && code != eoi) {
+          if (dictSize < 4096) {
+            // new entry = prev ++ first(code)
+            var f = code
+            while (f >= clear + 2) f = prefix(f)
+            prefix(dictSize) = prev; append(dictSize) = f.toByte
+            entryLen(dictSize) = entryLen(prev) + 1
+            dictSize += 1
+            if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+          }
+          if (!emit(code)) fail = true
+          prev = code
+        } else if (code == dictSize && dictSize < 4096) {
+          // self-referential: entry = prev ++ first(prev)
+          var f = prev
+          while (f >= clear + 2) f = prefix(f)
+          prefix(dictSize) = prev; append(dictSize) = f.toByte
+          entryLen(dictSize) = entryLen(prev) + 1
+          dictSize += 1
+          if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+          if (!emit(code)) fail = true
+          prev = code
+        } else fail = true
+      }
+    }
+    if (fail || out < nPixels) return None
+    // interlace: rows arrive in passes (0 step 8, 4 step 8, 2 step 4,
+    // 1 step 2) — map source row order to display order
+    val rowOrder: Array[Int] =
+      if (!interlaced) Array.tabulate(h)(identity)
+      else {
+        val order = new Array[Int](h)
+        var at = 0
+        for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2)); row <- start until h by step) {
+          order(at) = row; at += 1
+        }
+        order
+      }
+    val rgb = new Array[Byte](nPixels * 3)
+    var srcRow = 0
+    while (srcRow < h) {
+      val dispRow = rowOrder(srcRow)
+      var x = 0
+      while (x < w) {
+        val idx = indices(srcRow * w + x) & 0xff
+        if (idx >= palSize) return None
+        val p = palOff + 3 * idx
+        val d = (dispRow * w + x) * 3
+        rgb(d) = b(p); rgb(d + 1) = b(p + 1); rgb(d + 2) = b(p + 2)
+        x += 1
+      }
+      srcRow += 1
+    }
+    Some(PixelImage(w, h, 3, rgb))
+  }
+
   /** pixels for any pure-JVM-decodable image format; None otherwise. */
   def imagePixels(b: Array[Byte]): Option[PixelImage] =
     pngPixels(b).orElse(bmpPixels(b)).orElse(JpegDecode.jpegPixels(b))
+      .orElse(gifPixels(b))
 
   // ---- WAV PCM -----------------------------------------------------
 

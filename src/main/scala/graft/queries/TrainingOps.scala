@@ -220,7 +220,14 @@ object TrainingOps {
     * ([[graft.operators.MediaDecode.wavAdpcmSamples]]) is replayed
     * nibble-by-nibble in the oracle as a recursive CTE over the same
     * step/index tables, so the 9 decoded samples (and the RMS/peak
-    * features) are SQL-re-derived end to end.
+    * features) are SQL-re-derived end to end. Fixture 6 is a 2×2 GIF89a
+    * whose six LZW codes (clear, four ROOT pixel codes, EOI) land at
+    * FIXED bit offsets by construction — the dictionary never gets
+    * referenced, only grown, so the oracle reads each 3/4-bit code
+    * straight out of the stream bytes LSB-first and resolves the
+    * 4-entry palette, re-deriving the decoded channel means in SQL
+    * (the dictionary-reference path is spec-pinned in MediaDecodeSpec
+    * instead).
     */
   private lazy val mmPixelFixtures: Seq[(Long, String, String)] = Seq(
     (1L, "image", // BMP: red green / blue (200,100,50), bottom-up, padded rows
@@ -261,7 +268,15 @@ object TrainingOps {
       "52494646" + "30000000" + "57415645" +
         "666D7420" + "14000000" + "1100" + "0100" + "401F0000" + "C71B0000" +
         "0800" + "0400" + "0200" + "0900" +
-        "64617461" + "08000000" + "E803" + "0A" + "00" + "718F24F0"))
+        "64617461" + "08000000" + "E803" + "0A" + "00" + "718F24F0"),
+    (6L, "image", // GIF89a 2×2, 4-color GCT (red, green, blue, FF8040),
+      // LZW min code 2: codes clear(3b) 0(3b) 1(3b) 2(3b) 3(4b) eoi(4b)
+      // pack to bytes 44 34 05 — pixels red/green // blue/#FF8040 →
+      // channel means R 127.5, G 95.75, B 79.75
+      "474946383961" + "02000200" + "91" + "0000" +
+        "FF0000" + "00FF00" + "0000FF" + "FF8040" +
+        "2C" + "00000000" + "02000200" + "00" +
+        "02" + "03" + "443405" + "00" + "3B"))
 
   /** Path of a temp-file copy of the merges.txt CLASSPATH RESOURCE —
     * the exact bytes [[graft.functions.Bpe.defaultRanks]] parsed, so
@@ -3431,29 +3446,46 @@ object TrainingOps {
               |  -- byte bb[8]: value = diff*q//8 + 128 (exact: q = 16)
               |  CAST(((CASE WHEN bb[139] // 2 >= 32 THEN bb[139] // 2
               |          ELSE bb[139] // 2 - 63 END) * bb[8]) // 8 + 128
-              |    AS DOUBLE) AS jg
-              |  FROM bt)
+              |    AS DOUBLE) AS jg,
+              |  -- GIF fixture: the four pixel codes sit at stream bits
+              |  -- 3-5, 6-8, 9-11, 12-15 (LSB-first; data bytes 38-40),
+              |  -- all ROOT codes, resolved through the GCT at bytes
+              |  -- 14..25 (color c at 14+3c)
+              |  [(bb[38] // 8) % 8,
+              |   (bb[38] // 64) % 4 + (bb[39] % 2) * 4,
+              |   (bb[39] // 2) % 8,
+              |   (bb[39] // 16) % 16] AS gp
+              |  FROM bt),
+              |g AS (SELECT doc_id,
+              |  CAST(bb[14 + 3*gp[1]] + bb[14 + 3*gp[2]] + bb[14 + 3*gp[3]] + bb[14 + 3*gp[4]] AS DOUBLE)/4 AS gmr,
+              |  CAST(bb[15 + 3*gp[1]] + bb[15 + 3*gp[2]] + bb[15 + 3*gp[3]] + bb[15 + 3*gp[4]] AS DOUBLE)/4 AS gmg,
+              |  CAST(bb[16 + 3*gp[1]] + bb[16 + 3*gp[2]] + bb[16 + 3*gp[3]] + bb[16 + 3*gp[4]] AS DOUBLE)/4 AS gmb
+              |  FROM m WHERE doc_id = 6)
               |SELECT doc_id,
               |  CAST(CAST(CASE WHEN doc_id = 1
               |    THEN (0.299*mr + 0.587*mg + 0.114*mb)/255.0
               |    WHEN doc_id IN (3, 4) THEN jg/255.0
               |    WHEN doc_id = 5 THEN arms
+              |    WHEN doc_id = 6 THEN (0.299*gmr + 0.587*gmg + 0.114*gmb)/255.0
               |    ELSE sqrt(CAST(sm[1]*sm[1]+sm[2]*sm[2]+sm[3]*sm[3]+sm[4]*sm[4] AS DOUBLE)/4)/32768.0
               |  END AS REAL) AS DOUBLE) AS f0,
               |  CAST(CAST(CASE WHEN doc_id = 1 THEN mr/255.0
               |    WHEN doc_id IN (3, 4) THEN jg/255.0
               |    WHEN doc_id = 5 THEN apeak
+              |    WHEN doc_id = 6 THEN gmr/255.0
               |    ELSE CAST(list_max(list_transform(sm, x -> abs(x))) AS DOUBLE)/32768.0
               |  END AS REAL) AS DOUBLE) AS f1,
               |  CAST(CAST(CASE WHEN doc_id = 1 THEN mg/255.0
               |    WHEN doc_id IN (3, 4) THEN jg/255.0
+              |    WHEN doc_id = 6 THEN gmg/255.0
               |    ELSE CAST((h*3) % 1000 - 500 AS DOUBLE)/1000.0
               |  END AS REAL) AS DOUBLE) AS f2,
               |  CAST(CAST(CASE WHEN doc_id = 1 THEN mb/255.0
               |    WHEN doc_id IN (3, 4) THEN jg/255.0
+              |    WHEN doc_id = 6 THEN gmb/255.0
               |    ELSE CAST((h*4) % 1000 - 500 AS DOUBLE)/1000.0
               |  END AS REAL) AS DOUBLE) AS f3
-              |FROM m, ads""".stripMargin)),
+              |FROM m LEFT JOIN g USING (doc_id) CROSS JOIN ads""".stripMargin)),
 
     // ---- multimodal: resize planning (aspect-preserving fit into a
     //      224×224 box, pure integer arithmetic) ----

@@ -22,6 +22,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "pngPixels" -> (b => MediaDecode.pngPixels(b)),
     "bmpPixels" -> (b => MediaDecode.bmpPixels(b)),
     "jpegPixels" -> (b => JpegDecode.jpegPixels(b)),
+    "gifPixels" -> (b => MediaDecode.gifPixels(b)),
     "imagePixels" -> (b => MediaDecode.imagePixels(b)),
     "wavPcm16" -> (b => MediaDecode.wavPcm16(b)),
     "wavAdpcmSamples" -> (b => MediaDecode.wavAdpcmSamples(b)),
@@ -77,7 +78,10 @@ class DecoderFuzzSpec extends AnyFunSuite {
       "wav_adpcm" -> hex("524946463000000057415645" +
         "666D74201400000011000100401F0000C71B00000800040002000900" +
         "6461746108000000E8030A00718F24F0"),
-      "gif" -> hex("4749463839610C002200F7000000"),
+      "gif" -> hex("474946383961" + "02000200" + "91" + "0000" +
+        "FF0000" + "00FF00" + "0000FF" + "FF8040" +
+        "2C" + "00000000" + "02000200" + "00" +
+        "02" + "03" + "443405" + "00" + "3B"),
       "webp" -> hex("5249464618000000574542505650384C100000002F1000020000"),
       "flac" -> hex("664C614300000022001000100000000000000AC440000006BAA8"),
       "mp3" -> hex("4944330300000000000A" + "00" * 10 + "FFFB9000" + "00" * 96),
@@ -92,6 +96,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     assert(JpegDecode.jpegPixels(fixtures.toMap.apply("jpeg")).isDefined)
     assert(MediaDecode.wavPcm16(fixtures.toMap.apply("wav_pcm")).isDefined)
     assert(MediaDecode.wavAdpcmSamples(fixtures.toMap.apply("wav_adpcm")).isDefined)
+    assert(MediaDecode.gifPixels(fixtures.toMap.apply("gif")).isDefined)
     assert(MediaHeaders.imageDims(fixtures.toMap.apply("gif")).isDefined)
     assert(MediaHeaders.audioDurationMs(fixtures.toMap.apply("flac")).isDefined)
     assert(MediaHeaders.videoDurationMs(fixtures.toMap.apply("mp4")).isDefined)

@@ -193,6 +193,76 @@ class MediaDecodeSpec extends AnyFunSuite {
     assert(MediaDecode.wavPcm16(alaw).isEmpty)
   }
 
+  // ---- GIF ---------------------------------------------------------
+
+  /** 2×2 GIF89a, 4-color palette, root codes only (the mm_pixel_stats
+    * fixture): pixels red, green / blue, #FF8040.
+    */
+  private val gif2x2: Array[Byte] =
+    hex("474946383961" + "02000200" + "91" + "0000" +
+      "FF0000" + "00FF00" + "0000FF" + "FF8040" +
+      "2C" + "00000000" + "02000200" + "00" +
+      "02" + "03" + "443405" + "00" + "3B")
+
+  test("GIF: 2x2 root-code frame decodes through the palette") {
+    val px = MediaDecode.gifPixels(gif2x2).get
+    assert((px.width, px.height, px.channels) == (2, 2, 3))
+    val rgb = px.data.map(_ & 0xff).toSeq
+    assert(rgb == Seq(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 128, 64), rgb)
+    assert(px.meanChannel(0) == 127.5 && px.meanChannel(1) == 95.75 && px.meanChannel(2) == 79.75)
+    // imagePixels dispatches GIF after png/bmp/jpeg
+    assert(MediaDecode.imagePixels(gif2x2).get.data.toSeq == px.data.toSeq)
+  }
+
+  test("GIF: dictionary self-reference code (cScSc pattern) and compressed runs decode") {
+    // 4×1, palette 4, pixels 0,0,0,0 via codes clear(4), 0 (root,
+    // 1 px), 6 (== dictSize: self-ref entry [0,0], 2 px, dict → 7),
+    // 0 (adds dict[7], dict → 8 bumps code size to 4, 1 px), eoi(5)
+    // read at 4 bits. LSB-first bit stream:
+    // 001 000 011 000 1010 → byte0 = 0x84, byte1 = 0x51
+    val g = hex("474946383961" + "04000100" + "91" + "0000" +
+      "FF0000" + "00FF00" + "0000FF" + "FFFFFF" +
+      "2C" + "00000000" + "04000100" + "00" +
+      "02" + "02" + "8451" + "00" + "3B")
+    val px = MediaDecode.gifPixels(g).get
+    assert(px.data.map(_ & 0xff).toSeq == Seq(255, 0, 0, 255, 0, 0, 255, 0, 0, 255, 0, 0))
+  }
+
+  test("GIF: interlaced rows land in display order") {
+    // 1×4 interlaced, distinct colors; stored row order under the
+    // 4-pass scheme for h=4 is display rows 0, 2, 1, 3 — codes are
+    // roots 0,1,2,3 so stored pixel i = color i: display must come
+    // back 0, 2, 1, 3 (stored row 1 → display 2, stored 2 → display 1)
+    val g = hex("474946383961" + "01000400" + "91" + "0000" +
+      "FF0000" + "00FF00" + "0000FF" + "FFFFFF" +
+      "2C" + "00000000" + "01000400" + "40" +
+      "02" + "03" + "443405" + "00" + "3B")
+    val px = MediaDecode.gifPixels(g).get
+    val rows = px.data.grouped(3).map(_.map(_ & 0xff).toSeq).toSeq
+    assert(rows == Seq(
+      Seq(255, 0, 0),      // stored 0 → display 0 (color 0)
+      Seq(0, 0, 255),      // stored 2 (color 2) → display 1
+      Seq(0, 255, 0),      // stored 1 (color 1) → display 2
+      Seq(255, 255, 255)), // stored 3 → display 3
+      rows)
+  }
+
+  test("GIF: extensions are skipped; malformed streams return None") {
+    // graphic-control extension before the descriptor
+    val withExt = gif2x2.take(25) ++ hex("21F904" + "04000000" + "00") ++ gif2x2.drop(25)
+    assert(MediaDecode.gifPixels(withExt).get.data.toSeq ==
+      MediaDecode.gifPixels(gif2x2).get.data.toSeq)
+    // out-of-range code (first code = clear+2 → invalid as a root)
+    val badCode = gif2x2.clone()
+    badCode(37) = 0x46 // first data byte: code 4 then code 6 where root expected
+    assert(MediaDecode.gifPixels(badCode).isEmpty)
+    // truncated LZW data (too few pixels decoded)
+    assert(MediaDecode.gifPixels(gif2x2.take(38) ++ hex("00" + "3B")).isEmpty)
+    // no palette at all (GCT flag off, no LCT)
+    val noPal = gif2x2.clone(); noPal(10) = 0x11
+    assert(MediaDecode.gifPixels(noPal).isEmpty)
+  }
+
   // ---- WAV IMA ADPCM -----------------------------------------------
 
   /** mono IMA-ADPCM WAV: one 8-byte block — predictor 1000, step
