@@ -5,12 +5,22 @@ object Bench {
     * parquet footer reads, shuffle-service spin-up), then `REPS` timed
     * warm reps, reporting the MEDIAN — so a single GC pause or host
     * hiccup can't masquerade as a plan regression (this made r3/r4
-    * cross-round comparisons unadjudicable).
+    * cross-round comparisons unadjudicable). Entries whose first-pass
+    * median lands under `SUBSEC_THRESH` seconds (default 1.75) extend
+    * to `SUBSEC_REPS` (default 7) total reps: under ~2 s the measured
+    * 20–30 % run-to-run noise band exceeds the 1.5× regression
+    * threshold's headroom, and median-of-3 let the same small queries
+    * get re-adjudicated as noise three rounds running (r8–r10
+    * `dd_snapshot_diff`; the r11 shakedown caught `ta_cdc_chunk`
+    * flipping 0.96↔1.51 s between same-code runs). Cost: ~50 s per
+    * full run, paid a handful of times per round.
     */
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    val subsecReps = sys.env.getOrElse("SPARK_GRAFT_SUBSEC_REPS", "7").toInt.max(reps)
+    val subsecThresh = sys.env.getOrElse("SPARK_GRAFT_SUBSEC_THRESH", "1.75").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -50,9 +60,14 @@ object Bench {
           errors += name
           name -> None
         case Some(cold) =>
-          val warm = (1 to reps).flatMap(_ => timeOnce(name, fn))
+          val first = (1 to reps).flatMap(_ => timeOnce(name, fn))
           // if warm reps start failing after a green warmup, stay loud
-          if (warm.length < reps) errors += name
+          if (first.length < reps) errors += name
+          // small-query medians extend to subsecReps total (see above)
+          val warm =
+            if (first.nonEmpty && median(first) < subsecThresh && subsecReps > reps)
+              first ++ (1 to (subsecReps - reps)).flatMap(_ => timeOnce(name, fn))
+            else first
           name -> Some(if (warm.nonEmpty) median(warm) else cold)
       }
     }
@@ -76,7 +91,7 @@ object Bench {
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.flatten.sum
     def line(q: String, t: String): String =
-      s"""{"metric":"total","value":$t,"unit":"sec","queries":$q,"errors":$errJson,"sf":"$sfDir","protocol":"median-of-$reps-warm"}"""
+      s"""{"metric":"total","value":$t,"unit":"sec","queries":$q,"errors":$errJson,"sf":"$sfDir","protocol":"median-of-$reps-warm;lt${subsecThresh}s-median-of-$subsecReps"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), line(qsFull, total.toString) + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}") }
@@ -91,7 +106,7 @@ object Bench {
     // always-complete total line LAST — whatever the tail cuts, the
     // final line parses, and bench_out.json holds full precision.
     println(line(qs, fmt(total)))
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.values.flatten.size},"errors":$errJson,"sf":"$sfDir","protocol":"median-of-$reps-warm","queries_in":"previous line + bench_out.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.values.flatten.size},"errors":$errJson,"sf":"$sfDir","protocol":"median-of-$reps-warm;lt${subsecThresh}s-median-of-$subsecReps","queries_in":"previous line + bench_out.json"}""")
     System.out.flush()
   }
 }
