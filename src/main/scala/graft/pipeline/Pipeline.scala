@@ -109,24 +109,26 @@ object Pipeline {
       persistShared: Boolean,
       persisted: scala.collection.mutable.ListBuffer[DataFrame]): BuiltNode = {
     val stage = registry.instantiateNode(conf.name, conf.params)
-    // discard_on_full_buffer load shedding (node/node.go:206-209): the
+    // discard_on_full_buffer load shedding (node/node.go:200-217): the
     // reference drops an event at delivery when the child's bounded
     // channel is full, instead of blocking the parent. Spark has no
     // per-operator buffer to fill — the micro-batch analog (documented
-    // divergence, SURVEY §2.4) is a PER-TRIGGER admission cap: at most
-    // `buffersize` events reach the node per batch, overflow is
-    // discarded. `limit` plans as a per-partition LocalLimit before the
-    // small global head — each task prunes to the cap locally, no full
-    // shuffle, so the guard itself is scale-safe. `<id>.offered` vs
-    // `<id>.received` observe metrics expose the discard count
-    // (reference DiscardedEvents, metrics/metrics.go).
-    val admitted =
-      if (conf.discardOnFullBuffer) {
-        val offered =
-          if (observe) input.observe(s"${conf.id}.offered", count(lit(1)).as("count"))
-          else input
-        offered.limit(conf.bufferSize)
-      } else input
+    // divergence, SURVEY §2.4) is a PER-PARTITION admission counter:
+    // each task admits the first `buffersize` events of its partition
+    // per batch and discards the rest, modelling one bounded channel
+    // per worker (total trigger capacity = buffersize × partitions,
+    // with the workers floor below applied FIRST so `workers` sizes
+    // the channel count exactly like the reference's per-node worker
+    // pool). The admission is a narrow per-task `take` — no shuffle,
+    // no single-partition GlobalLimit collapse (the pre-r11 shape,
+    // which serialized the node and forced a repartition after) —
+    // so the guard is itself scale-safe and preserves parallelism.
+    // `<id>.offered` vs `<id>.received` observe metrics expose the
+    // discard count (reference DiscardedEvents, metrics/metrics.go).
+    val offered =
+      if (conf.discardOnFullBuffer && observe)
+        input.observe(s"${conf.id}.offered", count(lit(1)).as("count"))
+      else input
     // An observe value is idempotent within a batch: when several
     // downstream actions (multiple leaves, dead-letter branch)
     // re-evaluate the operator, each reports the same total for this
@@ -158,22 +160,42 @@ object Pipeline {
     // analog of per-stage concurrency is the partition count, so
     // `workers` acts as a parallelism FLOOR — a node whose input plans
     // to fewer partitions than its configured workers is round-robin
-    // repartitioned up before the stage applies (this also restores
-    // parallelism after the single-partition GlobalLimit a
-    // discard_on_full_buffer cap plans). workers=1 (the reference
-    // default, config/config.go:219-228) never forces a shuffle, and
-    // inputs already at or above the floor are left alone — coalescing
-    // DOWN would serialize a wide stage, which is Spark's scheduler's
-    // call, not the config's.
-    // discard_on_full_buffer plans a single-partition GlobalLimit; all
-    // built-in node transforms are narrow, so the static estimate
-    // holds (a custom wide stage opts out via Stage.narrow = false,
-    // handled at childParts below).
-    val partsHere = if (conf.discardOnFullBuffer) 1 else inputParts
-    val (parallel, outParts) =
-      if (conf.workers > 1 && partsHere < conf.workers)
-        (admitted.repartition(conf.workers), conf.workers)
-      else (admitted, partsHere)
+    // repartitioned up before the stage applies. workers=1 (the
+    // reference default, config/config.go:219-228) never forces a
+    // shuffle, and inputs already at or above the floor are left
+    // alone — coalescing DOWN would serialize a wide stage, which is
+    // Spark's scheduler's call, not the config's. The floor applies
+    // BEFORE the shed admission so `workers × buffersize` is the
+    // node's deterministic trigger capacity.
+    val (parallel0, outParts) =
+      if (conf.workers > 1 && inputParts < conf.workers)
+        (offered.repartition(conf.workers), conf.workers)
+      else (offered, inputParts)
+    val parallel =
+      if (conf.discardOnFullBuffer) {
+        implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+          org.apache.spark.sql.Encoders.row(parallel0.schema)
+        val cap = conf.bufferSize
+        // DRAIN the partition rather than `take(cap)`: a short-circuit
+        // admission stops pulling the upstream iterator, so the
+        // `.offered` CollectMetrics accumulator below would only count
+        // consumed rows and the discard count would read ~0. In the
+        // reference too the parent produces every event — the drop
+        // happens at channel delivery (node/node.go:200-217). The kept
+        // buffer is at most `buffersize` rows, exactly the memory the
+        // reference's bounded channel holds.
+        parallel0.mapPartitions { it =>
+          val kept = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](
+            math.min(cap, 1 << 16))
+          var n = 0
+          while (it.hasNext) {
+            val r = it.next()
+            if (n < cap) kept += r
+            n += 1
+          }
+          kept.iterator
+        }
+      } else parallel0
     val (preDone, stageForSplit) = stage.pre match {
       case Some(f) => (f(parallel).localCheckpoint(false), stage.copy(pre = None))
       case None => (parallel, stage)

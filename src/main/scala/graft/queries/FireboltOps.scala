@@ -108,10 +108,16 @@ object FireboltOps {
              |SELECT 'err', event_type || ':' || event_id
              |FROM events WHERE event_type NOT LIKE 'click%' AND event_type LIKE 'error%'""".stripMargin)),
 
-    // ---- discard_on_full_buffer load shedding (node/node.go:206-209):
-    //      per-trigger admission cap at the flagged node, overflow
-    //      dropped. WHICH rows survive is arrival-order-arbitrary in
-    //      both engines, so the oracle checks the deterministic part:
+    // ---- discard_on_full_buffer load shedding (node/node.go:200-217):
+    //      per-PARTITION admission at the flagged node — each of the
+    //      node's `workers` tasks admits the first `buffersize` events
+    //      of its partition (one bounded channel per worker), so the
+    //      deterministic trigger capacity is workers × buffersize =
+    //      4 × 125 = 500. The workers floor round-robins the (single
+    //      parquet split) input into 4 near-equal partitions, each far
+    //      above 125 rows at every driver SF, so kept = exactly 500.
+    //      WHICH rows survive is arrival-order-arbitrary in both
+    //      engines, so the oracle checks the deterministic part:
     //      kept/discarded counts ----
     "fb_shed_cap" -> Q(
       (s, dir) => {
@@ -129,7 +135,8 @@ object FireboltOps {
              |      prefix: click
              |    children:
              |      - name: resultsnode
-             |        buffersize: 500
+             |        workers: 4
+             |        buffersize: 125
              |        discard_on_full_buffer: true
              |""".stripMargin
         val cfg = AppConfig.parse(yaml, reg).fold(e => sys.error(e), identity)

@@ -206,7 +206,7 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally metrics.uninstall()
   }
 
-  test("discard_on_full_buffer sheds to the per-trigger cap and counts discards") {
+  test("discard_on_full_buffer sheds per partition and counts discards") {
     val s = spark
     val metrics = new PipelineMetrics(s).install()
     try {
@@ -224,9 +224,12 @@ class StreamingPipelineSpec extends SparkSpec {
           |        buffersize: 7
           |        discard_on_full_buffer: true
           |""".stripMargin, reg).fold(e => sys.error(e), identity)
+      // single partition → one bounded channel of 7: the pre-r11 cap
+      // semantics exactly
       val mix = ((1 to 20).map(i => s"success $i") ++ (1 to 5).map(i => s"filterme $i"))
         .toDF("payload")
         .select(col("payload"), current_timestamp().as("created"), lit(false).as("recovery"))
+        .repartition(1)
       val built = graft.pipeline.Pipeline.buildOn(mix, cfg.nodes, reg,
         observeMetrics = true, persistShared = false)
       val out = built.find("resultsnode").get.output.collect()
@@ -240,5 +243,35 @@ class StreamingPipelineSpec extends SparkSpec {
       assert(metrics.discardedEvents("resultsnode") == 13L) // 20 offered - 7 admitted
       assert(metrics.discardedEvents("filternode") == 0L)   // unflagged node sheds nothing
     } finally metrics.uninstall()
+  }
+
+  test("discard_on_full_buffer capacity scales with workers (one channel per task)") {
+    val s = spark
+    import s.implicits._
+    val reg = Registry.builtins()
+    val cfg = AppConfig.parse(
+      """application: shedtest
+        |source:
+        |  name: stringsource
+        |  params: {path: unused}
+        |nodes:
+        |  - name: filternode
+        |    children:
+        |      - name: resultsnode
+        |        workers: 3
+        |        buffersize: 5
+        |        discard_on_full_buffer: true
+        |""".stripMargin, reg).fold(e => sys.error(e), identity)
+    // 60 surviving rows from 1 partition, workers floor → 3 round-robin
+    // partitions of 20 each, each channel admits 5 → exactly 15 kept
+    val mix = (1 to 60).map(i => s"success $i").toDF("payload")
+      .select(col("payload"), current_timestamp().as("created"), lit(false).as("recovery"))
+      .repartition(1)
+    val built = graft.pipeline.Pipeline.buildOn(mix, cfg.nodes, reg,
+      observeMetrics = false, persistShared = false)
+    val out = built.find("resultsnode").get.output
+    assert(out.rdd.getNumPartitions == 3, "shed must not collapse parallelism")
+    val perPart = out.rdd.mapPartitions(it => Iterator.single(it.size)).collect().toSeq
+    assert(perPart == Seq(5, 5, 5), s"per-channel admission violated: $perPart")
   }
 }
