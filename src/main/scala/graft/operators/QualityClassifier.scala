@@ -100,25 +100,30 @@ object QualityClassifier {
     w
   }
 
-  /** Score rows against a FROZEN weight vector: (idCol, margin,
+  /** Score rows against a FROZEN weight vector: (idCol, keep…, margin,
     * prob_ppm, pred) — margin is the raw fixed-point logit,
     * prob_ppm = ⌊4S·σ̂ · 10⁶ ∕ 4S⌋ the hard-sigmoid probability in
     * ppm, pred the 0/1 label (margin > 0). Pure row-local projection:
-    * zero shuffles, streaming-composable.
+    * zero shuffles, streaming-composable. `keep` names input columns
+    * to carry through the projection (e.g. the routing key a
+    * downstream per-group stage needs) — a post-hoc join back to the
+    * input for them would be a full extra shuffle.
     */
   def scoreAgainst(weights: Array[Long], df: DataFrame,
-                   idCol: String, textCol: String): DataFrame = {
+                   idCol: String, textCol: String,
+                   keep: Seq[String] = Nil): DataFrame = {
     val dim = weights.length - 1
     val scored = df.filter(col(textCol).isNotNull)
-      .select(col(idCol), margin(features(col(textCol), dim), weights).as("margin"))
+      .select(col(idCol) +: keep.map(col) :+
+        margin(features(col(textCol), dim), weights).as("margin"): _*)
     // two-step projection: margin (O(dim·words)) is evaluated once —
     // CollapseProject keeps multi-referenced non-cheap aliases apart
     val u4 = least(greatest(lit(2 * Scale) + col("margin"), lit(0L)), lit(4 * Scale))
     scored.select(
-      col(idCol), col("margin"),
+      col(idCol) +: keep.map(col) :+ col("margin") :+
       // u4 ≥ 0, so the shift IS truncating division by 4S — `//` in SQL
-      shiftright(u4 * lit(1000000L), 22).as("prob_ppm"),
-      when(col("margin") > 0, 1).otherwise(0).as("pred"))
+      shiftright(u4 * lit(1000000L), 22).as("prob_ppm") :+
+      when(col("margin") > 0, 1).otherwise(0).as("pred"): _*)
   }
 
   /** Train on `df` (against the weak `labelCol` signal) and score the

@@ -60,8 +60,12 @@ object TrainingOps {
     * division per pass is DuckDB `//` = Scala Long `/`), then
     * frozen-weight scoring. `trainFilter`/`scoreFilter` are SQL
     * predicates over `documents` selecting the two corpora.
+    * `finalSelect`, when given, replaces the default scored-rows
+    * projection; it reads the `sc(doc_id, z)` CTE (z = the int64
+    * margin) plus `documents`.
     */
-  private def duckLrClassifierSql(trainFilter: String, scoreFilter: String): String = {
+  private def duckLrClassifierSql(trainFilter: String, scoreFilter: String,
+                                  finalSelect: Option[String] = None): String = {
     val dim = 256; val iters = 12; val lrDen = 2
     def it(t: Int): String =
       s"""z$t AS (SELECT l.doc_id, l.y, COALESCE(sum(f.v * w.wv), 0) AS z
@@ -99,10 +103,11 @@ object TrainingOps {
        |  FROM (SELECT doc_id FROM tok WHERE $scoreFilter) d
        |  LEFT JOIN faAll f ON d.doc_id = f.doc_id LEFT JOIN w$iters w ON f.i = w.i
        |  GROUP BY 1)
-       |SELECT doc_id, CAST(z AS BIGINT) AS margin,
-       |  CAST((least(greatest(2097152 + z, 0), 4194304) * 1000000) // 4194304 AS BIGINT) AS prob_ppm,
-       |  CASE WHEN z > 0 THEN 1 ELSE 0 END AS pred
-       |FROM sc""".stripMargin
+       |${finalSelect.getOrElse(
+          """SELECT doc_id, CAST(z AS BIGINT) AS margin,
+            |  CAST((least(greatest(2097152 + z, 0), 4194304) * 1000000) // 4194304 AS BIGINT) AS prob_ppm,
+            |  CASE WHEN z > 0 THEN 1 ELSE 0 END AS pred
+            |FROM sc""".stripMargin)}""".stripMargin
   }
 
   /** DuckDB CTEs: word-3-gram shingle list per doc. */
@@ -3028,6 +3033,37 @@ object TrainingOps {
       },
       Some(duckLrClassifierSql(trainFilter = "doc_id % 10 <> 0",
         scoreFilter = "doc_id % 10 = 0"))),
+
+    // ---- the STREAMING serving path, batch-driven: frozen-weight
+    //      scoring (a zero-Exchange projection, so it drops into
+    //      readStream unchanged — QualityClassifierSpec drives it
+    //      through an actual stream) feeding the per-source top-k
+    //      quality leaderboard through flatMapGroupsWithState state.
+    //      One micro-batch over the held-out corpus must equal the
+    //      batch frozen-model + windowed-rank result ----
+    "ta_quality_clf_stateful" -> Q(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val w = graft.operators.QualityClassifier.trainWeights(
+          d.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          TextFunctions.qualityScorePpm(col("text")) >= 500000)
+        val scored = graft.operators.QualityClassifier.scoreAgainst(
+          w, d.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+          keep = Seq("source"))
+        graft.streaming.StatefulOps.streamingTopK(
+            scored, "source", col("margin"), "doc_id", k = 10)
+          .toDF().select(col("key").as("source"), col("id").as("doc_id"),
+            col("ord").as("margin"))
+      },
+      Some(duckLrClassifierSql(trainFilter = "doc_id % 10 <> 0",
+        scoreFilter = "doc_id % 10 = 0",
+        finalSelect = Some(
+          """, scj AS (SELECT d.source, sc.doc_id, CAST(sc.z AS BIGINT) AS margin
+            |    FROM sc JOIN documents d USING (doc_id)),
+            |rk AS (SELECT source, doc_id, margin,
+            |  row_number() OVER (PARTITION BY source ORDER BY margin DESC, doc_id ASC) AS rn
+            |  FROM scj)
+            |SELECT source, doc_id, margin FROM rk WHERE rn <= 10""".stripMargin)))),
 
     // ---- quality scoring (integer ppm) ----
     "ta_quality" -> Q(

@@ -59,6 +59,31 @@ class QualityClassifierSpec extends SparkSpec {
     val plan = QualityClassifier.scoreAgainst(w, docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"frozen-model scoring must be map-only:\n$plan")
+    // keep-columns pass-through stays a pure projection (the shape
+    // ta_quality_clf_stateful routes on) — no join back for the key
+    val kept = QualityClassifier.scoreAgainst(w, docs, "doc_id", "text",
+      keep = Seq("source"))
+    assert(kept.columns.toSeq == Seq("doc_id", "source", "margin", "prob_ppm", "pred"))
+    val kp = kept.queryExecution.executedPlan.toString
+    assert(!kp.contains("Exchange"), s"keep-cols scoring must stay map-only:\n$kp")
+  }
+
+  test("frozen-model scoring drops into readStream unchanged (stream equals batch)") {
+    val w = QualityClassifier.trainWeights(docs, "doc_id", "text", label, iters = 2)
+    val in = docs.select("doc_id", "text").limit(60)
+    val dir = java.nio.file.Files.createTempDirectory("graft-clf-stream").toString
+    in.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(in.schema).parquet(s"$dir/in")
+    val q = QualityClassifier.scoreAgainst(w, stream, "doc_id", "text")
+      .writeStream.format("memory").queryName("clf_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("clf_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val batch = QualityClassifier.scoreAgainst(w, in, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(streamed == batch, "stream scoring must equal batch scoring")
+    assert(streamed.nonEmpty)
   }
 
   test("deterministic: two trainings produce identical weights") {
