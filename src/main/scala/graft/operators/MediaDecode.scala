@@ -514,6 +514,13 @@ object MediaDecode {
   def wavSamples(b: Array[Byte]): Option[Array[Short]] =
     wavPcm16(b).orElse(wavAdpcmSamples(b))
 
+  /** samples for any pure-JVM-decodable audio format, as the 16-bit
+    * view the RMS/peak features consume: WAV (PCM16, IMA-ADPCM) or
+    * FLAC ([[FlacDecode]], native depth arithmetic-shifted to 16).
+    */
+  def audioSamples(b: Array[Byte]): Option[Array[Short]] =
+    wavSamples(b).orElse(FlacDecode.flacSamples16(b))
+
   /** Root-mean-square amplitude normalized to [0, 1]. */
   def rms(samples: Array[Short]): Double =
     if (samples.isEmpty) 0.0

@@ -146,8 +146,9 @@ object Multimodal {
     *
     * Features are REAL where pure-JVM decode exists
     * ([[MediaDecode]]): PNG (zlib via `java.util.zip`), baseline
-    * JPEG ([[JpegDecode]]) and uncompressed 24 bpp BMP yield
-    * per-channel means + luma; PCM16 and IMA-ADPCM WAV yield RMS/peak
+    * JPEG ([[JpegDecode]]), GIF and uncompressed 24 bpp BMP yield
+    * per-channel means + luma; PCM16 WAV, IMA-ADPCM WAV and FLAC
+    * ([[FlacDecode]]) yield RMS/peak
     * amplitude — the rest of the feature vector keeps the
     * deterministic stub layout so the schema and per-row cost profile
     * are unchanged. Perceptual-audio sample decode (MP3/AAC) is the
@@ -188,7 +189,7 @@ object Multimodal {
       } else if (r.kind == "audio") {
         val dur = MediaHeaders.audioDurationMs(r.content)
           .map(ms => s.copy(duration_ms = ms)).getOrElse(s)
-        safely(MediaDecode.wavSamples(r.content)) match {
+        safely(MediaDecode.audioSamples(r.content)) match {
           case Some(pcm) => dur.copy(features = withReal(dur.features,
             Array(MediaDecode.rms(pcm), MediaDecode.peak(pcm))))
           case None => dur

@@ -232,7 +232,13 @@ object TrainingOps {
     * straight out of the stream bytes LSB-first and resolves the
     * 4-entry palette, re-deriving the decoded channel means in SQL
     * (the dictionary-reference path is spec-pinned in MediaDecodeSpec
-    * instead).
+    * instead). Fixture 7 is a FLAC stream (mono 16-bit, one VERBATIM
+    * frame of the same four samples as fixture 2) whose frame header
+    * is a whole number of bytes by format rule, so the four BE16
+    * samples sit at FIXED byte offsets 51–58 — the oracle re-reads
+    * them straight from the stream bytes (CRC-verified rice/LPC paths
+    * are round-tripped against an independent forward encoder in
+    * FlacDecodeSpec instead).
     */
   private lazy val mmPixelFixtures: Seq[(Long, String, String)] = Seq(
     (1L, "image", // BMP: red green / blue (200,100,50), bottom-up, padded rows
@@ -281,7 +287,14 @@ object TrainingOps {
       "474946383961" + "02000200" + "91" + "0000" +
         "FF0000" + "00FF00" + "0000FF" + "FF8040" +
         "2C" + "00000000" + "02000200" + "00" +
-        "02" + "03" + "443405" + "00" + "3B"))
+        "02" + "03" + "443405" + "00" + "3B"),
+    (7L, "audio", // FLAC mono 16-bit 8000 Hz: STREAMINFO(bs 4, 4
+      // samples) + one verbatim frame (bsCode 6, CRC-8 B2) carrying
+      // 1000, -2000, 3000, -32768 as BE16 at bytes 51-58, CRC-16 1795
+      "664C6143" + "80" + "000022" +
+        "0004" + "0004" + "000000" + "000000" + "01F400F000000004" + "00" * 16 +
+        "FFF8" + "60" + "08" + "00" + "03" + "B2" +
+        "02" + "03E8" + "F830" + "0BB8" + "8000" + "1795"))
 
   /** Path of a temp-file copy of the merges.txt CLASSPATH RESOURCE —
     * the exact bytes [[graft.functions.Bpe.defaultRanks]] parsed, so
@@ -3472,6 +3485,13 @@ object TrainingOps {
               |    CASE WHEN bb[45+2*j] + bb[46+2*j]*256 >= 32768
               |         THEN bb[45+2*j] + bb[46+2*j]*256 - 65536
               |         ELSE bb[45+2*j] + bb[46+2*j]*256 END) AS sm,
+              |  -- FLAC fixture 7: the verbatim frame's four samples,
+              |  -- BIG-endian 16-bit at bytes 51-58 (frame headers are
+              |  -- whole bytes by format rule, so the offsets are fixed)
+              |  list_transform(range(0,4), j ->
+              |    CASE WHEN bb[51+2*j]*256 + bb[52+2*j] >= 32768
+              |         THEN bb[51+2*j]*256 + bb[52+2*j] - 65536
+              |         ELSE bb[51+2*j]*256 + bb[52+2*j] END) AS fsm,
               |  list_reduce(list_prepend(CAST(7 AS BIGINT),
               |    list_transform(bb, x -> CAST(x AS BIGINT))),
               |    (a, x) -> (a*31 + x) % 1000000007) AS h,
@@ -3503,12 +3523,14 @@ object TrainingOps {
               |    WHEN doc_id IN (3, 4) THEN jg/255.0
               |    WHEN doc_id = 5 THEN arms
               |    WHEN doc_id = 6 THEN (0.299*gmr + 0.587*gmg + 0.114*gmb)/255.0
+              |    WHEN doc_id = 7 THEN sqrt(CAST(fsm[1]*fsm[1]+fsm[2]*fsm[2]+fsm[3]*fsm[3]+fsm[4]*fsm[4] AS DOUBLE)/4)/32768.0
               |    ELSE sqrt(CAST(sm[1]*sm[1]+sm[2]*sm[2]+sm[3]*sm[3]+sm[4]*sm[4] AS DOUBLE)/4)/32768.0
               |  END AS REAL) AS DOUBLE) AS f0,
               |  CAST(CAST(CASE WHEN doc_id = 1 THEN mr/255.0
               |    WHEN doc_id IN (3, 4) THEN jg/255.0
               |    WHEN doc_id = 5 THEN apeak
               |    WHEN doc_id = 6 THEN gmr/255.0
+              |    WHEN doc_id = 7 THEN CAST(list_max(list_transform(fsm, x -> abs(x))) AS DOUBLE)/32768.0
               |    ELSE CAST(list_max(list_transform(sm, x -> abs(x))) AS DOUBLE)/32768.0
               |  END AS REAL) AS DOUBLE) AS f1,
               |  CAST(CAST(CASE WHEN doc_id = 1 THEN mg/255.0

@@ -26,7 +26,9 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "imagePixels" -> (b => MediaDecode.imagePixels(b)),
     "wavPcm16" -> (b => MediaDecode.wavPcm16(b)),
     "wavAdpcmSamples" -> (b => MediaDecode.wavAdpcmSamples(b)),
-    "wavSamples" -> (b => MediaDecode.wavSamples(b)))
+    "wavSamples" -> (b => MediaDecode.wavSamples(b)),
+    "flacSamples" -> (b => FlacDecode.flacSamples(b)),
+    "audioSamples" -> (b => MediaDecode.audioSamples(b)))
 
   private def assertNoThrow(label: String, buf: Array[Byte]): Unit =
     entryPoints.foreach { case (name, f) =>
@@ -84,6 +86,9 @@ class DecoderFuzzSpec extends AnyFunSuite {
         "02" + "03" + "443405" + "00" + "3B"),
       "webp" -> hex("5249464618000000574542505650384C100000002F1000020000"),
       "flac" -> hex("664C614300000022001000100000000000000AC440000006BAA8"),
+      // full decodable FLAC: STREAMINFO + one verbatim frame (mm_pixel_stats fixture 7)
+      "flac_frame" -> hex("664C6143800000220004000400000000000001F400F000000004" +
+        "00" * 16 + "FFF860080003B20203E8F8300BB880001795"),
       "mp3" -> hex("4944330300000000000A" + "00" * 10 + "FFFB9000" + "00" * 96),
       "mp4" -> hex("0000001066747970" + "69736F6D00000200" +
         "000000746D6F6F76" + "0000006C6D766864" +
@@ -99,6 +104,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     assert(MediaDecode.gifPixels(fixtures.toMap.apply("gif")).isDefined)
     assert(MediaHeaders.imageDims(fixtures.toMap.apply("gif")).isDefined)
     assert(MediaHeaders.audioDurationMs(fixtures.toMap.apply("flac")).isDefined)
+    assert(FlacDecode.flacSamples(fixtures.toMap.apply("flac_frame")).isDefined)
     assert(MediaHeaders.videoDurationMs(fixtures.toMap.apply("mp4")).isDefined)
   }
 
