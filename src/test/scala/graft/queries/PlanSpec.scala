@@ -445,4 +445,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"hit counting should be a semi join:\n$p")
     assert(!p.contains("CartesianProduct"), s"recall overlay went all-pairs:\n$p")
   }
+
+  test("fb_shed_cap: per-partition admission — no GlobalLimit collapse, parallelism kept") {
+    // the pre-r11 shape planned limit() as LocalLimit + single-partition
+    // GlobalLimit, serializing the node; the admission must now be a
+    // narrow per-task pass with no limit operator at all
+    val p = plan("fb_shed_cap")
+    assert(!p.contains("GlobalLimit"),
+      s"shed admission collapsed to a single partition:\n$p")
+    assert(!p.contains("Exchange SinglePartition") || p.contains("count(1)"),
+      s"shed forced a single-partition exchange:\n$p") // final count agg only
+  }
+
+  test("ta_quality_clf_stateful: frozen-model scoring stays map-only into the state op") {
+    // everything below the flatMapGroupsWithState key exchange must be
+    // the zero-shuffle serving projection: exactly ONE exchange (the
+    // group-by-key), no join back to documents for the routing key
+    val p = plan("ta_quality_clf_stateful")
+    assert(!p.contains("Join"), s"serving path joined instead of projecting:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected only the groupByKey exchange, got $exchanges:\n$p")
+  }
 }
