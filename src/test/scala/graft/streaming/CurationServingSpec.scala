@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Decontaminate, QualityClassifier, QualityRules}
+
+/** The ingest-time curation SERVING chain as one composition: language
+  * ID → Gopher-style rule flags → frozen-model decontamination check →
+  * frozen quality-classifier score. Each stage is individually pinned
+  * zero-shuffle elsewhere; this suite pins the COMPOSITION — the whole
+  * chain plans as one map-only projection pipeline (zero exchanges,
+  * one whole-stage codegen pass over each arriving document) and drops
+  * into a real `readStream` unchanged, producing exactly the batch
+  * result. This is the 100 TB deployment shape: frozen artifacts
+  * (weights, eval gram set) broadcast once, every arriving document
+  * scored row-locally with no shuffle anywhere.
+  */
+class CurationServingSpec extends SparkSpec {
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select("doc_id", "source", "text")
+
+  /** the frozen artifacts a deployment trains offline. */
+  private lazy val weights =
+    QualityClassifier.trainWeights(
+      docs, "doc_id", "text",
+      TextFunctions.qualityScorePpm(col("text")) >= 500000, iters = 2)
+  private lazy val evalSet = docs.filter(col("doc_id") % 17 === 0)
+
+  /** the serving chain, applicable to a batch OR streaming frame. */
+  private def serve(df: DataFrame): DataFrame = {
+    val s1 = df.withColumn("lang", TextFunctions.langId(col("text")))
+    val s2 = QualityRules.ruleFlags(s1, "text")
+    val s3 = Decontaminate.flagStreaming(s2, evalSet, "doc_id", "text", n = 5)
+    QualityClassifier.scoreAgainst(weights, s3, "doc_id", "text",
+      keep = Seq("lang", "pass", "contaminated"))
+  }
+
+  test("the full serving chain plans zero exchanges (one codegen pass per doc)") {
+    val plan = serve(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"curation serving chain shuffled:\n$plan")
+    assert(!plan.contains("Join"), s"curation serving chain joined:\n$plan")
+  }
+
+  test("the chain drives as ONE readStream and equals the batch result") {
+    val in = docs.limit(120)
+    val dir = java.nio.file.Files.createTempDirectory("graft-curation-stream").toString
+    in.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(in.schema).parquet(s"$dir/in")
+    val q = serve(stream)
+      .writeStream.format("memory").queryName("curation_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    def key(r: org.apache.spark.sql.Row): (Long, String, Boolean, Boolean, Long, Long, Int) =
+      (r.getLong(0), r.getString(1), r.getBoolean(2), r.getBoolean(3),
+        r.getLong(4), r.getLong(5), r.getInt(6))
+    val streamed = spark.table("curation_stream").collect().map(key).toSet
+    val batch = serve(in).collect().map(key).toSet
+    assert(streamed == batch, "stream curation must equal batch curation")
+    assert(streamed.nonEmpty)
+    // the chain produces non-degenerate decisions on real data
+    assert(streamed.exists(_._4) && streamed.exists(!_._4),
+      "contamination flag never varies — eval carve-out broken")
+  }
+}
