@@ -119,7 +119,7 @@ object Pipeline {
     // per worker (total trigger capacity = buffersize × partitions,
     // with the workers floor below applied FIRST so `workers` sizes
     // the channel count exactly like the reference's per-node worker
-    // pool). The admission is a narrow per-task `take` — no shuffle,
+    // pool). The admission is a narrow codegen filter — no shuffle,
     // no single-partition GlobalLimit collapse (the pre-r11 shape,
     // which serialized the node and forced a repartition after) —
     // so the guard is itself scale-safe and preserves parallelism.
@@ -173,28 +173,22 @@ object Pipeline {
       else (offered, inputParts)
     val parallel =
       if (conf.discardOnFullBuffer) {
-        implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
-          org.apache.spark.sql.Encoders.row(parallel0.schema)
-        val cap = conf.bufferSize
-        // DRAIN the partition rather than `take(cap)`: a short-circuit
-        // admission stops pulling the upstream iterator, so the
-        // `.offered` CollectMetrics accumulator below would only count
-        // consumed rows and the discard count would read ~0. In the
-        // reference too the parent produces every event — the drop
-        // happens at channel delivery (node/node.go:200-217). The kept
-        // buffer is at most `buffersize` rows, exactly the memory the
-        // reference's bounded channel holds.
-        parallel0.mapPartitions { it =>
-          val kept = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](
-            math.min(cap, 1 << 16))
-          var n = 0
-          while (it.hasNext) {
-            val r = it.next()
-            if (n < cap) kept += r
-            n += 1
-          }
-          kept.iterator
-        }
+        // admission = a codegen FILTER on the per-task row counter:
+        // monotonically_increasing_id() is partitionIndex·2³³ + the
+        // 0-based row index within the task, so its low 33 bits ARE
+        // "how many this channel has already admitted". A filter never
+        // short-circuits the upstream iterator (unlike take/limit), so
+        // the `.offered` CollectMetrics above still counts every
+        // produced event — in the reference too the parent produces
+        // every event and the drop happens at channel delivery
+        // (node/node.go:200-217). Zero extra operators, no
+        // Row-encoder round trip, stays inside whole-stage codegen
+        // (the first implementation was a mapPartitions drain —
+        // measured ~2× the per-trigger-cap cost at bench SF purely
+        // from the InternalRow↔Row conversion).
+        parallel0.filter(
+          org.apache.spark.sql.functions.monotonically_increasing_id
+            .bitwiseAND(lit((1L << 33) - 1)) < lit(conf.bufferSize.toLong))
       } else parallel0
     val (preDone, stageForSplit) = stage.pre match {
       case Some(f) => (f(parallel).localCheckpoint(false), stage.copy(pre = None))
