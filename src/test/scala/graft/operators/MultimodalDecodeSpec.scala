@@ -74,6 +74,30 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(MultimodalDecodeSpec.closeCount.get() == 2,
       s"close count ${MultimodalDecodeSpec.closeCount.get()} (want 2: once per partition)")
   }
+
+  test("decodePartitions drives as a readStream transform (stream equals batch)") {
+    // mapPartitions is streaming-legal: the binary-decode stage drops
+    // into an ingest stream unchanged — the multimodal twin of the
+    // frozen-model serving drives in TopicsSpec/CurationServingSpec
+    import spark.implicits._
+    val rows = Seq(
+      MediaRow(1L, "image", "abcdef".getBytes),
+      MediaRow(2L, "audio", "0123456789".getBytes),
+      MediaRow(3L, "video", Array.fill[Byte](100)(7)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-mm-stream").toString
+    rows.toDS().write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(rows.toDS().schema).parquet(s"$dir/in").as[MediaRow]
+    val q = decodePartitions(stream, () => new Multimodal.HeaderCodec(4))
+      .writeStream.format("memory").queryName("mm_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    def key(r: DecodedRow) = (r.doc_id, r.n_bytes, r.width, r.height,
+      r.duration_ms, r.features.toList)
+    val streamed = spark.table("mm_stream").as[DecodedRow].collect().map(key).toSet
+    val batch = decodePartitions(rows.toDS(), () => new Multimodal.HeaderCodec(4))
+      .collect().map(key).toSet
+    assert(streamed == batch && streamed.size == 3)
+  }
 }
 
 object MultimodalDecodeSpec {
