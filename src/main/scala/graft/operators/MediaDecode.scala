@@ -12,8 +12,11 @@ package graft.operators
   *  - GIF: 87a/89a first frame — full LZW (variable 3..12-bit codes,
   *    clear/EOI, dictionary self-reference) + 4-pass interlace,
   *    palette-resolved to RGB.
+  *  - TIFF: baseline 6.0 — uncompressed 8-bit grey/RGB strips,
+  *    chunky layout, both byte orders (`II`/`MM`).
   *  - WAV: PCM 16-bit LE samples (any channel count, interleaved),
-  *    and IMA ADPCM (wFormatTag 0x0011) 4-bit block decode.
+  *    IMA ADPCM (wFormatTag 0x0011) 4-bit block decode, and G.711
+  *    μ-law/A-law (0x0007/0x0006) companded-byte expansion.
   *
   * Baseline JPEG decodes for real too ([[JpegDecode]] — Huffman +
   * IDCT + chroma upsample, pure JVM); only lossy AUDIO stays behind
@@ -341,10 +344,106 @@ object MediaDecode {
     Some(PixelImage(w, h, 3, rgb))
   }
 
+  // ---- TIFF --------------------------------------------------------
+
+  /** Baseline TIFF 6.0 → pixels: uncompressed (Compression = 1),
+    * 8 bits per sample, greyscale (PhotometricInterpretation 1,
+    * SamplesPerPixel 1) or RGB (photometric 2, 3 samples), chunky
+    * planar layout, either byte order (`II`/`MM`), any strip split.
+    * The IFD walk reads SHORT/LONG entry values inline or through
+    * their offset per the spec's left-justified value rule; strips
+    * concatenate in order and must tile the image exactly. Anything
+    * else — palette, planar, predictor/LZW/packbits compression,
+    * 16-bit channels, tiled layout — returns None, never throws.
+    */
+  def tiffPixels(b: Array[Byte]): Option[PixelImage] = {
+    if (b.length < 8) return None
+    def u8(i: Int): Int = b(i) & 0xff
+    val le = u8(0) == 'I' && u8(1) == 'I'
+    if (!le && !(u8(0) == 'M' && u8(1) == 'M')) return None
+    def u16(i: Int): Int =
+      if (i < 0 || i + 2 > b.length) -1
+      else if (le) u8(i) | (u8(i + 1) << 8) else (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      if (i < 0 || i + 4 > b.length) -1L
+      else if (le) u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+      else (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) | (u8(i + 2).toLong << 8) | u8(i + 3)
+    if (u16(2) != 42) return None
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > b.length) return None
+    val n = u16(ifd.toInt)
+    if (n <= 0 || ifd + 2 + 12L * n > b.length) return None
+    // entry value reader: SHORT (3) / LONG (4), inline when the total
+    // payload fits the 4-byte value field (left-justified in either
+    // byte order), through the offset otherwise
+    def values(entry: Int): Option[Array[Long]] = {
+      val typ = u16(entry + 2)
+      val cnt = u32(entry + 4)
+      val width = typ match { case 3 => 2L; case 4 => 4L; case _ => return None }
+      if (cnt <= 0 || cnt > (1 << 20)) return None
+      val base = if (cnt * width <= 4) entry + 8L else u32(entry + 8)
+      if (base < 0 || base + cnt * width > b.length) return None
+      val out = new Array[Long](cnt.toInt)
+      var k = 0
+      while (k < cnt) {
+        out(k) = if (typ == 3) u16((base + 2 * k).toInt).toLong else u32((base + 4 * k).toInt)
+        if (out(k) < 0) return None
+        k += 1
+      }
+      Some(out)
+    }
+    var widthL = -1L; var heightL = -1L
+    var comp = 1L; var photo = -1L; var spp = 1L; var planar = 1L
+    var bits: Array[Long] = Array(1L) // default BitsPerSample = 1
+    var stripOff: Array[Long] = null; var stripCnt: Array[Long] = null
+    var e = ifd.toInt + 2
+    var i = 0
+    while (i < n) {
+      val tag = u16(e)
+      tag match {
+        case 256 => widthL = values(e).flatMap(_.headOption).getOrElse(-1L)
+        case 257 => heightL = values(e).flatMap(_.headOption).getOrElse(-1L)
+        case 258 => bits = values(e).getOrElse(return None)
+        case 259 => comp = values(e).flatMap(_.headOption).getOrElse(-1L)
+        case 262 => photo = values(e).flatMap(_.headOption).getOrElse(-1L)
+        case 273 => stripOff = values(e).getOrElse(return None)
+        case 277 => spp = values(e).flatMap(_.headOption).getOrElse(-1L)
+        case 279 => stripCnt = values(e).getOrElse(return None)
+        case 284 => planar = values(e).flatMap(_.headOption).getOrElse(-1L)
+        case _ => () // RowsPerStrip and the rest don't change the byte layout
+      }
+      e += 12
+      i += 1
+    }
+    if (comp != 1L || planar != 1L) return None
+    val channels = (photo, spp) match {
+      case (1L, 1L) => 1
+      case (2L, 3L) => 3
+      case _ => return None
+    }
+    if (bits.length != channels || bits.exists(_ != 8L)) return None
+    if (widthL <= 0 || heightL <= 0 || widthL > (1 << 20) || heightL > (1 << 20)) return None
+    val total = widthL * heightL * channels
+    if (total > (1L << 30)) return None
+    if (stripOff == null || stripCnt == null || stripOff.length != stripCnt.length) return None
+    if (stripCnt.map(c => math.max(c, 0L)).sum != total) return None
+    val out = new Array[Byte](total.toInt)
+    var at = 0
+    var s = 0
+    while (s < stripOff.length) {
+      val off = stripOff(s); val len = stripCnt(s)
+      if (off < 0 || len < 0 || off + len > b.length) return None
+      System.arraycopy(b, off.toInt, out, at, len.toInt)
+      at += len.toInt
+      s += 1
+    }
+    Some(PixelImage(widthL.toInt, heightL.toInt, channels, out))
+  }
+
   /** pixels for any pure-JVM-decodable image format; None otherwise. */
   def imagePixels(b: Array[Byte]): Option[PixelImage] =
     pngPixels(b).orElse(bmpPixels(b)).orElse(JpegDecode.jpegPixels(b))
-      .orElse(gifPixels(b))
+      .orElse(gifPixels(b)).orElse(tiffPixels(b))
 
   // ---- WAV PCM -----------------------------------------------------
 
@@ -510,9 +609,77 @@ object MediaDecode {
     }
   }
 
+  // ---- WAV G.711 μ-law / A-law (wFormatTag 0x0007 / 0x0006) --------
+
+  /** μ-law byte → linear PCM (ITU-T G.711 §4.2; the classic CCITT
+    * expand form): complement, unpack the 3-bit exponent and 4-bit
+    * mantissa around the 0x84 bias, re-shift, strip the bias. Output
+    * range ±32124 — fits int16 exactly.
+    */
+  private def mulawExpand(x: Int): Int = {
+    val u = ~x & 0xff
+    val t = (((u & 0xf) << 3) + 0x84) << ((u >> 4) & 7)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** A-law byte → linear PCM (ITU-T G.711 §4.1): even-bit inversion
+    * (XOR 0x55), segment 0 is linear with a half-step offset, higher
+    * segments shift the 0x108-biased mantissa. A-law's sign bit SET
+    * means positive (the opposite of μ-law). Output range ±32256.
+    */
+  private def alawExpand(x: Int): Int = {
+    val a = x ^ 0x55
+    val seg = (a >> 4) & 7
+    val t =
+      if (seg == 0) ((a & 0xf) << 4) + 8
+      else (((a & 0xf) << 4) + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** G.711 companded WAV (`wFormatTag` 0x0007 μ-law / 0x0006 A-law,
+    * 8 bits per sample) expanded to linear int16, interleaved across
+    * channels like [[wavPcm16]]. Each byte is one sample — the expand
+    * is a closed-form integer function of the byte, so the oracle
+    * re-derives it in SQL directly. Wrong tag/bit depth or a data
+    * chunk running past the buffer returns None, never throws.
+    */
+  def wavG711Samples(b: Array[Byte]): Option[Array[Short]] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int, s: String): Boolean =
+      i >= 0 && i + s.length <= b.length && s.indices.forall(j => u8(i + j) == s.charAt(j))
+    if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    // same Long chunk walk as wavPcm16: corrupt sizes step past the
+    // end, never wrap negative
+    var i = 12L
+    var fmtTag = 0
+    var data: Option[(Int, Int)] = None
+    while (i + 8 <= b.length && (fmtTag == 0 || data.isEmpty)) {
+      val at = i.toInt
+      val size = le32(at + 4)
+      if (tag(at, "fmt ") && size >= 16 && i + 8 + size <= b.length) {
+        val t = le16(at + 8)
+        if ((t == 6 || t == 7) && le16(at + 22) == 8) fmtTag = t
+      } else if (tag(at, "data")) data = Some((at + 8, size.toInt))
+      if (size > b.length.toLong) return None
+      i += 8L + size + (size & 1L)
+    }
+    data match {
+      case Some((off, len)) if fmtTag != 0 && len >= 0 && off.toLong + len <= b.length =>
+        val out = new Array[Short](len)
+        var j = 0
+        if (fmtTag == 7) while (j < len) { out(j) = mulawExpand(u8(off + j)).toShort; j += 1 }
+        else while (j < len) { out(j) = alawExpand(u8(off + j)).toShort; j += 1 }
+        Some(out)
+      case _ => None
+    }
+  }
+
   /** samples for any pure-JVM-decodable WAV coding; None otherwise. */
   def wavSamples(b: Array[Byte]): Option[Array[Short]] =
-    wavPcm16(b).orElse(wavAdpcmSamples(b))
+    wavPcm16(b).orElse(wavAdpcmSamples(b)).orElse(wavG711Samples(b))
 
   /** samples for any pure-JVM-decodable audio format, as the 16-bit
     * view the RMS/peak features consume: WAV (PCM16, IMA-ADPCM) or

@@ -32,8 +32,8 @@ package graft.operators
   */
 object MediaHeaders {
 
-  /** (width, height) for PNG / GIF / JPEG / WebP / BMP bytes; None
-    * otherwise. */
+  /** (width, height) for PNG / GIF / JPEG / WebP / BMP / TIFF bytes;
+    * None otherwise. */
   def imageDims(b: Array[Byte]): Option[(Long, Long)] = {
     def u8(i: Int): Int = b(i) & 0xff
     def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
@@ -75,7 +75,48 @@ object MediaHeaders {
           (dib == 40L || dib == 52L || dib == 56L || dib == 108L || dib == 124L))
         Some((le32(18), math.abs(le32(22).toInt).toLong))
       else None
-    } else None
+    } else if (b.length >= 8 &&
+        ((u8(0) == 'I' && u8(1) == 'I' && u8(2) == 42 && u8(3) == 0) ||
+         (u8(0) == 'M' && u8(1) == 'M' && u8(2) == 0 && u8(3) == 42)))
+      tiffDims(b)
+    else None
+  }
+
+  /** Walk the first TIFF IFD for ImageWidth (256) / ImageLength (257);
+    * either byte order, SHORT or LONG values.
+    */
+  private def tiffDims(b: Array[Byte]): Option[(Long, Long)] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    val le = u8(0) == 'I'
+    def u16(i: Int): Int =
+      if (i < 0 || i + 2 > b.length) -1
+      else if (le) u8(i) | (u8(i + 1) << 8) else (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      if (i < 0 || i + 4 > b.length) -1L
+      else if (le) u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+      else (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) | (u8(i + 2).toLong << 8) | u8(i + 3)
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > b.length) return None
+    val n = u16(ifd.toInt)
+    if (n <= 0 || ifd + 2 + 12L * n > b.length) return None
+    var w = -1L; var h = -1L
+    var e = ifd.toInt + 2
+    var i = 0
+    while (i < n && (w < 0 || h < 0)) {
+      val tag = u16(e)
+      if (tag == 256 || tag == 257) {
+        // first value, inline (count 1 SHORT/LONG always fits the field)
+        val v = u16(e + 2) match {
+          case 3 => u16(e + 8).toLong
+          case 4 => u32(e + 8)
+          case _ => -1L
+        }
+        if (tag == 256) w = v else h = v
+      }
+      e += 12
+      i += 1
+    }
+    if (w > 0 && h > 0) Some((w, h)) else None
   }
 
   /** Walk JPEG marker segments to the first frame header (SOFn). */

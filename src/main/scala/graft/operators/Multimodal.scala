@@ -147,8 +147,8 @@ object Multimodal {
     * Features are REAL where pure-JVM decode exists
     * ([[MediaDecode]]): PNG (zlib via `java.util.zip`), baseline
     * JPEG ([[JpegDecode]]), GIF and uncompressed 24 bpp BMP yield
-    * per-channel means + luma; PCM16 WAV, IMA-ADPCM WAV and FLAC
-    * ([[FlacDecode]]) yield RMS/peak
+    * per-channel means + luma; PCM16 WAV, IMA-ADPCM WAV, G.711
+    * μ-law/A-law WAV and FLAC ([[FlacDecode]]) yield RMS/peak
     * amplitude — the rest of the feature vector keeps the
     * deterministic stub layout so the schema and per-row cost profile
     * are unchanged. Perceptual-audio sample decode (MP3/AAC) is the

@@ -206,7 +206,14 @@ object TrainingOps {
     (12L, "video", "DEADBEEF"), // foreign bytes → stub fallback
     (13L, "audio", // VBR MP3: stereo 44.1 kHz Xing frame at the stream
       // head, flags=1, 1000 frames → 1000·1152·1000/44100 = 26122 ms
-      "FFFB9000" + "00" * 32 + "58696E67" + "00000001" + "000003E8" + "00" * 8))
+      "FFFB9000" + "00" * 32 + "58696E67" + "00000001" + "000003E8" + "00" * 8),
+    (14L, "image", // TIFF big-endian (MM): 2-entry IFD, width 300 /
+      // height 7 as left-justified BE SHORTs at fixed offsets — pins
+      // the MM byte-order branch of the IFD walk
+      "4D4D002A" + "00000008" + "0002" +
+        "01000003" + "00000001" + "012C0000" +
+        "01010003" + "00000001" + "00070000" +
+        "00000000"))
 
   /** Byte fixtures for `mm_pixel_stats` (id, kind, hex): content whose
     * PIXELS/SAMPLES decode in pure JVM — a 2×2 bottom-up 24 bpp BMP
@@ -238,7 +245,19 @@ object TrainingOps {
     * samples sit at FIXED byte offsets 51–58 — the oracle re-reads
     * them straight from the stream bytes (CRC-verified rice/LPC paths
     * are round-tripped against an independent forward encoder in
-    * FlacDecodeSpec instead).
+    * FlacDecodeSpec instead). Fixtures 8 and 9 are G.711 μ-law and
+    * A-law WAVs (wFormatTag 0x0007/0x0006, four companded bytes at
+    * fixed offsets 47–50): the ITU-T expand is a CLOSED-FORM integer
+    * function of each byte
+    * ([[graft.operators.MediaDecode.wavG711Samples]]), so the oracle
+    * re-derives every linear sample — μ-law's complement/bias/shift
+    * and A-law's even-bit-inversion/segment rules, including their
+    * OPPOSITE sign-bit conventions — directly in SQL. Fixture 10 is a
+    * single-strip uncompressed grey TIFF
+    * ([[graft.operators.MediaDecode.tiffPixels]]) whose four pixel
+    * bytes sit at fixed offsets 111–114 behind the IFD — the oracle
+    * averages them directly (multi-strip / big-endian / RGB /
+    * malformed TIFF layouts are spec-pinned in MediaDecodeSpec).
     */
   private lazy val mmPixelFixtures: Seq[(Long, String, String)] = Seq(
     (1L, "image", // BMP: red green / blue (200,100,50), bottom-up, padded rows
@@ -280,6 +299,36 @@ object TrainingOps {
         "666D7420" + "14000000" + "1100" + "0100" + "401F0000" + "C71B0000" +
         "0800" + "0400" + "0200" + "0900" +
         "64617461" + "08000000" + "E803" + "0A" + "00" + "718F24F0"),
+    (8L, "audio", // G.711 μ-law WAV mono 8000 Hz: fmt tag 7, bits 8,
+      // cbSize 0; data bytes 0A FF 62 80 expand (complement, bias
+      // 0x84, exp shift, sign bit SET = negative) to −21884, 0, −340,
+      // 32124 — peak 32124/32768
+      "52494646" + "2A000000" + "57415645" +
+        "666D7420" + "12000000" + "0700" + "0100" + "401F0000" + "401F0000" +
+        "0100" + "0800" + "0000" +
+        "64617461" + "04000000" + "0AFF6280"),
+    (9L, "audio", // G.711 A-law WAV mono 8000 Hz: fmt tag 6, bits 8;
+      // data bytes 55 D5 2A AA expand (XOR 0x55, segment rules, sign
+      // bit SET = POSITIVE — the opposite of μ-law) to −8, 8, −32256,
+      // 32256 — peak exactly 32256/32768
+      "52494646" + "2A000000" + "57415645" +
+        "666D7420" + "12000000" + "0600" + "0100" + "401F0000" + "401F0000" +
+        "0100" + "0800" + "0000" +
+        "64617461" + "04000000" + "55D52AAA"),
+    (10L, "image", // TIFF 6.0 LE: 2×2 grey 8-bit uncompressed, one
+      // strip — 8 sorted IFD entries (dims, bits 8, compression 1,
+      // photometric 1, strip offset 110, spp 1, byte count 4), pixel
+      // bytes 10, 200, 60, 90 at FIXED offsets 111-114 → mean 90
+      "49492A00" + "08000000" + "0800" +
+        "00010300" + "01000000" + "02000000" +
+        "01010300" + "01000000" + "02000000" +
+        "02010300" + "01000000" + "08000000" +
+        "03010300" + "01000000" + "01000000" +
+        "06010300" + "01000000" + "01000000" +
+        "11010400" + "01000000" + "6E000000" +
+        "15010300" + "01000000" + "01000000" +
+        "17010400" + "01000000" + "04000000" +
+        "00000000" + "0AC83C5A"),
     (6L, "image", // GIF89a 2×2, 4-color GCT (red, green, blue, FF8040),
       // LZW min code 2: codes clear(3b) 0(3b) 1(3b) 2(3b) 3(4b) eoi(4b)
       // pack to bytes 44 34 05 — pixels red/green // blue/#FF8040 →
@@ -3375,6 +3424,7 @@ object TrainingOps {
               |    WHEN doc_id = 3 THEN bb[35]*256 + bb[36]
               |    WHEN doc_id = 7 THEN (bb[22] + bb[23]*256 + bb[24]*65536 + bb[25]*16777216) % 16384 + 1
               |    WHEN doc_id = 8 THEN bb[19] + bb[20]*256 + bb[21]*65536 + bb[22]*16777216
+              |    WHEN doc_id = 14 THEN bb[19]*256 + bb[20]
               |    WHEN kind = 'image' THEN (n % 64 + 1) * 16 ELSE 0 END AS BIGINT) AS width,
               |  CAST(CASE
               |    WHEN doc_id = 1 THEN bb[21]*16777216 + bb[22]*65536 + bb[23]*256 + bb[24]
@@ -3382,6 +3432,7 @@ object TrainingOps {
               |    WHEN doc_id = 3 THEN bb[33]*256 + bb[34]
               |    WHEN doc_id = 7 THEN ((bb[22] + bb[23]*256 + bb[24]*65536 + bb[25]*16777216) // 16384) % 16384 + 1
               |    WHEN doc_id = 8 THEN bb[23] + bb[24]*256 + bb[25]*65536 + bb[26]*16777216
+              |    WHEN doc_id = 14 THEN bb[31]*256 + bb[32]
               |    WHEN kind = 'image' THEN (n % 48 + 1) * 16 ELSE 0 END AS BIGINT) AS height,
               |  CAST(CASE
               |    WHEN doc_id = 4 THEN ((bb[41] + bb[42]*256 + bb[43]*65536 + bb[44]*16777216) * 1000)
@@ -3408,8 +3459,9 @@ object TrainingOps {
     //      rows, WAV samples sign-decoded from LE int16 pairs, the
     //      DC-only JPEG plane from its entropy byte, IMA-ADPCM samples
     //      via a recursive CTE over the predictor/step-index state
-    //      machine, and the stub tail features from the byte-fold
-    //      hash. (PNG content is also real but zlib is not
+    //      machine, G.711 μ-law/A-law samples via the closed-form
+    //      ITU-T expand per byte, and the stub tail features from the
+    //      byte-fold hash. (PNG content is also real but zlib is not
     //      SQL-expressible — spec-pinned in MediaDecodeSpec instead.) ----
     "mm_pixel_stats" -> Q(
       (s, dir) => {
@@ -3495,6 +3547,9 @@ object TrainingOps {
               |  list_reduce(list_prepend(CAST(7 AS BIGINT),
               |    list_transform(bb, x -> CAST(x AS BIGINT))),
               |    (a, x) -> (a*31 + x) % 1000000007) AS h,
+              |  -- TIFF fixture 10: single grey strip at fixed offsets
+              |  -- 111-114 behind the 8-entry IFD
+              |  CAST(bb[111]+bb[112]+bb[113]+bb[114] AS DOUBLE)/4 AS tg,
               |  -- DC-only JPEG flat plane, re-derived from the entropy
               |  -- byte (bb[139] = DC-code 0 bit + 6 magnitude bits +
               |  -- EOB 0 bit, so the cat-6 field = byte//2; MSB 0 means
@@ -3516,7 +3571,32 @@ object TrainingOps {
               |  CAST(bb[14 + 3*gp[1]] + bb[14 + 3*gp[2]] + bb[14 + 3*gp[3]] + bb[14 + 3*gp[4]] AS DOUBLE)/4 AS gmr,
               |  CAST(bb[15 + 3*gp[1]] + bb[15 + 3*gp[2]] + bb[15 + 3*gp[3]] + bb[15 + 3*gp[4]] AS DOUBLE)/4 AS gmg,
               |  CAST(bb[16 + 3*gp[1]] + bb[16 + 3*gp[2]] + bb[16 + 3*gp[3]] + bb[16 + 3*gp[4]] AS DOUBLE)/4 AS gmb
-              |  FROM m WHERE doc_id = 6)
+              |  FROM m WHERE doc_id = 6),
+              |-- G.711 fixtures 8/9: the four companded data bytes sit
+              |-- at fixed offsets 47-50; the ITU-T expand is closed-form
+              |-- per byte. μ-law (doc 8): u = 255−x, t = ((u%16)·8+132)
+              |-- << ((u//16)%8), sign bit (u≥128) NEGATES. A-law
+              |-- (doc 9): a = x XOR 0x55, segment 0 is (a%16)·16+8,
+              |-- segments 1-7 shift the 264-biased mantissa by seg−1,
+              |-- and the sign bit SET means POSITIVE — exactly
+              |-- MediaDecode.mulawExpand/alawExpand
+              |g7 AS (SELECT doc_id,
+              |  CASE WHEN doc_id = 8 THEN
+              |    list_transform(range(0,4), j ->
+              |      CASE WHEN 255 - bb[47+j] >= 128
+              |        THEN 132 - (((255 - bb[47+j]) % 16) * 8 + 132)
+              |               * (1 << (((255 - bb[47+j]) // 16) % 8))
+              |        ELSE (((255 - bb[47+j]) % 16) * 8 + 132)
+              |               * (1 << (((255 - bb[47+j]) // 16) % 8)) - 132 END)
+              |  ELSE
+              |    list_transform(range(0,4), j ->
+              |      CASE WHEN xor(bb[47+j], 85) >= 128 THEN 1 ELSE -1 END *
+              |      CASE WHEN (xor(bb[47+j], 85) // 16) % 8 = 0
+              |        THEN (xor(bb[47+j], 85) % 16) * 16 + 8
+              |        ELSE ((xor(bb[47+j], 85) % 16) * 16 + 264)
+              |               * (1 << ((xor(bb[47+j], 85) // 16) % 8 - 1)) END)
+              |  END AS gs
+              |  FROM bt WHERE doc_id IN (8, 9))
               |SELECT doc_id,
               |  CAST(CAST(CASE WHEN doc_id = 1
               |    THEN (0.299*mr + 0.587*mg + 0.114*mb)/255.0
@@ -3524,6 +3604,8 @@ object TrainingOps {
               |    WHEN doc_id = 5 THEN arms
               |    WHEN doc_id = 6 THEN (0.299*gmr + 0.587*gmg + 0.114*gmb)/255.0
               |    WHEN doc_id = 7 THEN sqrt(CAST(fsm[1]*fsm[1]+fsm[2]*fsm[2]+fsm[3]*fsm[3]+fsm[4]*fsm[4] AS DOUBLE)/4)/32768.0
+              |    WHEN doc_id IN (8, 9) THEN sqrt(CAST(gs[1]*gs[1]+gs[2]*gs[2]+gs[3]*gs[3]+gs[4]*gs[4] AS DOUBLE)/4)/32768.0
+              |    WHEN doc_id = 10 THEN tg/255.0
               |    ELSE sqrt(CAST(sm[1]*sm[1]+sm[2]*sm[2]+sm[3]*sm[3]+sm[4]*sm[4] AS DOUBLE)/4)/32768.0
               |  END AS REAL) AS DOUBLE) AS f0,
               |  CAST(CAST(CASE WHEN doc_id = 1 THEN mr/255.0
@@ -3531,19 +3613,23 @@ object TrainingOps {
               |    WHEN doc_id = 5 THEN apeak
               |    WHEN doc_id = 6 THEN gmr/255.0
               |    WHEN doc_id = 7 THEN CAST(list_max(list_transform(fsm, x -> abs(x))) AS DOUBLE)/32768.0
+              |    WHEN doc_id IN (8, 9) THEN CAST(list_max(list_transform(gs, x -> abs(x))) AS DOUBLE)/32768.0
+              |    WHEN doc_id = 10 THEN tg/255.0
               |    ELSE CAST(list_max(list_transform(sm, x -> abs(x))) AS DOUBLE)/32768.0
               |  END AS REAL) AS DOUBLE) AS f1,
               |  CAST(CAST(CASE WHEN doc_id = 1 THEN mg/255.0
               |    WHEN doc_id IN (3, 4) THEN jg/255.0
               |    WHEN doc_id = 6 THEN gmg/255.0
+              |    WHEN doc_id = 10 THEN tg/255.0
               |    ELSE CAST((h*3) % 1000 - 500 AS DOUBLE)/1000.0
               |  END AS REAL) AS DOUBLE) AS f2,
               |  CAST(CAST(CASE WHEN doc_id = 1 THEN mb/255.0
               |    WHEN doc_id IN (3, 4) THEN jg/255.0
               |    WHEN doc_id = 6 THEN gmb/255.0
+              |    WHEN doc_id = 10 THEN tg/255.0
               |    ELSE CAST((h*4) % 1000 - 500 AS DOUBLE)/1000.0
               |  END AS REAL) AS DOUBLE) AS f3
-              |FROM m LEFT JOIN g USING (doc_id) CROSS JOIN ads""".stripMargin)),
+              |FROM m LEFT JOIN g USING (doc_id) LEFT JOIN g7 USING (doc_id) CROSS JOIN ads""".stripMargin)),
 
     // ---- multimodal: resize planning (aspect-preserving fit into a
     //      224×224 box, pure integer arithmetic) ----

@@ -23,9 +23,11 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "bmpPixels" -> (b => MediaDecode.bmpPixels(b)),
     "jpegPixels" -> (b => JpegDecode.jpegPixels(b)),
     "gifPixels" -> (b => MediaDecode.gifPixels(b)),
+    "tiffPixels" -> (b => MediaDecode.tiffPixels(b)),
     "imagePixels" -> (b => MediaDecode.imagePixels(b)),
     "wavPcm16" -> (b => MediaDecode.wavPcm16(b)),
     "wavAdpcmSamples" -> (b => MediaDecode.wavAdpcmSamples(b)),
+    "wavG711Samples" -> (b => MediaDecode.wavG711Samples(b)),
     "wavSamples" -> (b => MediaDecode.wavSamples(b)),
     "flacSamples" -> (b => FlacDecode.flacSamples(b)),
     "audioSamples" -> (b => MediaDecode.audioSamples(b)))
@@ -80,10 +82,33 @@ class DecoderFuzzSpec extends AnyFunSuite {
       "wav_adpcm" -> hex("524946463000000057415645" +
         "666D74201400000011000100401F0000C71B00000800040002000900" +
         "6461746108000000E8030A00718F24F0"),
+      "wav_mulaw" -> hex("524946462A00000057415645" +
+        "666D74201200000007000100401F0000401F000001000800" + "0000" +
+        "64617461040000000AFF6280"),
+      "wav_alaw" -> hex("524946462A00000057415645" +
+        "666D74201200000006000100401F0000401F000001000800" + "0000" +
+        "6461746104000000" + "55D52AAA"),
       "gif" -> hex("474946383961" + "02000200" + "91" + "0000" +
         "FF0000" + "00FF00" + "0000FF" + "FF8040" +
         "2C" + "00000000" + "02000200" + "00" +
         "02" + "03" + "443405" + "00" + "3B"),
+      "tiff_le" -> hex("49492A00" + "08000000" + "0800" +
+        "00010300" + "01000000" + "02000000" +
+        "01010300" + "01000000" + "02000000" +
+        "02010300" + "01000000" + "08000000" +
+        "03010300" + "01000000" + "01000000" +
+        "06010300" + "01000000" + "01000000" +
+        "11010400" + "01000000" + "6E000000" +
+        "15010300" + "01000000" + "01000000" +
+        "17010400" + "01000000" + "04000000" +
+        "00000000" + "0AC83C5A"),
+      "tiff_be" -> hex("4D4D002A000000080008" +
+        "010000030000000100010000" + "010100030000000100020000" +
+        "0102000300000003" + "0000006E" + "010300030000000100010000" +
+        "010600030000000100020000" + "0111000400000002" + "00000074" +
+        "011500030000000100030000" + "0117000400000002" + "0000007C" +
+        "00000000" + "000800080008" + "0000008400000087" + "0000000300000003" +
+        "FF0080010203"),
       "webp" -> hex("5249464618000000574542505650384C100000002F1000020000"),
       "flac" -> hex("664C614300000022001000100000000000000AC440000006BAA8"),
       // full decodable FLAC: STREAMINFO + one verbatim frame (mm_pixel_stats fixture 7)
@@ -101,7 +126,11 @@ class DecoderFuzzSpec extends AnyFunSuite {
     assert(JpegDecode.jpegPixels(fixtures.toMap.apply("jpeg")).isDefined)
     assert(MediaDecode.wavPcm16(fixtures.toMap.apply("wav_pcm")).isDefined)
     assert(MediaDecode.wavAdpcmSamples(fixtures.toMap.apply("wav_adpcm")).isDefined)
+    assert(MediaDecode.wavG711Samples(fixtures.toMap.apply("wav_mulaw")).isDefined)
+    assert(MediaDecode.wavG711Samples(fixtures.toMap.apply("wav_alaw")).isDefined)
     assert(MediaDecode.gifPixels(fixtures.toMap.apply("gif")).isDefined)
+    assert(MediaDecode.tiffPixels(fixtures.toMap.apply("tiff_le")).isDefined)
+    assert(MediaDecode.tiffPixels(fixtures.toMap.apply("tiff_be")).isDefined)
     assert(MediaHeaders.imageDims(fixtures.toMap.apply("gif")).isDefined)
     assert(MediaHeaders.audioDurationMs(fixtures.toMap.apply("flac")).isDefined)
     assert(FlacDecode.flacSamples(fixtures.toMap.apply("flac_frame")).isDefined)
@@ -124,6 +153,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
       "RIFF".getBytes ++ hex("24000000") ++ "WAVE".getBytes,
       "RIFF".getBytes ++ hex("24000000") ++ "WEBP".getBytes,
       "GIF89a".getBytes, "GIF87a".getBytes, "fLaC".getBytes,
+      hex("49492A00"), hex("4D4D002A"),
       "ID3".getBytes, hex("FFFB"), hex("0000001066747970"))
     for (i <- 0 until 3000) {
       val magic = magics(rnd.nextInt(magics.length))

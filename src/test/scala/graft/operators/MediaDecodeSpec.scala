@@ -336,6 +336,126 @@ class MediaDecodeSpec extends AnyFunSuite {
     assert(MediaDecode.wavAdpcmSamples(tail).isEmpty)
   }
 
+  // ---- TIFF --------------------------------------------------------
+
+  /** 2×2 grey LE TIFF, one strip, pixels 10/200/60/90 (the
+    * mm_pixel_stats fixture). */
+  private val tiffGreyLe: Array[Byte] =
+    hex("49492A00" + "08000000" + "0800" +
+      "00010300" + "01000000" + "02000000" +
+      "01010300" + "01000000" + "02000000" +
+      "02010300" + "01000000" + "08000000" +
+      "03010300" + "01000000" + "01000000" +
+      "06010300" + "01000000" + "01000000" +
+      "11010400" + "01000000" + "6E000000" +
+      "15010300" + "01000000" + "01000000" +
+      "17010400" + "01000000" + "04000000" +
+      "00000000" + "0AC83C5A")
+
+  /** 1×2 RGB BE TIFF, TWO strips (one row each), BitsPerSample and
+    * both strip arrays through offsets. */
+  private val tiffRgbBe: Array[Byte] =
+    hex("4D4D002A" + "00000008" + "0008" +
+      "01000003" + "00000001" + "00010000" +
+      "01010003" + "00000001" + "00020000" +
+      "01020003" + "00000003" + "0000006E" +
+      "01030003" + "00000001" + "00010000" +
+      "01060003" + "00000001" + "00020000" +
+      "01110004" + "00000002" + "00000074" +
+      "01150003" + "00000001" + "00030000" +
+      "01170004" + "00000002" + "0000007C" +
+      "00000000" +
+      "000800080008" +            // bits array at 110
+      "00000084" + "00000087" +   // strip offsets at 116
+      "00000003" + "00000003" +   // strip byte counts at 124
+      "FF0080" + "010203")        // strips at 132/135
+
+  test("TIFF grey LE: single strip decodes; dims and dispatch agree") {
+    val px = MediaDecode.tiffPixels(tiffGreyLe).get
+    assert((px.width, px.height, px.channels) == (2, 2, 1))
+    assert(px.data.map(_ & 0xff).toSeq == Seq(10, 200, 60, 90))
+    assert(px.meanChannel(0) == 90.0 && px.meanLuma == 90.0)
+    assert(MediaDecode.imagePixels(tiffGreyLe).get.data.toSeq == px.data.toSeq)
+    assert(MediaHeaders.imageDims(tiffGreyLe).contains((2L, 2L)))
+  }
+
+  test("TIFF RGB BE: multi-strip, offset-stored arrays, big-endian IFD") {
+    val px = MediaDecode.tiffPixels(tiffRgbBe).get
+    assert((px.width, px.height, px.channels) == (1, 2, 3))
+    assert(px.data.map(_ & 0xff).toSeq == Seq(255, 0, 128, 1, 2, 3))
+    assert(px.meanChannel(0) == 128.0 && px.meanChannel(2) == 65.5)
+    assert(MediaHeaders.imageDims(tiffRgbBe).contains((1L, 2L)))
+  }
+
+  test("TIFF malformed inputs return None, never throw") {
+    def mut(at: Int, v: Int): Array[Byte] = {
+      val m = tiffGreyLe.clone(); m(at) = v.toByte; m
+    }
+    assert(MediaDecode.tiffPixels(mut(54, 5)).isEmpty)   // LZW compression
+    assert(MediaDecode.tiffPixels(mut(66, 3)).isEmpty)   // palette photometric
+    assert(MediaDecode.tiffPixels(mut(42, 16)).isEmpty)  // 16-bit channels
+    assert(MediaDecode.tiffPixels(mut(102, 3)).isEmpty)  // byte count != w*h*spp
+    assert(MediaDecode.tiffPixels(mut(78, 0xF0)).isEmpty) // strip past the end
+    assert(MediaDecode.tiffPixels(tiffGreyLe.take(20)).isEmpty)
+    assert(MediaDecode.tiffPixels(hex("49492B00" + "08000000")).isEmpty) // magic != 42
+  }
+
+  test("HeaderCodec emits REAL features for TIFF images") {
+    val out = new Multimodal.HeaderCodec(6)
+      .decode(Iterator(Multimodal.MediaRow(10L, "image", tiffGreyLe))).next()
+    assert(out.width == 2 && out.height == 2)
+    // grey replicates into the luma + R/G/B slots
+    (0 to 3).foreach(i => assert(math.abs(out.features(i) - 90f / 255f) < 1e-6))
+  }
+
+  // ---- WAV G.711 μ-law / A-law ------------------------------------
+
+  /** mono G.711 WAV with the given format tag and companded bytes. */
+  private def wavG711(tag: Int, bytes: String): Array[Byte] =
+    hex("52494646" + le(34 + bytes.length / 2, 4) + "57415645" +
+      "666D7420" + le(18, 4) + le(tag, 2) + "0100" + le(8000, 4) + le(8000, 4) +
+      "0100" + "0800" + "0000" +
+      "64617461" + le(bytes.length / 2, 4) + bytes)
+
+  test("WAV G.711 mu-law: expand matches the ITU-T table landmarks") {
+    // 0x0A → −21884, 0xFF → +0, 0x62 → −340, 0x80 → +32124 (max), and
+    // the canonical extremes 0x00 → −32124, 0x7F → −0
+    val s = MediaDecode.wavG711Samples(wavG711(7, "0AFF6280" + "007F")).get
+    assert(s.toSeq == Seq[Short](-21884, 0, -340, 32124, -32124, 0), s.toSeq)
+    // dispatch: reaches the G.711 branch, not PCM/ADPCM
+    assert(MediaDecode.wavSamples(wavG711(7, "0AFF6280")).get.toSeq ==
+      Seq[Short](-21884, 0, -340, 32124))
+    assert(MediaDecode.wavPcm16(wavG711(7, "0AFF6280")).isEmpty)
+    assert(MediaDecode.wavAdpcmSamples(wavG711(7, "0AFF6280")).isEmpty)
+  }
+
+  test("WAV G.711 A-law: expand matches, with the OPPOSITE sign-bit convention") {
+    // 0x55 → −8 (quiet negative), 0xD5 → +8, 0x2A → −32256 (min),
+    // 0xAA → +32256 (max)
+    val s = MediaDecode.wavG711Samples(wavG711(6, "55D52AAA")).get
+    assert(s.toSeq == Seq[Short](-8, 8, -32256, 32256), s.toSeq)
+    assert(MediaDecode.peak(s) == 32256.0 / 32768.0)
+  }
+
+  test("WAV G.711 malformed inputs return None, never throw") {
+    // PCM tag is not G.711
+    assert(MediaDecode.wavG711Samples(wavPcm(Seq(1, 2))).isEmpty)
+    // G.711 must be 8-bit: flip bits-per-sample to 16
+    val bad = wavG711(7, "0AFF"); bad(34) = 16
+    assert(MediaDecode.wavG711Samples(bad).isEmpty)
+    // data size past the buffer: Long walk rejects
+    val trunc = wavG711(6, "55D52AAA").dropRight(2)
+    assert(MediaDecode.wavG711Samples(trunc).isEmpty)
+  }
+
+  test("HeaderCodec emits REAL features for G.711 audio") {
+    val out = new Multimodal.HeaderCodec(6)
+      .decode(Iterator(Multimodal.MediaRow(8L, "audio", wavG711(6, "55D52AAA")))).next()
+    val rms = math.sqrt((64.0 + 64.0 + 2 * 32256.0 * 32256.0) / 4) / 32768.0
+    assert(math.abs(out.features(0) - rms.toFloat) < 1e-7)
+    assert(math.abs(out.features(1) - 32256f / 32768f) < 1e-7)
+  }
+
   test("HeaderCodec emits REAL features for ADPCM audio (RMS/peak from decoded samples)") {
     val out = new Multimodal.HeaderCodec(6)
       .decode(Iterator(Multimodal.MediaRow(4L, "audio", adpcmMono))).next()
