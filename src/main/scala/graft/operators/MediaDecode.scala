@@ -5,7 +5,8 @@ package graft.operators
   *
   *  - BMP: uncompressed 24 bpp BITMAPINFOHEADER — raw BGR rows with
   *    4-byte padding, bottom-up (positive height) or top-down.
-  *  - PNG: 8-bit greyscale/RGB/RGBA (color types 0/2/6), the dominant
+  *  - PNG: 8-bit greyscale / grey+alpha / palette / RGB / RGBA (color
+  *    types 0/3/4/2/6; palette resolves through PLTE to RGB) — the
   *    lossless web shapes — IDAT chunks concatenated, zlib-inflated
   *    with `java.util.zip.Inflater` (in every JVM), then per-row
   *    filter reversal (None/Sub/Up/Average/Paeth, RFC 2083 §6).
@@ -83,7 +84,9 @@ object MediaDecode {
 
   // ---- PNG ---------------------------------------------------------
 
-  /** 8-bit non-interlaced grey/RGB/RGBA PNG → pixels. */
+  /** 8-bit non-interlaced grey / grey+alpha / palette / RGB / RGBA
+    * PNG → pixels (palette indices resolve through PLTE to RGB).
+    */
   def pngPixels(b: Array[Byte]): Option[PixelImage] = {
     def u8(i: Int): Int = b(i) & 0xff
     def be32(i: Int): Long =
@@ -98,26 +101,33 @@ object MediaDecode {
     val h = be32(20).toInt
     if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) return None
     if (u8(24) != 8) return None                       // 8-bit channels only
-    val channels = u8(25) match {
+    val colorType = u8(25)
+    val channels = colorType match {
       case 0 => 1   // greyscale
       case 2 => 3   // RGB
+      case 3 => 1   // palette (1 index byte per pixel, resolved below)
+      case 4 => 2   // grey + alpha
       case 6 => 4   // RGBA
-      case _ => return None                            // palette/grey-alpha/16-bit
+      case _ => return None                            // 16-bit / reserved
     }
     if (u8(28) != 0) return None                       // no Adam7 interlace
-    // walk chunks, concatenate IDAT payloads
+    // walk chunks, concatenate IDAT payloads (and PLTE for type 3)
     val idat = new java.io.ByteArrayOutputStream()
     var i = 8
     var sawEnd = false
+    var pltOff = -1
+    var pltLen = 0
     while (i + 8 <= b.length && !sawEnd) {
       val len = be32(i)
       if (len < 0 || i + 12 + len > b.length) return None
       val typ = new String(b.slice(i + 4, i + 8), "ISO-8859-1")
       if (typ == "IDAT") idat.write(b, i + 8, len.toInt)
+      else if (typ == "PLTE") { pltOff = i + 8; pltLen = len.toInt / 3 }
       else if (typ == "IEND") sawEnd = true
       i += 12 + len.toInt // len + type + crc
     }
     if (idat.size() == 0) return None
+    if (colorType == 3 && (pltOff < 0 || pltLen == 0)) return None
     // zlib inflate to the filtered scanlines: h rows of 1 filter byte +
     // w·channels data bytes. Sized in Long first: a few compressed bytes
     // can CLAIM huge dims (decompression bomb / Int overflow in h*(1+stride)),
@@ -172,7 +182,20 @@ object MediaDecode {
       }
       y += 1
     }
-    Some(PixelImage(w, h, channels, out))
+    if (colorType != 3) Some(PixelImage(w, h, channels, out))
+    else {
+      // resolve palette indices through PLTE to RGB
+      val rgb = new Array[Byte](h * w * 3)
+      var p = 0
+      while (p < out.length) {
+        val idx = out(p) & 0xff
+        if (idx >= pltLen) return None
+        val src = pltOff + 3 * idx
+        rgb(3 * p) = b(src); rgb(3 * p + 1) = b(src + 1); rgb(3 * p + 2) = b(src + 2)
+        p += 1
+      }
+      Some(PixelImage(w, h, 3, rgb))
+    }
   }
 
   // ---- GIF ---------------------------------------------------------
@@ -346,14 +369,18 @@ object MediaDecode {
 
   // ---- TIFF --------------------------------------------------------
 
-  /** Baseline TIFF 6.0 → pixels: uncompressed (Compression = 1),
-    * 8 bits per sample, greyscale (PhotometricInterpretation 1,
-    * SamplesPerPixel 1) or RGB (photometric 2, 3 samples), chunky
-    * planar layout, either byte order (`II`/`MM`), any strip split.
-    * The IFD walk reads SHORT/LONG entry values inline or through
-    * their offset per the spec's left-justified value rule; strips
-    * concatenate in order and must tile the image exactly. Anything
-    * else — palette, planar, predictor/LZW/packbits compression,
+  /** Baseline TIFF 6.0 → pixels: 8 bits per sample, greyscale
+    * (PhotometricInterpretation 1, SamplesPerPixel 1) or RGB
+    * (photometric 2, 3 samples), chunky planar layout, either byte
+    * order (`II`/`MM`), any strip split, and the four byte-oriented
+    * compressions — none (1), LZW (5, the TIFF MSB-first early-change
+    * flavor), Deflate (8 and the legacy 32946, via
+    * `java.util.zip.Inflater`), and PackBits (32773) — plus the
+    * horizontal-differencing predictor (tag 317 = 2). Strips decode
+    * independently and must tile the image exactly; the predictor
+    * resets per row. The IFD walk reads SHORT/LONG entry values
+    * inline or through their offset per the spec's left-justified
+    * value rule. Anything else — palette, planar, JPEG-in-TIFF,
     * 16-bit channels, tiled layout — returns None, never throws.
     */
   def tiffPixels(b: Array[Byte]): Option[PixelImage] = {
@@ -394,6 +421,7 @@ object MediaDecode {
     }
     var widthL = -1L; var heightL = -1L
     var comp = 1L; var photo = -1L; var spp = 1L; var planar = 1L
+    var rps = -1L; var predictor = 1L
     var bits: Array[Long] = Array(1L) // default BitsPerSample = 1
     var stripOff: Array[Long] = null; var stripCnt: Array[Long] = null
     var e = ifd.toInt + 2
@@ -408,14 +436,17 @@ object MediaDecode {
         case 262 => photo = values(e).flatMap(_.headOption).getOrElse(-1L)
         case 273 => stripOff = values(e).getOrElse(return None)
         case 277 => spp = values(e).flatMap(_.headOption).getOrElse(-1L)
+        case 278 => rps = values(e).flatMap(_.headOption).getOrElse(-1L)
         case 279 => stripCnt = values(e).getOrElse(return None)
         case 284 => planar = values(e).flatMap(_.headOption).getOrElse(-1L)
-        case _ => () // RowsPerStrip and the rest don't change the byte layout
+        case 317 => predictor = values(e).flatMap(_.headOption).getOrElse(-1L)
+        case _ => () // the rest doesn't change the byte layout
       }
       e += 12
       i += 1
     }
-    if (comp != 1L || planar != 1L) return None
+    if (planar != 1L) return None
+    if (predictor != 1L && predictor != 2L) return None
     val channels = (photo, spp) match {
       case (1L, 1L) => 1
       case (2L, 3L) => 3
@@ -426,18 +457,169 @@ object MediaDecode {
     val total = widthL * heightL * channels
     if (total > (1L << 30)) return None
     if (stripOff == null || stripCnt == null || stripOff.length != stripCnt.length) return None
-    if (stripCnt.map(c => math.max(c, 0L)).sum != total) return None
+    val w = widthL.toInt; val h = heightL.toInt
+    val rowsPerStrip = if (rps <= 0 || rps > h) h else rps.toInt
+    // strips must tile the height exactly
+    if (stripOff.length != (h + rowsPerStrip - 1) / rowsPerStrip) return None
+    val rowBytes = w * channels
     val out = new Array[Byte](total.toInt)
     var at = 0
     var s = 0
     while (s < stripOff.length) {
       val off = stripOff(s); val len = stripCnt(s)
       if (off < 0 || len < 0 || off + len > b.length) return None
-      System.arraycopy(b, off.toInt, out, at, len.toInt)
-      at += len.toInt
+      val rows = math.min(rowsPerStrip, h - s * rowsPerStrip)
+      val expect = rows * rowBytes
+      val got: Int = comp match {
+        case 1L => // uncompressed: the strip IS the rows
+          if (len != expect) return None
+          System.arraycopy(b, off.toInt, out, at, expect)
+          expect
+        case 8L | 32946L => // Deflate (zlib stream)
+          val inf = new java.util.zip.Inflater()
+          try {
+            inf.setInput(b, off.toInt, len.toInt)
+            var g = 0
+            while (g < expect && !inf.finished()) {
+              val k = inf.inflate(out, at + g, expect - g)
+              if (k == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+              g += k
+            }
+            g
+          } catch { case _: java.util.zip.DataFormatException => return None }
+          finally inf.end()
+        case 5L => tiffLzw(b, off.toInt, len.toInt, out, at, expect).getOrElse(return None)
+        case 32773L => packBits(b, off.toInt, len.toInt, out, at, expect).getOrElse(return None)
+        case _ => return None
+      }
+      if (got != expect) return None
+      // horizontal differencing: each sample stored as delta from the
+      // sample one PIXEL left (same channel); resets every row
+      if (predictor == 2L) {
+        var r = 0
+        while (r < rows) {
+          val base = at + r * rowBytes
+          var x = channels
+          while (x < rowBytes) {
+            out(base + x) = ((out(base + x) + out(base + x - channels)) & 0xff).toByte
+            x += 1
+          }
+          r += 1
+        }
+      }
+      at += expect
       s += 1
     }
-    Some(PixelImage(widthL.toInt, heightL.toInt, channels, out))
+    Some(PixelImage(w, h, channels, out))
+  }
+
+  /** TIFF-flavor LZW into `out[at, at+expect)`: MSB-first variable
+    * 9..12-bit codes, clear 256 / EOI 257, dictionary from 258, and
+    * the TIFF "early change" — the code width bumps one code EARLIER
+    * than GIF's LSB-first flavor (at table size 510/1022/2046).
+    * Returns the byte count written, or None on malformed streams.
+    */
+  private def tiffLzw(b: Array[Byte], off: Int, len: Int,
+                      out: Array[Byte], at: Int, expect: Int): Option[Int] = {
+    val prefix = new Array[Int](4096)
+    val append = new Array[Byte](4096)
+    val entryLen = new Array[Int](4096)
+    var j = 0
+    while (j < 256) { prefix(j) = -1; append(j) = j.toByte; entryLen(j) = 1; j += 1 }
+    var dictSize = 258
+    var codeSize = 9
+    var prev = -1
+    var bitPos = 0
+    val totalBits = len * 8
+    var wrote = 0
+    def emit(code: Int): Boolean = {
+      val m = entryLen(code)
+      if (wrote + m > expect) return false
+      var c = code
+      var p = at + wrote + m - 1
+      while (c >= 258) { out(p) = append(c); p -= 1; c = prefix(c) }
+      out(p) = c.toByte
+      wrote += m
+      true
+    }
+    var done = false
+    while (!done) {
+      if (bitPos + codeSize > totalBits) return None // no EOI seen
+      var code = 0
+      var k = 0
+      while (k < codeSize) { // MSB-first across byte boundaries
+        val bp = bitPos + k
+        code = (code << 1) | ((b(off + (bp >> 3)) >> (7 - (bp & 7))) & 1)
+        k += 1
+      }
+      bitPos += codeSize
+      if (code == 256) { // clear
+        dictSize = 258; codeSize = 9; prev = -1
+      } else if (code == 257) { // EOI
+        done = true
+      } else if (prev == -1) {
+        if (code >= 256) return None
+        if (!emit(code)) return None
+        prev = code
+      } else if (code < dictSize && code != 256 && code != 257) {
+        if (dictSize < 4096) {
+          var f = code
+          while (f >= 258) f = prefix(f)
+          prefix(dictSize) = prev; append(dictSize) = f.toByte
+          entryLen(dictSize) = entryLen(prev) + 1
+          dictSize += 1
+        }
+        if (!emit(code)) return None
+        prev = code
+      } else if (code == dictSize && dictSize < 4096) {
+        var f = prev
+        while (f >= 258) f = prefix(f)
+        prefix(dictSize) = prev; append(dictSize) = f.toByte
+        entryLen(dictSize) = entryLen(prev) + 1
+        dictSize += 1
+        if (!emit(code)) return None
+        prev = code
+      } else return None
+      // early change: width bumps when the NEXT code could not fit —
+      // one entry before the table actually fills the current width
+      // (decoder at 511/1023/2047; the encoder's table runs one entry
+      // ahead and bumps at 512/1024/2048)
+      if (!done && dictSize >= (1 << codeSize) - 1 && codeSize < 12) codeSize += 1
+      // all expected bytes produced: the strip is complete — don't
+      // demand the trailing EOI (its width is ambiguous when the
+      // dictionary lands exactly on a bump boundary, and `expect`
+      // already bounds the output)
+      if (wrote == expect) done = true
+    }
+    Some(wrote)
+  }
+
+  /** PackBits (TIFF Compression 32773) into `out[at, at+expect)`:
+    * n in 0..127 copies n+1 literals, n in -127..-1 repeats the next
+    * byte 1−n times, −128 is a no-op. Returns bytes written; None on
+    * overrun or a truncated run.
+    */
+  private def packBits(b: Array[Byte], off: Int, len: Int,
+                       out: Array[Byte], at: Int, expect: Int): Option[Int] = {
+    var i = off
+    val end = off + len
+    var wrote = 0
+    while (wrote < expect && i < end) {
+      val ctl = b(i).toInt // signed
+      i += 1
+      if (ctl >= 0) {
+        val m = ctl + 1
+        if (i + m > end || wrote + m > expect) return None
+        System.arraycopy(b, i, out, at + wrote, m)
+        i += m; wrote += m
+      } else if (ctl != -128) {
+        val m = 1 - ctl
+        if (i >= end || wrote + m > expect) return None
+        java.util.Arrays.fill(out, at + wrote, at + wrote + m, b(i))
+        i += 1; wrote += m
+      }
+    }
+    Some(wrote)
   }
 
   /** pixels for any pure-JVM-decodable image format; None otherwise. */

@@ -256,8 +256,11 @@ object TrainingOps {
     * single-strip uncompressed grey TIFF
     * ([[graft.operators.MediaDecode.tiffPixels]]) whose four pixel
     * bytes sit at fixed offsets 111–114 behind the IFD — the oracle
-    * averages them directly (multi-strip / big-endian / RGB /
-    * malformed TIFF layouts are spec-pinned in MediaDecodeSpec).
+    * averages them directly; fixture 11 is its PackBits-compressed
+    * twin whose single literal run keeps the pixel bytes at fixed
+    * offsets 112–115 (multi-strip / big-endian / RGB / LZW / Deflate
+    * / predictor TIFF layouts are spec-pinned in MediaDecodeSpec —
+    * LZW and zlib bitstreams are not SQL-expressible).
     */
   private lazy val mmPixelFixtures: Seq[(Long, String, String)] = Seq(
     (1L, "image", // BMP: red green / blue (200,100,50), bottom-up, padded rows
@@ -329,6 +332,19 @@ object TrainingOps {
         "15010300" + "01000000" + "01000000" +
         "17010400" + "01000000" + "04000000" +
         "00000000" + "0AC83C5A"),
+    (11L, "image", // same TIFF with PackBits compression (32773): the
+      // strip is one literal run — control byte 0x03 then the four
+      // pixel bytes 20, 40, 60, 80 at FIXED offsets 112-115 → mean 50
+      "49492A00" + "08000000" + "0800" +
+        "00010300" + "01000000" + "02000000" +
+        "01010300" + "01000000" + "02000000" +
+        "02010300" + "01000000" + "08000000" +
+        "03010300" + "01000000" + "05800000" +
+        "06010300" + "01000000" + "01000000" +
+        "11010400" + "01000000" + "6E000000" +
+        "15010300" + "01000000" + "01000000" +
+        "17010400" + "01000000" + "05000000" +
+        "00000000" + "0314283C50"),
     (6L, "image", // GIF89a 2×2, 4-color GCT (red, green, blue, FF8040),
       // LZW min code 2: codes clear(3b) 0(3b) 1(3b) 2(3b) 3(4b) eoi(4b)
       // pack to bytes 44 34 05 — pixels red/green // blue/#FF8040 →
@@ -3548,8 +3564,11 @@ object TrainingOps {
               |    list_transform(bb, x -> CAST(x AS BIGINT))),
               |    (a, x) -> (a*31 + x) % 1000000007) AS h,
               |  -- TIFF fixture 10: single grey strip at fixed offsets
-              |  -- 111-114 behind the 8-entry IFD
+              |  -- 111-114 behind the 8-entry IFD; fixture 11 is the
+              |  -- PackBits twin — one literal run, control byte at 111,
+              |  -- pixels at 112-115
               |  CAST(bb[111]+bb[112]+bb[113]+bb[114] AS DOUBLE)/4 AS tg,
+              |  CAST(bb[112]+bb[113]+bb[114]+bb[115] AS DOUBLE)/4 AS pb,
               |  -- DC-only JPEG flat plane, re-derived from the entropy
               |  -- byte (bb[139] = DC-code 0 bit + 6 magnitude bits +
               |  -- EOB 0 bit, so the cat-6 field = byte//2; MSB 0 means
@@ -3606,6 +3625,7 @@ object TrainingOps {
               |    WHEN doc_id = 7 THEN sqrt(CAST(fsm[1]*fsm[1]+fsm[2]*fsm[2]+fsm[3]*fsm[3]+fsm[4]*fsm[4] AS DOUBLE)/4)/32768.0
               |    WHEN doc_id IN (8, 9) THEN sqrt(CAST(gs[1]*gs[1]+gs[2]*gs[2]+gs[3]*gs[3]+gs[4]*gs[4] AS DOUBLE)/4)/32768.0
               |    WHEN doc_id = 10 THEN tg/255.0
+              |    WHEN doc_id = 11 THEN pb/255.0
               |    ELSE sqrt(CAST(sm[1]*sm[1]+sm[2]*sm[2]+sm[3]*sm[3]+sm[4]*sm[4] AS DOUBLE)/4)/32768.0
               |  END AS REAL) AS DOUBLE) AS f0,
               |  CAST(CAST(CASE WHEN doc_id = 1 THEN mr/255.0
@@ -3615,18 +3635,21 @@ object TrainingOps {
               |    WHEN doc_id = 7 THEN CAST(list_max(list_transform(fsm, x -> abs(x))) AS DOUBLE)/32768.0
               |    WHEN doc_id IN (8, 9) THEN CAST(list_max(list_transform(gs, x -> abs(x))) AS DOUBLE)/32768.0
               |    WHEN doc_id = 10 THEN tg/255.0
+              |    WHEN doc_id = 11 THEN pb/255.0
               |    ELSE CAST(list_max(list_transform(sm, x -> abs(x))) AS DOUBLE)/32768.0
               |  END AS REAL) AS DOUBLE) AS f1,
               |  CAST(CAST(CASE WHEN doc_id = 1 THEN mg/255.0
               |    WHEN doc_id IN (3, 4) THEN jg/255.0
               |    WHEN doc_id = 6 THEN gmg/255.0
               |    WHEN doc_id = 10 THEN tg/255.0
+              |    WHEN doc_id = 11 THEN pb/255.0
               |    ELSE CAST((h*3) % 1000 - 500 AS DOUBLE)/1000.0
               |  END AS REAL) AS DOUBLE) AS f2,
               |  CAST(CAST(CASE WHEN doc_id = 1 THEN mb/255.0
               |    WHEN doc_id IN (3, 4) THEN jg/255.0
               |    WHEN doc_id = 6 THEN gmb/255.0
               |    WHEN doc_id = 10 THEN tg/255.0
+              |    WHEN doc_id = 11 THEN pb/255.0
               |    ELSE CAST((h*4) % 1000 - 500 AS DOUBLE)/1000.0
               |  END AS REAL) AS DOUBLE) AS f3
               |FROM m LEFT JOIN g USING (doc_id) LEFT JOIN g7 USING (doc_id) CROSS JOIN ads""".stripMargin)),

@@ -102,12 +102,13 @@ class DecoderFuzzSpec extends AnyFunSuite {
         "15010300" + "01000000" + "01000000" +
         "17010400" + "01000000" + "04000000" +
         "00000000" + "0AC83C5A"),
-      "tiff_be" -> hex("4D4D002A000000080008" +
+      "tiff_be" -> hex("4D4D002A000000080009" +
         "010000030000000100010000" + "010100030000000100020000" +
-        "0102000300000003" + "0000006E" + "010300030000000100010000" +
-        "010600030000000100020000" + "0111000400000002" + "00000074" +
-        "011500030000000100030000" + "0117000400000002" + "0000007C" +
-        "00000000" + "000800080008" + "0000008400000087" + "0000000300000003" +
+        "0102000300000003" + "0000007A" + "010300030000000100010000" +
+        "010600030000000100020000" + "0111000400000002" + "00000080" +
+        "011500030000000100030000" + "011600030000000100010000" +
+        "0117000400000002" + "00000088" +
+        "00000000" + "000800080008" + "0000009000000093" + "0000000300000003" +
         "FF0080010203"),
       "webp" -> hex("5249464618000000574542505650384C100000002F1000020000"),
       "flac" -> hex("664C614300000022001000100000000000000AC440000006BAA8"),

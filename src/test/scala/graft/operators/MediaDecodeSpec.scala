@@ -79,7 +79,8 @@ class MediaDecodeSpec extends AnyFunSuite {
   /** assemble a PNG from raw pixels with the given per-row filters. */
   private def png(w: Int, h: Int, colorType: Int, channels: Int,
                   pixels: Array[Int], filters: Seq[Int],
-                  interlace: Int = 0, bitDepth: Int = 8): Array[Byte] = {
+                  interlace: Int = 0, bitDepth: Int = 8,
+                  palette: Seq[(Int, Int, Int)] = Nil): Array[Byte] = {
     val stride = w * channels
     val filtered = new java.io.ByteArrayOutputStream()
     var prev = Array.fill(stride)(0)
@@ -101,7 +102,9 @@ class MediaDecodeSpec extends AnyFunSuite {
     val ihdr = be(w, 4) + be(h, 4) + "%02X".format(bitDepth) +
       "%02X".format(colorType) + "0000" + "%02X".format(interlace)
     val idat = comp.take(n).map("%02X".format(_)).mkString
-    hex("89504E470D0A1A0A" + chunk("IHDR", ihdr) + chunk("IDAT", idat) + chunk("IEND", ""))
+    val plte = if (palette.isEmpty) ""
+      else chunk("PLTE", palette.map { case (r, g, bl) => f"$r%02X$g%02X$bl%02X" }.mkString)
+    hex("89504E470D0A1A0A" + chunk("IHDR", ihdr) + plte + chunk("IDAT", idat) + chunk("IEND", ""))
   }
 
   test("PNG: every filter type round-trips (RGB)") {
@@ -135,11 +138,28 @@ class MediaDecodeSpec extends AnyFunSuite {
     assert(MediaDecode.pngPixels(split).get.data.map(_ & 0xff).toSeq == grey.toSeq)
   }
 
+  test("PNG: palette resolves through PLTE; grey+alpha keeps 2 channels") {
+    val idx = Array(0, 1, 2, 1, 0, 2)
+    val pal = Seq((255, 0, 0), (0, 255, 0), (16, 32, 64))
+    val px = MediaDecode.pngPixels(png(3, 2, 3, 1, idx, Seq(0, 1), palette = pal)).get
+    assert(px.channels == 3)
+    assert(px.data.map(_ & 0xff).toSeq ==
+      idx.flatMap(i => Seq(pal(i)._1, pal(i)._2, pal(i)._3)).toSeq)
+    // out-of-range index → None
+    val over = MediaDecode.pngPixels(png(3, 2, 3, 1, Array(0, 1, 3, 1, 0, 2), Seq(0, 1), palette = pal))
+    assert(over.isEmpty)
+    val ga = Array.tabulate(2 * 2 * 2)(i => (i * 61 + 7) % 256)
+    val g = MediaDecode.pngPixels(png(2, 2, 4, 2, ga, Seq(2, 4))).get
+    assert(g.channels == 2 && g.data.map(_ & 0xff).toSeq == ga.toSeq)
+    // grey+alpha meanLuma reads the GREY plane, never alpha
+    assert(g.meanLuma == (ga(0) + ga(2) + ga(4) + ga(6)) / 4.0)
+  }
+
   test("PNG: unsupported shapes return None, never throw") {
     val grey = Array.tabulate(6)(i => i * 40)
     assert(MediaDecode.pngPixels(png(3, 2, 0, 1, grey, Seq(0, 0), interlace = 1)).isEmpty)
     assert(MediaDecode.pngPixels(png(3, 2, 0, 1, grey, Seq(0, 0), bitDepth = 16)).isEmpty)
-    assert(MediaDecode.pngPixels(png(3, 2, 3, 1, grey, Seq(0, 0))).isEmpty) // palette
+    assert(MediaDecode.pngPixels(png(3, 2, 3, 1, grey, Seq(0, 0))).isEmpty) // palette WITHOUT a PLTE
     // truncated IDAT: inflate cannot fill the scanlines
     val whole = png(3, 2, 0, 1, grey, Seq(0, 0))
     assert(MediaDecode.pngPixels(whole.take(whole.length - 20)).isEmpty)
@@ -355,20 +375,21 @@ class MediaDecodeSpec extends AnyFunSuite {
   /** 1×2 RGB BE TIFF, TWO strips (one row each), BitsPerSample and
     * both strip arrays through offsets. */
   private val tiffRgbBe: Array[Byte] =
-    hex("4D4D002A" + "00000008" + "0008" +
+    hex("4D4D002A" + "00000008" + "0009" +
       "01000003" + "00000001" + "00010000" +
       "01010003" + "00000001" + "00020000" +
-      "01020003" + "00000003" + "0000006E" +
+      "01020003" + "00000003" + "0000007A" +
       "01030003" + "00000001" + "00010000" +
       "01060003" + "00000001" + "00020000" +
-      "01110004" + "00000002" + "00000074" +
+      "01110004" + "00000002" + "00000080" +
       "01150003" + "00000001" + "00030000" +
-      "01170004" + "00000002" + "0000007C" +
+      "01160003" + "00000001" + "00010000" +
+      "01170004" + "00000002" + "00000088" +
       "00000000" +
-      "000800080008" +            // bits array at 110
-      "00000084" + "00000087" +   // strip offsets at 116
-      "00000003" + "00000003" +   // strip byte counts at 124
-      "FF0080" + "010203")        // strips at 132/135
+      "000800080008" +            // bits array at 122
+      "00000090" + "00000093" +   // strip offsets at 128
+      "00000003" + "00000003" +   // strip byte counts at 136
+      "FF0080" + "010203")        // strips at 144/147
 
   test("TIFF grey LE: single strip decodes; dims and dispatch agree") {
     val px = MediaDecode.tiffPixels(tiffGreyLe).get
@@ -387,11 +408,182 @@ class MediaDecodeSpec extends AnyFunSuite {
     assert(MediaHeaders.imageDims(tiffRgbBe).contains((1L, 2L)))
   }
 
+  /** assemble a single-IFD TIFF (LE) with the given compression /
+    * predictor / strip split around pre-compressed strip payloads. */
+  private def tiffOf(w: Int, h: Int, channels: Int, comp: Int, predictor: Int,
+                     rowsPerStrip: Int, strips: Seq[Array[Byte]]): Array[Byte] = {
+    val photo = if (channels == 1) 1 else 2
+    val nStrips = strips.length
+    val bitsExtra = channels > 2           // count-3 SHORT array goes out of line
+    val stripsExtra = nStrips > 1
+    val entries = scala.collection.mutable.ArrayBuffer[(Int, Int, Int, Long)]() // tag, type, count, value
+    val nEntries = 10
+    val ifdEnd = 8 + 2 + nEntries * 12 + 4
+    var dataAt = ifdEnd
+    val bitsOff = dataAt
+    if (bitsExtra) dataAt += 2 * channels
+    val soOff = dataAt
+    if (stripsExtra) dataAt += 4 * nStrips
+    val scOff = dataAt
+    if (stripsExtra) dataAt += 4 * nStrips
+    val stripAt = new Array[Int](nStrips)
+    for (s <- 0 until nStrips) { stripAt(s) = dataAt; dataAt += strips(s).length }
+    entries += ((256, 3, 1, w.toLong))
+    entries += ((257, 3, 1, h.toLong))
+    entries += ((258, 3, channels, if (bitsExtra) bitsOff.toLong else 8L))
+    entries += ((259, 3, 1, comp.toLong))
+    entries += ((262, 3, 1, photo.toLong))
+    entries += ((273, 4, nStrips, if (stripsExtra) soOff.toLong else stripAt(0).toLong))
+    entries += ((277, 3, 1, channels.toLong))
+    entries += ((278, 3, 1, rowsPerStrip.toLong))
+    entries += ((279, 4, nStrips, if (stripsExtra) scOff.toLong else strips(0).length.toLong))
+    entries += ((317, 3, 1, predictor.toLong))
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
+    out.write('I'); out.write('I'); w16(42); w32(8)
+    w16(nEntries)
+    for ((tag, typ, cnt, v) <- entries) {
+      w16(tag); w16(typ); w32(cnt)
+      if (typ == 3 && cnt == 1) { w16(v.toInt); w16(0) } else w32(v)
+    }
+    w32(0) // next IFD
+    if (bitsExtra) for (_ <- 0 until channels) w16(8)
+    if (stripsExtra) for (s <- 0 until nStrips) w32(stripAt(s))
+    if (stripsExtra) for (s <- 0 until nStrips) w32(strips(s).length)
+    strips.foreach(out.write)
+    out.toByteArray
+  }
+
+  /** forward PackBits: literal runs split at 128, repeats for runs ≥ 2. */
+  private def packBitsEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < data.length) {
+      var run = 1
+      while (i + run < data.length && run < 128 && data(i + run) == data(i)) run += 1
+      if (run >= 2) { out.write(1 - run); out.write(data(i)); i += run }
+      else {
+        var lit = 1
+        while (i + lit < data.length && lit < 128 &&
+          !(i + lit + 1 < data.length && data(i + lit) == data(i + lit + 1))) lit += 1
+        out.write(lit - 1)
+        out.write(data, i, lit)
+        i += lit
+      }
+    }
+    out.toByteArray
+  }
+
+  /** forward TIFF LZW (MSB-first, early change) — independent of the
+    * decoder: dictionary keyed by (prefix code, byte). */
+  private def tiffLzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    var codeSize = 9
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << codeSize) | code; bitCnt += codeSize
+      while (bitCnt >= 8) { out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8 }
+    }
+    val dict = scala.collection.mutable.HashMap[(Int, Int), Int]()
+    var next = 258
+    put(256) // clear
+    var prev = -1
+    for (byte <- data) {
+      val v = byte & 0xff
+      if (prev == -1) prev = v
+      else dict.get((prev, v)) match {
+        case Some(c) => prev = c
+        case None =>
+          put(prev)
+          if (next < 4096) { dict((prev, v)) = next; next += 1 }
+          // early change: encoder bumps at 512/1024/2048 — its table
+          // runs ONE ENTRY AHEAD of the decoder's, which bumps at
+          // 511/1023/2047 (the PDF LZWDecode EarlyChange=1 pairing)
+          if (next >= (1 << codeSize) && codeSize < 12) codeSize += 1
+          prev = v
+      }
+    }
+    if (prev != -1) put(prev)
+    put(257) // EOI
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val buf = new Array[Byte](data.length + 64)
+    val n = d.deflate(buf); d.end()
+    buf.take(n)
+  }
+
+  /** horizontal differencing forward pass (predictor 2). */
+  private def hdiff(rows: Array[Byte], rowBytes: Int, channels: Int): Array[Byte] = {
+    val out = rows.clone()
+    for (r <- 0 until rows.length / rowBytes; x <- (rowBytes - 1) to channels by -1)
+      out(r * rowBytes + x) =
+        ((rows(r * rowBytes + x) - rows(r * rowBytes + x - channels)) & 0xff).toByte
+    out
+  }
+
+  test("TIFF LZW / Deflate / PackBits round-trip, with and without the predictor") {
+    val w = 7; val h = 5
+    for (channels <- Seq(1, 3); predictor <- Seq(1, 2)) {
+      val pixels = Array.tabulate(w * h * channels)(i => ((i * 37 + 11) % 256).toByte)
+      val rowBytes = w * channels
+      val plane = if (predictor == 2) hdiff(pixels, rowBytes, channels) else pixels
+      for ((comp, enc) <- Seq[(Int, Array[Byte] => Array[Byte])](
+          5 -> tiffLzwEncode, 8 -> deflate, 32773 -> packBitsEncode, 1 -> identity)) {
+        val t = tiffOf(w, h, channels, comp, predictor, h, Seq(enc(plane)))
+        val px = MediaDecode.tiffPixels(t)
+        assert(px.isDefined, s"comp=$comp ch=$channels pred=$predictor")
+        assert(px.get.data.toSeq == pixels.toSeq, s"comp=$comp ch=$channels pred=$predictor")
+      }
+    }
+  }
+
+  test("TIFF compressed multi-strip: strips decode independently, predictor resets per row") {
+    val w = 4; val h = 6; val rps = 2
+    val pixels = Array.tabulate(w * h * 3)(i => ((i * 29 + 3) % 256).toByte)
+    val rowBytes = w * 3
+    val strips = (0 until h by rps).map { r0 =>
+      val strip = pixels.slice(r0 * rowBytes, (r0 + rps) * rowBytes)
+      tiffLzwEncode(hdiff(strip, rowBytes, 3))
+    }
+    val t = tiffOf(w, h, 3, 5, 2, rps, strips)
+    assert(MediaDecode.tiffPixels(t).get.data.toSeq == pixels.toSeq)
+    // strip count disagreeing with rowsPerStrip → None
+    assert(MediaDecode.tiffPixels(tiffOf(w, h, 3, 5, 2, rps, strips.take(2))).isEmpty)
+  }
+
+  test("TIFF LZW: early-change width bump decodes across the 510-entry boundary") {
+    // > 300 distinct pairs so the dictionary crosses 510 entries and
+    // the code width bumps 9→10 under early change
+    val w = 32; val h = 40
+    val pixels = Array.tabulate(w * h)(i => ((i * 7 + (i / 13) * 31 + (i * i % 97)) % 256).toByte)
+    val t = tiffOf(w, h, 1, 5, 1, h, Seq(tiffLzwEncode(pixels)))
+    assert(MediaDecode.tiffPixels(t).get.data.toSeq == pixels.toSeq)
+  }
+
+  test("TIFF compressed malformed payloads return None, never throw") {
+    val pixels = Array.tabulate(16)(i => (i * 17).toByte)
+    // LZW stream truncated mid-code
+    val lzw = tiffLzwEncode(pixels)
+    assert(MediaDecode.tiffPixels(tiffOf(4, 4, 1, 5, 1, 4, Seq(lzw.dropRight(3)))).isEmpty)
+    // PackBits literal run overrunning the strip payload
+    assert(MediaDecode.tiffPixels(tiffOf(4, 4, 1, 32773, 1, 4, Seq(Array[Byte](12, 1, 2)))).isEmpty)
+    // Deflate garbage
+    assert(MediaDecode.tiffPixels(tiffOf(4, 4, 1, 8, 1, 4, Seq(Array[Byte](1, 2, 3, 4)))).isEmpty)
+    // unknown predictor
+    assert(MediaDecode.tiffPixels(tiffOf(4, 4, 1, 1, 3, 4, Seq(pixels))).isEmpty)
+  }
+
   test("TIFF malformed inputs return None, never throw") {
     def mut(at: Int, v: Int): Array[Byte] = {
       val m = tiffGreyLe.clone(); m(at) = v.toByte; m
     }
-    assert(MediaDecode.tiffPixels(mut(54, 5)).isEmpty)   // LZW compression
+    assert(MediaDecode.tiffPixels(mut(54, 7)).isEmpty)   // JPEG-in-TIFF compression
     assert(MediaDecode.tiffPixels(mut(66, 3)).isEmpty)   // palette photometric
     assert(MediaDecode.tiffPixels(mut(42, 16)).isEmpty)  // 16-bit channels
     assert(MediaDecode.tiffPixels(mut(102, 3)).isEmpty)  // byte count != w*h*spp
