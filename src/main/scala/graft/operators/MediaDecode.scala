@@ -3,8 +3,9 @@ package graft.operators
 /** REAL pixel/sample decode, pure JVM — the part of the multimodal
   * seam that does NOT need a native codec, decoded for real:
   *
-  *  - BMP: uncompressed 24 bpp BITMAPINFOHEADER — raw BGR rows with
-  *    4-byte padding, bottom-up (positive height) or top-down.
+  *  - BMP: uncompressed BITMAPINFOHEADER — 24 bpp BGR, 32 bpp BGRX,
+  *    and 8 bpp through the color table; rows 4-byte padded,
+  *    bottom-up (positive height) or top-down.
   *  - PNG: 8-bit greyscale / grey+alpha / palette / RGB / RGBA (color
   *    types 0/3/4/2/6; palette resolves through PLTE to RGB) — the
   *    lossless web shapes — IDAT chunks concatenated, zlib-inflated
@@ -20,11 +21,14 @@ package graft.operators
   *    μ-law/A-law (0x0007/0x0006) companded-byte expansion.
   *
   * Baseline JPEG decodes for real too ([[JpegDecode]] — Huffman +
-  * IDCT + chroma upsample, pure JVM); only lossy AUDIO stays behind
-  * the [[Multimodal.MediaCodec]] stub. Everything here returns None
-  * on malformed/foreign/unsupported bytes (interlaced PNG, 16-bit
-  * channels, palette, compressed BMP, progressive JPEG): at corpus
-  * scale a truncated file must degrade, never throw.
+  * IDCT + chroma upsample, pure JVM); only lossy AUDIO (MP3/AAC) and
+  * lossy-compressed WebP stay behind the [[Multimodal.MediaCodec]]
+  * stub (no pure-JVM decode or offline cross-validator exists for
+  * either — VP8/VP8L carry empirically-chosen code tables that
+  * cannot be re-derived from the bitstream spec alone). Everything
+  * here returns None on malformed/foreign/unsupported bytes (16-bit
+  * channels, RLE BMP, progressive JPEG, tiled TIFF): at corpus scale
+  * a truncated file must degrade, never throw.
   *
   * [[Multimodal.HeaderCodec]] uses these to emit REAL features
   * (channel means / luma for images, RMS/peak for audio) instead of
@@ -48,7 +52,10 @@ object MediaDecode {
 
   // ---- BMP ---------------------------------------------------------
 
-  /** Uncompressed 24 bpp BMP → RGB pixels. */
+  /** Uncompressed BMP → RGB pixels: 24 bpp BGR, 32 bpp BGRX (the
+    * fourth byte is undefined under BI_RGB and is dropped), and 8 bpp
+    * through the BGRA-quad color table (biClrUsed colors, 0 = 256).
+    */
   def bmpPixels(b: Array[Byte]): Option[PixelImage] = {
     def u8(i: Int): Int = b(i) & 0xff
     def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
@@ -61,20 +68,36 @@ object MediaDecode {
     val topDown = hRaw < 0
     val h = math.abs(hRaw)
     if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) return None
-    if (le16(26) != 1 || le16(28) != 24) return None  // 1 plane, 24 bpp
+    if (le16(26) != 1) return None                    // 1 plane
+    val bpp = le16(28)
+    if (bpp != 8 && bpp != 24 && bpp != 32) return None
     if (le32(30) != 0L) return None                   // BI_RGB (uncompressed)
+    val palN =
+      if (bpp != 8) 0
+      else { val c = le32(46); if (c == 0L) 256 else if (c > 256L) return None else c.toInt }
+    val palOff = 54                                   // right after the INFO header
+    if (bpp == 8 && palOff + 4 * palN > b.length) return None
     val off = le32(10).toInt
-    val rowBytes = (w * 3 + 3) & ~3                   // rows pad to 4 bytes
+    val srcBytes = bpp / 8
+    val rowBytes = (w * srcBytes + 3) & ~3            // rows pad to 4 bytes
     if (off < 0 || off.toLong + rowBytes.toLong * h > b.length) return None
+    if (w.toLong * h * 3 > (1L << 30)) return None
     val out = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {
       val srcRow = off + (if (topDown) y else h - 1 - y) * rowBytes
       var x = 0
       while (x < w) {
-        val s = srcRow + x * 3
+        val s = srcRow + x * srcBytes
         val d = (y * w + x) * 3
-        out(d) = b(s + 2); out(d + 1) = b(s + 1); out(d + 2) = b(s) // BGR → RGB
+        if (bpp == 8) {
+          val idx = u8(s)
+          if (idx >= palN) return None
+          val p = palOff + 4 * idx                    // table quads are B,G,R,reserved
+          out(d) = b(p + 2); out(d + 1) = b(p + 1); out(d + 2) = b(p)
+        } else {
+          out(d) = b(s + 2); out(d + 1) = b(s + 1); out(d + 2) = b(s) // BGR → RGB
+        }
         x += 1
       }
       y += 1
@@ -84,8 +107,10 @@ object MediaDecode {
 
   // ---- PNG ---------------------------------------------------------
 
-  /** 8-bit non-interlaced grey / grey+alpha / palette / RGB / RGBA
-    * PNG → pixels (palette indices resolve through PLTE to RGB).
+  /** 8-bit grey / grey+alpha / palette / RGB / RGBA PNG → pixels
+    * (palette indices resolve through PLTE to RGB), progressive
+    * (Adam7-interlaced) or not — interlaced scanlines unfilter within
+    * each of the seven passes, then scatter to display positions.
     */
   def pngPixels(b: Array[Byte]): Option[PixelImage] = {
     def u8(i: Int): Int = b(i) & 0xff
@@ -110,7 +135,11 @@ object MediaDecode {
       case 6 => 4   // RGBA
       case _ => return None                            // 16-bit / reserved
     }
-    if (u8(28) != 0) return None                       // no Adam7 interlace
+    val interlaced = u8(28) match {
+      case 0 => false
+      case 1 => true
+      case _ => return None
+    }
     // walk chunks, concatenate IDAT payloads (and PLTE for type 3)
     val idat = new java.io.ByteArrayOutputStream()
     var i = 8
@@ -128,15 +157,29 @@ object MediaDecode {
     }
     if (idat.size() == 0) return None
     if (colorType == 3 && (pltOff < 0 || pltLen == 0)) return None
-    // zlib inflate to the filtered scanlines: h rows of 1 filter byte +
-    // w·channels data bytes. Sized in Long first: a few compressed bytes
-    // can CLAIM huge dims (decompression bomb / Int overflow in h*(1+stride)),
-    // so cap the decoded footprint before allocating.
+    // pass geometry: Adam7's seven (xStart, yStart, xStep, yStep)
+    // sub-images, or one full pass when not interlaced; empty passes
+    // (dimension collapses to 0) contribute NO scanlines at all
+    val passes =
+      (if (interlaced)
+        Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+      else Seq((0, 0, 1, 1)))
+        .map { case (xs, ys, xst, yst) =>
+          (xs, ys, xst, yst,
+            if (w > xs) (w - xs + xst - 1) / xst else 0,   // pass width
+            if (h > ys) (h - ys + yst - 1) / yst else 0) } // pass height
+        .filter { case (_, _, _, _, pw, ph) => pw > 0 && ph > 0 }
+    // zlib inflate to the filtered scanlines: per pass, ph rows of
+    // 1 filter byte + pw·channels data bytes. Sized in Long first: a
+    // few compressed bytes can CLAIM huge dims (decompression bomb /
+    // Int overflow), so cap the decoded footprint before allocating.
     val strideL = w.toLong * channels
-    val rawLen = h.toLong * (1L + strideL)
-    if (rawLen > (1L << 30) || h.toLong * strideL > (1L << 30)) return None
+    val rawLenL = passes.map { case (_, _, _, _, pw, ph) =>
+      ph.toLong * (1L + pw.toLong * channels) }.sum
+    if (rawLenL > (1L << 30) || h.toLong * strideL > (1L << 30)) return None
     val stride = strideL.toInt
-    val raw = new Array[Byte](rawLen.toInt)
+    val raw = new Array[Byte](rawLenL.toInt)
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(idat.toByteArray)
@@ -151,36 +194,53 @@ object MediaDecode {
       if (got < raw.length) return None
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inf.end()
-    // reverse per-row filters (RFC 2083 §6.1): a = left, b = up, c = up-left
+    // reverse per-row filters (RFC 2083 §6.1): a = left, b = up,
+    // c = up-left — neighbors live WITHIN the pass, then each pass
+    // pixel scatters to its display position
     val out = new Array[Byte](h * stride)
     val bpp = channels
-    var y = 0
-    while (y < h) {
-      val filter = raw(y * (1 + stride)) & 0xff
-      val src = y * (1 + stride) + 1
-      val dst = y * stride
-      var x = 0
-      while (x < stride) {
-        val rawV = raw(src + x) & 0xff
-        val a = if (x >= bpp) out(dst + x - bpp) & 0xff else 0
-        val up = if (y > 0) out(dst - stride + x) & 0xff else 0
-        val c = if (y > 0 && x >= bpp) out(dst - stride + x - bpp) & 0xff else 0
-        val v = filter match {
-          case 0 => rawV
-          case 1 => rawV + a
-          case 2 => rawV + up
-          case 3 => rawV + (a + up) / 2
-          case 4 => // Paeth predictor
-            val p = a + up - c
-            val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
-            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
-            rawV + pred
-          case _ => return None                        // invalid filter id
+    var rawAt = 0
+    for ((xs, ys, xst, yst, pw, ph) <- passes) {
+      val pStride = pw * channels
+      val prev = new Array[Byte](pStride)
+      val cur = new Array[Byte](pStride)
+      var y = 0
+      while (y < ph) {
+        val filter = raw(rawAt) & 0xff
+        val src = rawAt + 1
+        var x = 0
+        while (x < pStride) {
+          val rawV = raw(src + x) & 0xff
+          val a = if (x >= bpp) cur(x - bpp) & 0xff else 0
+          val up = if (y > 0) prev(x) & 0xff else 0
+          val c = if (y > 0 && x >= bpp) prev(x - bpp) & 0xff else 0
+          val v = filter match {
+            case 0 => rawV
+            case 1 => rawV + a
+            case 2 => rawV + up
+            case 3 => rawV + (a + up) / 2
+            case 4 => // Paeth predictor
+              val p = a + up - c
+              val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+              val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+              rawV + pred
+            case _ => return None                      // invalid filter id
+          }
+          cur(x) = (v & 0xff).toByte
+          x += 1
         }
-        out(dst + x) = (v & 0xff).toByte
-        x += 1
+        // scatter the pass row into display coordinates
+        var px = 0
+        while (px < pw) {
+          val dst = (ys + y * yst) * stride + (xs + px * xst) * channels
+          var ch = 0
+          while (ch < channels) { out(dst + ch) = cur(px * channels + ch); ch += 1 }
+          px += 1
+        }
+        System.arraycopy(cur, 0, prev, 0, pStride)
+        y += 1
+        rawAt += 1 + pStride
       }
-      y += 1
     }
     if (colorType != 3) Some(PixelImage(w, h, channels, out))
     else {

@@ -44,6 +44,27 @@ class MediaDecodeSpec extends AnyFunSuite {
     assert(MediaDecode.imagePixels(bmp2x2(false)).isDefined)
   }
 
+  test("BMP: 8bpp palette and 32bpp BGRX decode to RGB") {
+    // 2×1 8bpp: 3-color table (biClrUsed = 3), indices 2, 0; row pads to 4
+    val p8 = hex("424D" + le(54 + 12 + 4, 4) + "00000000" + le(54 + 12, 4) +
+      le(40, 4) + le(2, 4) + le(1, 4) + "0100" + "0800" + le(0, 4) +
+      le(4, 4) + "00000000" + "00000000" + le(3, 4) + "00000000" +
+      "FF000000" + "00FF0000" + "0000FF00" +       // B,G,R,x quads: blue, green, red
+      "02000000")                                  // indices 2, 0 + pad
+    val img8 = MediaDecode.bmpPixels(p8).get
+    assert(img8.data.map(_ & 0xff).toSeq == Seq(255, 0, 0, 0, 0, 255)) // red, blue
+    // index past the 3-entry table → None
+    val over = p8.clone(); over(66) = 3
+    assert(MediaDecode.bmpPixels(over).isEmpty)
+    // 1×2 32bpp BGRX bottom-up: no padding needed, 4th byte dropped
+    val p32 = hex("424D" + le(54 + 8, 4) + "00000000" + le(54, 4) +
+      le(40, 4) + le(1, 4) + le(2, 4) + "0100" + "2000" + le(0, 4) +
+      le(8, 4) + "00000000" + "00000000" + "00000000" + "00000000" +
+      "4080C0FF" + "0A141EFF")                     // bottom row then top row
+    val img32 = MediaDecode.bmpPixels(p32).get
+    assert(img32.data.map(_ & 0xff).toSeq == Seq(30, 20, 10, 192, 128, 64))
+  }
+
   test("BMP: unsupported shapes return None") {
     val good = bmp2x2(false)
     assert(MediaDecode.bmpPixels(good.take(40)).isEmpty)     // truncated
@@ -155,9 +176,57 @@ class MediaDecodeSpec extends AnyFunSuite {
     assert(g.meanLuma == (ga(0) + ga(2) + ga(4) + ga(6)) / 4.0)
   }
 
+  /** assemble an Adam7-interlaced PNG: pixels are re-ordered into the
+    * seven passes and filtered WITHIN each pass (cycling filters), the
+    * independent forward form of the decoder's per-pass unfilter. */
+  private def pngAdam7(w: Int, h: Int, colorType: Int, channels: Int,
+                       pixels: Array[Int]): Array[Byte] = {
+    val passes = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val filtered = new java.io.ByteArrayOutputStream()
+    var rowIdx = 0
+    for ((xs, ys, xst, yst) <- passes) {
+      val pw = if (w > xs) (w - xs + xst - 1) / xst else 0
+      val ph = if (h > ys) (h - ys + yst - 1) / yst else 0
+      if (pw > 0 && ph > 0) {
+        var prev = Array.fill(pw * channels)(0)
+        for (j <- 0 until ph) {
+          val row = (0 until pw).flatMap { i =>
+            val y = ys + j * yst; val x = xs + i * xst
+            (0 until channels).map(c => pixels((y * w + x) * channels + c))
+          }.toArray
+          val f = rowIdx % 5; rowIdx += 1
+          filtered.write(f)
+          forwardFilter(f, row, prev, channels).foreach(filtered.write)
+          prev = row
+        }
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(filtered.toByteArray); deflater.finish()
+    val comp = new Array[Byte](filtered.size() + 64)
+    val n = deflater.deflate(comp); deflater.end()
+    def chunk(typ: String, payload: String): String =
+      be(payload.length / 2, 4) +
+        typ.getBytes("ISO-8859-1").map("%02X".format(_)).mkString +
+        payload + "00000000"
+    val ihdr = be(w, 4) + be(h, 4) + "08" + "%02X".format(colorType) + "0000" + "01"
+    hex("89504E470D0A1A0A" + chunk("IHDR", ihdr) +
+      chunk("IDAT", comp.take(n).map("%02X".format(_)).mkString) + chunk("IEND", ""))
+  }
+
+  test("PNG: Adam7 interlace round-trips (all 7 passes, non-multiple-of-8 dims)") {
+    for ((w, h, ct, ch) <- Seq((9, 10, 2, 3), (3, 3, 0, 1), (8, 8, 6, 4), (1, 1, 0, 1))) {
+      val pixels = Array.tabulate(w * h * ch)(i => (i * 41 + 13) % 256)
+      val img = MediaDecode.pngPixels(pngAdam7(w, h, ct, ch, pixels))
+      assert(img.isDefined, s"$w x $h ct=$ct")
+      assert(img.get.data.map(_ & 0xff).toSeq == pixels.toSeq, s"$w x $h ct=$ct")
+    }
+  }
+
   test("PNG: unsupported shapes return None, never throw") {
     val grey = Array.tabulate(6)(i => i * 40)
-    assert(MediaDecode.pngPixels(png(3, 2, 0, 1, grey, Seq(0, 0), interlace = 1)).isEmpty)
+    assert(MediaDecode.pngPixels(png(3, 2, 0, 1, grey, Seq(0, 0), interlace = 2)).isEmpty)
     assert(MediaDecode.pngPixels(png(3, 2, 0, 1, grey, Seq(0, 0), bitDepth = 16)).isEmpty)
     assert(MediaDecode.pngPixels(png(3, 2, 3, 1, grey, Seq(0, 0))).isEmpty) // palette WITHOUT a PLTE
     // truncated IDAT: inflate cannot fill the scanlines
