@@ -689,7 +689,15 @@ object MediaDecode {
 
   // ---- WAV PCM -----------------------------------------------------
 
-  /** PCM 16-bit LE samples (interleaved across channels). */
+  /** Linear PCM samples as the 16-bit view (interleaved across
+    * channels): 16-bit LE as-is, 8-bit unsigned recentered
+    * (`(v − 128) << 8`), 24/32-bit arithmetic-shifted down to 16 —
+    * the same high-bits view [[graft.operators.FlacDecode]] uses for
+    * non-16 depths. Accepts plain PCM (`wFormatTag` 1) and
+    * WAVE_FORMAT_EXTENSIBLE (0xFFFE) whose SubFormat GUID leads with
+    * the PCM tag — the standard container for > 2 channels and
+    * > 16-bit depths.
+    */
   def wavPcm16(b: Array[Byte]): Option[Array[Short]] = {
     def u8(i: Int): Int = b(i) & 0xff
     def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
@@ -701,23 +709,52 @@ object MediaDecode {
     // chunk walk in Long: a corrupt size field must step past the end,
     // never wrap Int into a negative index
     var i = 12L
-    var isPcm16 = false
+    var bits = 0
     var data: Option[(Int, Int)] = None
-    while (i + 8 <= b.length && (!isPcm16 || data.isEmpty)) {
+    while (i + 8 <= b.length && (bits == 0 || data.isEmpty)) {
       val at = i.toInt
       val size = le32(at + 4)
-      if (tag(at, "fmt ") && i + 24 <= b.length)
-        isPcm16 = le16(at + 8) == 1 && le16(at + 22) == 16 // PCM, 16-bit
-      else if (tag(at, "data")) data = Some((at + 8, size.toInt))
+      if (tag(at, "fmt ") && i + 24 <= b.length) {
+        val fmtTag = le16(at + 8)
+        // EXTENSIBLE: the effective tag is the SubFormat GUID's leading
+        // 2 bytes (PCM GUID = 00000001-0000-0010-8000-00AA00389B71)
+        val eff =
+          if (fmtTag == 0xFFFE && size >= 40 && i + 42 <= b.length) le16(at + 32)
+          else fmtTag
+        if (eff == 1) {
+          val bt = le16(at + 22)
+          if (bt == 8 || bt == 16 || bt == 24 || bt == 32) bits = bt
+        }
+      } else if (tag(at, "data")) data = Some((at + 8, size.toInt))
       if (size > b.length.toLong) return None
       i += 8L + size + (size & 1L)
     }
     data match {
-      case Some((off, len)) if isPcm16 && len >= 0 && off.toLong + len <= b.length =>
-        val n = len / 2
+      case Some((off, len)) if bits != 0 && len >= 0 && off.toLong + len <= b.length =>
+        val bw = bits / 8
+        val n = len / bw
         val out = new Array[Short](n)
         var j = 0
-        while (j < n) { out(j) = (u8(off + 2 * j) | (u8(off + 2 * j + 1) << 8)).toShort; j += 1 }
+        bits match {
+          case 8 =>
+            while (j < n) { out(j) = ((u8(off + j) - 128) << 8).toShort; j += 1 }
+          case 16 =>
+            while (j < n) { out(j) = (u8(off + 2 * j) | (u8(off + 2 * j + 1) << 8)).toShort; j += 1 }
+          case 24 =>
+            while (j < n) {
+              val s = off + 3 * j
+              val v = u8(s) | (u8(s + 1) << 8) | (b(s + 2).toInt << 16) // sign from the top byte
+              out(j) = (v >> 8).toShort
+              j += 1
+            }
+          case _ =>
+            while (j < n) {
+              val s = off + 4 * j
+              val v = u8(s) | (u8(s + 1) << 8) | (u8(s + 2) << 16) | (b(s + 3).toInt << 24)
+              out(j) = (v >> 16).toShort
+              j += 1
+            }
+        }
         Some(out)
       case _ => None
     }

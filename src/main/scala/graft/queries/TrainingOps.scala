@@ -252,7 +252,10 @@ object TrainingOps {
     * ([[graft.operators.MediaDecode.wavG711Samples]]), so the oracle
     * re-derives every linear sample — μ-law's complement/bias/shift
     * and A-law's even-bit-inversion/segment rules, including their
-    * OPPOSITE sign-bit conventions — directly in SQL. Fixture 10 is a
+    * OPPOSITE sign-bit conventions — directly in SQL. Fixture 12 is a
+    * 24-bit WAVE_FORMAT_EXTENSIBLE PCM whose four LE s24 samples sit
+    * at fixed offsets — the oracle re-derives the 16-bit view as the
+    * unsigned high bits minus the sign bias. Fixture 10 is a
     * single-strip uncompressed grey TIFF
     * ([[graft.operators.MediaDecode.tiffPixels]]) whose four pixel
     * bytes sit at fixed offsets 111–114 behind the IFD — the oracle
@@ -345,6 +348,15 @@ object TrainingOps {
         "15010300" + "01000000" + "01000000" +
         "17010400" + "01000000" + "05000000" +
         "00000000" + "0314283C50"),
+    (12L, "audio", // WAVE_FORMAT_EXTENSIBLE (0xFFFE) 24-bit PCM mono:
+      // fmt size 40, cbSize 22, PCM SubFormat GUID; four LE s24
+      // samples at fixed offsets 69-80 arithmetic-shift to the 16-bit
+      // view 16384, −1, −32768, −26094
+      "52494646" + "48000000" + "57415645" +
+        "666D7420" + "28000000" + "FEFF" + "0100" + "401F0000" + "C05D0000" +
+        "0300" + "1800" + "1600" + "1800" + "04000000" +
+        "0100000000001000800000AA00389B71" +
+        "64617461" + "0C000000" + "000040" + "FFFFFF" + "000080" + "34129A"),
     (6L, "image", // GIF89a 2×2, 4-color GCT (red, green, blue, FF8040),
       // LZW min code 2: codes clear(3b) 0(3b) 1(3b) 2(3b) 3(4b) eoi(4b)
       // pack to bytes 44 34 05 — pixels red/green // blue/#FF8040 →
@@ -3615,7 +3627,16 @@ object TrainingOps {
               |        ELSE ((xor(bb[47+j], 85) % 16) * 16 + 264)
               |               * (1 << ((xor(bb[47+j], 85) // 16) % 8 - 1)) END)
               |  END AS gs
-              |  FROM bt WHERE doc_id IN (8, 9))
+              |  FROM bt WHERE doc_id IN (8, 9)),
+              |-- 24-bit EXTENSIBLE PCM fixture 12: LE s24 at offsets
+              |-- 69-80; the 16-bit view is the unsigned high bits minus
+              |-- the sign bias (exact: 2^24 divides by 256, so the
+              |-- arithmetic shift is u//256 - 65536*signbit)
+              |p24 AS (SELECT doc_id,
+              |  list_transform(range(0,4), j ->
+              |    (bb[69+3*j] + bb[70+3*j]*256 + bb[71+3*j]*65536) // 256
+              |    - CASE WHEN bb[71+3*j] >= 128 THEN 65536 ELSE 0 END) AS ps
+              |  FROM bt WHERE doc_id = 12)
               |SELECT doc_id,
               |  CAST(CAST(CASE WHEN doc_id = 1
               |    THEN (0.299*mr + 0.587*mg + 0.114*mb)/255.0
@@ -3624,6 +3645,7 @@ object TrainingOps {
               |    WHEN doc_id = 6 THEN (0.299*gmr + 0.587*gmg + 0.114*gmb)/255.0
               |    WHEN doc_id = 7 THEN sqrt(CAST(fsm[1]*fsm[1]+fsm[2]*fsm[2]+fsm[3]*fsm[3]+fsm[4]*fsm[4] AS DOUBLE)/4)/32768.0
               |    WHEN doc_id IN (8, 9) THEN sqrt(CAST(gs[1]*gs[1]+gs[2]*gs[2]+gs[3]*gs[3]+gs[4]*gs[4] AS DOUBLE)/4)/32768.0
+              |    WHEN doc_id = 12 THEN sqrt(CAST(ps[1]*ps[1]+ps[2]*ps[2]+ps[3]*ps[3]+ps[4]*ps[4] AS DOUBLE)/4)/32768.0
               |    WHEN doc_id = 10 THEN tg/255.0
               |    WHEN doc_id = 11 THEN pb/255.0
               |    ELSE sqrt(CAST(sm[1]*sm[1]+sm[2]*sm[2]+sm[3]*sm[3]+sm[4]*sm[4] AS DOUBLE)/4)/32768.0
@@ -3634,6 +3656,7 @@ object TrainingOps {
               |    WHEN doc_id = 6 THEN gmr/255.0
               |    WHEN doc_id = 7 THEN CAST(list_max(list_transform(fsm, x -> abs(x))) AS DOUBLE)/32768.0
               |    WHEN doc_id IN (8, 9) THEN CAST(list_max(list_transform(gs, x -> abs(x))) AS DOUBLE)/32768.0
+              |    WHEN doc_id = 12 THEN CAST(list_max(list_transform(ps, x -> abs(x))) AS DOUBLE)/32768.0
               |    WHEN doc_id = 10 THEN tg/255.0
               |    WHEN doc_id = 11 THEN pb/255.0
               |    ELSE CAST(list_max(list_transform(sm, x -> abs(x))) AS DOUBLE)/32768.0
@@ -3652,7 +3675,7 @@ object TrainingOps {
               |    WHEN doc_id = 11 THEN pb/255.0
               |    ELSE CAST((h*4) % 1000 - 500 AS DOUBLE)/1000.0
               |  END AS REAL) AS DOUBLE) AS f3
-              |FROM m LEFT JOIN g USING (doc_id) LEFT JOIN g7 USING (doc_id) CROSS JOIN ads""".stripMargin)),
+              |FROM m LEFT JOIN g USING (doc_id) LEFT JOIN g7 USING (doc_id) LEFT JOIN p24 USING (doc_id) CROSS JOIN ads""".stripMargin)),
 
     // ---- multimodal: resize planning (aspect-preserving fit into a
     //      224×224 box, pure integer arithmetic) ----

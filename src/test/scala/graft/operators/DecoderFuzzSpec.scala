@@ -82,6 +82,10 @@ class DecoderFuzzSpec extends AnyFunSuite {
       "wav_adpcm" -> hex("524946463000000057415645" +
         "666D74201400000011000100401F0000C71B00000800040002000900" +
         "6461746108000000E8030A00718F24F0"),
+      "wav_pcm24x" -> hex("524946464800000057415645" +
+        "666D742028000000FEFF0100401F0000C05D00000300180016001800" +
+        "040000000100000000001000800000AA00389B71" +
+        "646174610C000000" + "000040FFFFFF00008034129A"),
       "wav_mulaw" -> hex("524946462A00000057415645" +
         "666D74201200000007000100401F0000401F000001000800" + "0000" +
         "64617461040000000AFF6280"),

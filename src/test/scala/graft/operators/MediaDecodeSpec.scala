@@ -282,6 +282,29 @@ class MediaDecodeSpec extends AnyFunSuite {
     assert(MediaDecode.wavPcm16(alaw).isEmpty)
   }
 
+  test("WAV PCM 8/24/32-bit and EXTENSIBLE reduce to the 16-bit view") {
+    // 8-bit unsigned recenters: 0 -> -32768, 128 -> 0, 255 -> 32512
+    val w8 = hex("52494646" + le(36 + 3, 4) + "57415645" +
+      "666D7420" + le(16, 4) + "0100" + "0100" + le(8000, 4) + le(8000, 4) + "0100" + "0800" +
+      "64617461" + le(3, 4) + "0080FF" + "00")
+    assert(MediaDecode.wavPcm16(w8).get.toSeq == Seq[Short](-32768, 0, 32512))
+    // 24-bit EXTENSIBLE (PCM GUID): arithmetic shift to 16
+    val w24 = hex("52494646" + "48000000" + "57415645" +
+      "666D7420" + "28000000" + "FEFF" + "0100" + "401F0000" + "C05D0000" +
+      "0300" + "1800" + "1600" + "1800" + "04000000" +
+      "0100000000001000800000AA00389B71" +
+      "64617461" + "0C000000" + "000040" + "FFFFFF" + "000080" + "34129A")
+    assert(MediaDecode.wavPcm16(w24).get.toSeq == Seq[Short](16384, -1, -32768, -26094))
+    // 32-bit plain PCM
+    val w32 = hex("52494646" + le(36 + 8, 4) + "57415645" +
+      "666D7420" + le(16, 4) + "0100" + "0100" + le(8000, 4) + le(32000, 4) + "0400" + "2000" +
+      "64617461" + le(8, 4) + "00000040" + "0000C0FF")
+    assert(MediaDecode.wavPcm16(w32).get.toSeq == Seq[Short](16384, -64))
+    // EXTENSIBLE with a non-PCM SubFormat GUID -> None
+    val bad = w24.clone(); bad(44) = 3 // IEEE-float GUID lead
+    assert(MediaDecode.wavPcm16(bad).isEmpty)
+  }
+
   // ---- GIF ---------------------------------------------------------
 
   /** 2×2 GIF89a, 4-color palette, root codes only (the mm_pixel_stats
