@@ -2,29 +2,32 @@ package graft.operators
 
 import graft.operators.MediaDecode.PixelImage
 
-/** Pure-JVM BASELINE JPEG decoder (ITU-T T.81 sequential DCT, the
-  * format of ~all web/camera JPEGs): marker parse → per-block Huffman
-  * entropy decode → dequant → 8×8 IDCT → nearest-neighbor chroma
-  * upsample → integer YCbCr→RGB. Closes the last stubbed content
-  * family in [[Multimodal.HeaderCodec]] (PNG/BMP/WAV already decode
-  * for real in [[MediaDecode]]).
+/** Pure-JVM Huffman JPEG decoder (ITU-T T.81), sequential AND
+  * progressive DCT — the formats of ~all web/camera JPEGs: marker
+  * parse → entropy decode (streaming per block for baseline;
+  * coefficient-buffered across scans for SOF2 with spectral selection
+  * and successive approximation per Annex G) → dequant → 8×8 IDCT →
+  * chroma upsample → integer YCbCr→RGB. Closes the last stubbed
+  * content family in [[Multimodal.HeaderCodec]] (PNG/BMP/WAV already
+  * decode for real in [[MediaDecode]]).
   *
   * Same corpus-scale contract as the rest of the module: supported
-  * shapes decode exactly, everything else — progressive (SOF2),
-  * arithmetic coding, 12-bit precision, CMYK, lossless modes,
-  * truncated streams — returns None, never throws. Determinism: the
-  * IDCT runs on a fixed-order double butterfly against a
-  * StrictMath-derived constant table and every other step is integer
-  * arithmetic, so decoded bytes are identical on every JVM (the JDK's
-  * own ImageIO JPEG reader rides platform libjpeg and cannot promise
-  * that; the test suite uses it as an independent approximate oracle).
+  * shapes decode exactly, everything else — arithmetic coding, 12-bit
+  * precision, CMYK, lossless/hierarchical modes, truncated streams —
+  * returns None, never throws. Determinism: the IDCT runs on a
+  * fixed-order double butterfly against a StrictMath-derived constant
+  * table and every other step is integer arithmetic, so decoded bytes
+  * are identical on every JVM (the JDK's own ImageIO JPEG reader
+  * rides platform libjpeg and cannot promise that; the test suite
+  * uses it as an independent approximate oracle — for progressive it
+  * also ENCODES the cross-validation inputs).
   *
-  * Scope: baseline + extended-sequential Huffman (SOF0/SOF1), 8-bit,
-  * 1- or 3-component (greyscale / YCbCr / stored-RGB via Adobe APP14
-  * transform=0 or R,G,B component ids), sampling factors 1–4 with
-  * restart-marker support; a single-component scan decodes
-  * non-interleaved per T.81 A.2. ~Every still produced by
-  * libjpeg/encoders at default settings fits this profile.
+  * Scope: baseline + extended-sequential (SOF0/SOF1) + progressive
+  * (SOF2) Huffman, 8-bit, 1- or 3-component (greyscale / YCbCr /
+  * stored-RGB via Adobe APP14 transform=0 or R,G,B component ids),
+  * sampling factors 1–4 with restart-marker support; a
+  * single-component scan decodes non-interleaved per T.81 A.2.
+  * ~Every still produced by libjpeg/encoders fits this profile.
   */
 object JpegDecode {
 
@@ -195,9 +198,14 @@ object JpegDecode {
     var plane: Array[Byte] = null
     var planeW: Int = 0
     var planeH: Int = 0
+    // progressive state: coefficients accumulate across scans, one
+    // 64-int natural-order block at a time, over the PADDED MCU grid
+    var coefs: Array[Int] = null
+    var bw = 0; var bh = 0         // padded grid (interleaved scans)
+    var bwSub = 0; var bhSub = 0   // true sub-image grid (non-interleaved)
   }
 
-  /** Baseline/extended-sequential Huffman JPEG → pixels (1 channel
+  /** Sequential or progressive Huffman JPEG → pixels (1 channel
     * greyscale or 3-channel RGB). None for any unsupported or
     * malformed shape.
     */
@@ -216,12 +224,25 @@ object JpegDecode {
     var w = 0; var h = 0
     var restartInterval = 0
     var adobeTransform = -1 // APP14 transform byte; -1 = no Adobe marker
+    var progressive = false
+    var scansSeen = 0
+
+    def rgbDirectOf(): Boolean = comps.length == 3 &&
+      (adobeTransform == 0 ||
+        (adobeTransform == -1 &&
+          comps(0).id == 'R' && comps(1).id == 'G' && comps(2).id == 'B'))
 
     var i = 2
-    while (i + 4 <= b.length) {
+    var jumped = false
+    while (i + 4 <= b.length || (jumped && i + 2 <= b.length)) {
+      jumped = false
       if (u8(i) != 0xff) return None
       val m = u8(i + 1)
-      if (m == 0xd9) return None // EOI before SOS
+      if (m == 0xd9) { // EOI
+        if (!progressive || scansSeen == 0) return None
+        if (comps.length == 3 && adobeTransform == 2) return None // YCCK
+        return finishProgressive(comps, w, h, qt, rgbDirectOf())
+      }
       val len = u16(i + 2)
       if (len < 2 || i + 2 + len > b.length) return None
       val seg = i + 4
@@ -252,8 +273,9 @@ object JpegDecode {
             if (tc == 0) dcT(th) = tab else acT(th) = tab
             p += 17 + total
           }
-        case 0xc0 | 0xc1 => // SOF0/1: baseline / extended sequential
+        case 0xc0 | 0xc1 | 0xc2 => // SOF0/1/2: sequential / progressive
           if (u8(seg) != 8) return None // 8-bit precision only
+          progressive = m == 0xc2
           h = u16(seg + 1); w = u16(seg + 3)
           val nf = u8(seg + 5)
           if (w <= 0 || h <= 0 || (nf != 1 && nf != 3)) return None
@@ -266,8 +288,22 @@ object JpegDecode {
               return None
             comp
           }
-        case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-          return None // progressive / lossless / arithmetic: not baseline
+          if (progressive) {
+            // coefficient stores over the padded MCU grid, sized for
+            // every scan shape up front (bomb-guarded like the planes)
+            val maxH = comps.map(_.h).max; val maxV = comps.map(_.v).max
+            val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+            val mcusY = (h + 8 * maxV - 1) / (8 * maxV)
+            comps.foreach { c =>
+              c.bw = mcusX * c.h; c.bh = mcusY * c.v
+              c.bwSub = ((w * c.h + maxH - 1) / maxH + 7) / 8
+              c.bhSub = ((h * c.v + maxV - 1) / maxV + 7) / 8
+              if (c.bw.toLong * c.bh * 64 > MaxPixels * 2) return None
+              c.coefs = new Array[Int](c.bw * c.bh * 64)
+            }
+          }
+        case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+          return None // lossless / arithmetic / hierarchical: unsupported
         case 0xdd => // DRI
           restartInterval = u16(seg)
         case 0xee => // APP14 (Adobe): transform 0 = components stored
@@ -275,7 +311,38 @@ object JpegDecode {
           if (len >= 14 && u8(seg) == 'A' && u8(seg + 1) == 'd' && u8(seg + 2) == 'o' &&
               u8(seg + 3) == 'b' && u8(seg + 4) == 'e')
             adobeTransform = u8(seg + 11)
-        case 0xda => // SOS: entropy-coded data follows
+        case 0xda if progressive => // SOS: one progressive scan
+          if (comps == null) return None
+          val ns = u8(seg)
+          if (ns < 1 || ns > comps.length) return None
+          val scanComps = new Array[Comp](ns)
+          var p = seg + 1
+          var c = 0
+          while (c < ns) {
+            val cs = u8(p); val tt = u8(p + 1)
+            val comp = comps.find(_.id == cs).getOrElse(return None)
+            if (qt(comp.tq) == null) return None
+            comp.dcTab = dcT(tt >> 4); comp.acTab = acT(tt & 0x0f)
+            scanComps(c) = comp
+            p += 2
+            c += 1
+          }
+          val ss = u8(p); val se = u8(p + 1)
+          val ah = u8(p + 2) >> 4; val al = u8(p + 2) & 0x0f
+          // T.81 G.1: DC scans are the (0,0) band and may interleave;
+          // AC scans are a single component over a band in 1..63
+          if (ss == 0 && se != 0) return None
+          if (ss > 0 && (ns != 1 || se < ss || se > 63)) return None
+          if (al > 13 || ah > 13 || (ah != 0 && ah != al + 1)) return None
+          if (ss == 0 && ah == 0 && scanComps.exists(_.dcTab == null)) return None
+          if (ss > 0 && scanComps(0).acTab == null) return None
+          val maxH = comps.map(_.h).max; val maxV = comps.map(_.v).max
+          val end = progressiveScan(b, segEnd, scanComps, w, h, maxH, maxV,
+            ss, se, ah, al, restartInterval)
+          scansSeen += 1
+          i = end
+          jumped = true
+        case 0xda => // SOS: entropy-coded data follows (sequential)
           if (comps == null) return None
           val ns = u8(seg)
           if (ns != comps.length) return None
@@ -309,14 +376,10 @@ object JpegDecode {
           // stored RGB and must NOT go through the YCbCr matrix; YCCK
           // (transform 2) on 3 components is malformed.
           if (comps.length == 3 && adobeTransform == 2) return None
-          val rgbDirect = comps.length == 3 &&
-            (adobeTransform == 0 ||
-              (adobeTransform == -1 &&
-                comps(0).id == 'R' && comps(1).id == 'G' && comps(2).id == 'B'))
-          return scan(b, segEnd, scanComps, w, h, qt, restartInterval, rgbDirect)
+          return scan(b, segEnd, scanComps, w, h, qt, restartInterval, rgbDirectOf())
         case _ => () // APPn / COM / others: skip
       }
-      i += 2 + len
+      if (!jumped) i += 2 + len
     }
     None
   }
@@ -398,11 +461,21 @@ object JpegDecode {
       }
       mcu += 1
     }
-    // ---- chroma upsampling to full resolution ----
-    // factor-2 (the universal 4:2:0/4:2:2 case) uses the centered
-    // TRIANGLE filter (out(2i) = (3·p(i)+p(i−1)+2)/4, out(2i+1) =
-    // (3·p(i)+p(i+1)+2)/4, edges clamped — libjpeg's "fancy"
-    // upsampling, separably per axis); other ratios replicate nearest.
+    assemble(comps, w, h, maxH, maxV, rgbDirect)
+  }
+
+  /** planes → image: chroma upsampling to full resolution and color
+    * reconstruction — shared by the baseline (streaming) and
+    * progressive (coefficient-buffered) paths.
+    *
+    * Factor-2 upsampling (the universal 4:2:0/4:2:2 case) uses the
+    * centered TRIANGLE filter (out(2i) = (3·p(i)+p(i−1)+2)/4,
+    * out(2i+1) = (3·p(i)+p(i+1)+2)/4, edges clamped — libjpeg's
+    * "fancy" upsampling, separably per axis); other ratios replicate
+    * nearest.
+    */
+  private def assemble(comps: Array[Comp], w: Int, h: Int,
+                       maxH: Int, maxV: Int, rgbDirect: Boolean): Option[PixelImage] = {
     def upsampleAxis(src: Array[Byte], sw: Int, sh: Int, factor: Int,
                      horizontal: Boolean): (Array[Byte], Int, Int) = {
       if (factor == 1) return (src, sw, sh)
@@ -498,5 +571,210 @@ object JpegDecode {
       }
       Some(PixelImage(w, h, 3, out))
     }
+  }
+
+  // ---- progressive (SOF2) scan decode (T.81 G.1.2 / Annex G) -------
+
+  /** Decode ONE progressive scan into the components' coefficient
+    * stores and return the byte position of the next marker.
+    *
+    * The four scan kinds: DC first (diff-coded predictors, shifted
+    * left by Al — successive approximation), DC refinement (one raw
+    * bit per block ORed in at Al), AC first (band Ss..Se with EOBn
+    * run-length codes: EOBRUN = (1<<r)−1+bits(r) ends the block and
+    * skips that many following blocks), AC refinement (the G.1.2.3
+    * correction pass: a decoded nonzero places ±1<<Al at the next
+    * zero-history position after skipping `run` of them; every
+    * nonzero-history coefficient passed on the way — and the whole
+    * remaining band during an EOB run — appends one correction bit).
+    * Interleaved (DC, Ns>1) scans walk the padded MCU grid; single-
+    * component scans walk the component's true block sub-grid in
+    * raster order. RSTn resets predictors, EOB run, and bit alignment
+    * every `restartInterval` units.
+    */
+  private def progressiveScan(b: Array[Byte], start: Int, scanComps: Array[Comp],
+                              w: Int, h: Int, maxH: Int, maxV: Int,
+                              ss: Int, se: Int, ah: Int, al: Int,
+                              restartInterval: Int): Int = {
+    val r = new BitReader(b, start)
+    var eobrun = 0
+    scanComps.foreach(_.pred = 0)
+
+    def checkRestart(unit: Int): Unit =
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+        if (!r.atMarker || (r.markerCode & 0xf8) != 0xd0) bail()
+        r.skipMarker()
+        scanComps.foreach(_.pred = 0)
+        eobrun = 0
+      }
+
+    def dcFirst(c: Comp, off: Int): Unit = {
+      val t = c.dcTab.decode(r)
+      if (t > 15) bail()
+      c.pred += extend(r.bits(t), t)
+      c.coefs(off) = c.pred << al
+    }
+    def dcRefine(c: Comp, off: Int): Unit =
+      if (r.bit() == 1) c.coefs(off) |= 1 << al
+    def acFirst(c: Comp, off: Int): Unit = {
+      if (eobrun > 0) { eobrun -= 1; return }
+      var k = ss
+      while (k <= se) {
+        val rs = c.acTab.decode(r)
+        val run = rs >> 4; val size = rs & 0x0f
+        if (size == 0) {
+          if (run == 15) k += 16 // ZRL
+          else {
+            eobrun = (1 << run) - 1 + (if (run > 0) r.bits(run) else 0)
+            k = se + 1 // EOBn: this block ends here
+          }
+        } else {
+          k += run
+          if (k > se) bail()
+          c.coefs(off + ZigZag(k)) = extend(r.bits(size), size) << al
+          k += 1
+        }
+      }
+    }
+    def acRefine(c: Comp, off: Int): Unit = {
+      val p1 = 1 << al
+      val m1 = -1 << al
+      def correct(idx: Int): Unit =
+        if (r.bit() == 1 && (c.coefs(idx) & p1) == 0)
+          c.coefs(idx) += (if (c.coefs(idx) >= 0) p1 else m1)
+      var k = ss
+      if (eobrun == 0) {
+        var ended = false
+        while (k <= se && !ended) {
+          val rs = c.acTab.decode(r)
+          var run = rs >> 4
+          val size = rs & 0x0f
+          var newVal = 0
+          if (size == 0) {
+            if (run < 15) {
+              // EOB run INCLUDES this block: its tail still refines
+              eobrun = (1 << run) + (if (run > 0) r.bits(run) else 0)
+              ended = true
+            } // else ZRL: pass 15 zero-history positions
+          } else {
+            if (size != 1) bail() // refinement codes only size 1
+            newVal = if (r.bit() == 1) p1 else m1
+          }
+          if (!ended) {
+            var placed = false
+            while (k <= se && !placed) {
+              val idx = off + ZigZag(k)
+              if (c.coefs(idx) != 0) correct(idx)
+              else if (run == 0) { if (newVal != 0) c.coefs(idx) = newVal; placed = true }
+              else run -= 1
+              k += 1
+            }
+            if (!placed && newVal != 0) bail() // run past Se with a pending value
+          }
+        }
+      }
+      if (eobrun > 0) {
+        while (k <= se) { // the band tail only refines what exists
+          val idx = off + ZigZag(k)
+          if (c.coefs(idx) != 0) correct(idx)
+          k += 1
+        }
+        eobrun -= 1
+      }
+    }
+
+    if (scanComps.length > 1) {
+      // interleaved: DC scans only — the padded MCU grid
+      if (ss != 0) bail()
+      val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+      val mcusY = (h + 8 * maxV - 1) / (8 * maxV)
+      var mcu = 0
+      val n = mcusX * mcusY
+      while (mcu < n) {
+        checkRestart(mcu)
+        val mx = mcu % mcusX
+        val my = mcu / mcusX
+        var ci = 0
+        while (ci < scanComps.length) {
+          val c = scanComps(ci)
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              val off = ((my * c.v + by) * c.bw + mx * c.h + bx) * 64
+              if (ah == 0) dcFirst(c, off) else dcRefine(c, off)
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+      }
+    } else {
+      // single component: the true sub-grid in raster order
+      val c = scanComps(0)
+      var blk = 0
+      val n = c.bwSub * c.bhSub
+      while (blk < n) {
+        checkRestart(blk)
+        val off = ((blk / c.bwSub) * c.bw + blk % c.bwSub) * 64
+        if (ss == 0) { if (ah == 0) dcFirst(c, off) else dcRefine(c, off) }
+        else { if (ah == 0) acFirst(c, off) else acRefine(c, off) }
+        blk += 1
+      }
+    }
+    // advance to the next true marker (stuffed FF00 and RSTn are
+    // entropy bytes; anything else ends the scan)
+    var p = r.pos
+    while (p + 1 < b.length && !((b(p) & 0xff) == 0xff && {
+      val nx = b(p + 1) & 0xff
+      nx != 0 && nx != 0xff && (nx < 0xd0 || nx > 0xd7)
+    })) p += 1
+    if (p + 1 >= b.length) bail()
+    p
+  }
+
+  /** all scans seen (EOI): dequantize + IDCT every stored block into
+    * the component planes, then assemble exactly like the baseline.
+    */
+  private def finishProgressive(comps: Array[Comp], w: Int, h: Int,
+                                qt: Array[Array[Int]],
+                                rgbDirect: Boolean): Option[PixelImage] = {
+    val maxH = comps.map(_.h).max
+    val maxV = comps.map(_.v).max
+    val coef = new Array[Int](64)
+    val px = new Array[Int](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val c = comps(ci)
+      val q = qt(c.tq)
+      if (q == null || c.coefs == null) return None
+      c.planeW = c.bw * 8
+      c.planeH = c.bh * 8
+      if (c.planeW.toLong * c.planeH > MaxPixels * 2) return None
+      c.plane = new Array[Byte](c.planeW * c.planeH)
+      var by = 0
+      while (by < c.bh) {
+        var bx = 0
+        while (bx < c.bw) {
+          val off = (by * c.bw + bx) * 64
+          var k = 0
+          while (k < 64) { coef(k) = c.coefs(off + k) * q(k); k += 1 }
+          idct(coef, px)
+          var yy = 0
+          while (yy < 8) {
+            val rowOff = (by * 8 + yy) * c.planeW + bx * 8
+            var xx = 0
+            while (xx < 8) { c.plane(rowOff + xx) = px(yy * 8 + xx).toByte; xx += 1 }
+            yy += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      ci += 1
+    }
+    assemble(comps, w, h, maxH, maxV, rgbDirect)
   }
 }

@@ -14,21 +14,23 @@ package graft.operators
   *  - GIF: 87a/89a first frame — full LZW (variable 3..12-bit codes,
   *    clear/EOI, dictionary self-reference) + 4-pass interlace,
   *    palette-resolved to RGB.
-  *  - TIFF: baseline 6.0 — uncompressed 8-bit grey/RGB strips,
-  *    chunky layout, both byte orders (`II`/`MM`).
-  *  - WAV: PCM 16-bit LE samples (any channel count, interleaved),
-  *    IMA ADPCM (wFormatTag 0x0011) 4-bit block decode, and G.711
-  *    μ-law/A-law (0x0007/0x0006) companded-byte expansion.
+  *  - TIFF: baseline 6.0 — 8-bit grey/RGB strips (none/LZW/Deflate/
+  *    PackBits compression + horizontal predictor), chunky layout,
+  *    both byte orders (`II`/`MM`).
+  *  - WAV: PCM 8/16/24/32-bit (plain or EXTENSIBLE, any channel
+  *    count, reduced to the 16-bit view), IMA ADPCM (wFormatTag
+  *    0x0011) 4-bit block decode, and G.711 μ-law/A-law
+  *    (0x0007/0x0006) companded-byte expansion.
   *
-  * Baseline JPEG decodes for real too ([[JpegDecode]] — Huffman +
-  * IDCT + chroma upsample, pure JVM); only lossy AUDIO (MP3/AAC) and
+  * JPEG decodes for real too, baseline AND progressive
+  * ([[JpegDecode]] — Huffman + IDCT + chroma upsample, pure JVM); only lossy AUDIO (MP3/AAC) and
   * lossy-compressed WebP stay behind the [[Multimodal.MediaCodec]]
   * stub (no pure-JVM decode or offline cross-validator exists for
   * either — VP8/VP8L carry empirically-chosen code tables that
   * cannot be re-derived from the bitstream spec alone). Everything
   * here returns None on malformed/foreign/unsupported bytes (16-bit
-  * channels, RLE BMP, progressive JPEG, tiled TIFF): at corpus scale
-  * a truncated file must degrade, never throw.
+  * channels, RLE BMP, arithmetic-coded JPEG, tiled TIFF): at corpus
+  * scale a truncated file must degrade, never throw.
   *
   * [[Multimodal.HeaderCodec]] uses these to emit REAL features
   * (channel means / luma for images, RMS/peak for audio) instead of

@@ -65,8 +65,23 @@ class DecoderFuzzSpec extends AnyFunSuite {
     val ihdr = hex("00000002" + "00000002" + "08" + "02" + "00" + "00" + "00")
     val png = hex("89504E470D0A1A0A") ++ chunk("IHDR", ihdr) ++
       chunk("IDAT", idat) ++ chunk("IEND", Array.empty)
+    // progressive JPEG: the JDK writer emits the standard SOF2 scan
+    // script — fuzzing it covers the coefficient-buffered path
+    val pimg = new java.awt.image.BufferedImage(19, 11, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val prnd = new scala.util.Random(0x9E1L)
+    for (y <- 0 until 11; x <- 0 until 19)
+      pimg.setRGB(x, y, (prnd.nextInt(256) << 16) | (prnd.nextInt(256) << 8) | prnd.nextInt(256))
+    val pw = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val pout = new java.io.ByteArrayOutputStream()
+    val pios = javax.imageio.ImageIO.createImageOutputStream(pout)
+    pw.setOutput(pios)
+    val pp = pw.getDefaultWriteParam
+    pp.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    pw.write(null, new javax.imageio.IIOImage(pimg, null, null), pp)
+    pw.dispose(); pios.close()
     Seq(
       "png" -> png,
+      "jpeg_prog" -> pout.toByteArray,
       "bmp" -> hex("424D" + "46000000" + "00000000" + "36000000" +
         "28000000" + "02000000" + "02000000" + "0100" + "1800" + "00000000" +
         "10000000" + "00000000" + "00000000" + "00000000" + "00000000" +
@@ -129,6 +144,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     assert(MediaDecode.pngPixels(fixtures.toMap.apply("png")).isDefined)
     assert(MediaDecode.bmpPixels(fixtures.toMap.apply("bmp")).isDefined)
     assert(JpegDecode.jpegPixels(fixtures.toMap.apply("jpeg")).isDefined)
+    assert(JpegDecode.jpegPixels(fixtures.toMap.apply("jpeg_prog")).isDefined)
     assert(MediaDecode.wavPcm16(fixtures.toMap.apply("wav_pcm")).isDefined)
     assert(MediaDecode.wavAdpcmSamples(fixtures.toMap.apply("wav_adpcm")).isDefined)
     assert(MediaDecode.wavG711Samples(fixtures.toMap.apply("wav_mulaw")).isDefined)

@@ -37,6 +37,28 @@ class JpegDecodeSpec extends AnyFunSuite {
     out.toByteArray
   }
 
+  private def encodeProgressive(img: BufferedImage, quality: Float): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+    writer.write(null, new IIOImage(img, null, null), p)
+    writer.dispose(); ios.close()
+    out.toByteArray
+  }
+
+  private def noise(w: Int, h: Int, typ: Int, seed: Long): BufferedImage = {
+    val rnd = new scala.util.Random(seed)
+    val img = new BufferedImage(w, h, typ)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (rnd.nextInt(256) << 16) | (rnd.nextInt(256) << 8) | rnd.nextInt(256))
+    img
+  }
+
   private def gradient(w: Int, h: Int, typ: Int): BufferedImage = {
     val img = new BufferedImage(w, h, typ)
     for (y <- 0 until h; x <- 0 until w) {
@@ -166,6 +188,55 @@ class JpegDecodeSpec extends AnyFunSuite {
     assert(meanD <= 0.5, s"mean diff $meanD")
   }
 
+  // ---- progressive (SOF2) cross-decoder tests ---------------------
+
+  test("progressive greyscale: decoders agree (SOF2 actually emitted)") {
+    val jpeg = encodeProgressive(gradient(24, 16, BufferedImage.TYPE_BYTE_GRAY), 0.9f)
+    // sanity: the writer really produced a progressive frame
+    assert(jpeg.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2))
+    val (maxD, meanD) = diffVsImageIO(jpeg)
+    assert(maxD <= 2, s"maxD=$maxD")
+    assert(meanD <= 0.5, s"meanD=$meanD")
+  }
+
+  test("progressive RGB 4:2:0: decoders agree within upsampling tolerance") {
+    val jpeg = encodeProgressive(gradient(40, 24, BufferedImage.TYPE_3BYTE_BGR), 0.9f)
+    assert(jpeg.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2))
+    val (maxD, meanD) = diffVsImageIO(jpeg)
+    assert(maxD <= 4, s"maxD=$maxD")
+    assert(meanD <= 1.0, s"meanD=$meanD")
+  }
+
+  test("progressive noise images across qualities: EOB runs, ZRL and refinement survive") {
+    // noise maximizes nonzero AC traffic; LOW quality maximizes EOB
+    // runs and successive-approximation refinement corrections
+    for ((q, seed) <- Seq(0.3f -> 1L, 0.6f -> 2L, 0.95f -> 3L)) {
+      val jpeg = encodeProgressive(noise(33, 18, BufferedImage.TYPE_3BYTE_BGR, seed), q)
+      val (maxD, meanD) = diffVsImageIO(jpeg)
+      assert(maxD <= 4, s"q=$q maxD=$maxD")
+      assert(meanD <= 1.0, s"q=$q meanD=$meanD")
+    }
+  }
+
+  test("progressive odd dims and greyscale noise: sub-grid raster scans line up") {
+    for ((w, h) <- Seq((17, 9), (8, 8), (7, 23))) {
+      val jpeg = encodeProgressive(noise(w, h, BufferedImage.TYPE_BYTE_GRAY, w * 100L + h), 0.7f)
+      val (maxD, meanD) = diffVsImageIO(jpeg)
+      assert(maxD <= 2, s"$w x $h maxD=$maxD")
+      assert(meanD <= 0.5, s"$w x $h meanD=$meanD")
+    }
+  }
+
+  test("progressive truncation and corruption return None, never throw") {
+    val jpeg = encodeProgressive(gradient(24, 16, BufferedImage.TYPE_3BYTE_BGR), 0.9f)
+    // cut before EOI: scans decoded but no finish
+    assert(JpegDecode.jpegPixels(jpeg.dropRight(2)).isEmpty)
+    // cut inside the scan data
+    assert(JpegDecode.jpegPixels(jpeg.take(jpeg.length / 2)).isEmpty)
+    for (cut <- 1 until math.min(jpeg.length, 120))
+      JpegDecode.jpegPixels(jpeg.take(cut)) // must not throw
+  }
+
   test("restart markers reset the DC predictor (hand-built DRI=1 stream)") {
     // 16x8 greyscale = two MCUs, DRI = 1: block1 dc=+5, RST0, block2
     // dc=+5 again — the predictor RESETS at the marker, so both MCUs
@@ -202,18 +273,6 @@ class JpegDecodeSpec extends AnyFunSuite {
   }
 
   test("unsupported and malformed shapes return None, never throw") {
-    // progressive: the JDK writer can emit it explicitly
-    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
-    val out = new ByteArrayOutputStream()
-    val ios = ImageIO.createImageOutputStream(out)
-    writer.setOutput(ios)
-    val p = writer.getDefaultWriteParam
-    p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
-    writer.write(null, new IIOImage(gradient(16, 16, BufferedImage.TYPE_3BYTE_BGR), null, null), p)
-    writer.dispose(); ios.close()
-    val progressive = out.toByteArray
-    assert(JpegDecode.jpegPixels(progressive).isEmpty, "progressive must be refused")
-
     val good = encodeJpeg(gradient(16, 16, BufferedImage.TYPE_3BYTE_BGR), 0.9f)
     assert(JpegDecode.jpegPixels(good.take(20)).isEmpty)           // truncated header
     // truncated entropy stream: the bit reader refuses to decode its
