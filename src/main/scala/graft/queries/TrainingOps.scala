@@ -348,6 +348,17 @@ object TrainingOps {
         "15010300" + "01000000" + "01000000" +
         "17010400" + "01000000" + "05000000" +
         "00000000" + "0314283C50"),
+    (13L, "image", // PROGRESSIVE (SOF2) 8×8 grey JPEG, one DC-first
+      // scan (Ss=Se=0, Ah=Al=0) and no AC scans: entropy byte 0x59 =
+      // 1-bit DC code + 6 magnitude bits (+44) + 1 pad bit, byte-
+      // aligned by construction → every sample = 44·16/8 + 128 = 216,
+      // re-derived in SQL from the scan byte at fixed offset 117
+      "FFD8" +
+        "FFDB" + "0043" + "00" + "10" * 64 +
+        "FFC2" + "000B" + "08" + "0008" + "0008" + "01011100" +
+        "FFC4" + "0014" + "00" + "01" + "00" * 15 + "06" +
+        "FFDA" + "0008" + "01" + "0100" + "00" + "00" + "00" +
+        "59" + "FFD9"),
     (12L, "audio", // WAVE_FORMAT_EXTENSIBLE (0xFFFE) 24-bit PCM mono:
       // fmt size 40, cbSize 22, PCM SubFormat GUID; four LE s24
       // samples at fixed offsets 69-80 arithmetic-shift to the 16-bit
@@ -3581,6 +3592,13 @@ object TrainingOps {
               |  -- pixels at 112-115
               |  CAST(bb[111]+bb[112]+bb[113]+bb[114] AS DOUBLE)/4 AS tg,
               |  CAST(bb[112]+bb[113]+bb[114]+bb[115] AS DOUBLE)/4 AS pb,
+              |  -- progressive fixture 13: DC-first scan byte at 117 —
+              |  -- 1 code bit + 6 magnitude bits + 1 pad bit, same
+              |  -- one's-complement rule as the baseline fixtures
+              |  CAST(((CASE WHEN (bb[117] // 2) % 64 >= 32
+              |          THEN (bb[117] // 2) % 64
+              |          ELSE (bb[117] // 2) % 64 - 63 END) * bb[8]) // 8 + 128
+              |    AS DOUBLE) AS jp,
               |  -- DC-only JPEG flat plane, re-derived from the entropy
               |  -- byte (bb[139] = DC-code 0 bit + 6 magnitude bits +
               |  -- EOB 0 bit, so the cat-6 field = byte//2; MSB 0 means
@@ -3641,6 +3659,7 @@ object TrainingOps {
               |  CAST(CAST(CASE WHEN doc_id = 1
               |    THEN (0.299*mr + 0.587*mg + 0.114*mb)/255.0
               |    WHEN doc_id IN (3, 4) THEN jg/255.0
+              |    WHEN doc_id = 13 THEN jp/255.0
               |    WHEN doc_id = 5 THEN arms
               |    WHEN doc_id = 6 THEN (0.299*gmr + 0.587*gmg + 0.114*gmb)/255.0
               |    WHEN doc_id = 7 THEN sqrt(CAST(fsm[1]*fsm[1]+fsm[2]*fsm[2]+fsm[3]*fsm[3]+fsm[4]*fsm[4] AS DOUBLE)/4)/32768.0
@@ -3652,6 +3671,7 @@ object TrainingOps {
               |  END AS REAL) AS DOUBLE) AS f0,
               |  CAST(CAST(CASE WHEN doc_id = 1 THEN mr/255.0
               |    WHEN doc_id IN (3, 4) THEN jg/255.0
+              |    WHEN doc_id = 13 THEN jp/255.0
               |    WHEN doc_id = 5 THEN apeak
               |    WHEN doc_id = 6 THEN gmr/255.0
               |    WHEN doc_id = 7 THEN CAST(list_max(list_transform(fsm, x -> abs(x))) AS DOUBLE)/32768.0
@@ -3663,6 +3683,7 @@ object TrainingOps {
               |  END AS REAL) AS DOUBLE) AS f1,
               |  CAST(CAST(CASE WHEN doc_id = 1 THEN mg/255.0
               |    WHEN doc_id IN (3, 4) THEN jg/255.0
+              |    WHEN doc_id = 13 THEN jp/255.0
               |    WHEN doc_id = 6 THEN gmg/255.0
               |    WHEN doc_id = 10 THEN tg/255.0
               |    WHEN doc_id = 11 THEN pb/255.0
@@ -3670,6 +3691,7 @@ object TrainingOps {
               |  END AS REAL) AS DOUBLE) AS f2,
               |  CAST(CAST(CASE WHEN doc_id = 1 THEN mb/255.0
               |    WHEN doc_id IN (3, 4) THEN jg/255.0
+              |    WHEN doc_id = 13 THEN jp/255.0
               |    WHEN doc_id = 6 THEN gmb/255.0
               |    WHEN doc_id = 10 THEN tg/255.0
               |    WHEN doc_id = 11 THEN pb/255.0
