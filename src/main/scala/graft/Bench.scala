@@ -5,15 +5,18 @@ object Bench {
     * parquet footer reads, shuffle-service spin-up), then `REPS` timed
     * warm reps, reporting the MEDIAN — so a single GC pause or host
     * hiccup can't masquerade as a plan regression (this made r3/r4
-    * cross-round comparisons unadjudicable). Entries whose first-pass
-    * median lands under `SUBSEC_THRESH` seconds (default 1.75) extend
-    * to `SUBSEC_REPS` (default 7) total reps: under ~2 s the measured
-    * 20–30 % run-to-run noise band exceeds the 1.5× regression
-    * threshold's headroom, and median-of-3 let the same small queries
-    * get re-adjudicated as noise three rounds running (r8–r10
-    * `dd_snapshot_diff`; the r11 shakedown caught `ta_cdc_chunk`
-    * flipping 0.96↔1.51 s between same-code runs). Cost: ~50 s per
-    * full run, paid a handful of times per round.
+    * cross-round comparisons unadjudicable). Entries whose first pass
+    * is small (median under `SUBSEC_THRESH` seconds, default 1.75) OR
+    * unstable (min under the threshold, or a >1.5× max/min spread —
+    * the cold-JIT-spike signature) extend to `SUBSEC_REPS` (default 7)
+    * total reps: under ~2 s the measured 20–30 % run-to-run noise band
+    * exceeds the 1.5× regression threshold's headroom, and median-of-3
+    * let the same small queries get re-adjudicated as noise three
+    * rounds running (r8–r10 `dd_snapshot_diff`; the r11 shakedown
+    * caught `ta_cdc_chunk` flipping 0.96↔1.51 s and a cold-storm
+    * `ta_doc_rules_apply` median of 3.26 s against a 0.75 s steady
+    * state). Cost: ~50 s per full run, paid a handful of times per
+    * round.
     */
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -63,9 +66,17 @@ object Bench {
           val first = (1 to reps).flatMap(_ => timeOnce(name, fn))
           // if warm reps start failing after a green warmup, stay loud
           if (first.length < reps) errors += name
-          // small-query medians extend to subsecReps total (see above)
+          // extend to subsecReps total when the first pass is either
+          // small (median under the threshold) or UNSTABLE — min under
+          // the threshold with a median above it, or a >1.5x spread,
+          // is the cold-JIT-spike signature (r11: ta_doc_rules_apply
+          // measured 3.26 s median-of-3 in one run and 0.36 s in the
+          // next; its warm steady state is ~0.75 s) — the extra reps
+          // let the median converge to the warm value
+          val unstable = first.nonEmpty &&
+            (first.min < subsecThresh || first.max / math.max(first.min, 1e-9) > 1.5)
           val warm =
-            if (first.nonEmpty && median(first) < subsecThresh && subsecReps > reps)
+            if (first.nonEmpty && unstable && subsecReps > reps)
               first ++ (1 to (subsecReps - reps)).flatMap(_ => timeOnce(name, fn))
             else first
           name -> Some(if (warm.nonEmpty) median(warm) else cold)
