@@ -37,6 +37,8 @@ object Kernels {
     * mm_pixel_stats oracle's SQL byte fold exactly.
     */
   def byteFoldHash(bin: Column): Column = toColumn(ByteFoldHashK(toExpression(bin)))
+  def utf8Invalid(bin: Column): Column = toColumn(Utf8InvalidK(toExpression(bin)))
+  def highBytes(bin: Column): Column = toColumn(HighBytesK(toExpression(bin)))
   def simhash63(shingles: Column): Column = toColumn(SimHash63K(toExpression(shingles)))
   def minhashSig(shingles: Column, k: Int): Column = toColumn(MinHashSigK(toExpression(shingles), k))
   def vecDot(a: Column, b: Column): Column = toColumn(VecDotK(toExpression(a), toExpression(b)))
@@ -283,6 +285,55 @@ object Kernels {
     acc
   }
 
+  /** eval for [[Utf8InvalidK]]: strict UTF-8 scan, returning the
+    * number of bytes that START no valid sequence. A sequence is valid
+    * only under the RFC 3629 shortest-form table — overlongs (C0/C1,
+    * E0 80-9F, F0 80-8F), UTF-16 surrogates (ED A0-BF), code points
+    * past U+10FFFF (F4 90+, F5-FF) and truncated tails all reject.
+    * On reject the scan counts ONE invalid byte (the sequence start)
+    * and resynchronizes at the next byte, so a lone continuation byte
+    * also counts exactly once — a deterministic rule the oracle
+    * replays byte-for-byte in SQL.
+    */
+  def utf8InvalidEval(b: Array[Byte]): Int = {
+    val n = b.length
+    var i = 0
+    var inv = 0
+    @inline def cont(j: Int): Boolean = j < n && (b(j) & 0xC0) == 0x80
+    @inline def in(j: Int, lo: Int, hi: Int): Boolean =
+      j < n && { val v = b(j) & 0xff; v >= lo && v <= hi }
+    while (i < n) {
+      val b0 = b(i) & 0xff
+      if (b0 < 0x80) i += 1
+      else if (b0 >= 0xC2 && b0 <= 0xDF) {
+        if (cont(i + 1)) i += 2 else { inv += 1; i += 1 }
+      } else if (b0 == 0xE0) {
+        if (in(i + 1, 0xA0, 0xBF) && cont(i + 2)) i += 3 else { inv += 1; i += 1 }
+      } else if (b0 == 0xED) {
+        if (in(i + 1, 0x80, 0x9F) && cont(i + 2)) i += 3 else { inv += 1; i += 1 }
+      } else if (b0 >= 0xE1 && b0 <= 0xEF) { // E1-EC, EE, EF
+        if (cont(i + 1) && cont(i + 2)) i += 3 else { inv += 1; i += 1 }
+      } else if (b0 == 0xF0) {
+        if (in(i + 1, 0x90, 0xBF) && cont(i + 2) && cont(i + 3)) i += 4 else { inv += 1; i += 1 }
+      } else if (b0 >= 0xF1 && b0 <= 0xF3) {
+        if (cont(i + 1) && cont(i + 2) && cont(i + 3)) i += 4 else { inv += 1; i += 1 }
+      } else if (b0 == 0xF4) {
+        if (in(i + 1, 0x80, 0x8F) && cont(i + 2) && cont(i + 3)) i += 4 else { inv += 1; i += 1 }
+      } else { // 80-BF lone continuation, C0/C1 overlong leads, F5-FF
+        inv += 1; i += 1
+      }
+    }
+    inv
+  }
+
+  /** eval for [[HighBytesK]]: bytes with the top bit set. */
+  def highBytesEval(b: Array[Byte]): Int = {
+    var i = 0
+    var c = 0
+    while (i < b.length) { if ((b(i) & 0x80) != 0) c += 1; i += 1 }
+    c
+  }
+
   /** signed-count feature-hash vector ("hashing trick"): one tight
     * pass over the word n-gram hashes into a dim-length bucket
     * accumulator — index = key mod dim (dim a power of two), sign =
@@ -390,6 +441,26 @@ case class ByteFoldHashK(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.byteFoldHashEval($c)")
   override protected def withNewChildInternal(newChild: Expression): ByteFoldHashK = copy(child = newChild)
   override def prettyName: String = "graft_byte_fold_hash"
+}
+
+case class Utf8InvalidK(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    Kernels.utf8InvalidEval(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.utf8InvalidEval($c)")
+  override protected def withNewChildInternal(newChild: Expression): Utf8InvalidK = copy(child = newChild)
+  override def prettyName: String = "graft_utf8_invalid"
+}
+
+case class HighBytesK(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    Kernels.highBytesEval(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.highBytesEval($c)")
+  override protected def withNewChildInternal(newChild: Expression): HighBytesK = copy(child = newChild)
+  override def prettyName: String = "graft_high_bytes"
 }
 
 case class SimHash32K(child: Expression) extends UnaryExpression {

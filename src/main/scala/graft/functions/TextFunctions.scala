@@ -22,6 +22,39 @@ object TextFunctions {
     * [[Kernels.shingles]]. */
   def shingles(text: Column, n: Int): Column = Kernels.shingles(text, n)
 
+  /** strict-UTF-8 invalid-byte count over a binary column (codegen
+    * kernel [[Kernels.utf8Invalid]]): bytes that start no valid
+    * RFC 3629 sequence — overlongs, surrogates, > U+10FFFF and
+    * truncations all count, one per rejected sequence start.
+    */
+  def utf8InvalidBytes(bin: Column): Column = Kernels.utf8Invalid(bin)
+
+  /** bytes with the top bit set ([[Kernels.highBytes]]). */
+  def highByteCount(bin: Column): Column = Kernels.highBytes(bin)
+
+  /** charset detection over raw bytes, the ingest-time routing
+    * decision a web-scale corpus needs before any text op: BOM sniff
+    * first (UTF-8 / UTF-32 before UTF-16 — FF FE is a UTF-32LE prefix
+    * too), then strict-UTF-8 validation (multibyte content → utf-8,
+    * 7-bit clean → ascii), with any byte stream that fails UTF-8 but
+    * has high bytes classified latin-1 (the permissive single-byte
+    * fallback every browser applies). Pure byte logic end to end, so
+    * the DuckDB oracle re-derives the same label from the same bytes.
+    */
+  def detectEncoding(bin: Column): Column = {
+    val inv = utf8InvalidBytes(bin)
+    val high = highByteCount(bin)
+    when(hex(substring(bin, 1, 3)) === "EFBBBF", "utf-8-bom")
+      .when(hex(substring(bin, 1, 4)) === "FFFE0000", "utf-32le")
+      .when(hex(substring(bin, 1, 4)) === "0000FEFF", "utf-32be")
+      .when(hex(substring(bin, 1, 2)) === "FFFE", "utf-16le")
+      .when(hex(substring(bin, 1, 2)) === "FEFF", "utf-16be")
+      .when(inv === 0 && high > 0, "utf-8")
+      .when(inv === 0, "ascii")
+      .when(high > 0, "latin-1")
+      .otherwise("binary")
+  }
+
   /** deterministic polynomial char hash:
     * fold(chars, 7, (h,c) => (h*31 + ascii(c)) mod P). */
   def charHash(s: Column): Column =

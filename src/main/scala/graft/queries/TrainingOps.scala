@@ -177,6 +177,31 @@ object TrainingOps {
     * (stub-fallback path). Shared between the Spark frame and the
     * oracle's VALUES so both engines parse identical bytes.
     */
+  /** Byte fixtures for `ta_charset` (id, hex): every branch of the
+    * detector — ASCII, valid multibyte UTF-8 (incl. the tight RFC 3629
+    * boundaries U+083F / U+D7FF / U+10FFFF), each BOM family (UTF-8,
+    * UTF-16LE/BE, UTF-32LE — whose FF FE prefix must outrank UTF-16LE),
+    * and every strict-scanner reject class: bare latin-1 high byte,
+    * overlong (C0 80), UTF-16 surrogate (ED A0 80), truncated 4-byte
+    * sequence, and a code point past U+10FFFF. The oracle replays the
+    * scanner byte-for-byte as a recursive CTE.
+    */
+  private lazy val charsetFixtures: Seq[(Long, String)] = Seq(
+    (1L, "68656C6C6F"),                         // "hello" -> ascii
+    (2L, "63616665CC81E282ACF09D849E"),         // cafe'+euro+clef -> utf-8, 9 high
+    (3L, "EFBBBF6869"),                         // BOM + "hi" -> utf-8-bom
+    (4L, "FFFE6800"),                           // UTF-16LE BOM + "h"
+    (5L, "FEFF0068"),                           // UTF-16BE BOM + "h"
+    (6L, "636166E9"),                           // latin-1 "cafe" -> 1 invalid
+    (7L, "C080"),                               // overlong NUL -> 2 invalid
+    (8L, "EDA080"),                             // surrogate D800 -> 3 invalid
+    (9L, "F09F98"),                             // truncated emoji -> 3 invalid
+    (10L, "F4908080"),                          // > U+10FFFF -> 4 invalid
+    (11L, "FFFE00000000"),                      // UTF-32LE BOM
+    (12L, "E0A0BF2E"),                          // U+083F boundary, valid
+    (13L, "ED9FBF"),                            // U+D7FF boundary, valid
+    (14L, "F48FBFBF"))                          // U+10FFFF boundary, valid
+
   private lazy val mmHeaderFixtures: Seq[(Long, String, String)] = Seq(
     (1L, "image",
       "89504E470D0A1A0A0000000D4948445200000140000000C80802000000"),
@@ -3402,6 +3427,76 @@ object TrainingOps {
               |SELECT norm_fp, min(doc_id) AS keep_id,
               |  CAST(count(*) AS BIGINT) AS n_dups
               |FROM f GROUP BY 1""".stripMargin)),
+
+    // ---- text analysis: charset detection over raw bytes (BOM
+    //      sniff + strict RFC 3629 UTF-8 scan as a codegen kernel) —
+    //      the ingest-time routing decision before any text op. The
+    //      oracle replays the scanner as a recursive CTE: one step per
+    //      accepted sequence or rejected byte, shortest-form table
+    //      inlined, then the same CASE classification ----
+    "ta_charset" -> Q(
+      (s, dir) => {
+        val df = s.createDataFrame(charsetFixtures).toDF("doc_id", "hx")
+          .select(col("doc_id"), unhex(col("hx")).as("content"))
+        df.select(col("doc_id"),
+          graft.functions.TextFunctions.detectEncoding(col("content")).as("encoding"),
+          graft.functions.TextFunctions.utf8InvalidBytes(col("content")).cast("long").as("invalid_bytes"),
+          graft.functions.TextFunctions.highByteCount(col("content")).cast("long").as("high_bytes"))
+      },
+      Some(s"""WITH RECURSIVE r(doc_id, hx) AS (VALUES
+              |  ${charsetFixtures.map { case (id, hx) => s"($id, '$hx')" }.mkString(",\n  ")}),
+              |b AS (SELECT doc_id, hx, octet_length(unhex(hx)) AS n FROM r),
+              |bt AS (SELECT doc_id, hx, n,
+              |  list_transform(range(0, n), k ->
+              |    (strpos('0123456789ABCDEF', upper(substr(hx, 1 + 2*k, 1))) - 1) * 16
+              |    + (strpos('0123456789ABCDEF', upper(substr(hx, 2 + 2*k, 1))) - 1)) AS bb
+              |  FROM b),
+              |-- strict UTF-8 scanner: L = accepted sequence length, 0 =
+              |-- reject (count 1, resync next byte) — the same
+              |-- shortest-form table as Kernels.utf8InvalidEval
+              |sc(doc_id, i, inv) AS (
+              |  SELECT doc_id, 1, 0 FROM bt
+              |  UNION ALL
+              |  SELECT doc_id,
+              |    i + CASE WHEN L = 0 THEN 1 ELSE L END,
+              |    inv + CASE WHEN L = 0 THEN 1 ELSE 0 END
+              |  FROM (
+              |    SELECT doc_id, i, inv,
+              |      CASE
+              |        WHEN b1 < 128 THEN 1
+              |        WHEN b1 BETWEEN 194 AND 223 AND c2 THEN 2
+              |        WHEN b1 = 224 AND b2 BETWEEN 160 AND 191 AND c3 THEN 3
+              |        WHEN b1 = 237 AND b2 BETWEEN 128 AND 159 AND c3 THEN 3
+              |        WHEN b1 BETWEEN 225 AND 239 AND b1 <> 237 AND c2 AND c3 THEN 3
+              |        WHEN b1 = 240 AND b2 BETWEEN 144 AND 191 AND c3 AND c4 THEN 4
+              |        WHEN b1 BETWEEN 241 AND 243 AND c2 AND c3 AND c4 THEN 4
+              |        WHEN b1 = 244 AND b2 BETWEEN 128 AND 143 AND c3 AND c4 THEN 4
+              |        ELSE 0 END AS L
+              |    FROM (
+              |      SELECT sc.doc_id, sc.i, sc.inv,
+              |        bt.bb[sc.i] AS b1,
+              |        COALESCE(bt.bb[sc.i + 1], -1) AS b2,
+              |        COALESCE(bt.bb[sc.i + 1], -1) BETWEEN 128 AND 191 AS c2,
+              |        COALESCE(bt.bb[sc.i + 2], -1) BETWEEN 128 AND 191 AS c3,
+              |        COALESCE(bt.bb[sc.i + 3], -1) BETWEEN 128 AND 191 AS c4
+              |      FROM sc JOIN bt USING (doc_id) WHERE sc.i <= bt.n) t1) t2),
+              |fin AS (SELECT doc_id, arg_max(inv, i) AS inv FROM sc GROUP BY doc_id),
+              |hb AS (SELECT doc_id,
+              |  len(list_filter(bb, x -> x >= 128)) AS high FROM bt)
+              |SELECT bt.doc_id,
+              |  CASE
+              |    WHEN substr(upper(hx), 1, 6) = 'EFBBBF' THEN 'utf-8-bom'
+              |    WHEN substr(upper(hx), 1, 8) = 'FFFE0000' THEN 'utf-32le'
+              |    WHEN substr(upper(hx), 1, 8) = '0000FEFF' THEN 'utf-32be'
+              |    WHEN substr(upper(hx), 1, 4) = 'FFFE' THEN 'utf-16le'
+              |    WHEN substr(upper(hx), 1, 4) = 'FEFF' THEN 'utf-16be'
+              |    WHEN inv = 0 AND high > 0 THEN 'utf-8'
+              |    WHEN inv = 0 THEN 'ascii'
+              |    WHEN high > 0 THEN 'latin-1'
+              |    ELSE 'binary' END AS encoding,
+              |  CAST(inv AS BIGINT) AS invalid_bytes,
+              |  CAST(high AS BIGINT) AS high_bytes
+              |FROM bt JOIN fin USING (doc_id) JOIN hb USING (doc_id)""".stripMargin)),
 
     // ---- multimodal: binary column + stub decode metadata ----
     "mm_decode_meta" -> Q(

@@ -1,0 +1,94 @@
+package graft.functions
+
+import java.nio.charset.{CodingErrorAction, StandardCharsets}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Charset detection: the strict UTF-8 scanner kernel vs the JDK's
+  * own strict decoder (validity must agree bit-for-bit on random
+  * buffers — the JDK is an independent implementation of the same
+  * RFC 3629 table), exact invalid counts on every reject class, and
+  * the BOM-first classification order.
+  */
+class CharsetSpec extends SparkSpec {
+
+  private def hex(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  /** JDK strict validity: decodes without error under REPORT. */
+  private def jdkValid(b: Array[Byte]): Boolean = {
+    val dec = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    try { dec.decode(java.nio.ByteBuffer.wrap(b)); true }
+    catch { case _: java.nio.charset.CharacterCodingException => false }
+  }
+
+  test("scanner validity agrees with the JDK strict decoder on random buffers") {
+    val rnd = new scala.util.Random(0xC0DEL)
+    for (i <- 0 until 20000) {
+      val b = new Array[Byte](rnd.nextInt(24))
+      rnd.nextBytes(b)
+      val ours = Kernels.utf8InvalidEval(b) == 0
+      assert(ours == jdkValid(b),
+        s"#$i bytes ${b.map("%02X".format(_)).mkString} ours=$ours jdk=${jdkValid(b)}")
+    }
+    // and on valid UTF-8 encodings of random strings (multibyte-heavy)
+    for (i <- 0 until 2000) {
+      val s = (0 until rnd.nextInt(12)).map { _ =>
+        rnd.nextInt(4) match {
+          case 0 => rnd.nextPrintableChar().toString
+          case 1 => "é"
+          case 2 => "€"
+          case _ => new String(Character.toChars(0x10000 + rnd.nextInt(0x10000)))
+        }
+      }.mkString
+      val b = s.getBytes(StandardCharsets.UTF_8)
+      assert(Kernels.utf8InvalidEval(b) == 0, s"#$i valid encoding flagged: $s")
+    }
+  }
+
+  test("invalid counts are exact per reject class (one per sequence start, resync next byte)") {
+    assert(Kernels.utf8InvalidEval(hex("68656C6C6F")) == 0)   // ascii
+    assert(Kernels.utf8InvalidEval(hex("636166E9")) == 1)     // latin-1 tail
+    assert(Kernels.utf8InvalidEval(hex("C080")) == 2)         // overlong NUL
+    assert(Kernels.utf8InvalidEval(hex("EDA080")) == 3)       // surrogate
+    assert(Kernels.utf8InvalidEval(hex("F09F98")) == 3)       // truncated 4-byte
+    assert(Kernels.utf8InvalidEval(hex("F4908080")) == 4)     // > U+10FFFF
+    assert(Kernels.utf8InvalidEval(hex("80")) == 1)           // lone continuation
+    assert(Kernels.utf8InvalidEval(hex("F5")) == 1)           // out-of-range lead
+    // boundary ACCEPTS: E0 A0 80 / ED 9F BF / F0 90 80 80 / F4 8F BF BF
+    for (h <- Seq("E0A080", "ED9FBF", "F0908080", "F48FBFBF"))
+      assert(Kernels.utf8InvalidEval(hex(h)) == 0, h)
+    // boundary REJECTS one step over: E0 9F (overlong), F0 8F (overlong)
+    assert(Kernels.utf8InvalidEval(hex("E09FBF")) == 3)
+    assert(Kernels.utf8InvalidEval(hex("F08FBFBF")) == 4)
+    assert(Kernels.highBytesEval(hex("00407F80FF")) == 2)
+  }
+
+  test("detectEncoding: BOMs outrank content, UTF-32LE outranks its UTF-16LE prefix") {
+    val rows = Seq(
+      "68656C6C6F" -> "ascii",
+      "63616665CC81" -> "utf-8",
+      "EFBBBF6869" -> "utf-8-bom",
+      "FFFE6800" -> "utf-16le",
+      "FEFF0068" -> "utf-16be",
+      "FFFE00000000" -> "utf-32le",
+      "0000FEFF00000068" -> "utf-32be",
+      "636166E9" -> "latin-1")
+    import spark.implicits._
+    val got = rows.map(_._1).toDF("hx")
+      .select(col("hx"), TextFunctions.detectEncoding(unhex(col("hx"))).as("enc"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    rows.foreach { case (hx, want) => assert(got(hx) == want, s"$hx -> ${got(hx)} want $want") }
+    // the kernels stay inside whole-stage codegen (no SerDe boundary)
+    // — over a range scan; a literal local relation constant-folds to
+    // LocalTableScan before codegen gets a say
+    val plan = spark.range(4)
+      .select(TextFunctions.detectEncoding(encode(col("id").cast("string"), "UTF-8")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan) // the WholeStageCodegen marker
+  }
+}
