@@ -53,6 +53,14 @@ object GraftFunctions {
       (args: Seq[Expression]) => { arity("graft_simhash63", args, 1)
         SimHash63K(args(0)) },
       "graft_simhash63(shingles) - 63-bit simhash (affine-sign bits; the corpus-scale fingerprint)"),
+    ("graft_utf8_invalid",
+      (args: Seq[Expression]) => { arity("graft_utf8_invalid", args, 1)
+        Utf8InvalidK(args(0)) },
+      "graft_utf8_invalid(bin) - strict RFC 3629 invalid-byte count (one per rejected sequence start)"),
+    ("graft_high_bytes",
+      (args: Seq[Expression]) => { arity("graft_high_bytes", args, 1)
+        HighBytesK(args(0)) },
+      "graft_high_bytes(bin) - count of bytes with the top bit set"),
     ("graft_minhash_sig",
       (args: Seq[Expression]) => { arity("graft_minhash_sig", args, 2)
         MinHashSigK(args(0), litInt(args(1), "graft_minhash_sig", "k")) },
