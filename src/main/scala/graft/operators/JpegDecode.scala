@@ -289,8 +289,13 @@ object JpegDecode {
             comp
           }
           if (progressive) {
-            // coefficient stores over the padded MCU grid, sized for
-            // every scan shape up front (bomb-guarded like the planes)
+            // coefficient-store GEOMETRY over the padded MCU grid;
+            // the Int arrays themselves allocate at the first SOS
+            // (a header-only file must not trigger the allocation)
+            // under a BYTE-parity cap: coefficients are 4 bytes per
+            // sample, so the element cap is a quarter of the plane
+            // byte cap — the progressive ceiling is 32 Mpx, vs 64 Mpx
+            // sequential (bomb guard, round-11 review)
             val maxH = comps.map(_.h).max; val maxV = comps.map(_.v).max
             val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
             val mcusY = (h + 8 * maxV - 1) / (8 * maxV)
@@ -298,8 +303,7 @@ object JpegDecode {
               c.bw = mcusX * c.h; c.bh = mcusY * c.v
               c.bwSub = ((w * c.h + maxH - 1) / maxH + 7) / 8
               c.bhSub = ((h * c.v + maxV - 1) / maxV + 7) / 8
-              if (c.bw.toLong * c.bh * 64 > MaxPixels * 2) return None
-              c.coefs = new Array[Int](c.bw * c.bh * 64)
+              if (c.bw.toLong * c.bh * 64 > MaxPixels / 2) return None
             }
           }
         case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
@@ -336,6 +340,7 @@ object JpegDecode {
           if (al > 13 || ah > 13 || (ah != 0 && ah != al + 1)) return None
           if (ss == 0 && ah == 0 && scanComps.exists(_.dcTab == null)) return None
           if (ss > 0 && scanComps(0).acTab == null) return None
+          comps.foreach(c => if (c.coefs == null) c.coefs = new Array[Int](c.bw * c.bh * 64))
           val maxH = comps.map(_.h).max; val maxV = comps.map(_.v).max
           val end = progressiveScan(b, segEnd, scanComps, w, h, maxH, maxV,
             ss, se, ah, al, restartInterval)

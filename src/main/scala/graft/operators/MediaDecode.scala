@@ -689,6 +689,42 @@ object MediaDecode {
     pngPixels(b).orElse(bmpPixels(b)).orElse(JpegDecode.jpegPixels(b))
       .orElse(gifPixels(b)).orElse(tiffPixels(b))
 
+  // ---- WAV container ----------------------------------------------
+
+  /** RIFF/WAVE chunk walk shared by every WAV decoder: the FIRST
+    * `fmt ` chunk (offset of its data area + declared size, full chunk
+    * bounds-checked) and the FIRST `data` chunk (offset, length). The
+    * walk steps in Long so a corrupt size field runs past the end of
+    * the buffer instead of wrapping Int into a negative index; any
+    * chunk size past the buffer, or a data chunk that does not fit,
+    * is malformed → None.
+    */
+  private def riffWave(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int, s: String): Boolean =
+      i >= 0 && i + s.length <= b.length && s.indices.forall(j => u8(i + j) == s.charAt(j))
+    if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i = 12L
+    var fmt = -1; var fmtLen = 0
+    var data = -1; var dataLen = 0
+    while (i + 8 <= b.length && (fmt < 0 || data < 0)) {
+      val at = i.toInt
+      val size = le32(at + 4)
+      if (size > b.length.toLong) return None
+      if (tag(at, "fmt ") && fmt < 0 && size >= 16 && i + 8 + size <= b.length) {
+        fmt = at + 8; fmtLen = size.toInt
+      } else if (tag(at, "data") && data < 0) {
+        data = at + 8; dataLen = size.toInt
+      }
+      i += 8L + size + (size & 1L)
+    }
+    if (fmt >= 0 && data >= 0 && dataLen >= 0 && data.toLong + dataLen <= b.length)
+      Some((fmt, fmtLen, data, dataLen))
+    else None
+  }
+
   // ---- WAV PCM -----------------------------------------------------
 
   /** Linear PCM samples as the 16-bit view (interleaved across
@@ -703,36 +739,14 @@ object MediaDecode {
   def wavPcm16(b: Array[Byte]): Option[Array[Short]] = {
     def u8(i: Int): Int = b(i) & 0xff
     def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
-    def le32(i: Int): Long =
-      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
-    def tag(i: Int, s: String): Boolean =
-      i >= 0 && i + s.length <= b.length && s.indices.forall(j => u8(i + j) == s.charAt(j))
-    if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
-    // chunk walk in Long: a corrupt size field must step past the end,
-    // never wrap Int into a negative index
-    var i = 12L
-    var bits = 0
-    var data: Option[(Int, Int)] = None
-    while (i + 8 <= b.length && (bits == 0 || data.isEmpty)) {
-      val at = i.toInt
-      val size = le32(at + 4)
-      if (tag(at, "fmt ") && i + 24 <= b.length) {
-        val fmtTag = le16(at + 8)
+    riffWave(b) match {
+      case Some((f, flen, off, len)) =>
+        val fmtTag = le16(f)
         // EXTENSIBLE: the effective tag is the SubFormat GUID's leading
         // 2 bytes (PCM GUID = 00000001-0000-0010-8000-00AA00389B71)
-        val eff =
-          if (fmtTag == 0xFFFE && size >= 40 && i + 42 <= b.length) le16(at + 32)
-          else fmtTag
-        if (eff == 1) {
-          val bt = le16(at + 22)
-          if (bt == 8 || bt == 16 || bt == 24 || bt == 32) bits = bt
-        }
-      } else if (tag(at, "data")) data = Some((at + 8, size.toInt))
-      if (size > b.length.toLong) return None
-      i += 8L + size + (size & 1L)
-    }
-    data match {
-      case Some((off, len)) if bits != 0 && len >= 0 && off.toLong + len <= b.length =>
+        val eff = if (fmtTag == 0xFFFE && flen >= 40) le16(f + 24) else fmtTag
+        val bits = if (eff == 1) le16(f + 14) else 0
+        if (bits != 8 && bits != 16 && bits != 24 && bits != 32) return None
         val bw = bits / 8
         val n = len / bw
         val out = new Array[Short](n)
@@ -744,21 +758,21 @@ object MediaDecode {
             while (j < n) { out(j) = (u8(off + 2 * j) | (u8(off + 2 * j + 1) << 8)).toShort; j += 1 }
           case 24 =>
             while (j < n) {
-              val s = off + 3 * j
-              val v = u8(s) | (u8(s + 1) << 8) | (b(s + 2).toInt << 16) // sign from the top byte
+              val p = off + 3 * j
+              val v = u8(p) | (u8(p + 1) << 8) | (b(p + 2).toInt << 16) // sign from the top byte
               out(j) = (v >> 8).toShort
               j += 1
             }
           case _ =>
             while (j < n) {
-              val s = off + 4 * j
-              val v = u8(s) | (u8(s + 1) << 8) | (u8(s + 2) << 16) | (b(s + 3).toInt << 24)
+              val p = off + 4 * j
+              val v = u8(p) | (u8(p + 1) << 8) | (u8(p + 2) << 16) | (b(p + 3).toInt << 24)
               out(j) = (v >> 16).toShort
               j += 1
             }
         }
         Some(out)
-      case _ => None
+      case None => None
     }
   }
 
@@ -797,34 +811,18 @@ object MediaDecode {
     def u8(i: Int): Int = b(i) & 0xff
     def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
     def s16(i: Int): Int = { val v = le16(i); if (v >= 0x8000) v - 0x10000 else v }
-    def le32(i: Int): Long =
-      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
-    def tag(i: Int, s: String): Boolean =
-      i >= 0 && i + s.length <= b.length && s.indices.forall(j => u8(i + j) == s.charAt(j))
-    if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
-    // same Long chunk walk as wavPcm16: corrupt sizes step past the
-    // end, never wrap negative
-    var i = 12L
-    var fmt: Option[(Int, Int, Int)] = None // (channels, blockAlign, samplesPerBlock)
-    var data: Option[(Int, Int)] = None
-    while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
-      val at = i.toInt
-      val size = le32(at + 4)
-      if (tag(at, "fmt ") && size >= 16 && i + 8 + size <= b.length) {
-        if (le16(at + 8) == 0x11 && le16(at + 22) == 4) { // IMA ADPCM, 4-bit
-          val ch = le16(at + 10)
-          val blockAlign = le16(at + 20)
-          // samplesPerBlock rides the fmt extension (cbSize >= 2);
-          // absent, derive it from the block geometry
-          val spb =
-            if (size >= 20 && le16(at + 24) >= 2) le16(at + 26)
-            else if (ch > 0) (blockAlign - 4 * ch) * 2 / ch + 1
-            else 0
-          fmt = Some((ch, blockAlign, spb))
-        }
-      } else if (tag(at, "data")) data = Some((at + 8, size.toInt))
-      if (size > b.length.toLong) return None
-      i += 8L + size + (size & 1L)
+    val (fmt, data) = riffWave(b) match {
+      case Some((f, flen, off, len)) if le16(f) == 0x11 && le16(f + 14) == 4 =>
+        // IMA ADPCM, 4-bit; samplesPerBlock rides the fmt extension
+        // (cbSize >= 2) — absent, derive it from the block geometry
+        val ch = le16(f + 2)
+        val blockAlign = le16(f + 12)
+        val spb =
+          if (flen >= 20 && le16(f + 16) >= 2) le16(f + 18)
+          else if (ch > 0) (blockAlign - 4 * ch) * 2 / ch + 1
+          else 0
+        (Some((ch, blockAlign, spb)), Some((off, len)))
+      case _ => (None, None)
     }
     (fmt, data) match {
       case (Some((ch, blockAlign, spb)), Some((off, len)))
@@ -927,25 +925,12 @@ object MediaDecode {
   def wavG711Samples(b: Array[Byte]): Option[Array[Short]] = {
     def u8(i: Int): Int = b(i) & 0xff
     def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
-    def le32(i: Int): Long =
-      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
-    def tag(i: Int, s: String): Boolean =
-      i >= 0 && i + s.length <= b.length && s.indices.forall(j => u8(i + j) == s.charAt(j))
-    if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
-    // same Long chunk walk as wavPcm16: corrupt sizes step past the
-    // end, never wrap negative
-    var i = 12L
-    var fmtTag = 0
-    var data: Option[(Int, Int)] = None
-    while (i + 8 <= b.length && (fmtTag == 0 || data.isEmpty)) {
-      val at = i.toInt
-      val size = le32(at + 4)
-      if (tag(at, "fmt ") && size >= 16 && i + 8 + size <= b.length) {
-        val t = le16(at + 8)
-        if ((t == 6 || t == 7) && le16(at + 22) == 8) fmtTag = t
-      } else if (tag(at, "data")) data = Some((at + 8, size.toInt))
-      if (size > b.length.toLong) return None
-      i += 8L + size + (size & 1L)
+    val (fmtTag, data) = riffWave(b) match {
+      case Some((f, _, off, len)) =>
+        val t = le16(f)
+        if ((t == 6 || t == 7) && le16(f + 14) == 8) (t, Some((off, len)))
+        else (0, None)
+      case None => (0, None)
     }
     data match {
       case Some((off, len)) if fmtTag != 0 && len >= 0 && off.toLong + len <= b.length =>

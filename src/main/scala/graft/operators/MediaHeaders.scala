@@ -105,12 +105,16 @@ object MediaHeaders {
     while (i < n && (w < 0 || h < 0)) {
       val tag = u16(e)
       if (tag == 256 || tag == 257) {
-        // first value, inline (count 1 SHORT/LONG always fits the field)
-        val v = u16(e + 2) match {
-          case 3 => u16(e + 8).toLong
-          case 4 => u32(e + 8)
-          case _ => -1L
-        }
+        // count must be 1 (dims always are) — a count > 1 entry stores
+        // an OFFSET in the value field, which must not read as a
+        // dimension (malformed bytes degrade to None, never garbage)
+        val v =
+          if (u32(e + 4) != 1L) -1L
+          else u16(e + 2) match {
+            case 3 => u16(e + 8).toLong
+            case 4 => u32(e + 8)
+            case _ => -1L
+          }
         if (tag == 256) w = v else h = v
       }
       e += 12

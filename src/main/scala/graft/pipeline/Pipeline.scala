@@ -164,11 +164,23 @@ object Pipeline {
     // reference default, config/config.go:219-228) never forces a
     // shuffle, and inputs already at or above the floor are left
     // alone — coalescing DOWN would serialize a wide stage, which is
-    // Spark's scheduler's call, not the config's. The floor applies
-    // BEFORE the shed admission so `workers × buffersize` is the
-    // node's deterministic trigger capacity.
+    // Spark's scheduler's call, not the config's.
+    //
+    // EXCEPT under discard_on_full_buffer: the shed contract is
+    // "exactly `workers` bounded channels", so the admission only has
+    // its documented deterministic capacity (workers × buffersize) if
+    // the partition count IS workers. An input that already plans
+    // wider (a multi-split parquet scan, an upstream shuffle) must be
+    // repartitioned DOWN too, or the capacity silently becomes
+    // buffersize × however-many-splits-the-file-layout-produced —
+    // unnoticeable at test SFs where one file is one split, wrong at
+    // corpus scale (caught by round-11 review). The shuffle is the
+    // cost of opting into the reference's bounded-channel semantics,
+    // exactly as its fixed worker pool serializes there too.
     val (parallel0, outParts) =
-      if (conf.workers > 1 && inputParts < conf.workers)
+      if (conf.discardOnFullBuffer && inputParts != conf.workers)
+        (offered.repartition(conf.workers), conf.workers)
+      else if (conf.workers > 1 && inputParts < conf.workers)
         (offered.repartition(conf.workers), conf.workers)
       else (offered, inputParts)
     val parallel =

@@ -237,6 +237,17 @@ class JpegDecodeSpec extends AnyFunSuite {
       JpegDecode.jpegPixels(jpeg.take(cut)) // must not throw
   }
 
+  test("progressive coefficient stores are bomb-guarded at parse time") {
+    // 8192x8192 passes the sequential pixel cap, but progressive
+    // buffers 4-byte coefficients — the SOF2 geometry guard must
+    // refuse BEFORE any allocation (header-only file, no scan data)
+    def hx(str: String): Array[Byte] =
+      str.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val big = hx("FFD8" + "FFDB" + "0043" + "00" + "10" * 64 +
+      "FFC2" + "000B" + "08" + "2000" + "2000" + "01011100" + "FFD9")
+    assert(JpegDecode.jpegPixels(big).isEmpty)
+  }
+
   test("restart markers reset the DC predictor (hand-built DRI=1 stream)") {
     // 16x8 greyscale = two MCUs, DRI = 1: block1 dc=+5, RST0, block2
     // dc=+5 again — the predictor RESETS at the marker, so both MCUs

@@ -274,4 +274,51 @@ class StreamingPipelineSpec extends SparkSpec {
     val perPart = out.rdd.mapPartitions(it => Iterator.single(it.size)).collect().toSeq
     assert(perPart == Seq(5, 5, 5), s"per-channel admission violated: $perPart")
   }
+
+  test("discard_on_full_buffer capacity is workers x buffersize even when the input plans WIDER") {
+    // an input already at 8 partitions (a multi-split scan at corpus
+    // scale) must still shed at exactly workers x buffersize — the
+    // round-11 review caught the floor-only repartition letting the
+    // capacity silently become buffersize x split-count
+    val s = spark
+    import s.implicits._
+    val reg = Registry.builtins()
+    val cfg = AppConfig.parse(
+      """application: shedtest
+        |source:
+        |  name: stringsource
+        |  params: {path: unused}
+        |nodes:
+        |  - name: filternode
+        |    children:
+        |      - name: resultsnode
+        |        workers: 3
+        |        buffersize: 5
+        |        discard_on_full_buffer: true
+        |""".stripMargin, reg).fold(e => sys.error(e), identity)
+    val mix = (1 to 60).map(i => s"success $i").toDF("payload")
+      .select(col("payload"), current_timestamp().as("created"), lit(false).as("recovery"))
+      .repartition(8)
+    val built = graft.pipeline.Pipeline.buildOn(mix, cfg.nodes, reg,
+      observeMetrics = false, persistShared = false)
+    val out = built.find("resultsnode").get.output
+    assert(out.rdd.getNumPartitions == 3, "shed must pin the channel count to workers")
+    assert(out.count() == 15L, "capacity must be workers x buffersize, not buffersize x splits")
+    // and with the default single worker: exactly one channel
+    val cfg1 = AppConfig.parse(
+      """application: shedtest
+        |source:
+        |  name: stringsource
+        |  params: {path: unused}
+        |nodes:
+        |  - name: filternode
+        |    children:
+        |      - name: resultsnode
+        |        buffersize: 7
+        |        discard_on_full_buffer: true
+        |""".stripMargin, reg).fold(e => sys.error(e), identity)
+    val built1 = graft.pipeline.Pipeline.buildOn(mix, cfg1.nodes, reg,
+      observeMetrics = false, persistShared = false)
+    assert(built1.find("resultsnode").get.output.count() == 7L)
+  }
 }
