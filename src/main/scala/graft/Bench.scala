@@ -17,6 +17,16 @@ object Bench {
     * `ta_doc_rules_apply` median of 3.26 s against a 0.75 s steady
     * state). Cost: ~50 s per full run, paid a handful of times per
     * round.
+    *
+    * r12 hardening, after the r11 warm-state artifact (official total
+    * inflated 1.41x by 9 entries measuring warm reps at cold cost —
+    * judge-isolated to suite-level JVM state, not plans): the JVM now
+    * runs with ReservedCodeCacheSize=1g (build.sbt) so JIT'd generated
+    * code survives 164-query x 7-rep class variety; Spark's Janino
+    * class cache is raised from its 100-entry default; cached plans are
+    * cleared and a GC is nudged between entries; and bench_out.json
+    * records per-query min + raw samples so a median≫min gap (the
+    * artifact's signature) is visible in the output itself.
     */
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -30,6 +40,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // r12: Spark's Janino class cache is bounded at 100 entries by
+      // default; a 164-query suite cycles far more generated classes
+      // than that, forcing recompiles (and re-JIT) of code that was
+      // already warm. Size it to hold the whole suite.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM (codegen, parquet reader, shuffle paths) so the first
@@ -56,12 +71,21 @@ object Bench {
     // a query that fails its warmup is OMITTED from the queries map
     // (never recorded as 0.0 — a zero reads as "suspiciously fast" in
     // cross-round diffs and silently skews totals low); it is only
-    // listed in errors
-    val results: Map[String, Option[Double]] = SparkEntry.queries.map { case (name, fn) =>
-      timeOnce(name, fn) match { // untimed-for-reporting warmup rep
+    // listed in errors.
+    // All reps of an entry (warmup + timed + escalation) run as ONE
+    // contiguous block — nothing else executes between them, so a warm
+    // rep measuring at cold cost can only be a JVM-level artifact
+    // (r11: JIT code-cache flushing), never interleaving.
+    // Per-entry we keep the full sample vector: the official number is
+    // the warm MEDIAN, but bench_out.json also records min and the raw
+    // samples, making the cold-vs-warm gap (the r11 artifact's
+    // signature) self-diagnosing in every future run.
+    case class Entry(med: Double, min: Double, samples: Seq[Double])
+    val results: Map[String, Option[Entry]] = SparkEntry.queries.map { case (name, fn) =>
+      val r = timeOnce(name, fn) match { // untimed-for-reporting warmup rep
         case None =>
           errors += name
-          name -> None
+          name -> (None: Option[Entry])
         case Some(cold) =>
           val first = (1 to reps).flatMap(_ => timeOnce(name, fn))
           // if warm reps start failing after a green warmup, stay loud
@@ -79,8 +103,17 @@ object Bench {
             if (first.nonEmpty && unstable && subsecReps > reps)
               first ++ (1 to (subsecReps - reps)).flatMap(_ => timeOnce(name, fn))
             else first
-          name -> Some(if (warm.nonEmpty) median(warm) else cold)
+          val timed = if (warm.nonEmpty) warm else Seq(cold)
+          name -> Some(Entry(median(timed), timed.min, cold +: warm))
       }
+      // Inter-entry hygiene: drop any cached plans a query leaked and
+      // nudge the collector so ContextCleaner reclaims accumulated
+      // broadcasts/shuffle state before the next entry — suite position
+      // must not change what an entry measures.
+      try spark.sharedState.cacheManager.clearCache()
+      catch { case _: Throwable => () }
+      System.gc()
+      r
     }
     // The driver captures a bounded stdout TAIL: r8 lost 92/153 per-query
     // timings because the (single, last) JSON line was longer than the
@@ -95,16 +128,27 @@ object Bench {
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
         .reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
-    val qs = results.collect { case (k, Some(v)) => s"\"" + k + "\":" + fmt(v) }
+    val qs = results.collect { case (k, Some(v)) => s"\"" + k + "\":" + fmt(v.med) }
       .mkString("{", ",", "}")
-    val qsFull = results.collect { case (k, Some(v)) => s"\"" + k + "\":" + v }
+    val qsFull = results.collect { case (k, Some(v)) => s"\"" + k + "\":" + v.med }
       .mkString("{", ",", "}")
+    // self-diagnosis payloads (file only — stdout stays tail-sized):
+    // per-query min, and the raw sample vectors (warmup first). A
+    // median far above its min is the warm-state artifact's signature.
+    val qsMin = results.collect { case (k, Some(v)) => s"\"" + k + "\":" + v.min }
+      .mkString("{", ",", "}")
+    val qsSamples = results.collect { case (k, Some(v)) =>
+      s"\"" + k + "\":" + v.samples.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.values.flatten.sum
+    val total = results.values.flatten.map(_.med).sum
+    val totalMin = results.values.flatten.map(_.min).sum
     def line(q: String, t: String): String =
       s"""{"metric":"total","value":$t,"unit":"sec","queries":$q,"errors":$errJson,"sf":"$sfDir","protocol":"median-of-$reps-warm;lt${subsecThresh}s-median-of-$subsecReps"}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_out.json"), line(qsFull, total.toString) + "\n")
+      java.nio.file.Paths.get("bench_out.json"),
+      line(qsFull, total.toString).dropRight(1) +
+        s""","total_min":$totalMin,"mins":$qsMin,"samples":$qsSamples}""" + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}") }
     // stop BEFORE printing so no Spark shutdown log lands after the
     // JSON and eats the driver's bounded stdout-tail budget; a stop()
@@ -117,7 +161,7 @@ object Bench {
     // always-complete total line LAST — whatever the tail cuts, the
     // final line parses, and bench_out.json holds full precision.
     println(line(qs, fmt(total)))
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.values.flatten.size},"errors":$errJson,"sf":"$sfDir","protocol":"median-of-$reps-warm;lt${subsecThresh}s-median-of-$subsecReps","queries_in":"previous line + bench_out.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"n_queries":${results.values.flatten.size},"errors":$errJson,"sf":"$sfDir","protocol":"median-of-$reps-warm;lt${subsecThresh}s-median-of-$subsecReps","queries_in":"previous line + bench_out.json"}""")
     System.out.flush()
   }
 }

@@ -61,6 +61,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => { arity("graft_high_bytes", args, 1)
         HighBytesK(args(0)) },
       "graft_high_bytes(bin) - count of bytes with the top bit set"),
+    ("graft_nul_bytes",
+      (args: Seq[Expression]) => { arity("graft_nul_bytes", args, 1)
+        NulBytesK(args(0)) },
+      "graft_nul_bytes(bin) - count of 0x00 bytes (binary-content signal)"),
     ("graft_minhash_sig",
       (args: Seq[Expression]) => { arity("graft_minhash_sig", args, 2)
         MinHashSigK(args(0), litInt(args(1), "graft_minhash_sig", "k")) },

@@ -39,6 +39,7 @@ object Kernels {
   def byteFoldHash(bin: Column): Column = toColumn(ByteFoldHashK(toExpression(bin)))
   def utf8Invalid(bin: Column): Column = toColumn(Utf8InvalidK(toExpression(bin)))
   def highBytes(bin: Column): Column = toColumn(HighBytesK(toExpression(bin)))
+  def nulBytes(bin: Column): Column = toColumn(NulBytesK(toExpression(bin)))
   def simhash63(shingles: Column): Column = toColumn(SimHash63K(toExpression(shingles)))
   def minhashSig(shingles: Column, k: Int): Column = toColumn(MinHashSigK(toExpression(shingles), k))
   def vecDot(a: Column, b: Column): Column = toColumn(VecDotK(toExpression(a), toExpression(b)))
@@ -334,6 +335,17 @@ object Kernels {
     c
   }
 
+  /** eval for [[NulBytesK]]: 0x00 bytes — the binary-content signal
+    * [[graft.functions.TextFunctions.detectEncoding]] uses to separate
+    * real binary payloads (JPEG/zip/ELF, where NULs are ubiquitous)
+    * from latin-1 text (where a NUL never legitimately occurs). */
+  def nulBytesEval(b: Array[Byte]): Int = {
+    var i = 0
+    var c = 0
+    while (i < b.length) { if (b(i) == 0) c += 1; i += 1 }
+    c
+  }
+
   /** signed-count feature-hash vector ("hashing trick"): one tight
     * pass over the word n-gram hashes into a dim-length bucket
     * accumulator — index = key mod dim (dim a power of two), sign =
@@ -461,6 +473,16 @@ case class HighBytesK(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.highBytesEval($c)")
   override protected def withNewChildInternal(newChild: Expression): HighBytesK = copy(child = newChild)
   override def prettyName: String = "graft_high_bytes"
+}
+
+case class NulBytesK(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    Kernels.nulBytesEval(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.nulBytesEval($c)")
+  override protected def withNewChildInternal(newChild: Expression): NulBytesK = copy(child = newChild)
+  override def prettyName: String = "graft_nul_bytes"
 }
 
 case class SimHash32K(child: Expression) extends UnaryExpression {

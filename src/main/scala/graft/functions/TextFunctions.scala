@@ -32,27 +32,36 @@ object TextFunctions {
   /** bytes with the top bit set ([[Kernels.highBytes]]). */
   def highByteCount(bin: Column): Column = Kernels.highBytes(bin)
 
+  /** 0x00 bytes ([[Kernels.nulBytes]]) — the binary-content signal. */
+  def nulByteCount(bin: Column): Column = Kernels.nulBytes(bin)
+
   /** charset detection over raw bytes, the ingest-time routing
     * decision a web-scale corpus needs before any text op: BOM sniff
     * first (UTF-8 / UTF-32 before UTF-16 — FF FE is a UTF-32LE prefix
     * too), then strict-UTF-8 validation (multibyte content → utf-8,
-    * 7-bit clean → ascii), with any byte stream that fails UTF-8 but
-    * has high bytes classified latin-1 (the permissive single-byte
-    * fallback every browser applies). Pure byte logic end to end, so
-    * the DuckDB oracle re-derives the same label from the same bytes.
+    * 7-bit clean → ascii). A stream the strict scanner rejects is
+    * `binary` when it contains any NUL byte (NULs are ubiquitous in
+    * real binary payloads — JPEG headers, zip local-file records, ELF —
+    * and never legitimate in single-byte text), otherwise `latin-1`:
+    * the TERMINAL permissive single-byte fallback every browser
+    * applies. (Every scanner-rejected byte has the top bit set, so a
+    * high-byte test adds nothing after `inv > 0` — the NUL test is the
+    * discriminator that makes `binary` reachable.) Pure byte logic end
+    * to end, so the DuckDB oracle re-derives the same label from the
+    * same bytes.
     */
   def detectEncoding(bin: Column): Column = {
     val inv = utf8InvalidBytes(bin)
-    val high = highByteCount(bin)
+    val nul = nulByteCount(bin)
     when(hex(substring(bin, 1, 3)) === "EFBBBF", "utf-8-bom")
       .when(hex(substring(bin, 1, 4)) === "FFFE0000", "utf-32le")
       .when(hex(substring(bin, 1, 4)) === "0000FEFF", "utf-32be")
       .when(hex(substring(bin, 1, 2)) === "FFFE", "utf-16le")
       .when(hex(substring(bin, 1, 2)) === "FEFF", "utf-16be")
-      .when(inv === 0 && high > 0, "utf-8")
+      .when(inv === 0 && highByteCount(bin) > 0, "utf-8")
       .when(inv === 0, "ascii")
-      .when(high > 0, "latin-1")
-      .otherwise("binary")
+      .when(nul > 0, "binary")
+      .otherwise("latin-1")
   }
 
   /** deterministic polynomial char hash:

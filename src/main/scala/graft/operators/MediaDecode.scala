@@ -179,7 +179,13 @@ object MediaDecode {
     val strideL = w.toLong * channels
     val rawLenL = passes.map { case (_, _, _, _, pw, ph) =>
       ph.toLong * (1L + pw.toLong * channels) }.sum
-    if (rawLenL > (1L << 30) || h.toLong * strideL > (1L << 30)) return None
+    // cap the OUTPUT footprint too: for palette images (type 3) the
+    // decoded stride is 1 byte/pixel but the PLTE expansion below emits
+    // 3, so a w*h just under the 2^30 raw cap could still compute a
+    // negative h*w*3 Int and throw — violating the never-throw contract
+    val outLenL = h.toLong * w * (if (colorType == 3) 3 else channels)
+    if (rawLenL > (1L << 30) || h.toLong * strideL > (1L << 30) ||
+      outLenL > (1L << 30)) return None
     val stride = strideL.toInt
     val raw = new Array[Byte](rawLenL.toInt)
     val inf = new java.util.zip.Inflater()
@@ -578,7 +584,8 @@ object MediaDecode {
   /** TIFF-flavor LZW into `out[at, at+expect)`: MSB-first variable
     * 9..12-bit codes, clear 256 / EOI 257, dictionary from 258, and
     * the TIFF "early change" — the code width bumps one code EARLIER
-    * than GIF's LSB-first flavor (at table size 510/1022/2046).
+    * than GIF's LSB-first flavor (when the next-free-entry index
+    * reaches 511/1023/2047, matching libtiff's early-change decode).
     * Returns the byte count written, or None on malformed streams.
     */
   private def tiffLzw(b: Array[Byte], off: Int, len: Int,

@@ -126,6 +126,24 @@ object Temporal {
         (leftVals.map(col) ++ rightVals.map(c => col("__rv").getField(c).as(c)))): _*)
   }
 
+  /** Build-time materialization of a giant-interval side channel: one
+    * pass over the (filtered) interval lineage either proves the frame
+    * empty (None — the guard drops from the plan) or yields its rows
+    * as a LocalRelation, so the run-time broadcast reads the rows the
+    * probe already computed instead of re-executing the lineage — the
+    * probe's pass is never wasted. Giants past `cap` (10k — far beyond
+    * broadcast-sane; "giants are rare by definition, else the bucket
+    * grain is wrong") fall back to the planned frame unchanged, so
+    * results are identical in every branch.
+    */
+  private def materializeGiants(g: DataFrame, cap: Int = 10000): Option[DataFrame] = {
+    val rows = g.limit(cap + 1).collect()
+    if (rows.isEmpty) None
+    else if (rows.length > cap) Some(g)
+    else Some(g.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), g.schema))
+  }
+
   /** Range (interval-containment) join with NO equi-key: pairs every
     * point with the intervals containing it.
     *
@@ -163,9 +181,13 @@ object Temporal {
     // (interval spans bounded by construction) the giant frame is
     // EMPTY — yet an empty-but-planned broadcast union still costs an
     // exchange build + cleanup per run (measured as the in-suite
-    // q36_interval_overlap outlier). A limit-1 probe over just the two
-    // predicate columns proves emptiness and drops the side-channel —
-    // and the normals filter with it — from the plan entirely.
+    // q36_interval_overlap outlier). The probe proves emptiness and
+    // drops the side-channel — and the normals filter with it — from
+    // the plan entirely; when giants DO exist, the probe's pass is not
+    // wasted either: the rows it read are materialized as a local
+    // relation (see materializeGiants), so the broadcast side never
+    // re-executes the interval lineage at run time (r12, closing the
+    // r11 ADVICE probe-cost item).
     // The probe is an ACTION at build time: it snapshots the input as
     // of now (an input that gains its first giant between build and
     // execution — e.g. a view over a growing path — keeps the
@@ -176,8 +198,7 @@ object Temporal {
     // per build) — they keep the guard planned unconditionally.
     val giantsOpt = maxBucketsPerInterval.flatMap { m =>
       val g = intervals.filter(nBuckets(intervals) > m)
-      if (probeEmptyGiants && !intervals.isStreaming &&
-          g.select(startCol, endCol).isEmpty) None
+      if (probeEmptyGiants && !intervals.isStreaming) materializeGiants(g)
       else Some(g)
     }
     val normals =
@@ -254,8 +275,7 @@ object Temporal {
         // opt-out — the probe is an extra job per build).
         def probeGiants(df: DataFrame, sc: String, ec: String): Option[DataFrame] = {
           val g = df.filter(nBuckets(df, sc, ec) > m)
-          if (probeEmptyGiants && !df.isStreaming &&
-              g.select(sc, ec).isEmpty) None
+          if (probeEmptyGiants && !df.isStreaming) materializeGiants(g)
           else Some(g)
         }
         val lGiant = probeGiants(left, lStartCol, lEndCol)

@@ -183,8 +183,10 @@ object TrainingOps {
     * UTF-16LE/BE, UTF-32LE — whose FF FE prefix must outrank UTF-16LE),
     * and every strict-scanner reject class: bare latin-1 high byte,
     * overlong (C0 80), UTF-16 surrogate (ED A0 80), truncated 4-byte
-    * sequence, and a code point past U+10FFFF. The oracle replays the
-    * scanner byte-for-byte as a recursive CTE.
+    * sequence, and a code point past U+10FFFF. Rejected streams split
+    * on the NUL signal: any 0x00 byte → binary (15, a real JPEG
+    * SOI+APP0 prefix), none → latin-1 (6, 16 — the terminal fallback).
+    * The oracle replays the scanner byte-for-byte as a recursive CTE.
     */
   private lazy val charsetFixtures: Seq[(Long, String)] = Seq(
     (1L, "68656C6C6F"),                         // "hello" -> ascii
@@ -200,7 +202,9 @@ object TrainingOps {
     (11L, "FFFE00000000"),                      // UTF-32LE BOM
     (12L, "E0A0BF2E"),                          // U+083F boundary, valid
     (13L, "ED9FBF"),                            // U+D7FF boundary, valid
-    (14L, "F48FBFBF"))                          // U+10FFFF boundary, valid
+    (14L, "F48FBFBF"),                          // U+10FFFF boundary, valid
+    (15L, "FFD8FFE000104A464946"),              // JPEG SOI+APP0: inv>0, NUL -> binary
+    (16L, "A1A2A3"))                            // lone continuations, no NUL -> latin-1
 
   private lazy val mmHeaderFixtures: Seq[(Long, String, String)] = Seq(
     (1L, "image",
@@ -3441,7 +3445,8 @@ object TrainingOps {
         df.select(col("doc_id"),
           graft.functions.TextFunctions.detectEncoding(col("content")).as("encoding"),
           graft.functions.TextFunctions.utf8InvalidBytes(col("content")).cast("long").as("invalid_bytes"),
-          graft.functions.TextFunctions.highByteCount(col("content")).cast("long").as("high_bytes"))
+          graft.functions.TextFunctions.highByteCount(col("content")).cast("long").as("high_bytes"),
+          graft.functions.TextFunctions.nulByteCount(col("content")).cast("long").as("nul_bytes"))
       },
       Some(s"""WITH RECURSIVE r(doc_id, hx) AS (VALUES
               |  ${charsetFixtures.map { case (id, hx) => s"($id, '$hx')" }.mkString(",\n  ")}),
@@ -3482,7 +3487,8 @@ object TrainingOps {
               |      FROM sc JOIN bt USING (doc_id) WHERE sc.i <= bt.n) t1) t2),
               |fin AS (SELECT doc_id, arg_max(inv, i) AS inv FROM sc GROUP BY doc_id),
               |hb AS (SELECT doc_id,
-              |  len(list_filter(bb, x -> x >= 128)) AS high FROM bt)
+              |  len(list_filter(bb, x -> x >= 128)) AS high,
+              |  len(list_filter(bb, x -> x = 0)) AS nul FROM bt)
               |SELECT bt.doc_id,
               |  CASE
               |    WHEN substr(upper(hx), 1, 6) = 'EFBBBF' THEN 'utf-8-bom'
@@ -3492,10 +3498,11 @@ object TrainingOps {
               |    WHEN substr(upper(hx), 1, 4) = 'FEFF' THEN 'utf-16be'
               |    WHEN inv = 0 AND high > 0 THEN 'utf-8'
               |    WHEN inv = 0 THEN 'ascii'
-              |    WHEN high > 0 THEN 'latin-1'
-              |    ELSE 'binary' END AS encoding,
+              |    WHEN nul > 0 THEN 'binary'
+              |    ELSE 'latin-1' END AS encoding,
               |  CAST(inv AS BIGINT) AS invalid_bytes,
-              |  CAST(high AS BIGINT) AS high_bytes
+              |  CAST(high AS BIGINT) AS high_bytes,
+              |  CAST(nul AS BIGINT) AS nul_bytes
               |FROM bt JOIN fin USING (doc_id) JOIN hb USING (doc_id)""".stripMargin)),
 
     // ---- multimodal: binary column + stub decode metadata ----

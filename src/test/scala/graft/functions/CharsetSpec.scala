@@ -66,6 +66,8 @@ class CharsetSpec extends SparkSpec {
     assert(Kernels.utf8InvalidEval(hex("E09FBF")) == 3)
     assert(Kernels.utf8InvalidEval(hex("F08FBFBF")) == 4)
     assert(Kernels.highBytesEval(hex("00407F80FF")) == 2)
+    assert(Kernels.nulBytesEval(hex("00407F8000")) == 2)
+    assert(Kernels.nulBytesEval(hex("FFD8FFE0")) == 0)
   }
 
   test("detectEncoding: BOMs outrank content, UTF-32LE outranks its UTF-16LE prefix") {
@@ -77,7 +79,9 @@ class CharsetSpec extends SparkSpec {
       "FEFF0068" -> "utf-16be",
       "FFFE00000000" -> "utf-32le",
       "0000FEFF00000068" -> "utf-32be",
-      "636166E9" -> "latin-1")
+      "636166E9" -> "latin-1",              // rejected, no NUL -> terminal fallback
+      "A1A2A3" -> "latin-1",                // all-high rejects, still no NUL
+      "FFD8FFE000104A464946" -> "binary")   // JPEG SOI+APP0: rejected AND has NULs
     import spark.implicits._
     val got = rows.map(_._1).toDF("hx")
       .select(col("hx"), TextFunctions.detectEncoding(unhex(col("hx"))).as("enc"))

@@ -61,8 +61,8 @@ class GraftFunctionsSpec extends SparkSpec {
       assert(one.length == 1 && !one.head.isNullAt(0))
       // the charset kernels inject too: overlong NUL = 2 invalid, 2 high
       val cs = s2.sql(
-        "SELECT graft_utf8_invalid(unhex('C080')) AS inv, graft_high_bytes(unhex('C080')) AS high").collect()
-      assert(cs.head.getInt(0) == 2 && cs.head.getInt(1) == 2, cs.head.toString)
+        "SELECT graft_utf8_invalid(unhex('C080')) AS inv, graft_high_bytes(unhex('C080')) AS high, graft_nul_bytes(unhex('C08000')) AS nul").collect()
+      assert(cs.head.getInt(0) == 2 && cs.head.getInt(1) == 2 && cs.head.getInt(2) == 1, cs.head.toString)
       // the subword surface injects too, with its shipped merge table
       val bpe = s2.sql(
         "SELECT graft_bpe_count('the table Customer#000000001') AS n, graft_bpe_pieces('the') AS p").collect()

@@ -24,13 +24,17 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype(np.int64)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:  # local iteration: check only queries matching a prefix
+        prefixes = only.split(",")
+        oracles = {k: v for k, v in oracles.items()
+                   if any(k.startswith(p) for p in prefixes)}
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         spark_path = f"{out_dir}/{name}"
@@ -84,4 +88,4 @@ def main(sf_dir, out_dir):
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None)
