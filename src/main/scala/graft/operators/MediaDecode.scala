@@ -695,6 +695,7 @@ object MediaDecode {
   def imagePixels(b: Array[Byte]): Option[PixelImage] =
     pngPixels(b).orElse(bmpPixels(b)).orElse(JpegDecode.jpegPixels(b))
       .orElse(gifPixels(b)).orElse(tiffPixels(b))
+      .orElse(Vp8lDecode.vp8lPixels(b))
 
   // ---- WAV container ----------------------------------------------
 

@@ -292,7 +292,16 @@ object TrainingOps {
     * twin whose single literal run keeps the pixel bytes at fixed
     * offsets 112–115 (multi-strip / big-endian / RGB / LZW / Deflate
     * / predictor TIFF layouts are spec-pinned in MediaDecodeSpec —
-    * LZW and zlib bitstreams are not SQL-expressible).
+    * LZW and zlib bitstreams are not SQL-expressible). Fixture 15 is
+    * a WebP-lossless (VP8L) 2×2 whose five SIMPLE prefix codes are
+    * laid out so the entropy header ends exactly on a byte boundary:
+    * each symbol field sits at a fixed bit offset in bytes 26–33
+    * (1-based) and the four 2-bit pixels (green selector, then blue
+    * selector, LSB-first) exactly fill byte 34 — the oracle re-reads
+    * every symbol and selector straight from the bytes, a full SQL
+    * replay of the prefix-coded pixel stream (transform / LZ77 /
+    * color-cache / meta-group paths are golden-pinned against the
+    * independent system-libwebp encoder in Vp8lDecodeSpec instead).
     */
   private lazy val mmPixelFixtures: Seq[(Long, String, String)] = Seq(
     (1L, "image", // BMP: red green / blue (200,100,50), bottom-up, padded rows
@@ -411,7 +420,16 @@ object TrainingOps {
       "664C6143" + "80" + "000022" +
         "0004" + "0004" + "000000" + "000000" + "01F400F000000004" + "00" * 16 +
         "FFF8" + "60" + "08" + "00" + "03" + "B2" +
-        "02" + "03E8" + "F830" + "0BB8" + "8000" + "1795"))
+        "02" + "03E8" + "F830" + "0BB8" + "8000" + "1795"),
+    (15L, "image", // WebP-lossless (VP8L) 2×2: five SIMPLE prefix
+      // codes laid out so the header ends exactly on a byte boundary
+      // and the four 2-bit pixels (green selector then blue selector,
+      // LSB-first) fill byte 33 — green pair {100, 200}, red 30,
+      // blue pair {1, 220}, alpha 255. Validated against the system
+      // libwebp decoder when generated; decode path is
+      // [[graft.operators.Vp8lDecode.vp8lPixels]]
+      "52494646" + "1A000000" + "57454250" + "5650384C" + "0E000000" +
+        "2F" + "01400000" + "869321D763B9FB1F" + "9C"))
 
   /** Path of a temp-file copy of the merges.txt CLASSPATH RESOURCE —
     * the exact bytes [[graft.functions.Bpe.defaultRanks]] parsed, so
@@ -3756,7 +3774,28 @@ object TrainingOps {
               |  list_transform(range(0,4), j ->
               |    (bb[69+3*j] + bb[70+3*j]*256 + bb[71+3*j]*65536) // 256
               |    - CASE WHEN bb[71+3*j] >= 128 THEN 65536 ELSE 0 END) AS ps
-              |  FROM bt WHERE doc_id = 12)
+              |  FROM bt WHERE doc_id = 12),
+              |-- VP8L fixture 15: the five simple prefix codes end on a
+              |-- byte boundary BY CONSTRUCTION, so every symbol field
+              |-- sits at a fixed bit offset (LSB-first stream): green
+              |-- pair at bits 10-25 of the region starting at byte 26
+              |-- (1-based), red at 29-36, blue 1-bit/8-bit pair at
+              |-- 40-48, and the four 2-bit pixels (green selector then
+              |-- blue selector per pixel) exactly fill byte 34 — a full
+              |-- SQL replay of the prefix-coded pixel stream
+              |wl AS (SELECT doc_id,
+              |  CAST(bb[29] // 32 + (bb[30] % 32) * 8 AS DOUBLE) AS wmr,
+              |  CAST((bb[27] // 4 + (bb[28] % 4) * 64)
+              |       * (4 - (bb[34] % 2 + (bb[34] // 4) % 2 + (bb[34] // 16) % 2 + (bb[34] // 64) % 2))
+              |     + (bb[28] // 4 + (bb[29] % 4) * 64)
+              |       * (bb[34] % 2 + (bb[34] // 4) % 2 + (bb[34] // 16) % 2 + (bb[34] // 64) % 2)
+              |     AS DOUBLE) / 4 AS wmg,
+              |  CAST((bb[31] % 2)
+              |       * (4 - ((bb[34] // 2) % 2 + (bb[34] // 8) % 2 + (bb[34] // 32) % 2 + (bb[34] // 128) % 2))
+              |     + (bb[31] // 2 + (bb[32] % 2) * 128)
+              |       * ((bb[34] // 2) % 2 + (bb[34] // 8) % 2 + (bb[34] // 32) % 2 + (bb[34] // 128) % 2)
+              |     AS DOUBLE) / 4 AS wmb
+              |  FROM bt WHERE doc_id = 15)
               |SELECT doc_id,
               |  CAST(CAST(CASE WHEN doc_id = 1
               |    THEN (0.299*mr + 0.587*mg + 0.114*mb)/255.0
@@ -3769,6 +3808,7 @@ object TrainingOps {
               |    WHEN doc_id = 12 THEN sqrt(CAST(ps[1]*ps[1]+ps[2]*ps[2]+ps[3]*ps[3]+ps[4]*ps[4] AS DOUBLE)/4)/32768.0
               |    WHEN doc_id = 10 THEN tg/255.0
               |    WHEN doc_id = 11 THEN pb/255.0
+              |    WHEN doc_id = 15 THEN (0.299*wmr + 0.587*wmg + 0.114*wmb)/255.0
               |    ELSE sqrt(CAST(sm[1]*sm[1]+sm[2]*sm[2]+sm[3]*sm[3]+sm[4]*sm[4] AS DOUBLE)/4)/32768.0
               |  END AS REAL) AS DOUBLE) AS f0,
               |  CAST(CAST(CASE WHEN doc_id = 1 THEN mr/255.0
@@ -3781,6 +3821,7 @@ object TrainingOps {
               |    WHEN doc_id = 12 THEN CAST(list_max(list_transform(ps, x -> abs(x))) AS DOUBLE)/32768.0
               |    WHEN doc_id = 10 THEN tg/255.0
               |    WHEN doc_id = 11 THEN pb/255.0
+              |    WHEN doc_id = 15 THEN wmr/255.0
               |    ELSE CAST(list_max(list_transform(sm, x -> abs(x))) AS DOUBLE)/32768.0
               |  END AS REAL) AS DOUBLE) AS f1,
               |  CAST(CAST(CASE WHEN doc_id = 1 THEN mg/255.0
@@ -3789,6 +3830,7 @@ object TrainingOps {
               |    WHEN doc_id = 6 THEN gmg/255.0
               |    WHEN doc_id = 10 THEN tg/255.0
               |    WHEN doc_id = 11 THEN pb/255.0
+              |    WHEN doc_id = 15 THEN wmg/255.0
               |    ELSE CAST((h*3) % 1000 - 500 AS DOUBLE)/1000.0
               |  END AS REAL) AS DOUBLE) AS f2,
               |  CAST(CAST(CASE WHEN doc_id = 1 THEN mb/255.0
@@ -3797,9 +3839,10 @@ object TrainingOps {
               |    WHEN doc_id = 6 THEN gmb/255.0
               |    WHEN doc_id = 10 THEN tg/255.0
               |    WHEN doc_id = 11 THEN pb/255.0
+              |    WHEN doc_id = 15 THEN wmb/255.0
               |    ELSE CAST((h*4) % 1000 - 500 AS DOUBLE)/1000.0
               |  END AS REAL) AS DOUBLE) AS f3
-              |FROM m LEFT JOIN g USING (doc_id) LEFT JOIN g7 USING (doc_id) LEFT JOIN p24 USING (doc_id) CROSS JOIN ads""".stripMargin)),
+              |FROM m LEFT JOIN g USING (doc_id) LEFT JOIN g7 USING (doc_id) LEFT JOIN p24 USING (doc_id) LEFT JOIN wl USING (doc_id) CROSS JOIN ads""".stripMargin)),
 
     // ---- multimodal: resize planning (aspect-preserving fit into a
     //      224×224 box, pure integer arithmetic) ----
