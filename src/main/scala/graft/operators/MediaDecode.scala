@@ -976,4 +976,39 @@ object MediaDecode {
   def peak(samples: Array[Short]): Double =
     if (samples.isEmpty) 0.0
     else samples.iterator.map(s => math.abs(s.toInt)).max / 32768.0
+
+  /** One audio analysis window: INTEGER features only — sample count,
+    * zero-crossing count (negative↔non-negative flips between
+    * consecutive samples within the window), sum of squares, and peak
+    * magnitude. RMS/peak floats derive downstream from these exact
+    * integers, so an offline SQL engine can replay every value. */
+  final case class AudioWindow(winIdx: Int, nSamples: Int, zcr: Int,
+                               sumSq: Long, peakAbs: Int)
+
+  /** Fixed-size windowing (hop = size; the last window may be
+    * shorter). Empty input → no windows. */
+  def windowFeatures(samples: Array[Short], win: Int): Seq[AudioWindow] = {
+    require(win > 0, "window size must be positive")
+    val out = scala.collection.mutable.ArrayBuffer[AudioWindow]()
+    var start = 0
+    var idx = 0
+    while (start < samples.length) {
+      val end = math.min(start + win, samples.length)
+      var zcr = 0
+      var sumSq = 0L
+      var peakAbs = 0
+      var i = start
+      while (i < end) {
+        val v = samples(i).toInt
+        sumSq += v.toLong * v
+        if (math.abs(v) > peakAbs) peakAbs = math.abs(v)
+        if (i > start && ((v < 0) != (samples(i - 1) < 0))) zcr += 1
+        i += 1
+      }
+      out += AudioWindow(idx, end - start, zcr, sumSq, peakAbs)
+      start += win
+      idx += 1
+    }
+    out.toSeq
+  }
 }

@@ -230,4 +230,31 @@ object Multimodal {
       }
     }
   }
+
+  /** One windowed-audio-feature row: integer features straight from
+    * [[MediaDecode.windowFeatures]] (floats derive downstream). */
+  final case class AudioWindowRow(doc_id: Long, win_idx: Int, n_samples: Int,
+                                  zcr: Int, sum_sq: Long, peak_abs: Int)
+
+  /** Windowed audio features over DECODED samples (WAV PCM/ADPCM/
+    * G.711, FLAC — whatever [[MediaDecode.audioSamples]] handles);
+    * undecodable content yields no rows. Narrow map-only plan: one
+    * pass per partition, no shuffle, output fan-out bounded by
+    * samples/`win` — at 100 TB the cost profile is the scan itself.
+    */
+  def audioWindows(media: org.apache.spark.sql.Dataset[MediaRow],
+                   win: Int): org.apache.spark.sql.Dataset[AudioWindowRow] = {
+    implicit val enc: org.apache.spark.sql.Encoder[AudioWindowRow] =
+      org.apache.spark.sql.Encoders.product[AudioWindowRow]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        (try MediaDecode.audioSamples(r.content)
+         catch { case scala.util.control.NonFatal(_) => None }) match {
+          case Some(pcm) => MediaDecode.windowFeatures(pcm, win).iterator.map(w =>
+            AudioWindowRow(r.doc_id, w.winIdx, w.nSamples, w.zcr, w.sumSq, w.peakAbs))
+          case None => Iterator.empty
+        }
+      }
+    }
+  }
 }

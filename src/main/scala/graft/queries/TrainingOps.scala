@@ -3844,6 +3844,111 @@ object TrainingOps {
               |  END AS REAL) AS DOUBLE) AS f3
               |FROM m LEFT JOIN g USING (doc_id) LEFT JOIN g7 USING (doc_id) LEFT JOIN p24 USING (doc_id) LEFT JOIN wl USING (doc_id) CROSS JOIN ads""".stripMargin)),
 
+    // ---- multimodal: WINDOWED audio features over DECODED samples
+    //      (per-window RMS / zero-crossing-rate / peak — the step
+    //      that turns verified sample decode into curation signal).
+    //      Corpus side: a WAV container is synthesized around the
+    //      first 66 UTF-8 bytes of each document (constant header, so
+    //      the oracle knows every offset), decoded through the REAL
+    //      wavPcm16 path, and windowed at 4 samples — 33 samples per
+    //      doc, so window 8 exercises the PARTIAL-window tail at
+    //      corpus scale. Fixture side: five signed-sample streams
+    //      (PCM16, FLAC verbatim, G.711 μ/A-law, 24-bit EXTENSIBLE)
+    //      give real zero crossings (ASCII-derived PCM is all
+    //      positive). The oracle re-derives every sample from the
+    //      same bytes: corpus samples as LE s16 pairs of the text
+    //      bytes, fixture samples via the same byte-level replays
+    //      mm_pixel_stats pins. Plan: narrow map-only decode
+    //      (mapPartitions), no shuffle — at 100 TB the cost is the
+    //      scan itself. ----
+    "mm_audio_features" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.Encoder
+        implicit val mediaEnc: Encoder[Multimodal.MediaRow] =
+          org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+        // mono 8 kHz PCM16 WAV header for a 66-byte data chunk
+        val hdr = "52494646" + "66000000" + "57415645" +
+          "666D7420" + "10000000" + "0100" + "0100" + "401F0000" + "803E0000" +
+          "0200" + "1000" + "64617461" + "42000000"
+        val corpus = Tables(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("tb"))
+          .where(length(col("tb")) >= 66)
+          .select(col("doc_id"), lit("audio").as("kind"),
+            concat(unhex(lit(hdr)), substring(col("tb"), 1, 66)).as("content"))
+        val fixtures = s.createDataFrame(
+            mmPixelFixtures.collect { case (id, "audio", hx) if id != 5L => (1000000L + id, hx) })
+          .toDF("doc_id", "hx")
+          .select(col("doc_id"), lit("audio").as("kind"), unhex(col("hx")).as("content"))
+        Multimodal.audioWindows(corpus.unionByName(fixtures).as[Multimodal.MediaRow], 4)
+          .toDF()
+          .select(col("doc_id"),
+            col("win_idx").cast("long").as("win_idx"),
+            col("n_samples").cast("long").as("n_samples"),
+            col("zcr").cast("long").as("zcr"),
+            sqrt(col("sum_sq").cast("double") / col("n_samples")).divide(lit(32768.0)).as("rms"),
+            (col("peak_abs").cast("double") / 32768.0).as("peak"))
+      },
+      Some(s"""WITH cb AS (SELECT doc_id, substr(hex(encode(text)), 1, 132) AS hx
+              |  FROM documents WHERE octet_length(encode(text)) >= 66),
+              |fr(doc_id, hx) AS (VALUES
+              |  ${mmPixelFixtures.collect { case (id, "audio", hx) if id != 5L => s"(${1000000L + id}, '$hx')" }.mkString(",\n  ")}),
+              |bt AS (SELECT doc_id, hx, octet_length(unhex(hx)) AS n,
+              |  list_transform(range(0, octet_length(unhex(hx))), k ->
+              |    (strpos('0123456789ABCDEF', upper(substr(hx, 1 + 2*k, 1))) - 1) * 16
+              |    + (strpos('0123456789ABCDEF', upper(substr(hx, 2 + 2*k, 1))) - 1)) AS bb
+              |  FROM (SELECT doc_id, hx FROM cb UNION ALL SELECT doc_id, hx FROM fr)),
+              |-- corpus: 33 LE s16 samples straight from the text bytes
+              |-- (the synthesized WAV's data chunk IS those bytes);
+              |-- fixtures: the same byte-level replays mm_pixel_stats
+              |-- pins (PCM16 LE at 45-52, FLAC verbatim BE at 51-58,
+              |-- G.711 closed-form expand at 47-50, s24 high bits at
+              |-- 69-80)
+              |sm AS (SELECT doc_id,
+              |  CASE WHEN doc_id < 1000000 THEN
+              |    list_transform(range(0, 33), j ->
+              |      bb[1+2*j] + bb[2+2*j]*256
+              |      - CASE WHEN bb[2+2*j] >= 128 THEN 65536 ELSE 0 END)
+              |  WHEN doc_id = 1000002 THEN
+              |    list_transform(range(0, 4), j ->
+              |      bb[45+2*j] + bb[46+2*j]*256
+              |      - CASE WHEN bb[46+2*j] >= 128 THEN 65536 ELSE 0 END)
+              |  WHEN doc_id = 1000007 THEN
+              |    list_transform(range(0, 4), j ->
+              |      bb[51+2*j]*256 + bb[52+2*j]
+              |      - CASE WHEN bb[51+2*j] >= 128 THEN 65536 ELSE 0 END)
+              |  WHEN doc_id = 1000008 THEN
+              |    list_transform(range(0, 4), j ->
+              |      CASE WHEN 255 - bb[47+j] >= 128
+              |        THEN 132 - (((255 - bb[47+j]) % 16) * 8 + 132)
+              |               * (1 << (((255 - bb[47+j]) // 16) % 8))
+              |        ELSE (((255 - bb[47+j]) % 16) * 8 + 132)
+              |               * (1 << (((255 - bb[47+j]) // 16) % 8)) - 132 END)
+              |  WHEN doc_id = 1000009 THEN
+              |    list_transform(range(0, 4), j ->
+              |      CASE WHEN xor(bb[47+j], 85) >= 128 THEN 1 ELSE -1 END *
+              |      CASE WHEN (xor(bb[47+j], 85) // 16) % 8 = 0
+              |        THEN (xor(bb[47+j], 85) % 16) * 16 + 8
+              |        ELSE ((xor(bb[47+j], 85) % 16) * 16 + 264)
+              |               * (1 << ((xor(bb[47+j], 85) // 16) % 8 - 1)) END)
+              |  ELSE
+              |    list_transform(range(0, 4), j ->
+              |      (bb[69+3*j] + bb[70+3*j]*256 + bb[71+3*j]*65536) // 256
+              |      - CASE WHEN bb[71+3*j] >= 128 THEN 65536 ELSE 0 END)
+              |  END AS s
+              |  FROM bt),
+              |w AS (SELECT doc_id, k AS win_idx,
+              |    s[(4*k+1):least(4*k+4, len(s))] AS ws
+              |  FROM sm, range(0, 9) t(k)
+              |  WHERE 4*k < len(s))
+              |SELECT doc_id,
+              |  CAST(win_idx AS BIGINT) AS win_idx,
+              |  CAST(len(ws) AS BIGINT) AS n_samples,
+              |  CAST(coalesce(list_sum(list_transform(range(1, len(ws)), i ->
+              |    CASE WHEN (ws[i] < 0) != (ws[i+1] < 0) THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zcr,
+              |  sqrt(list_sum(list_transform(ws, x -> CAST(x AS DOUBLE)*x)) / len(ws)) / 32768.0 AS rms,
+              |  CAST(list_max(list_transform(ws, x -> abs(x))) AS DOUBLE) / 32768.0 AS peak
+              |FROM w""".stripMargin)),
+
     // ---- multimodal: resize planning (aspect-preserving fit into a
     //      224×224 box, pure integer arithmetic) ----
     "mm_resize" -> Q(

@@ -784,4 +784,28 @@ class MediaDecodeSpec extends AnyFunSuite {
     assert(out.width == 8 && out.height == 8)
     assert(math.abs(out.features(0) - 138f / 255f) < 1e-6)
   }
+
+  test("windowFeatures: exact integers, partial tail, zcr convention") {
+    import MediaDecode.{AudioWindow, windowFeatures}
+    // 9 samples, window 4 → two full windows + a 1-sample tail
+    val pcm = Array[Short](1000, -2000, 3000, -32768, 0, -1, 1, 5, -5)
+    val w = windowFeatures(pcm, 4)
+    assert(w == Seq(
+      // zcr counts negative↔non-negative flips WITHIN the window only
+      AudioWindow(0, 4, 3, 1000L * 1000 + 2000L * 2000 + 3000L * 3000 + 32768L * 32768, 32768),
+      // 0 is non-negative: 0→-1 flips, -1→1 flips, 1→5 doesn't
+      AudioWindow(1, 4, 2, 1L + 1 + 25, 5),
+      AudioWindow(2, 1, 0, 25L, 5)))
+    // empty input → no windows; window == length → one window
+    assert(windowFeatures(Array.empty[Short], 4).isEmpty)
+    assert(windowFeatures(Array[Short](7, -7), 2) ==
+      Seq(AudioWindow(0, 2, 1, 98L, 7)))
+  }
+
+  test("audioWindows: cross-window sign changes do NOT count as crossings") {
+    // window boundary between -1 | 1: each window sees no flip
+    val pcm = Array[Short](-2, -1, 1, 2)
+    val w = MediaDecode.windowFeatures(pcm, 2)
+    assert(w.map(_.zcr) == Seq(0, 0))
+  }
 }

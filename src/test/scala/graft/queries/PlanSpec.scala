@@ -221,6 +221,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), s"expected explode of chunk starts:\n$p")
   }
 
+  test("mm_audio_features: decode + window is map-only — zero exchanges") {
+    val p = plan("mm_audio_features")
+    assert(!p.contains("Exchange"), s"windowed audio decode must not shuffle:\n$p")
+  }
+
   test("ta_pack: prefix sum is bucket-partitioned, never a single-partition window") {
     val p = plan("ta_pack")
     assert(!p.contains("SinglePartition"), s"global single-reducer window:\n$p")
