@@ -1,0 +1,130 @@
+package graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-decade extension of [[ScaleProbe]]: the curvature claims in
+  * SCALING.md were measured up to 8× the sf0.1 corpus (40k docs); this
+  * probe pushes the CAPPED families one more decade — 64× (320k docs,
+  * ~sf1 territory) for the text operators and 1M vectors for the ANN
+  * build — where an un-capped quadratic would be minutes-to-hours and
+  * the caps must visibly bind instead.
+  *
+  * Corpora are generated in-process, seeded and deterministic (no
+  * rand()): the driver's sf0.1 documents replicated with per-replica
+  * word salting (constant organic dup rate) plus the 10% shared
+  * boilerplate that makes caps bind, exactly the ScaleProbe massdup
+  * recipe; embeddings are the same id-hashed synthetic family with a
+  * 10% boilerplate direction.
+  *
+  * `runMain graft.ScaleDecade /root/testdata/sf0.1` — a measurement
+  * tool, not part of the driver contract.
+  */
+object ScaleDecade {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    def time(f: => Long): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    /** warm + best-of-2 (tightest bound on the true cost). */
+    def best(f: => Long): (Double, Long) = {
+      var n = 0L
+      time { n = f; n }
+      (math.min(time(f), time(f)), n)
+    }
+
+    val base = spark.read.parquet(s"${args(0)}/documents.parquet")
+      .select("doc_id", "text")
+    val boiler = ("breaking news subscribe to our newsletter all rights reserved " * 6).trim
+    def corpus(mult: Int): DataFrame =
+      (0 until mult).map(i => base.select(
+          (col("doc_id") + lit(i * 100000000L)).as("doc_id"),
+          when(pmod(col("doc_id"), lit(10)) === 0, lit(boiler))
+            .otherwise(concat(col("text"), lit(" r" + i))).as("text")))
+        .reduce(_ union _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(true)
+    def syntheticEmb(n: Long): DataFrame = spark.range(n).select(
+        col("id").as("vec_id"),
+        when(pmod(col("id"), lit(10)) === 0,
+          expr("transform(sequence(0, 15), j -> CAST(1.0 + j AS FLOAT))"))
+          .otherwise(expr(
+            "transform(sequence(0, 15), j -> CAST(((id * 31 + j * 7919) % 1000 - 500) / 500.0 AS FLOAT))"))
+          .as("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint(true)
+
+    // fixed probe set: one per 1000 base docs, never grows with mult
+    val queries = base.filter(pmod(col("doc_id"), lit(1000L)) === 0)
+      .localCheckpoint(true)
+
+    for (m <- Seq(1, 8, 64)) {
+      val d = corpus(m)
+      val nDocs = d.count()
+      val (lsh, lshN) = best(operators.Dedup.minhashLshCandidates(
+        d, "doc_id", "text", n = 3, k = 8, bands = 2, maxBandOccupancy = 1000L).count())
+      val (spans, spansN) = best(operators.Dedup.repeatedSpans(
+        d, "doc_id", "text", n = 5, minDocs = 2L).count())
+      // fixed df cap: on this corpus's 31-word vocabulary every term
+      // outgrows 1000 docs past ~8x, so the cap drops ALL postings —
+      // cost must stay near-flat (the cap binding completely); the
+      // corpus-scaled cap (the honest sizing rule: df cap ∝ corpus)
+      // keeps output flowing and must stay linear
+      val (bm25, bm25N) = best(operators.TextSim.bm25TopK(
+        d, "doc_id", "text", queries, "doc_id", "text",
+        k = 10, maxTermDocs = 1000L).count())
+      val (bm25S, bm25SN) = best(operators.TextSim.bm25TopK(
+        d, "doc_id", "text", queries, "doc_id", "text",
+        k = 10, maxTermDocs = 1000L * m).count())
+      println(f"[decade] text ${m}%2dx docs=$nDocs%7d " +
+        f"lsh_capped=$lsh%7.2f s ($lshN%9d pairs) " +
+        f"spans=$spans%7.2f s ($spansN%9d rows) " +
+        f"bm25_cap1k=$bm25%7.2f s ($bm25N%7d rows) " +
+        f"bm25_capScaled=$bm25S%7.2f s ($bm25SN%7d rows)")
+      d.unpersist()
+    }
+
+    for (n <- Seq(2000L, 16000L, 128000L)) {
+      val e = syntheticEmb(n)
+      // fixed nList=16: past ~16k vectors EVERY list outgrows the
+      // occupancy cap and is excluded (0 pairs, flat cost — the guard
+      // binding completely); the paper's sizing rule nList ∝ corpus
+      // keeps list occupancy constant, so pair work grows linearly
+      val (sem, semN) = best(operators.Dedup.semanticPairs(
+        e, "vec_id", "embedding", eps = 0.8, nList = 16, maxListOccupancy = 1000L).count())
+      val nlScaled = (16L * n / 2000L).toInt
+      val (semS, semSN) = best(operators.Dedup.semanticPairs(
+        e, "vec_id", "embedding", eps = 0.8, nList = nlScaled,
+        maxListOccupancy = 1000L).count())
+      println(f"[decade] semdedup n=$n%7d capped@1000/nList16=$sem%7.2f s ($semN%9d pairs) " +
+        f"nList=$nlScaled%5d=$semS%7.2f s ($semSN%9d pairs)")
+      e.unpersist()
+    }
+
+    // IVF build + self-serve at 16k → 128k → 1M vectors: the bounded
+    // 100k training sample must hold the BUILD near-flat past 128k
+    // while assignment/serving stays linear
+    for (n <- Seq(16000L, 128000L, 1000000L)) {
+      val e = syntheticEmb(n)
+      val probes = e.filter(pmod(col("vec_id"), lit(100L)) === 0).limit(1000)
+        .localCheckpoint(true)
+      val tBuild = {
+        val t0 = System.nanoTime()
+        operators.Similarity.ivfCentroids(e, "vec_id", "embedding", nList = 64, iters = 2)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val (serve, served) = best(operators.Similarity.ivfJoin(
+        probes, e, "vec_id", "embedding", k = 10, nList = 64, nProbe = 8).count())
+      println(f"[decade] ivf n=$n%8d build=$tBuild%7.2f s serve(1k probes)=$serve%7.2f s ($served%7d rows)")
+      e.unpersist(); probes.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -977,6 +977,58 @@ object MediaDecode {
     if (samples.isEmpty) 0.0
     else samples.iterator.map(s => math.abs(s.toInt)).max / 32768.0
 
+  /** One image analysis tile: INTEGER features only — pixel count,
+    * per-channel sums, sum of squares and min/max of the G plane
+    * (the contrast/blank-region signals). Mean/variance/range floats
+    * derive downstream from these exact integers, so an offline SQL
+    * engine can replay every value. Sub-3-channel images reuse the
+    * gray plane for all three sums (the [[graft.operators.Multimodal]]
+    * color-slot convention). */
+  final case class ImageTile(tileX: Int, tileY: Int, nPx: Int,
+                             sumR: Long, sumG: Long, sumB: Long,
+                             sumSqG: Long, minG: Int, maxG: Int)
+
+  /** Fixed-size tiling of a decoded image (edge tiles may be
+    * smaller). Tiles scan row-major over the tile grid. */
+  def tileFeatures(px: PixelImage, tile: Int): Seq[ImageTile] = {
+    require(tile > 0, "tile size must be positive")
+    val (gi, bi) = if (px.channels >= 3) (1, 2) else (0, 0)
+    val tilesX = (px.width + tile - 1) / tile
+    val tilesY = (px.height + tile - 1) / tile
+    val out = new scala.collection.mutable.ArrayBuffer[ImageTile](tilesX * tilesY)
+    var ty = 0
+    while (ty < tilesY) {
+      var tx = 0
+      while (tx < tilesX) {
+        val x1 = math.min((tx + 1) * tile, px.width)
+        val y1 = math.min((ty + 1) * tile, px.height)
+        var sumR = 0L; var sumG = 0L; var sumB = 0L; var sumSqG = 0L
+        var minG = 255; var maxG = 0
+        var y = ty * tile
+        while (y < y1) {
+          var x = tx * tile
+          while (x < x1) {
+            val base = (y * px.width + x) * px.channels
+            val r = px.data(base) & 0xff
+            val g = px.data(base + gi) & 0xff
+            val b = px.data(base + bi) & 0xff
+            sumR += r; sumG += g; sumB += b
+            sumSqG += g.toLong * g
+            if (g < minG) minG = g
+            if (g > maxG) maxG = g
+            x += 1
+          }
+          y += 1
+        }
+        val n = (x1 - tx * tile) * (y1 - ty * tile)
+        out += ImageTile(tx, ty, n, sumR, sumG, sumB, sumSqG, minG, maxG)
+        tx += 1
+      }
+      ty += 1
+    }
+    out.toSeq
+  }
+
   /** One audio analysis window: INTEGER features only — sample count,
     * zero-crossing count (negative↔non-negative flips between
     * consecutive samples within the window), sum of squares, and peak

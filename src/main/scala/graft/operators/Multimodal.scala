@@ -231,6 +231,33 @@ object Multimodal {
     }
   }
 
+  /** One image-tile-feature row: integer features straight from
+    * [[MediaDecode.tileFeatures]] (floats derive downstream). */
+  final case class ImageTileRow(doc_id: Long, tile_x: Int, tile_y: Int,
+                                n_px: Int, sum_r: Long, sum_g: Long, sum_b: Long,
+                                sum_sq_g: Long, min_g: Int, max_g: Int)
+
+  /** Per-tile image statistics over DECODED pixels (whatever
+    * [[MediaDecode.imagePixels]] handles); undecodable content yields
+    * no rows. Narrow map-only plan — the blur/blank-region curation
+    * signal at the cost of the scan itself. */
+  def imageTiles(media: org.apache.spark.sql.Dataset[MediaRow],
+                 tile: Int): org.apache.spark.sql.Dataset[ImageTileRow] = {
+    implicit val enc: org.apache.spark.sql.Encoder[ImageTileRow] =
+      org.apache.spark.sql.Encoders.product[ImageTileRow]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        (try MediaDecode.imagePixels(r.content)
+         catch { case scala.util.control.NonFatal(_) => None }) match {
+          case Some(px) => MediaDecode.tileFeatures(px, tile).iterator.map(t =>
+            ImageTileRow(r.doc_id, t.tileX, t.tileY, t.nPx,
+              t.sumR, t.sumG, t.sumB, t.sumSqG, t.minG, t.maxG))
+          case None => Iterator.empty
+        }
+      }
+    }
+  }
+
   /** One windowed-audio-feature row: integer features straight from
     * [[MediaDecode.windowFeatures]] (floats derive downstream). */
   final case class AudioWindowRow(doc_id: Long, win_idx: Int, n_samples: Int,

@@ -3949,6 +3949,123 @@ object TrainingOps {
               |  CAST(list_max(list_transform(ws, x -> abs(x))) AS DOUBLE) / 32768.0 AS peak
               |FROM w""".stripMargin)),
 
+    // ---- multimodal: per-TILE image statistics over DECODED pixels
+    //      (mean R/G/B, G-plane variance and range — the blur /
+    //      blank-region curation signal). Corpus side: an 8×8 24 bpp
+    //      BMP is synthesized around the first 192 UTF-8 bytes of
+    //      each document (constant header; stride 24 needs no pad),
+    //      decoded through the REAL bmpPixels path (bottom-up rows,
+    //      BGR order), and tiled at 4×4. Fixture side: the BMP, GIF
+    //      and VP8L 2×2 fixtures exercise the partial-tile path and
+    //      three decoder families. The oracle re-derives every pixel
+    //      from the same bytes (corpus: text bytes at closed-form
+    //      bottom-up offsets; fixtures: the byte-level replays
+    //      mm_pixel_stats pins). Plan: narrow map-only decode, no
+    //      shuffle. ----
+    "mm_image_tiles" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.Encoder
+        implicit val mediaEnc: Encoder[Multimodal.MediaRow] =
+          org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+        // 8×8 24 bpp bottom-up BMP header for a 192-byte pixel array
+        val hdr = "424D" + "F6000000" + "00000000" + "36000000" +
+          "28000000" + "08000000" + "08000000" + "0100" + "1800" + "00000000" +
+          "C0000000" + "00000000" + "00000000" + "00000000" + "00000000"
+        val corpus = Tables(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("tb"))
+          .where(length(col("tb")) >= 192)
+          .select(col("doc_id"), lit("image").as("kind"),
+            concat(unhex(lit(hdr)), substring(col("tb"), 1, 192)).as("content"))
+        val fixtures = s.createDataFrame(
+            mmPixelFixtures.collect { case (id, "image", hx) if Set(1L, 6L, 15L)(id) => (1000000L + id, hx) })
+          .toDF("doc_id", "hx")
+          .select(col("doc_id"), lit("image").as("kind"), unhex(col("hx")).as("content"))
+        Multimodal.imageTiles(corpus.unionByName(fixtures).as[Multimodal.MediaRow], 4)
+          .toDF()
+          .select(col("doc_id"),
+            col("tile_x").cast("long").as("tile_x"),
+            col("tile_y").cast("long").as("tile_y"),
+            col("n_px").cast("long").as("n_px"),
+            (col("sum_r").cast("double") / col("n_px")).as("mean_r"),
+            (col("sum_g").cast("double") / col("n_px")).as("mean_g"),
+            (col("sum_b").cast("double") / col("n_px")).as("mean_b"),
+            ((col("sum_sq_g").cast("double") / col("n_px"))
+              - (col("sum_g").cast("double") / col("n_px"))
+                * (col("sum_g").cast("double") / col("n_px"))).as("var_g"),
+            (col("max_g") - col("min_g")).cast("long").as("range_g"))
+      },
+      Some(s"""WITH cb AS (SELECT doc_id, substr(hex(encode(text)), 1, 384) AS hx
+              |  FROM documents WHERE octet_length(encode(text)) >= 192),
+              |ct AS (SELECT doc_id,
+              |  list_transform(range(0, 192), k ->
+              |    (strpos('0123456789ABCDEF', upper(substr(hx, 1 + 2*k, 1))) - 1) * 16
+              |    + (strpos('0123456789ABCDEF', upper(substr(hx, 2 + 2*k, 1))) - 1)) AS tb
+              |  FROM cb),
+              |-- the synthesized BMP's pixel array IS the text bytes:
+              |-- bottom-up rows of BGR triples, so decoded pixel (x,y)
+              |-- reads payload offset (7-y)*24 + 3x (+2 for R, +1 for G)
+              |tiles AS (SELECT doc_id, tx, ty,
+              |  list_transform(range(0, 16), i ->
+              |    tb[(7 - (4*ty + i//4))*24 + 3*(4*tx + i%4) + 3]) AS rs,
+              |  list_transform(range(0, 16), i ->
+              |    tb[(7 - (4*ty + i//4))*24 + 3*(4*tx + i%4) + 2]) AS gs,
+              |  list_transform(range(0, 16), i ->
+              |    tb[(7 - (4*ty + i//4))*24 + 3*(4*tx + i%4) + 1]) AS bs
+              |  FROM ct, range(0, 2) a(tx), range(0, 2) c(ty)),
+              |fr(doc_id, hx) AS (VALUES
+              |  ${mmPixelFixtures.collect { case (id, "image", hx) if Set(1L, 6L, 15L)(id) => s"(${1000000L + id}, '$hx')" }.mkString(",\n  ")}),
+              |fbt AS (SELECT doc_id,
+              |  list_transform(range(0, octet_length(unhex(hx))), k ->
+              |    (strpos('0123456789ABCDEF', upper(substr(hx, 1 + 2*k, 1))) - 1) * 16
+              |    + (strpos('0123456789ABCDEF', upper(substr(hx, 2 + 2*k, 1))) - 1)) AS bb
+              |  FROM fr),
+              |fgif AS (SELECT doc_id, bb,
+              |  [(bb[38] // 8) % 8,
+              |   (bb[38] // 64) % 4 + (bb[39] % 2) * 4,
+              |   (bb[39] // 2) % 8,
+              |   (bb[39] // 16) % 16] AS gp
+              |  FROM fbt WHERE doc_id = 1000006),
+              |fw AS (SELECT doc_id,
+              |  bb[27] // 4 + (bb[28] % 4) * 64 AS ga,
+              |  bb[28] // 4 + (bb[29] % 4) * 64 AS gz,
+              |  bb[29] // 32 + (bb[30] % 32) * 8 AS rr,
+              |  bb[31] % 2 AS ba, bb[31] // 2 + (bb[32] % 2) * 128 AS bz,
+              |  [bb[34] % 2, (bb[34] // 4) % 2, (bb[34] // 16) % 2, (bb[34] // 64) % 2] AS gbit,
+              |  [(bb[34] // 2) % 2, (bb[34] // 8) % 2, (bb[34] // 32) % 2, (bb[34] // 128) % 2] AS bbit
+              |  FROM fbt WHERE doc_id = 1000015),
+              |ftiles AS (
+              |  SELECT doc_id, 0 AS tx, 0 AS ty,
+              |    [bb[57], bb[60], bb[65], bb[68]] AS rs,
+              |    [bb[56], bb[59], bb[64], bb[67]] AS gs,
+              |    [bb[55], bb[58], bb[63], bb[66]] AS bs
+              |  FROM fbt WHERE doc_id = 1000001
+              |  UNION ALL
+              |  SELECT doc_id, 0, 0,
+              |    list_transform(gp, c -> bb[14 + 3*c]),
+              |    list_transform(gp, c -> bb[15 + 3*c]),
+              |    list_transform(gp, c -> bb[16 + 3*c])
+              |  FROM fgif
+              |  UNION ALL
+              |  SELECT doc_id, 0, 0,
+              |    [rr, rr, rr, rr],
+              |    list_transform(gbit, t -> ga + (gz - ga) * t),
+              |    list_transform(bbit, t -> ba + (bz - ba) * t)
+              |  FROM fw),
+              |allt AS (SELECT doc_id, tx, ty, rs, gs, bs FROM tiles
+              |         UNION ALL SELECT doc_id, tx, ty, rs, gs, bs FROM ftiles)
+              |SELECT doc_id,
+              |  CAST(tx AS BIGINT) AS tile_x,
+              |  CAST(ty AS BIGINT) AS tile_y,
+              |  CAST(len(rs) AS BIGINT) AS n_px,
+              |  CAST(list_sum(rs) AS DOUBLE) / len(rs) AS mean_r,
+              |  CAST(list_sum(gs) AS DOUBLE) / len(gs) AS mean_g,
+              |  CAST(list_sum(bs) AS DOUBLE) / len(bs) AS mean_b,
+              |  CAST(list_sum(list_transform(gs, x -> x * x)) AS DOUBLE) / len(gs)
+              |    - (CAST(list_sum(gs) AS DOUBLE) / len(gs))
+              |      * (CAST(list_sum(gs) AS DOUBLE) / len(gs)) AS var_g,
+              |  CAST(list_max(gs) - list_min(gs) AS BIGINT) AS range_g
+              |FROM allt""".stripMargin)),
+
     // ---- multimodal: resize planning (aspect-preserving fit into a
     //      224×224 box, pure integer arithmetic) ----
     "mm_resize" -> Q(

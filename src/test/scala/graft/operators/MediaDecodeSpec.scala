@@ -808,4 +808,31 @@ class MediaDecodeSpec extends AnyFunSuite {
     val w = MediaDecode.windowFeatures(pcm, 2)
     assert(w.map(_.zcr) == Seq(0, 0))
   }
+
+  test("tileFeatures: exact integers, edge tiles, channel conventions") {
+    import MediaDecode.{ImageTile, PixelImage, tileFeatures}
+    // 3×3 RGB, tile 2 → 2×2 grid with 1-wide/1-tall edge tiles;
+    // pixel (x,y) = (x*10, y*10 + x, 100 + x + y)
+    val data = new Array[Byte](27)
+    for (y <- 0 until 3; x <- 0 until 3) {
+      val b = (y * 3 + x) * 3
+      data(b) = (x * 10).toByte; data(b + 1) = (y * 10 + x).toByte
+      data(b + 2) = (100 + x + y).toByte
+    }
+    val t = tileFeatures(PixelImage(3, 3, 3, data), 2)
+    assert(t.map(x => (x.tileX, x.tileY, x.nPx)) ==
+      Seq((0, 0, 4), (1, 0, 2), (0, 1, 2), (1, 1, 1)))
+    // tile (0,0): pixels (0,0) (1,0) (0,1) (1,1): g = 0, 1, 10, 11
+    val t00 = t.head
+    assert(t00.sumG == 22 && t00.sumSqG == 0 + 1 + 100 + 121)
+    assert(t00.minG == 0 && t00.maxG == 11)
+    assert(t00.sumR == 0 + 10 + 0 + 10)
+    // tile (1,1): single pixel (2,2): r=20, g=22, b=104
+    val t11 = t.last
+    assert(t11.nPx == 1 && t11.sumR == 20 && t11.sumG == 22 && t11.sumB == 104)
+    assert(t11.sumSqG == 22L * 22 && t11.minG == 22 && t11.maxG == 22)
+    // gray image (1 channel): all three sums read the gray plane
+    val gray = tileFeatures(PixelImage(2, 1, 1, Array[Byte](5, 9)), 4)
+    assert(gray == Seq(ImageTile(0, 0, 2, 14, 14, 14, 25 + 81, 5, 9)))
+  }
 }

@@ -98,6 +98,39 @@ class MultimodalDecodeSpec extends SparkSpec {
       .collect().map(key).toSet
     assert(streamed == batch && streamed.size == 3)
   }
+
+  test("audioWindows and imageTiles drive as readStream transforms (stream equals batch)") {
+    import spark.implicits._
+    def hex(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // the mm_pixel_stats PCM16 WAV (4 samples) and 24bpp BMP fixtures
+    val rows = Seq(
+      MediaRow(1L, "audio", hex("52494646" + "2C000000" + "57415645" +
+        "666D7420" + "10000000" + "0100" + "0100" + "401F0000" + "803E0000" + "0200" + "1000" +
+        "64617461" + "08000000" + "E803" + "30F8" + "B80B" + "0080")),
+      MediaRow(2L, "image", hex("424D" + "46000000" + "00000000" + "36000000" +
+        "28000000" + "02000000" + "02000000" + "0100" + "1800" + "00000000" +
+        "10000000" + "00000000" + "00000000" + "00000000" + "00000000" +
+        "FF0000" + "3264C8" + "0000" + "0000FF" + "00FF00" + "0000")),
+      MediaRow(3L, "image", "not media".getBytes)) // undecodable → no rows
+    val dir = java.nio.file.Files.createTempDirectory("graft-mm-win-stream").toString
+    rows.toDS().write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(rows.toDS().schema).parquet(s"$dir/in").as[MediaRow]
+    val qa = audioWindows(stream, 3)
+      .writeStream.format("memory").queryName("mm_aw_stream").outputMode("append").start()
+    try qa.processAllAvailable() finally qa.stop()
+    val qi = imageTiles(stream, 4)
+      .writeStream.format("memory").queryName("mm_it_stream").outputMode("append").start()
+    try qi.processAllAvailable() finally qi.stop()
+    val aw = spark.table("mm_aw_stream").as[AudioWindowRow].collect().toSet
+    val it = spark.table("mm_it_stream").as[ImageTileRow].collect().toSet
+    assert(aw == audioWindows(rows.toDS(), 3).collect().toSet && aw.size == 2)
+    assert(it == imageTiles(rows.toDS(), 4).collect().toSet && it.size == 1)
+    // window math spot-check: samples 1000,-2000,3000 | -32768
+    val w0 = aw.find(_.win_idx == 0).get
+    assert(w0.zcr == 2 && w0.sum_sq == 1000L * 1000 + 2000L * 2000 + 3000L * 3000)
+    assert(aw.find(_.win_idx == 1).get.n_samples == 1)
+  }
 }
 
 object MultimodalDecodeSpec {

@@ -226,6 +226,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"windowed audio decode must not shuffle:\n$p")
   }
 
+  test("mm_image_tiles: decode + tile is map-only — zero exchanges") {
+    val p = plan("mm_image_tiles")
+    assert(!p.contains("Exchange"), s"tiled image decode must not shuffle:\n$p")
+  }
+
   test("ta_pack: prefix sum is bucket-partitioned, never a single-partition window") {
     val p = plan("ta_pack")
     assert(!p.contains("SinglePartition"), s"global single-reducer window:\n$p")
