@@ -415,6 +415,23 @@ object Dedup {
       Hashing.simhash63Block, maxHamming)
   }
 
+  /** Near-dup pairs over a PRECOMPUTED 63-bit fingerprint column —
+    * the generic entry behind the simhash text family, exposed for
+    * other fingerprint producers (e.g. the image average-hash,
+    * [[graft.operators.MediaDecode.aHash63]]): identical-fingerprint
+    * collapse (star to the group minimum) + the lossless 16-bit
+    * 4-block join over DISTINCT fingerprints with the exact hamming
+    * filter. Fingerprints must be non-negative (63-bit). Returns
+    * (da, db, hamming) with the same linear-output contract as
+    * [[simhashPairs63Collapsed]]. */
+  def hammingPairs63(df: DataFrame, idCol: String, fpCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-block blocking is only lossless for hamming <= 3")
+    collapsedSimhashPairs(
+      df.select(col(idCol).as("doc"), col(fpCol).as("sh")),
+      Hashing.simhash63Block, maxHamming)
+  }
+
   /** Connected components over a near-dup pair list — the final stage
     * of every dedup pipeline: pairs → groups → one canonical id (the
     * minimum) per group.

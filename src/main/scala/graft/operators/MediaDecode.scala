@@ -1029,6 +1029,51 @@ object MediaDecode {
     out.toSeq
   }
 
+  /** 63-bit average-hash over the decoded image — the image near-dup
+    * fingerprint (the visual analog of the text simhash family): the
+    * image block-averages onto an 8×8 luma grid (integer luma
+    * 299R+587G+114B, no scaling — comparisons are scale-invariant)
+    * and bit i = cell i's floor-average luma strictly above the
+    * global floor-average, for the first 63 row-major cells (63 bits
+    * keep the value non-negative, matching the simhash63 block-join
+    * convention). All-integer floor arithmetic, so an offline SQL
+    * engine replays every bit. None when either dimension is below
+    * the 8-cell grid. */
+  def aHash63(px: PixelImage): Option[Long] = {
+    if (px.width < 8 || px.height < 8) return None
+    val (gi, bi) = if (px.channels >= 3) (1, 2) else (0, 0)
+    val cellSum = new Array[Long](64)
+    val cellN = new Array[Long](64)
+    var y = 0
+    while (y < px.height) {
+      val cy = y * 8 / px.height
+      var x = 0
+      while (x < px.width) {
+        val cx = x * 8 / px.width
+        val base = (y * px.width + x) * px.channels
+        val l = 299L * (px.data(base) & 0xff) +
+          587L * (px.data(base + gi) & 0xff) +
+          114L * (px.data(base + bi) & 0xff)
+        val c = cy * 8 + cx
+        cellSum(c) += l
+        cellN(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var total = 0L
+    var i = 0
+    while (i < 64) { total += cellSum(i); i += 1 }
+    val globalAvg = total / (px.width.toLong * px.height)
+    var hash = 0L
+    i = 0
+    while (i < 63) {
+      if (cellSum(i) / cellN(i) > globalAvg) hash |= 1L << i
+      i += 1
+    }
+    Some(hash)
+  }
+
   /** One audio analysis window: INTEGER features only — sample count,
     * zero-crossing count (negative↔non-negative flips between
     * consecutive samples within the window), sum of squares, and peak

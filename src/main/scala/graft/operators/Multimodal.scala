@@ -258,6 +258,25 @@ object Multimodal {
     }
   }
 
+  /** One image-fingerprint row ([[MediaDecode.aHash63]]). */
+  final case class ImageHashRow(doc_id: Long, ahash: Long)
+
+  /** 63-bit average-hash per decodable image (≥ 8×8) — feed into
+    * [[graft.operators.Dedup.hammingPairs63]] for image near-dup
+    * detection. Narrow map-only plan. */
+  def imageHashes(media: org.apache.spark.sql.Dataset[MediaRow]):
+      org.apache.spark.sql.Dataset[ImageHashRow] = {
+    implicit val enc: org.apache.spark.sql.Encoder[ImageHashRow] =
+      org.apache.spark.sql.Encoders.product[ImageHashRow]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        (try MediaDecode.imagePixels(r.content).flatMap(MediaDecode.aHash63)
+         catch { case scala.util.control.NonFatal(_) => None })
+          .map(h => ImageHashRow(r.doc_id, h)).iterator
+      }
+    }
+  }
+
   /** One windowed-audio-feature row: integer features straight from
     * [[MediaDecode.windowFeatures]] (floats derive downstream). */
   final case class AudioWindowRow(doc_id: Long, win_idx: Int, n_samples: Int,

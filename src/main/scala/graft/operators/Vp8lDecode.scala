@@ -33,22 +33,37 @@ import MediaDecode.PixelImage
   */
 object Vp8lDecode {
 
-  /** RGBA pixels from a WebP container holding a VP8L chunk (lossy
-    * VP8 and VP8X-wrapped content return None — only the lossless
-    * bitstream is spec-derivable). Accepts the simple container
-    * layout `RIFF....WEBPVP8L<size><0x2f stream>`.
+  /** RGBA pixels from a WebP container holding a VP8L chunk — either
+    * the simple layout `RIFF....WEBPVP8L<size><0x2f stream>` or the
+    * extended (VP8X) layout, where metadata chunks (ICCP/EXIF/XMP/
+    * ALPH…) precede the image chunk; the walk takes the first
+    * TOP-LEVEL `VP8L` (animated files nest their frames inside ANMF,
+    * so they correctly find none). Lossy `VP8 ` content returns None:
+    * a full hybrid-video-codec decoder (boolean coder, intra
+    * prediction, IDCT, loop filter) is out of proportion to
+    * curation value here — a scope decision, not a spec gap.
     */
   def vp8lPixels(b: Array[Byte]): Option[PixelImage] = {
     def u8(i: Int): Int = b(i) & 0xff
     def tag(i: Int, s: String): Boolean =
       i + s.length <= b.length && s.indices.forall(j => u8(i + j) == s.charAt(j))
-    if (b.length < 26 || !tag(0, "RIFF") || !tag(8, "WEBP") || !tag(12, "VP8L"))
-      return None
-    val chunkLen =
-      u8(16).toLong | (u8(17).toLong << 8) | (u8(18).toLong << 16) | (u8(19).toLong << 24)
-    if (chunkLen < 5 || 20L + chunkLen > b.length) return None
-    if (u8(20) != 0x2f) return None // VP8L signature byte
-    decodeStream(b, 21, (20 + chunkLen).toInt)
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    if (b.length < 26 || !tag(0, "RIFF") || !tag(8, "WEBP")) return None
+    val riffEnd = math.min(8L + le32(4), b.length.toLong)
+    // top-level chunk walk: tag(4) + size(4 LE) + payload padded to even
+    var at = 12L
+    while (at + 8 <= riffEnd) {
+      val size = le32(at.toInt + 4)
+      val payload = at + 8
+      if (size < 0 || payload + size > riffEnd) return None
+      if (tag(at.toInt, "VP8L")) {
+        if (size < 5 || u8(payload.toInt) != 0x2f) return None // VP8L signature byte
+        return decodeStream(b, payload.toInt + 1, (payload + size).toInt)
+      }
+      at = payload + size + (size & 1) // RIFF pads chunks to even
+    }
+    None
   }
 
   // ---- bit reader (LSB-first within bytes, like DEFLATE) -----------

@@ -303,6 +303,51 @@ object TrainingOps {
     * color-cache / meta-group paths are golden-pinned against the
     * independent system-libwebp encoder in Vp8lDecodeSpec instead).
     */
+  /** The mm_image_tiles BMP synthesis (8×8 24 bpp around each eligible
+    * document's first 192 UTF-8 bytes) plus a PERTURBED TWIN for every
+    * 7th doc (doc_id + 10⁹, first payload byte forced 0xFF — one
+    * corner pixel brightens, a genuine 1-3-bit fingerprint
+    * near-dup) — the shared image set of mm_image_phash /
+    * dd_image_neardup. */
+  private def synthHashImages(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+    implicit val enc: org.apache.spark.sql.Encoder[Multimodal.MediaRow] =
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+    val hdr = "424D" + "F6000000" + "00000000" + "36000000" +
+      "28000000" + "08000000" + "08000000" + "0100" + "1800" + "00000000" +
+      "C0000000" + "00000000" + "00000000" + "00000000" + "00000000"
+    val base = Tables(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("tb"))
+      .where(length(col("tb")) >= 192)
+    val orig = base.select(col("doc_id"), lit("image").as("kind"),
+      concat(unhex(lit(hdr)), substring(col("tb"), 1, 192)).as("content"))
+    val twin = base.where(pmod(col("doc_id"), lit(7L)) === 0)
+      .select((col("doc_id") + lit(1000000000L)).as("doc_id"), lit("image").as("kind"),
+        concat(unhex(lit(hdr + "FF")), substring(col("tb"), 2, 191)).as("content"))
+    orig.unionByName(twin).as[Multimodal.MediaRow]
+  }
+
+  /** Shared oracle CTEs replaying [[synthHashImages]] + aHash63 from
+    * the text bytes: `ah(doc_id, v)` holds every 63-bit fingerprint.
+    * All-integer floor arithmetic — bit i compares pixel i's luma
+    * (cells are 1:1 pixels on the 8×8 grid) against the global floor
+    * average, exactly [[graft.operators.MediaDecode.aHash63]]. */
+  private val imagePhashCtes: String =
+    """cb0 AS (SELECT doc_id, substr(hex(encode(text)), 1, 384) AS hx
+      |  FROM documents WHERE octet_length(encode(text)) >= 192),
+      |cb AS (SELECT doc_id, hx FROM cb0
+      |       UNION ALL
+      |       SELECT doc_id + 1000000000, 'FF' || substr(hx, 3) FROM cb0 WHERE doc_id % 7 = 0),
+      |ct AS (SELECT doc_id, list_transform(range(0, 192), k ->
+      |    (strpos('0123456789ABCDEF', upper(substr(hx, 1 + 2*k, 1))) - 1) * 16
+      |    + (strpos('0123456789ABCDEF', upper(substr(hx, 2 + 2*k, 1))) - 1)) AS tb FROM cb),
+      |ls AS (SELECT doc_id, list_transform(range(0, 64), i ->
+      |   299*tb[(7 - i//8)*24 + 3*(i%8) + 3] + 587*tb[(7 - i//8)*24 + 3*(i%8) + 2]
+      |   + 114*tb[(7 - i//8)*24 + 3*(i%8) + 1]) AS l FROM ct),
+      |ah AS (SELECT doc_id, CAST(COALESCE(list_sum(list_transform(range(0, 63), i ->
+      |   CASE WHEN l[i+1] > list_sum(l) // 64 THEN CAST(1 AS BIGINT) << i ELSE 0 END)), 0) AS BIGINT) AS v
+      |  FROM ls)""".stripMargin
+
   private lazy val mmPixelFixtures: Seq[(Long, String, String)] = Seq(
     (1L, "image", // BMP: red green / blue (200,100,50), bottom-up, padded rows
       "424D" + "46000000" + "00000000" + "36000000" +
@@ -4065,6 +4110,35 @@ object TrainingOps {
               |      * (CAST(list_sum(gs) AS DOUBLE) / len(gs)) AS var_g,
               |  CAST(list_max(gs) - list_min(gs) AS BIGINT) AS range_g
               |FROM allt""".stripMargin)),
+
+    // ---- multimodal: IMAGE NEAR-DUP fingerprints + pairs — the
+    //      visual member of the dedup family. Each eligible document
+    //      synthesizes the same 8×8 BMP as mm_image_tiles, plus a
+    //      PERTURBED TWIN for every 7th doc (first payload byte →
+    //      0xFF: one corner pixel brightens, flipping 1-3 fingerprint
+    //      bits — genuine near-dups that make the blocked-join path
+    //      bind, not just the identical-hash collapse). aHash63 is
+    //      all-integer floor arithmetic, so the oracle replays every
+    //      bit from the text bytes; pairing reuses the
+    //      collapse+4-block machinery the simhash oracles already
+    //      pin. ----
+    "mm_image_phash" -> Q(
+      (s, dir) => Multimodal.imageHashes(synthHashImages(s, dir)).toDF(),
+      Some(s"""WITH $imagePhashCtes
+              |SELECT doc_id, v AS ahash FROM ah""".stripMargin)),
+
+    "dd_image_neardup" -> Q(
+      (s, dir) => Dedup.hammingPairs63(
+        Multimodal.imageHashes(synthHashImages(s, dir)).toDF(), "doc_id", "ahash", 3),
+      Some(s"""WITH $imagePhashCtes,
+              |g AS (SELECT v, min(doc_id) AS rep FROM ah GROUP BY v),
+              |star AS (SELECT g.rep AS da, s.doc_id AS db, CAST(0 AS BIGINT) AS hamming
+              |         FROM ah s JOIN g USING (v) WHERE s.doc_id > g.rep),
+              |rp AS (SELECT a.rep AS da, b.rep AS db,
+              |         CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming
+              |       FROM g a JOIN g b ON a.rep < b.rep
+              |       WHERE bit_count(xor(a.v, b.v)) <= 3)
+              |SELECT da, db, hamming FROM star UNION ALL SELECT da, db, hamming FROM rp""".stripMargin)),
 
     // ---- multimodal: resize planning (aspect-preserving fit into a
     //      224×224 box, pure integer arithmetic) ----

@@ -835,4 +835,39 @@ class MediaDecodeSpec extends AnyFunSuite {
     val gray = tileFeatures(PixelImage(2, 1, 1, Array[Byte](5, 9)), 4)
     assert(gray == Seq(ImageTile(0, 0, 2, 14, 14, 14, 25 + 81, 5, 9)))
   }
+
+  test("aHash63: known bit patterns, grid averaging, small-image None") {
+    import MediaDecode.{PixelImage, aHash63}
+    def gray8x8(f: (Int, Int) => Int): PixelImage =
+      PixelImage(8, 8, 1, Array.tabulate(64)(i => f(i % 8, i / 8).toByte))
+    // solid: no cell is strictly above the global average → hash 0
+    assert(aHash63(gray8x8((_, _) => 200)).contains(0L))
+    // top half bright: cells of rows 0-3 set → bits 0..31
+    assert(aHash63(gray8x8((_, y) => if (y < 4) 255 else 0)).contains(0xFFFFFFFFL))
+    // left half bright: bits with cx < 4 in every row (row 7 keeps
+    // only cells 56-58 + 59? no — bits stop at 62, cx<4 ⇒ 56-59 < 63)
+    val left = aHash63(gray8x8((x, _) => if (x < 4) 255 else 0)).get
+    assert(left == (0 until 63).filter(i => i % 8 < 4).map(1L << _).sum)
+    // 16×8: two pixels per cell average together — alternating 255/0
+    // columns inside each cell make every cell equal the global mean
+    val alt = PixelImage(16, 8, 1,
+      Array.tabulate(16 * 8)(i => (if (i % 2 == 0) 255 else 0).toByte))
+    assert(aHash63(alt).contains(0L))
+    // and a 16-wide bright-left layout lands the same bits as 8-wide
+    val wide = PixelImage(16, 8, 1,
+      Array.tabulate(16 * 8)(i => (if (i % 16 < 8) 255 else 0).toByte))
+    assert(aHash63(wide).get == left)
+    // below the 8-cell grid → None
+    assert(aHash63(PixelImage(7, 8, 1, new Array[Byte](56))).isEmpty)
+    assert(aHash63(PixelImage(8, 7, 1, new Array[Byte](56))).isEmpty)
+    // RGB weighting: a green-only image outweighs a red-only one
+    val rgb = PixelImage(8, 8, 3, Array.tabulate(192) { i =>
+      val x = (i / 3) % 8
+      val c = i % 3
+      // left half green 200, right half red 200: green luma 587*200
+      // beats the global average, red luma 299*200 falls below it
+      if (x < 4 && c == 1) 200.toByte else if (x >= 4 && c == 0) 200.toByte else 0.toByte
+    })
+    assert(aHash63(rgb).get == (0 until 63).filter(i => i % 8 < 4).map(1L << _).sum)
+  }
 }

@@ -231,6 +231,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"tiled image decode must not shuffle:\n$p")
   }
 
+  test("dd_image_neardup: fingerprint pairing is the blocked hash join, never a nested loop") {
+    val p = plan("dd_image_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"image near-dup must stay block-joined:\n$p")
+  }
+
   test("ta_pack: prefix sum is bucket-partitioned, never a single-partition window") {
     val p = plan("ta_pack")
     assert(!p.contains("SinglePartition"), s"global single-reducer window:\n$p")
