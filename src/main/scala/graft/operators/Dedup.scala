@@ -432,6 +432,14 @@ object Dedup {
       Hashing.simhash63Block, maxHamming)
   }
 
+  /** End-to-end dedup apply over a PRECOMPUTED 63-bit fingerprint
+    * column ([[hammingPairs63]] → connected components → keep each
+    * group's minimum id) — rows of `df` minus non-canonical members.
+    * The image twin of [[dedupBySimhash]]. */
+  def dedupByFingerprint63(df: DataFrame, idCol: String, fpCol: String,
+                           maxHamming: Int = 3): DataFrame =
+    dropNonCanonical(df, idCol, hammingPairs63(df, idCol, fpCol, maxHamming))
+
   /** Connected components over a near-dup pair list — the final stage
     * of every dedup pipeline: pairs → groups → one canonical id (the
     * minimum) per group.

@@ -4140,6 +4140,45 @@ object TrainingOps {
               |       WHERE bit_count(xor(a.v, b.v)) <= 3)
               |SELECT da, db, hamming FROM star UNION ALL SELECT da, db, hamming FROM rp""".stripMargin)),
 
+    // ---- image dedup END-TO-END apply (pairs → connected components
+    //      → keep each group's minimum) — the visual twin of
+    //      dd_dedup_apply_simhash. The oracle derives components from
+    //      the PLAIN all-pairs hamming join, proving the collapse+block
+    //      pairing preserves dedup output for image fingerprints too ----
+    "dd_image_dedup_apply" -> Q(
+      (s, dir) => Dedup.dedupByFingerprint63(
+          Multimodal.imageHashes(synthHashImages(s, dir)).toDF(), "doc_id", "ahash", 3)
+        .select(col("doc_id")),
+      Some(s"""WITH RECURSIVE $imagePhashCtes,
+              |pr AS (SELECT a.doc_id AS da, b.doc_id AS db
+              |       FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+              |       WHERE bit_count(xor(a.v, b.v)) <= 3),
+              |e AS (SELECT da AS a, db AS b FROM pr UNION ALL SELECT db, da FROM pr),
+              |reach AS (
+              |  SELECT a AS id, a AS r FROM e
+              |  UNION
+              |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+              |cmp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+              |SELECT doc_id FROM ah
+              |WHERE doc_id NOT IN (SELECT id FROM cmp WHERE id <> comp)""".stripMargin)),
+
+    // ---- streaming image near-dup candidates: the generic 63-bit
+    //      fingerprint form of the stateful simhash op (same per-block
+    //      bucket state, at-least-once per-block emission) driven with
+    //      the image average-hashes; batch-driving + distinct equals
+    //      the all-pairs hamming join ----
+    "dd_image_neardup_stateful" -> Q(
+      (s, dir) =>
+        graft.streaming.StatefulOps.streamingHammingCandidates63(
+            Multimodal.imageHashes(synthHashImages(s, dir)).toDF(), "doc_id", "ahash",
+            maxHamming = 3, maxBucket = Int.MaxValue)
+          .toDF().select(col("da"), col("db"), col("hamming")).distinct(),
+      Some(s"""WITH $imagePhashCtes
+              |SELECT a.doc_id AS da, b.doc_id AS db,
+              |  CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming
+              |FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.v, b.v)) <= 3""".stripMargin)),
+
     // ---- multimodal: resize planning (aspect-preserving fit into a
     //      224×224 box, pure integer arithmetic) ----
     "mm_resize" -> Q(

@@ -468,13 +468,33 @@ object StatefulOps {
       maxBucket: Int = 1000, ttlMs: Long = 0L): Dataset[SimhashPair] = {
     import org.apache.spark.sql.functions._
     import graft.functions.{Hashing, TextFunctions}
+    streamingHammingCandidates63(
+      docs.select(
+        col(idCol).as("id"),
+        Hashing.simhash63(TextFunctions.shingles(col(textCol), n)).as("fp")),
+      "id", "fp", maxHamming, maxBucket, ttlMs)
+  }
+
+  /** [[streamingSimhashCandidates]] over a PRECOMPUTED 63-bit
+    * fingerprint column — the generic streaming twin of
+    * [[graft.operators.Dedup.hammingPairs63]], usable by any
+    * fingerprint producer (e.g. the image average-hash,
+    * [[graft.operators.MediaDecode.aHash63]]). Same per-block bucket
+    * state, occupancy cap, and at-least-once per-block emission;
+    * batch-driving the full set and distinct-ing equals the batch
+    * all-pairs hamming join.
+    */
+  def streamingHammingCandidates63(
+      fps: org.apache.spark.sql.DataFrame, idCol: String, fpCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000, ttlMs: Long = 0L): Dataset[SimhashPair] = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Hashing
     require(maxHamming <= 3, "4-block blocking is only lossless for hamming <= 3")
     val timeout =
       if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
-    docs
-      .select(
-        col(idCol).cast("long").as("docId"),
-        Hashing.simhash63(TextFunctions.shingles(col(textCol), n)).as("fp"))
+    fps
+      .select(col(idCol).cast("long").as("docId"), col(fpCol).cast("long").as("fp"))
       .select(col("docId"), col("fp"),
         explode(array((0 until 4).map(b =>
           concat_ws("-", lit(b), Hashing.simhash63Block(col("fp"), b))): _*)).as("blk"))
