@@ -328,4 +328,133 @@ object MediaHeaders {
     }
     if (byteRate > 0 && dataLen >= 0) Some(dataLen * 1000L / byteRate) else None
   }
+
+  /** One MP4 sample's placement: index, absolute byte offset, byte
+    * size, and decode timestamp in ms. */
+  final case class Mp4Sample(idx: Int, offset: Long, size: Long, dtsMs: Long)
+
+  /** Sample table of the FIRST trak in an ISO-BMFF (MP4/MOV) file —
+    * the byte-range map frame sampling needs at corpus scale: pick
+    * samples by timestamp, slice their ranges, decode elsewhere.
+    * Rebuilt from the normative tables (ISO 14496-12 §8.5-8.7):
+    * `stts` (run-length decode deltas), `stsz` (per-sample or
+    * constant sizes), `stsc` (sample-to-chunk runs, 1-based
+    * first_chunk), and `stco`/`co64` (chunk offsets); timestamps
+    * scale by the mdhd media timescale (v0 and v1). Offsets are NOT
+    * validated against the buffer — real files carry the data in
+    * `mdat`, and a metadata-only prefix is a legitimate input; the
+    * caller slices. Inconsistent tables (fewer chunks or time runs
+    * than samples, zero timescale, truncation) return None; sample
+    * count is capped before any allocation.
+    */
+  def mp4Samples(b: Array[Byte], maxSamples: Int = 1 << 20): Option[Vector[Mp4Sample]] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def be32(i: Long): Long =
+      if (i < 0 || i + 4 > b.length) -1L
+      else (u8(i.toInt).toLong << 24) | (u8(i.toInt + 1) << 16) | (u8(i.toInt + 2) << 8) | u8(i.toInt + 3)
+    def be64(i: Long): Long = (be32(i) << 32) | be32(i + 4)
+    def fourcc(i: Long): String =
+      if (i < 0 || i + 4 > b.length) ""
+      else new String(Array(u8(i.toInt), u8(i.toInt + 1), u8(i.toInt + 2), u8(i.toInt + 3)).map(_.toByte), "ISO-8859-1")
+    def find(start: Long, end: Long, target: String): Option[(Long, Long)] = {
+      var i = start
+      while (i + 8 <= end) {
+        val size0 = be32(i)
+        val typ = fourcc(i + 4)
+        val (payload, boxEnd) =
+          if (size0 == 1L) {
+            if (i + 16 > end) return None
+            (i + 16, i + be64(i + 8))
+          } else if (size0 == 0L) (i + 8, end)
+          else (i + 8, i + size0)
+        if (boxEnd <= i || boxEnd > end) return None
+        if (typ == target) return Some((payload, boxEnd))
+        i = boxEnd
+      }
+      None
+    }
+    if (b.length < 16 || !Mp4TopBoxes.contains(fourcc(4))) return None
+    val stblOpt = for {
+      (moov, moovEnd) <- find(0L, b.length.toLong, "moov")
+      (trak, trakEnd) <- find(moov, moovEnd, "trak")
+      (mdia, mdiaEnd) <- find(trak, trakEnd, "mdia")
+      (mdhd, mdhdEnd) <- find(mdia, mdiaEnd, "mdhd")
+      (minf, minfEnd) <- find(mdia, mdiaEnd, "minf")
+      (stbl, stblEnd) <- find(minf, minfEnd, "stbl")
+    } yield (mdhd, mdhdEnd, stbl, stblEnd)
+    val (mdhd, mdhdEnd, stbl, stblEnd) = stblOpt.getOrElse(return None)
+    if (mdhd >= mdhdEnd) return None
+    val timescale = u8(mdhd.toInt) match {
+      case 0 if mdhd + 16 <= mdhdEnd => be32(mdhd + 12)
+      case 1 if mdhd + 24 <= mdhdEnd => be32(mdhd + 20)
+      case _                         => return None
+    }
+    if (timescale <= 0) return None
+    // stsz: constant size or per-sample table
+    val (stsz, stszEnd) = find(stbl, stblEnd, "stsz").getOrElse(return None)
+    if (stsz + 12 > stszEnd) return None
+    val constSize = be32(stsz + 4)
+    val nSamples = be32(stsz + 8)
+    if (nSamples < 0 || nSamples > maxSamples) return None
+    if (constSize == 0 && stsz + 12 + 4L * nSamples > stszEnd) return None
+    def sizeOf(k: Int): Long = if (constSize != 0) constSize else be32(stsz + 12 + 4L * k)
+    // stts runs
+    val (stts, sttsEnd) = find(stbl, stblEnd, "stts").getOrElse(return None)
+    val nTimeRuns = be32(stts + 4)
+    if (nTimeRuns < 0 || stts + 8 + 8L * nTimeRuns > sttsEnd) return None
+    // stsc runs
+    val (stsc, stscEnd) = find(stbl, stblEnd, "stsc").getOrElse(return None)
+    val nScRuns = be32(stsc + 4)
+    if (nScRuns <= 0 || stsc + 8 + 12L * nScRuns > stscEnd) return None
+    // chunk offsets: stco (u32) or co64 (u64)
+    val (chunkAt, nChunks): (Int => Long, Long) =
+      find(stbl, stblEnd, "stco") match {
+        case Some((stco, stcoEnd)) =>
+          val n = be32(stco + 4)
+          if (n < 0 || stco + 8 + 4L * n > stcoEnd) return None
+          ((c: Int) => be32(stco + 8 + 4L * c), n)
+        case None =>
+          val (co64, co64End) = find(stbl, stblEnd, "co64").getOrElse(return None)
+          val n = be32(co64 + 4)
+          if (n < 0 || co64 + 8 + 8L * n > co64End) return None
+          ((c: Int) => be64(co64 + 8 + 8L * c), n)
+      }
+    val out = Vector.newBuilder[Mp4Sample]
+    var sample = 0
+    var dts = 0L
+    var tRun = 0
+    var tLeft = if (nTimeRuns > 0) be32(stts + 8) else 0L
+    var tDelta = if (nTimeRuns > 0) be32(stts + 12) else 0L
+    var scRun = 0
+    var chunk = 1L
+    while (sample < nSamples && chunk <= nChunks) {
+      // advance to the stsc run governing this chunk (runs carry
+      // 1-based first_chunk; the NEXT run's first_chunk ends this one)
+      while (scRun + 1 < nScRuns && be32(stsc + 8 + 12L * (scRun + 1)) <= chunk) scRun += 1
+      val spc = be32(stsc + 8 + 12L * scRun + 4)
+      if (spc <= 0) return None
+      var off = chunkAt((chunk - 1).toInt)
+      if (off < 0) return None
+      var k = 0L
+      while (k < spc && sample < nSamples) {
+        if (tLeft <= 0) {
+          tRun += 1
+          if (tRun >= nTimeRuns) return None // time runs exhausted early
+          tLeft = be32(stts + 8 + 8L * tRun)
+          tDelta = be32(stts + 12 + 8L * tRun)
+        }
+        val sz = sizeOf(sample)
+        if (sz < 0) return None
+        out += Mp4Sample(sample, off, sz, dts * 1000L / timescale)
+        off += sz
+        dts += tDelta
+        tLeft -= 1
+        sample += 1
+        k += 1
+      }
+      chunk += 1
+    }
+    if (sample < nSamples) return None // chunk table shorter than the sample count
+    Some(out.result())
+  }
 }

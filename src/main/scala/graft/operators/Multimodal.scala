@@ -277,6 +277,45 @@ object Multimodal {
     }
   }
 
+  /** One MP4 sample-placement row ([[MediaHeaders.mp4Samples]]). */
+  final case class Mp4SampleRow(doc_id: Long, idx: Int, offset: Long,
+                                size: Long, dts_ms: Long)
+
+  /** Sample byte-range maps for video content — the frame-sampling
+    * primitive at 100 TB: select samples by timestamp, slice their
+    * byte ranges, decode elsewhere. Undecodable or table-less content
+    * yields no rows. Narrow map-only plan. */
+  def mp4SampleRows(media: org.apache.spark.sql.Dataset[MediaRow]):
+      org.apache.spark.sql.Dataset[Mp4SampleRow] = {
+    implicit val enc: org.apache.spark.sql.Encoder[Mp4SampleRow] =
+      org.apache.spark.sql.Encoders.product[Mp4SampleRow]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        (try MediaHeaders.mp4Samples(r.content).getOrElse(Vector.empty)
+         catch { case scala.util.control.NonFatal(_) => Vector.empty })
+          .iterator.map(s => Mp4SampleRow(r.doc_id, s.idx, s.offset, s.size, s.dtsMs))
+      }
+    }
+  }
+
+  /** Frame SELECTION over a sample map ([[mp4SampleRows]] output):
+    * the first sample (by decode time, ties by index) in each
+    * `everyMs` bucket — "one frame every N ms" as pure aggregation,
+    * one partial-combined shuffle on (doc, bucket), no window. The
+    * result is the byte-range list a downstream decoder slices. */
+  def selectFramesEvery(samples: org.apache.spark.sql.DataFrame,
+                        everyMs: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(everyMs > 0, "everyMs must be positive")
+    samples
+      .groupBy(col("doc_id"),
+        (col("dts_ms") / lit(everyMs)).cast("long").as("bucket"))
+      .agg(min(struct(col("dts_ms"), col("idx"), col("offset"), col("size"))).as("s"))
+      .select(col("doc_id"), col("bucket"),
+        col("s.idx").as("idx"), col("s.offset").as("offset"),
+        col("s.size").as("size"), col("s.dts_ms").as("dts_ms"))
+  }
+
   /** One windowed-audio-feature row: integer features straight from
     * [[MediaDecode.windowFeatures]] (floats derive downstream). */
   final case class AudioWindowRow(doc_id: Long, win_idx: Int, n_samples: Int,

@@ -348,6 +348,94 @@ object TrainingOps {
       |   CASE WHEN l[i+1] > list_sum(l) // 64 THEN CAST(1 AS BIGINT) << i ELSE 0 END)), 0) AS BIGINT) AS v
       |  FROM ls)""".stripMargin
 
+  /** Byte fixtures for `mm_mp4_samples` (id, hex): ISO-BMFF files
+    * whose sample tables sit at FIXED offsets so the oracle re-reads
+    * every big-endian field. Fixture 1: v0 mdhd (timescale 1000),
+    * per-sample stsz [10,20,30,40,50], two chunks at 200/300 with
+    * stsc runs (2 then 3 samples), two stts runs (2×100, 3×200).
+    * Fixture 2: v1 mdhd (timescale 90000), constant stsz 25, one
+    * co64 chunk at 1000, one stts run (4×500). Fixture 3: foreign
+    * bytes → no rows. */
+  private lazy val mp4SampleFixtures: Seq[(Long, String)] = Seq(
+    (1L, "000000106674797069736F6D000002000000013C6D6F6F760000006C6D766864" +
+      "0000000000000000000000000000025800000BB8" + "00" * 80 +
+      "000000C87472616B000000C06D646961000000206D646864000000000000000000000000" +
+      "000003E80000138800000000000000986D696E66000000907374626C" +
+      "0000002073747473000000000000000200000002000000640000000300000" +
+      "0C800000028737473630000000000000002000000010000000200000001000000020000" +
+      "000300000001000000287374737A0000000000000000000000050000000A000000140000" +
+      "001E0000002800000032000000187374636F0000000000000002000000C80000012C"),
+    (2L, "000000106674797069736F6D00000200000001206D6F6F760000006C6D766864" +
+      "0000000000000000000000000000025800000BB8" + "00" * 80 +
+      "000000AC7472616B000000A46D6469610000002C6D646864010000000000000000000000" +
+      "000000000000000000015F90000000000002BF2000000000000000706D696E6600000068" +
+      "7374626C0000001873747473000000000000000100000004000001F40000001C73747363" +
+      "0000000000000001000000010000000400000001000000147374737A0000000000000019" +
+      "0000000400000018636F3634000000000000000100000000000003E8"),
+    (3L, "DEADBEEF"))
+
+  /** Shared oracle CTEs replaying [[mp4SampleFixtures]] through the
+    * sample-table walk: `arows`/`brows` hold every (idx, offset,
+    * size, dts_ms) re-derived from the big-endian table bytes at
+    * fixed offsets ("offset" is quoted — reserved word downstream). */
+  private lazy val mp4SamplesCtes: String =
+    s"""r(doc_id, hx) AS (VALUES
+              |  ${mp4SampleFixtures.map { case (id, hx) => s"($id, '$hx')" }.mkString(",\n  ")}),
+              |bt AS (SELECT doc_id,
+              |  list_transform(range(0, octet_length(unhex(hx))), k ->
+              |    (strpos('0123456789ABCDEF', upper(substr(hx, 1 + 2*k, 1))) - 1) * 16
+              |    + (strpos('0123456789ABCDEF', upper(substr(hx, 2 + 2*k, 1))) - 1)) AS bb
+              |  FROM r),
+              |-- big-endian u32 read at 0-based offset o
+              |-- fixture A (doc 1): stts payload at 204, stsc 236, stsz
+              |-- 276, stco 316, mdhd 156 (v0 → timescale at 168); five
+              |-- samples over two chunks (2 + 3), two stts runs
+              |a AS (SELECT doc_id,
+              |  bb[169]*16777216 + bb[170]*65536 + bb[171]*256 + bb[172] AS ts,
+              |  bb[217]*16777216 + bb[218]*65536 + bb[219]*256 + bb[220] AS d1,
+              |  bb[225]*16777216 + bb[226]*65536 + bb[227]*256 + bb[228] AS d2,
+              |  bb[325]*16777216 + bb[326]*65536 + bb[327]*256 + bb[328] AS co1,
+              |  bb[329]*16777216 + bb[330]*65536 + bb[331]*256 + bb[332] AS co2,
+              |  list_transform(range(0, 5), j ->
+              |    bb[289+4*j]*16777216 + bb[290+4*j]*65536 + bb[291+4*j]*256 + bb[292+4*j]) AS szl
+              |  FROM bt WHERE doc_id = 1),
+              |arows AS (SELECT doc_id, k AS idx,
+              |  CAST(CASE WHEN k < 2
+              |    THEN co1 + COALESCE(list_sum(szl[1:k]), 0)
+              |    ELSE co2 + COALESCE(list_sum(szl[3:k]), 0) END AS BIGINT) AS "offset",
+              |  CAST(szl[k+1] AS BIGINT) AS size,
+              |  CAST((least(k, 2)*d1 + greatest(k - 2, 0)*d2) * 1000 // ts AS BIGINT) AS dts_ms
+              |  FROM a, range(0, 5) t(k)),
+              |-- fixture B (doc 2): stts 216, stsz 268 (constant size),
+              |-- co64 288 (u64 offset), mdhd 156 v1 (timescale at 176)
+              |b AS (SELECT doc_id,
+              |  bb[177]*16777216 + bb[178]*65536 + bb[179]*256 + bb[180] AS ts,
+              |  bb[229]*16777216 + bb[230]*65536 + bb[231]*256 + bb[232] AS d,
+              |  bb[273]*16777216 + bb[274]*65536 + bb[275]*256 + bb[276] AS sz,
+              |  (bb[297]*16777216 + bb[298]*65536 + bb[299]*256 + bb[300]) * 4294967296
+              |    + bb[301]*16777216 + bb[302]*65536 + bb[303]*256 + bb[304] AS co
+              |  FROM bt WHERE doc_id = 2),
+              |brows AS (SELECT doc_id, k AS idx,
+              |  CAST(co + sz*k AS BIGINT) AS "offset", CAST(sz AS BIGINT) AS size,
+              |  CAST(k*d*1000 // ts AS BIGINT) AS dts_ms
+              |  FROM b, range(0, 4) t(k))""".stripMargin
+
+  /** The union of both fixtures' replayed sample rows. */
+  private val mp4SamplesSelect: String =
+    """      |SELECT doc_id, CAST(idx AS BIGINT) AS idx, "offset", size, dts_ms FROM arows
+      |UNION ALL
+      |SELECT doc_id, CAST(idx AS BIGINT) AS idx, "offset", size, dts_ms FROM brows""".stripMargin
+
+  /** The mp4 fixture set as MediaRows (kind video). */
+  private def mp4FixtureRows(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+    implicit val enc: org.apache.spark.sql.Encoder[Multimodal.MediaRow] =
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+    s.createDataFrame(mp4SampleFixtures).toDF("doc_id", "hx")
+      .select(col("doc_id"), lit("video").as("kind"), unhex(col("hx")).as("content"))
+      .as[Multimodal.MediaRow]
+  }
+
+
   private lazy val mmPixelFixtures: Seq[(Long, String, String)] = Seq(
     (1L, "image", // BMP: red green / blue (200,100,50), bottom-up, padded rows
       "424D" + "46000000" + "00000000" + "36000000" +
@@ -4178,6 +4266,47 @@ object TrainingOps {
               |  CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming
               |FROM ah a JOIN ah b ON a.doc_id < b.doc_id
               |WHERE bit_count(xor(a.v, b.v)) <= 3""".stripMargin)),
+
+    // ---- multimodal: MP4 SAMPLE TABLES — the frame-sampling
+    //      primitive for video at corpus scale: rebuild each file's
+    //      (offset, size, dts) map from the normative stbl tables
+    //      (stts run-length deltas, stsz per-sample/constant sizes,
+    //      stsc sample-to-chunk runs, stco/co64 chunk offsets, mdhd
+    //      v0/v1 timescale), so frame selection is byte-range slicing,
+    //      never a demux. Fixture A exercises per-sample sizes, two
+    //      chunks with distinct stsc runs, and two stts runs; fixture
+    //      B constant sizes, co64 64-bit offsets, and a v1 mdhd;
+    //      foreign bytes yield no rows. Every value is re-derived in
+    //      SQL from the big-endian table bytes at fixed offsets. ----
+    "mm_mp4_samples" -> Q(
+      (s, dir) => {
+        Multimodal.mp4SampleRows(mp4FixtureRows(s)).toDF()
+          .select(col("doc_id"), col("idx").cast("long").as("idx"),
+            col("offset"), col("size"), col("dts_ms"))
+      },
+      Some(s"""WITH $mp4SamplesCtes
+              |$mp4SamplesSelect""".stripMargin)),
+
+    // ---- frame SELECTION over the sample map: the first sample (by
+    //      decode time) in each 300 ms bucket — "one frame every N
+    //      ms" as pure aggregation (one partial-combined shuffle on
+    //      (doc, bucket), no window); the output byte ranges are what
+    //      a downstream decoder slices ----
+    "mm_frame_select" -> Q(
+      (s, dir) =>
+        Multimodal.selectFramesEvery(
+            Multimodal.mp4SampleRows(mp4FixtureRows(s)).toDF(), 300L)
+          .select(col("doc_id"), col("bucket"), col("idx").cast("long").as("idx"),
+            col("offset"), col("size"), col("dts_ms")),
+      Some(s"""WITH $mp4SamplesCtes,
+              |allsmp AS ($mp4SamplesSelect)
+              |SELECT doc_id, CAST(dts_ms // 300 AS BIGINT) AS bucket,
+              |  CAST(min_by(idx, dts_ms) AS BIGINT) AS idx,
+              |  min_by("offset", dts_ms) AS "offset",
+              |  min_by(size, dts_ms) AS size,
+              |  min(dts_ms) AS dts_ms
+              |FROM allsmp GROUP BY doc_id, dts_ms // 300""".stripMargin)),
+
 
     // ---- multimodal: resize planning (aspect-preserving fit into a
     //      224×224 box, pure integer arithmetic) ----

@@ -19,6 +19,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "imageDims" -> (b => MediaHeaders.imageDims(b)),
     "audioDurationMs" -> (b => MediaHeaders.audioDurationMs(b)),
     "videoDurationMs" -> (b => MediaHeaders.videoDurationMs(b)),
+    "mp4Samples" -> (b => MediaHeaders.mp4Samples(b)),
     "pngPixels" -> (b => MediaDecode.pngPixels(b)),
     "bmpPixels" -> (b => MediaDecode.bmpPixels(b)),
     "jpegPixels" -> (b => JpegDecode.jpegPixels(b)),

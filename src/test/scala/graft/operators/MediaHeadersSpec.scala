@@ -247,4 +247,53 @@ class MediaHeadersSpec extends AnyFunSuite {
     assert(out(1).width == (4 % 64 + 1) * 16L) // stub fallback
     assert(out(2).duration_ms == 4L * 40)      // stub audio fallback
   }
+
+  test("mp4Samples: stts/stsz/stsc/stco walk, per-sample sizes, two chunks") {
+    import MediaHeaders.Mp4Sample
+    // mm_mp4_samples fixture 1: timescale 1000, sizes 10..50, chunks
+    // at 200 (2 samples) and 300 (3 samples), deltas 100,100,200,200,200
+    val a = hex(
+      "000000106674797069736F6D000002000000013C6D6F6F760000006C6D766864" +
+        "0000000000000000000000000000025800000BB8" + "00" * 80 +
+        "000000C87472616B000000C06D646961000000206D646864000000000000000000000000" +
+        "000003E80000138800000000000000986D696E66000000907374626C" +
+        "0000002073747473000000000000000200000002000000640000000300000" +
+        "0C800000028737473630000000000000002000000010000000200000001000000020000" +
+        "000300000001000000287374737A0000000000000000000000050000000A000000140000" +
+        "001E0000002800000032000000187374636F0000000000000002000000C80000012C")
+    assert(MediaHeaders.mp4Samples(a).contains(Vector(
+      Mp4Sample(0, 200, 10, 0), Mp4Sample(1, 210, 20, 100),
+      Mp4Sample(2, 300, 30, 200), Mp4Sample(3, 330, 40, 400),
+      Mp4Sample(4, 370, 50, 600))))
+    // every truncation prefix: None, never a throw
+    (0 until a.length).foreach(n => assert(MediaHeaders.mp4Samples(a.take(n)).isEmpty))
+  }
+
+  test("mp4Samples: constant sizes, co64 offsets, v1 mdhd timescale") {
+    import MediaHeaders.Mp4Sample
+    val b = hex(
+      "000000106674797069736F6D00000200000001206D6F6F760000006C6D766864" +
+        "0000000000000000000000000000025800000BB8" + "00" * 80 +
+        "000000AC7472616B000000A46D6469610000002C6D646864010000000000000000000000" +
+        "000000000000000000015F90000000000002BF2000000000000000706D696E6600000068" +
+        "7374626C0000001873747473000000000000000100000004000001F40000001C73747363" +
+        "0000000000000001000000010000000400000001000000147374737A0000000000000019" +
+        "0000000400000018636F3634000000000000000100000000000003E8")
+    assert(MediaHeaders.mp4Samples(b).contains(Vector(
+      Mp4Sample(0, 1000, 25, 0), Mp4Sample(1, 1025, 25, 5),
+      Mp4Sample(2, 1050, 25, 11), Mp4Sample(3, 1075, 25, 16))))
+    // inconsistent tables reject: fewer time runs than samples (patch
+    // the stts run count from 4 down to 2), zero timescale
+    val shortTime = b.clone()
+    shortTime(227) = 2 // stts run sample count low byte (payload 216 + 11)
+    assert(MediaHeaders.mp4Samples(shortTime).isEmpty)
+    val zeroTs = b.clone()
+    java.util.Arrays.fill(zeroTs, 176, 180, 0.toByte) // v1 timescale bytes
+    assert(MediaHeaders.mp4Samples(zeroTs).isEmpty)
+    // duration-only MP4 (no stbl) and foreign bytes: None
+    assert(MediaHeaders.mp4Samples(hex("0000001066747970" + "69736F6D00000200" +
+      "000000746D6F6F76" + "0000006C6D766864" +
+      "00000000" + "00000000" + "00000000" + "00000258" + "00000BB8" + "00" * 80)).isEmpty)
+    assert(MediaHeaders.mp4Samples(hex("DEADBEEF")).isEmpty)
+  }
 }
