@@ -309,7 +309,9 @@ object Multimodal {
     require(everyMs > 0, "everyMs must be positive")
     samples
       .groupBy(col("doc_id"),
-        (col("dts_ms") / lit(everyMs)).cast("long").as("bucket"))
+        // integer division (not a double divide + cast): exact at any
+        // timestamp magnitude, matching an offline engine's // op
+        expr(s"dts_ms div $everyMs").as("bucket"))
       .agg(min(struct(col("dts_ms"), col("idx"), col("offset"), col("size"))).as("s"))
       .select(col("doc_id"), col("bucket"),
         col("s.idx").as("idx"), col("s.offset").as("offset"),
