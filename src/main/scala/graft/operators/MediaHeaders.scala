@@ -402,10 +402,18 @@ object MediaHeaders {
     val (stts, sttsEnd) = find(stbl, stblEnd, "stts").getOrElse(return None)
     val nTimeRuns = be32(stts + 4)
     if (nTimeRuns < 0 || stts + 8 + 8L * nTimeRuns > sttsEnd) return None
-    // stsc runs
+    // stsc runs: the first run MUST start at chunk 1 and first_chunk
+    // values must strictly increase, or the walk would silently apply
+    // a wrong run to early chunks — inconsistent tables reject
     val (stsc, stscEnd) = find(stbl, stblEnd, "stsc").getOrElse(return None)
     val nScRuns = be32(stsc + 4)
     if (nScRuns <= 0 || stsc + 8 + 12L * nScRuns > stscEnd) return None
+    if (be32(stsc + 8) != 1L) return None
+    var scChk = 1
+    while (scChk < nScRuns) {
+      if (be32(stsc + 8 + 12L * scChk) <= be32(stsc + 8 + 12L * (scChk - 1))) return None
+      scChk += 1
+    }
     // chunk offsets: stco (u32) or co64 (u64)
     val (chunkAt, nChunks): (Int => Long, Long) =
       find(stbl, stblEnd, "stco") match {

@@ -167,8 +167,10 @@ object Vp8lDecode {
   /** Read one prefix code (simple or normal) for `alphabetSize`. */
   private def readPrefixCode(br: BitReader, alphabetSize: Int): Option[PrefixCode] = {
     if (br.readBit() == 1) {
-      // simple: 1 or 2 symbols, codes assigned in READ order (first
-      // symbol = bit 0) — not sorted
+      // simple: 1 or 2 symbols. Assignment is CANONICAL — bit 0 maps
+      // to the SMALLER symbol value regardless of write order (an
+      // encoder may list them either way; verified against the
+      // system libwebp decoder on a swapped-order stream)
       val numSymbols = br.readBit() + 1
       val first8 = br.readBit()
       val s0 = br.readBits(if (first8 == 1) 8 else 1)
@@ -178,12 +180,11 @@ object Vp8lDecode {
       }
       val s1 = br.readBits(8)
       if (br.bad || s0 >= alphabetSize || s1 >= alphabetSize || s0 == s1) return None
-      // emulate read-order assignment via explicit symbol table:
-      // both length 1, symbols array in read order
       val counts = new Array[Int](16); counts(1) = 2
       val firstCode = new Array[Int](16)
       val firstIdx = new Array[Int](16)
-      return Some(new PrefixCode(-1, counts, firstCode, firstIdx, Array(s0, s1)))
+      val syms = if (s0 < s1) Array(s0, s1) else Array(s1, s0)
+      return Some(new PrefixCode(-1, counts, firstCode, firstIdx, syms))
     }
     // normal: 3-bit lengths for the code-length code, in CodeLengthOrder
     val numCodes = br.readBits(4) + 4
@@ -452,13 +453,17 @@ object Vp8lDecode {
           else if (y == 0) px(i - 1) // L
           else if (x == 0) px(i - w) // T
           else {
-            val mode = (modes((y >> bits) * modesW + (x >> bits)) >> 8) & 0xff
+            // the mode image's green channel is a full byte; only the
+            // LOW 4 BITS select the predictor (mode byte 24 acts as
+            // predictor 8), and the two table sentinels 14/15 predict
+            // opaque black — both verified against the system libwebp
+            // decoder on handcrafted mode bytes 24/14/15/30/31
+            val mode = (modes((y >> bits) * modesW + (x >> bits)) >> 8) & 0xf
             val l = px(i - 1)
             val t = px(i - w)
             val tl = px(i - w - 1)
             val tr = px(i - w + 1) // at x = w-1 this is (0, y): current row's first pixel
             mode match {
-              case 0  => 0xff000000
               case 1  => l
               case 2  => t
               case 3  => tr
@@ -472,7 +477,7 @@ object Vp8lDecode {
               case 11 => select(t, l, tl)
               case 12 => clampAddSubFull(l, t, tl)
               case 13 => clampAddSubHalf(l, t, tl)
-              case _  => 0xff000000 // modes are 4 bits; >13 cannot occur
+              case _  => 0xff000000 // 0 and the 14/15 sentinels
             }
           }
         px(i) = addPixels(px(i), pred)
@@ -595,8 +600,11 @@ object Vp8lDecode {
             while (x < outW) {
               val packed = px(y * pxW + (x >> xb))
               val idx = ((packed >> 8) >> ((x & ((1 << xb) - 1)) * bpp)) & mask
-              if (idx >= size) return None // out-of-range palette index
-              out(y * outW + x) = t.data(idx)
+              // out-of-range index decodes as TRANSPARENT BLACK, not a
+              // reject — the reference decoder zero-extends the color
+              // map (verified against system libwebp on a 3-entry
+              // palette with a bundled index of 3)
+              out(y * outW + x) = if (idx >= size) 0x00000000 else t.data(idx)
               x += 1
             }
             y += 1

@@ -309,13 +309,18 @@ object TrainingOps {
     * corner pixel brightens, a genuine 1-3-bit fingerprint
     * near-dup) — the shared image set of mm_image_phash /
     * dd_image_neardup. */
+  /** 8×8 24 bpp bottom-up BMP header for a 192-byte pixel array —
+    * the ONE copy shared by mm_image_tiles and the phash/dedup image
+    * set, so their synthesized corpora can never silently diverge. */
+  private val bmp8x8Hdr: String = "424D" + "F6000000" + "00000000" + "36000000" +
+    "28000000" + "08000000" + "08000000" + "0100" + "1800" + "00000000" +
+    "C0000000" + "00000000" + "00000000" + "00000000" + "00000000"
+
   private def synthHashImages(s: org.apache.spark.sql.SparkSession,
                               dir: String): org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
     implicit val enc: org.apache.spark.sql.Encoder[Multimodal.MediaRow] =
       org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
-    val hdr = "424D" + "F6000000" + "00000000" + "36000000" +
-      "28000000" + "08000000" + "08000000" + "0100" + "1800" + "00000000" +
-      "C0000000" + "00000000" + "00000000" + "00000000" + "00000000"
+    val hdr = bmp8x8Hdr
     val base = Tables(s, dir, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("tb"))
       .where(length(col("tb")) >= 192)
@@ -4100,10 +4105,7 @@ object TrainingOps {
         import org.apache.spark.sql.Encoder
         implicit val mediaEnc: Encoder[Multimodal.MediaRow] =
           org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
-        // 8×8 24 bpp bottom-up BMP header for a 192-byte pixel array
-        val hdr = "424D" + "F6000000" + "00000000" + "36000000" +
-          "28000000" + "08000000" + "08000000" + "0100" + "1800" + "00000000" +
-          "C0000000" + "00000000" + "00000000" + "00000000" + "00000000"
+        val hdr = bmp8x8Hdr
         val corpus = Tables(s, dir, "documents")
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("tb"))
           .where(length(col("tb")) >= 192)
@@ -4300,12 +4302,15 @@ object TrainingOps {
             col("offset"), col("size"), col("dts_ms")),
       Some(s"""WITH $mp4SamplesCtes,
               |allsmp AS ($mp4SamplesSelect)
-              |SELECT doc_id, CAST(dts_ms // 300 AS BIGINT) AS bucket,
-              |  CAST(min_by(idx, dts_ms) AS BIGINT) AS idx,
-              |  min_by("offset", dts_ms) AS "offset",
-              |  min_by(size, dts_ms) AS size,
-              |  min(dts_ms) AS dts_ms
-              |FROM allsmp GROUP BY doc_id, dts_ms // 300""".stripMargin)),
+              |SELECT doc_id, bucket, idx, "offset", size, dts_ms FROM (
+              |  SELECT doc_id, CAST(dts_ms // 300 AS BIGINT) AS bucket,
+              |    idx, "offset", size, dts_ms,
+              |    -- deterministic tiebreak on (dts_ms, idx), exactly the
+              |    -- operator's min(struct(dts_ms, idx, ...)) ordering
+              |    row_number() OVER (PARTITION BY doc_id, dts_ms // 300
+              |                       ORDER BY dts_ms, idx) AS rn
+              |  FROM allsmp)
+              |WHERE rn = 1""".stripMargin)),
 
 
     // ---- multimodal: resize planning (aspect-preserving fit into a
