@@ -231,6 +231,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"tiled image decode must not shuffle:\n$p")
   }
 
+  test("mm_frame_select: bucket pick is a partial-combined aggregate, never a window") {
+    val p = plan("mm_frame_select")
+    assert(!p.contains("Window"), s"frame selection must not window:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      s"expected an aggregate pick:\n$p")
+  }
+
   test("dd_image_neardup: fingerprint pairing is the blocked hash join, never a nested loop") {
     val p = plan("dd_image_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
