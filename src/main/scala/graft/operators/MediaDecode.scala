@@ -1074,6 +1074,35 @@ object MediaDecode {
     Some(hash)
   }
 
+  /** 63-bit energy-delta hash over decoded PCM — the audio near-dup
+    * fingerprint completing the modality family (text simhash, image
+    * [[aHash63]]): the clip block-averages onto a 64-cell energy grid
+    * (per-cell floor-average of sample² — all-integer, overflow-free)
+    * and bit i = cell i+1's average energy strictly above cell i's.
+    * 63 bits keep the value non-negative for the simhash63 block
+    * join. None below 64 samples (no grid). */
+  def audioHash63(samples: Array[Short]): Option[Long] = {
+    val n = samples.length
+    if (n < 64) return None
+    val sum = new Array[Long](64)
+    val cnt = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val c = (i.toLong * 64 / n).toInt
+      val v = samples(i).toLong
+      sum(c) += v * v
+      cnt(c) += 1
+      i += 1
+    }
+    var h = 0L
+    var b = 0
+    while (b < 63) {
+      if (sum(b + 1) / cnt(b + 1) > sum(b) / cnt(b)) h |= 1L << b
+      b += 1
+    }
+    Some(h)
+  }
+
   /** One audio analysis window: INTEGER features only — sample count,
     * zero-crossing count (negative↔non-negative flips between
     * consecutive samples within the window), sum of squares, and peak

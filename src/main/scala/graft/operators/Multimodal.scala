@@ -318,6 +318,25 @@ object Multimodal {
         col("s.size").as("size"), col("s.dts_ms").as("dts_ms"))
   }
 
+  /** One audio-fingerprint row ([[MediaDecode.audioHash63]]). */
+  final case class AudioHashRow(doc_id: Long, ahash: Long)
+
+  /** 63-bit energy-delta hash per decodable clip (≥ 64 samples) —
+    * feed into [[graft.operators.Dedup.hammingPairs63]] for audio
+    * near-dup detection. Narrow map-only plan. */
+  def audioHashes(media: org.apache.spark.sql.Dataset[MediaRow]):
+      org.apache.spark.sql.Dataset[AudioHashRow] = {
+    implicit val enc: org.apache.spark.sql.Encoder[AudioHashRow] =
+      org.apache.spark.sql.Encoders.product[AudioHashRow]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        (try MediaDecode.audioSamples(r.content).flatMap(MediaDecode.audioHash63)
+         catch { case scala.util.control.NonFatal(_) => None })
+          .map(h => AudioHashRow(r.doc_id, h)).iterator
+      }
+    }
+  }
+
   /** One windowed-audio-feature row: integer features straight from
     * [[MediaDecode.windowFeatures]] (floats derive downstream). */
   final case class AudioWindowRow(doc_id: Long, win_idx: Int, n_samples: Int,

@@ -309,6 +309,49 @@ object TrainingOps {
     * corner pixel brightens, a genuine 1-3-bit fingerprint
     * near-dup) — the shared image set of mm_image_phash /
     * dd_image_neardup. */
+  /** Mono 8 kHz PCM16 WAV header for a 128-byte (64-sample) data
+    * chunk plus a PERTURBED TWIN per 9th doc (doc_id + 10⁹, first
+    * sample forced to 32767 — a genuine 1-3-bit energy-delta
+    * near-dup) — the audio-fingerprint image-set analog. */
+  private def synthHashAudio(s: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+    implicit val enc: org.apache.spark.sql.Encoder[Multimodal.MediaRow] =
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+    val hdr = "52494646" + "A4000000" + "57415645" +
+      "666D7420" + "10000000" + "0100" + "0100" + "401F0000" + "803E0000" +
+      "0200" + "1000" + "64617461" + "80000000"
+    val base = Tables(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("tb"))
+      .where(length(col("tb")) >= 128)
+    val orig = base.select(col("doc_id"), lit("audio").as("kind"),
+      concat(unhex(lit(hdr)), substring(col("tb"), 1, 128)).as("content"))
+    val twin = base.where(pmod(col("doc_id"), lit(9L)) === 0)
+      .select((col("doc_id") + lit(1000000000L)).as("doc_id"), lit("audio").as("kind"),
+        concat(unhex(lit(hdr + "FF7F")), substring(col("tb"), 3, 126)).as("content"))
+    orig.unionByName(twin).as[Multimodal.MediaRow]
+  }
+
+  /** Shared oracle CTEs replaying [[synthHashAudio]] + audioHash63
+    * from the text bytes: `aah(doc_id, v)` holds every 63-bit
+    * fingerprint. The 64-sample clips put one sample per grid cell,
+    * so bit i compares sample energies directly — exactly
+    * [[graft.operators.MediaDecode.audioHash63]]. */
+  private val audioPhashCtes: String =
+    """acb0 AS (SELECT doc_id, substr(hex(encode(text)), 1, 256) AS hx
+      |  FROM documents WHERE octet_length(encode(text)) >= 128),
+      |acb AS (SELECT doc_id, hx FROM acb0
+      |        UNION ALL
+      |        SELECT doc_id + 1000000000, 'FF7F' || substr(hx, 5) FROM acb0 WHERE doc_id % 9 = 0),
+      |abt AS (SELECT doc_id, list_transform(range(0, 128), k ->
+      |    (strpos('0123456789ABCDEF', upper(substr(hx, 1 + 2*k, 1))) - 1) * 16
+      |    + (strpos('0123456789ABCDEF', upper(substr(hx, 2 + 2*k, 1))) - 1)) AS bb FROM acb),
+      |asm AS (SELECT doc_id, list_transform(range(0, 64), j ->
+      |    bb[1+2*j] + bb[2+2*j]*256
+      |    - CASE WHEN bb[2+2*j] >= 128 THEN 65536 ELSE 0 END) AS s FROM abt),
+      |aah AS (SELECT doc_id, CAST(COALESCE(list_sum(list_transform(range(0, 63), i ->
+      |   CASE WHEN s[i+2]*s[i+2] > s[i+1]*s[i+1] THEN CAST(1 AS BIGINT) << i ELSE 0 END)), 0) AS BIGINT) AS v
+      |  FROM asm)""".stripMargin
+
   /** 8×8 24 bpp bottom-up BMP header for a 192-byte pixel array —
     * the ONE copy shared by mm_image_tiles and the phash/dedup image
     * set, so their synthesized corpora can never silently diverge. */
@@ -4257,6 +4300,33 @@ object TrainingOps {
     //      bucket state, at-least-once per-block emission) driven with
     //      the image average-hashes; batch-driving + distinct equals
     //      the all-pairs hamming join ----
+    // ---- AUDIO near-dup fingerprints + pairs — the third modality
+    //      of the fingerprint family (text simhash, image aHash):
+    //      63-bit energy-delta hash over DECODED samples, paired by
+    //      the same collapse+4-block machinery. Synthesized 64-sample
+    //      WAVs from the text bytes (decoded through the real
+    //      wavPcm16 path) plus a perturbed twin per 9th doc (first
+    //      sample forced to 32767 — genuine 1-3-bit near-dups, the
+    //      blocked path binds). The oracle replays every bit from the
+    //      same bytes. ----
+    "mm_audio_phash" -> Q(
+      (s, dir) => Multimodal.audioHashes(synthHashAudio(s, dir)).toDF(),
+      Some(s"""WITH $audioPhashCtes
+              |SELECT doc_id, v AS ahash FROM aah""".stripMargin)),
+
+    "dd_audio_neardup" -> Q(
+      (s, dir) => Dedup.hammingPairs63(
+        Multimodal.audioHashes(synthHashAudio(s, dir)).toDF(), "doc_id", "ahash", 3),
+      Some(s"""WITH $audioPhashCtes,
+              |g AS (SELECT v, min(doc_id) AS rep FROM aah GROUP BY v),
+              |star AS (SELECT g.rep AS da, s.doc_id AS db, CAST(0 AS BIGINT) AS hamming
+              |         FROM aah s JOIN g USING (v) WHERE s.doc_id > g.rep),
+              |rp AS (SELECT a.rep AS da, b.rep AS db,
+              |         CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming
+              |       FROM g a JOIN g b ON a.rep < b.rep
+              |       WHERE bit_count(xor(a.v, b.v)) <= 3)
+              |SELECT da, db, hamming FROM star UNION ALL SELECT da, db, hamming FROM rp""".stripMargin)),
+
     "dd_image_neardup_stateful" -> Q(
       (s, dir) =>
         graft.streaming.StatefulOps.streamingHammingCandidates63(

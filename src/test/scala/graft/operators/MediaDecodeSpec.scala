@@ -870,4 +870,25 @@ class MediaDecodeSpec extends AnyFunSuite {
     })
     assert(aHash63(rgb).get == (0 until 63).filter(i => i % 8 < 4).map(1L << _).sum)
   }
+
+  test("audioHash63: energy deltas, cell averaging, short-clip None") {
+    import MediaDecode.audioHash63
+    // 64 samples, one per cell: strictly rising magnitudes → all bits
+    val rising = Array.tabulate(64)(i => (i * 10).toShort)
+    assert(audioHash63(rising).contains((1L << 63) - 1))
+    // constant → no strict increase anywhere
+    assert(audioHash63(Array.fill(64)(100.toShort)).contains(0L))
+    // SIGN does not matter, energy does: alternating ±v is constant energy
+    assert(audioHash63(Array.tabulate(64)(i => (if (i % 2 == 0) 500 else -500).toShort))
+      .contains(0L))
+    // 128 samples → 2 per cell, floor-average: one loud cell (20)
+    // sets exactly the rise INTO it (bit 19); the fall after it is a
+    // decrease, so bit 20 stays clear
+    val two = Array.fill(128)(10.toShort)
+    two(40) = 1000; two(41) = 1000 // cell 20 loud
+    assert(audioHash63(two).contains(1L << 19))
+    // below the grid → None
+    assert(audioHash63(Array.fill(63)(5.toShort)).isEmpty)
+    assert(audioHash63(Array.empty[Short]).isEmpty)
+  }
 }
