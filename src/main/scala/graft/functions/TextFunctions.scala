@@ -38,17 +38,19 @@ object TextFunctions {
   /** charset detection over raw bytes, the ingest-time routing
     * decision a web-scale corpus needs before any text op: BOM sniff
     * first (UTF-8 / UTF-32 before UTF-16 — FF FE is a UTF-32LE prefix
-    * too), then strict-UTF-8 validation (multibyte content → utf-8,
-    * 7-bit clean → ascii). A stream the strict scanner rejects is
-    * `binary` when it contains any NUL byte (NULs are ubiquitous in
-    * real binary payloads — JPEG headers, zip local-file records, ELF —
-    * and never legitimate in single-byte text), otherwise `latin-1`:
-    * the TERMINAL permissive single-byte fallback every browser
-    * applies. (Every scanner-rejected byte has the top bit set, so a
-    * high-byte test adds nothing after `inv > 0` — the NUL test is the
-    * discriminator that makes `binary` reachable.) Pure byte logic end
-    * to end, so the DuckDB oracle re-derives the same label from the
-    * same bytes.
+    * too; the UTF-16/32 BOM families legitimately CONTAIN NULs, so
+    * they must outrank the NUL test), then any NUL byte → `binary`
+    * BEFORE UTF-8 validation: NULs are ubiquitous in real binary
+    * payloads (JPEG headers, zip local-file records, ELF, NUL-padded
+    * blobs, BOM-less UTF-16 of ASCII text) and never legitimate in
+    * text of ANY single- or multi-byte encoding — a blob whose bytes
+    * happen to pass the strict scanner is still not text (r13,
+    * closing the r12 ADVICE reachability item). Then strict-UTF-8
+    * validation (multibyte content → utf-8, 7-bit clean → ascii),
+    * and the scanner-rejected remainder is `latin-1`: the TERMINAL
+    * permissive single-byte fallback every browser applies. Pure byte
+    * logic end to end, so the DuckDB oracle re-derives the same label
+    * from the same bytes.
     */
   def detectEncoding(bin: Column): Column = {
     val inv = utf8InvalidBytes(bin)
@@ -58,9 +60,9 @@ object TextFunctions {
       .when(hex(substring(bin, 1, 4)) === "0000FEFF", "utf-32be")
       .when(hex(substring(bin, 1, 2)) === "FFFE", "utf-16le")
       .when(hex(substring(bin, 1, 2)) === "FEFF", "utf-16be")
+      .when(nul > 0, "binary")
       .when(inv === 0 && highByteCount(bin) > 0, "utf-8")
       .when(inv === 0, "ascii")
-      .when(nul > 0, "binary")
       .otherwise("latin-1")
   }
 

@@ -330,8 +330,11 @@ object MediaHeaders {
   }
 
   /** One MP4 sample's placement: index, absolute byte offset, byte
-    * size, and decode timestamp in ms. */
-  final case class Mp4Sample(idx: Int, offset: Long, size: Long, dtsMs: Long)
+    * size, decode + presentation timestamps in ms, and whether the
+    * sample is a sync (key) frame — the only kind a downstream
+    * decoder can use standalone. */
+  final case class Mp4Sample(idx: Int, offset: Long, size: Long, dtsMs: Long,
+                             ptsMs: Long, isSync: Boolean)
 
   /** Sample table of the FIRST trak in an ISO-BMFF (MP4/MOV) file —
     * the byte-range map frame sampling needs at corpus scale: pick
@@ -340,12 +343,24 @@ object MediaHeaders {
     * `stts` (run-length decode deltas), `stsz` (per-sample or
     * constant sizes), `stsc` (sample-to-chunk runs, 1-based
     * first_chunk), and `stco`/`co64` (chunk offsets); timestamps
-    * scale by the mdhd media timescale (v0 and v1). Offsets are NOT
-    * validated against the buffer — real files carry the data in
-    * `mdat`, and a metadata-only prefix is a legitimate input; the
-    * caller slices. Inconsistent tables (fewer chunks or time runs
-    * than samples, zero timescale, truncation) return None; sample
-    * count is capped before any allocation.
+    * scale by the mdhd media timescale (v0 and v1). Presentation
+    * order and decodability come from two OPTIONAL tables: `ctts`
+    * (§8.6.1.3) carries per-sample composition offsets — v0 unsigned,
+    * v1 signed (B-frame reorder shifts pts both ways) — so
+    * `pts = dts + offset` (absent table: pts = dts); `stss` (§8.6.2)
+    * lists the sync samples by 1-based strictly-increasing sample
+    * number, and an ABSENT table means every sample is sync — the
+    * normative default, so a P-frame-free stream needs no table.
+    * (No `elst` parse: edit-list shifts are presentation-layer
+    * trimming; raw media pts is what byte-range selection needs, and
+    * a v1 ctts can make early pts legitimately negative.) Offsets
+    * are NOT validated against the buffer — real files carry the
+    * data in `mdat`, and a metadata-only prefix is a legitimate
+    * input; the caller slices. Inconsistent tables (fewer chunks,
+    * time runs, or composition runs than samples, zero timescale,
+    * non-increasing or out-of-range sync entries, bad ctts version,
+    * truncation) return None; sample count is capped before any
+    * allocation.
     */
   def mp4Samples(b: Array[Byte], maxSamples: Int = 1 << 20): Option[Vector[Mp4Sample]] = {
     def u8(i: Int): Int = b(i) & 0xff
@@ -402,6 +417,37 @@ object MediaHeaders {
     val (stts, sttsEnd) = find(stbl, stblEnd, "stts").getOrElse(return None)
     val nTimeRuns = be32(stts + 4)
     if (nTimeRuns < 0 || stts + 8 + 8L * nTimeRuns > sttsEnd) return None
+    // ctts (optional): composition-offset runs; v0 unsigned, v1 signed
+    val (cttsAt, nCompRuns, cttsSigned) = find(stbl, stblEnd, "ctts") match {
+      case Some((ctts, cttsEnd)) =>
+        if (ctts + 8 > cttsEnd) return None
+        val ver = u8(ctts.toInt)
+        if (ver > 1) return None
+        val n = be32(ctts + 4)
+        if (n <= 0 || ctts + 8 + 8L * n > cttsEnd) return None
+        (ctts, n.toInt, ver == 1)
+      case None => (-1L, 0, false)
+    }
+    // stss (optional): 1-based sync-sample numbers, strictly
+    // increasing and within [1, nSamples]; nSync = -1 marks ABSENT
+    // (every sample sync) as distinct from an empty table
+    val (stssAt, nSync) = find(stbl, stblEnd, "stss") match {
+      case Some((stss, stssEnd)) =>
+        val n = be32(stss + 4)
+        if (n < 0 || stss + 8 + 4L * n > stssEnd) return None
+        (stss, n.toInt)
+      case None => (-1L, -1)
+    }
+    if (nSync > 0) {
+      var p = 0
+      var prev = 0L
+      while (p < nSync) {
+        val e = be32(stssAt + 8 + 4L * p)
+        if (e <= prev || e > nSamples) return None
+        prev = e
+        p += 1
+      }
+    }
     // stsc runs: the first run MUST start at chunk 1 and first_chunk
     // values must strictly increase, or the walk would silently apply
     // a wrong run to early chunks — inconsistent tables reject
@@ -433,6 +479,12 @@ object MediaHeaders {
     var tRun = 0
     var tLeft = if (nTimeRuns > 0) be32(stts + 8) else 0L
     var tDelta = if (nTimeRuns > 0) be32(stts + 12) else 0L
+    def compOff(raw: Long): Long =
+      if (cttsSigned && raw >= 0x80000000L) raw - 0x100000000L else raw
+    var cRun = 0
+    var cLeft = if (nCompRuns > 0) be32(cttsAt + 8) else 0L
+    var cOff = if (nCompRuns > 0) compOff(be32(cttsAt + 12)) else 0L
+    var syncPtr = 0
     var scRun = 0
     var chunk = 1L
     while (sample < nSamples && chunk <= nChunks) {
@@ -451,12 +503,30 @@ object MediaHeaders {
           tLeft = be32(stts + 8 + 8L * tRun)
           tDelta = be32(stts + 12 + 8L * tRun)
         }
+        if (nCompRuns > 0 && cLeft <= 0) {
+          cRun += 1
+          if (cRun >= nCompRuns) return None // composition runs exhausted early
+          cLeft = be32(cttsAt + 8 + 8L * cRun)
+          cOff = compOff(be32(cttsAt + 12 + 8L * cRun))
+        }
         val sz = sizeOf(sample)
         if (sz < 0) return None
-        out += Mp4Sample(sample, off, sz, dts * 1000L / timescale)
+        val pts = dts + (if (nCompRuns > 0) cOff else 0L)
+        val isSync =
+          if (nSync < 0) true // absent table: every sample is sync
+          else {
+            while (syncPtr < nSync && be32(stssAt + 8 + 4L * syncPtr) < sample + 1) syncPtr += 1
+            syncPtr < nSync && be32(stssAt + 8 + 4L * syncPtr) == sample + 1
+          }
+        // floorDiv, not /: a v1 ctts legitimately makes early pts
+        // negative, and truncation-toward-zero would round the wrong
+        // way there (dts is never negative, so / is fine for it)
+        out += Mp4Sample(sample, off, sz, dts * 1000L / timescale,
+          Math.floorDiv(pts * 1000L, timescale), isSync)
         off += sz
         dts += tDelta
         tLeft -= 1
+        if (nCompRuns > 0) cLeft -= 1
         sample += 1
         k += 1
       }

@@ -277,9 +277,12 @@ object Multimodal {
     }
   }
 
-  /** One MP4 sample-placement row ([[MediaHeaders.mp4Samples]]). */
+  /** One MP4 sample-placement row ([[MediaHeaders.mp4Samples]]):
+    * byte range, decode + presentation timestamps, and sync-sample
+    * (keyframe) membership. */
   final case class Mp4SampleRow(doc_id: Long, idx: Int, offset: Long,
-                                size: Long, dts_ms: Long)
+                                size: Long, dts_ms: Long, pts_ms: Long,
+                                is_sync: Boolean)
 
   /** Sample byte-range maps for video content — the frame-sampling
     * primitive at 100 TB: select samples by timestamp, slice their
@@ -293,7 +296,8 @@ object Multimodal {
       rows.flatMap { r =>
         (try MediaHeaders.mp4Samples(r.content).getOrElse(Vector.empty)
          catch { case scala.util.control.NonFatal(_) => Vector.empty })
-          .iterator.map(s => Mp4SampleRow(r.doc_id, s.idx, s.offset, s.size, s.dtsMs))
+          .iterator.map(s => Mp4SampleRow(r.doc_id, s.idx, s.offset, s.size,
+            s.dtsMs, s.ptsMs, s.isSync))
       }
     }
   }
@@ -316,6 +320,35 @@ object Multimodal {
       .select(col("doc_id"), col("bucket"),
         col("s.idx").as("idx"), col("s.offset").as("offset"),
         col("s.size").as("size"), col("s.dts_ms").as("dts_ms"))
+  }
+
+  /** KEYFRAME selection over a sample map ([[mp4SampleRows]] output):
+    * the first SYNC sample, in PRESENTATION order, of each `everyMs`
+    * bucket of pts — the variant whose byte ranges a downstream
+    * decoder can actually use standalone. [[selectFramesEvery]] hands
+    * out raw sample cadence (decode order, any frame type);
+    * this one filters to `is_sync` (a non-keyframe byte range is
+    * undecodable without its reference chain) and buckets by `pts_ms`
+    * (ctts reorder means decode order ≠ display order — "one frame
+    * every N ms" is a statement about what the viewer sees). A bucket
+    * whose span holds no keyframe yields no row: selecting its
+    * nearest P-frame would hand downstream an unusable range, and
+    * seeking backward to a previous keyframe would double-select it.
+    * Same 100 TB shape as the plain variant: filter + one
+    * partial-combined shuffle on (doc, bucket), no window. */
+  def selectKeyframesEvery(samples: org.apache.spark.sql.DataFrame,
+                           everyMs: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(everyMs > 0, "everyMs must be positive")
+    samples
+      .filter(col("is_sync"))
+      .groupBy(col("doc_id"), expr(s"pts_ms div $everyMs").as("bucket"))
+      .agg(min(struct(col("pts_ms"), col("idx"), col("offset"),
+        col("size"), col("dts_ms"))).as("s"))
+      .select(col("doc_id"), col("bucket"),
+        col("s.idx").as("idx"), col("s.offset").as("offset"),
+        col("s.size").as("size"), col("s.dts_ms").as("dts_ms"),
+        col("s.pts_ms").as("pts_ms"))
   }
 
   /** One audio-fingerprint row ([[MediaDecode.audioHash63]]). */

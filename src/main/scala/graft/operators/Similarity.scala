@@ -51,7 +51,7 @@ object Similarity {
     scored.groupBy("qid")
       .agg(TopK.topkPairsDouble(col(ordCol), col("nid"), k).as("__tk"))
       .select(col("qid"), posexplode(col("__tk")).as(Seq("__pos", "__p")))
-      .select(col("qid"), (col("__pos") + 1).as("rank"), col("__p.id").as("nid"))
+      .select(col("qid"), (col("__pos") + 1).cast("long").as("rank"), col("__p.id").as("nid"))
 
   /** The `nProbe` highest-scoring list ids from an [[Kernels.ivfScores]]
     * array, computed ROW-LOCALLY: ascending `array_sort` over

@@ -135,13 +135,20 @@ object Temporal {
     * broadcast-sane; "giants are rare by definition, else the bucket
     * grain is wrong") fall back to the planned frame unchanged, so
     * results are identical in every branch.
+    *
+    * The probe itself reads a SINGLE constant column (`lit(1)` under
+    * the limit), so the common empty case never ships full-width
+    * interval rows to the driver — wide payload columns cost nothing
+    * until giants are PROVEN to exist and to fit the cap, and only
+    * then does a second bounded pass collect the rows the broadcast
+    * genuinely needs (r13, closing the r12 ADVICE probe-width item).
     */
   private def materializeGiants(g: DataFrame, cap: Int = 10000): Option[DataFrame] = {
-    val rows = g.limit(cap + 1).collect()
-    if (rows.isEmpty) None
-    else if (rows.length > cap) Some(g)
+    val found = g.select(lit(1).as("__one")).limit(cap + 1).collect().length
+    if (found == 0) None
+    else if (found > cap) Some(g)
     else Some(g.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), g.schema))
+      java.util.Arrays.asList(g.limit(cap).collect(): _*), g.schema))
   }
 
   /** Range (interval-containment) join with NO equi-key: pairs every

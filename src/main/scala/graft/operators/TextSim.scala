@@ -216,7 +216,7 @@ object TextSim {
       // return empty top-k lists for every query
       .agg(graft.functions.TopK.topkPairsFor(scored, col("__score"), col("__doc"), k).as("__tk"))
       .select(col("__qid").as("qid"), posexplode(col("__tk")).as(Seq("__pos", "__p")))
-      .select(col("qid"), (col("__pos") + 1).as("rank"),
+      .select(col("qid"), (col("__pos") + 1).cast("long").as("rank"),
         col("__p.id").as("nid"), col("__p.ord").as("score"))
   }
 }

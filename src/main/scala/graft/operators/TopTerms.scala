@@ -57,7 +57,7 @@ object TopTerms {
     val scored = tf.join(vocab, "w")
       .withColumn("score", expr("(tf * 1000000) DIV df"))
     val rk = Window.partitionBy("doc_id").orderBy(col("score").desc, col("w").asc)
-    scored.withColumn("rank", row_number().over(rk)).filter(col("rank") <= topK)
+    scored.withColumn("rank", row_number().over(rk).cast("long")).filter(col("rank") <= topK)
       .select(col("doc_id"), col("rank"), col("w").as("term"),
         col("tf"), col("df"), col("score"))
   }

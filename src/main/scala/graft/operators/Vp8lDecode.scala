@@ -38,12 +38,20 @@ object Vp8lDecode {
     * extended (VP8X) layout, where metadata chunks (ICCP/EXIF/XMP/
     * ALPH…) precede the image chunk; the walk takes the first
     * TOP-LEVEL `VP8L` (animated files nest their frames inside ANMF,
-    * so they correctly find none). Lossy `VP8 ` content returns None:
-    * a full hybrid-video-codec decoder (boolean coder, intra
-    * prediction, IDCT, loop filter) is out of proportion to
-    * curation value here — a scope decision, not a spec gap.
+    * so they correctly find none). Lossy `VP8 ` content returns None
+    * here and decodes through [[Vp8Decode.vp8Pixels]] (r13), the
+    * from-spec RFC 6386 keyframe decoder.
+    *
+    * `maxPixels` bounds the decoded footprint BEFORE allocation. The
+    * default is the 14-bit dimension maximum the bitstream can even
+    * express (2^28 px = 1 GiB RGBA) — the spec-level bound for direct
+    * callers; the corpus-facing [[MediaDecode.imagePixels]] path
+    * passes a much smaller cap, because a few hundred KB of LZ77
+    * backrefs can legally inflate to the full 2^28 and one crafted
+    * row per executor thread would transiently pin ~1 GiB each (r13,
+    * closing the r12 ADVICE amplification item).
     */
-  def vp8lPixels(b: Array[Byte]): Option[PixelImage] = {
+  def vp8lPixels(b: Array[Byte], maxPixels: Long = 1L << 28): Option[PixelImage] = {
     def u8(i: Int): Int = b(i) & 0xff
     def tag(i: Int, s: String): Boolean =
       i + s.length <= b.length && s.indices.forall(j => u8(i + j) == s.charAt(j))
@@ -59,7 +67,7 @@ object Vp8lDecode {
       if (size < 0 || payload + size > riffEnd) return None
       if (tag(at.toInt, "VP8L")) {
         if (size < 5 || u8(payload.toInt) != 0x2f) return None // VP8L signature byte
-        return decodeStream(b, payload.toInt + 1, (payload + size).toInt)
+        return decodeStream(b, payload.toInt + 1, (payload + size).toInt, maxPixels)
       }
       at = payload + size + (size & 1) // RIFF pads chunks to even
     }
@@ -534,14 +542,15 @@ object Vp8lDecode {
 
   // ---- top level ----------------------------------------------------
 
-  private def decodeStream(b: Array[Byte], start: Int, end: Int): Option[PixelImage] = {
+  private def decodeStream(b: Array[Byte], start: Int, end: Int,
+                           maxPixels: Long): Option[PixelImage] = {
     val br = new BitReader(b, start, end)
     val w = br.readBits(14) + 1
     val h = br.readBits(14) + 1
     br.readBit() // alpha_is_used hint — not needed for decode
     if (br.readBits(3) != 0) return None // version must be 0
     if (br.bad) return None
-    if (w.toLong * h * 4 > (1L << 30)) return None
+    if (w.toLong * h > maxPixels) return None
     // transforms (top level only), each kind at most once
     var transforms: List[Transform] = Nil
     var seen = 0

@@ -86,7 +86,7 @@ object Relational {
       (s, dir) => {
         val w = Window.partitionBy("user_id").orderBy(desc("value"), asc("event_id"))
         Tables(s, dir, "events")
-          .withColumn("rnk", row_number().over(w))
+          .withColumn("rnk", row_number().over(w).cast("long"))
           .filter(col("rnk") <= 3)
           .select("user_id", "event_id", "rnk")
       },
@@ -555,10 +555,10 @@ object Relational {
           .orderBy(floor(col("value")).desc, col("event_id").asc)
         Tables(s, dir, "events")
           .select(col("event_id"), col("event_type"),
-            dense_rank().over(tied).as("drank"),
+            dense_rank().over(tied).cast("long").as("drank"),
             percent_rank().over(tied).as("prank"),
             cume_dist().over(tied).as("cdist"),
-            ntile(4).over(uniq).as("quartile"))
+            ntile(4).over(uniq).cast("long").as("quartile"))
       },
       Some("""SELECT event_id, event_type,
              |  dense_rank() OVER wt AS drank,

@@ -183,10 +183,13 @@ object TrainingOps {
     * UTF-16LE/BE, UTF-32LE — whose FF FE prefix must outrank UTF-16LE),
     * and every strict-scanner reject class: bare latin-1 high byte,
     * overlong (C0 80), UTF-16 surrogate (ED A0 80), truncated 4-byte
-    * sequence, and a code point past U+10FFFF. Rejected streams split
-    * on the NUL signal: any 0x00 byte → binary (15, a real JPEG
-    * SOI+APP0 prefix), none → latin-1 (6, 16 — the terminal fallback).
-    * The oracle replays the scanner byte-for-byte as a recursive CTE.
+    * sequence, and a code point past U+10FFFF. Any 0x00 byte wins
+    * over UTF-8 validity (NULs are never text): 15 a real JPEG
+    * SOI+APP0 prefix, 17 scanner-CLEAN 7-bit bytes around a NUL
+    * (BOM-less UTF-16-of-ASCII shape), 18 a NUL-padded valid
+    * multibyte blob — all binary; scanner-rejected with no NUL →
+    * latin-1 (6, 16 — the terminal fallback). The oracle replays the
+    * scanner byte-for-byte as a recursive CTE.
     */
   private lazy val charsetFixtures: Seq[(Long, String)] = Seq(
     (1L, "68656C6C6F"),                         // "hello" -> ascii
@@ -204,7 +207,9 @@ object TrainingOps {
     (13L, "ED9FBF"),                            // U+D7FF boundary, valid
     (14L, "F48FBFBF"),                          // U+10FFFF boundary, valid
     (15L, "FFD8FFE000104A464946"),              // JPEG SOI+APP0: inv>0, NUL -> binary
-    (16L, "A1A2A3"))                            // lone continuations, no NUL -> latin-1
+    (16L, "A1A2A3"),                            // lone continuations, no NUL -> latin-1
+    (17L, "680069"),                            // "h\0i": inv=0 but NUL -> binary
+    (18L, "E282AC0000"))                        // euro + NUL pad: inv=0, NUL -> binary
 
   private lazy val mmHeaderFixtures: Seq[(Long, String, String)] = Seq(
     (1L, "image",
@@ -468,11 +473,15 @@ object TrainingOps {
               |  CAST(k*d*1000 // ts AS BIGINT) AS dts_ms
               |  FROM b, range(0, 4) t(k))""".stripMargin
 
-  /** The union of both fixtures' replayed sample rows. */
+  /** The union of both fixtures' replayed sample rows. doc_id is cast
+    * up front: the fixture VALUES literal is int32 in DuckDB, and the
+    * driver's hash compares raw dtypes against Spark's int64. Both
+    * fixtures carry neither `ctts` nor `stss`, so the normative
+    * defaults apply: pts = dts and every sample is sync. */
   private val mp4SamplesSelect: String =
-    """      |SELECT doc_id, CAST(idx AS BIGINT) AS idx, "offset", size, dts_ms FROM arows
+    """      |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(idx AS BIGINT) AS idx, "offset", size, dts_ms, dts_ms AS pts_ms, TRUE AS is_sync FROM arows
       |UNION ALL
-      |SELECT doc_id, CAST(idx AS BIGINT) AS idx, "offset", size, dts_ms FROM brows""".stripMargin
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(idx AS BIGINT) AS idx, "offset", size, dts_ms, dts_ms AS pts_ms, TRUE AS is_sync FROM brows""".stripMargin
 
   /** The mp4 fixture set as MediaRows (kind video). */
   private def mp4FixtureRows(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
@@ -482,6 +491,120 @@ object TrainingOps {
       .select(col("doc_id"), lit("video").as("kind"), unhex(col("hx")).as("content"))
       .as[Multimodal.MediaRow]
   }
+
+  /** Byte fixtures for `mm_frame_select_key` (id, hex), all tables at
+    * FIXED offsets so the oracle re-reads every field. Fixture C
+    * (doc 4): timescale 1000, 8 samples (one stts run 8×100), ctts v0
+    * with FIVE runs — counts 1/1/2/1/3, offsets 0/250/0/250/0 — so
+    * pts reorders across buckets (idx 4's +250 moves it from dts
+    * bucket 1 into pts bucket 2), and stss [1,5,7] (sync idx 0/4/6):
+    * pts bucket 1 holds samples but NO keyframe → no output row, the
+    * case that proves the sync filter binds. Fixture D (doc 5):
+    * timescale 1000, 4 samples (stts 4×200), ctts VERSION 1 with a
+    * NEGATIVE offset run (1×0, 2×−100, 1×+100 — misread unsigned it
+    * would explode pts by 2³²) and NO stss — the absent-table
+    * default (all sync) binding. Fixture A (doc 1, shared) covers
+    * the no-ctts default pts = dts. Doc 6 is foreign bytes → no rows.
+    */
+  private lazy val mp4KeyFixtures: Seq[(Long, String)] = Seq(
+    (1L, mp4SampleFixtures.head._2),
+    (4L, "000000106674797069736F6D00000200000001646D6F6F760000006C6D766864" +
+      "0000000000000000000000000000025800000BB8" + "00" * 80 +
+      "000000F07472616B000000E86D646961000000206D646864000000000000000000000000" +
+      "000003E80000138800000000000000C06D696E66000000B87374626C" +
+      "000000187374747300000000000000010000000800000064" +
+      "0000003863747473000000000000000500000001000000000000000100" +
+      "0000FA000000020000000000000001000000FA0000000300000000" +
+      "0000001C7374737300000000000000030000000100000005000000070000001C" +
+      "737473630000000000000001000000010000000800000001" +
+      "000000147374737A000000000000006400000008" +
+      "000000147374636F0000000000000001" + "00000400"),
+    (5L, "000000106674797069736F6D00000200000001386D6F6F760000006C6D766864" +
+      "0000000000000000000000000000025800000BB8" + "00" * 80 +
+      "000000C47472616B000000BC6D646961000000206D646864000000000000000000000000" +
+      "000003E80000138800000000000000946D696E660000008C7374626C" +
+      "0000001873747473000000000000000100000004000000C8" +
+      "0000002863747473010000000000000300000001000000000000" +
+      "0002FFFFFF9C0000000100000064" +
+      "0000001C737473630000000000000001000000010000000400000001" +
+      "000000147374737A000000000000003200000004" +
+      "000000147374636F0000000000000001" + "00000800"),
+    (6L, "BAADF00D"))
+
+  /** [[mp4KeyFixtures]] as MediaRows (kind video). */
+  private def mp4KeyFixtureRows(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+    implicit val enc: org.apache.spark.sql.Encoder[Multimodal.MediaRow] =
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+    s.createDataFrame(mp4KeyFixtures).toDF("doc_id", "hx")
+      .select(col("doc_id"), lit("video").as("kind"), unhex(col("hx")).as("content"))
+      .as[Multimodal.MediaRow]
+  }
+
+  /** Oracle CTEs replaying fixtures C and D ([[mp4KeyFixtures]]):
+    * `crows`/`drows` re-derive (idx, offset, size, dts_ms, pts_ms,
+    * is_sync) from the big-endian table bytes at fixed offsets —
+    * ctts run boundaries from the counts, signed v1 offsets by
+    * explicit two's-complement fold, stss membership by comparing
+    * each 1-based sample number against the table's entries. */
+  private lazy val mp4KeyCtes: String =
+    s"""rk(doc_id, hx) AS (VALUES
+       |  ${mp4KeyFixtures.filter(f => f._1 == 4L || f._1 == 5L)
+             .map { case (id, hx) => s"($id, '$hx')" }.mkString(",\n  ")}),
+       |btk AS (SELECT doc_id,
+       |  list_transform(range(0, octet_length(unhex(hx))), k ->
+       |    (strpos('0123456789ABCDEF', upper(substr(hx, 1 + 2*k, 1))) - 1) * 16
+       |    + (strpos('0123456789ABCDEF', upper(substr(hx, 2 + 2*k, 1))) - 1)) AS bb
+       |  FROM rk),
+       |-- fixture C (doc 4): mdhd timescale at 168; stts run at 212
+       |-- (count/delta); ctts payload 228 → five (count, offset) pairs
+       |-- from 236; stss payload 284 → three entries from 292; stsz
+       |-- const at 344; stco[0] at 368
+       |ck AS (SELECT doc_id,
+       |  bb[169]*16777216 + bb[170]*65536 + bb[171]*256 + bb[172] AS ts,
+       |  bb[217]*16777216 + bb[218]*65536 + bb[219]*256 + bb[220] AS d1,
+       |  list_transform(range(0, 5), j ->
+       |    bb[237+8*j]*16777216 + bb[238+8*j]*65536 + bb[239+8*j]*256 + bb[240+8*j]) AS cc,
+       |  list_transform(range(0, 5), j ->
+       |    bb[241+8*j]*16777216 + bb[242+8*j]*65536 + bb[243+8*j]*256 + bb[244+8*j]) AS cv,
+       |  list_transform(range(0, 3), j ->
+       |    bb[293+4*j]*16777216 + bb[294+4*j]*65536 + bb[295+4*j]*256 + bb[296+4*j]) AS ss,
+       |  bb[345]*16777216 + bb[346]*65536 + bb[347]*256 + bb[348] AS sz,
+       |  bb[369]*16777216 + bb[370]*65536 + bb[371]*256 + bb[372] AS co
+       |  FROM btk WHERE doc_id = 4),
+       |crows AS (SELECT doc_id, k AS idx,
+       |  CAST(co + sz*k AS BIGINT) AS "offset", CAST(sz AS BIGINT) AS size,
+       |  CAST(k*d1*1000 // ts AS BIGINT) AS dts_ms,
+       |  CAST((k*d1 + CASE WHEN k < cc[1] THEN cv[1]
+       |                    WHEN k < cc[1]+cc[2] THEN cv[2]
+       |                    WHEN k < cc[1]+cc[2]+cc[3] THEN cv[3]
+       |                    WHEN k < cc[1]+cc[2]+cc[3]+cc[4] THEN cv[4]
+       |                    ELSE cv[5] END) * 1000 // ts AS BIGINT) AS pts_ms,
+       |  list_contains(ss, k + 1) AS is_sync
+       |  FROM ck, range(0, 8) t(k)),
+       |-- fixture D (doc 5): stts run at 212; ctts v1 payload 228 →
+       |-- three (count, offset) pairs from 236, offsets SIGNED
+       |-- (two's complement over the u32 read); no stss → all sync;
+       |-- stsz const at 300; stco[0] at 324
+       |dk AS (SELECT doc_id,
+       |  bb[169]*16777216 + bb[170]*65536 + bb[171]*256 + bb[172] AS ts,
+       |  bb[217]*16777216 + bb[218]*65536 + bb[219]*256 + bb[220] AS dd,
+       |  list_transform(range(0, 3), j ->
+       |    bb[237+8*j]*16777216 + bb[238+8*j]*65536 + bb[239+8*j]*256 + bb[240+8*j]) AS cc,
+       |  list_transform(range(0, 3), j -> CAST(
+       |    bb[241+8*j]*16777216 + bb[242+8*j]*65536 + bb[243+8*j]*256 + bb[244+8*j] AS BIGINT)) AS cvr,
+       |  bb[301]*16777216 + bb[302]*65536 + bb[303]*256 + bb[304] AS sz,
+       |  bb[325]*16777216 + bb[326]*65536 + bb[327]*256 + bb[328] AS co
+       |  FROM btk WHERE doc_id = 5),
+       |drows AS (SELECT doc_id, k AS idx,
+       |  CAST(co + sz*k AS BIGINT) AS "offset", CAST(sz AS BIGINT) AS size,
+       |  CAST(k*dd*1000 // ts AS BIGINT) AS dts_ms,
+       |  CAST((k*dd + CASE
+       |      WHEN k < cc[1] THEN (CASE WHEN cvr[1] >= 2147483648 THEN cvr[1] - 4294967296 ELSE cvr[1] END)
+       |      WHEN k < cc[1]+cc[2] THEN (CASE WHEN cvr[2] >= 2147483648 THEN cvr[2] - 4294967296 ELSE cvr[2] END)
+       |      ELSE (CASE WHEN cvr[3] >= 2147483648 THEN cvr[3] - 4294967296 ELSE cvr[3] END)
+       |    END) * 1000 // ts AS BIGINT) AS pts_ms,
+       |  TRUE AS is_sync
+       |  FROM dk, range(0, 4) t(k))""".stripMargin
 
 
   private lazy val mmPixelFixtures: Seq[(Long, String, String)] = Seq(
@@ -1930,7 +2053,7 @@ object TrainingOps {
               |sh AS (SELECT doc_id, list_sum(list_transform(range(0,32), j ->
               |  CASE WHEN list_sum(list_transform(h, x -> ((x >> j) & 1)*2 - 1)) > 0
               |       THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) v FROM hs)
-              |SELECT a.doc_id da, b.doc_id db, bit_count(xor(a.v, b.v)) AS hamming
+              |SELECT a.doc_id da, b.doc_id db, CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming
               |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
               |WHERE bit_count(xor(a.v, b.v)) <= 3""".stripMargin)),
 
@@ -1948,7 +2071,7 @@ object TrainingOps {
               |         CASE WHEN ((37+101*j)*x + 7+139*j) % 1000000007 * 2 < 1000000007
               |              THEN 1 ELSE -1 END)) > 0
               |       THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)), 0) v FROM hs)
-              |SELECT a.doc_id da, b.doc_id db, bit_count(xor(a.v, b.v)) AS hamming
+              |SELECT a.doc_id da, b.doc_id db, CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming
               |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
               |WHERE bit_count(xor(a.v, b.v)) <= 3""".stripMargin)),
 
@@ -2069,7 +2192,7 @@ object TrainingOps {
               |         CASE WHEN ((37+101*j)*x + 7+139*j) % 1000000007 * 2 < 1000000007
               |              THEN 1 ELSE -1 END)) > 0
               |       THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)), 0) v FROM hs)
-              |SELECT a.doc_id da, b.doc_id db, bit_count(xor(a.v, b.v)) AS hamming
+              |SELECT a.doc_id da, b.doc_id db, CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming
               |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
               |WHERE bit_count(xor(a.v, b.v)) <= 3""".stripMargin)),
 
@@ -3688,16 +3811,16 @@ object TrainingOps {
               |hb AS (SELECT doc_id,
               |  len(list_filter(bb, x -> x >= 128)) AS high,
               |  len(list_filter(bb, x -> x = 0)) AS nul FROM bt)
-              |SELECT bt.doc_id,
+              |SELECT CAST(bt.doc_id AS BIGINT) AS doc_id,
               |  CASE
               |    WHEN substr(upper(hx), 1, 6) = 'EFBBBF' THEN 'utf-8-bom'
               |    WHEN substr(upper(hx), 1, 8) = 'FFFE0000' THEN 'utf-32le'
               |    WHEN substr(upper(hx), 1, 8) = '0000FEFF' THEN 'utf-32be'
               |    WHEN substr(upper(hx), 1, 4) = 'FFFE' THEN 'utf-16le'
               |    WHEN substr(upper(hx), 1, 4) = 'FEFF' THEN 'utf-16be'
+              |    WHEN nul > 0 THEN 'binary'
               |    WHEN inv = 0 AND high > 0 THEN 'utf-8'
               |    WHEN inv = 0 THEN 'ascii'
-              |    WHEN nul > 0 THEN 'binary'
               |    ELSE 'latin-1' END AS encoding,
               |  CAST(inv AS BIGINT) AS invalid_bytes,
               |  CAST(high AS BIGINT) AS high_bytes,
@@ -3757,7 +3880,7 @@ object TrainingOps {
               |    (strpos('0123456789ABCDEF', upper(substr(hx, 1 + 2*k, 1))) - 1) * 16
               |    + (strpos('0123456789ABCDEF', upper(substr(hx, 2 + 2*k, 1))) - 1)) AS bb
               |  FROM b)
-              |SELECT doc_id, kind, CAST(n AS BIGINT) AS n_bytes,
+              |SELECT CAST(doc_id AS BIGINT) AS doc_id, kind, CAST(n AS BIGINT) AS n_bytes,
               |  CAST(CASE
               |    WHEN doc_id = 1 THEN bb[17]*16777216 + bb[18]*65536 + bb[19]*256 + bb[20]
               |    WHEN doc_id = 2 THEN bb[7] + bb[8]*256
@@ -3977,7 +4100,7 @@ object TrainingOps {
               |       * ((bb[34] // 2) % 2 + (bb[34] // 8) % 2 + (bb[34] // 32) % 2 + (bb[34] // 128) % 2)
               |     AS DOUBLE) / 4 AS wmb
               |  FROM bt WHERE doc_id = 15)
-              |SELECT doc_id,
+              |SELECT CAST(doc_id AS BIGINT) AS doc_id,
               |  CAST(CAST(CASE WHEN doc_id = 1
               |    THEN (0.299*mr + 0.587*mg + 0.114*mb)/255.0
               |    WHEN doc_id IN (3, 4) THEN jg/255.0
@@ -4354,7 +4477,7 @@ object TrainingOps {
       (s, dir) => {
         Multimodal.mp4SampleRows(mp4FixtureRows(s)).toDF()
           .select(col("doc_id"), col("idx").cast("long").as("idx"),
-            col("offset"), col("size"), col("dts_ms"))
+            col("offset"), col("size"), col("dts_ms"), col("pts_ms"), col("is_sync"))
       },
       Some(s"""WITH $mp4SamplesCtes
               |$mp4SamplesSelect""".stripMargin)),
@@ -4380,6 +4503,42 @@ object TrainingOps {
               |    row_number() OVER (PARTITION BY doc_id, dts_ms // 300
               |                       ORDER BY dts_ms, idx) AS rn
               |  FROM allsmp)
+              |WHERE rn = 1""".stripMargin)),
+
+    // ---- KEYFRAME selection: the first SYNC sample in PRESENTATION
+    //      order per 300 ms bucket of pts — the byte ranges a
+    //      downstream decoder can use STANDALONE. Exercises the two
+    //      optional stbl tables end to end: ctts v0 (run-length
+    //      composition offsets reorder pts across buckets) and v1
+    //      (signed offsets — a negative run misread unsigned explodes
+    //      pts by 2^32), stss membership (a bucket with samples but
+    //      no keyframe yields NO row — fixture C's bucket 1), and
+    //      both absence defaults (fixture A: no ctts → pts = dts, no
+    //      stss → all sync). Same shape as mm_frame_select: filter +
+    //      one partial-combined shuffle, no window. ----
+    "mm_frame_select_key" -> Q(
+      (s, dir) =>
+        Multimodal.selectKeyframesEvery(
+            Multimodal.mp4SampleRows(mp4KeyFixtureRows(s)).toDF(), 300L)
+          .select(col("doc_id"), col("bucket"), col("idx").cast("long").as("idx"),
+            col("offset"), col("size"), col("dts_ms"), col("pts_ms")),
+      Some(s"""WITH $mp4SamplesCtes,
+              |$mp4KeyCtes,
+              |kall AS (
+              |  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(idx AS BIGINT) AS idx,
+              |    "offset", size, dts_ms, dts_ms AS pts_ms, TRUE AS is_sync FROM arows
+              |  UNION ALL
+              |  SELECT CAST(doc_id AS BIGINT), CAST(idx AS BIGINT),
+              |    "offset", size, dts_ms, pts_ms, is_sync FROM crows
+              |  UNION ALL
+              |  SELECT CAST(doc_id AS BIGINT), CAST(idx AS BIGINT),
+              |    "offset", size, dts_ms, pts_ms, is_sync FROM drows)
+              |SELECT doc_id, bucket, idx, "offset", size, dts_ms, pts_ms FROM (
+              |  SELECT doc_id, CAST(pts_ms // 300 AS BIGINT) AS bucket,
+              |    idx, "offset", size, dts_ms, pts_ms,
+              |    row_number() OVER (PARTITION BY doc_id, pts_ms // 300
+              |                       ORDER BY pts_ms, idx) AS rn
+              |  FROM kall WHERE is_sync)
               |WHERE rn = 1""".stripMargin)),
 
 

@@ -81,7 +81,9 @@ class CharsetSpec extends SparkSpec {
       "0000FEFF00000068" -> "utf-32be",
       "636166E9" -> "latin-1",              // rejected, no NUL -> terminal fallback
       "A1A2A3" -> "latin-1",                // all-high rejects, still no NUL
-      "FFD8FFE000104A464946" -> "binary")   // JPEG SOI+APP0: rejected AND has NULs
+      "FFD8FFE000104A464946" -> "binary",   // JPEG SOI+APP0: rejected AND has NULs
+      "680069" -> "binary",                 // "h\0i": scanner-clean, NUL wins
+      "E282AC0000" -> "binary")             // NUL-padded valid multibyte blob
     import spark.implicits._
     val got = rows.map(_._1).toDF("hx")
       .select(col("hx"), TextFunctions.detectEncoding(unhex(col("hx"))).as("enc"))

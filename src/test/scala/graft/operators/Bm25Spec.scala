@@ -18,7 +18,7 @@ class Bm25Spec extends SparkSpec {
     */
   private def bruteForce(
       corpus: Seq[(Long, String)], queries: Seq[(Long, String)],
-      k: Int, maxTermDocs: Long): Seq[(Long, Int, Long, Long)] = {
+      k: Int, maxTermDocs: Long): Seq[(Long, Long, Long, Long)] = {
     val toks = (t: String) => t.split(" ").filter(_.nonEmpty).toSeq
     val tf: Map[(Long, String), Long] = corpus
       .flatMap { case (id, t) => toks(t).map(w => (id, w)) }
@@ -42,7 +42,7 @@ class Bm25Spec extends SparkSpec {
         if (s > 0) Some((d, s)) else None
       }
       scores.sortBy { case (d, s) => (-s, d) }.take(k).zipWithIndex
-        .map { case ((d, s), i) => (qid, i + 1, d, s) }
+        .map { case ((d, s), i) => (qid, (i + 1).toLong, d, s) }
     }
   }
 
@@ -61,7 +61,7 @@ class Bm25Spec extends SparkSpec {
         queries.toDF("doc_id", "text"), "doc_id", "text",
         k = 3, maxTermDocs = 100L)
       .orderBy("qid", "rank")
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     val exp = bruteForce(corpus, queries, k = 3, maxTermDocs = 100L)
     assert(out == exp)
   }
@@ -83,8 +83,8 @@ class Bm25Spec extends SparkSpec {
       corpus.toDF("doc_id", "text"), "doc_id", "text",
       Seq((9L, "the fox")).toDF("doc_id", "text"), "doc_id", "text",
       k = 5, maxTermDocs = 2L)
-      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
-    assert(out2 == Seq((1, 1L))) // only doc 1 has 'fox'; 'the' is shed
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(out2 == Seq((1L, 1L))) // only doc 1 has 'fox'; 'the' is shed
   }
 
   test("distinct-vocabulary probes retrieve themselves first") {
@@ -108,7 +108,7 @@ class Bm25Spec extends SparkSpec {
     val probes = docs.filter(col("doc_id") % 100 === 0)
     val out = TextSim.bm25TopK(docs, "doc_id", "text",
         probes, "doc_id", "text", k = 10, maxTermDocs = 1000L)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.nonEmpty)
     out.groupBy(_._1).foreach { case (q, rows) =>
       val sorted = rows.sortBy(_._2)

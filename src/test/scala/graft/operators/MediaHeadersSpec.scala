@@ -261,10 +261,11 @@ class MediaHeadersSpec extends AnyFunSuite {
         "0C800000028737473630000000000000002000000010000000200000001000000020000" +
         "000300000001000000287374737A0000000000000000000000050000000A000000140000" +
         "001E0000002800000032000000187374636F0000000000000002000000C80000012C")
+    // no ctts, no stss → the normative defaults: pts = dts, all sync
     assert(MediaHeaders.mp4Samples(a).contains(Vector(
-      Mp4Sample(0, 200, 10, 0), Mp4Sample(1, 210, 20, 100),
-      Mp4Sample(2, 300, 30, 200), Mp4Sample(3, 330, 40, 400),
-      Mp4Sample(4, 370, 50, 600))))
+      Mp4Sample(0, 200, 10, 0, 0, true), Mp4Sample(1, 210, 20, 100, 100, true),
+      Mp4Sample(2, 300, 30, 200, 200, true), Mp4Sample(3, 330, 40, 400, 400, true),
+      Mp4Sample(4, 370, 50, 600, 600, true))))
     // every truncation prefix: None, never a throw
     (0 until a.length).foreach(n => assert(MediaHeaders.mp4Samples(a.take(n)).isEmpty))
   }
@@ -280,8 +281,8 @@ class MediaHeadersSpec extends AnyFunSuite {
         "0000000000000001000000010000000400000001000000147374737A0000000000000019" +
         "0000000400000018636F3634000000000000000100000000000003E8")
     assert(MediaHeaders.mp4Samples(b).contains(Vector(
-      Mp4Sample(0, 1000, 25, 0), Mp4Sample(1, 1025, 25, 5),
-      Mp4Sample(2, 1050, 25, 11), Mp4Sample(3, 1075, 25, 16))))
+      Mp4Sample(0, 1000, 25, 0, 0, true), Mp4Sample(1, 1025, 25, 5, 5, true),
+      Mp4Sample(2, 1050, 25, 11, 11, true), Mp4Sample(3, 1075, 25, 16, 16, true))))
     // inconsistent tables reject: fewer time runs than samples (patch
     // the stts run count from 4 down to 2), zero timescale
     val shortTime = b.clone()
@@ -295,5 +296,73 @@ class MediaHeadersSpec extends AnyFunSuite {
       "000000746D6F6F76" + "0000006C6D766864" +
       "00000000" + "00000000" + "00000000" + "00000258" + "00000BB8" + "00" * 80)).isEmpty)
     assert(MediaHeaders.mp4Samples(hex("DEADBEEF")).isEmpty)
+  }
+
+  test("mp4Samples: ctts v0 composition offsets + stss sync membership") {
+    import MediaHeaders.Mp4Sample
+    // mm_frame_select_key fixture C: timescale 1000, one stts run
+    // 8×100, ctts v0 runs (1,0)(1,250)(2,0)(1,250)(3,0), stss [1,5,7],
+    // constant size 100, one chunk at 1024
+    val c = hex(
+      "000000106674797069736F6D00000200000001646D6F6F760000006C6D766864" +
+        "0000000000000000000000000000025800000BB8" + "00" * 80 +
+        "000000F07472616B000000E86D646961000000206D646864000000000000000000000000" +
+        "000003E80000138800000000000000C06D696E66000000B87374626C" +
+        "000000187374747300000000000000010000000800000064" +
+        "0000003863747473000000000000000500000001000000000000000100" +
+        "0000FA000000020000000000000001000000FA0000000300000000" +
+        "0000001C7374737300000000000000030000000100000005000000070000001C" +
+        "737473630000000000000001000000010000000800000001" +
+        "000000147374737A000000000000006400000008" +
+        "000000147374636F0000000000000001" + "00000400")
+    val expectPts = Seq(0L, 350L, 200L, 300L, 650L, 500L, 600L, 700L)
+    val expectSync = Set(0, 4, 6)
+    assert(MediaHeaders.mp4Samples(c).contains((0 until 8).map(k =>
+      Mp4Sample(k, 1024L + 100L * k, 100L, 100L * k, expectPts(k),
+        expectSync.contains(k))).toVector))
+    // every truncation prefix: None, never a throw
+    (0 until c.length).foreach(n => assert(MediaHeaders.mp4Samples(c.take(n)).isEmpty))
+    // inconsistent optional tables reject:
+    val nonIncreasing = c.clone()
+    nonIncreasing(299) = 1 // stss entry 2: 5 -> 1 (not strictly increasing)
+    assert(MediaHeaders.mp4Samples(nonIncreasing).isEmpty)
+    val outOfRange = c.clone()
+    outOfRange(303) = 9 // stss entry 3: 7 -> 9 (> nSamples = 8)
+    assert(MediaHeaders.mp4Samples(outOfRange).isEmpty)
+    val shortCtts = c.clone()
+    shortCtts(235) = 4 // ctts run count 5 -> 4: covers 5 of 8 samples
+    assert(MediaHeaders.mp4Samples(shortCtts).isEmpty)
+    val badVersion = c.clone()
+    badVersion(228) = 2 // ctts version 2 is not a thing
+    assert(MediaHeaders.mp4Samples(badVersion).isEmpty)
+  }
+
+  test("mp4Samples: ctts v1 signed (negative) offsets, absent stss = all sync") {
+    import MediaHeaders.Mp4Sample
+    // mm_frame_select_key fixture D: timescale 1000, one stts run
+    // 4×200, ctts v1 runs (1,0)(2,−100)(1,+100), no stss, constant
+    // size 50, one chunk at 2048
+    val d = hex(
+      "000000106674797069736F6D00000200000001386D6F6F760000006C6D766864" +
+        "0000000000000000000000000000025800000BB8" + "00" * 80 +
+        "000000C47472616B000000BC6D646961000000206D646864000000000000000000000000" +
+        "000003E80000138800000000000000946D696E660000008C7374626C" +
+        "0000001873747473000000000000000100000004000000C8" +
+        "0000002863747473010000000000000300000001000000000000" +
+        "0002FFFFFF9C0000000100000064" +
+        "0000001C737473630000000000000001000000010000000400000001" +
+        "000000147374737A000000000000003200000004" +
+        "000000147374636F0000000000000001" + "00000800")
+    assert(MediaHeaders.mp4Samples(d).contains(Vector(
+      Mp4Sample(0, 2048, 50, 0, 0, true), Mp4Sample(1, 2098, 50, 200, 100, true),
+      Mp4Sample(2, 2148, 50, 400, 300, true), Mp4Sample(3, 2198, 50, 600, 700, true))))
+    // the same stream with ctts downgraded to v0 must read 0xFFFFFF9C
+    // as UNSIGNED +4294967196 — proving the v1 path is signed, not a
+    // coincidence of small offsets (pts_ms floors 4294967196+dts ticks)
+    val v0 = d.clone()
+    v0(228) = 0
+    val got = MediaHeaders.mp4Samples(v0).get
+    assert(got(1).ptsMs == (200L + 4294967196L) * 1000L / 1000L)
+    assert(got(1).isSync && got(3).ptsMs == 700L)
   }
 }

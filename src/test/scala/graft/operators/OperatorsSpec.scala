@@ -411,12 +411,12 @@ class OperatorsSpec extends SparkSpec {
   test("PQ rerank: exact re-rank beats raw PQ recall; full shortlist equals brute force") {
     val probes = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(probes, emb, "vec_id", "embedding", 10)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     // shortlist >= corpus: every candidate re-ranked exactly -> must
     // EQUAL brute force rank-for-rank (the rerank stage is exact)
     val full = Similarity.pqRerankTopK(probes, emb, "vec_id", "embedding",
         k = 10, shortlist = 600)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(full == exact, "full-shortlist rerank must equal brute force")
     // at shortlist=50 the rerank's recall dominates raw PQ's (the
     // exact stage can only fix ranks within the shortlist, never hurt)
@@ -500,7 +500,7 @@ class OperatorsSpec extends SparkSpec {
 
   test("top-terms: broadcast-vocab and AQE-shuffle paths produce identical results") {
     def rows(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     // four decision paths: forced broadcast (MaxValue, no measurement
     // job), forced shuffle (0), adaptive-fits (finite threshold above
     // the vocab), adaptive-exceeds (threshold 1). Results must not

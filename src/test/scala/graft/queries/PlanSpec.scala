@@ -238,6 +238,14 @@ class PlanSpec extends SparkSpec {
       s"expected an aggregate pick:\n$p")
   }
 
+  test("mm_frame_select_key: keyframe pick is filter + aggregate, never a window") {
+    val p = plan("mm_frame_select_key")
+    assert(!p.contains("Window"), s"keyframe selection must not window:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      s"expected an aggregate pick:\n$p")
+    assert(p.contains("is_sync"), s"sync filter fell out of the plan:\n$p")
+  }
+
   test("dd_image_neardup: fingerprint pairing is the blocked hash join, never a nested loop") {
     val p = plan("dd_image_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
