@@ -691,11 +691,22 @@ object MediaDecode {
     Some(wrote)
   }
 
-  /** pixels for any pure-JVM-decodable image format; None otherwise. */
+  /** pixels for any pure-JVM-decodable image format; None otherwise.
+    *
+    * This is the CORPUS-facing decode entry (imageTiles/imageHashes/
+    * HeaderCodec run it once per row inside executor tasks), so the
+    * VP8L path gets a 2^24-pixel cap (16 MP ≈ 64 MB RGBA — beyond any
+    * curation-feature need) rather than the bitstream-expressible
+    * 2^28: VP8L's LZ77 backrefs amplify ~3000× from a few hundred KB,
+    * and one crafted row per task would otherwise transiently pin
+    * ~1 GiB per executor thread. Direct [[Vp8lDecode.vp8lPixels]]
+    * callers keep the spec-level bound.
+    */
   def imagePixels(b: Array[Byte]): Option[PixelImage] =
     pngPixels(b).orElse(bmpPixels(b)).orElse(JpegDecode.jpegPixels(b))
       .orElse(gifPixels(b)).orElse(tiffPixels(b))
-      .orElse(Vp8lDecode.vp8lPixels(b))
+      .orElse(Vp8lDecode.vp8lPixels(b, maxPixels = 1L << 24))
+      .orElse(Vp8Decode.vp8Pixels(b, maxPixels = 1L << 24))
 
   // ---- WAV container ----------------------------------------------
 

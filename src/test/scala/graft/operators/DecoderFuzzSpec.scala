@@ -26,6 +26,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "gifPixels" -> (b => MediaDecode.gifPixels(b)),
     "tiffPixels" -> (b => MediaDecode.tiffPixels(b)),
     "vp8lPixels" -> (b => Vp8lDecode.vp8lPixels(b)),
+    "vp8Pixels" -> (b => Vp8Decode.vp8Pixels(b)),
     "imagePixels" -> (b => MediaDecode.imagePixels(b)),
     "wavPcm16" -> (b => MediaDecode.wavPcm16(b)),
     "wavAdpcmSamples" -> (b => MediaDecode.wavAdpcmSamples(b)),
@@ -134,6 +135,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
       "webp" -> hex("5249464618000000574542505650384C100000002F1000020000"),
       // decodable VP8L: the byte-aligned 2×2 mm_pixel_stats fixture
       "vp8l" -> hex("524946461A000000574542505650384C0E0000002F01400000869321D763B9FB1F9C"),
+      // decodable lossy VP8: the smallest Vp8Golden fixture (1x1)
+      "vp8" -> hex(Vp8Golden.all.find(_.name == "nf_flat1x1").get.webpHex),
       "flac" -> hex("664C614300000022001000100000000000000AC440000006BAA8"),
       // full decodable FLAC: STREAMINFO + one verbatim frame (mm_pixel_stats fixture 7)
       "flac_frame" -> hex("664C6143800000220004000400000000000001F400F000000004" +
@@ -157,6 +160,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     assert(MediaDecode.tiffPixels(fixtures.toMap.apply("tiff_le")).isDefined)
     assert(MediaDecode.tiffPixels(fixtures.toMap.apply("tiff_be")).isDefined)
     assert(Vp8lDecode.vp8lPixels(fixtures.toMap.apply("vp8l")).isDefined)
+    assert(Vp8Decode.vp8Pixels(fixtures.toMap.apply("vp8")).isDefined)
     assert(MediaHeaders.imageDims(fixtures.toMap.apply("gif")).isDefined)
     assert(MediaHeaders.audioDurationMs(fixtures.toMap.apply("flac")).isDefined)
     assert(FlacDecode.flacSamples(fixtures.toMap.apply("flac_frame")).isDefined)
