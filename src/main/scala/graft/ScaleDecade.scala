@@ -108,6 +108,60 @@ object ScaleDecade {
       e.unpersist()
     }
 
+    // r13: the multimodal fingerprint pairing (image/audio 63-bit
+    // hashes through the shared hammingPairs63 machinery) at 64×.
+    // Corpus shape matches the dd_image_neardup oracle density: 10%
+    // share ONE boilerplate fingerprint (the mass-dup case the
+    // identical-fingerprint collapse must absorb — without it this is
+    // quadratic in the dup count), 1 in 7 docs has a 1–3-bit
+    // perturbed twin (the blocked ≤3-bit join must FIND those, so
+    // output grows linearly, never quadratically)
+    def syntheticHashes(n: Long): DataFrame = spark.range(n).select(
+        col("id").as("doc_id"),
+        when(pmod(col("id"), lit(10)) === 0, lit(0x1234_5678_9ABCL))
+          .otherwise(
+            when(pmod(col("id"), lit(7)) === 1,
+              // twin of the previous doc's organic hash, 1 bit flipped
+              expr("((id - 1) * 2654435761 % 4611686018427387904 + 4611686018427387904) % 4611686018427387904").bitwiseXOR(lit(4L)))
+              .otherwise(expr("(id * 2654435761 % 4611686018427387904 + 4611686018427387904) % 4611686018427387904")))
+          .as("ahash"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint(true)
+    for (m <- Seq(1, 8, 64)) {
+      val n = 5000L * m
+      val h = syntheticHashes(n)
+      val (pair, pairN) = best(operators.Dedup.hammingPairs63(h, "doc_id", "ahash").count())
+      val (app, appN) = best(operators.Dedup.dedupByFingerprint63(h, "doc_id", "ahash").count())
+      println(f"[decade] mmhash ${m}%2dx n=$n%7d pairs=$pair%7.2f s ($pairN%9d) " +
+        f"dedup_apply=$app%7.2f s ($appN%9d kept)")
+      h.unpersist()
+    }
+
+    // r13: MP4 sample maps + frame selection at 64×. The sample map is
+    // the mp4SampleRows OUTPUT shape (the decode itself is map-only
+    // and measured by the bench); what must stay linear at corpus
+    // scale is the (doc, bucket) aggregation — both cadence and
+    // keyframe variants, no window in either plan
+    def syntheticSamples(docs: Long): DataFrame = spark.range(docs * 100).select(
+        (col("id") / 100).cast("long").as("doc_id"),
+        pmod(col("id"), lit(100)).cast("int").as("idx"),
+        (pmod(col("id"), lit(100)) * 1200L).as("offset"), lit(1200L).as("size"),
+        (pmod(col("id"), lit(100)) * 33L).as("dts_ms"),
+        // ctts-ish reorder: ±33ms swing by position parity
+        (pmod(col("id"), lit(100)) * 33L + when(pmod(col("id"), lit(2)) === 0, 33L).otherwise(0L)).as("pts_ms"),
+        (pmod(col("id"), lit(10)) === 0).as("is_sync"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint(true)
+    for (m <- Seq(1, 8, 64)) {
+      val docs = 1000L * m
+      val sm = syntheticSamples(docs)
+      val (sel, selN) = best(operators.Multimodal.selectFramesEvery(sm, 300L).count())
+      val (key, keyN) = best(operators.Multimodal.selectKeyframesEvery(sm, 300L).count())
+      println(f"[decade] mp4map ${m}%2dx docs=$docs%6d samples=${docs * 100}%8d " +
+        f"select=$sel%7.2f s ($selN%8d) keyframes=$key%7.2f s ($keyN%8d)")
+      sm.unpersist()
+    }
+
     // IVF build + self-serve at 16k → 128k → 1M vectors: the bounded
     // 100k training sample must hold the BUILD near-flat past 128k
     // while assignment/serving stays linear

@@ -314,10 +314,36 @@ object Dedup {
     */
   private def blockedSimhashJoin(
       fingerprints: DataFrame, blockFn: (Column, Int) => Column,
-      maxHamming: Int): DataFrame = {
-    val blocked = fingerprints.select(col("doc"), col("sh"),
+      maxHamming: Int, maxBlockOccupancy: Long = 10000L): DataFrame = {
+    val blocked0 = fingerprints.select(col("doc"), col("sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("b"), blockFn(col("sh"), b).as("v"))): _*)).as("blk"))
+    // Skew guard (r13, found by ScaleDecade): a 16-bit block VALUE
+    // shared by m fingerprints makes its bucket quadratic (m²/2
+    // candidates) — and unlike identical FULL fingerprints (closed by
+    // the collapse) this arises from structural bit bias, e.g. image
+    // average-hashes whose top rows are uniformly dark, where one
+    // block of the print is near-constant corpus-wide (measured: a
+    // constant block turned 64× corpus into 278 s; capped, seconds).
+    // The default (10k) sits ~65× above uniform occupancy at the
+    // family's documented envelope (n/65536 per bucket, n ≤ ~10^7
+    // distinct prints), so it binds only on real skew.
+    // Buckets past the cap are EXCLUDED: a true ≤maxHamming pair has
+    // ≥1 intact block (pigeonhole over 4 blocks), so it is lost only
+    // when EVERY intact block is mass-shared — the same documented
+    // recall trade as MinHash's maxBandOccupancy. The oversized-bucket
+    // list is small by construction (≤ 4n/cap entries), so the
+    // exclusion broadcasts. `maxBlockOccupancy <= 0` disables the
+    // guard for strictly-lossless audit runs.
+    val blocked =
+      if (maxBlockOccupancy <= 0L) blocked0
+      else {
+        val oversized = blocked0.groupBy("blk")
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxBlockOccupancy)
+          .select("blk")
+        blocked0.join(broadcast(oversized), Seq("blk"), "left_anti")
+      }
     blocked.as("a").join(blocked.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc") < col("b.doc"))
       .select(
@@ -334,7 +360,7 @@ object Dedup {
     */
   private def collapsedSimhashPairs(
       fingerprints: DataFrame, blockFn: (Column, Int) => Column,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, maxBlockOccupancy: Long = 10000L): DataFrame = {
     val groups = fingerprints.groupBy("sh")
       .agg(min("doc").as("rep"), collect_list("doc").as("docs"))
     val star = groups
@@ -342,7 +368,7 @@ object Dedup {
       .where(col("da") < col("db"))
       .select(col("da"), col("db"), lit(0L).as("hamming"))
     val reps = groups.select(col("rep").as("doc"), col("sh"))
-    star.union(blockedSimhashJoin(reps, blockFn, maxHamming))
+    star.union(blockedSimhashJoin(reps, blockFn, maxHamming, maxBlockOccupancy))
   }
 
   /** per-run stats for [[connectedComponentsWithStats]]: propagation
@@ -425,11 +451,12 @@ object Dedup {
     * (da, db, hamming) with the same linear-output contract as
     * [[simhashPairs63Collapsed]]. */
   def hammingPairs63(df: DataFrame, idCol: String, fpCol: String,
-                     maxHamming: Int = 3): DataFrame = {
+                     maxHamming: Int = 3,
+                     maxBlockOccupancy: Long = 10000L): DataFrame = {
     require(maxHamming <= 3, "4-block blocking is only lossless for hamming <= 3")
     collapsedSimhashPairs(
       df.select(col(idCol).as("doc"), col(fpCol).as("sh")),
-      Hashing.simhash63Block, maxHamming)
+      Hashing.simhash63Block, maxHamming, maxBlockOccupancy)
   }
 
   /** End-to-end dedup apply over a PRECOMPUTED 63-bit fingerprint
@@ -437,8 +464,10 @@ object Dedup {
     * group's minimum id) — rows of `df` minus non-canonical members.
     * The image twin of [[dedupBySimhash]]. */
   def dedupByFingerprint63(df: DataFrame, idCol: String, fpCol: String,
-                           maxHamming: Int = 3): DataFrame =
-    dropNonCanonical(df, idCol, hammingPairs63(df, idCol, fpCol, maxHamming))
+                           maxHamming: Int = 3,
+                           maxBlockOccupancy: Long = 10000L): DataFrame =
+    dropNonCanonical(df, idCol,
+      hammingPairs63(df, idCol, fpCol, maxHamming, maxBlockOccupancy))
 
   /** Connected components over a near-dup pair list — the final stage
     * of every dedup pipeline: pairs → groups → one canonical id (the

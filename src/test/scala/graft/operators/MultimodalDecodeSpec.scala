@@ -131,6 +131,48 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(w0.zcr == 2 && w0.sum_sq == 1000L * 1000 + 2000L * 2000 + 3000L * 3000)
     assert(aw.find(_.win_idx == 1).get.n_samples == 1)
   }
+
+  test("imageHashes and audioHashes drive as readStream transforms (stream equals batch)") {
+    // the multimodal-fingerprint serving chain: map-only decode+hash,
+    // so a curation pipeline can fingerprint NEW media incrementally
+    // and join against the batch corpus index — parity pins that the
+    // streaming plan computes the identical 63-bit hashes (r13,
+    // VERDICT r12 #7). The image row is a LOSSY WebP golden, so the
+    // VP8 keyframe decoder also rides the streaming path.
+    import spark.implicits._
+    def hex(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val webp = hex(Vp8Golden.all.find(_.name == "lf_defaults").get.webpHex)
+    // PCM16 mono WAV with 128 samples (audioHash63 needs >= 64)
+    val n = 128
+    val pcm = (0 until n).flatMap { i =>
+      val s = ((i * 997 + 13) % 4001 - 2000).toShort
+      Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)
+    }.toArray
+    def le32(v: Int) = Array(v, v >> 8, v >> 16, v >> 24).map(x => (x & 0xff).toByte)
+    val wav = "RIFF".getBytes ++ le32(36 + 2 * n) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ Array[Byte](1, 0, 1, 0) ++ le32(8000) ++
+      le32(16000) ++ Array[Byte](2, 0, 16, 0) ++
+      "data".getBytes ++ le32(2 * n) ++ pcm
+    val rows = Seq(
+      MediaRow(1L, "image", webp),
+      MediaRow(2L, "audio", wav),
+      MediaRow(3L, "image", "not media".getBytes)) // undecodable → no rows
+    val dir = java.nio.file.Files.createTempDirectory("graft-mm-hash-stream").toString
+    rows.toDS().write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(rows.toDS().schema).parquet(s"$dir/in").as[MediaRow]
+    val qi = imageHashes(stream)
+      .writeStream.format("memory").queryName("mm_ih_stream").outputMode("append").start()
+    try qi.processAllAvailable() finally qi.stop()
+    val qa = audioHashes(stream)
+      .writeStream.format("memory").queryName("mm_ah_stream").outputMode("append").start()
+    try qa.processAllAvailable() finally qa.stop()
+    val ih = spark.table("mm_ih_stream").as[ImageHashRow].collect().toSet
+    val ah = spark.table("mm_ah_stream").as[AudioHashRow].collect().toSet
+    assert(ih == imageHashes(rows.toDS()).collect().toSet && ih.size == 1)
+    assert(ah == audioHashes(rows.toDS()).collect().toSet && ah.size == 1)
+    assert(ih.head.doc_id == 1L && ah.head.doc_id == 2L)
+  }
 }
 
 object MultimodalDecodeSpec {
