@@ -40,6 +40,14 @@ class Vp8DecodeSpec extends AnyFunSuite {
     }
   }
 
+  test("every golden decodes through the corpus-facing imagePixels path with right dims") {
+    for (g <- Vp8Golden.all) {
+      val px = MediaDecode.imagePixels(hex(g.webpHex))
+      assert(px.isDefined, s"${g.name} not decodable via imagePixels")
+      assert(px.get.width == g.w && px.get.height == g.h && px.get.channels == 3, g.name)
+    }
+  }
+
   test("vp8Pixels: RGB output has the right shape and tracks the Y plane") {
     val g = Vp8Golden.all.find(_.name == "lf_defaults").get
     val px = Vp8Decode.vp8Pixels(hex(g.webpHex)).get
