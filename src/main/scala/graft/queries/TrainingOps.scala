@@ -4505,6 +4505,25 @@ object TrainingOps {
               |  FROM allsmp)
               |WHERE rn = 1""".stripMargin)),
 
+    // ---- the ctts/stss fixtures' FULL sample maps, oracled per
+    //      sample (the keyframe query below only sees each bucket's
+    //      aggregated winner; this pins every pts_ms and is_sync the
+    //      tables produce — run-length ctts expansion, v1 signed
+    //      offsets, stss membership — row by row) ----
+    "mm_mp4_samples_key" -> Q(
+      (s, dir) => {
+        Multimodal.mp4SampleRows(mp4KeyFixtureRows(s)).toDF()
+          .filter(col("doc_id") >= 4L) // fixtures C and D
+          .select(col("doc_id"), col("idx").cast("long").as("idx"),
+            col("offset"), col("size"), col("dts_ms"), col("pts_ms"), col("is_sync"))
+      },
+      Some(s"""WITH $mp4KeyCtes
+              |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(idx AS BIGINT) AS idx,
+              |  "offset", size, dts_ms, pts_ms, is_sync FROM crows
+              |UNION ALL
+              |SELECT CAST(doc_id AS BIGINT), CAST(idx AS BIGINT),
+              |  "offset", size, dts_ms, pts_ms, is_sync FROM drows""".stripMargin)),
+
     // ---- KEYFRAME selection: the first SYNC sample in PRESENTATION
     //      order per 300 ms bucket of pts — the byte ranges a
     //      downstream decoder can use STANDALONE. Exercises the two
