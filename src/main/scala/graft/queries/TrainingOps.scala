@@ -982,6 +982,30 @@ object TrainingOps {
               |FROM wc LEFT JOIN rep ON wc.comp = rep.comp""".stripMargin}}""".stripMargin
   }
 
+  /** Crawl-ingest synthesis: each document wrapped in a deterministic
+    * HTML page — head with title/style/script (the script string even
+    * contains a fake tag), the doc text in a `<p>`, two links (one
+    * with uppercase scheme/host, default port, tracking params and a
+    * fragment; one on a non-default port), a comment containing
+    * markup, and a boilerplate div exercising the whole supported
+    * entity set. Shared by the `ta_html_*` / web-ingest queries. */
+  private def synthWebHtml(s: org.apache.spark.sql.SparkSession,
+                           dir: String): org.apache.spark.sql.DataFrame = {
+    val d = Tables(s, dir, "documents")
+    d.select(col("doc_id"), concat(
+      lit("<html><head><title>Doc "), col("doc_id"),
+      lit("</title><style media=\"all\">body{color:#000}</style>" +
+        "<script type=\"text/javascript\">var x='<p>not text</p>';</script></head>\n<body><p>"),
+      substring(col("text"), 1, 200),
+      lit("</p>\n<a href=\"HTTP://WWW.Site"), pmod(col("doc_id"), lit(7L)),
+      lit(".COM:80/p/"), pmod(col("doc_id"), lit(211L)),
+      lit("/?utm_source=feed&b=2&a=1#frag\">more</a><!-- nav <div>x</div> -->" +
+        "<a href=\"https://cdn.site"), pmod(col("doc_id"), lit(5L)),
+      lit(".com:8080/img/"), col("doc_id"),
+      lit("?gclid=x&id=2\">img</a><div class=\"nav\">Fish &amp; Chips &lt;deal&gt;" +
+        "&nbsp;now &#39;hot&#39; &quot;q&quot;</div></body></html>")).as("html"))
+  }
+
   def defs: Map[String, Q] = Map(
 
     // ---- token-window chunking (64-token chunks, 16-token overlap):
@@ -3344,6 +3368,103 @@ object TrainingOps {
              |  AS n_redactions
              |FROM documents""".stripMargin)),
 
+    // ---- WEB INGEST: the crawl-facing steps in front of the dedup
+    //      family. Each document is wrapped in a deterministic HTML
+    //      page (synthWebHtml); the oracles re-derive the EXPECTED
+    //      outputs directly from doc_id/text arithmetic — never by
+    //      replaying the operator's regexes — so a shared regex bug
+    //      cannot self-certify. All map-only codegen chains
+    //      (PlanSpec-pinned zero exchanges) except the dedup's one
+    //      partial-agg'd shuffle. ----
+
+    // HTML → text (WET extraction): script/style/comment elements out,
+    // tags to spaces, fixed entity set decoded after stripping,
+    // whitespace collapsed.
+    "ta_html_extract" -> Q(
+      (s, dir) => synthWebHtml(s, dir).select(col("doc_id"),
+        graft.functions.WebFunctions.htmlToText(col("html")).as("clean")),
+      Some("""SELECT doc_id,
+             |  'Doc ' || doc_id || ' ' || trim(substr(text, 1, 200)) ||
+             |  ' more img Fish & Chips <deal> now ''hot'' "q"' AS clean
+             |FROM documents""".stripMargin)),
+
+    // href extraction in document order (posexplode pins ordinals):
+    // the link-graph feed.
+    "ta_html_links" -> Q(
+      (s, dir) => synthWebHtml(s, dir)
+        .select(col("doc_id"), posexplode(
+          graft.functions.WebFunctions.extractLinks(col("html"))).as(Seq("link_idx", "url")))
+        .select(col("doc_id"), col("link_idx").cast("long").as("link_idx"), col("url")),
+      Some("""SELECT doc_id, CAST(0 AS BIGINT) AS link_idx,
+             |  'HTTP://WWW.Site' || (doc_id % 7) || '.COM:80/p/' || (doc_id % 211)
+             |    || '/?utm_source=feed&b=2&a=1#frag' AS url
+             |FROM documents
+             |UNION ALL
+             |SELECT doc_id, CAST(1 AS BIGINT),
+             |  'https://cdn.site' || (doc_id % 5) || '.com:8080/img/' || doc_id || '?gclid=x&id=2'
+             |FROM documents""".stripMargin)),
+
+    // URL canonicalization, every contract rule bound by one of the
+    // four raw variants: scheme/host case + www + default :80 +
+    // trailing slash + tracking-only query (v0), param sort + tracking
+    // drop (v1), https default :443 + fragment (v2), non-default port
+    // + host case preserved nowhere but lowered (v3).
+    "ta_url_canon" -> Q(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val k = pmod(col("doc_id"), lit(211L)).cast("string")
+        val m = pmod(col("doc_id"), lit(4L))
+        val raw = when(m === 0,
+            concat(lit("HTTP://WWW.Host"), k, lit(".COM:80/Page/"), k, lit("/?utm_campaign=a")))
+          .when(m === 1,
+            concat(lit("http://host"), k, lit(".com/Page/"), k, lit("?b=2&a=1&fbclid=z")))
+          .when(m === 2,
+            concat(lit("https://host"), k, lit(".com:443/Page/"), k, lit("?a=1&b=2#frag")))
+          .otherwise(
+            concat(lit("https://Host"), k, lit(".com:8443/Page/"), k, lit("?a=1")))
+        d.select(col("doc_id"), raw.as("url"),
+          graft.functions.WebFunctions.canonicalizeUrl(raw).as("url_canon"))
+      },
+      Some("""WITH v AS (SELECT doc_id, doc_id % 4 AS m,
+             |            CAST(doc_id % 211 AS VARCHAR) AS k FROM documents)
+             |SELECT doc_id,
+             |  CASE m WHEN 0 THEN 'HTTP://WWW.Host' || k || '.COM:80/Page/' || k || '/?utm_campaign=a'
+             |         WHEN 1 THEN 'http://host' || k || '.com/Page/' || k || '?b=2&a=1&fbclid=z'
+             |         WHEN 2 THEN 'https://host' || k || '.com:443/Page/' || k || '?a=1&b=2#frag'
+             |         ELSE 'https://Host' || k || '.com:8443/Page/' || k || '?a=1' END AS url,
+             |  CASE m WHEN 0 THEN 'http://host' || k || '.com/Page/' || k
+             |         WHEN 1 THEN 'http://host' || k || '.com/Page/' || k || '?a=1&b=2'
+             |         WHEN 2 THEN 'https://host' || k || '.com/Page/' || k || '?a=1&b=2'
+             |         ELSE 'https://host' || k || '.com:8443/Page/' || k || '?a=1' END AS url_canon
+             |FROM v""".stripMargin)),
+
+    // URL-keyed dedup: four raw spellings per canonical page (case,
+    // www, default port, trailing slash, fragment, tracking params)
+    // collapse to one key; a single partial-agg'd hash shuffle picks
+    // the keeper — crawl-level dedup BEFORE any content fingerprint,
+    // the cheapest dedup tier at 100 TB.
+    "dd_url_dedup" -> Q(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val k = pmod(col("doc_id"), lit(97L)).cast("string")
+        val m = pmod(col("doc_id"), lit(4L))
+        val raw = when(m === 0,
+            concat(lit("HTTP://WWW.Host"), k, lit(".COM:80/p/"), k, lit("/?utm_source=x")))
+          .when(m === 1,
+            concat(lit("http://host"), k, lit(".com/p/"), k, lit("?utm_campaign=y")))
+          .when(m === 2,
+            concat(lit("http://Host"), k, lit(".com/p/"), k, lit("#sec")))
+          .otherwise(
+            concat(lit("http://host"), k, lit(".com:80/p/"), k, lit("/?fbclid=a&gclid=b")))
+        d.select(col("doc_id"),
+            graft.functions.WebFunctions.canonicalizeUrl(raw).as("url_canon"))
+          .groupBy(col("url_canon"))
+          .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_variants"))
+      },
+      Some("""SELECT 'http://host' || (doc_id % 97) || '.com/p/' || (doc_id % 97) AS url_canon,
+             |  min(doc_id) AS keeper, count(*) AS n_variants
+             |FROM documents GROUP BY 1""".stripMargin)),
+
     // ---- token counting ----
     "ta_tokens" -> Q(
       (s, dir) =>
@@ -4460,6 +4581,24 @@ object TrainingOps {
               |SELECT a.doc_id AS da, b.doc_id AS db,
               |  CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming
               |FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.v, b.v)) <= 3""".stripMargin)),
+
+    // ---- streaming AUDIO near-dup candidates — the audio twin of
+    //      dd_image_neardup_stateful: the same generic per-block
+    //      bucket state driven with the energy-delta hashes, so the
+    //      incremental curation chain covers every fingerprint
+    //      modality (text simhash, image aHash, audio). Batch-driving
+    //      + distinct equals the all-pairs hamming join. ----
+    "dd_audio_neardup_stateful" -> Q(
+      (s, dir) =>
+        graft.streaming.StatefulOps.streamingHammingCandidates63(
+            Multimodal.audioHashes(synthHashAudio(s, dir)).toDF(), "doc_id", "ahash",
+            maxHamming = 3, maxBucket = Int.MaxValue)
+          .toDF().select(col("da"), col("db"), col("hamming")).distinct(),
+      Some(s"""WITH $audioPhashCtes
+              |SELECT a.doc_id AS da, b.doc_id AS db,
+              |  CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming
+              |FROM aah a JOIN aah b ON a.doc_id < b.doc_id
               |WHERE bit_count(xor(a.v, b.v)) <= 3""".stripMargin)),
 
     // ---- multimodal: MP4 SAMPLE TABLES — the frame-sampling

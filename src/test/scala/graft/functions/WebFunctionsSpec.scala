@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins every rule of the [[WebFunctions.canonicalizeUrl]] contract
+  * and the [[WebFunctions.htmlToText]] stripping order on handcrafted
+  * edge cases (the corpus-facing oracles in TrainingOps re-derive the
+  * bulk behavior; this suite holds the corners fixtures can't reach).
+  */
+class WebFunctionsSpec extends SparkSpec {
+
+  private def canon(urls: String*): Seq[String] = {
+    import spark.implicits._
+    urls.toDF("u").select(WebFunctions.canonicalizeUrl(col("u"))).as[String]
+      .collect().toSeq
+  }
+
+  private def text(htmls: String*): Seq[String] = {
+    import spark.implicits._
+    htmls.toDF("h").select(WebFunctions.htmlToText(col("h"))).as[String]
+      .collect().toSeq
+  }
+
+  test("scheme/host lowercase, www strip, path case preserved") {
+    assert(canon("HTTPS://WWW.ExAmple.COM/Path/File") ==
+      Seq("https://example.com/Path/File"))
+  }
+
+  test("default ports drop per scheme; non-default and cross-scheme ports keep") {
+    assert(canon(
+      "http://a.com:80/x", "https://a.com:443/x",
+      "http://a.com:443/x", "https://a.com:8443/x", "ftp://a.com:21/x") ==
+      Seq("http://a.com/x", "https://a.com/x",
+        "http://a.com:443/x", "https://a.com:8443/x", "ftp://a.com:21/x"))
+  }
+
+  test("fragment drops, empty path roots, trailing slashes strip (root survives)") {
+    assert(canon(
+      "http://a.com#frag", "http://a.com/", "http://a.com/a/b/",
+      "http://a.com/a//", "http://a.com///", "http://a.com/x?q=1#frag") ==
+      Seq("http://a.com/", "http://a.com/", "http://a.com/a/b",
+        "http://a.com/a", "http://a.com/", "http://a.com/x?q=1"))
+  }
+
+  test("query: tracking params drop, survivors sort, emptied query loses its ?") {
+    assert(canon(
+      "http://a.com/x?b=2&a=1",
+      "http://a.com/x?utm_source=f&b=2&utm_campaign=c&a=1",
+      "http://a.com/x?utm_source=f&fbclid=z&gclid=g",
+      "http://a.com/x?",
+      "http://a.com/x?a=1&&b=2",
+      "http://a.com/x?ref=h&refresh=1") ==
+      Seq("http://a.com/x?a=1&b=2", "http://a.com/x?a=1&b=2",
+        "http://a.com/x", "http://a.com/x", "http://a.com/x?a=1&b=2",
+        // refresh is NOT a tracking param (anchored k=), ref is
+        "http://a.com/x?refresh=1"))
+  }
+
+  test("non-absolute inputs pass through trimmed") {
+    assert(canon("  /relative/path?a=1  ", "mailto:x@y.z", "just text") ==
+      Seq("/relative/path?a=1", "mailto:x@y.z", "just text"))
+  }
+
+  test("html: script/style elements drop whole, tags become spaces, text never fuses") {
+    assert(text(
+      "<p>a</p><p>b</p>",
+      "x<script type=\"a\">var s='<p>keep out</p>';</script>y",
+      "x<style media=\"s\">p{color:red}</style>y",
+      "a<!-- <b>gone</b> -->c") ==
+      Seq("a b", "x y", "x y", "a c"))
+  }
+
+  test("html: fixed entity set decodes after tags; &amp; last keeps double-escapes literal") {
+    assert(text(
+      "Fish &amp; Chips &lt;deal&gt;&nbsp;now &#39;hot&#39; &quot;q&quot; &apos;s&apos;",
+      "&amp;lt;not-a-tag&amp;gt;",
+      "&lt;b&gt;not bold&lt;/b&gt;") ==
+      Seq("Fish & Chips <deal> now 'hot' \"q\" 's'",
+        "&lt;not-a-tag&gt;",
+        "<b>not bold</b>"))
+  }
+
+  test("html: whitespace (incl newlines/tabs) collapses; case-insensitive script close") {
+    assert(text("  a \n\t b  <SCRIPT>x</ScRiPt>  c ") == Seq("a b c"))
+  }
+
+  test("extractLinks: double-quoted hrefs in order, any attr case/spacing") {
+    import spark.implicits._
+    val links = Seq(
+      "<a HREF=\"http://a.com/1\">x</a><area href = \"/rel\" /><a href=\"\">e</a>")
+      .toDF("h").select(WebFunctions.extractLinks(col("h"))).as[Seq[String]]
+      .collect().head
+    assert(links == Seq("http://a.com/1", "/rel", ""))
+  }
+}

@@ -231,6 +231,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"tiled image decode must not shuffle:\n$p")
   }
 
+  test("ta_html_extract: WET extraction is a map-only codegen chain — zero exchanges") {
+    val p = plan("ta_html_extract")
+    assert(!p.contains("Exchange"), s"html extraction must not shuffle:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("MapPartitions"),
+      s"html extraction must stay in codegen expressions:\n$p")
+  }
+
+  test("ta_html_links: href explode is a map-only Generate — zero exchanges") {
+    val p = plan("ta_html_links")
+    assert(!p.contains("Exchange"), s"link extraction must not shuffle:\n$p")
+    assert(p.contains("Generate"), s"expected posexplode of hrefs:\n$p")
+  }
+
+  test("ta_url_canon: canonicalization is map-only — zero exchanges") {
+    val p = plan("ta_url_canon")
+    assert(!p.contains("Exchange"), s"url canonicalization must not shuffle:\n$p")
+  }
+
+  test("dd_url_dedup: exactly one partial-agg'd shuffle on the canonical key") {
+    val p = plan("dd_url_dedup")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"url dedup must shuffle exactly once:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregate around the shuffle:\n$p")
+  }
+
+  test("mm_image_phash: fingerprint decode is map-only — zero exchanges") {
+    val p = plan("mm_image_phash")
+    assert(!p.contains("Exchange"), s"image fingerprinting must not shuffle:\n$p")
+  }
+
+  test("mm_audio_phash: fingerprint decode is map-only — zero exchanges") {
+    val p = plan("mm_audio_phash")
+    assert(!p.contains("Exchange"), s"audio fingerprinting must not shuffle:\n$p")
+  }
+
   test("mm_frame_select: bucket pick is a partial-combined aggregate, never a window") {
     val p = plan("mm_frame_select")
     assert(!p.contains("Window"), s"frame selection must not window:\n$p")
