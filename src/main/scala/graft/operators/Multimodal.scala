@@ -396,4 +396,56 @@ object Multimodal {
       }
     }
   }
+
+  /** One WARC record-map row ([[WebArchive.warcRecords]]): record
+    * type, target URI, and the block/HTTP-body byte ranges. */
+  final case class WarcRecordRow(doc_id: Long, idx: Int, warc_type: String,
+                                 target_uri: String, content_length: Long,
+                                 http_status: Int, header_offset: Long,
+                                 body_offset: Long, body_length: Long)
+
+  /** Record byte-range maps for WARC content — the crawl-ingest
+    * analog of [[mp4SampleRows]]: rebuild each file's record map,
+    * slice byte ranges downstream, never hold the whole archive as
+    * rows. Unparseable content yields no rows. Narrow map-only plan.
+    */
+  def warcRecords(media: org.apache.spark.sql.Dataset[MediaRow]):
+      org.apache.spark.sql.Dataset[WarcRecordRow] = {
+    implicit val enc: org.apache.spark.sql.Encoder[WarcRecordRow] =
+      org.apache.spark.sql.Encoders.product[WarcRecordRow]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        (try WebArchive.warcRecords(r.content).getOrElse(Vector.empty)
+         catch { case scala.util.control.NonFatal(_) => Vector.empty })
+          .iterator.map(w => WarcRecordRow(r.doc_id, w.idx, w.warcType,
+            w.targetUri, w.contentLength, w.httpStatus, w.headerOffset,
+            w.bodyOffset, w.bodyLength))
+      }
+    }
+  }
+
+  /** One extracted HTTP response: URI, status, UTF-8 body. */
+  final case class WarcResponseRow(doc_id: Long, idx: Int, target_uri: String,
+                                   http_status: Int, body: String)
+
+  /** Response payloads sliced in the same pass as the record walk —
+    * for pipelines that extract immediately (WARC → HTML → text);
+    * non-response records and unparseable files yield no rows.
+    * Still one map-only pass: parse + slice over bytes the scan
+    * already read. */
+  def warcResponses(media: org.apache.spark.sql.Dataset[MediaRow]):
+      org.apache.spark.sql.Dataset[WarcResponseRow] = {
+    implicit val enc: org.apache.spark.sql.Encoder[WarcResponseRow] =
+      org.apache.spark.sql.Encoders.product[WarcResponseRow]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        (try WebArchive.warcRecords(r.content).getOrElse(Vector.empty)
+         catch { case scala.util.control.NonFatal(_) => Vector.empty })
+          .iterator
+          .filter(_.warcType.equalsIgnoreCase("response"))
+          .map(w => WarcResponseRow(r.doc_id, w.idx, w.targetUri, w.httpStatus,
+            WebArchive.bodyString(r.content, w)))
+      }
+    }
+  }
 }

@@ -1,0 +1,154 @@
+package graft.operators
+
+/** From-spec WARC (ISO 28500 / WARC 1.0–1.1) record parsing — the
+  * ingest seam for web-crawl corpora, where the dominant training-data
+  * source ships as WARC files of HTTP captures. The parser rebuilds a
+  * file's record map (type, target URI, block byte range) and splits
+  * HTTP response payloads into header/body, so downstream extraction
+  * is byte-range slicing over bytes the scan already read — the same
+  * 100 TB shape as [[MediaHeaders.mp4Samples]]: narrow map-only
+  * fan-out, select/slice here, heavyweight work elsewhere. (At corpus
+  * scale the per-record gzip members of `.warc.gz` are decompressed
+  * by the input format/codec layer; this parser owns the record
+  * grammar over plain bytes.)
+  *
+  * Malformed input — wrong magic, unparseable or missing mandatory
+  * headers, truncated blocks, missing record separators — returns
+  * None for the whole buffer, never throws: a corrupt file must
+  * degrade, never kill the task (`DecoderFuzzSpec` pins this).
+  */
+object WebArchive {
+
+  /** One record of a parsed WARC file.
+    *
+    * @param idx            0-based record ordinal
+    * @param warcType       mandatory `WARC-Type` value
+    * @param targetUri      `WARC-Target-URI`, "" when absent
+    * @param contentLength  mandatory `Content-Length` (block bytes)
+    * @param httpStatus     HTTP status for response records whose
+    *                       block parses as HTTP/1.x; -1 otherwise
+    * @param headerOffset   byte offset of the record's `WARC/` line
+    * @param bodyOffset     byte offset of the HTTP body (response
+    *                       records) or of the whole block otherwise
+    * @param bodyLength     bytes from bodyOffset to block end
+    */
+  final case class WarcRec(idx: Int, warcType: String, targetUri: String,
+                           contentLength: Long, httpStatus: Int,
+                           headerOffset: Long, bodyOffset: Long, bodyLength: Long)
+
+  private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
+
+  /** index just past the next CRLF at/after `from`, or -1. Lines are
+    * capped (a header line longer than 64 KiB is not a WARC header —
+    * bail instead of scanning an adversarial buffer to its end). */
+  private def lineEnd(b: Array[Byte], from: Int, limit: Int): Int = {
+    val cap = math.min(limit.toLong, from.toLong + 65536).toInt
+    var i = from
+    while (i + 1 < cap) {
+      if (b(i) == '\r' && b(i + 1) == '\n') return i + 2
+      i += 1
+    }
+    -1
+  }
+
+  /** Parse every record of a WARC buffer, or None if any part of the
+    * grammar fails. `maxRecords` bounds output on adversarial input
+    * (a 1 GiB file of empty records is 20M+ rows). */
+  def warcRecords(b: Array[Byte], maxRecords: Int = 1 << 20): Option[Vector[WarcRec]] = {
+    val n = b.length
+    if (n == 0) return None
+    val out = Vector.newBuilder[WarcRec]
+    var count = 0
+    var o = 0
+    while (o < n) {
+      if (count >= maxRecords) return None
+      val headerOffset = o
+      // version line: WARC/1.<digit>\r\n
+      val vEnd = lineEnd(b, o, n)
+      if (vEnd < 0) return None
+      val version = new String(b, o, vEnd - 2 - o, Ascii)
+      if (!version.startsWith("WARC/1.") || version.length != 8 ||
+        !version.charAt(7).isDigit) return None
+      o = vEnd
+      // named headers until the empty line
+      var warcType: String = null
+      var targetUri = ""
+      var contentLength = -1L
+      var done = false
+      while (!done) {
+        val e = lineEnd(b, o, n)
+        if (e < 0) return None
+        if (e - o == 2) { done = true; o = e }
+        else {
+          val line = new String(b, o, e - 2 - o, Ascii)
+          val colon = line.indexOf(':')
+          if (colon <= 0) return None
+          val name = line.substring(0, colon).trim.toLowerCase
+          val value = line.substring(colon + 1).trim
+          name match {
+            case "warc-type" => warcType = value
+            case "warc-target-uri" => targetUri = value
+            case "content-length" =>
+              if (value.isEmpty || value.length > 18 || !value.forall(_.isDigit))
+                return None
+              contentLength = value.toLong
+            case _ => () // other headers are legal and ignored
+          }
+          o = e
+        }
+      }
+      if (warcType == null || contentLength < 0) return None
+      val blockStart = o
+      val blockEnd = blockStart.toLong + contentLength
+      if (blockEnd > n) return None // truncated block
+      // response payloads: split the HTTP message; anything that
+      // doesn't parse as HTTP/1.x degrades to the whole block
+      var httpStatus = -1
+      var bodyOffset = blockStart.toLong
+      var bodyLength = contentLength
+      if (warcType.equalsIgnoreCase("response") && contentLength >= 12 &&
+        b(blockStart) == 'H' && b(blockStart + 1) == 'T' && b(blockStart + 2) == 'T' &&
+        b(blockStart + 3) == 'P' && b(blockStart + 4) == '/') {
+        val se = lineEnd(b, blockStart, blockEnd.toInt)
+        if (se > 0) {
+          val status = new String(b, blockStart, se - 2 - blockStart, Ascii)
+          val parts = status.split(" ", 3)
+          if (parts.length >= 2 && parts(1).length == 3 && parts(1).forall(_.isDigit)) {
+            // find the header terminator inside the block
+            var h = se
+            var bodyAt = -1
+            while (bodyAt < 0 && h < blockEnd) {
+              val e = lineEnd(b, h, blockEnd.toInt)
+              if (e < 0) h = blockEnd.toInt
+              else if (e - h == 2) bodyAt = e
+              else h = e
+            }
+            if (bodyAt > 0) {
+              httpStatus = parts(1).toInt
+              bodyOffset = bodyAt.toLong
+              bodyLength = blockEnd - bodyAt
+            }
+          }
+        }
+      }
+      out += WarcRec(count, warcType, targetUri, contentLength, httpStatus,
+        headerOffset.toLong, bodyOffset, bodyLength)
+      count += 1
+      // record separator: \r\n\r\n (exact EOF after the block is
+      // tolerated — the last record of a stream-cut file)
+      o = blockEnd.toInt
+      if (o < n) {
+        if (o + 4 > n || b(o) != '\r' || b(o + 1) != '\n' ||
+          b(o + 2) != '\r' || b(o + 3) != '\n') return None
+        o += 4
+      }
+    }
+    Some(out.result())
+  }
+
+  /** The UTF-8 text of a record's body range — the slice step for
+    * extraction pipelines that want the payload in the same pass. */
+  def bodyString(b: Array[Byte], rec: WarcRec): String =
+    new String(b, rec.bodyOffset.toInt, rec.bodyLength.toInt,
+      java.nio.charset.StandardCharsets.UTF_8)
+}

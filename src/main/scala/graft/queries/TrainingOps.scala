@@ -982,6 +982,38 @@ object TrainingOps {
               |FROM wc LEFT JOIN rep ON wc.comp = rep.comp""".stripMargin}}""".stripMargin
   }
 
+  /** The web-page template pieces — the ONE source for the Scala
+    * synthesis ([[webHtmlCol]]) and the SQL oracle expression
+    * ([[webHtmlSql]]) that rebuilds the identical string, so the WARC
+    * offset oracle can never silently drift from the synthesis. */
+  private val WebP1 = "<html><head><title>Doc "
+  private val WebP2 = "</title><style media=\"all\">body{color:#000}</style>" +
+    "<script type=\"text/javascript\">var x='<p>not text</p>';</script></head>\n<body><p>"
+  private val WebP3 = "</p>\n<a href=\"HTTP://WWW.Site"
+  private val WebP4 = ".COM:80/p/"
+  private val WebP5 = "/?utm_source=feed&b=2&a=1#frag\">more</a><!-- nav <div>x</div> -->" +
+    "<a href=\"https://cdn.site"
+  private val WebP6 = ".com:8080/img/"
+  private val WebP7 = "?gclid=x&id=2\">img</a><div class=\"nav\">Fish &amp; Chips &lt;deal&gt;" +
+    "&nbsp;now &#39;hot&#39; &quot;q&quot;</div></body></html>"
+
+  private def webHtmlCol: org.apache.spark.sql.Column = concat(
+    lit(WebP1), col("doc_id"), lit(WebP2), substring(col("text"), 1, 200),
+    lit(WebP3), pmod(col("doc_id"), lit(7L)), lit(WebP4), pmod(col("doc_id"), lit(211L)),
+    lit(WebP5), pmod(col("doc_id"), lit(5L)), lit(WebP6), col("doc_id"), lit(WebP7))
+
+  /** a Scala string as a DuckDB literal (quotes doubled, embedded
+    * newlines via chr(10) so stripMargin oracles stay one-per-line). */
+  private def sqlStr(s: String): String =
+    "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
+  /** DuckDB expression rebuilding [[webHtmlCol]] from `documents`. */
+  private def webHtmlSql: String = Seq(
+    sqlStr(WebP1), "doc_id", sqlStr(WebP2), "substr(text, 1, 200)",
+    sqlStr(WebP3), "(doc_id % 7)", sqlStr(WebP4), "(doc_id % 211)",
+    sqlStr(WebP5), "(doc_id % 5)", sqlStr(WebP6), "doc_id", sqlStr(WebP7)
+  ).mkString(" || ")
+
   /** Crawl-ingest synthesis: each document wrapped in a deterministic
     * HTML page — head with title/style/script (the script string even
     * contains a fake tag), the doc text in a `<p>`, two links (one
@@ -990,20 +1022,41 @@ object TrainingOps {
     * markup, and a boilerplate div exercising the whole supported
     * entity set. Shared by the `ta_html_*` / web-ingest queries. */
   private def synthWebHtml(s: org.apache.spark.sql.SparkSession,
-                           dir: String): org.apache.spark.sql.DataFrame = {
-    val d = Tables(s, dir, "documents")
-    d.select(col("doc_id"), concat(
-      lit("<html><head><title>Doc "), col("doc_id"),
-      lit("</title><style media=\"all\">body{color:#000}</style>" +
-        "<script type=\"text/javascript\">var x='<p>not text</p>';</script></head>\n<body><p>"),
-      substring(col("text"), 1, 200),
-      lit("</p>\n<a href=\"HTTP://WWW.Site"), pmod(col("doc_id"), lit(7L)),
-      lit(".COM:80/p/"), pmod(col("doc_id"), lit(211L)),
-      lit("/?utm_source=feed&b=2&a=1#frag\">more</a><!-- nav <div>x</div> -->" +
-        "<a href=\"https://cdn.site"), pmod(col("doc_id"), lit(5L)),
-      lit(".com:8080/img/"), col("doc_id"),
-      lit("?gclid=x&id=2\">img</a><div class=\"nav\">Fish &amp; Chips &lt;deal&gt;" +
-        "&nbsp;now &#39;hot&#39; &quot;q&quot;</div></body></html>")).as("html"))
+                           dir: String): org.apache.spark.sql.DataFrame =
+    Tables(s, dir, "documents").select(col("doc_id"), webHtmlCol.as("html"))
+
+  // ---- WARC synthesis constants (all ASCII, so character counts ==
+  //      byte counts and SQL length() arithmetic matches the parser's
+  //      byte offsets exactly) ----
+  private val WarcInfoBody = "software: graft-crawler/13\r\nformat: WARC File Format 1.0"
+  private val WarcHttpHdr = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+  private val WarcRec0 =
+    "WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: " + WarcInfoBody.length +
+      "\r\n\r\n" + WarcInfoBody + "\r\n\r\n"
+  private val WarcRec1Pre = "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "
+  /** record-1 header bytes that are independent of uri/length digits:
+    * prefix + "\r\nContent-Length: " + terminating "\r\n\r\n" + the
+    * HTTP headers before the body. */
+  private val WarcRec1Fixed =
+    WarcRec1Pre.length + "\r\nContent-Length: ".length + 4 + WarcHttpHdr.length
+
+  /** Two-record WARC per document: a warcinfo record (constant bytes)
+    * then a response record whose HTTP body is the [[webHtmlCol]]
+    * page and whose target URI carries the canonicalization-relevant
+    * noise (uppercase scheme/host, www, default port, trailing slash,
+    * tracking param). */
+  private def synthWarc(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+    implicit val enc: org.apache.spark.sql.Encoder[Multimodal.MediaRow] =
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+    val uri = concat(lit("HTTP://WWW.Site"), pmod(col("doc_id"), lit(7L)),
+      lit(".COM:80/p/"), pmod(col("doc_id"), lit(211L)), lit("/?utm_source=feed&b=2&a=1"))
+    val html = webHtmlCol
+    val blockLen = (length(html) + lit(WarcHttpHdr.length)).cast("string")
+    Tables(s, dir, "documents").select(col("doc_id"), lit("warc").as("kind"),
+      encode(concat(lit(WarcRec0 + WarcRec1Pre), uri, lit("\r\nContent-Length: "),
+        blockLen, lit("\r\n\r\n" + WarcHttpHdr), html, lit("\r\n\r\n")), "UTF-8")
+        .as("content")).as[Multimodal.MediaRow]
   }
 
   def defs: Map[String, Q] = Map(
@@ -3464,6 +3517,58 @@ object TrainingOps {
       Some("""SELECT 'http://host' || (doc_id % 97) || '.com/p/' || (doc_id % 97) AS url_canon,
              |  min(doc_id) AS keeper, count(*) AS n_variants
              |FROM documents GROUP BY 1""".stripMargin)),
+
+    // ---- WARC record maps (ISO 28500) — the crawl-ingest analog of
+    //      the MP4 sample tables: per-file record map with HTTP
+    //      header/body split as BYTE RANGES, slice downstream. The
+    //      oracle rebuilds the identical archive string in SQL (from
+    //      the shared template constants) and re-derives every offset
+    //      from length arithmetic — version line, header lines,
+    //      Content-Length digits, HTTP headers — never by running a
+    //      parser. ----
+    "ta_warc_records" -> Q(
+      (s, dir) => Multimodal.warcRecords(synthWarc(s, dir)).toDF()
+        .select(col("doc_id"), col("idx").cast("long").as("idx"), col("warc_type"),
+          col("target_uri"), col("content_length"),
+          col("http_status").cast("long").as("http_status"),
+          col("header_offset"), col("body_offset"), col("body_length")),
+      Some(s"""WITH h AS (SELECT doc_id, length($webHtmlSql) AS hl,
+              |  'HTTP://WWW.Site' || (doc_id % 7) || '.COM:80/p/' || (doc_id % 211)
+              |    || '/?utm_source=feed&b=2&a=1' AS uri
+              |  FROM documents)
+              |SELECT doc_id, CAST(0 AS BIGINT) AS idx, 'warcinfo' AS warc_type,
+              |  '' AS target_uri, CAST(${WarcInfoBody.length} AS BIGINT) AS content_length,
+              |  CAST(-1 AS BIGINT) AS http_status, CAST(0 AS BIGINT) AS header_offset,
+              |  CAST(${WarcRec0.length - WarcInfoBody.length - 4} AS BIGINT) AS body_offset,
+              |  CAST(${WarcInfoBody.length} AS BIGINT) AS body_length
+              |FROM h
+              |UNION ALL
+              |SELECT doc_id, 1, 'response', uri, hl + ${WarcHttpHdr.length}, 200,
+              |  ${WarcRec0.length},
+              |  ${WarcRec0.length + WarcRec1Fixed} + length(uri)
+              |    + length(CAST(hl + ${WarcHttpHdr.length} AS VARCHAR)),
+              |  hl
+              |FROM h""".stripMargin)),
+
+    // ---- the full crawl-ingest chain in one pass: WARC walk → HTTP
+    //      body slice → HTML extraction → URL canonicalization — the
+    //      shape a 100 TB CommonCrawl curation job actually runs
+    //      (parse + slice + strip fused over the scan, zero shuffle).
+    //      Expected text and canonical URI constructed directly from
+    //      doc arithmetic. ----
+    "ta_warc_extract" -> Q(
+      (s, dir) => Multimodal.warcResponses(synthWarc(s, dir)).toDF()
+        .select(col("doc_id"),
+          graft.functions.WebFunctions.canonicalizeUrl(col("target_uri")).as("url_canon"),
+          col("http_status").cast("long").as("http_status"),
+          graft.functions.WebFunctions.htmlToText(col("body")).as("clean")),
+      Some("""SELECT doc_id,
+             |  'http://site' || (doc_id % 7) || '.com/p/' || (doc_id % 211)
+             |    || '?a=1&b=2' AS url_canon,
+             |  CAST(200 AS BIGINT) AS http_status,
+             |  'Doc ' || doc_id || ' ' || trim(substr(text, 1, 200)) ||
+             |  ' more img Fish & Chips <deal> now ''hot'' "q"' AS clean
+             |FROM documents""".stripMargin)),
 
     // ---- token counting ----
     "ta_tokens" -> Q(

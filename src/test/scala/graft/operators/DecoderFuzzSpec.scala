@@ -33,7 +33,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "wavG711Samples" -> (b => MediaDecode.wavG711Samples(b)),
     "wavSamples" -> (b => MediaDecode.wavSamples(b)),
     "flacSamples" -> (b => FlacDecode.flacSamples(b)),
-    "audioSamples" -> (b => MediaDecode.audioSamples(b)))
+    "audioSamples" -> (b => MediaDecode.audioSamples(b)),
+    "warcRecords" -> (b => WebArchive.warcRecords(b)))
 
   private def assertNoThrow(label: String, buf: Array[Byte]): Unit =
     entryPoints.foreach { case (name, f) =>
@@ -144,7 +145,11 @@ class DecoderFuzzSpec extends AnyFunSuite {
       "mp3" -> hex("4944330300000000000A" + "00" * 10 + "FFFB9000" + "00" * 96),
       "mp4" -> hex("0000001066747970" + "69736F6D00000200" +
         "000000746D6F6F76" + "0000006C6D766864" +
-        "00000000" + "00000000" + "00000000" + "00000258" + "00000BB8" + "00" * 80))
+        "00000000" + "00000000" + "00000000" + "00000258" + "00000BB8" + "00" * 80),
+      "warc" -> ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://a.com/\r\n" +
+        "Content-Length: 46\r\n\r\n" +
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nhi\r\n\r\n")
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
   }
 
   test("fixtures decode as themselves (fuzz baseline is live)") {
@@ -165,6 +170,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     assert(MediaHeaders.audioDurationMs(fixtures.toMap.apply("flac")).isDefined)
     assert(FlacDecode.flacSamples(fixtures.toMap.apply("flac_frame")).isDefined)
     assert(MediaHeaders.videoDurationMs(fixtures.toMap.apply("mp4")).isDefined)
+    assert(WebArchive.warcRecords(fixtures.toMap.apply("warc")).exists(_.head.httpStatus == 200))
   }
 
   test("random buffers never throw (4000 buffers)") {

@@ -257,6 +257,17 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final aggregate around the shuffle:\n$p")
   }
 
+  test("ta_warc_records: record walk is map-only — zero exchanges") {
+    val p = plan("ta_warc_records")
+    assert(!p.contains("Exchange"), s"warc record walk must not shuffle:\n$p")
+  }
+
+  test("ta_warc_extract: parse + slice + strip + canonicalize fuse map-only — zero exchanges") {
+    val p = plan("ta_warc_extract")
+    assert(!p.contains("Exchange"), s"warc extraction chain must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"warc extraction chain must not join:\n$p")
+  }
+
   test("mm_image_phash: fingerprint decode is map-only — zero exchanges") {
     val p = plan("mm_image_phash")
     assert(!p.contains("Exchange"), s"image fingerprinting must not shuffle:\n$p")
