@@ -404,7 +404,9 @@ object Multimodal {
                                  http_status: Int, header_offset: Long,
                                  body_offset: Long, body_length: Long)
 
-  /** Record byte-range maps for WARC content — the crawl-ingest
+  /** Record byte-range maps for WARC content, plain or `.warc.gz`
+    * (per-member gzip decoded and trailer-verified in the same pass;
+    * offsets refer to the decompressed stream) — the crawl-ingest
     * analog of [[mp4SampleRows]]: rebuild each file's record map,
     * slice byte ranges downstream, never hold the whole archive as
     * rows. Unparseable content yields no rows. Narrow map-only plan.
@@ -415,7 +417,7 @@ object Multimodal {
       org.apache.spark.sql.Encoders.product[WarcRecordRow]
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        (try WebArchive.warcRecords(r.content).getOrElse(Vector.empty)
+        (try WebArchive.warcRecordsAny(r.content).map(_._2).getOrElse(Vector.empty)
          catch { case scala.util.control.NonFatal(_) => Vector.empty })
           .iterator.map(w => WarcRecordRow(r.doc_id, w.idx, w.warcType,
             w.targetUri, w.contentLength, w.httpStatus, w.headerOffset,
@@ -439,12 +441,14 @@ object Multimodal {
       org.apache.spark.sql.Encoders.product[WarcResponseRow]
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        (try WebArchive.warcRecords(r.content).getOrElse(Vector.empty)
-         catch { case scala.util.control.NonFatal(_) => Vector.empty })
-          .iterator
-          .filter(_.warcType.equalsIgnoreCase("response"))
-          .map(w => WarcResponseRow(r.doc_id, w.idx, w.targetUri, w.httpStatus,
-            WebArchive.bodyString(r.content, w)))
+        (try WebArchive.warcRecordsAny(r.content)
+         catch { case scala.util.control.NonFatal(_) => None }) match {
+          case Some((raw, recs)) => recs.iterator
+            .filter(_.warcType.equalsIgnoreCase("response"))
+            .map(w => WarcResponseRow(r.doc_id, w.idx, w.targetUri, w.httpStatus,
+              WebArchive.bodyString(raw, w)))
+          case None => Iterator.empty
+        }
       }
     }
   }

@@ -151,4 +151,96 @@ object WebArchive {
   def bodyString(b: Array[Byte], rec: WarcRec): String =
     new String(b, rec.bodyOffset.toInt, rec.bodyLength.toInt,
       java.nio.charset.StandardCharsets.UTF_8)
+
+  // ---- gzip (RFC 1952) member walk: crawl archives ship as
+  //      `.warc.gz` with ONE MEMBER PER RECORD (the seekable layout);
+  //      per the RFC, a multi-member file decodes as the
+  //      concatenation of its members' output. The deflate payload
+  //      goes through `java.util.zip.Inflater` (the PNG/TIFF tactic);
+  //      this walk owns the member grammar — header flags, optional
+  //      fields, CRC32 + ISIZE trailer verification — and the
+  //      decompression-bomb cap. ----
+
+  def isGzip(b: Array[Byte]): Boolean =
+    b.length > 2 && b(0) == 0x1f.toByte && b(1) == 0x8b.toByte
+
+  /** Decompress every gzip member and concatenate their output, or
+    * None on any malformation: bad magic/method, reserved flag bits,
+    * truncated optional fields, corrupt deflate data, CRC32 or ISIZE
+    * trailer mismatch, trailing garbage after the last member, or
+    * total output past `maxOut` (checked DURING inflation — a
+    * crafted 4 GiB-of-zeros member bails at the cap, it never
+    * allocates). */
+  def gunzip(b: Array[Byte], maxOut: Int = 1 << 28): Option[Array[Byte]] = {
+    if (!isGzip(b)) return None
+    val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 16))
+    var o = 0
+    while (o < b.length) {
+      // fixed header
+      if (o + 10 > b.length || b(o) != 0x1f.toByte || b(o + 1) != 0x8b.toByte ||
+        b(o + 2) != 8) return None
+      val flg = b(o + 3) & 0xff
+      if ((flg & 0xe0) != 0) return None // reserved bits
+      o += 10 // magic, CM, FLG, MTIME(4), XFL, OS
+      if ((flg & 4) != 0) { // FEXTRA: 2-byte LE length + payload
+        if (o + 2 > b.length) return None
+        val xlen = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+        o += 2 + xlen
+        if (o > b.length) return None
+      }
+      if ((flg & 8) != 0) { // FNAME: zero-terminated
+        while (o < b.length && b(o) != 0) o += 1
+        if (o >= b.length) return None
+        o += 1
+      }
+      if ((flg & 16) != 0) { // FCOMMENT: zero-terminated
+        while (o < b.length && b(o) != 0) o += 1
+        if (o >= b.length) return None
+        o += 1
+      }
+      if ((flg & 2) != 0) { // FHCRC: 2 bytes
+        o += 2
+        if (o > b.length) return None
+      }
+      // raw deflate stream
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(b, o, b.length - o)
+      val crc = new java.util.zip.CRC32()
+      var memberLen = 0L
+      val buf = new Array[Byte](65536)
+      var remaining = 0
+      try {
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0 && !inf.finished()) return None // truncated stream
+          crc.update(buf, 0, n)
+          memberLen += n
+          if (out.size().toLong + n > maxOut) return None // bomb cap
+          out.write(buf, 0, n)
+        }
+        remaining = inf.getRemaining
+      } catch {
+        case _: java.util.zip.DataFormatException => return None
+      } finally inf.end()
+      o = b.length - remaining
+      // trailer: CRC32 + ISIZE (both LE; ISIZE is length mod 2^32)
+      if (o + 8 > b.length) return None
+      def le32(at: Int): Long =
+        ((b(at) & 0xffL)) | ((b(at + 1) & 0xffL) << 8) |
+          ((b(at + 2) & 0xffL) << 16) | ((b(at + 3) & 0xffL) << 24)
+      if (le32(o) != crc.getValue || le32(o + 4) != (memberLen & 0xffffffffL))
+        return None
+      o += 8
+    }
+    Some(out.toByteArray)
+  }
+
+  /** [[warcRecords]] over plain OR gzipped bytes — the corpus-facing
+    * entry. Returns the decompressed buffer alongside the records
+    * (offsets refer to it) so callers can slice bodies. */
+  def warcRecordsAny(b: Array[Byte], maxRecords: Int = 1 << 20,
+                     maxOut: Int = 1 << 28): Option[(Array[Byte], Vector[WarcRec])] = {
+    val raw = if (isGzip(b)) gunzip(b, maxOut) else Some(b)
+    raw.flatMap(r => warcRecords(r, maxRecords).map(r -> _))
+  }
 }

@@ -34,7 +34,9 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "wavSamples" -> (b => MediaDecode.wavSamples(b)),
     "flacSamples" -> (b => FlacDecode.flacSamples(b)),
     "audioSamples" -> (b => MediaDecode.audioSamples(b)),
-    "warcRecords" -> (b => WebArchive.warcRecords(b)))
+    "warcRecords" -> (b => WebArchive.warcRecords(b)),
+    "gunzip" -> (b => WebArchive.gunzip(b)),
+    "warcRecordsAny" -> (b => WebArchive.warcRecordsAny(b)))
 
   private def assertNoThrow(label: String, buf: Array[Byte]): Unit =
     entryPoints.foreach { case (name, f) =>
@@ -149,7 +151,15 @@ class DecoderFuzzSpec extends AnyFunSuite {
       "warc" -> ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://a.com/\r\n" +
         "Content-Length: 46\r\n\r\n" +
         "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nhi\r\n\r\n")
-        .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+      "warc_gz" -> {
+        val bos = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(("WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: 2\r\n\r\nhi")
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        g.close()
+        bos.toByteArray
+      })
   }
 
   test("fixtures decode as themselves (fuzz baseline is live)") {
@@ -171,6 +181,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     assert(FlacDecode.flacSamples(fixtures.toMap.apply("flac_frame")).isDefined)
     assert(MediaHeaders.videoDurationMs(fixtures.toMap.apply("mp4")).isDefined)
     assert(WebArchive.warcRecords(fixtures.toMap.apply("warc")).exists(_.head.httpStatus == 200))
+    assert(WebArchive.warcRecordsAny(fixtures.toMap.apply("warc_gz"))
+      .exists(_._2.head.warcType == "resource"))
   }
 
   test("random buffers never throw (4000 buffers)") {

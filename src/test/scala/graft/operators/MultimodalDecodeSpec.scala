@@ -173,6 +173,36 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(ah == audioHashes(rows.toDS()).collect().toSet && ah.size == 1)
     assert(ih.head.doc_id == 1L && ah.head.doc_id == 2L)
   }
+
+  test("warcRecords/warcResponses consume .warc.gz identically to plain WARC") {
+    // the production CommonCrawl layout is one gzip member per record;
+    // the operators must parse it transparently with the same record
+    // maps (offsets into the decompressed stream) and the same bodies.
+    import spark.implicits._
+    val html = "<p>hello crawl</p>"
+    val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$html"
+    val rec0 = "WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\ninfo\r\n\r\n"
+    val rec1 = s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://a.com/x\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n$http\r\n\r\n"
+    def gz(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)); g.close()
+      bos.toByteArray
+    }
+    val plainRow = MediaRow(1L, "warc",
+      (rec0 + rec1).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val gzRow = MediaRow(2L, "warc", gz(rec0) ++ gz(rec1)) // member per record
+    val badRow = MediaRow(3L, "warc", gz(rec0).dropRight(2)) // truncated → no rows
+    val ds = Seq(plainRow, gzRow, badRow).toDS()
+    val recs = warcRecords(ds).collect().groupBy(_.doc_id)
+    assert(recs.keySet == Set(1L, 2L))
+    assert(recs(1L).map(r => r.copy(doc_id = 0)).toSet ==
+      recs(2L).map(r => r.copy(doc_id = 0)).toSet)
+    val resp = warcResponses(ds).collect().groupBy(_.doc_id)
+    assert(resp(1L).head.body == html && resp(2L).head.body == html)
+    assert(resp(2L).head.target_uri == "http://a.com/x")
+  }
 }
 
 object MultimodalDecodeSpec {

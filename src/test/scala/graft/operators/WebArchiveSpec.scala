@@ -85,4 +85,65 @@ class WebArchiveSpec extends AnyFunSuite {
     assert(WebArchive.warcRecords(b(many)).get.length == 10)
     assert(WebArchive.warcRecords(b(many), maxRecords = 9).isEmpty)
   }
+
+  // ---- gzip member walk (the .warc.gz layer) ----
+
+  /** one gzip member via the INDEPENDENT JDK encoder. */
+  private def gz(payload: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(payload); g.close()
+    bos.toByteArray
+  }
+
+  test("gunzip: single member round-trips against the JDK encoder") {
+    assert(WebArchive.gunzip(gz(b(file))).get.sameElements(b(file)))
+  }
+
+  test("gunzip: multi-member concatenation (the record-per-member .warc.gz layout)") {
+    val cat = gz(b(rec0)) ++ gz(b(rec1))
+    assert(WebArchive.gunzip(cat).get.sameElements(b(file)))
+    // and the full parse over it equals the plain parse
+    assert(WebArchive.warcRecordsAny(cat).get._2 ==
+      WebArchive.warcRecords(b(file)).get)
+  }
+
+  test("gunzip: optional header fields (FEXTRA/FNAME/FCOMMENT/FHCRC) are walked") {
+    val plain = gz(b("payload"))
+    // splice optional fields into the fixed header: FLG = FEXTRA|FNAME|FCOMMENT
+    val deflateAndTrailer = plain.drop(10)
+    val hdr = plain.take(10).clone()
+    hdr(3) = (4 | 8 | 16).toByte
+    val extra = Array[Byte](3, 0, 1, 2, 3) // xlen=3 LE + 3 bytes
+    val name = "file.warc".getBytes("US-ASCII") :+ 0.toByte
+    val comment = "c".getBytes("US-ASCII") :+ 0.toByte
+    val spliced = hdr ++ extra ++ name ++ comment ++ deflateAndTrailer
+    assert(WebArchive.gunzip(spliced).get.sameElements(b("payload")))
+  }
+
+  test("gunzip rejects: corrupt CRC, corrupt ISIZE, truncation, reserved flags, trailing garbage") {
+    val ok = gz(b("payload"))
+    val badCrc = ok.clone(); badCrc(ok.length - 8) = (badCrc(ok.length - 8) ^ 1).toByte
+    assert(WebArchive.gunzip(badCrc).isEmpty)
+    val badIsize = ok.clone(); badIsize(ok.length - 1) = (badIsize(ok.length - 1) ^ 1).toByte
+    assert(WebArchive.gunzip(badIsize).isEmpty)
+    assert(WebArchive.gunzip(ok.dropRight(3)).isEmpty)
+    assert(WebArchive.gunzip(ok.take(8)).isEmpty)
+    val badFlg = ok.clone(); badFlg(3) = 0x20.toByte
+    assert(WebArchive.gunzip(badFlg).isEmpty)
+    assert(WebArchive.gunzip(ok ++ b("junk")).isEmpty)
+    assert(WebArchive.gunzip(b("not gzip")).isEmpty)
+  }
+
+  test("gunzip: decompression-bomb cap bails during inflation, not after") {
+    val bomb = gz(new Array[Byte](4 << 20)) // 4 MiB of zeros, ~4 KiB compressed
+    assert(WebArchive.gunzip(bomb, maxOut = 1 << 20).isEmpty)
+    assert(WebArchive.gunzip(bomb, maxOut = 8 << 20).get.length == (4 << 20))
+  }
+
+  test("warcRecordsAny: gzipped archive parses identically to plain; offsets index the returned buffer") {
+    val (raw, recs) = WebArchive.warcRecordsAny(gz(b(file))).get
+    assert(recs == WebArchive.warcRecords(b(file)).get)
+    assert(WebArchive.bodyString(raw, recs(1)) == html)
+  }
 }
