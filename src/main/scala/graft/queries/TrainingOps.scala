@@ -3441,6 +3441,37 @@ object TrainingOps {
              |  ' more img Fish & Chips <deal> now ''hot'' "q"' AS clean
              |FROM documents""".stripMargin)),
 
+    // MAIN-CONTENT extraction (boilerplate removal): blocks with too
+    // few words (the title, the bare anchor run between the links)
+    // or anchor-dominated text drop; the doc's <p> survives when it
+    // carries >= 5 words and the entity-bearing div always survives
+    // (7 words, zero anchors). A TRUNCATED TWIN per 11th doc (first
+    // 10 chars — one or two words) makes the minWords drop BIND on
+    // the corpus, not just in unit fixtures. The oracle re-derives
+    // the keep decision and the joined text from the fixture
+    // arithmetic, word-count CASE included.
+    "ta_html_main" -> Q(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+        val twins = d.where(pmod(col("doc_id"), lit(11L)) === 0)
+          .select((col("doc_id") + lit(2000000000L)).as("doc_id"),
+            substring(col("text"), 1, 10).as("text"))
+        d.unionByName(twins).select(col("doc_id"), webHtmlCol.as("html"))
+          .select(col("doc_id"),
+            graft.functions.WebFunctions.mainContent(col("html")).as("main_text"))
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents
+             |              UNION ALL
+             |              SELECT doc_id + 2000000000, substr(text, 1, 10)
+             |              FROM documents WHERE doc_id % 11 = 0),
+             |t AS (SELECT doc_id, trim(substr(text, 1, 200)) AS main FROM base),
+             |w AS (SELECT doc_id, main,
+             |        len(list_filter(string_split(main, ' '), x -> x <> '')) AS nw FROM t)
+             |SELECT doc_id,
+             |  CASE WHEN nw >= 5 THEN main || ' ' ELSE '' END ||
+             |  'Fish & Chips <deal> now ''hot'' "q"' AS main_text
+             |FROM w""".stripMargin)),
+
     // href extraction in document order (posexplode pins ordinals):
     // the link-graph feed.
     "ta_html_links" -> Q(

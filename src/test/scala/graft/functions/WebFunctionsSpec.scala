@@ -86,6 +86,47 @@ class WebFunctionsSpec extends SparkSpec {
     assert(text("  a \n\t b  <SCRIPT>x</ScRiPt>  c ") == Seq("a b c"))
   }
 
+  private def main(htmls: String*): Seq[String] = {
+    import spark.implicits._
+    htmls.toDF("h").select(WebFunctions.mainContent(col("h"))).as[String]
+      .collect().toSeq
+  }
+
+  test("mainContent: link-dense nav blocks drop, prose blocks survive") {
+    val page = "<html><body>" +
+      "<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/a\">About us</a> " +
+      "<a href=\"/c\">Contact sales team</a></div>" +
+      "<p>this paragraph has plenty of ordinary prose words to keep</p>" +
+      "<div class=\"footer\"><a href=\"/t\">Terms</a> <a href=\"/p\">Privacy</a> " +
+      "<a href=\"/s\">Sitemap links here</a></div>" +
+      "</body></html>"
+    assert(main(page) ==
+      Seq("this paragraph has plenty of ordinary prose words to keep"))
+  }
+
+  test("mainContent: short blocks (titles, buttons) drop on minWords") {
+    val page = "<html><head><title>Site</title></head><body>" +
+      "<h1>Short header</h1>" +
+      "<p>one two three four five six</p></body></html>"
+    assert(main(page) == Seq("one two three four five six"))
+  }
+
+  test("mainContent: density boundary is an exact integer rule (<=50%)") {
+    // 3 of 6 words inside the anchor = exactly 50% → kept
+    val ok = "<p>alpha beta gamma <a href=\"/\">one two three</a></p>"
+    // 4 of 7 words inside anchors = 57% → dropped
+    val over = "<p>alpha beta gamma <a href=\"/\">one two three four</a></p>"
+    assert(main(ok) == Seq("alpha beta gamma one two three"))
+    assert(main(over) == Seq(""))
+  }
+
+  test("mainContent: kept blocks join in order; inline markup and entities resolve") {
+    val page = "<body><p>first block with <b>bold</b> prose inside it</p>" +
+      "<p>second block talks about Fish &amp; Chips all day</p></body>"
+    assert(main(page) == Seq(
+      "first block with bold prose inside it second block talks about Fish & Chips all day"))
+  }
+
   test("extractLinks: double-quoted hrefs in order, any attr case/spacing") {
     import spark.implicits._
     val links = Seq(

@@ -244,6 +244,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), s"expected posexplode of hrefs:\n$p")
   }
 
+  test("ta_html_main: block scoring is map-only higher-order exprs — zero exchanges") {
+    val p = plan("ta_html_main")
+    assert(!p.contains("Exchange"), s"main-content extraction must not shuffle:\n$p")
+    assert(!p.contains("MapPartitions"), s"must stay in expressions:\n$p")
+  }
+
   test("ta_url_canon: canonicalization is map-only — zero exchanges") {
     val p = plan("ta_url_canon")
     assert(!p.contains("Exchange"), s"url canonicalization must not shuffle:\n$p")

@@ -66,4 +66,50 @@ class CurationServingSpec extends SparkSpec {
     assert(streamed.exists(_._4) && streamed.exists(!_._4),
       "contamination flag never varies — eval carve-out broken")
   }
+
+  test("the crawl-ingest chain (WARC→HTML→text→URL) drives as ONE readStream, equals batch") {
+    // the front half of a crawl deployment: archives arrive as a
+    // stream, and record walk → body slice → boilerplate strip →
+    // URL canonicalization all happen in the arriving micro-batch
+    // with zero shuffle — the fingerprint/quality chain above then
+    // consumes the extracted text incrementally.
+    import spark.implicits._
+    import graft.operators.{Multimodal, WebArchive}
+    import graft.functions.WebFunctions
+    def warcOf(id: Long, uri: String, html: String): Multimodal.MediaRow = {
+      val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$html"
+      val rec = s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n$http\r\n\r\n"
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(rec.getBytes(java.nio.charset.StandardCharsets.US_ASCII)); g.close()
+      Multimodal.MediaRow(id, "warc", bos.toByteArray) // .warc.gz on the stream
+    }
+    val rows = (1L to 40L).map(i => warcOf(i,
+      s"HTTP://WWW.Example.COM:80/p/$i/?utm_source=s&b=$i&a=1",
+      s"<html><body><p>doc $i body</p><script>var a=$i;</script></body></html>"))
+    def serve(ds: org.apache.spark.sql.Dataset[Multimodal.MediaRow]) =
+      Multimodal.warcResponses(ds).toDF()
+        .select(col("doc_id"),
+          WebFunctions.canonicalizeUrl(col("target_uri")).as("url_canon"),
+          WebFunctions.htmlToText(col("body")).as("clean"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-crawl-stream").toString
+    rows.toDS().write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(rows.toDS().schema).parquet(s"$dir/in")
+      .as[Multimodal.MediaRow]
+    val q = serve(stream)
+      .writeStream.format("memory").queryName("crawl_stream").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getString(1), r.getString(2))
+    val streamed = spark.table("crawl_stream").collect().map(key).toSet
+    val batch = serve(rows.toDS()).collect().map(key).toSet
+    assert(streamed == batch && streamed.size == 40)
+    assert(streamed.head._2.startsWith("http://example.com/p/"))
+    assert(streamed.forall { case (id, u, t) =>
+      u == s"http://example.com/p/$id?a=1&b=$id" && t == s"doc $id body" })
+    // and the streaming plan shuffles nothing
+    val plan = serve(rows.toDS()).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"crawl-ingest chain must stay map-only:\n$plan")
+  }
 }
