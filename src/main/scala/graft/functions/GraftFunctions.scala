@@ -57,6 +57,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => { arity("graft_utf8_invalid", args, 1)
         Utf8InvalidK(args(0)) },
       "graft_utf8_invalid(bin) - strict RFC 3629 invalid-byte count (one per rejected sequence start)"),
+    ("graft_robots_allowed",
+      (args: Seq[Expression]) => { arity("graft_robots_allowed", args, 3)
+        RobotsAllowedK(args(0), args(1), args(2)) },
+      "graft_robots_allowed(robots_txt, agent, path) - RFC 9309 allow decision (longest match, tie->allow)"),
     ("graft_high_bytes",
       (args: Seq[Expression]) => { arity("graft_high_bytes", args, 1)
         HighBytesK(args(0)) },

@@ -42,6 +42,8 @@ object Kernels {
   def nulBytes(bin: Column): Column = toColumn(NulBytesK(toExpression(bin)))
   def simhash63(shingles: Column): Column = toColumn(SimHash63K(toExpression(shingles)))
   def minhashSig(shingles: Column, k: Int): Column = toColumn(MinHashSigK(toExpression(shingles), k))
+  def robotsAllowed(robots: Column, agent: Column, path: Column): Column =
+    toColumn(RobotsAllowedK(toExpression(robots), toExpression(agent), toExpression(path)))
   def vecDot(a: Column, b: Column): Column = toColumn(VecDotK(toExpression(a), toExpression(b)))
   def vecNorm2(a: Column): Column = toColumn(VecNorm2K(toExpression(a)))
   def lshSig(vec: Column, planes: Int): Column = toColumn(LshSigK(toExpression(vec), planes))
@@ -378,6 +380,12 @@ object Kernels {
     * once a squared norm passes ~1e15). Not the hot path: runs once
     * per candidate pair after aggregation.
     */
+  /** RFC 9309 allow decision ([[graft.operators.Robots]]) — parse is
+    * memoized per thread on the robots body, so after a broadcast
+    * join the per-row cost is the rule prefix tests alone. */
+  def robotsAllowedEval(robots: UTF8String, agent: UTF8String, path: UTF8String): Boolean =
+    graft.operators.Robots.isAllowedCached(robots.toString, agent.toString, path.toString)
+
   def cosineGteEval(num: Long, na: Long, nb: Long, tNum: Int, tDen: Int): Boolean = {
     import java.math.BigInteger
     val lhs = BigInteger.valueOf(num).pow(2)
@@ -552,6 +560,20 @@ case class IvfScoresK(child: Expression, cents: Array[Array[Float]]) extends Una
   }
   override protected def withNewChildInternal(newChild: Expression): IvfScoresK = copy(child = newChild)
   override def prettyName: String = "graft_ivf_scores"
+}
+
+case class RobotsAllowedK(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(robots: Any, agent: Any, path: Any): Any =
+    Kernels.robotsAllowedEval(robots.asInstanceOf[UTF8String],
+      agent.asInstanceOf[UTF8String], path.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (r, a, p) => s"graft.functions.Kernels.robotsAllowedEval($r, $a, $p)")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): RobotsAllowedK =
+    copy(first = newFirst, second = newSecond, third = newThird)
+  override def prettyName: String = "graft_robots_allowed"
 }
 
 case class CosineGteK(first: Expression, second: Expression, third: Expression,

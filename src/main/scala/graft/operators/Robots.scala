@@ -1,0 +1,144 @@
+package graft.operators
+
+/** From-spec robots.txt (RFC 9309) parsing and path matching — the
+  * crawl-compliance half of web ingest: given the robots body a crawl
+  * stored for a host, answer "was this path allowed for this product
+  * token?" for every captured URL, so a curation job can drop
+  * retroactively-disallowed pages without refetching anything.
+  *
+  * Contract (each clause bound by `RobotsSpec` / the `ta_robots`
+  * oracle):
+  *  - groups = consecutive `User-agent` lines + their Allow/Disallow
+  *    rules; comments (`#`) stripped; other fields (Sitemap, …) are
+  *    ignored and do NOT close a group (RFC 9309 §2.2)
+  *  - a group governs `agent` when its value is a case-insensitive
+  *    PREFIX of the product token; the longest matched value wins and
+  *    same-winner groups merge; the `*` group applies only when no
+  *    named group matched (§2.2.1)
+  *  - rule patterns match path PREFIXES octet-wise, `*` = any run,
+  *    a FINAL `$` anchors the end (§2.2.3); an empty value is no rule
+  *  - the longest matching pattern decides; on a length tie Allow
+  *    wins; no matching rule = allowed (§2.2.2)
+  *  - bodies are capped at 512 KiB and 2048 rules (the documented
+  *    parse caps of production crawlers) — adversarial robots bodies
+  *    bound work, never blow it up
+  */
+object Robots {
+
+  final case class Rule(allow: Boolean, pattern: String)
+
+  val MaxBodyChars: Int = 512 * 1024
+  val MaxRules: Int = 2048
+
+  /** rules of the group(s) governing `agent` (see contract above). */
+  def rulesFor(robotsTxt: String, agent: String): Vector[Rule] = {
+    val txt =
+      if (robotsTxt.length > MaxBodyChars) robotsTxt.substring(0, MaxBodyChars)
+      else robotsTxt
+    val token = agent.toLowerCase
+    var groups = Vector.empty[(Vector[String], Vector[Rule])]
+    var curAgents = Vector.empty[String]
+    var curRules = Vector.empty[Rule]
+    var openingGroup = false // consecutive User-agent lines share a group
+    def flush(): Unit = {
+      if (curAgents.nonEmpty) groups :+= ((curAgents, curRules))
+      curAgents = Vector.empty; curRules = Vector.empty
+    }
+    txt.linesIterator.foreach { raw =>
+      val hash = raw.indexOf('#')
+      val line = (if (hash >= 0) raw.substring(0, hash) else raw).trim
+      val colon = line.indexOf(':')
+      if (line.nonEmpty && colon > 0) {
+        val field = line.substring(0, colon).trim.toLowerCase
+        val value = line.substring(colon + 1).trim
+        field match {
+          case "user-agent" =>
+            if (!openingGroup) flush()
+            curAgents :+= value.toLowerCase
+            openingGroup = true
+          case "allow" | "disallow" =>
+            openingGroup = false
+            if (curAgents.nonEmpty && value.nonEmpty && curRules.length < MaxRules)
+              curRules :+= Rule(field == "allow", value)
+          case _ => openingGroup = false // Sitemap etc — ignored, group stays open
+        }
+      }
+    }
+    flush()
+    def matchLen(as: Vector[String]): Int =
+      as.iterator.filter(a => a != "*" && token.startsWith(a)).map(_.length)
+        .foldLeft(-1)(math.max)
+    val best = groups.iterator.map(g => matchLen(g._1)).foldLeft(-1)(math.max)
+    val out = Vector.newBuilder[Rule]
+    if (best >= 0)
+      groups.foreach { case (as, rs) => if (matchLen(as) == best) out ++= rs }
+    else
+      groups.foreach { case (as, rs) => if (as.contains("*")) out ++= rs }
+    out.result()
+  }
+
+  /** a rule pattern as an anchored prefix regex: literal octets,
+    * `*` → `.*`, final `$` → end anchor. */
+  private def toRegex(pattern: String): java.util.regex.Pattern = {
+    val anchored = pattern.endsWith("$")
+    val body = if (anchored) pattern.dropRight(1) else pattern
+    val sb = new StringBuilder("^")
+    body.split("\\*", -1).zipWithIndex.foreach { case (seg, idx) =>
+      if (idx > 0) sb.append(".*")
+      if (seg.nonEmpty) sb.append(java.util.regex.Pattern.quote(seg))
+    }
+    if (anchored) sb.append("$")
+    java.util.regex.Pattern.compile(sb.toString, java.util.regex.Pattern.DOTALL)
+  }
+
+  /** does `pattern` match a prefix of `path` (all of it under `$`)? */
+  def patternMatches(pattern: String, path: String): Boolean =
+    toRegex(pattern).matcher(path).lookingAt()
+
+  private final case class Compiled(allow: Boolean, len: Int,
+                                    p: java.util.regex.Pattern)
+
+  private def compile(robotsTxt: String, agent: String): Array[Compiled] =
+    rulesFor(robotsTxt, agent)
+      .map(r => Compiled(r.allow, r.pattern.length, toRegex(r.pattern))).toArray
+
+  /** longest-match decision over compiled rules; tie → allow. */
+  private def decide(rules: Array[Compiled], path: String): Boolean = {
+    var bestLen = -1
+    var bestAllow = true
+    var i = 0
+    while (i < rules.length) {
+      val r = rules(i)
+      if ((r.len > bestLen || (r.len == bestLen && r.allow && !bestAllow)) &&
+        r.p.matcher(path).lookingAt()) {
+        bestLen = r.len; bestAllow = r.allow
+      }
+      i += 1
+    }
+    bestAllow
+  }
+
+  def isAllowed(robotsTxt: String, agent: String, path: String): Boolean =
+    decide(compile(robotsTxt, agent), path)
+
+  // After a broadcast join the same (robots, agent) arrives in long
+  // same-host runs; a per-thread last-value memo makes the per-row
+  // cost one regex prefix test per rule instead of a reparse. Pure
+  // cache — never observable in results.
+  private val memo = new ThreadLocal[(String, String, Array[Compiled])]
+
+  /** [[isAllowed]] with the per-thread parse/compile memo — the
+    * kernel entry ([[graft.functions.Kernels.robotsAllowedEval]]). */
+  def isAllowedCached(robotsTxt: String, agent: String, path: String): Boolean = {
+    val m = memo.get()
+    val rules =
+      if (m != null && (m._1 eq robotsTxt) && m._2 == agent) m._3
+      else if (m != null && m._1 == robotsTxt && m._2 == agent) m._3
+      else {
+        val c = compile(robotsTxt, agent)
+        memo.set((robotsTxt, agent, c))
+        c
+      }
+    decide(rules, path)
+  }
+}

@@ -3549,6 +3549,51 @@ object TrainingOps {
              |  min(doc_id) AS keeper, count(*) AS n_variants
              |FROM documents GROUP BY 1""".stripMargin)),
 
+    // ---- robots.txt compliance (RFC 9309): per-host robots bodies
+    //      ride a BROADCAST dim (7 hosts built shuffle-free from
+    //      range); every URL's allow decision is one codegen kernel
+    //      call with a per-thread parse memo. The five path variants
+    //      bind each contract clause: plain prefix disallow, the
+    //      longer-Allow override, the `*.json$` wildcard+anchor, the
+    //      failed `$` anchor, and `*`-group NON-merge for a named
+    //      agent. Oracle states the expected decision per variant
+    //      directly. ----
+    "ta_robots_allowed" -> Q(
+      (s, dir) => {
+        val robotsBody = "User-agent: evilbot\nDisallow: /\n\n" +
+          "User-agent: graftbot\nAllow: /p/ok\nDisallow: /p/\nDisallow: /*.json$\n\n" +
+          "User-agent: *\nDisallow: /private/\n"
+        val hosts = s.range(0, 7)
+          .select(col("id").as("host"), lit(robotsBody).as("robots"))
+        val k = pmod(col("doc_id"), lit(211L)).cast("string")
+        val m = pmod(col("doc_id"), lit(5L))
+        val path = when(m === 0, concat(lit("/p/"), k))
+          .when(m === 1, concat(lit("/p/ok"), k))
+          .when(m === 2, concat(lit("/data/"), k, lit(".json")))
+          .when(m === 3, concat(lit("/data/"), k, lit(".jsonx")))
+          .otherwise(concat(lit("/private/"), k))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), pmod(col("doc_id"), lit(7L)).as("host"), path.as("path"))
+          .join(broadcast(hosts), "host")
+          .select(col("doc_id"), col("path"),
+            graft.functions.Kernels.robotsAllowed(
+              col("robots"), lit("graftbot"), col("path")).as("allowed"))
+      },
+      Some("""WITH v AS (SELECT doc_id, doc_id % 5 AS m,
+             |            CAST(doc_id % 211 AS VARCHAR) AS k FROM documents)
+             |SELECT doc_id,
+             |  CASE m WHEN 0 THEN '/p/' || k
+             |         WHEN 1 THEN '/p/ok' || k
+             |         WHEN 2 THEN '/data/' || k || '.json'
+             |         WHEN 3 THEN '/data/' || k || '.jsonx'
+             |         ELSE '/private/' || k END AS path,
+             |  CASE m WHEN 0 THEN FALSE
+             |         WHEN 1 THEN TRUE
+             |         WHEN 2 THEN FALSE
+             |         WHEN 3 THEN TRUE
+             |         ELSE TRUE END AS allowed
+             |FROM v""".stripMargin)),
+
     // ---- WARC record maps (ISO 28500) — the crawl-ingest analog of
     //      the MP4 sample tables: per-file record map with HTTP
     //      header/body split as BYTE RANGES, slice downstream. The

@@ -70,6 +70,15 @@ class GraftFunctionsSpec extends SparkSpec {
       // 1024-merge production table
       assert(bpe.head.getLong(0) == 5L, bpe.head.toString)
       assert(bpe.head.getSeq[String](1) == Seq("the"), bpe.head.toString)
+      // the robots kernel injects too: longest match, tie → allow
+      val rb = s2.sql(
+        """SELECT graft_robots_allowed(
+          |  'User-agent: a' || chr(10) || 'Allow: /p/ok' || chr(10) || 'Disallow: /p/',
+          |  'a', '/p/okay') AS ok,
+          |graft_robots_allowed(
+          |  'User-agent: a' || chr(10) || 'Allow: /p/ok' || chr(10) || 'Disallow: /p/',
+          |  'a', '/p/x') AS blocked""".stripMargin).collect()
+      assert(rb.head.getBoolean(0) && !rb.head.getBoolean(1), rb.head.toString)
       // the file-parameterized surface loads the SAME shipped table from
       // disk and must agree with the resource-backed default
       val byFile = s2.sql(

@@ -263,6 +263,14 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final aggregate around the shuffle:\n$p")
   }
 
+  test("ta_robots_allowed: robots dim broadcasts, kernel decision shuffles nothing") {
+    val p = plan("ta_robots_allowed")
+    assert(p.contains("BroadcastHashJoin"), s"robots dim must broadcast:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"robots compliance must not shuffle the URL side:\n$p")
+    assert(p.contains("graft_robots_allowed"), s"kernel fell out of the plan:\n$p")
+  }
+
   test("ta_warc_records: record walk is map-only — zero exchanges") {
     val p = plan("ta_warc_records")
     assert(!p.contains("Exchange"), s"warc record walk must not shuffle:\n$p")
