@@ -397,6 +397,28 @@ object Multimodal {
     }
   }
 
+  /** One EXIF metadata row ([[Exif.exifMeta]]). */
+  final case class ExifRow(doc_id: Long, make: String, model: String,
+                           orientation: Int, date_time: String, has_gps: Boolean)
+
+  /** EXIF metadata for JPEG/TIFF content — provenance (camera,
+    * capture time), decode-side orientation, and the GPS-presence
+    * PII flag a privacy pass filters on. Non-EXIF content yields no
+    * rows. Narrow map-only plan. */
+  def exifMeta(media: org.apache.spark.sql.Dataset[MediaRow]):
+      org.apache.spark.sql.Dataset[ExifRow] = {
+    implicit val enc: org.apache.spark.sql.Encoder[ExifRow] =
+      org.apache.spark.sql.Encoders.product[ExifRow]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        (try Exif.exifMeta(r.content)
+         catch { case scala.util.control.NonFatal(_) => None })
+          .map(m => ExifRow(r.doc_id, m.make, m.model, m.orientation,
+            m.dateTime, m.hasGps)).iterator
+      }
+    }
+  }
+
   /** One WARC record-map row ([[WebArchive.warcRecords]]): record
     * type, target URI, and the block/HTTP-body byte ranges. */
   final case class WarcRecordRow(doc_id: Long, idx: Int, warc_type: String,

@@ -3549,6 +3549,58 @@ object TrainingOps {
              |  min(doc_id) AS keeper, count(*) AS n_variants
              |FROM documents GROUP BY 1""".stripMargin)),
 
+    // ---- EXIF metadata (TIFF 6.0 IFD in a JPEG APP1 carrier):
+    //      provenance + the GPS-presence PII flag. Synthesized JPEGs
+    //      with FIXED-WIDTH variable fields (single-digit make/model/
+    //      time digits, orientation 1-8) so every IFD offset is a
+    //      template constant; every 3rd doc carries a GPS IFD pointer
+    //      (5-entry template) — the PII flag BINDS both ways. The
+    //      oracle states each field from doc arithmetic. ----
+    "mm_exif_meta" -> Q(
+      (s, dir) => {
+        val d5 = pmod(col("doc_id"), lit(5L)).cast("string")
+        val d10 = pmod(col("doc_id"), lit(10L)).cast("string")
+        val ori = (pmod(col("doc_id"), lit(8L)) + 1).cast("string")
+        val dataHex = (mk: org.apache.spark.sql.Column, mo: org.apache.spark.sql.Column,
+                       dt: org.apache.spark.sql.Column) => concat(
+          lit("43616D3"), mk, lit("00"), // "Cam"+d+NUL
+          lit("4D6F64656C3"), mo, lit("00"), // "Model"+d+NUL
+          lit("323032363A30383A31362030333A30303A303"), dt, lit("00")) // 20-byte DateTime
+        val gpsHex = concat(
+          lit("FFD8FFE10084457869660000" + "49492A0008000000" + "0500" +
+            "0F0102000500000" + "04A000000" + "10010200070000004F000000" +
+            "120103000100000" + "00"), ori,
+          lit("000000" + "3201020014000000" + "56000000" +
+            "2588040001000000" + "6A000000" + "00000000"),
+          dataHex(d5, d10, d10),
+          lit("0100" + "000001000400000002030000" + "00000000" + "FFD9"))
+        val plainHex = concat(
+          lit("FFD8FFE10066457869660000" + "49492A0008000000" + "0400" +
+            "0F0102000500000" + "03E000000" + "1001020007000000" + "43000000" +
+            "120103000100000" + "00"), ori,
+          lit("000000" + "3201020014000000" + "4A000000" + "00000000"),
+          dataHex(d5, d10, d10),
+          lit("FFD9"))
+        val content = unhex(when(pmod(col("doc_id"), lit(3L)) === 0, gpsHex)
+          .otherwise(plainHex))
+        implicit val enc: org.apache.spark.sql.Encoder[Multimodal.MediaRow] =
+          org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+        val media = Tables(s, dir, "documents")
+          .select(col("doc_id"), lit("image").as("kind"), content.as("content"))
+          .as[Multimodal.MediaRow]
+        Multimodal.exifMeta(media).toDF()
+          .select(col("doc_id"), col("make"), col("model"),
+            col("orientation").cast("long").as("orientation"),
+            col("date_time"), col("has_gps"))
+      },
+      Some("""SELECT doc_id,
+             |  'Cam' || (doc_id % 5) AS make,
+             |  'Model' || (doc_id % 10) AS model,
+             |  CAST(doc_id % 8 + 1 AS BIGINT) AS orientation,
+             |  '2026:08:16 03:00:0' || (doc_id % 10) AS date_time,
+             |  (doc_id % 3 = 0) AS has_gps
+             |FROM documents""".stripMargin)),
+
     // ---- robots.txt compliance (RFC 9309): per-host robots bodies
     //      ride a BROADCAST dim (7 hosts built shuffle-free from
     //      range); every URL's allow decision is one codegen kernel

@@ -35,6 +35,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "flacSamples" -> (b => FlacDecode.flacSamples(b)),
     "audioSamples" -> (b => MediaDecode.audioSamples(b)),
     "warcRecords" -> (b => WebArchive.warcRecords(b)),
+    "exifMeta" -> (b => Exif.exifMeta(b)),
     "gunzip" -> (b => WebArchive.gunzip(b)),
     "warcRecordsAny" -> (b => WebArchive.warcRecordsAny(b)))
 

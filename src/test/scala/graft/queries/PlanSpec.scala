@@ -282,6 +282,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"warc extraction chain must not join:\n$p")
   }
 
+  test("mm_exif_meta: EXIF walk is map-only — zero exchanges") {
+    val p = plan("mm_exif_meta")
+    assert(!p.contains("Exchange"), s"exif parsing must not shuffle:\n$p")
+  }
+
   test("mm_image_phash: fingerprint decode is map-only — zero exchanges") {
     val p = plan("mm_image_phash")
     assert(!p.contains("Exchange"), s"image fingerprinting must not shuffle:\n$p")
