@@ -381,10 +381,12 @@ object Kernels {
     * per candidate pair after aggregation.
     */
   /** RFC 9309 allow decision ([[graft.operators.Robots]]) — parse is
-    * memoized per thread on the robots body, so after a broadcast
-    * join the per-row cost is the rule prefix tests alone. */
+    * memoized per thread keyed on the UTF8String body (memcmp, no
+    * per-row String copy of a possibly-512 KiB robots file), so after
+    * a broadcast join the per-row cost is one body memcmp + the rule
+    * prefix tests. */
   def robotsAllowedEval(robots: UTF8String, agent: UTF8String, path: UTF8String): Boolean =
-    graft.operators.Robots.isAllowedCached(robots.toString, agent.toString, path.toString)
+    graft.operators.Robots.isAllowedCachedU(robots, agent.toString, path.toString)
 
   def cosineGteEval(num: Long, na: Long, nb: Long, tNum: Int, tDen: Int): Boolean = {
     import java.math.BigInteger

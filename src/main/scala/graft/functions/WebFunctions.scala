@@ -24,6 +24,9 @@ object WebFunctions {
     * rule is bound by a fixture in `ta_url_canon`/`dd_url_dedup`):
     *
     *  - scheme and host lowercase; path/query case PRESERVED
+    *  - userinfo (`user:pass@`) dropped — never a page identity
+    *  - IPv6 bracket literals stay whole (`[::1]:8080` splits at the
+    *    bracket-closing colon, never inside the address)
     *  - one leading `www.` stripped from the host
     *  - default ports dropped (`:80` for http, `:443` for https);
     *    any other port kept
@@ -41,9 +44,18 @@ object WebFunctions {
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     // everything after scheme://, fragment dropped
     val rest = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^#]*)", 1)
-    val hostPort = lower(regexp_extract(rest, "^([^/?]*)", 1))
-    val host = regexp_replace(regexp_extract(hostPort, "^([^:]*)", 1), "^www\\.", "")
-    val port = regexp_extract(hostPort, ":(\\d+)$", 1)
+    // authority: userinfo dropped (never a dedup key; RFC 3986 §3.2.1
+    // forbids unencoded '@' inside it, so strip through the '@')
+    val hostPort =
+      lower(regexp_replace(regexp_extract(rest, "^([^/?]*)", 1), "^[^@]*@", ""))
+    // IPv6 literals keep their brackets whole (a ':' inside [] is not
+    // a port separator); everything else splits on the last ':'
+    val bracket = regexp_extract(hostPort, "^(\\[[^\\]]*\\])", 1)
+    val host = when(bracket =!= "", bracket)
+      .otherwise(regexp_replace(regexp_extract(hostPort, "^([^:]*)", 1), "^www\\.", ""))
+    val port = when(bracket =!= "",
+        regexp_extract(hostPort, "^\\[[^\\]]*\\]:(\\d+)$", 1))
+      .otherwise(regexp_extract(hostPort, ":(\\d+)$", 1))
     val portPart = when(
       port === "" ||
         (scheme === "http" && port === "80") ||
@@ -123,11 +135,16 @@ object WebFunctions {
                   maxLinkDensityPct: Int = 50): Column = {
     val blocks = split(dropNonContent(html), BlockTagRe)
     val anchorRe = lit("(?is)<a\\b[^>]*>(.*?)</a>")
-    val scored = transform(blocks, b => struct(
+    // two transforms so the tag-strip/entity regex chain runs ONCE
+    // per block (HOF lambdas get no subexpression elimination)
+    val texts = transform(blocks, b => struct(
       tagsToText(b).as("t"),
-      wordCount(tagsToText(b)).as("w"),
       aggregate(regexp_extract_all(b, anchorRe, lit(1)), lit(0),
         (acc, a) => acc + wordCount(tagsToText(a))).as("lw")))
+    val scored = transform(texts, s => struct(
+      s.getField("t").as("t"),
+      wordCount(s.getField("t")).as("w"),
+      s.getField("lw").as("lw")))
     val kept = filter(scored, s =>
       s.getField("w") >= minWords &&
         s.getField("lw") * 100 <= s.getField("w") * maxLinkDensityPct)

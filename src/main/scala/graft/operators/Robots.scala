@@ -54,13 +54,18 @@ object Robots {
         field match {
           case "user-agent" =>
             if (!openingGroup) flush()
-            curAgents :+= value.toLowerCase
+            // an empty agent value is not a token (RFC 9309 §2.2.1) —
+            // admitting it would create a zero-length prefix matching
+            // EVERY crawler and silently shadowing the `*` group
+            if (value.nonEmpty) curAgents :+= value.toLowerCase
             openingGroup = true
           case "allow" | "disallow" =>
             openingGroup = false
             if (curAgents.nonEmpty && value.nonEmpty && curRules.length < MaxRules)
               curRules :+= Rule(field == "allow", value)
-          case _ => openingGroup = false // Sitemap etc — ignored, group stays open
+          // Sitemap etc: ignored-as-absent (§2.2.4) — neither closes
+          // the group NOR splits a run of User-agent lines
+          case _ => ()
         }
       }
     }
@@ -123,22 +128,32 @@ object Robots {
 
   // After a broadcast join the same (robots, agent) arrives in long
   // same-host runs; a per-thread last-value memo makes the per-row
-  // cost one regex prefix test per rule instead of a reparse. Pure
-  // cache — never observable in results.
-  private val memo = new ThreadLocal[(String, String, Array[Compiled])]
+  // cost one memcmp of the body + the rule prefix tests — no string
+  // materialization, no reparse. The key is CLONED off the incoming
+  // UTF8String (codegen reuses row buffers, so holding the original
+  // reference across rows would alias rewritten memory). Pure cache —
+  // never observable in results.
+  private val memoU =
+    new ThreadLocal[(org.apache.spark.unsafe.types.UTF8String, String, Array[Compiled])]
 
-  /** [[isAllowed]] with the per-thread parse/compile memo — the
-    * kernel entry ([[graft.functions.Kernels.robotsAllowedEval]]). */
-  def isAllowedCached(robotsTxt: String, agent: String, path: String): Boolean = {
-    val m = memo.get()
+  /** [[isAllowed]] straight off the codegen value — the kernel entry
+    * ([[graft.functions.Kernels.robotsAllowedEval]]). The robots body
+    * is converted to a String only on memo miss. */
+  def isAllowedCachedU(robots: org.apache.spark.unsafe.types.UTF8String,
+                       agent: String, path: String): Boolean = {
+    val m = memoU.get()
     val rules =
-      if (m != null && (m._1 eq robotsTxt) && m._2 == agent) m._3
-      else if (m != null && m._1 == robotsTxt && m._2 == agent) m._3
+      if (m != null && m._1.equals(robots) && m._2 == agent) m._3
       else {
-        val c = compile(robotsTxt, agent)
-        memo.set((robotsTxt, agent, c))
+        val c = compile(robots.toString, agent)
+        memoU.set((robots.clone(), agent, c))
         c
       }
     decide(rules, path)
   }
+
+  /** String-keyed variant (tests, direct callers). */
+  def isAllowedCached(robotsTxt: String, agent: String, path: String): Boolean =
+    isAllowedCachedU(
+      org.apache.spark.unsafe.types.UTF8String.fromString(robotsTxt), agent, path)
 }

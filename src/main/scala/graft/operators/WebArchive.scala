@@ -173,7 +173,7 @@ object WebArchive {
     * allocates). */
   def gunzip(b: Array[Byte], maxOut: Int = 1 << 28): Option[Array[Byte]] = {
     if (!isGzip(b)) return None
-    val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 16))
+    val out = new java.io.ByteArrayOutputStream(math.min(b.length, 1 << 16))
     var o = 0
     while (o < b.length) {
       // fixed header

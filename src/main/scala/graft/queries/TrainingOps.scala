@@ -1052,7 +1052,10 @@ object TrainingOps {
     val uri = concat(lit("HTTP://WWW.Site"), pmod(col("doc_id"), lit(7L)),
       lit(".COM:80/p/"), pmod(col("doc_id"), lit(211L)), lit("/?utm_source=feed&b=2&a=1"))
     val html = webHtmlCol
-    val blockLen = (length(html) + lit(WarcHttpHdr.length)).cast("string")
+    // BYTE length (the parser counts octets): character length would
+    // silently undercount any non-ASCII document text and reject the
+    // whole record at the separator check
+    val blockLen = (length(encode(html, "UTF-8")) + lit(WarcHttpHdr.length)).cast("string")
     Tables(s, dir, "documents").select(col("doc_id"), lit("warc").as("kind"),
       encode(concat(lit(WarcRec0 + WarcRec1Pre), uri, lit("\r\nContent-Length: "),
         blockLen, lit("\r\n\r\n" + WarcHttpHdr), html, lit("\r\n\r\n")), "UTF-8")
@@ -3660,7 +3663,7 @@ object TrainingOps {
           col("target_uri"), col("content_length"),
           col("http_status").cast("long").as("http_status"),
           col("header_offset"), col("body_offset"), col("body_length")),
-      Some(s"""WITH h AS (SELECT doc_id, length($webHtmlSql) AS hl,
+      Some(s"""WITH h AS (SELECT doc_id, octet_length(encode($webHtmlSql)) AS hl,
               |  'HTTP://WWW.Site' || (doc_id % 7) || '.COM:80/p/' || (doc_id % 211)
               |    || '/?utm_source=feed&b=2&a=1' AS uri
               |  FROM documents)

@@ -58,6 +58,14 @@ class WebFunctionsSpec extends SparkSpec {
         "http://a.com/x?refresh=1"))
   }
 
+  test("authority: userinfo drops, IPv6 brackets stay whole, bracket-port splits correctly") {
+    assert(canon(
+      "http://admin:pw@Site1.com/login", "http://user@a.com:80/x",
+      "http://[2001:db8::1]:8080/x", "https://[::1]:443/x", "http://[::1]/x") ==
+      Seq("http://site1.com/login", "http://a.com/x",
+        "http://[2001:db8::1]:8080/x", "https://[::1]/x", "http://[::1]/x"))
+  }
+
   test("non-absolute inputs pass through trimmed") {
     assert(canon("  /relative/path?a=1  ", "mailto:x@y.z", "just text") ==
       Seq("/relative/path?a=1", "mailto:x@y.z", "just text"))

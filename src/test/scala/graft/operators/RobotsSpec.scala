@@ -62,6 +62,19 @@ class RobotsSpec extends AnyFunSuite {
     assert(!Robots.isAllowed(multi, "two", "/y/1"))
   }
 
+  test("a non-rule field between User-agent lines neither splits the run nor drops rules") {
+    // RFC 9309 §2.2.4: other records are ignored-as-absent — 'a' and
+    // 'b' still share the group and its Disallow
+    val split = "User-agent: a\nSitemap: https://x/s.xml\nUser-agent: b\nDisallow: /\n"
+    assert(!Robots.isAllowed(split, "a", "/anything"))
+    assert(!Robots.isAllowed(split, "b", "/anything"))
+  }
+
+  test("an empty User-agent value is not a token and cannot shadow the * group") {
+    val b2 = "User-agent:\nAllow: /x\n\nUser-agent: *\nDisallow: /\n"
+    assert(!Robots.isAllowed(b2, "anybot", "/x/1")) // * group governs
+  }
+
   test("empty values, comments, and junk lines are inert; no rules → allowed") {
     val b2 = "User-agent: a # trailing comment\nDisallow:\nDisallow: /real/\nnot a field line\n"
     assert(Robots.isAllowed(b2, "a", "/anything")) // empty Disallow = no rule
