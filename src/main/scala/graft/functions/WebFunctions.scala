@@ -16,9 +16,15 @@ import org.apache.spark.sql.functions._
 object WebFunctions {
 
   /** query parameters dropped by [[canonicalizeUrl]]: pure tracking
-    * noise that makes otherwise-identical pages look distinct. */
+    * noise that makes otherwise-identical pages look distinct. Only
+    * UNAMBIGUOUS tracking keys belong here — a bare `ref` is
+    * deliberately NOT listed (on real sites `?ref=<name>` routinely
+    * selects content, e.g. VCS branch refs or listing referrers, so
+    * dropping it would merge genuinely distinct pages in
+    * `dd_url_dedup`); `ref_src` stays (the Twitter-injected referrer
+    * tag, never a content selector). */
   val TrackingParamRe: String =
-    "^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src)="
+    "^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref_src)="
 
   /** Canonicalize an absolute URL for dedup keying. Contract (each
     * rule is bound by a fixture in `ta_url_canon`/`dd_url_dedup`):

@@ -32,9 +32,16 @@ object Robots {
 
   /** rules of the group(s) governing `agent` (see contract above). */
   def rulesFor(robotsTxt: String, agent: String): Vector[Rule] = {
+    // Cap oversized bodies at the last complete line: a raw cut can
+    // leave a partial rule whose truncated pattern PARSES but matches
+    // more (or less) than the author wrote — 'Allow: /x-longer' cut
+    // to 'Allow: /x' silently broadens the allowance — so only whole
+    // lines survive the cap.
     val txt =
-      if (robotsTxt.length > MaxBodyChars) robotsTxt.substring(0, MaxBodyChars)
-      else robotsTxt
+      if (robotsTxt.length > MaxBodyChars) {
+        val cut = robotsTxt.lastIndexOf('\n', MaxBodyChars - 1)
+        robotsTxt.substring(0, if (cut >= 0) cut else 0)
+      } else robotsTxt
     val token = agent.toLowerCase
     var groups = Vector.empty[(Vector[String], Vector[Rule])]
     var curAgents = Vector.empty[String]

@@ -3431,7 +3431,18 @@ object TrainingOps {
     //      replaying the operator's regexes — so a shared regex bug
     //      cannot self-certify. All map-only codegen chains
     //      (PlanSpec-pinned zero exchanges) except the dedup's one
-    //      partial-agg'd shuffle. ----
+    //      partial-agg'd shuffle.
+    //
+    //      CORPUS-TEXT ASSUMPTION (binds every oracle in this
+    //      section that embeds document text in HTML): the driver's
+    //      `documents.text` is single-spaced pure `[a-z ]` — no
+    //      consecutive whitespace, no '<', '>', '&' or other
+    //      entity/tag characters — so `trim(substr(text,1,200))`
+    //      in SQL equals the operator's whitespace-collapsed,
+    //      entity-decoded extraction of the same fragment. If a
+    //      future corpus generator changes that, these oracles FAIL
+    //      as hash mismatches; re-derive the expected text with
+    //      whitespace collapse + entity escaping first. ----
 
     // HTML → text (WET extraction): script/style/comment elements out,
     // tags to spaces, fixed entity set decoded after stripping,

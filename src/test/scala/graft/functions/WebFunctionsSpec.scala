@@ -51,11 +51,12 @@ class WebFunctionsSpec extends SparkSpec {
       "http://a.com/x?utm_source=f&fbclid=z&gclid=g",
       "http://a.com/x?",
       "http://a.com/x?a=1&&b=2",
-      "http://a.com/x?ref=h&refresh=1") ==
+      "http://a.com/x?ref=h&refresh=1&ref_src=twsrc") ==
       Seq("http://a.com/x?a=1&b=2", "http://a.com/x?a=1&b=2",
         "http://a.com/x", "http://a.com/x", "http://a.com/x?a=1&b=2",
-        // refresh is NOT a tracking param (anchored k=), ref is
-        "http://a.com/x?refresh=1"))
+        // `ref` is a CONTENT param on real sites (branch/listing
+        // refs) and survives; `ref_src` is unambiguous tracking
+        "http://a.com/x?ref=h&refresh=1"))
   }
 
   test("authority: userinfo drops, IPv6 brackets stay whole, bracket-port splits correctly") {

@@ -91,6 +91,17 @@ class RobotsSpec extends AnyFunSuite {
     assert(!Robots.isAllowed(huge, "a", "/x/1")) // truncation keeps the parsed head
   }
 
+  test("body cap drops the trailing partial line — a cut rule never parses broadened") {
+    // arrange the cap to land mid-rule, right after 'Disallow: /x':
+    // a raw substring cut would parse the broader pattern '/x'
+    val head = "User-agent: a\nDisallow: /y/\n"
+    val fill = "#" + "f" * (Robots.MaxBodyChars - head.length - 2 - 12) + "\n"
+    val body = head + fill + "Disallow: /x-longer-path\n"
+    assert(body.substring(0, Robots.MaxBodyChars).endsWith("Disallow: /x"))
+    assert(Robots.isAllowed(body, "a", "/x/anything")) // partial rule dropped
+    assert(!Robots.isAllowed(body, "a", "/y/1")) // complete rules before the cap survive
+  }
+
   test("memoized kernel path equals the direct path") {
     for (p <- Seq("/p/x", "/p/okz", "/data/a.json", "/private/q", "/free"))
       assert(Robots.isAllowedCached(body, "graftbot", p) ==
