@@ -348,6 +348,44 @@ object Kernels {
     c
   }
 
+  /** plain-bytes mirror of
+    * [[graft.functions.TextFunctions.detectEncoding]]'s Column chain
+    * (same BOM-before-NUL-before-scanner ladder over the same three
+    * byte scanners) — the routing decision for JVM-side body decode
+    * in [[graft.operators.Multimodal.warcResponses]]. `CharsetSpec`
+    * cross-checks the two paths label-for-label. */
+  def detectCharsetEval(b: Array[Byte]): String = {
+    def at(i: Int, v: Int): Boolean = i < b.length && (b(i) & 0xff) == v
+    if (at(0, 0xEF) && at(1, 0xBB) && at(2, 0xBF)) "utf-8-bom"
+    else if (at(0, 0xFF) && at(1, 0xFE) && at(2, 0x00) && at(3, 0x00)) "utf-32le"
+    else if (at(0, 0x00) && at(1, 0x00) && at(2, 0xFE) && at(3, 0xFF)) "utf-32be"
+    else if (at(0, 0xFF) && at(1, 0xFE)) "utf-16le"
+    else if (at(0, 0xFE) && at(1, 0xFF)) "utf-16be"
+    else if (nulBytesEval(b) > 0) "binary"
+    else if (utf8InvalidEval(b) == 0 && highBytesEval(b) > 0) "utf-8"
+    else if (utf8InvalidEval(b) == 0) "ascii"
+    else "latin-1"
+  }
+
+  /** Decode bytes to text under [[detectCharsetEval]]'s label: BOMs
+    * consumed, latin-1 as the terminal single-byte fallback, and
+    * `binary` content yields NO text (a blob is not a mojibake
+    * string). Malformed units under the chosen charset are replaced,
+    * never thrown (JDK decoder REPLACE semantics). */
+  def decodeTextEval(b: Array[Byte]): Option[String] = {
+    import java.nio.charset.{Charset, StandardCharsets => SC}
+    detectCharsetEval(b) match {
+      case "binary" => None
+      case "utf-8-bom" => Some(new String(b, 3, b.length - 3, SC.UTF_8))
+      case "utf-16le" => Some(new String(b, 2, b.length - 2, SC.UTF_16LE))
+      case "utf-16be" => Some(new String(b, 2, b.length - 2, SC.UTF_16BE))
+      case "utf-32le" => Some(new String(b, 4, b.length - 4, Charset.forName("UTF-32LE")))
+      case "utf-32be" => Some(new String(b, 4, b.length - 4, Charset.forName("UTF-32BE")))
+      case "latin-1" => Some(new String(b, SC.ISO_8859_1))
+      case _ => Some(new String(b, SC.UTF_8)) // utf-8 / ascii
+    }
+  }
+
   /** signed-count feature-hash vector ("hashing trick"): one tight
     * pass over the word n-gram hashes into a dim-length bucket
     * accumulator — index = key mod dim (dim a power of two), sign =

@@ -448,14 +448,28 @@ object Multimodal {
     }
   }
 
-  /** One extracted HTTP response: URI, status, UTF-8 body. */
+  /** One extracted, fully-decoded HTTP response: URI, status, the
+    * charset label the body decoded under, and the body TEXT. */
   final case class WarcResponseRow(doc_id: Long, idx: Int, target_uri: String,
-                                   http_status: Int, body: String)
+                                   http_status: Int, charset: String, body: String)
 
   /** Response payloads sliced in the same pass as the record walk —
     * for pipelines that extract immediately (WARC → HTML → text);
     * non-response records and unparseable files yield no rows.
-    * Still one map-only pass: parse + slice over bytes the scan
+    *
+    * Bodies are REAL-ARCHIVE decoded, not assumed identity/UTF-8:
+    * the HTTP codings are undone first ([[WebArchive.decodeHttpBody]]
+    * — `Transfer-Encoding: chunked` reassembled, then
+    * `Content-Encoding: gzip`/`deflate` inflated, each layer
+    * degrading to its input on malformation), then the payload is
+    * charset-routed ([[graft.functions.Kernels.decodeTextEval]]:
+    * BOM families consumed, latin-1 fallback) — the header charset
+    * is deliberately NOT trusted (crawled `Content-Type` charsets
+    * are wrong often enough that browsers sniff too). Binary
+    * payloads (images, octet streams) yield NO row — this operator
+    * is the text-extraction feed, not a byte mover.
+    *
+    * Still one map-only pass: parse + decode over bytes the scan
     * already read. */
   def warcResponses(media: org.apache.spark.sql.Dataset[MediaRow]):
       org.apache.spark.sql.Dataset[WarcResponseRow] = {
@@ -467,8 +481,12 @@ object Multimodal {
          catch { case scala.util.control.NonFatal(_) => None }) match {
           case Some((raw, recs)) => recs.iterator
             .filter(_.warcType.equalsIgnoreCase("response"))
-            .map(w => WarcResponseRow(r.doc_id, w.idx, w.targetUri, w.httpStatus,
-              WebArchive.bodyString(raw, w)))
+            .flatMap { w =>
+              val payload = WebArchive.decodeHttpBody(raw, w)
+              graft.functions.Kernels.decodeTextEval(payload).map(text =>
+                WarcResponseRow(r.doc_id, w.idx, w.targetUri, w.httpStatus,
+                  graft.functions.Kernels.detectCharsetEval(payload), text))
+            }
           case None => Iterator.empty
         }
       }

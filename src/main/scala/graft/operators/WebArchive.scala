@@ -31,10 +31,18 @@ object WebArchive {
     * @param bodyOffset     byte offset of the HTTP body (response
     *                       records) or of the whole block otherwise
     * @param bodyLength     bytes from bodyOffset to block end
+    * @param transferEncoding lowercased HTTP `Transfer-Encoding`
+    *                       value ("" when absent / not HTTP) — real
+    *                       crawl captures store the body AS SENT, so
+    *                       `chunked` framing must be undone before
+    *                       the payload is usable
+    * @param contentEncoding lowercased HTTP `Content-Encoding`
+    *                       value ("" when absent / not HTTP)
     */
   final case class WarcRec(idx: Int, warcType: String, targetUri: String,
                            contentLength: Long, httpStatus: Int,
-                           headerOffset: Long, bodyOffset: Long, bodyLength: Long)
+                           headerOffset: Long, bodyOffset: Long, bodyLength: Long,
+                           transferEncoding: String = "", contentEncoding: String = "")
 
   private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
 
@@ -106,6 +114,8 @@ object WebArchive {
       var httpStatus = -1
       var bodyOffset = blockStart.toLong
       var bodyLength = contentLength
+      var transferEnc = ""
+      var contentEnc = ""
       if (warcType.equalsIgnoreCase("response") && contentLength >= 12 &&
         b(blockStart) == 'H' && b(blockStart + 1) == 'T' && b(blockStart + 2) == 'T' &&
         b(blockStart + 3) == 'P' && b(blockStart + 4) == '/') {
@@ -114,25 +124,40 @@ object WebArchive {
           val status = new String(b, blockStart, se - 2 - blockStart, Ascii)
           val parts = status.split(" ", 3)
           if (parts.length >= 2 && parts(1).length == 3 && parts(1).forall(_.isDigit)) {
-            // find the header terminator inside the block
+            // walk the header lines to the terminator, capturing the
+            // two body-framing headers on the way (header names are
+            // case-insensitive per RFC 9110 §5.1)
             var h = se
             var bodyAt = -1
+            var te = ""
+            var ce = ""
             while (bodyAt < 0 && h < blockEnd) {
               val e = lineEnd(b, h, blockEnd.toInt)
               if (e < 0) h = blockEnd.toInt
               else if (e - h == 2) bodyAt = e
-              else h = e
+              else {
+                val line = new String(b, h, e - 2 - h, Ascii)
+                val colon = line.indexOf(':')
+                if (colon > 0) {
+                  val nm = line.substring(0, colon).trim.toLowerCase
+                  if (nm == "transfer-encoding") te = line.substring(colon + 1).trim.toLowerCase
+                  else if (nm == "content-encoding") ce = line.substring(colon + 1).trim.toLowerCase
+                }
+                h = e
+              }
             }
             if (bodyAt > 0) {
               httpStatus = parts(1).toInt
               bodyOffset = bodyAt.toLong
               bodyLength = blockEnd - bodyAt
+              transferEnc = te
+              contentEnc = ce
             }
           }
         }
       }
       out += WarcRec(count, warcType, targetUri, contentLength, httpStatus,
-        headerOffset.toLong, bodyOffset, bodyLength)
+        headerOffset.toLong, bodyOffset, bodyLength, transferEnc, contentEnc)
       count += 1
       // record separator: \r\n\r\n (exact EOF after the block is
       // tolerated — the last record of a stream-cut file)
@@ -176,6 +201,7 @@ object WebArchive {
     val out = new java.io.ByteArrayOutputStream(math.min(b.length, 1 << 16))
     var o = 0
     while (o < b.length) {
+      val memberStart = o
       // fixed header
       if (o + 10 > b.length || b(o) != 0x1f.toByte || b(o + 1) != 0x8b.toByte ||
         b(o + 2) != 8) return None
@@ -198,9 +224,15 @@ object WebArchive {
         if (o >= b.length) return None
         o += 1
       }
-      if ((flg & 2) != 0) { // FHCRC: 2 bytes
+      if ((flg & 2) != 0) { // FHCRC: low 16 bits of the CRC32 over
+        // every header byte so far (RFC 1952 §2.3.1) — VERIFIED, so
+        // a corrupt header is rejected, not silently accepted
+        if (o + 2 > b.length) return None
+        val hc = new java.util.zip.CRC32()
+        hc.update(b, memberStart, o - memberStart)
+        val stored = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+        if ((hc.getValue & 0xffffL) != stored) return None
         o += 2
-        if (o > b.length) return None
       }
       // raw deflate stream
       val inf = new java.util.zip.Inflater(true)
@@ -233,6 +265,117 @@ object WebArchive {
       o += 8
     }
     Some(out.toByteArray)
+  }
+
+  // ---- HTTP payload decoding: a crawl capture stores the response
+  //      body AS SENT, so the COMMON real-archive wire shapes are
+  //      `Transfer-Encoding: chunked` framing and
+  //      `Content-Encoding: gzip` (or `deflate`) payloads — feeding
+  //      those bytes to an HTML extractor yields chunk-size hex
+  //      lines or compressed garbage. Decoding order per RFC 9110
+  //      §6.4 + RFC 9112 §7.1: undo the transfer coding first (it
+  //      was applied last by the sender), then the content coding.
+  //      Each layer DEGRADES to its input on malformation — a
+  //      mislabeled or corrupt capture still flows, it never kills
+  //      the task or silently vanishes. ----
+
+  /** Reassemble a `Transfer-Encoding: chunked` body (RFC 9112 §7.1):
+    * hex-size line (chunk extensions after `;` tolerated and
+    * dropped), chunk data + CRLF, repeated to the 0-size last chunk;
+    * an optional trailer section (header lines, then CRLF) is
+    * tolerated and dropped, as is a stream-cut right after the last
+    * chunk. None on malformed framing: non-hex or empty size line,
+    * size > 2^31, truncated chunk data, missing chunk CRLF, bytes
+    * after the trailer, or output past `maxOut`. */
+  def dechunk(b: Array[Byte], off: Int, len: Int,
+              maxOut: Int = 1 << 28): Option[Array[Byte]] = {
+    val end = off + len
+    if (off < 0 || len < 0 || end > b.length) return None
+    val out = new java.io.ByteArrayOutputStream(math.min(len, 1 << 16))
+    var o = off
+    var last = false
+    while (!last) {
+      val e = lineEnd(b, o, end)
+      if (e < 0) return None
+      val line = new String(b, o, e - 2 - o, Ascii)
+      val semi = line.indexOf(';')
+      val hexStr = (if (semi >= 0) line.substring(0, semi) else line).trim
+      if (hexStr.isEmpty || hexStr.length > 8 ||
+        !hexStr.forall(c => Character.digit(c, 16) >= 0)) return None
+      val size = java.lang.Long.parseLong(hexStr, 16)
+      o = e
+      if (size == 0L) last = true
+      else {
+        if (o + size + 2 > end) return None // truncated chunk
+        if (out.size().toLong + size > maxOut) return None
+        out.write(b, o, size.toInt)
+        o += size.toInt
+        if (b(o) != '\r' || b(o + 1) != '\n') return None
+        o += 2
+      }
+    }
+    // trailer section: zero or more field lines then an empty line;
+    // exact EOF right after the last-chunk line is tolerated (the
+    // same stream-cut leniency as the record separator)
+    if (o < end) {
+      var done = false
+      while (!done) {
+        val e = lineEnd(b, o, end)
+        if (e < 0) return None
+        if (e - o == 2) done = true
+        o = e
+      }
+      if (o != end) return None // bytes after the trailer terminator
+    }
+    Some(out.toByteArray)
+  }
+
+  /** `Content-Encoding: deflate` payload (RFC 9110 §8.4.1.2 says
+    * zlib-wrapped per RFC 1950, but notable real servers ship RAW
+    * deflate under the same label — try the spec form first, then
+    * the bare stream, like every browser). None on corrupt data or
+    * output past `maxOut`. */
+  def inflate(b: Array[Byte], maxOut: Int = 1 << 28): Option[Array[Byte]] =
+    inflateWith(b, nowrap = false, maxOut)
+      .orElse(inflateWith(b, nowrap = true, maxOut))
+
+  private def inflateWith(b: Array[Byte], nowrap: Boolean,
+                          maxOut: Int): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater(nowrap)
+    inf.setInput(b)
+    val out = new java.io.ByteArrayOutputStream(math.min(b.length * 2, 1 << 16))
+    val buf = new Array[Byte](65536)
+    try {
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && !inf.finished()) return None // truncated
+        if (out.size().toLong + n > maxOut) return None // bomb cap
+        out.write(buf, 0, n)
+      }
+      Some(out.toByteArray)
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
+  }
+
+  /** A response record's body with its HTTP codings undone:
+    * chunked framing reassembled, then gzip/deflate content coding
+    * inflated — each layer degrading to its input when the label
+    * doesn't match the bytes (mislabeled/corrupt captures flow
+    * through raw; `identity` and unknown codings pass untouched). */
+  def decodeHttpBody(raw: Array[Byte], rec: WarcRec,
+                     maxOut: Int = 1 << 28): Array[Byte] = {
+    val sliced = java.util.Arrays.copyOfRange(raw, rec.bodyOffset.toInt,
+      (rec.bodyOffset + rec.bodyLength).toInt)
+    val deframed =
+      if (rec.transferEncoding.contains("chunked"))
+        dechunk(sliced, 0, sliced.length, maxOut).getOrElse(sliced)
+      else sliced
+    rec.contentEncoding match {
+      case "gzip" | "x-gzip" => gunzip(deframed, maxOut).getOrElse(deframed)
+      case "deflate" => inflate(deframed, maxOut).getOrElse(deframed)
+      case _ => deframed
+    }
   }
 
   /** [[warcRecords]] over plain OR gzipped bytes — the corpus-facing

@@ -1062,6 +1062,65 @@ object TrainingOps {
         .as("content")).as[Multimodal.MediaRow]
   }
 
+  // ---- JVM-side WARC synthesis for the REAL-ARCHIVE wire shapes
+  //      (chunked framing / gzip payloads / non-UTF-8 charsets can't
+  //      be built from Column expressions): a Scala mirror of the
+  //      same template constants, so the expected text the oracles
+  //      state stays a direct construction from doc arithmetic. ----
+
+  /** Scala mirror of [[webHtmlCol]] — same pieces, same substr. */
+  private def webHtmlStr(id: Long, text: String): String =
+    WebP1 + id + WebP2 + text.take(200) + WebP3 + (id % 7) + WebP4 + (id % 211) +
+      WebP5 + (id % 5) + WebP6 + id + WebP7
+
+  private val WarcAscii = java.nio.charset.StandardCharsets.US_ASCII
+
+  /** one response record whose HTTP message carries `extraHeaders`
+    * and the given raw body BYTES (Content-Length in octets). */
+  private def warcHttpRecord(uri: String, extraHeaders: String,
+                             body: Array[Byte]): Array[Byte] = {
+    val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n$extraHeaders\r\n"
+      .getBytes(WarcAscii) ++ body
+    (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes(WarcAscii) ++
+      http ++ "\r\n\r\n".getBytes(WarcAscii)
+  }
+
+  /** RFC 9112 §7.1 chunked framing at a fixed chunk size. */
+  private def chunkify(b: Array[Byte], size: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(b.length + 64)
+    b.grouped(size).foreach { c =>
+      bos.write((c.length.toHexString + "\r\n").getBytes(WarcAscii))
+      bos.write(c); bos.write("\r\n".getBytes(WarcAscii))
+    }
+    bos.write("0\r\n\r\n".getBytes(WarcAscii))
+    bos.toByteArray
+  }
+
+  private def gzipBytes(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(b.length / 2 + 64)
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b); g.close()
+    bos.toByteArray
+  }
+
+  private def mediaRowEnc: org.apache.spark.sql.Encoder[Multimodal.MediaRow] =
+    org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+
+  /** documents → (doc_id, text) → MediaRow via a JVM synthesis fn,
+    * still one narrow map-only pass. */
+  private def synthMedia(s: org.apache.spark.sql.SparkSession, dir: String)(
+      f: (Long, String) => Seq[Multimodal.MediaRow]):
+      org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+    implicit val encT: org.apache.spark.sql.Encoder[(Long, String)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.STRING)
+    implicit val encM: org.apache.spark.sql.Encoder[Multimodal.MediaRow] = mediaRowEnc
+    Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(it => it.flatMap { case (id, text) => f(id, text) })
+  }
+
   def defs: Map[String, Q] = Map(
 
     // ---- token-window chunking (64-token chunks, 16-token overlap):
@@ -3711,6 +3770,79 @@ object TrainingOps {
              |  'Doc ' || doc_id || ' ' || trim(substr(text, 1, 200)) ||
              |  ' more img Fish & Chips <deal> now ''hot'' "q"' AS clean
              |FROM documents""".stripMargin)),
+
+    // ---- REAL-ARCHIVE HTTP payload decoding: CommonCrawl-style
+    //      captures store the body AS SENT, so `Transfer-Encoding:
+    //      chunked` framing and `Content-Encoding: gzip` payloads
+    //      are the dominant wire shapes. Every 3rd doc is chunked,
+    //      every 5th gzipped (every 15th BOTH — transfer coding
+    //      undone first), and two malformed twins per 13th doc BIND
+    //      the degrade paths: a chunked label over non-chunked bytes
+    //      (the bogus size line surfaces as text) and a gzip label
+    //      over plain bytes (flows through raw). The oracle states
+    //      the expected extraction directly from doc arithmetic —
+    //      every framing decodes back to the SAME page. ----
+    "ta_warc_http" -> Q(
+      (s, dir) => synthMedia(s, dir) { (id, text) =>
+        val html = webHtmlStr(id, text).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val uri = s"http://site${id % 7}.com/p/${id % 211}"
+        val gz = id % 5 == 0
+        val ch = id % 3 == 0
+        val encoded = if (gz) gzipBytes(html) else html
+        val wire = if (ch) chunkify(encoded, 100) else encoded
+        val hdrs = (if (gz) "Content-Encoding: gzip\r\n" else "") +
+          (if (ch) "Transfer-Encoding: chunked\r\n" else "")
+        val base = Multimodal.MediaRow(id, "warc", warcHttpRecord(uri, hdrs, wire))
+        if (id % 13 != 0) Seq(base)
+        else Seq(base,
+          Multimodal.MediaRow(id + 1000000000L, "warc", warcHttpRecord(uri,
+            "Transfer-Encoding: chunked\r\n",
+            "zz\r\n".getBytes(WarcAscii) ++ html)),
+          Multimodal.MediaRow(id + 2000000000L, "warc",
+            warcHttpRecord(uri, "Content-Encoding: gzip\r\n", html)))
+      }.transform(m => Multimodal.warcResponses(m).toDF())
+        .select(col("doc_id"), col("http_status").cast("long").as("http_status"),
+          col("charset"),
+          graft.functions.WebFunctions.htmlToText(col("body")).as("clean")),
+      Some("""WITH exp AS (SELECT doc_id,
+             |  'Doc ' || doc_id || ' ' || trim(substr(text, 1, 200)) ||
+             |  ' more img Fish & Chips <deal> now ''hot'' "q"' AS clean
+             |  FROM documents)
+             |SELECT doc_id, CAST(200 AS BIGINT) AS http_status,
+             |  'ascii' AS charset, clean FROM exp
+             |UNION ALL
+             |SELECT doc_id + 1000000000, 200, 'ascii', 'zz ' || clean
+             |FROM exp WHERE doc_id % 13 = 0
+             |UNION ALL
+             |SELECT doc_id + 2000000000, 200, 'ascii', clean
+             |FROM exp WHERE doc_id % 13 = 0""".stripMargin)),
+
+    // ---- charset-aware body decode: the payload routes through the
+    //      byte-ladder BEFORE text conversion — utf-8 high bytes,
+    //      latin-1 (invalid-UTF-8 0xE9), BOM'd utf-16le each decode
+    //      to the SAME text; a binary payload (NUL-led) yields NO
+    //      row, binding the drop. Expected text stated directly;
+    //      the 'café' prefix forces a non-ASCII code point through
+    //      every arm. ----
+    "ta_warc_charset" -> Q(
+      (s, dir) => synthMedia(s, dir) { (id, text) =>
+        val page = "café " + text.take(80)
+        val uri = s"http://site${id % 7}.com/p/${id % 211}"
+        val bytes = (id % 4) match {
+          case 0 => page.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          case 1 => page.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          case 2 => ("\uFEFF" + page).getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+          case _ => Array[Byte](0, 1, 2, 3) ++
+            page.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        }
+        Seq(Multimodal.MediaRow(id, "warc", warcHttpRecord(uri, "", bytes)))
+      }.transform(m => Multimodal.warcResponses(m).toDF())
+        .select(col("doc_id"), col("charset"), col("body")),
+      Some("""SELECT doc_id,
+             |  CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'latin-1'
+             |       ELSE 'utf-16le' END AS charset,
+             |  'café ' || substr(text, 1, 80) AS body
+             |FROM documents WHERE doc_id % 4 <> 3""".stripMargin)),
 
     // ---- token counting ----
     "ta_tokens" -> Q(

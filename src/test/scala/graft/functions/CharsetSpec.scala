@@ -97,4 +97,44 @@ class CharsetSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project"), plan) // the WholeStageCodegen marker
   }
+
+  test("detectCharsetEval (JVM body-routing mirror) agrees with the Column ladder label-for-label") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xBEEFL)
+    val bufs = (0 until 400).map { _ =>
+      val b = new Array[Byte](rnd.nextInt(16))
+      rnd.nextBytes(b)
+      // bias some buffers toward BOM prefixes so every ladder rung fires
+      if (rnd.nextInt(4) == 0 && b.length >= 4) {
+        val bom = Seq(hex("EFBBBF"), hex("FFFE"), hex("FEFF"),
+          hex("FFFE0000"), hex("0000FEFF"))(rnd.nextInt(5))
+        System.arraycopy(bom, 0, b, 0, math.min(bom.length, b.length))
+      }
+      b
+    } ++ Seq("68656C6C6F", "63616665CC81", "EFBBBF6869", "FFFE6800", "FEFF0068",
+      "FFFE00000000", "0000FEFF00000068", "636166E9", "680069").map(hex)
+    val viaColumn = bufs.map(b => b.map("%02X".format(_)).mkString).toDF("hx")
+      .select(col("hx"), TextFunctions.detectEncoding(unhex(col("hx"))).as("enc"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    bufs.foreach { b =>
+      val hx = b.map("%02X".format(_)).mkString
+      assert(Kernels.detectCharsetEval(b) == viaColumn(hx),
+        s"$hx: eval=${Kernels.detectCharsetEval(b)} column=${viaColumn(hx)}")
+    }
+  }
+
+  test("decodeTextEval: BOMs consumed, latin-1 fallback decodes, binary yields no text") {
+    assert(Kernels.decodeTextEval("plain ascii".getBytes("US-ASCII")).contains("plain ascii"))
+    assert(Kernels.decodeTextEval("café".getBytes(StandardCharsets.UTF_8)).contains("café"))
+    assert(Kernels.decodeTextEval(hex("EFBBBF") ++ "bom text".getBytes("US-ASCII"))
+      .contains("bom text"))
+    assert(Kernels.decodeTextEval(("\uFEFF" + "wide").getBytes(StandardCharsets.UTF_16LE))
+      .contains("wide"))
+    assert(Kernels.decodeTextEval(("\uFEFF" + "wide").getBytes(StandardCharsets.UTF_16BE))
+      .contains("wide"))
+    assert(Kernels.decodeTextEval("café".getBytes(StandardCharsets.ISO_8859_1))
+      .contains("café")) // 0xE9 → latin-1 fallback
+    assert(Kernels.decodeTextEval(hex("FFD8FFE000104A464946")).isEmpty) // JPEG → binary
+    assert(Kernels.decodeTextEval(hex("680069")).isEmpty) // NUL wins over clean scan
+  }
 }

@@ -37,6 +37,9 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "warcRecords" -> (b => WebArchive.warcRecords(b)),
     "exifMeta" -> (b => Exif.exifMeta(b)),
     "gunzip" -> (b => WebArchive.gunzip(b)),
+    "dechunk" -> (b => WebArchive.dechunk(b, 0, b.length)),
+    "inflate" -> (b => WebArchive.inflate(b)),
+    "decodeTextEval" -> (b => graft.functions.Kernels.decodeTextEval(b)),
     "warcRecordsAny" -> (b => WebArchive.warcRecordsAny(b)))
 
   private def assertNoThrow(label: String, buf: Array[Byte]): Unit =

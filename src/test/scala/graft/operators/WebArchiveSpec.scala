@@ -121,6 +121,20 @@ class WebArchiveSpec extends AnyFunSuite {
     assert(WebArchive.gunzip(spliced).get.sameElements(b("payload")))
   }
 
+  test("gunzip: FHCRC is verified — correct CRC16 accepted, corrupt rejected") {
+    val plain = gz(b("payload"))
+    val hdr = plain.take(10).clone()
+    hdr(3) = 2.toByte // FHCRC only
+    val crc = new java.util.zip.CRC32()
+    crc.update(hdr, 0, 10)
+    val c16 = (crc.getValue & 0xffffL).toInt
+    val fhcrc = Array[Byte]((c16 & 0xff).toByte, ((c16 >> 8) & 0xff).toByte)
+    val good = hdr ++ fhcrc ++ plain.drop(10)
+    assert(WebArchive.gunzip(good).get.sameElements(b("payload")))
+    val bad = good.clone(); bad(10) = (bad(10) ^ 1).toByte
+    assert(WebArchive.gunzip(bad).isEmpty)
+  }
+
   test("gunzip rejects: corrupt CRC, corrupt ISIZE, truncation, reserved flags, trailing garbage") {
     val ok = gz(b("payload"))
     val badCrc = ok.clone(); badCrc(ok.length - 8) = (badCrc(ok.length - 8) ^ 1).toByte
@@ -145,5 +159,113 @@ class WebArchiveSpec extends AnyFunSuite {
     val (raw, recs) = WebArchive.warcRecordsAny(gz(b(file))).get
     assert(recs == WebArchive.warcRecords(b(file)).get)
     assert(WebArchive.bodyString(raw, recs(1)) == html)
+  }
+
+  // ---- HTTP payload decoding (the real-archive wire shapes) ----
+
+  private def chunked(payload: Array[Byte], size: Int = 5): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    payload.grouped(size).foreach { c =>
+      bos.write(b(c.length.toHexString + "\r\n")); bos.write(c); bos.write(b("\r\n"))
+    }
+    bos.write(b("0\r\n\r\n"))
+    bos.toByteArray
+  }
+
+  test("dechunk: multi-chunk reassembly, extensions and trailers tolerated, stream-cut ok") {
+    val body = b("hello chunked world")
+    val c = chunked(body)
+    assert(WebArchive.dechunk(c, 0, c.length).get.sameElements(body))
+    // chunk extension after ';' and a trailer section
+    val ext = b("13;ext=v\r\n") ++ body ++ b("\r\n0\r\nX-Trailer: t\r\n\r\n")
+    assert(WebArchive.dechunk(ext, 0, ext.length).get.sameElements(body))
+    // stream-cut right after the last-chunk line
+    val cut = b("13\r\n") ++ body ++ b("\r\n0\r\n")
+    assert(WebArchive.dechunk(cut, 0, cut.length).get.sameElements(body))
+    // offset/len slice a larger buffer
+    val padded = b("XX") ++ c ++ b("YY")
+    assert(WebArchive.dechunk(padded, 2, c.length).get.sameElements(body))
+  }
+
+  test("dechunk rejects: bad hex, truncated chunk, missing CRLF, trailing garbage, bomb cap") {
+    val body = b("hello")
+    assert(WebArchive.dechunk(b("zz\r\nhello\r\n0\r\n\r\n"), 0, 16).isEmpty)
+    assert(WebArchive.dechunk(b("\r\nhello\r\n0\r\n\r\n"), 0, 14).isEmpty) // empty size
+    val c = b("5\r\n") ++ body ++ b("\r\n0\r\n\r\n")
+    assert(WebArchive.dechunk(c, 0, c.length - 8).isEmpty) // cut mid-data
+    val noCrlf = b("5\r\nhelloXX0\r\n\r\n")
+    assert(WebArchive.dechunk(noCrlf, 0, noCrlf.length).isEmpty)
+    val junk = c ++ b("junk")
+    assert(WebArchive.dechunk(junk, 0, junk.length).isEmpty)
+    assert(WebArchive.dechunk(c, 0, c.length, maxOut = 4).isEmpty)
+    assert(WebArchive.dechunk(c, 0, c.length, maxOut = 5).get.sameElements(body))
+  }
+
+  test("inflate: zlib-wrapped and raw deflate both decode; corrupt rejects; cap binds") {
+    val payload = b("deflate payload bytes")
+    def deflate(nowrap: Boolean): Array[Byte] = {
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, nowrap)
+      d.setInput(payload); d.finish()
+      val buf = new Array[Byte](256)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    assert(WebArchive.inflate(deflate(nowrap = false)).get.sameElements(payload))
+    assert(WebArchive.inflate(deflate(nowrap = true)).get.sameElements(payload))
+    assert(WebArchive.inflate(b("garbage not deflate at all")).isEmpty)
+    assert(WebArchive.inflate(deflate(nowrap = false), maxOut = 4).isEmpty)
+  }
+
+  private def responseWarc(headers: String, bodyBytes: Array[Byte]): Array[Byte] = {
+    val http = b(s"HTTP/1.1 200 OK\r\n$headers\r\n") ++ bodyBytes
+    b(s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://a.com/x\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n") ++ http ++ b("\r\n\r\n")
+  }
+
+  test("decodeHttpBody: chunked, gzip, chunked-over-gzip, deflate — and the framing headers parse") {
+    val page = b("<p>real archive body</p>")
+    val gzPage = gz(page)
+    val cases = Seq(
+      ("", page, page),
+      ("Transfer-Encoding: chunked\r\n", chunked(page, 7), page),
+      ("Content-Encoding: gzip\r\n", gzPage, page),
+      ("content-encoding: x-gzip\r\n", gzPage, page), // case-insensitive names, x- alias
+      ("Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n",
+        chunked(gzPage, 11), page)) // transfer coding undone FIRST
+    for ((hdrs, wire, want) <- cases) {
+      val buf = responseWarc(hdrs, wire)
+      val rec = WebArchive.warcRecords(buf).get.head
+      assert(WebArchive.decodeHttpBody(buf, rec).sameElements(want), hdrs)
+    }
+    val defl = {
+      val d = new java.util.zip.Deflater(); d.setInput(page); d.finish()
+      val tmp = new Array[Byte](256); val n = d.deflate(tmp); d.end()
+      java.util.Arrays.copyOf(tmp, n)
+    }
+    val dbuf = responseWarc("Content-Encoding: deflate\r\n", defl)
+    assert(WebArchive.decodeHttpBody(dbuf, WebArchive.warcRecords(dbuf).get.head)
+      .sameElements(page))
+  }
+
+  test("decodeHttpBody degrades layer-by-layer on mislabeled or corrupt framing") {
+    val page = b("<p>page</p>")
+    // claims chunked but body is not chunked → raw body flows through
+    val notChunked = responseWarc("Transfer-Encoding: chunked\r\n", page)
+    assert(WebArchive.decodeHttpBody(notChunked, WebArchive.warcRecords(notChunked).get.head)
+      .sameElements(page))
+    // claims gzip but body is plain → raw body flows through
+    val notGz = responseWarc("Content-Encoding: gzip\r\n", page)
+    assert(WebArchive.decodeHttpBody(notGz, WebArchive.warcRecords(notGz).get.head)
+      .sameElements(page))
+    // chunked OK but inner gzip corrupt → de-chunked bytes flow through
+    val badGz = gz(page).clone(); badGz(badGz.length - 1) = (badGz(badGz.length - 1) ^ 1).toByte
+    val mixed = responseWarc("Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n",
+      chunked(badGz, 9))
+    assert(WebArchive.decodeHttpBody(mixed, WebArchive.warcRecords(mixed).get.head)
+      .sameElements(badGz))
+    // unknown content coding passes untouched
+    val unk = responseWarc("Content-Encoding: br\r\n", page)
+    assert(WebArchive.decodeHttpBody(unk, WebArchive.warcRecords(unk).get.head)
+      .sameElements(page))
   }
 }

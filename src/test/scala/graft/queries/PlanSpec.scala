@@ -282,6 +282,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"warc extraction chain must not join:\n$p")
   }
 
+  test("ta_warc_http: chunked/gzip payload decode fuses map-only — zero exchanges, no join") {
+    val p = plan("ta_warc_http")
+    assert(!p.contains("Exchange"), s"http payload decode must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"http payload decode must not join:\n$p")
+  }
+
+  test("ta_warc_charset: charset-routed decode fuses map-only — zero exchanges, no join") {
+    val p = plan("ta_warc_charset")
+    assert(!p.contains("Exchange"), s"charset decode must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"charset decode must not join:\n$p")
+  }
+
   test("mm_exif_meta: EXIF walk is map-only — zero exchanges") {
     val p = plan("mm_exif_meta")
     assert(!p.contains("Exchange"), s"exif parsing must not shuffle:\n$p")
