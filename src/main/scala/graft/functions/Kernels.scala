@@ -38,6 +38,7 @@ object Kernels {
     */
   def byteFoldHash(bin: Column): Column = toColumn(ByteFoldHashK(toExpression(bin)))
   def utf8Invalid(bin: Column): Column = toColumn(Utf8InvalidK(toExpression(bin)))
+  def percentNorm(url: Column): Column = toColumn(PercentNormK(toExpression(url)))
   def highBytes(bin: Column): Column = toColumn(HighBytesK(toExpression(bin)))
   def nulBytes(bin: Column): Column = toColumn(NulBytesK(toExpression(bin)))
   def simhash63(shingles: Column): Column = toColumn(SimHash63K(toExpression(shingles)))
@@ -348,6 +349,50 @@ object Kernels {
     c
   }
 
+  /** RFC 3986 §6.2.2 percent-encoding normalization — the escape
+    * rules of URL canonicalization that no regexp chain can express
+    * (the replacement depends on the DECODED byte value):
+    *
+    *  - an escape of an UNRESERVED character (`%41`→`A`, `%7E`→`~`;
+    *    ALPHA / DIGIT / `-` `.` `_` `~`, §6.2.2.2) decodes — the two
+    *    spellings are equivalent by definition, so they must key
+    *    identically
+    *  - every other valid escape keeps its bytes but uppercases the
+    *    hex digits (`%3a`→`%3A`, §6.2.2.1) — reserved characters are
+    *    NEVER decoded (decoding `%2F` would manufacture a path
+    *    delimiter that was data)
+    *  - a malformed escape (`%` not followed by two hex digits) is
+    *    left untouched — normalization must not corrupt sloppy but
+    *    live URLs
+    *
+    * Non-ASCII characters pass through (escape syntax is ASCII-only).
+    */
+  def percentNormEval(u: UTF8String): UTF8String = {
+    val s = u.toString
+    val n = s.length
+    var i = s.indexOf('%')
+    if (i < 0) return u // fast path: nothing to normalize
+    val sb = new java.lang.StringBuilder(n)
+    sb.append(s, 0, i)
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < n) {
+        val h1 = Character.digit(s.charAt(i + 1), 16)
+        val h2 = Character.digit(s.charAt(i + 2), 16)
+        if (h1 >= 0 && h2 >= 0) {
+          val v = (h1 << 4) | h2
+          val unreserved = (v >= 'A' && v <= 'Z') || (v >= 'a' && v <= 'z') ||
+            (v >= '0' && v <= '9') || v == '-' || v == '.' || v == '_' || v == '~'
+          if (unreserved) sb.append(v.toChar)
+          else sb.append('%').append(Character.toUpperCase(s.charAt(i + 1)))
+            .append(Character.toUpperCase(s.charAt(i + 2)))
+          i += 3
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** plain-bytes mirror of
     * [[graft.functions.TextFunctions.detectEncoding]]'s Column chain
     * (same BOM-before-NUL-before-scanner ladder over the same three
@@ -511,6 +556,16 @@ case class Utf8InvalidK(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.utf8InvalidEval($c)")
   override protected def withNewChildInternal(newChild: Expression): Utf8InvalidK = copy(child = newChild)
   override def prettyName: String = "graft_utf8_invalid"
+}
+
+case class PercentNormK(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    Kernels.percentNormEval(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.percentNormEval($c)")
+  override protected def withNewChildInternal(newChild: Expression): PercentNormK = copy(child = newChild)
+  override def prettyName: String = "graft_percent_norm"
 }
 
 case class HighBytesK(child: Expression) extends UnaryExpression {

@@ -42,11 +42,23 @@ object WebFunctions {
     *    never distinguishes pages); an emptied query drops its `?`
     *  - empty path becomes `/`; trailing slashes stripped from any
     *    non-root path (`/a/b/` keys with `/a/b`)
+    *  - percent-escapes normalized per RFC 3986 §6.2.2 BEFORE any
+    *    splitting ([[Kernels.percentNormEval]]): unreserved escapes
+    *    decode (`%7E`→`~`, `%41`→`A`), all other escapes uppercase
+    *    their hex (`%3a`→`%3A`), malformed escapes pass untouched —
+    *    decoding only unreserved bytes can never manufacture a
+    *    delimiter, so the split rules above see the same structure
+    *  - punycode hosts (`xn--…`) pass through lowercased as-is; IDN
+    *    unicode↔punycode folding is out of scope for a pure
+    *    expression chain (would need the full IDNA mapping tables) —
+    *    a crawl keyed on the punycode form is self-consistent
     *  - anything without a `scheme://` prefix passes through trimmed
-    *    (relative links are not crawl keys)
+    *    (relative links are not crawl keys), percent-escapes
+    *    untouched — a relative fragment is not a key to normalize
     */
   def canonicalizeUrl(url: Column): Column = {
-    val u = trim(url)
+    val t = trim(url)
+    val u = Kernels.percentNorm(t)
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     // everything after scheme://, fragment dropped
     val rest = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^#]*)", 1)
@@ -75,7 +87,7 @@ object WebFunctions {
       p => p =!= "" && !p.rlike(TrackingParamRe)))
     val query = array_join(kept, "&")
     val queryPart = when(query === "", lit("")).otherwise(concat(lit("?"), query))
-    when(scheme === "", u)
+    when(scheme === "", t)
       .otherwise(concat(scheme, lit("://"), host, portPart, path, queryPart))
   }
 

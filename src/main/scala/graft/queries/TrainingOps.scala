@@ -3562,37 +3562,56 @@ object TrainingOps {
              |FROM documents""".stripMargin)),
 
     // URL canonicalization, every contract rule bound by one of the
-    // four raw variants: scheme/host case + www + default :80 +
+    // eight raw variants: scheme/host case + www + default :80 +
     // trailing slash + tracking-only query (v0), param sort + tracking
     // drop (v1), https default :443 + fragment (v2), non-default port
-    // + host case preserved nowhere but lowered (v3).
+    // + host case lowered (v3), unreserved percent-escapes decode +
+    // punycode host pass-through (v4), reserved escapes keep bytes but
+    // uppercase hex (v5), malformed escapes untouched (v6), escapes
+    // normalize BEFORE the param sort (v7).
     "ta_url_canon" -> Q(
       (s, dir) => {
         val d = Tables(s, dir, "documents")
         val k = pmod(col("doc_id"), lit(211L)).cast("string")
-        val m = pmod(col("doc_id"), lit(4L))
+        val m = pmod(col("doc_id"), lit(8L))
         val raw = when(m === 0,
             concat(lit("HTTP://WWW.Host"), k, lit(".COM:80/Page/"), k, lit("/?utm_campaign=a")))
           .when(m === 1,
             concat(lit("http://host"), k, lit(".com/Page/"), k, lit("?b=2&a=1&fbclid=z")))
           .when(m === 2,
             concat(lit("https://host"), k, lit(".com:443/Page/"), k, lit("?a=1&b=2#frag")))
-          .otherwise(
+          .when(m === 3,
             concat(lit("https://Host"), k, lit(".com:8443/Page/"), k, lit("?a=1")))
+          .when(m === 4,
+            concat(lit("http://XN--BCHER-KVA.example/%7Euser/%41rchive%2D"), k))
+          .when(m === 5,
+            concat(lit("http://host"), k, lit(".com/a%2fb/%3d"), k, lit("?x=%3a")))
+          .when(m === 6,
+            concat(lit("http://host"), k, lit(".com/p%zz/"), k, lit("q%4")))
+          .otherwise(
+            concat(lit("http://host"), k, lit(".com/%64oc"), k, lit("?b=%7E2&a=1")))
         d.select(col("doc_id"), raw.as("url"),
           graft.functions.WebFunctions.canonicalizeUrl(raw).as("url_canon"))
       },
-      Some("""WITH v AS (SELECT doc_id, doc_id % 4 AS m,
+      Some("""WITH v AS (SELECT doc_id, doc_id % 8 AS m,
              |            CAST(doc_id % 211 AS VARCHAR) AS k FROM documents)
              |SELECT doc_id,
              |  CASE m WHEN 0 THEN 'HTTP://WWW.Host' || k || '.COM:80/Page/' || k || '/?utm_campaign=a'
              |         WHEN 1 THEN 'http://host' || k || '.com/Page/' || k || '?b=2&a=1&fbclid=z'
              |         WHEN 2 THEN 'https://host' || k || '.com:443/Page/' || k || '?a=1&b=2#frag'
-             |         ELSE 'https://Host' || k || '.com:8443/Page/' || k || '?a=1' END AS url,
+             |         WHEN 3 THEN 'https://Host' || k || '.com:8443/Page/' || k || '?a=1'
+             |         WHEN 4 THEN 'http://XN--BCHER-KVA.example/%7Euser/%41rchive%2D' || k
+             |         WHEN 5 THEN 'http://host' || k || '.com/a%2fb/%3d' || k || '?x=%3a'
+             |         WHEN 6 THEN 'http://host' || k || '.com/p%zz/' || k || 'q%4'
+             |         ELSE 'http://host' || k || '.com/%64oc' || k || '?b=%7E2&a=1' END AS url,
              |  CASE m WHEN 0 THEN 'http://host' || k || '.com/Page/' || k
              |         WHEN 1 THEN 'http://host' || k || '.com/Page/' || k || '?a=1&b=2'
              |         WHEN 2 THEN 'https://host' || k || '.com/Page/' || k || '?a=1&b=2'
-             |         ELSE 'https://host' || k || '.com:8443/Page/' || k || '?a=1' END AS url_canon
+             |         WHEN 3 THEN 'https://host' || k || '.com:8443/Page/' || k || '?a=1'
+             |         WHEN 4 THEN 'http://xn--bcher-kva.example/~user/Archive-' || k
+             |         WHEN 5 THEN 'http://host' || k || '.com/a%2Fb/%3D' || k || '?x=%3A'
+             |         WHEN 6 THEN 'http://host' || k || '.com/p%zz/' || k || 'q%4'
+             |         ELSE 'http://host' || k || '.com/doc' || k || '?a=1&b=~2' END AS url_canon
              |FROM v""".stripMargin)),
 
     // URL-keyed dedup: four raw spellings per canonical page (case,

@@ -67,6 +67,27 @@ class WebFunctionsSpec extends SparkSpec {
         "http://[2001:db8::1]:8080/x", "https://[::1]/x", "http://[::1]/x"))
   }
 
+  test("percent-normalization: unreserved decode, reserved uppercase, malformed untouched") {
+    assert(canon(
+      "http://a.com/%7Euser",            // %7E is unreserved '~' -> decodes
+      "http://a.com/%41%62c%2D%2e%5F",   // A b c - . _ all decode
+      "http://a.com/a%2fb%3dc?x=%3a%2F", // reserved: bytes kept, hex uppercased
+      "http://a.com/p%zz/q%4",           // malformed escapes untouched
+      "http://a.com/%64oc?b=%7E2&a=1",   // escapes normalize BEFORE param sort
+      "HTTP://%41.com/x") ==             // escapes in host decode then lowercase
+      Seq("http://a.com/~user",
+        "http://a.com/Abc-._",
+        "http://a.com/a%2Fb%3Dc?x=%3A%2F",
+        "http://a.com/p%zz/q%4",
+        "http://a.com/doc?a=1&b=~2",
+        "http://a.com/x"))
+  }
+
+  test("punycode hosts pass through lowercased (IDN folding out of scope)") {
+    assert(canon("http://XN--BCHER-KVA.example/p") ==
+      Seq("http://xn--bcher-kva.example/p"))
+  }
+
   test("non-absolute inputs pass through trimmed") {
     assert(canon("  /relative/path?a=1  ", "mailto:x@y.z", "just text") ==
       Seq("/relative/path?a=1", "mailto:x@y.z", "just text"))
