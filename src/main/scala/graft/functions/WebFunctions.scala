@@ -91,6 +91,14 @@ object WebFunctions {
       .otherwise(concat(scheme, lit("://"), host, portPart, path, queryPart))
   }
 
+  /** host of an absolute URL — no port, no userinfo, IPv6 brackets
+    * kept whole; "" for non-absolute inputs. The node key for
+    * host-graph work ([[graft.operators.LinkRank]]): link edges
+    * aggregate at host granularity, never page granularity. */
+  def hostOf(url: Column): Column =
+    regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/?#]*@)?(\\[[^\\]]*\\]|[^:/?#]*)", 1)
+
   /** script/style ELEMENTS (tag + content) and comments → spaces. */
   private def dropNonContent(html: Column): Column = {
     val noScript = regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " ")

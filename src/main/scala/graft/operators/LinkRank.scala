@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Host-graph link quality: bounded-iteration PageRank over a
+  * (src host → dst host) edge list in EXACT int64 fixed point — the
+  * CommonCrawl-style host-rank signal real curation stacks filter on
+  * (a page on a well-linked host is likelier to be worth keeping
+  * than one on a link-farm island).
+  *
+  * Everything is declarative DataFrame ops, NO driver-side graph and
+  * no collect: each power iteration is one shuffle join (ranks ⋈
+  * edges on src) plus one aggregation (sum of shares by dst); the
+  * two per-iteration scalars (node count, dangling mass) ride as
+  * broadcast 1-row cross joins. At 10⁸ hosts each iteration is two
+  * hash shuffles on the host key — the plan a Pregel would lower to
+  * anyway — and `iterations` is a small fixed constant (host rank
+  * converges in a handful of rounds; production stacks run 3-6).
+  *
+  * Arithmetic discipline (the `bigramLmScore`/quality-classifier
+  * pattern): ranks are fixed-point at [[Scale]] = 10¹², damping in
+  * ppm, every division an integer `div` — so the DuckDB oracle can
+  * replay the SAME iterations CTE-by-CTE bit-for-bit (no float sum
+  * order, no ulp drift at any cluster size). With d = damping/10⁶,
+  * N = |hosts|, out(u) the capped out-degree:
+  *
+  * {{{
+  * r₀(v)   = Scale div N
+  * share(u)= r(u) div out(u)                      (out(u) > 0)
+  * in(v)   = Σ_{u→v} share(u)
+  * dangle  = Σ_{out(u)=0} r(u)
+  * r'(v)   = (Scale − Scale·ppm div 10⁶) div N
+  *         + ppm · (in(v) + dangle div N) div 10⁶
+  * }}}
+  *
+  * Supernode cap: a host with millions of out-links (link farms,
+  * auto-generated sitemaps) would both skew the graph and blow the
+  * per-src edge list, so out-edges are CAPPED at `maxOutDegree`,
+  * keeping the bytewise-smallest dst hosts (deterministic without a
+  * window: per-src `sort_array(collect_set)` sliced then
+  * re-exploded — one partial-agg'd shuffle, and the slice bounds
+  * the row even for an adversarial src). 0 disables the cap for
+  * lossless audits.
+  */
+object LinkRank {
+
+  val Scale: Long = 1000000000000L // 10^12 fixed point
+  val PpmDen: Long = 1000000L
+
+  /** PageRank after `iterations` exact-integer power iterations.
+    *
+    * @param edges        DataFrame with string `src`, `dst` columns
+    *                     (duplicates collapse; self-edges allowed)
+    * @param iterations   fixed power-iteration count (≥ 0)
+    * @param dampingPpm   damping factor in parts-per-million
+    * @param maxOutDegree per-src out-edge cap (0 = uncapped)
+    * @return (host, outdeg, rank) — rank at [[Scale]] fixed point
+    */
+  def hostRank(edges: DataFrame, iterations: Int, dampingPpm: Long = 850000L,
+               maxOutDegree: Int = 0): DataFrame = {
+    require(iterations >= 0 && dampingPpm >= 0 && dampingPpm <= PpmDen)
+    // dedup + supernode cap: one shuffle, no window
+    val lists = edges
+      .select(col("src").cast("string").as("src"), col("dst").cast("string").as("dst"))
+      .groupBy("src").agg(sort_array(collect_set(col("dst"))).as("dsts"))
+    val capped0 =
+      if (maxOutDegree > 0) lists.select(col("src"), slice(col("dsts"), 1, maxOutDegree).as("dsts"))
+      else lists
+    // reused every iteration — materialize once, not once per join
+    val capped = capped0.select(col("src"), explode(col("dsts")).as("dst")).persist()
+    val nodes = capped.select(col("src").as("host"))
+      .union(capped.select(col("dst").as("host"))).distinct()
+    val outdeg = capped.groupBy(col("src").as("host")).agg(count(lit(1)).as("outdeg"))
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    val deg = nodes.join(outdeg, Seq("host"), "left")
+      .select(col("host"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      .crossJoin(broadcast(nn)) // (host, outdeg, n) — the iteration frame
+      .persist()
+    var ranks = deg.select(col("host"), col("outdeg"), col("n"),
+      expr(s"$Scale div n").as("rank"))
+    for (_ <- 0 until iterations) {
+      val shares = ranks.where(col("outdeg") > 0)
+        .select(col("host").as("src"), expr("rank div outdeg").as("share"))
+      val incoming = capped.join(shares, "src")
+        .groupBy(col("dst").as("host")).agg(sum(col("share")).as("inc"))
+      val dangle = ranks.agg(
+        coalesce(sum(when(col("outdeg") === 0L, col("rank"))), lit(0L)).as("dangle"))
+      ranks = deg.join(incoming, Seq("host"), "left")
+        .crossJoin(broadcast(dangle))
+        .select(col("host"), col("outdeg"), col("n"),
+          expr(s"($Scale - $Scale * $dampingPpm div $PpmDen) div n" +
+            s" + $dampingPpm * (coalesce(inc, 0L) + dangle div n) div $PpmDen").as("rank"))
+    }
+    ranks.select(col("host"), col("outdeg"), col("rank"))
+  }
+}

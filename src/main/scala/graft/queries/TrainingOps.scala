@@ -3863,6 +3863,73 @@ object TrainingOps {
              |  'café ' || substr(text, 1, 80) AS body
              |FROM documents WHERE doc_id % 4 <> 3""".stripMargin)),
 
+    // ---- host-graph link quality: bounded-iteration PageRank over
+    //      the extractLinks → canonicalizeUrl → hostOf edge chain
+    //      plus two arithmetic-derived edge sets (cdn backlinks per
+    //      even doc, dangling peer hosts per 17th doc). Exact int64
+    //      fixed point end to end, so the oracle replays the SAME
+    //      four iterations CTE-by-CTE. The out-degree cap (6) BINDS
+    //      three ways on this graph: site hosts drop their self-edge
+    //      + all but one peer, cdn hosts drop site6. ----
+    "ta_link_rank" -> Q(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val site = concat(lit("site"), pmod(col("doc_id"), lit(7L)), lit(".com"))
+        val cdn = concat(lit("cdn.site"), pmod(col("doc_id"), lit(5L)), lit(".com"))
+        val pageEdges = synthWebHtml(s, dir)
+          .select(col("doc_id"),
+            explode(graft.functions.WebFunctions.extractLinks(col("html"))).as("link"))
+          .select(site.as("src"),
+            graft.functions.WebFunctions.hostOf(
+              graft.functions.WebFunctions.canonicalizeUrl(col("link"))).as("dst"))
+        val backEdges = d.where(pmod(col("doc_id"), lit(2L)) === 0)
+          .select(cdn.as("src"), site.as("dst"))
+        val peerEdges = d.where(pmod(col("doc_id"), lit(17L)) === 0)
+          .select(site.as("src"),
+            concat(lit("peer"), pmod(col("doc_id"), lit(11L)), lit(".example")).as("dst"))
+        graft.operators.LinkRank.hostRank(
+          pageEdges.unionByName(backEdges).unionByName(peerEdges),
+          iterations = 4, maxOutDegree = 6)
+          .select(col("host"), col("outdeg").cast("long").as("outdeg"), col("rank"))
+      },
+      Some {
+        val iters = (1 to 4).map { k =>
+          s"""inc$k AS (SELECT c.dst AS host, sum(r.rank // r.outdeg) AS inc
+             |  FROM capped c JOIN r${k - 1} r ON c.src = r.host WHERE r.outdeg > 0 GROUP BY 1),
+             |dg$k AS (SELECT COALESCE(sum(rank), 0) AS dangle FROM r${k - 1} WHERE outdeg = 0),
+             |r$k AS (SELECT d.host, d.outdeg,
+             |    (1000000000000 - 1000000000000 * 850000 // 1000000) // nn.n +
+             |    850000 * (COALESCE(i.inc, 0) + dg$k.dangle // nn.n) // 1000000 AS rank
+             |  FROM deg d CROSS JOIN nn CROSS JOIN dg$k LEFT JOIN inc$k i ON d.host = i.host)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS (
+           |  SELECT 'site' || (doc_id % 7) || '.com' AS src,
+           |         'site' || (doc_id % 7) || '.com' AS dst FROM documents
+           |  UNION
+           |  SELECT 'site' || (doc_id % 7) || '.com',
+           |         'cdn.site' || (doc_id % 5) || '.com' FROM documents
+           |  UNION
+           |  SELECT 'cdn.site' || (doc_id % 5) || '.com',
+           |         'site' || (doc_id % 7) || '.com' FROM documents WHERE doc_id % 2 = 0
+           |  UNION
+           |  SELECT 'site' || (doc_id % 7) || '.com',
+           |         'peer' || (doc_id % 11) || '.example' FROM documents WHERE doc_id % 17 = 0),
+           |capped AS (SELECT src, dst FROM (
+           |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+           |    FROM e0) WHERE rn <= 6),
+           |nodes AS (SELECT DISTINCT host FROM
+           |  (SELECT src AS host FROM capped UNION ALL SELECT dst AS host FROM capped)),
+           |deg AS (SELECT n.host, COALESCE(o.c, 0) AS outdeg FROM nodes n
+           |  LEFT JOIN (SELECT src, count(*) AS c FROM capped GROUP BY 1) o ON n.host = o.src),
+           |nn AS (SELECT count(*) AS n FROM nodes),
+           |r0 AS (SELECT d.host, d.outdeg, 1000000000000 // nn.n AS rank
+           |  FROM deg d CROSS JOIN nn),
+           |$iters
+           |SELECT host, CAST(outdeg AS BIGINT) AS outdeg, CAST(rank AS BIGINT) AS rank
+           |FROM r4""".stripMargin
+      }),
+
     // ---- token counting ----
     "ta_tokens" -> Q(
       (s, dir) =>

@@ -294,6 +294,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"charset decode must not join:\n$p")
   }
 
+  test("ta_link_rank: no window, no driver collect, scalars broadcast (no cartesian)") {
+    val p = plan("ta_link_rank")
+    assert(!p.contains("Window"), s"pagerank must not window:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the per-iteration scalars must broadcast, not cartesian:\n$p")
+    // the capped edge list is persisted once and reused by every
+    // iteration's join — not recomputed per iteration (the supernode
+    // cap itself is behavior-bound in LinkRankSpec)
+    assert(p.contains("InMemoryTableScan"), s"edges must be cached for reuse:\n$p")
+  }
+
   test("mm_exif_meta: EXIF walk is map-only — zero exchanges") {
     val p = plan("mm_exif_meta")
     assert(!p.contains("Exchange"), s"exif parsing must not shuffle:\n$p")
