@@ -162,6 +162,129 @@ object ScaleDecade {
       sm.unpersist()
     }
 
+    // r14: web ingest at 64× — record-count, body-size, and
+    // ADVERSARIAL axes. The WARC walk is per-file linear by
+    // construction; what must show here is (a) linear scaling on
+    // both record count and body size (plain and .warc.gz), (b) the
+    // 64 KiB lineEnd cap pricing a hostile no-CRLF file by the CAP,
+    // not the file size, and (c) the gzip bomb cap pricing a
+    // decompression bomb by the 256 MiB cap, not its claimed size.
+    {
+      import org.apache.spark.sql.{Dataset, Encoders}
+      implicit val encM: org.apache.spark.sql.Encoder[operators.Multimodal.MediaRow] =
+        Encoders.product[operators.Multimodal.MediaRow]
+      def gzipOf(b: Array[Byte]): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream(b.length / 4 + 64)
+        val g = new java.util.zip.GZIPOutputStream(bos); g.write(b); g.close()
+        bos.toByteArray
+      }
+      def warcs(files: Long, recs: Int, bodyWords: Int,
+                gz: Boolean): Dataset[operators.Multimodal.MediaRow] =
+        spark.range(files).as(Encoders.scalaLong).mapPartitions(_.map { id =>
+          val bos = new java.io.ByteArrayOutputStream(recs * (bodyWords * 2 + 256))
+          for (r <- 0 until recs) {
+            val html = s"<html><body><p>doc $id rec $r ${"w " * bodyWords}</p>" +
+              s"""<a href="http://h${id % 97}.com/p">x</a></body></html>"""
+            val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$html"
+            bos.write((s"WARC/1.0\r\nWARC-Type: response\r\n" +
+              s"WARC-Target-URI: http://h${id % 97}.com/p/$r\r\n" +
+              s"Content-Length: ${http.length}\r\n\r\n$http\r\n\r\n")
+              .getBytes("US-ASCII"))
+          }
+          val raw = bos.toByteArray
+          operators.Multimodal.MediaRow(id, "warc", if (gz) gzipOf(raw) else raw)
+        }).repartition(spark.sparkContext.defaultParallelism).localCheckpoint(true)
+      // extraction aggregates the RESULT length (a bare count would
+      // prune the htmlToText projection; the warcResponses decode
+      // itself is mapPartitions and always runs)
+      def extractChars(w: Dataset[operators.Multimodal.MediaRow]): Long =
+        operators.Multimodal.warcResponses(w).toDF()
+          .agg(sum(length(graft.functions.WebFunctions.htmlToText(col("body")))))
+          .first().getLong(0)
+      for (m <- Seq(1, 8, 64)) {
+        val w = warcs(200L * m, recs = 10, bodyWords = 60, gz = false)
+        val (rec, recN) = best(operators.Multimodal.warcRecords(w).count())
+        val (ext, extN) = best(extractChars(w))
+        val wg = warcs(200L * m, recs = 10, bodyWords = 60, gz = true)
+        val (recG, _) = best(operators.Multimodal.warcRecords(wg).count())
+        println(f"[decade] warc ${m}%2dx files=${200 * m}%6d records=$rec%7.2f s ($recN%8d) " +
+          f"extract=$ext%7.2f s ($extN%10d chars) gz_records=$recG%7.2f s")
+        w.unpersist(); wg.unpersist()
+      }
+      for (m <- Seq(1, 8, 64)) {
+        val w = warcs(400L, recs = 10, bodyWords = 60 * m, gz = false)
+        val (ext, extN) = best(extractChars(w))
+        println(f"[decade] warcbody ${m}%2dx words=${60 * m}%6d extract=$ext%7.2f s ($extN%10d chars)")
+        w.unpersist()
+      }
+      // hostile no-CRLF files: cost per file must track the 64 KiB
+      // line cap, NOT the file size (8× bigger junk ≈ same wall)
+      def junk(files: Long, mib: Int): Dataset[operators.Multimodal.MediaRow] =
+        spark.range(files).as(Encoders.scalaLong).mapPartitions(_.map { id =>
+          val b = new Array[Byte](mib << 20)
+          java.util.Arrays.fill(b, 'A'.toByte)
+          System.arraycopy("WARC/1.0\r\n".getBytes("US-ASCII"), 0, b, 0, 10)
+          operators.Multimodal.MediaRow(id, "warc", b)
+        }).repartition(spark.sparkContext.defaultParallelism).localCheckpoint(true)
+      for (mib <- Seq(1, 8)) {
+        val j = junk(256, mib)
+        val (t, n) = best(operators.Multimodal.warcRecords(j).count())
+        println(f"[decade] warcjunk ${mib}%2d MiB x256 parse=$t%7.2f s ($n rows — cap binds, file size must not price it)")
+        j.unpersist()
+      }
+      // decompression bombs: claimed sizes 512 MiB and 1 GiB both
+      // price at the 256 MiB inflation cap (few files — each bail
+      // transiently holds up to the cap in memory)
+      for (mib <- Seq(512, 1024)) {
+        val bombs = spark.range(8).as(Encoders.scalaLong).mapPartitions(_.map { id =>
+          val bos = new java.io.ByteArrayOutputStream(1 << 20)
+          val g = new java.util.zip.GZIPOutputStream(bos)
+          val zero = new Array[Byte](1 << 20)
+          for (_ <- 0 until mib) g.write(zero)
+          g.close()
+          operators.Multimodal.MediaRow(id, "warc", bos.toByteArray)
+        }).repartition(8).localCheckpoint(true)
+        val (t, n) = best(operators.Multimodal.warcRecords(bombs).count())
+        println(f"[decade] warcbomb claimed=${mib}%5d MiB x8 parse=$t%7.2f s ($n rows — 256 MiB cap prices it)")
+        bombs.unpersist()
+      }
+      // robots compliance at 64× URL volume: broadcast dim + per-task
+      // parse memo ⇒ linear in URLs, flat in body size
+      val robotsDim = spark.range(97).select(
+        concat(lit("h"), col("id"), lit(".com")).as("host"),
+        concat(lit("User-agent: *\n"),
+          concat_ws("\n", sequence(lit(0), lit(99)).cast("array<string>")),
+          lit("\nDisallow: /private/\nAllow: /private/ok")).as("robots"))
+        .localCheckpoint(true)
+      for (m <- Seq(1, 8, 64)) {
+        val urls = spark.range(20000L * m).select(
+          concat(lit("h"), pmod(col("id"), lit(97)), lit(".com")).as("host"),
+          when(pmod(col("id"), lit(3)) === 0, concat(lit("/private/"), col("id")))
+            .otherwise(concat(lit("/p/"), col("id"))).as("path"))
+          .repartition(spark.sparkContext.defaultParallelism).localCheckpoint(true)
+        val (t, n) = best(urls.join(broadcast(robotsDim), "host")
+          .where(functions.Kernels.robotsAllowed(col("robots"), lit("bot"), col("path")))
+          .count())
+        println(f"[decade] robots ${m}%2dx urls=${20000 * m}%8d check=$t%7.2f s ($n%8d allowed)")
+        urls.unpersist()
+      }
+      // mainContent boilerplate scoring over the salted corpus pages
+      // (aggregate over the RESULT length — a bare count() would let
+      // the optimizer prune the whole scoring projection away)
+      for (m <- Seq(1, 8, 64)) {
+        val c = corpus(m)
+        val pages = c.select(
+          concat(lit("<html><body><div class=\"nav\"><a href=\"/a\">one</a> " +
+            "<a href=\"/b\">two</a></div><p>"), col("text"),
+            lit("</p><div>short</div></body></html>")).as("html"))
+        val (t, n) = best(pages.agg(
+          sum(length(graft.functions.WebFunctions.mainContent(col("html")))))
+          .first().getLong(0))
+        println(f"[decade] maincontent ${m}%2dx chars=$n%10d score=$t%7.2f s")
+        c.unpersist()
+      }
+    }
+
     // IVF build + self-serve at 16k → 128k → 1M vectors: the bounded
     // 100k training sample must hold the BUILD near-flat past 128k
     // while assignment/serving stays linear

@@ -351,18 +351,33 @@ object MediaHeaders {
     * lists the sync samples by 1-based strictly-increasing sample
     * number, and an ABSENT table means every sample is sync — the
     * normative default, so a P-frame-free stream needs no table.
-    * (No `elst` parse: edit-list shifts are presentation-layer
-    * trimming; raw media pts is what byte-range selection needs, and
-    * a v1 ctts can make early pts legitimately negative.) Offsets
-    * are NOT validated against the buffer — real files carry the
-    * data in `mdat`, and a metadata-only prefix is a legitimate
-    * input; the caller slices. Inconsistent tables (fewer chunks,
-    * time runs, or composition runs than samples, zero timescale,
-    * non-increasing or out-of-range sync entries, bad ctts version,
-    * truncation) return None; sample count is capped before any
-    * allocation.
+    * By default pts is RAW media time (no `elst`): raw pts is what
+    * byte-range selection needs, and a v1 ctts can make early pts
+    * legitimately negative. `applyEdits = true` additionally honors
+    * the trak's edit list (§8.6.6) the way players do for the
+    * common edit shapes: leading EMPTY edits (`media_time = -1`)
+    * delay presentation by their `segment_duration` (MOVIE-timescale
+    * units, so the mvhd timescale governs them), and the first
+    * non-empty edit's `media_time` (media units) trims the head, so
+    * `pts' = (pts − media_time) + delay`; entries after the first
+    * non-empty edit (multi-segment splice lists) and media_rate
+    * (dwell/slow-motion) are ignored — both are rare authoring
+    * shapes that byte-range selection doesn't need. An absent
+    * edts/elst means no adjustment; a PRESENT-but-malformed elst
+    * (bad version, zero/negative entry count, truncated entries,
+    * missing mvhd) rejects the file like any other inconsistent
+    * table. dts and sync flags stay raw media values either way.
+    *
+    * Offsets are NOT validated against the buffer — real files
+    * carry the data in `mdat`, and a metadata-only prefix is a
+    * legitimate input; the caller slices. Inconsistent tables (fewer
+    * chunks, time runs, or composition runs than samples, zero
+    * timescale, non-increasing or out-of-range sync entries, bad
+    * ctts version, truncation) return None; sample count is capped
+    * before any allocation.
     */
-  def mp4Samples(b: Array[Byte], maxSamples: Int = 1 << 20): Option[Vector[Mp4Sample]] = {
+  def mp4Samples(b: Array[Byte], maxSamples: Int = 1 << 20,
+                 applyEdits: Boolean = false): Option[Vector[Mp4Sample]] = {
     def u8(i: Int): Int = b(i) & 0xff
     def be32(i: Long): Long =
       if (i < 0 || i + 4 > b.length) -1L
@@ -396,8 +411,9 @@ object MediaHeaders {
       (mdhd, mdhdEnd) <- find(mdia, mdiaEnd, "mdhd")
       (minf, minfEnd) <- find(mdia, mdiaEnd, "minf")
       (stbl, stblEnd) <- find(minf, minfEnd, "stbl")
-    } yield (mdhd, mdhdEnd, stbl, stblEnd)
-    val (mdhd, mdhdEnd, stbl, stblEnd) = stblOpt.getOrElse(return None)
+    } yield (moov, moovEnd, trak, trakEnd, mdhd, mdhdEnd, stbl, stblEnd)
+    val (moov, moovEnd, trak, trakEnd, mdhd, mdhdEnd, stbl, stblEnd) =
+      stblOpt.getOrElse(return None)
     if (mdhd >= mdhdEnd) return None
     val timescale = u8(mdhd.toInt) match {
       case 0 if mdhd + 16 <= mdhdEnd => be32(mdhd + 12)
@@ -405,6 +421,46 @@ object MediaHeaders {
       case _                         => return None
     }
     if (timescale <= 0) return None
+    // edit list (only under applyEdits): (delayMs, mediaTimeUnits)
+    val edit: Option[(Long, Long)] =
+      if (!applyEdits) None
+      else find(trak, trakEnd, "edts").flatMap { case (edts, edtsEnd) =>
+        find(edts, edtsEnd, "elst")
+      } match {
+        case None => None // no edit list: no adjustment
+        case Some((elst, elstEnd)) =>
+          if (elst + 8 > elstEnd) return None
+          val ver = u8(elst.toInt)
+          if (ver > 1) return None
+          val n = be32(elst + 4)
+          val entrySz = if (ver == 1) 20L else 12L
+          if (n <= 0 || elst + 8 + entrySz * n > elstEnd) return None
+          // empty-edit durations are MOVIE-timescale units (§8.6.6.3)
+          val (mvhd, mvhdEnd) = find(moov, moovEnd, "mvhd").getOrElse(return None)
+          if (mvhd >= mvhdEnd) return None
+          val movieTs = u8(mvhd.toInt) match {
+            case 0 if mvhd + 16 <= mvhdEnd => be32(mvhd + 12)
+            case 1 if mvhd + 24 <= mvhdEnd => be32(mvhd + 20)
+            case _                         => return None
+          }
+          if (movieTs <= 0) return None
+          var delayUnits = 0L
+          var mediaTime = -1L
+          var e = 0
+          while (e < n && mediaTime < 0) {
+            val at = elst + 8 + entrySz * e
+            val (dur, mt) =
+              if (ver == 1) (be64(at), be64(at + 8))
+              else {
+                val raw = be32(at + 4)
+                (be32(at), if (raw >= 0x80000000L) raw - 0x100000000L else raw)
+              }
+            if (dur < 0) return None
+            if (mt < 0) delayUnits += dur else mediaTime = mt
+            e += 1
+          }
+          Some((delayUnits * 1000L / movieTs, math.max(mediaTime, 0L)))
+      }
     // stsz: constant size or per-sample table
     val (stsz, stszEnd) = find(stbl, stblEnd, "stsz").getOrElse(return None)
     if (stsz + 12 > stszEnd) return None
@@ -518,11 +574,15 @@ object MediaHeaders {
             while (syncPtr < nSync && be32(stssAt + 8 + 4L * syncPtr) < sample + 1) syncPtr += 1
             syncPtr < nSync && be32(stssAt + 8 + 4L * syncPtr) == sample + 1
           }
-        // floorDiv, not /: a v1 ctts legitimately makes early pts
-        // negative, and truncation-toward-zero would round the wrong
-        // way there (dts is never negative, so / is fine for it)
-        out += Mp4Sample(sample, off, sz, dts * 1000L / timescale,
-          Math.floorDiv(pts * 1000L, timescale), isSync)
+        // floorDiv, not /: a v1 ctts (or an edit-list head trim)
+        // legitimately makes early pts negative, and truncation-
+        // toward-zero would round the wrong way there (dts is never
+        // negative, so / is fine for it)
+        val ptsMs = edit match {
+          case Some((delayMs, mt)) => Math.floorDiv((pts - mt) * 1000L, timescale) + delayMs
+          case None                => Math.floorDiv(pts * 1000L, timescale)
+        }
+        out += Mp4Sample(sample, off, sz, dts * 1000L / timescale, ptsMs, isSync)
         off += sz
         dts += tDelta
         tLeft -= 1

@@ -288,13 +288,15 @@ object Multimodal {
     * primitive at 100 TB: select samples by timestamp, slice their
     * byte ranges, decode elsewhere. Undecodable or table-less content
     * yields no rows. Narrow map-only plan. */
-  def mp4SampleRows(media: org.apache.spark.sql.Dataset[MediaRow]):
+  def mp4SampleRows(media: org.apache.spark.sql.Dataset[MediaRow],
+                    applyEdits: Boolean = false):
       org.apache.spark.sql.Dataset[Mp4SampleRow] = {
     implicit val enc: org.apache.spark.sql.Encoder[Mp4SampleRow] =
       org.apache.spark.sql.Encoders.product[Mp4SampleRow]
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        (try MediaHeaders.mp4Samples(r.content).getOrElse(Vector.empty)
+        (try MediaHeaders.mp4Samples(r.content, applyEdits = applyEdits)
+          .getOrElse(Vector.empty)
          catch { case scala.util.control.NonFatal(_) => Vector.empty })
           .iterator.map(s => Mp4SampleRow(r.doc_id, s.idx, s.offset, s.size,
             s.dtsMs, s.ptsMs, s.isSync))

@@ -5086,6 +5086,79 @@ object TrainingOps {
       Some(s"""WITH $mp4SamplesCtes
               |$mp4SamplesSelect""".stripMargin)),
 
+    // ---- edit-list-aware sample maps (ISO 14496-12 §8.6.6): the
+    //      same walk with `applyEdits = true`. Fixture D1 (doc 5):
+    //      v0 elst — one EMPTY edit (300 movie units @ mvhd ts 600 =
+    //      500 ms presentation delay) then a head-trim edit
+    //      (media_time 250) → pts' = dts − 250 + 500. Fixture D2
+    //      (doc 6): v1 64-bit single edit, media_time 500 → early
+    //      pts legitimately NEGATIVE (floor division). Fixture D3
+    //      (doc 7): elst claims 2 entries but carries 1 — a present-
+    //      but-malformed edit list rejects the file (no rows), while
+    //      mm_mp4_samples-style raw parses would still read it. The
+    //      oracle re-reads every field from the fixture bytes:
+    //      movie/media timescales, elst durations and media_times,
+    //      stts delta, stsz const, stco base. ----
+    "mm_mp4_samples_elst" -> Q(
+      (s, dir) => {
+        implicit val enc: org.apache.spark.sql.Encoder[Multimodal.MediaRow] =
+          org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+        val media = s.createDataFrame(Seq(
+            (5L, "000000106674797069736F6D00000200000001406D6F6F760000006C6D7668640000000000000000000000000000025800000BB80000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000CC7472616B000000306564747300000028656C737400000000000000020000012CFFFFFFFF00010000000002BC000000FA00010000000000946D646961000000206D646864000000000000000000000000000003E800001388000000000000006C6D696E66000000647374626C0000001873747473000000000000000100000005000000640000001C737473630000000000000001000000010000000500000001000000147374737A000000000000001400000005000000147374636F0000000000000001000000C8"),
+            (6L, "000000106674797069736F6D000002000000013C6D6F6F760000006C6D7668640000000000000000000000000000025800000BB80000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000C87472616B0000002C6564747300000024656C7374010000000000000100000000000002BC00000000000001F400010000000000946D646961000000206D646864000000000000000000000000000003E800001388000000000000006C6D696E66000000647374626C0000001873747473000000000000000100000005000000640000001C737473630000000000000001000000010000000500000001000000147374737A000000000000001400000005000000147374636F0000000000000001000000C8"),
+            (7L, "000000106674797069736F6D00000200000001346D6F6F760000006C6D7668640000000000000000000000000000025800000BB80000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000C07472616B00000024656474730000001C656C73740000000000000002000002BC000000FA00010000000000946D646961000000206D646864000000000000000000000000000003E800001388000000000000006C6D696E66000000647374626C0000001873747473000000000000000100000005000000640000001C737473630000000000000001000000010000000500000001000000147374737A000000000000001400000005000000147374636F0000000000000001000000C8"))).toDF("doc_id", "hx")
+          .select(col("doc_id"), lit("video").as("kind"), unhex(col("hx")).as("content"))
+          .as[Multimodal.MediaRow]
+        Multimodal.mp4SampleRows(media, applyEdits = true).toDF()
+          .select(col("doc_id"), col("idx").cast("long").as("idx"),
+            col("offset"), col("size"), col("dts_ms"), col("pts_ms"), col("is_sync"))
+      },
+      Some("""WITH r(doc_id, hx) AS (VALUES
+             |  (5, '000000106674797069736F6D00000200000001406D6F6F760000006C6D7668640000000000000000000000000000025800000BB80000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000CC7472616B000000306564747300000028656C737400000000000000020000012CFFFFFFFF00010000000002BC000000FA00010000000000946D646961000000206D646864000000000000000000000000000003E800001388000000000000006C6D696E66000000647374626C0000001873747473000000000000000100000005000000640000001C737473630000000000000001000000010000000500000001000000147374737A000000000000001400000005000000147374636F0000000000000001000000C8'),
+             |  (6, '000000106674797069736F6D000002000000013C6D6F6F760000006C6D7668640000000000000000000000000000025800000BB80000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000C87472616B0000002C6564747300000024656C7374010000000000000100000000000002BC00000000000001F400010000000000946D646961000000206D646864000000000000000000000000000003E800001388000000000000006C6D696E66000000647374626C0000001873747473000000000000000100000005000000640000001C737473630000000000000001000000010000000500000001000000147374737A000000000000001400000005000000147374636F0000000000000001000000C8')),
+             |bt AS (SELECT doc_id,
+             |  list_transform(range(0, octet_length(unhex(hx))), k ->
+             |    (strpos('0123456789ABCDEF', upper(substr(hx, 1 + 2*k, 1))) - 1) * 16
+             |    + (strpos('0123456789ABCDEF', upper(substr(hx, 2 + 2*k, 1))) - 1)) AS bb
+             |  FROM r),
+             |-- doc 5 layout: mvhd ts@44, elst dur0@164 mt1@180,
+             |-- mdhd ts@216, stts delta@264, stsz sz@308, stco co@332
+             |d1 AS (SELECT doc_id,
+             |  bb[45]*16777216 + bb[46]*65536 + bb[47]*256 + bb[48] AS mts,
+             |  bb[165]*16777216 + bb[166]*65536 + bb[167]*256 + bb[168] AS dur0,
+             |  bb[181]*16777216 + bb[182]*65536 + bb[183]*256 + bb[184] AS mt,
+             |  bb[217]*16777216 + bb[218]*65536 + bb[219]*256 + bb[220] AS ts,
+             |  bb[265]*16777216 + bb[266]*65536 + bb[267]*256 + bb[268] AS d,
+             |  bb[309]*16777216 + bb[310]*65536 + bb[311]*256 + bb[312] AS sz,
+             |  bb[333]*16777216 + bb[334]*65536 + bb[335]*256 + bb[336] AS co
+             |  FROM bt WHERE doc_id = 5),
+             |d1rows AS (SELECT doc_id, k AS idx, co + sz*k AS "offset", sz AS size,
+             |  k*d*1000 // ts AS dts_ms,
+             |  ((k*d - mt) * 1000) // ts + (dur0 * 1000) // mts AS pts_ms
+             |  FROM d1, range(0, 5) t(k)),
+             |-- doc 6 layout: v1 elst media_time low word@176, mdhd
+             |-- ts@212, stts delta@260, stsz sz@304, stco co@328
+             |d2 AS (SELECT doc_id,
+             |  bb[177]*16777216 + bb[178]*65536 + bb[179]*256 + bb[180] AS mt,
+             |  bb[213]*16777216 + bb[214]*65536 + bb[215]*256 + bb[216] AS ts,
+             |  bb[261]*16777216 + bb[262]*65536 + bb[263]*256 + bb[264] AS d,
+             |  bb[305]*16777216 + bb[306]*65536 + bb[307]*256 + bb[308] AS sz,
+             |  bb[329]*16777216 + bb[330]*65536 + bb[331]*256 + bb[332] AS co
+             |  FROM bt WHERE doc_id = 6),
+             |d2rows AS (SELECT doc_id, k AS idx, co + sz*k AS "offset", sz AS size,
+             |  k*d*1000 // ts AS dts_ms,
+             |  ((k*d - mt) * 1000) // ts AS pts_ms
+             |  FROM d2, range(0, 5) t(k))
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(idx AS BIGINT) AS idx,
+             |  CAST("offset" AS BIGINT) AS "offset", CAST(size AS BIGINT) AS size,
+             |  CAST(dts_ms AS BIGINT) AS dts_ms, CAST(pts_ms AS BIGINT) AS pts_ms,
+             |  TRUE AS is_sync FROM d1rows
+             |UNION ALL
+             |SELECT CAST(doc_id AS BIGINT), CAST(idx AS BIGINT),
+             |  CAST("offset" AS BIGINT), CAST(size AS BIGINT),
+             |  CAST(dts_ms AS BIGINT), CAST(pts_ms AS BIGINT),
+             |  TRUE FROM d2rows""".stripMargin)),
+
     // ---- frame SELECTION over the sample map: the first sample (by
     //      decode time) in each 300 ms bucket — "one frame every N
     //      ms" as pure aggregation (one partial-combined shuffle on

@@ -365,4 +365,36 @@ class MediaHeadersSpec extends AnyFunSuite {
     assert(got(1).ptsMs == (200L + 4294967196L) * 1000L / 1000L)
     assert(got(1).isSync && got(3).ptsMs == 700L)
   }
+
+  // generated fixtures (tools-free struct packing, offsets in the
+  // mm_mp4_samples_elst oracle comments): movie ts 600, media ts
+  // 1000, one stts run 5×100, const stsz 20, one chunk at 200
+  private val elstV0 = // empty edit (300 movie units) + head trim 250
+    "000000106674797069736F6D00000200000001406D6F6F760000006C6D7668640000000000000000000000000000025800000BB80000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000CC7472616B000000306564747300000028656C737400000000000000020000012CFFFFFFFF00010000000002BC000000FA00010000000000946D646961000000206D646864000000000000000000000000000003E800001388000000000000006C6D696E66000000647374626C0000001873747473000000000000000100000005000000640000001C737473630000000000000001000000010000000500000001000000147374737A000000000000001400000005000000147374636F0000000000000001000000C8"
+  private val elstV1 = // v1 64-bit single edit, media_time 500
+    "000000106674797069736F6D000002000000013C6D6F6F760000006C6D7668640000000000000000000000000000025800000BB80000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000C87472616B0000002C6564747300000024656C7374010000000000000100000000000002BC00000000000001F400010000000000946D646961000000206D646864000000000000000000000000000003E800001388000000000000006C6D696E66000000647374626C0000001873747473000000000000000100000005000000640000001C737473630000000000000001000000010000000500000001000000147374737A000000000000001400000005000000147374636F0000000000000001000000C8"
+  private val elstBad = // claims 2 entries, carries 1 (truncated)
+    "000000106674797069736F6D00000200000001346D6F6F760000006C6D7668640000000000000000000000000000025800000BB80000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000C07472616B00000024656474730000001C656C73740000000000000002000002BC000000FA00010000000000946D646961000000206D646864000000000000000000000000000003E800001388000000000000006C6D696E66000000647374626C0000001873747473000000000000000100000005000000640000001C737473630000000000000001000000010000000500000001000000147374737A000000000000001400000005000000147374636F0000000000000001000000C8"
+
+  test("mp4Samples applyEdits: empty-edit delay + head trim shift pts; dts/sync stay raw") {
+    val b = hex(elstV0)
+    // raw parse ignores the edit list entirely
+    assert(MediaHeaders.mp4Samples(b).get.map(_.ptsMs) == Vector(0L, 100L, 200L, 300L, 400L))
+    // delay = 300 movie units @600 = 500 ms; trim = 250 media units
+    val ed = MediaHeaders.mp4Samples(b, applyEdits = true).get
+    assert(ed.map(_.ptsMs) == Vector(250L, 350L, 450L, 550L, 650L))
+    assert(ed.map(_.dtsMs) == Vector(0L, 100L, 200L, 300L, 400L))
+    assert(ed.forall(_.isSync) && ed.map(_.offset) == Vector(200L, 220L, 240L, 260L, 280L))
+  }
+
+  test("mp4Samples applyEdits: v1 64-bit entries; head trim makes early pts negative (floor)") {
+    val ed = MediaHeaders.mp4Samples(hex(elstV1), applyEdits = true).get
+    assert(ed.map(_.ptsMs) == Vector(-500L, -400L, -300L, -200L, -100L))
+  }
+
+  test("mp4Samples applyEdits: malformed elst rejects; without applyEdits it parses raw") {
+    val b = hex(elstBad)
+    assert(MediaHeaders.mp4Samples(b, applyEdits = true).isEmpty)
+    assert(MediaHeaders.mp4Samples(b).get.length == 5) // reject is edit-specific
+  }
 }
