@@ -1121,6 +1121,72 @@ object TrainingOps {
       .mapPartitions(it => it.flatMap { case (id, text) => f(id, text) })
   }
 
+  /** The shared link-rank computation for `ta_link_rank` /
+    * `ta_link_rank_apply`: edges from the real extractLinks →
+    * canonicalizeUrl → hostOf chain plus two arithmetic-derived edge
+    * families (cdn backlinks per even doc, dangling peer hosts per
+    * 17th doc); four exact-integer iterations, out-degree cap 6
+    * (BINDS three ways on this graph: site hosts drop their
+    * self-edge + all but one peer, cdn hosts drop site6). */
+  private def linkRankDf(s: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val site = concat(lit("site"), pmod(col("doc_id"), lit(7L)), lit(".com"))
+    val cdn = concat(lit("cdn.site"), pmod(col("doc_id"), lit(5L)), lit(".com"))
+    val pageEdges = synthWebHtml(s, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.WebFunctions.extractLinks(col("html"))).as("link"))
+      .select(site.as("src"),
+        graft.functions.WebFunctions.hostOf(
+          graft.functions.WebFunctions.canonicalizeUrl(col("link"))).as("dst"))
+    val backEdges = d.where(pmod(col("doc_id"), lit(2L)) === 0)
+      .select(cdn.as("src"), site.as("dst"))
+    val peerEdges = d.where(pmod(col("doc_id"), lit(17L)) === 0)
+      .select(site.as("src"),
+        concat(lit("peer"), pmod(col("doc_id"), lit(11L)), lit(".example")).as("dst"))
+    graft.operators.LinkRank.hostRank(
+      pageEdges.unionByName(backEdges).unionByName(peerEdges),
+      iterations = 4, maxOutDegree = 6)
+  }
+
+  /** DuckDB replay of [[linkRankDf]], CTE-by-CTE: same capped edge
+    * derivation, same four integer iterations, ending at `r4`. */
+  private lazy val linkRankCtes: String = {
+    val iters = (1 to 4).map { k =>
+      s"""inc$k AS (SELECT c.dst AS host, sum(r.rank // r.outdeg) AS inc
+         |  FROM capped c JOIN r${k - 1} r ON c.src = r.host WHERE r.outdeg > 0 GROUP BY 1),
+         |dg$k AS (SELECT COALESCE(sum(rank), 0) AS dangle FROM r${k - 1} WHERE outdeg = 0),
+         |r$k AS (SELECT d.host, d.outdeg,
+         |    (1000000000000 - 1000000000000 * 850000 // 1000000) // nn.n +
+         |    850000 * (COALESCE(i.inc, 0) + dg$k.dangle // nn.n) // 1000000 AS rank
+         |  FROM deg d CROSS JOIN nn CROSS JOIN dg$k LEFT JOIN inc$k i ON d.host = i.host)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""e0 AS (
+       |  SELECT 'site' || (doc_id % 7) || '.com' AS src,
+       |         'site' || (doc_id % 7) || '.com' AS dst FROM documents
+       |  UNION
+       |  SELECT 'site' || (doc_id % 7) || '.com',
+       |         'cdn.site' || (doc_id % 5) || '.com' FROM documents
+       |  UNION
+       |  SELECT 'cdn.site' || (doc_id % 5) || '.com',
+       |         'site' || (doc_id % 7) || '.com' FROM documents WHERE doc_id % 2 = 0
+       |  UNION
+       |  SELECT 'site' || (doc_id % 7) || '.com',
+       |         'peer' || (doc_id % 11) || '.example' FROM documents WHERE doc_id % 17 = 0),
+       |capped AS (SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+       |    FROM e0) WHERE rn <= 6),
+       |nodes AS (SELECT DISTINCT host FROM
+       |  (SELECT src AS host FROM capped UNION ALL SELECT dst AS host FROM capped)),
+       |deg AS (SELECT n.host, COALESCE(o.c, 0) AS outdeg FROM nodes n
+       |  LEFT JOIN (SELECT src, count(*) AS c FROM capped GROUP BY 1) o ON n.host = o.src),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT d.host, d.outdeg, 1000000000000 // nn.n AS rank
+       |  FROM deg d CROSS JOIN nn),
+       |$iters""".stripMargin
+  }
+
   def defs: Map[String, Q] = Map(
 
     // ---- token-window chunking (64-token chunks, 16-token overlap):
@@ -3614,24 +3680,28 @@ object TrainingOps {
              |         ELSE 'http://host' || k || '.com/doc' || k || '?a=1&b=~2' END AS url_canon
              |FROM v""".stripMargin)),
 
-    // URL-keyed dedup: four raw spellings per canonical page (case,
-    // www, default port, trailing slash, fragment, tracking params)
-    // collapse to one key; a single partial-agg'd hash shuffle picks
-    // the keeper — crawl-level dedup BEFORE any content fingerprint,
-    // the cheapest dedup tier at 100 TB.
+    // URL-keyed dedup: five raw spellings per canonical page (case,
+    // www, default port, trailing slash, fragment, tracking params,
+    // percent-escaped path bytes) collapse to one key; a single
+    // partial-agg'd hash shuffle picks the keeper — crawl-level dedup
+    // BEFORE any content fingerprint, the cheapest dedup tier at
+    // 100 TB. The oracle states the canonical key directly, so ONLY
+    // normalization can make the spellings collide.
     "dd_url_dedup" -> Q(
       (s, dir) => {
         val d = Tables(s, dir, "documents")
         val k = pmod(col("doc_id"), lit(97L)).cast("string")
-        val m = pmod(col("doc_id"), lit(4L))
+        val m = pmod(col("doc_id"), lit(5L))
         val raw = when(m === 0,
             concat(lit("HTTP://WWW.Host"), k, lit(".COM:80/p/"), k, lit("/?utm_source=x")))
           .when(m === 1,
             concat(lit("http://host"), k, lit(".com/p/"), k, lit("?utm_campaign=y")))
           .when(m === 2,
             concat(lit("http://Host"), k, lit(".com/p/"), k, lit("#sec")))
-          .otherwise(
+          .when(m === 3,
             concat(lit("http://host"), k, lit(".com:80/p/"), k, lit("/?fbclid=a&gclid=b")))
+          .otherwise( // %70 is the percent-escaped 'p' (RFC 3986 §6.2.2)
+            concat(lit("http://host"), k, lit(".com/%70/"), k))
         d.select(col("doc_id"),
             graft.functions.WebFunctions.canonicalizeUrl(raw).as("url_canon"))
           .groupBy(col("url_canon"))
@@ -3872,63 +3942,29 @@ object TrainingOps {
     //      three ways on this graph: site hosts drop their self-edge
     //      + all but one peer, cdn hosts drop site6. ----
     "ta_link_rank" -> Q(
+      (s, dir) => linkRankDf(s, dir)
+        .select(col("host"), col("outdeg").cast("long").as("outdeg"), col("rank")),
+      Some(s"""WITH $linkRankCtes
+              |SELECT host, CAST(outdeg AS BIGINT) AS outdeg, CAST(rank AS BIGINT) AS rank
+              |FROM r4""".stripMargin)),
+
+    // ---- the APPLY step: host rank as a page-level quality FEATURE
+    //      (what a real curation stack does with host rank — annotate
+    //      every page with its host's score for the quality gate; the
+    //      rank table is dim-sized, so it BROADCASTS and the page
+    //      side never shuffles) ----
+    "ta_link_rank_apply" -> Q(
       (s, dir) => {
-        val d = Tables(s, dir, "documents")
-        val site = concat(lit("site"), pmod(col("doc_id"), lit(7L)), lit(".com"))
-        val cdn = concat(lit("cdn.site"), pmod(col("doc_id"), lit(5L)), lit(".com"))
-        val pageEdges = synthWebHtml(s, dir)
-          .select(col("doc_id"),
-            explode(graft.functions.WebFunctions.extractLinks(col("html"))).as("link"))
-          .select(site.as("src"),
-            graft.functions.WebFunctions.hostOf(
-              graft.functions.WebFunctions.canonicalizeUrl(col("link"))).as("dst"))
-        val backEdges = d.where(pmod(col("doc_id"), lit(2L)) === 0)
-          .select(cdn.as("src"), site.as("dst"))
-        val peerEdges = d.where(pmod(col("doc_id"), lit(17L)) === 0)
-          .select(site.as("src"),
-            concat(lit("peer"), pmod(col("doc_id"), lit(11L)), lit(".example")).as("dst"))
-        graft.operators.LinkRank.hostRank(
-          pageEdges.unionByName(backEdges).unionByName(peerEdges),
-          iterations = 4, maxOutDegree = 6)
-          .select(col("host"), col("outdeg").cast("long").as("outdeg"), col("rank"))
+        val pages = Tables(s, dir, "documents").select(col("doc_id"),
+          concat(lit("site"), pmod(col("doc_id"), lit(7L)), lit(".com")).as("host"))
+        pages.join(broadcast(linkRankDf(s, dir).select(col("host"), col("rank"))), "host")
+          .select(col("doc_id"), col("host"), col("rank"))
       },
-      Some {
-        val iters = (1 to 4).map { k =>
-          s"""inc$k AS (SELECT c.dst AS host, sum(r.rank // r.outdeg) AS inc
-             |  FROM capped c JOIN r${k - 1} r ON c.src = r.host WHERE r.outdeg > 0 GROUP BY 1),
-             |dg$k AS (SELECT COALESCE(sum(rank), 0) AS dangle FROM r${k - 1} WHERE outdeg = 0),
-             |r$k AS (SELECT d.host, d.outdeg,
-             |    (1000000000000 - 1000000000000 * 850000 // 1000000) // nn.n +
-             |    850000 * (COALESCE(i.inc, 0) + dg$k.dangle // nn.n) // 1000000 AS rank
-             |  FROM deg d CROSS JOIN nn CROSS JOIN dg$k LEFT JOIN inc$k i ON d.host = i.host)"""
-            .stripMargin
-        }.mkString(",\n")
-        s"""WITH e0 AS (
-           |  SELECT 'site' || (doc_id % 7) || '.com' AS src,
-           |         'site' || (doc_id % 7) || '.com' AS dst FROM documents
-           |  UNION
-           |  SELECT 'site' || (doc_id % 7) || '.com',
-           |         'cdn.site' || (doc_id % 5) || '.com' FROM documents
-           |  UNION
-           |  SELECT 'cdn.site' || (doc_id % 5) || '.com',
-           |         'site' || (doc_id % 7) || '.com' FROM documents WHERE doc_id % 2 = 0
-           |  UNION
-           |  SELECT 'site' || (doc_id % 7) || '.com',
-           |         'peer' || (doc_id % 11) || '.example' FROM documents WHERE doc_id % 17 = 0),
-           |capped AS (SELECT src, dst FROM (
-           |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
-           |    FROM e0) WHERE rn <= 6),
-           |nodes AS (SELECT DISTINCT host FROM
-           |  (SELECT src AS host FROM capped UNION ALL SELECT dst AS host FROM capped)),
-           |deg AS (SELECT n.host, COALESCE(o.c, 0) AS outdeg FROM nodes n
-           |  LEFT JOIN (SELECT src, count(*) AS c FROM capped GROUP BY 1) o ON n.host = o.src),
-           |nn AS (SELECT count(*) AS n FROM nodes),
-           |r0 AS (SELECT d.host, d.outdeg, 1000000000000 // nn.n AS rank
-           |  FROM deg d CROSS JOIN nn),
-           |$iters
-           |SELECT host, CAST(outdeg AS BIGINT) AS outdeg, CAST(rank AS BIGINT) AS rank
-           |FROM r4""".stripMargin
-      }),
+      Some(s"""WITH $linkRankCtes
+              |SELECT d.doc_id, 'site' || (d.doc_id % 7) || '.com' AS host,
+              |  CAST(r.rank AS BIGINT) AS rank
+              |FROM documents d JOIN r4 r ON 'site' || (d.doc_id % 7) || '.com' = r.host"""
+        .stripMargin)),
 
     // ---- token counting ----
     "ta_tokens" -> Q(

