@@ -407,9 +407,12 @@ object Kernels {
     else if (at(0, 0xFF) && at(1, 0xFE)) "utf-16le"
     else if (at(0, 0xFE) && at(1, 0xFF)) "utf-16be"
     else if (nulBytesEval(b) > 0) "binary"
-    else if (utf8InvalidEval(b) == 0 && highBytesEval(b) > 0) "utf-8"
-    else if (utf8InvalidEval(b) == 0) "ascii"
-    else "latin-1"
+    else {
+      val inv = utf8InvalidEval(b) // one scan, not one per ladder rung
+      if (inv == 0 && highBytesEval(b) > 0) "utf-8"
+      else if (inv == 0) "ascii"
+      else "latin-1"
+    }
   }
 
   /** Decode bytes to text under [[detectCharsetEval]]'s label: BOMs
@@ -417,9 +420,15 @@ object Kernels {
     * `binary` content yields NO text (a blob is not a mojibake
     * string). Malformed units under the chosen charset are replaced,
     * never thrown (JDK decoder REPLACE semantics). */
-  def decodeTextEval(b: Array[Byte]): Option[String] = {
+  def decodeTextEval(b: Array[Byte]): Option[String] =
+    decodeTextEval(b, detectCharsetEval(b))
+
+  /** [[decodeTextEval]] with the label already detected — callers
+    * that also expose the label (warcResponses' charset column)
+    * detect ONCE instead of twice per body. */
+  def decodeTextEval(b: Array[Byte], label: String): Option[String] = {
     import java.nio.charset.{Charset, StandardCharsets => SC}
-    detectCharsetEval(b) match {
+    label match {
       case "binary" => None
       case "utf-8-bom" => Some(new String(b, 3, b.length - 3, SC.UTF_8))
       case "utf-16le" => Some(new String(b, 2, b.length - 2, SC.UTF_16LE))

@@ -10,13 +10,18 @@ import org.apache.spark.sql.functions._
   * than one on a link-farm island).
   *
   * Everything is declarative DataFrame ops, NO driver-side graph and
-  * no collect: each power iteration is one shuffle join (ranks ⋈
-  * edges on src) plus one aggregation (sum of shares by dst); the
-  * two per-iteration scalars (node count, dangling mass) ride as
-  * broadcast 1-row cross joins. At 10⁸ hosts each iteration is two
-  * hash shuffles on the host key — the plan a Pregel would lower to
-  * anyway — and `iterations` is a small fixed constant (host rank
-  * converges in a handful of rounds; production stacks run 3-6).
+  * no row-level collect: each power iteration is one shuffle join
+  * (ranks ⋈ edges on src) plus one aggregation (sum of shares by
+  * dst); the two per-iteration scalars (node count, dangling mass)
+  * ride as broadcast 1-row cross joins. Each iteration's rank frame
+  * is persisted and (by default) materialized before the next, so
+  * the plan stays LINEAR in the iteration count — the two uses of
+  * the previous ranks (shares + dangling mass) read one cached
+  * relation, never two copies of the lineage. At 10⁸ hosts each
+  * iteration is two hash shuffles on the host key — the plan a
+  * Pregel would lower to anyway — and `iterations` is a small fixed
+  * constant (host rank converges in a handful of rounds; production
+  * stacks run 3-6).
   *
   * Arithmetic discipline (the `bigramLmScore`/quality-classifier
   * pattern): ranks are fixed-point at [[Scale]] = 10¹², damping in
@@ -36,12 +41,21 @@ import org.apache.spark.sql.functions._
   *
   * Supernode cap: a host with millions of out-links (link farms,
   * auto-generated sitemaps) would both skew the graph and blow the
-  * per-src edge list, so out-edges are CAPPED at `maxOutDegree`,
-  * keeping the bytewise-smallest dst hosts (deterministic without a
-  * window: per-src `sort_array(collect_set)` sliced then
-  * re-exploded — one partial-agg'd shuffle, and the slice bounds
-  * the row even for an adversarial src). 0 disables the cap for
-  * lossless audits.
+  * per-src aggregation state, so out-edges are CAPPED at
+  * `maxOutDegree`, keeping the bytewise-smallest dst hosts. The cap
+  * rides the k-BOUNDED heap aggregate ([[graft.functions.TopKPairsStr]]
+  * with a constant ord — ties resolve id-ascending, so the heap IS
+  * "keep the k smallest"): partial state never exceeds k entries
+  * even under an adversarial src, unlike a collect_set whose buffer
+  * would hold the full out-set before any slice. Edges are
+  * de-duplicated first (one (src,dst)-keyed shuffle with bounded
+  * per-key state) so duplicate spellings can't evict distinct
+  * neighbors from the heap. 0 disables the cap for lossless audits
+  * (dedup only — unbounded out-sets are inherent to uncapped).
+  *
+  * The returned frame (and, with `materialize = true`, nothing
+  * else) stays persisted — it is host-dimension-sized; callers that
+  * run many graphs per session may `unpersist()` it when done.
   */
 object LinkRank {
 
@@ -55,20 +69,29 @@ object LinkRank {
     * @param iterations   fixed power-iteration count (≥ 0)
     * @param dampingPpm   damping factor in parts-per-million
     * @param maxOutDegree per-src out-edge cap (0 = uncapped)
+    * @param materialize  run each iteration eagerly (persist + count
+    *                     + unpersist the previous) — the production
+    *                     default: linear plans, bounded cache. Pass
+    *                     false for a fully lazy plan (shape tests).
     * @return (host, outdeg, rank) — rank at [[Scale]] fixed point
     */
   def hostRank(edges: DataFrame, iterations: Int, dampingPpm: Long = 850000L,
-               maxOutDegree: Int = 0): DataFrame = {
+               maxOutDegree: Int = 0, materialize: Boolean = true): DataFrame = {
     require(iterations >= 0 && dampingPpm >= 0 && dampingPpm <= PpmDen)
-    // dedup + supernode cap: one shuffle, no window
-    val lists = edges
+    val dedup = edges
       .select(col("src").cast("string").as("src"), col("dst").cast("string").as("dst"))
-      .groupBy("src").agg(sort_array(collect_set(col("dst"))).as("dsts"))
+      .distinct()
+    // supernode cap: k-bounded heap per src (memory bounded at k
+    // entries per aggregation buffer), constant ord → keep the
+    // bytewise-smallest k dsts, deterministically
     val capped0 =
-      if (maxOutDegree > 0) lists.select(col("src"), slice(col("dsts"), 1, maxOutDegree).as("dsts"))
-      else lists
+      if (maxOutDegree > 0)
+        dedup.groupBy("src")
+          .agg(graft.functions.TopK.topkPairsStr(lit(0L), col("dst"), maxOutDegree).as("pairs"))
+          .select(col("src"), explode(col("pairs").getField("id")).as("dst"))
+      else dedup
     // reused every iteration — materialize once, not once per join
-    val capped = capped0.select(col("src"), explode(col("dsts")).as("dst")).persist()
+    val capped = capped0.persist()
     val nodes = capped.select(col("src").as("host"))
       .union(capped.select(col("dst").as("host"))).distinct()
     val outdeg = capped.groupBy(col("src").as("host")).agg(count(lit(1)).as("outdeg"))
@@ -79,6 +102,7 @@ object LinkRank {
       .persist()
     var ranks = deg.select(col("host"), col("outdeg"), col("n"),
       expr(s"$Scale div n").as("rank"))
+    var prev: DataFrame = null
     for (_ <- 0 until iterations) {
       val shares = ranks.where(col("outdeg") > 0)
         .select(col("host").as("src"), expr("rank div outdeg").as("share"))
@@ -86,12 +110,27 @@ object LinkRank {
         .groupBy(col("dst").as("host")).agg(sum(col("share")).as("inc"))
       val dangle = ranks.agg(
         coalesce(sum(when(col("outdeg") === 0L, col("rank"))), lit(0L)).as("dangle"))
-      ranks = deg.join(incoming, Seq("host"), "left")
+      val next = deg.join(incoming, Seq("host"), "left")
         .crossJoin(broadcast(dangle))
         .select(col("host"), col("outdeg"), col("n"),
           expr(s"($Scale - $Scale * $dampingPpm div $PpmDen) div n" +
             s" + $dampingPpm * (coalesce(inc, 0L) + dangle div n) div $PpmDen").as("rank"))
+        .persist() // both next-iteration uses read ONE cached relation
+      if (materialize) {
+        next.count()
+        if (prev != null) prev.unpersist()
+      }
+      prev = next
+      ranks = next
     }
-    ranks.select(col("host"), col("outdeg"), col("rank"))
+    val out = ranks.select(col("host"), col("outdeg"), col("rank"))
+    if (materialize) {
+      val o = out.persist()
+      o.count()
+      if (prev != null) prev.unpersist()
+      capped.unpersist()
+      deg.unpersist()
+      o
+    } else out
   }
 }

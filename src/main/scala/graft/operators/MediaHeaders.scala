@@ -444,6 +444,11 @@ object MediaHeaders {
             case _                         => return None
           }
           if (movieTs <= 0) return None
+          // 2^50 time units is ~35k years at ANY timescale — values
+          // past it are crafted, and unguarded they overflow the
+          // *1000 arithmetic into silent garbage pts instead of the
+          // None every other inconsistent table returns
+          val maxUnits = 1L << 50
           var delayUnits = 0L
           var mediaTime = -1L
           var e = 0
@@ -455,8 +460,10 @@ object MediaHeaders {
                 val raw = be32(at + 4)
                 (be32(at), if (raw >= 0x80000000L) raw - 0x100000000L else raw)
               }
-            if (dur < 0) return None
+            if (dur < 0 || dur > maxUnits) return None
+            if (mt > maxUnits) return None
             if (mt < 0) delayUnits += dur else mediaTime = mt
+            if (delayUnits > maxUnits) return None
             e += 1
           }
           Some((delayUnits * 1000L / movieTs, math.max(mediaTime, 0L)))

@@ -484,10 +484,16 @@ object Multimodal {
           case Some((raw, recs)) => recs.iterator
             .filter(_.warcType.equalsIgnoreCase("response"))
             .flatMap { w =>
-              val payload = WebArchive.decodeHttpBody(raw, w)
-              graft.functions.Kernels.decodeTextEval(payload).map(text =>
-                WarcResponseRow(r.doc_id, w.idx, w.targetUri, w.httpStatus,
-                  graft.functions.Kernels.detectCharsetEval(payload), text))
+              // the decode layers degrade internally, but the outer
+              // guard keeps ANY surprise (a pathological allocation,
+              // a charset the JVM refuses) from killing the task —
+              // the record degrades to no row, like unparseable files
+              try {
+                val payload = WebArchive.decodeHttpBody(raw, w)
+                val cs = graft.functions.Kernels.detectCharsetEval(payload)
+                graft.functions.Kernels.decodeTextEval(payload, cs).map(text =>
+                  WarcResponseRow(r.doc_id, w.idx, w.targetUri, w.httpStatus, cs, text))
+              } catch { case scala.util.control.NonFatal(_) => None }
             }
           case None => Iterator.empty
         }

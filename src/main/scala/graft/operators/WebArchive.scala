@@ -299,9 +299,13 @@ object WebArchive {
       if (e < 0) return None
       val line = new String(b, o, e - 2 - o, Ascii)
       val semi = line.indexOf(';')
-      val hexStr = (if (semi >= 0) line.substring(0, semi) else line).trim
-      if (hexStr.isEmpty || hexStr.length > 8 ||
-        !hexStr.forall(c => Character.digit(c, 16) >= 0)) return None
+      val hexRaw = (if (semi >= 0) line.substring(0, semi) else line).trim
+      if (hexRaw.isEmpty || !hexRaw.forall(c => Character.digit(c, 16) >= 0)) return None
+      // RFC 9112 puts no digit bound on chunk-size, and zero-padded
+      // sizes ("000000ff") occur in the wild — bound the VALUE (8
+      // significant digits), never the spelling
+      val hexStr = { val t = hexRaw.dropWhile(_ == '0'); if (t.isEmpty) "0" else t }
+      if (hexStr.length > 8) return None
       val size = java.lang.Long.parseLong(hexStr, 16)
       o = e
       if (size == 0L) last = true
@@ -343,7 +347,9 @@ object WebArchive {
                           maxOut: Int): Option[Array[Byte]] = {
     val inf = new java.util.zip.Inflater(nowrap)
     inf.setInput(b)
-    val out = new java.io.ByteArrayOutputStream(math.min(b.length * 2, 1 << 16))
+    // capacity clamps BEFORE any multiply — b.length * 2 overflows Int
+    // for GiB-scale bodies and ByteArrayOutputStream throws on negatives
+    val out = new java.io.ByteArrayOutputStream(math.max(64, math.min(b.length, 1 << 16)))
     val buf = new Array[Byte](65536)
     try {
       while (!inf.finished()) {

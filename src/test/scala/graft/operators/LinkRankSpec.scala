@@ -71,4 +71,25 @@ class LinkRankSpec extends SparkSpec {
     val b = rankMap(LinkRank.hostRank(edges(es: _*), 3, maxOutDegree = 100))
     assert(a == b)
   }
+
+  test("lazy (materialize = false) equals the eager default, and its plan has the right shape") {
+    val es = (0 until 40).map(i => s"h${i % 6}" -> s"h${(i * 5) % 9}")
+    val lazyDf = LinkRank.hostRank(edges(es: _*), 3, maxOutDegree = 4, materialize = false)
+    val eager = rankMap(LinkRank.hostRank(edges(es: _*), 3, maxOutDegree = 4))
+    assert(rankMap(lazyDf) == eager)
+    // per-iteration shape: joins + aggregations, scalars broadcast —
+    // never a window, never a cartesian product
+    val p = lazyDf.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"no window in any iteration:\n$p")
+    assert(!p.contains("CartesianProduct"), s"scalars must broadcast:\n$p")
+  }
+
+  test("duplicate edge spellings cannot evict distinct neighbors from the capped heap") {
+    // 'a' spelled 5 times must still count once; with cap 2 the
+    // smallest TWO DISTINCT dsts survive
+    val e = edges(Seq.fill(5)("hub" -> "a") ++ Seq("hub" -> "b", "hub" -> "c"): _*)
+    val out = LinkRank.hostRank(e, 0, maxOutDegree = 2)
+    val degs = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(degs == Map("hub" -> 2L, "a" -> 0L, "b" -> 0L))
+  }
 }

@@ -397,4 +397,16 @@ class MediaHeadersSpec extends AnyFunSuite {
     assert(MediaHeaders.mp4Samples(b, applyEdits = true).isEmpty)
     assert(MediaHeaders.mp4Samples(b).get.length == 5) // reject is edit-specific
   }
+
+  test("mp4Samples applyEdits: crafted 2^60-unit elst durations reject, never overflow to garbage pts") {
+    // elstV1's segment_duration u64 sits at payload+8 (offset 164 in
+    // the file): overwrite with 2^60 — past the 2^50 sanity bound
+    val b = hex(elstV1)
+    b(164) = 0x10.toByte // big-endian top byte → 2^60
+    assert(MediaHeaders.mp4Samples(b, applyEdits = true).isEmpty)
+    // same bound on a v1 media_time (payload+16 → offset 172)
+    val c = hex(elstV1)
+    c(172) = 0x10.toByte
+    assert(MediaHeaders.mp4Samples(c, applyEdits = true).isEmpty)
+  }
 }

@@ -187,6 +187,15 @@ class WebArchiveSpec extends AnyFunSuite {
     assert(WebArchive.dechunk(padded, 2, c.length).get.sameElements(body))
   }
 
+  test("dechunk: zero-padded size lines are legal (RFC 9112 bounds no digit count)") {
+    val body = b("hello")
+    val padded = b("0000000005\r\n") ++ body ++ b("\r\n000\r\n\r\n")
+    assert(WebArchive.dechunk(padded, 0, padded.length).get.sameElements(body))
+    // the VALUE is still bounded: > 8 significant digits rejects
+    val huge = b("100000000\r\nx\r\n0\r\n\r\n")
+    assert(WebArchive.dechunk(huge, 0, huge.length).isEmpty)
+  }
+
   test("dechunk rejects: bad hex, truncated chunk, missing CRLF, trailing garbage, bomb cap") {
     val body = b("hello")
     assert(WebArchive.dechunk(b("zz\r\nhello\r\n0\r\n\r\n"), 0, 16).isEmpty)

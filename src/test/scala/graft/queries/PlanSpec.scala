@@ -294,25 +294,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"charset decode must not join:\n$p")
   }
 
-  test("ta_link_rank: no window, no driver collect, scalars broadcast (no cartesian)") {
+  test("ta_link_rank: materialized rank frame serves from cache (iteration shape in LinkRankSpec)") {
     val p = plan("ta_link_rank")
     assert(!p.contains("Window"), s"pagerank must not window:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"the per-iteration scalars must broadcast, not cartesian:\n$p")
-    // the capped edge list is persisted once and reused by every
-    // iteration's join — not recomputed per iteration (the supernode
-    // cap itself is behavior-bound in LinkRankSpec)
-    assert(p.contains("InMemoryTableScan"), s"edges must be cached for reuse:\n$p")
+    // hostRank materializes per-iteration (linear plans, bounded
+    // cache), so the query-facing plan reads the cached final frame;
+    // the per-iteration join/agg shape is pinned on the lazy variant
+    // in LinkRankSpec
+    assert(p.contains("InMemoryTableScan"), s"final ranks must serve from cache:\n$p")
   }
 
-  test("ta_link_rank_apply: the rank dim broadcasts onto pages — page side never shuffles") {
+  test("ta_link_rank_apply: rank dim broadcasts onto pages — zero shuffle in the apply") {
     val p = plan("ta_link_rank_apply")
     assert(p.contains("BroadcastHashJoin"), s"rank dim must broadcast:\n$p")
-    assert(!p.contains("Window"), s"no window anywhere in the chain:\n$p")
-    // the page-side scan feeds the broadcast join directly: no
-    // exchange between the documents scan and the join
-    val scanIdx = p.indexOf("documents.parquet")
-    assert(scanIdx > 0, s"page scan missing:\n$p")
+    // the LIVE plan (everything above the cached rank relation) must
+    // not shuffle — the InMemoryRelation node echoes its stored build
+    // plan below, which legitimately contains the iteration shuffles
+    val live = p.indexOf("InMemoryRelation") match {
+      case -1 => p
+      case i  => p.substring(0, i)
+    }
+    assert(!live.contains("Exchange hashpartitioning"),
+      s"the apply must not shuffle either side (ranks are cached, pages scan straight in):\n$live")
+    assert(!live.contains("Window"), s"no window in the apply:\n$live")
   }
 
   test("mm_exif_meta: EXIF walk is map-only — zero exchanges") {
