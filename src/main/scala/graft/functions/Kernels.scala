@@ -39,6 +39,7 @@ object Kernels {
   def byteFoldHash(bin: Column): Column = toColumn(ByteFoldHashK(toExpression(bin)))
   def utf8Invalid(bin: Column): Column = toColumn(Utf8InvalidK(toExpression(bin)))
   def percentNorm(url: Column): Column = toColumn(PercentNormK(toExpression(url)))
+  def canonUrl(url: Column): Column = toColumn(CanonUrlK(toExpression(url)))
   def highBytes(bin: Column): Column = toColumn(HighBytesK(toExpression(bin)))
   def nulBytes(bin: Column): Column = toColumn(NulBytesK(toExpression(bin)))
   def simhash63(shingles: Column): Column = toColumn(SimHash63K(toExpression(shingles)))
@@ -393,6 +394,99 @@ object Kernels {
     UTF8String.fromString(sb.toString)
   }
 
+  private val TrackingParamPattern =
+    java.util.regex.Pattern.compile(graft.functions.WebFunctions.TrackingParamRe)
+
+  /** [[graft.functions.WebFunctions.canonicalizeUrl]]'s contract as
+    * ONE tight JVM pass. The pure-Column formulation re-embeds the
+    * url subtree ~25× (every `when` branch duplicates the
+    * scheme/host/port/path extraction chains), which is not just
+    * slow per row — the EXPRESSION TREE itself becomes tens of
+    * thousands of nodes, and any plan that nests it under cached
+    * relations (the link-rank iteration frames) pays seconds of
+    * driver-side analysis/canonicalization per query. One expression
+    * node ends both costs. Semantics are bound by `ta_url_canon`'s
+    * eight oracle arms, `dd_url_dedup`, `ta_warc_extract`, and the
+    * WebFunctionsSpec corner suites — this eval replicates the regex
+    * chain rule-for-rule (first-`@` userinfo drop, bracket-whole
+    * IPv6, LAST-colon digit-suffix port, first-`?` query split,
+    * bytewise param sort, anchored tracking-param test). */
+  def canonUrlEval(u0: UTF8String): UTF8String = {
+    val t = u0.toString.trim
+    // scheme: [A-Za-z][A-Za-z0-9+.-]* then "://", else passthrough
+    var i = 0
+    val n = t.length
+    if (n == 0 || !((t.charAt(0) >= 'A' && t.charAt(0) <= 'Z') ||
+      (t.charAt(0) >= 'a' && t.charAt(0) <= 'z'))) return UTF8String.fromString(t)
+    i = 1
+    def schemeChar(c: Char): Boolean =
+      (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+        c == '+' || c == '.' || c == '-'
+    while (i < n && schemeChar(t.charAt(i))) i += 1
+    if (!t.startsWith("://", i)) return UTF8String.fromString(t)
+    // percent-normalize the WHOLE url before any splitting (the
+    // Column chain applies percentNorm to the trimmed input)
+    val s = percentNormEval(UTF8String.fromString(t)).toString
+    val scheme = s.substring(0, i).toLowerCase(java.util.Locale.ROOT)
+    // rest = after "://", fragment dropped
+    val afterScheme = i + 3
+    val hashAt = s.indexOf('#', afterScheme)
+    val rest = if (hashAt >= 0) s.substring(afterScheme, hashAt) else s.substring(afterScheme)
+    // authority = rest up to the first '/' or '?'
+    var aEnd = 0
+    while (aEnd < rest.length && rest.charAt(aEnd) != '/' && rest.charAt(aEnd) != '?') aEnd += 1
+    val auth0 = rest.substring(0, aEnd)
+    // userinfo: drop through the FIRST '@'
+    val atAt = auth0.indexOf('@')
+    val hostPort = (if (atAt >= 0) auth0.substring(atAt + 1) else auth0)
+      .toLowerCase(java.util.Locale.ROOT)
+    // IPv6 bracket literal stays whole; port only after the bracket
+    var host = ""
+    var port = ""
+    if (hostPort.startsWith("[") && hostPort.indexOf(']') >= 0) {
+      val close = hostPort.indexOf(']')
+      host = hostPort.substring(0, close + 1)
+      val tail = hostPort.substring(close + 1)
+      if (tail.length > 1 && tail.charAt(0) == ':' &&
+        tail.substring(1).forall(c => c >= '0' && c <= '9')) port = tail.substring(1)
+    } else {
+      val colon = hostPort.indexOf(':')
+      val bare = if (colon >= 0) hostPort.substring(0, colon) else hostPort
+      host = if (bare.startsWith("www.")) bare.substring(4) else bare
+      // :(\d+)$ — digits to the END after the LAST colon
+      val lastColon = hostPort.lastIndexOf(':')
+      if (lastColon >= 0 && lastColon + 1 < hostPort.length &&
+        hostPort.substring(lastColon + 1).forall(c => c >= '0' && c <= '9'))
+        port = hostPort.substring(lastColon + 1)
+    }
+    val portPart =
+      if (port.isEmpty || (scheme == "http" && port == "80") ||
+        (scheme == "https" && port == "443")) ""
+      else ":" + port
+    // path: from the first '/' (if it precedes any '?') to the first '?'
+    val qAt = rest.indexOf('?')
+    val rawPath =
+      if (aEnd < rest.length && rest.charAt(aEnd) == '/')
+        rest.substring(aEnd, if (qAt >= 0) qAt else rest.length)
+      else ""
+    var pEnd = rawPath.length
+    while (pEnd > 0 && rawPath.charAt(pEnd - 1) == '/') pEnd -= 1
+    val path = if (pEnd == 0) "/" else rawPath.substring(0, pEnd)
+    // query: after the FIRST '?'; empties and tracking params drop,
+    // the rest sort BYTEWISE (UTF8String order, = Spark array_sort)
+    var queryPart = ""
+    if (qAt >= 0) {
+      val kept = s.substring(afterScheme + qAt + 1,
+          if (hashAt >= 0) hashAt else s.length)
+        .split("&", -1)
+        .filter(p => p.nonEmpty && !TrackingParamPattern.matcher(p).find())
+        .map(UTF8String.fromString)
+      java.util.Arrays.sort(kept, (a: UTF8String, b: UTF8String) => a.compareTo(b))
+      if (kept.nonEmpty) queryPart = "?" + kept.mkString("&")
+    }
+    UTF8String.fromString(scheme + "://" + host + portPart + path + queryPart)
+  }
+
   /** plain-bytes mirror of
     * [[graft.functions.TextFunctions.detectEncoding]]'s Column chain
     * (same BOM-before-NUL-before-scanner ladder over the same three
@@ -565,6 +659,16 @@ case class Utf8InvalidK(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.utf8InvalidEval($c)")
   override protected def withNewChildInternal(newChild: Expression): Utf8InvalidK = copy(child = newChild)
   override def prettyName: String = "graft_utf8_invalid"
+}
+
+case class CanonUrlK(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    Kernels.canonUrlEval(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.canonUrlEval($c)")
+  override protected def withNewChildInternal(newChild: Expression): CanonUrlK = copy(child = newChild)
+  override def prettyName: String = "graft_canon_url"
 }
 
 case class PercentNormK(child: Expression) extends UnaryExpression {

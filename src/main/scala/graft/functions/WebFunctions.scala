@@ -55,41 +55,16 @@ object WebFunctions {
     *  - anything without a `scheme://` prefix passes through trimmed
     *    (relative links are not crawl keys), percent-escapes
     *    untouched — a relative fragment is not a key to normalize
+    *
+    * Implemented as ONE codegen kernel ([[Kernels.canonUrlEval]],
+    * `graft_canon_url`) rather than a regex-chain Column: the chain
+    * duplicated the url subtree ~25× across `when` branches, which
+    * cost ~30 regex evaluations per row AND made any plan nesting it
+    * (link-rank's cached iteration frames) pay seconds of driver-side
+    * tree canonicalization. The kernel is one expression node and one
+    * pass per row; every rule above stays bound by the same fixtures.
     */
-  def canonicalizeUrl(url: Column): Column = {
-    val t = trim(url)
-    val u = Kernels.percentNorm(t)
-    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    // everything after scheme://, fragment dropped
-    val rest = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^#]*)", 1)
-    // authority: userinfo dropped (never a dedup key; RFC 3986 §3.2.1
-    // forbids unencoded '@' inside it, so strip through the '@')
-    val hostPort =
-      lower(regexp_replace(regexp_extract(rest, "^([^/?]*)", 1), "^[^@]*@", ""))
-    // IPv6 literals keep their brackets whole (a ':' inside [] is not
-    // a port separator); everything else splits on the last ':'
-    val bracket = regexp_extract(hostPort, "^(\\[[^\\]]*\\])", 1)
-    val host = when(bracket =!= "", bracket)
-      .otherwise(regexp_replace(regexp_extract(hostPort, "^([^:]*)", 1), "^www\\.", ""))
-    val port = when(bracket =!= "",
-        regexp_extract(hostPort, "^\\[[^\\]]*\\]:(\\d+)$", 1))
-      .otherwise(regexp_extract(hostPort, ":(\\d+)$", 1))
-    val portPart = when(
-      port === "" ||
-        (scheme === "http" && port === "80") ||
-        (scheme === "https" && port === "443"),
-      lit("")).otherwise(concat(lit(":"), port))
-    val rawPath = regexp_extract(rest, "^[^/?]*(/[^?]*)?", 1)
-    val noTrail = regexp_replace(rawPath, "/+$", "")
-    val path = when(noTrail === "", lit("/")).otherwise(noTrail)
-    val rawQuery = regexp_extract(rest, "\\?(.*)$", 1)
-    val kept = array_sort(filter(split(rawQuery, "&"),
-      p => p =!= "" && !p.rlike(TrackingParamRe)))
-    val query = array_join(kept, "&")
-    val queryPart = when(query === "", lit("")).otherwise(concat(lit("?"), query))
-    when(scheme === "", t)
-      .otherwise(concat(scheme, lit("://"), host, portPart, path, queryPart))
-  }
+  def canonicalizeUrl(url: Column): Column = Kernels.canonUrl(url)
 
   /** host of an absolute URL — no port, no userinfo, IPv6 brackets
     * kept whole; "" for non-absolute inputs. The node key for

@@ -14,10 +14,10 @@ import org.apache.spark.sql.functions._
   * (ranks ⋈ edges on src) plus one aggregation (sum of shares by
   * dst); the two per-iteration scalars (node count, dangling mass)
   * ride as broadcast 1-row cross joins. Each iteration's rank frame
-  * is persisted and (by default) materialized before the next, so
-  * the plan stays LINEAR in the iteration count — the two uses of
-  * the previous ranks (shares + dangling mass) read one cached
-  * relation, never two copies of the lineage. At 10⁸ hosts each
+  * is persisted, so the plan stays LINEAR in the iteration count —
+  * the two uses of the previous ranks (shares + dangling mass) read
+  * one cached relation, never two copies of the lineage, and each
+  * level materializes exactly once at execution. At 10⁸ hosts each
   * iteration is two hash shuffles on the host key — the plan a
   * Pregel would lower to anyway — and `iterations` is a small fixed
   * constant (host rank converges in a handful of rounds; production
@@ -53,9 +53,11 @@ import org.apache.spark.sql.functions._
   * neighbors from the heap. 0 disables the cap for lossless audits
   * (dedup only — unbounded out-sets are inherent to uncapped).
   *
-  * The returned frame (and, with `materialize = true`, nothing
-  * else) stays persisted — it is host-dimension-sized; callers that
-  * run many graphs per session may `unpersist()` it when done.
+  * The iteration frames stay persisted (host-dimension-sized — a
+  * few dozen bytes per host); with `materialize = true` superseded
+  * iterations are released eagerly and only the returned frame stays
+  * cached. Callers running many graphs per session may `unpersist()`
+  * when done.
   */
 object LinkRank {
 
@@ -70,14 +72,43 @@ object LinkRank {
     * @param dampingPpm   damping factor in parts-per-million
     * @param maxOutDegree per-src out-edge cap (0 = uncapped)
     * @param materialize  run each iteration eagerly (persist + count
-    *                     + unpersist the previous) — the production
-    *                     default: linear plans, bounded cache. Pass
-    *                     false for a fully lazy plan (shape tests).
+    *                     + unpersist the previous) with ADAPTIVE
+    *                     EXECUTION SCOPED OFF — the default. An
+    *                     iterative dim-graph computation is the one
+    *                     shape AQE only hurts: partition sizes are
+    *                     known (graph-dimension rows), nothing needs
+    *                     runtime re-planning, and AQE's per-stage
+    *                     re-optimization loop across the many small
+    *                     materialization barriers costs multiples of
+    *                     the actual task time (measured 7.8 s vs
+    *                     2.8 s on the oracle graph). The session's
+    *                     AQE setting is saved and restored; the
+    *                     returned frame is cached, so downstream
+    *                     consumers run under normal AQE. Pass false
+    *                     for a fully lazy plan (construction-time
+    *                     zero jobs; iteration frames still persist so
+    *                     the plan stays linear).
+    * @param graphPartitions partition count for the HOST-GRAPH stages
+    *                     (everything after the per-edge prep). The
+    *                     host graph is dim-sized relative to the
+    *                     corpus (10⁸ hosts for 10¹¹ pages), so the
+    *                     right task count is set by |hosts|, not by
+    *                     the session's corpus-sized shuffle width —
+    *                     0 keeps the session default.
     * @return (host, outdeg, rank) — rank at [[Scale]] fixed point
     */
   def hostRank(edges: DataFrame, iterations: Int, dampingPpm: Long = 850000L,
-               maxOutDegree: Int = 0, materialize: Boolean = true): DataFrame = {
+               maxOutDegree: Int = 0, materialize: Boolean = true,
+               graphPartitions: Int = 0): DataFrame = {
     require(iterations >= 0 && dampingPpm >= 0 && dampingPpm <= PpmDen)
+    val sess = edges.sparkSession
+    val gp =
+      if (graphPartitions > 0) graphPartitions
+      else sess.sessionState.conf.numShufflePartitions
+    val AqeKey = "spark.sql.adaptive.enabled"
+    val savedAqe = if (materialize) sess.conf.get(AqeKey, "true") else ""
+    if (materialize) sess.conf.set(AqeKey, "false")
+    try {
     val dedup = edges
       .select(col("src").cast("string").as("src"), col("dst").cast("string").as("dst"))
       .distinct()
@@ -90,16 +121,22 @@ object LinkRank {
           .agg(graft.functions.TopK.topkPairsStr(lit(0L), col("dst"), maxOutDegree).as("pairs"))
           .select(col("src"), explode(col("pairs").getField("id")).as("dst"))
       else dedup
-    // reused every iteration — materialize once, not once per join
-    val capped = capped0.persist()
-    val nodes = capped.select(col("src").as("host"))
-      .union(capped.select(col("dst").as("host"))).distinct()
-    val outdeg = capped.groupBy(col("src").as("host")).agg(count(lit(1)).as("outdeg"))
-    val nn = nodes.agg(count(lit(1)).as("n"))
-    val deg = nodes.join(outdeg, Seq("host"), "left")
-      .select(col("host"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
-      .crossJoin(broadcast(nn)) // (host, outdeg, n) — the iteration frame
+    // reused every iteration — materialized once, PRE-PARTITIONED on
+    // the iteration join keys at graph width, so each round's joins
+    // are zero-exchange (capped⋈shares co-partitioned on src,
+    // deg⋈incoming on host — the Pregel co-location discipline; only
+    // the per-iteration re-key to dst genuinely shuffles)
+    val capped = capped0.repartition(gp, col("src")).persist()
+    // nodes ∪ out-degrees in ONE aggregation (a src contributes 1 per
+    // out-edge, a dst contributes 0 — sum is the out-degree and every
+    // host surfaces), instead of a distinct + groupBy + join chain
+    val deg0 = capped.select(col("src").as("host"), lit(1L).as("o"))
+      .unionByName(capped.select(col("dst").as("host"), lit(0L).as("o")))
+      .repartition(gp, col("host"))
+      .groupBy("host").agg(sum(col("o")).as("outdeg"))
       .persist()
+    val nn = deg0.agg(count(lit(1)).as("n"))
+    val deg = deg0.crossJoin(broadcast(nn)).persist() // (host, outdeg, n)
     var ranks = deg.select(col("host"), col("outdeg"), col("n"),
       expr(s"$Scale div n").as("rank"))
     var prev: DataFrame = null
@@ -107,6 +144,7 @@ object LinkRank {
       val shares = ranks.where(col("outdeg") > 0)
         .select(col("host").as("src"), expr("rank div outdeg").as("share"))
       val incoming = capped.join(shares, "src")
+        .repartition(gp, col("dst")) // the one genuine re-key per round
         .groupBy(col("dst").as("host")).agg(sum(col("share")).as("inc"))
       val dangle = ranks.agg(
         coalesce(sum(when(col("outdeg") === 0L, col("rank"))), lit(0L)).as("dangle"))
@@ -129,8 +167,10 @@ object LinkRank {
       o.count()
       if (prev != null) prev.unpersist()
       capped.unpersist()
+      deg0.unpersist()
       deg.unpersist()
       o
     } else out
+    } finally if (materialize) sess.conf.set(AqeKey, savedAqe)
   }
 }

@@ -1144,9 +1144,12 @@ object TrainingOps {
     val peerEdges = d.where(pmod(col("doc_id"), lit(17L)) === 0)
       .select(site.as("src"),
         concat(lit("peer"), pmod(col("doc_id"), lit(11L)), lit(".example")).as("dst"))
+    // graphPartitions = 4: the host graph is DIM-sized (a dozen hosts
+    // here; 10⁸ at corpus scale vs 10¹¹ pages), so its stages get a
+    // graph-sized task count, not the corpus-sized session width
     graft.operators.LinkRank.hostRank(
       pageEdges.unionByName(backEdges).unionByName(peerEdges),
-      iterations = 4, maxOutDegree = 6)
+      iterations = 4, maxOutDegree = 6, graphPartitions = 4)
   }
 
   /** DuckDB replay of [[linkRankDf]], CTE-by-CTE: same capped edge

@@ -294,31 +294,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"charset decode must not join:\n$p")
   }
 
-  test("ta_link_rank: materialized rank frame serves from cache (iteration shape in LinkRankSpec)") {
+  test("ta_link_rank: no window, scalars broadcast, iteration frames cached (linear plan)") {
     val p = plan("ta_link_rank")
     assert(!p.contains("Window"), s"pagerank must not window:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"the per-iteration scalars must broadcast, not cartesian:\n$p")
-    // hostRank materializes per-iteration (linear plans, bounded
-    // cache), so the query-facing plan reads the cached final frame;
-    // the per-iteration join/agg shape is pinned on the lazy variant
-    // in LinkRankSpec
-    assert(p.contains("InMemoryTableScan"), s"final ranks must serve from cache:\n$p")
+    // per-iteration lazy persists: the previous iteration appears as
+    // ONE cached relation, never two lineage copies
+    assert(p.contains("InMemoryTableScan"), s"iteration frames must be cached:\n$p")
   }
 
-  test("ta_link_rank_apply: rank dim broadcasts onto pages — zero shuffle in the apply") {
+  test("ta_link_rank_apply: rank dim broadcasts onto pages — page side never shuffles") {
     val p = plan("ta_link_rank_apply")
-    assert(p.contains("BroadcastHashJoin"), s"rank dim must broadcast:\n$p")
-    // the LIVE plan (everything above the cached rank relation) must
-    // not shuffle — the InMemoryRelation node echoes its stored build
-    // plan below, which legitimately contains the iteration shuffles
-    val live = p.indexOf("InMemoryRelation") match {
-      case -1 => p
-      case i  => p.substring(0, i)
-    }
-    assert(!live.contains("Exchange hashpartitioning"),
-      s"the apply must not shuffle either side (ranks are cached, pages scan straight in):\n$live")
-    assert(!live.contains("Window"), s"no window in the apply:\n$live")
+    val join = p.indexOf("BroadcastHashJoin")
+    val bcast = p.indexOf("BroadcastExchange", join)
+    assert(join >= 0 && bcast > join, s"rank dim must broadcast:\n$p")
+    // the streamed (page) side prints between the join node and its
+    // BroadcastExchange child: it must be the bare documents scan —
+    // no exchange, no window
+    val pageSide = p.substring(join, bcast)
+    assert(pageSide.contains("documents.parquet"), s"page scan missing:\n$pageSide")
+    assert(!pageSide.contains("Exchange"), s"pages must stream straight into the join:\n$pageSide")
+    assert(!pageSide.contains("Window"), s"no window on the page side:\n$pageSide")
   }
 
   test("mm_exif_meta: EXIF walk is map-only — zero exchanges") {
