@@ -285,6 +285,30 @@ object ScaleDecade {
       }
     }
 
+    // r14: host-graph PageRank at 10⁴ → 10⁵ → 10⁶ hosts (×8 organic
+    // out-edges, plus ONE supernode with n/10 out-links that the
+    // k-bounded heap cap must absorb without blowing an aggregation
+    // buffer). The per-iteration work is two host-keyed hash
+    // shuffles; past the fixed stage latency the curve must go
+    // linear in |edges|.
+    for (n <- Seq(10000L, 100000L, 1000000L)) {
+      val organic = spark.range(n * 8).selectExpr(
+        s"concat('h', id div 8) AS src",
+        s"concat('h', (id * 2654435761) % $n) AS dst")
+      val hub = spark.range(n / 10).selectExpr(
+        "'hub.example' AS src", s"concat('h', id % $n) AS dst")
+      val e = organic.unionByName(hub)
+        .repartition(spark.sparkContext.defaultParallelism).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val ranks = operators.LinkRank.hostRank(e, iterations = 3, maxOutDegree = 16)
+      val built = (System.nanoTime() - t0) / 1e9
+      val rows = ranks.count()
+      val hubDeg = ranks.where(col("host") === "hub.example")
+        .select("outdeg").collect()(0).getLong(0)
+      println(f"[decade] linkrank hosts=$n%8d rank3iters=$built%7.2f s ($rows%8d hosts, hub outdeg=$hubDeg — cap binds)")
+      ranks.unpersist(); e.unpersist()
+    }
+
     // IVF build + self-serve at 16k → 128k → 1M vectors: the bounded
     // 100k training sample must hold the BUILD near-flat past 128k
     // while assignment/serving stays linear

@@ -76,14 +76,38 @@ class CurationServingSpec extends SparkSpec {
     import spark.implicits._
     import graft.operators.{Multimodal, WebArchive}
     import graft.functions.WebFunctions
+    // bodies carry the REAL archive wire shapes (r14): every 3rd doc
+    // chunked, every 5th gzip-encoded, every 7th latin-1 — the
+    // decode layers must behave identically in the micro-batch
     def warcOf(id: Long, uri: String, html: String): Multimodal.MediaRow = {
-      val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$html"
-      val rec = s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
-        s"Content-Length: ${http.length}\r\n\r\n$http\r\n\r\n"
-      val bos = new java.io.ByteArrayOutputStream()
-      val g = new java.util.zip.GZIPOutputStream(bos)
-      g.write(rec.getBytes(java.nio.charset.StandardCharsets.US_ASCII)); g.close()
-      Multimodal.MediaRow(id, "warc", bos.toByteArray) // .warc.gz on the stream
+      def gz(b: Array[Byte]): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bos); g.write(b); g.close()
+        bos.toByteArray
+      }
+      val page = if (id % 7 == 0) ("café " + html) else html
+      val raw =
+        if (id % 7 == 0) page.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        else page.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val encBody = if (id % 5 == 0) gz(raw) else raw
+      val wire =
+        if (id % 3 == 0) {
+          val bos = new java.io.ByteArrayOutputStream()
+          encBody.grouped(13).foreach { c =>
+            bos.write((c.length.toHexString + "\r\n").getBytes("US-ASCII"))
+            bos.write(c); bos.write("\r\n".getBytes("US-ASCII"))
+          }
+          bos.write("0\r\n\r\n".getBytes("US-ASCII"))
+          bos.toByteArray
+        } else encBody
+      val hdrs = (if (id % 5 == 0) "Content-Encoding: gzip\r\n" else "") +
+        (if (id % 3 == 0) "Transfer-Encoding: chunked\r\n" else "")
+      val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n$hdrs\r\n"
+        .getBytes("US-ASCII") ++ wire
+      val rec = (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes("US-ASCII") ++
+        http ++ "\r\n\r\n".getBytes("US-ASCII")
+      Multimodal.MediaRow(id, "warc", gz(rec)) // .warc.gz on the stream
     }
     val rows = (1L to 40L).map(i => warcOf(i,
       s"HTTP://WWW.Example.COM:80/p/$i/?utm_source=s&b=$i&a=1",
@@ -106,7 +130,8 @@ class CurationServingSpec extends SparkSpec {
     assert(streamed == batch && streamed.size == 40)
     assert(streamed.head._2.startsWith("http://example.com/p/"))
     assert(streamed.forall { case (id, u, t) =>
-      u == s"http://example.com/p/$id?a=1&b=$id" && t == s"doc $id body" })
+      u == s"http://example.com/p/$id?a=1&b=$id" &&
+        t == (if (id % 7 == 0) s"café doc $id body" else s"doc $id body") })
     // and the streaming plan shuffles nothing
     val plan = serve(rows.toDS()).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange") && !plan.contains("Join"),
