@@ -453,6 +453,15 @@ object Kernels {
       val colon = hostPort.indexOf(':')
       val bare = if (colon >= 0) hostPort.substring(0, colon) else hostPort
       host = if (bare.startsWith("www.")) bare.substring(4) else bare
+      // IDN fold: a unicode host maps to its punycode form (RFC 3490
+      // ToASCII via the JDK's IDNA tables), so unicode and punycode
+      // spellings of the same host key identically; a host the
+      // mapping rejects (overlong label, empty label) passes through
+      // untouched — the malformed-escape discipline. ASCII hosts
+      // (already-punycode included) skip the call entirely.
+      if (host.exists(_ > 127))
+        try host = java.net.IDN.toASCII(host).toLowerCase(java.util.Locale.ROOT)
+        catch { case _: IllegalArgumentException => () }
       // :(\d+)$ — digits to the END after the LAST colon
       val lastColon = hostPort.lastIndexOf(':')
       if (lastColon >= 0 && lastColon + 1 < hostPort.length &&

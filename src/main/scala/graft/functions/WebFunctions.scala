@@ -48,10 +48,12 @@ object WebFunctions {
     *    their hex (`%3a`→`%3A`), malformed escapes pass untouched —
     *    decoding only unreserved bytes can never manufacture a
     *    delimiter, so the split rules above see the same structure
-    *  - punycode hosts (`xn--…`) pass through lowercased as-is; IDN
-    *    unicode↔punycode folding is out of scope for a pure
-    *    expression chain (would need the full IDNA mapping tables) —
-    *    a crawl keyed on the punycode form is self-consistent
+    *  - IDN hosts fold to punycode (`java.net.IDN.toASCII`, the
+    *    JDK's IDNA tables), so the unicode and punycode spellings of
+    *    the same host key IDENTICALLY; already-punycode (`xn--…`)
+    *    hosts pass through lowercased unchanged, and a host the
+    *    mapping rejects (overlong label, empty label) passes through
+    *    untouched — the malformed-escape discipline
     *  - anything without a `scheme://` prefix passes through trimmed
     *    (relative links are not crawl keys), percent-escapes
     *    untouched — a relative fragment is not a key to normalize
@@ -67,12 +69,14 @@ object WebFunctions {
   def canonicalizeUrl(url: Column): Column = Kernels.canonUrl(url)
 
   /** host of an absolute URL — no port, no userinfo, IPv6 brackets
-    * kept whole; "" for non-absolute inputs. The node key for
+    * kept whole, LOWERCASED (hosts are case-insensitive per RFC 3986
+    * §3.2.2, so raw uncanonicalized inputs can't case-split graph
+    * nodes); "" for non-absolute inputs. The node key for
     * host-graph work ([[graft.operators.LinkRank]]): link edges
     * aggregate at host granularity, never page granularity. */
   def hostOf(url: Column): Column =
-    regexp_extract(url,
-      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/?#]*@)?(\\[[^\\]]*\\]|[^:/?#]*)", 1)
+    lower(regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/?#]*@)?(\\[[^\\]]*\\]|[^:/?#]*)", 1))
 
   /** script/style ELEMENTS (tag + content) and comments → spaces. */
   private def dropNonContent(html: Column): Column = {

@@ -36,7 +36,11 @@ object Robots {
     // leave a partial rule whose truncated pattern PARSES but matches
     // more (or less) than the author wrote — 'Allow: /x-longer' cut
     // to 'Allow: /x' silently broadens the allowance — so only whole
-    // lines survive the cap.
+    // lines survive the cap. Degenerate corner, accepted: a body
+    // whose FIRST MaxBodyChars contain no '\n' at all (one giant
+    // line) keeps nothing and parses as allow-all — a newline-free
+    // window contains no complete rule to keep, and RFC 9309 §2.5
+    // already lets an unparseable oversized file degrade to allow.
     val txt =
       if (robotsTxt.length > MaxBodyChars) {
         val cut = robotsTxt.lastIndexOf('\n', MaxBodyChars - 1)

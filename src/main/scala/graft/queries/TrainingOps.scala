@@ -3637,7 +3637,10 @@ object TrainingOps {
     // + host case lowered (v3), unreserved percent-escapes decode +
     // punycode host pass-through (v4), reserved escapes keep bytes but
     // uppercase hex (v5), malformed escapes untouched (v6), escapes
-    // normalize BEFORE the param sort (v7).
+    // normalize BEFORE the param sort (v7). Two IDN twins per 9th doc
+    // bind the kernel's unicode→punycode fold: the unicode spelling
+    // (+1e9) and the punycode spelling (+2e9) of the SAME host must
+    // canonicalize to the IDENTICAL key.
     "ta_url_canon" -> Q(
       (s, dir) => {
         val d = Tables(s, dir, "documents")
@@ -3659,11 +3662,20 @@ object TrainingOps {
             concat(lit("http://host"), k, lit(".com/p%zz/"), k, lit("q%4")))
           .otherwise(
             concat(lit("http://host"), k, lit(".com/%64oc"), k, lit("?b=%7E2&a=1")))
-        d.select(col("doc_id"), raw.as("url"),
-          graft.functions.WebFunctions.canonicalizeUrl(raw).as("url_canon"))
+        val nine = d.where(pmod(col("doc_id"), lit(9L)) === 0)
+        val uniTwin = nine.select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+          concat(lit("http://Bücher.example/x/"), k).as("url"))
+        val punyTwin = nine.select((col("doc_id") + lit(2000000000L)).as("doc_id"),
+          concat(lit("http://xn--bcher-kva.EXAMPLE/x/"), k).as("url"))
+        d.select(col("doc_id"), raw.as("url"))
+          .unionByName(uniTwin).unionByName(punyTwin)
+          .select(col("doc_id"), col("url"),
+            graft.functions.WebFunctions.canonicalizeUrl(col("url")).as("url_canon"))
       },
       Some("""WITH v AS (SELECT doc_id, doc_id % 8 AS m,
-             |            CAST(doc_id % 211 AS VARCHAR) AS k FROM documents)
+             |            CAST(doc_id % 211 AS VARCHAR) AS k FROM documents),
+             |v9 AS (SELECT doc_id, CAST(doc_id % 211 AS VARCHAR) AS k
+             |       FROM documents WHERE doc_id % 9 = 0)
              |SELECT doc_id,
              |  CASE m WHEN 0 THEN 'HTTP://WWW.Host' || k || '.COM:80/Page/' || k || '/?utm_campaign=a'
              |         WHEN 1 THEN 'http://host' || k || '.com/Page/' || k || '?b=2&a=1&fbclid=z'
@@ -3681,7 +3693,13 @@ object TrainingOps {
              |         WHEN 5 THEN 'http://host' || k || '.com/a%2Fb/%3D' || k || '?x=%3A'
              |         WHEN 6 THEN 'http://host' || k || '.com/p%zz/' || k || 'q%4'
              |         ELSE 'http://host' || k || '.com/doc' || k || '?a=1&b=~2' END AS url_canon
-             |FROM v""".stripMargin)),
+             |FROM v
+             |UNION ALL
+             |SELECT doc_id + 1000000000, 'http://Bücher.example/x/' || k,
+             |  'http://xn--bcher-kva.example/x/' || k FROM v9
+             |UNION ALL
+             |SELECT doc_id + 2000000000, 'http://xn--bcher-kva.EXAMPLE/x/' || k,
+             |  'http://xn--bcher-kva.example/x/' || k FROM v9""".stripMargin)),
 
     // URL-keyed dedup: five raw spellings per canonical page (case,
     // www, default port, trailing slash, fragment, tracking params,

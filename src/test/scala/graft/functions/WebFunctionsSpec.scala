@@ -83,9 +83,33 @@ class WebFunctionsSpec extends SparkSpec {
         "http://a.com/x"))
   }
 
-  test("punycode hosts pass through lowercased (IDN folding out of scope)") {
-    assert(canon("http://XN--BCHER-KVA.example/p") ==
-      Seq("http://xn--bcher-kva.example/p"))
+  test("IDN hosts fold to punycode; punycode spellings pass through lowercased") {
+    assert(canon(
+      "http://XN--BCHER-KVA.example/p", // already punycode: lowercase only
+      "http://Bücher.example/p",        // unicode folds to the SAME key
+      "http://héllo-wörld.test/x",      // multi-label unicode
+      "https://bücher.example:8443/x",  // fold composes with port rules
+      "http://www.bücher.example/x") == // fold composes with www strip
+      Seq("http://xn--bcher-kva.example/p",
+        "http://xn--bcher-kva.example/p",
+        "http://xn--hllo-wrld-b4a2m.test/x",
+        "https://xn--bcher-kva.example:8443/x",
+        "http://xn--bcher-kva.example/x"))
+  }
+
+  test("IDN: a host the IDNA mapping rejects passes through untouched") {
+    // 60 'ü's encode past the 63-octet label bound → IDN.toASCII
+    // throws → the malformed-escape discipline: keep the spelling
+    val big = "ü" * 60
+    assert(canon(s"http://$big.example/p") == Seq(s"http://$big.example/p"))
+  }
+
+  test("hostOf: lowercases raw hosts, drops port/userinfo, keeps IPv6 brackets") {
+    import spark.implicits._
+    val hosts = Seq("http://Host.COM:8080/x", "https://u:p@Site.example/y",
+      "http://[2001:DB8::1]:80/z", "not a url")
+      .toDF("u").select(WebFunctions.hostOf(col("u"))).as[String].collect().toSeq
+    assert(hosts == Seq("host.com", "site.example", "[2001:db8::1]", ""))
   }
 
   test("non-absolute inputs pass through trimmed") {

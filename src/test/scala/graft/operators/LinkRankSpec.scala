@@ -72,9 +72,10 @@ class LinkRankSpec extends SparkSpec {
     assert(a == b)
   }
 
-  test("eager (materialize = true) equals the lazy default, and the lazy plan has the right shape") {
+  test("eager (materialize = true) equals the lazy path, and the lazy plan has the right shape") {
     val es = (0 until 40).map(i => s"h${i % 6}" -> s"h${(i * 5) % 9}")
-    val lazyDf = LinkRank.hostRank(edges(es: _*), 3, maxOutDegree = 4)
+    val lazyDf = LinkRank.hostRank(edges(es: _*), 3, maxOutDegree = 4,
+      materialize = false)
     val eager = rankMap(LinkRank.hostRank(edges(es: _*), 3, maxOutDegree = 4,
       materialize = true))
     assert(rankMap(lazyDf) == eager)
