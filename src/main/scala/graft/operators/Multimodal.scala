@@ -451,9 +451,14 @@ object Multimodal {
   }
 
   /** One extracted, fully-decoded HTTP response: URI, status, the
-    * charset label the body decoded under, and the body TEXT. */
+    * charset label the body decoded under, the body TEXT, and the
+    * residual coding list NOT undone ("" when fully decoded — a
+    * brotli/zstd or mislabeled body carries its still-wrapped codings
+    * here so the curation gate can FILTER the mojibake instead of
+    * silently ingesting it). */
   final case class WarcResponseRow(doc_id: Long, idx: Int, target_uri: String,
-                                   http_status: Int, charset: String, body: String)
+                                   http_status: Int, charset: String, body: String,
+                                   coding_residual: String)
 
   /** Response payloads sliced in the same pass as the record walk —
     * for pipelines that extract immediately (WARC → HTML → text);
@@ -489,10 +494,11 @@ object Multimodal {
               // a charset the JVM refuses) from killing the task —
               // the record degrades to no row, like unparseable files
               try {
-                val payload = WebArchive.decodeHttpBody(raw, w)
+                val (payload, residual) = WebArchive.decodeHttpPayload(raw, w)
                 val cs = graft.functions.Kernels.detectCharsetEval(payload)
                 graft.functions.Kernels.decodeTextEval(payload, cs).map(text =>
-                  WarcResponseRow(r.doc_id, w.idx, w.targetUri, w.httpStatus, cs, text))
+                  WarcResponseRow(r.doc_id, w.idx, w.targetUri, w.httpStatus, cs,
+                    text, residual))
               } catch { case scala.util.control.NonFatal(_) => None }
             }
           case None => Iterator.empty

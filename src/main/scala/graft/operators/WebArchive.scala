@@ -364,25 +364,61 @@ object WebArchive {
     } finally inf.end()
   }
 
-  /** A response record's body with its HTTP codings undone:
-    * chunked framing reassembled, then gzip/deflate content coding
-    * inflated — each layer degrading to its input when the label
-    * doesn't match the bytes (mislabeled/corrupt captures flow
-    * through raw; `identity` and unknown codings pass untouched). */
-  def decodeHttpBody(raw: Array[Byte], rec: WarcRec,
-                     maxOut: Int = 1 << 28): Array[Byte] = {
-    val sliced = java.util.Arrays.copyOfRange(raw, rec.bodyOffset.toInt,
-      (rec.bodyOffset + rec.bodyLength).toInt)
-    val deframed =
-      if (rec.transferEncoding.contains("chunked"))
-        dechunk(sliced, 0, sliced.length, maxOut).getOrElse(sliced)
-      else sliced
-    rec.contentEncoding match {
-      case "gzip" | "x-gzip" => gunzip(deframed, maxOut).getOrElse(deframed)
-      case "deflate" => inflate(deframed, maxOut).getOrElse(deframed)
-      case _ => deframed
+  /** one coding-list header value → its tokens in header order (the
+    * order the sender APPLIED them, RFC 9110 §6.4); empty members and
+    * `identity` no-ops drop. */
+  private def codingTokens(v: String): Array[String] =
+    v.split(",").iterator.map(_.trim).filter(t => t.nonEmpty && t != "identity").toArray
+
+  /** undo ONE coding layer, or None when the label doesn't match the
+    * bytes / the coding isn't decodable here (br, zstd, compress). */
+  private def undoCoding(tok: String, b: Array[Byte], maxOut: Int): Option[Array[Byte]] =
+    tok match {
+      case "chunked" => dechunk(b, 0, b.length, maxOut)
+      case "gzip" | "x-gzip" => gunzip(b, maxOut)
+      case "deflate" => inflate(b, maxOut)
+      case _ => None
     }
+
+  /** A response record's body with its HTTP codings undone, plus the
+    * RESIDUAL coding list that was NOT undone ("" when the payload is
+    * fully decoded).
+    *
+    * The full coding stack is content codings then transfer codings
+    * (the sender applies CE first, TE last — RFC 9110 §6.4 +
+    * RFC 9112 §7), each list in header order, so codings are undone
+    * RIGHT-TO-LEFT across the concatenation: `TE: gzip, chunked`
+    * dechunks then gunzips; `CE: gzip` + `TE: chunked` dechunks then
+    * gunzips; stacked lists compose. Undoing stops at the first layer
+    * that fails or isn't decodable here (undecodable-coded bytes are
+    * opaque — trying inner layers on them is meaningless); everything
+    * still wrapped is returned innermost-first as the residual, so a
+    * mislabeled capture or a brotli/zstd body degrades WITH THE
+    * EVIDENCE ATTACHED — downstream curation filters on the column
+    * instead of silently mojibaking (`identity` never appears: it is
+    * a no-op, not a wrapper). */
+  def decodeHttpPayload(raw: Array[Byte], rec: WarcRec,
+                        maxOut: Int = 1 << 28): (Array[Byte], String) = {
+    var body = java.util.Arrays.copyOfRange(raw, rec.bodyOffset.toInt,
+      (rec.bodyOffset + rec.bodyLength).toInt)
+    val stack = codingTokens(rec.contentEncoding) ++ codingTokens(rec.transferEncoding)
+    var i = stack.length - 1
+    var failed = false
+    while (i >= 0 && !failed) {
+      undoCoding(stack(i), body, maxOut) match {
+        case Some(nb) => body = nb; i -= 1
+        case None => failed = true
+      }
+    }
+    (body, if (i >= 0) stack.take(i + 1).mkString(", ") else "")
   }
+
+  /** [[decodeHttpPayload]]'s bytes alone — for callers that only
+    * slice (the residual-aware path is [[Multimodal.warcResponses]]'
+    * `coding_residual` column). */
+  def decodeHttpBody(raw: Array[Byte], rec: WarcRec,
+                     maxOut: Int = 1 << 28): Array[Byte] =
+    decodeHttpPayload(raw, rec, maxOut)._1
 
   /** [[warcRecords]] over plain OR gzipped bytes — the corpus-facing
     * entry. Returns the decompressed buffer alongside the records

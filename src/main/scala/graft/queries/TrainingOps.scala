@@ -3886,12 +3886,18 @@ object TrainingOps {
     //      chunked` framing and `Content-Encoding: gzip` payloads
     //      are the dominant wire shapes. Every 3rd doc is chunked,
     //      every 5th gzipped (every 15th BOTH — transfer coding
-    //      undone first), and two malformed twins per 13th doc BIND
-    //      the degrade paths: a chunked label over non-chunked bytes
-    //      (the bogus size line surfaces as text) and a gzip label
-    //      over plain bytes (flows through raw). The oracle states
-    //      the expected extraction directly from doc arithmetic —
-    //      every framing decodes back to the SAME page. ----
+    //      undone first), and four twins per 13th doc BIND the
+    //      degrade/flag/stacking paths: a chunked label over
+    //      non-chunked bytes (the bogus size line surfaces as text,
+    //      residual 'chunked'), a gzip label over plain bytes (flows
+    //      through raw, residual 'gzip'), a brotli label (no decoder
+    //      here BY DESIGN — the body passes raw with residual 'br',
+    //      so the curation gate filters the mojibake instead of
+    //      silently ingesting it), and a STACKED `TE: gzip, chunked`
+    //      (legal per RFC 9112 §7 — dechunk then gunzip, residual
+    //      ''). The oracle states the expected extraction directly
+    //      from doc arithmetic — every decodable framing comes back
+    //      to the SAME page with an EMPTY residual. ----
     "ta_warc_http" -> Q(
       (s, dir) => synthMedia(s, dir) { (id, text) =>
         val html = webHtmlStr(id, text).getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -3909,22 +3915,32 @@ object TrainingOps {
             "Transfer-Encoding: chunked\r\n",
             "zz\r\n".getBytes(WarcAscii) ++ html)),
           Multimodal.MediaRow(id + 2000000000L, "warc",
-            warcHttpRecord(uri, "Content-Encoding: gzip\r\n", html)))
+            warcHttpRecord(uri, "Content-Encoding: gzip\r\n", html)),
+          Multimodal.MediaRow(id + 3000000000L, "warc",
+            warcHttpRecord(uri, "Content-Encoding: br\r\n", html)),
+          Multimodal.MediaRow(id + 4000000000L, "warc", warcHttpRecord(uri,
+            "Transfer-Encoding: gzip, chunked\r\n", chunkify(gzipBytes(html), 100))))
       }.transform(m => Multimodal.warcResponses(m).toDF())
         .select(col("doc_id"), col("http_status").cast("long").as("http_status"),
-          col("charset"),
+          col("charset"), col("coding_residual"),
           graft.functions.WebFunctions.htmlToText(col("body")).as("clean")),
       Some("""WITH exp AS (SELECT doc_id,
              |  'Doc ' || doc_id || ' ' || trim(substr(text, 1, 200)) ||
              |  ' more img Fish & Chips <deal> now ''hot'' "q"' AS clean
              |  FROM documents)
              |SELECT doc_id, CAST(200 AS BIGINT) AS http_status,
-             |  'ascii' AS charset, clean FROM exp
+             |  'ascii' AS charset, '' AS coding_residual, clean FROM exp
              |UNION ALL
-             |SELECT doc_id + 1000000000, 200, 'ascii', 'zz ' || clean
+             |SELECT doc_id + 1000000000, 200, 'ascii', 'chunked', 'zz ' || clean
              |FROM exp WHERE doc_id % 13 = 0
              |UNION ALL
-             |SELECT doc_id + 2000000000, 200, 'ascii', clean
+             |SELECT doc_id + 2000000000, 200, 'ascii', 'gzip', clean
+             |FROM exp WHERE doc_id % 13 = 0
+             |UNION ALL
+             |SELECT doc_id + 3000000000, 200, 'ascii', 'br', clean
+             |FROM exp WHERE doc_id % 13 = 0
+             |UNION ALL
+             |SELECT doc_id + 4000000000, 200, 'ascii', '', clean
              |FROM exp WHERE doc_id % 13 = 0""".stripMargin)),
 
     // ---- charset-aware body decode: the payload routes through the

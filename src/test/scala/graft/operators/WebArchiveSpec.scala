@@ -277,4 +277,49 @@ class WebArchiveSpec extends AnyFunSuite {
     assert(WebArchive.decodeHttpBody(unk, WebArchive.warcRecords(unk).get.head)
       .sameElements(page))
   }
+
+  test("decodeHttpPayload: residual carries exactly the codings NOT undone") {
+    val page = b("<p>page</p>")
+    def payload(hdrs: String, wire: Array[Byte]): (Array[Byte], String) = {
+      val buf = responseWarc(hdrs, wire)
+      WebArchive.decodeHttpPayload(buf, WebArchive.warcRecords(buf).get.head)
+    }
+    // fully decoded → empty residual
+    assert(payload("", page)._2 == "")
+    assert(payload("Transfer-Encoding: chunked\r\n", chunked(page, 5))._2 == "")
+    assert(payload("Content-Encoding: gzip\r\n", gz(page))._2 == "")
+    // identity is a no-op, never a wrapper — absent from any residual
+    assert(payload("Content-Encoding: identity\r\n", page) match {
+      case (bts, res) => bts.sameElements(page) && res == ""
+    })
+    // undecodable / mislabeled → the still-wrapped codings, innermost-first
+    assert(payload("Content-Encoding: br\r\n", page)._2 == "br")
+    assert(payload("Transfer-Encoding: chunked\r\n", page)._2 == "chunked")
+    assert(payload("Content-Encoding: gzip\r\n", page)._2 == "gzip")
+    // chunked undone, inner gzip mislabeled → only 'gzip' remains
+    assert(payload("Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n",
+      chunked(page, 5))._2 == "gzip")
+    // outermost fails → NOTHING inner is attempted (coded bytes are
+    // opaque): the whole stack stays wrapped
+    assert(payload("Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n",
+      gz(page)) match {
+      case (bts, res) => bts.sameElements(gz(page)) && res == "gzip, chunked"
+    })
+  }
+
+  test("decodeHttpPayload: stacked transfer codings undo right-to-left (TE: gzip, chunked)") {
+    val page = b("<p>stacked transfer codings</p>")
+    val buf = responseWarc("Transfer-Encoding: gzip, chunked\r\n", chunked(gz(page), 9))
+    val (bts, res) = WebArchive.decodeHttpPayload(buf, WebArchive.warcRecords(buf).get.head)
+    assert(bts.sameElements(page) && res == "")
+    // composes with a content coding below the transfer stack
+    val buf2 = responseWarc("Transfer-Encoding: gzip, chunked\r\nContent-Encoding: deflate\r\n",
+      chunked(gz({
+        val d = new java.util.zip.Deflater(); d.setInput(page); d.finish()
+        val tmp = new Array[Byte](256); val n = d.deflate(tmp); d.end()
+        java.util.Arrays.copyOf(tmp, n)
+      }), 9))
+    val (bts2, res2) = WebArchive.decodeHttpPayload(buf2, WebArchive.warcRecords(buf2).get.head)
+    assert(bts2.sameElements(page) && res2 == "")
+  }
 }
