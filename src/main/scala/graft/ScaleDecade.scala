@@ -217,6 +217,43 @@ object ScaleDecade {
         println(f"[decade] warcbody ${m}%2dx words=${60 * m}%6d extract=$ext%7.2f s ($extN%10d chars)")
         w.unpersist()
       }
+      // r15: revisit-heavy archives (the real CommonCrawl mix is ~1/3
+      // revisits, and popular pages concentrate MANY revisits on ONE
+      // digest): resolution must stay linear in records — one keeper
+      // agg + one digest-keyed join; dangling revisits (digest never
+      // captured) must drop, never error. Per file: 3 originals + 6
+      // revisits, digests shared across files (keeper collapse binds)
+      // with ~1/7 of revisit digests dangling.
+      def revisitWarcs(files: Long): Dataset[operators.Multimodal.MediaRow] =
+        spark.range(files).as(Encoders.scalaLong).mapPartitions(_.map { id =>
+          val bos = new java.io.ByteArrayOutputStream(9 * 512)
+          def rec(tpe: String, uri: String, digest: String, body: String): Unit = {
+            val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$body"
+            bos.write((s"WARC/1.0\r\nWARC-Type: $tpe\r\nWARC-Target-URI: $uri\r\n" +
+              s"WARC-Payload-Digest: $digest\r\n" +
+              s"Content-Length: ${http.length}\r\n\r\n$http\r\n\r\n").getBytes("US-ASCII"))
+          }
+          for (r <- 0 until 9) {
+            if (r % 3 == 0)
+              rec("response", s"http://h${id % 97}.com/p/$r",
+                s"sha1:D${(id * 3 + r) % 997}", s"<p>original $id $r body text here</p>")
+            else
+              rec("revisit", s"http://h${id % 97}.com/r/$r",
+                s"sha1:D${((id * 9 + r) * 7) % 1150}", "")
+          }
+          operators.Multimodal.MediaRow(id, "warc", bos.toByteArray)
+        }).repartition(spark.sparkContext.defaultParallelism).localCheckpoint(true)
+      for (m <- Seq(1, 8, 64)) {
+        val w = revisitWarcs(200L * m)
+        val (t, n) = best {
+          operators.Multimodal.resolveRevisits(
+            operators.Multimodal.warcResponses(w).toDF(),
+            operators.Multimodal.warcRevisits(w).toDF()).count()
+        }
+        println(f"[decade] warcrevisit ${m}%2dx files=${200 * m}%6d " +
+          f"resolve=$t%7.2f s ($n%8d resolved of ${1200 * m}%8d revisits)")
+        w.unpersist()
+      }
       // hostile no-CRLF files: cost per file must track the 64 KiB
       // line cap, NOT the file size (8× bigger junk ≈ same wall)
       def junk(files: Long, mib: Int): Dataset[operators.Multimodal.MediaRow] =

@@ -38,11 +38,19 @@ object WebArchive {
     *                       the payload is usable
     * @param contentEncoding lowercased HTTP `Content-Encoding`
     *                       value ("" when absent / not HTTP)
+    * @param payloadDigest  `WARC-Payload-Digest` value ("" when
+    *                       absent) — the content-identity key. On a
+    *                       `revisit` record it POINTS at the original
+    *                       capture whose payload this re-fetch
+    *                       repeated (the body is headers-only), so
+    *                       resolving revisits is a digest-keyed join
+    *                       back to the originals
     */
   final case class WarcRec(idx: Int, warcType: String, targetUri: String,
                            contentLength: Long, httpStatus: Int,
                            headerOffset: Long, bodyOffset: Long, bodyLength: Long,
-                           transferEncoding: String = "", contentEncoding: String = "")
+                           transferEncoding: String = "", contentEncoding: String = "",
+                           payloadDigest: String = "")
 
   private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
 
@@ -82,6 +90,7 @@ object WebArchive {
       var warcType: String = null
       var targetUri = ""
       var contentLength = -1L
+      var payloadDigest = ""
       var done = false
       while (!done) {
         val e = lineEnd(b, o, n)
@@ -96,6 +105,7 @@ object WebArchive {
           name match {
             case "warc-type" => warcType = value
             case "warc-target-uri" => targetUri = value
+            case "warc-payload-digest" => payloadDigest = value
             case "content-length" =>
               if (value.isEmpty || value.length > 18 || !value.forall(_.isDigit))
                 return None
@@ -157,7 +167,8 @@ object WebArchive {
         }
       }
       out += WarcRec(count, warcType, targetUri, contentLength, httpStatus,
-        headerOffset.toLong, bodyOffset, bodyLength, transferEnc, contentEnc)
+        headerOffset.toLong, bodyOffset, bodyLength, transferEnc, contentEnc,
+        payloadDigest)
       count += 1
       // record separator: \r\n\r\n (exact EOF after the block is
       // tolerated — the last record of a stream-cut file)

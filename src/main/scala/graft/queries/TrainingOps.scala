@@ -1076,12 +1076,24 @@ object TrainingOps {
   private val WarcAscii = java.nio.charset.StandardCharsets.US_ASCII
 
   /** one response record whose HTTP message carries `extraHeaders`
-    * and the given raw body BYTES (Content-Length in octets). */
+    * and the given raw body BYTES (Content-Length in octets); a
+    * non-empty `digest` adds the `WARC-Payload-Digest` header. */
   private def warcHttpRecord(uri: String, extraHeaders: String,
-                             body: Array[Byte]): Array[Byte] = {
+                             body: Array[Byte], digest: String = ""): Array[Byte] = {
     val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n$extraHeaders\r\n"
       .getBytes(WarcAscii) ++ body
-    (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+    val dig = if (digest.isEmpty) "" else s"WARC-Payload-Digest: $digest\r\n"
+    (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" + dig +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes(WarcAscii) ++
+      http ++ "\r\n\r\n".getBytes(WarcAscii)
+  }
+
+  /** one `revisit` record: headers-only block (the re-fetch carried
+    * no payload), identity rides `WARC-Payload-Digest`. */
+  private def warcRevisitRecord(uri: String, digest: String): Array[Byte] = {
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n".getBytes(WarcAscii)
+    (s"WARC/1.0\r\nWARC-Type: revisit\r\nWARC-Target-URI: $uri\r\n" +
+      s"WARC-Payload-Digest: $digest\r\n" +
       s"Content-Length: ${http.length}\r\n\r\n").getBytes(WarcAscii) ++
       http ++ "\r\n\r\n".getBytes(WarcAscii)
   }
@@ -3969,6 +3981,53 @@ object TrainingOps {
              |       ELSE 'utf-16le' END AS charset,
              |  'café ' || substr(text, 1, 80) AS body
              |FROM documents WHERE doc_id % 4 <> 3""".stripMargin)),
+
+    // ---- WARC `revisit` resolution: ~1/3 of real CommonCrawl
+    //      response-class records are revisits (URL re-fetched,
+    //      payload identical, body replaced by a WARC-Payload-Digest
+    //      pointer) — dropping them loses a third of the archive's
+    //      page views. Every doc captures an original response with
+    //      an arithmetic digest; every 4th doc emits a revisit twin
+    //      (+1e9, different path) that must come back carrying the
+    //      ORIGINAL's body, plus a dangling revisit (+3e9, unknown
+    //      digest) that must VANISH (nothing to resolve against);
+    //      every 8th doc emits a duplicate original (+2e9, same
+    //      digest/body) binding the deterministic keep-first keeper
+    //      (orig_doc_id stays the smaller capture). One partial-agg'd
+    //      keeper shuffle + one digest-keyed join — the exact-dedup
+    //      apply shape. ----
+    "ta_warc_revisit" -> Q(
+      (s, dir) => {
+        val m = synthMedia(s, dir) { (id, text) =>
+          val html = webHtmlStr(id, text).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val digest = s"sha1:DOC$id"
+          val orig = Multimodal.MediaRow(id, "warc", warcHttpRecord(
+            s"http://site${id % 7}.com/p/${id % 211}", "", html, digest))
+          val dup = if (id % 8 != 0) Seq.empty else Seq(
+            Multimodal.MediaRow(id + 2000000000L, "warc", warcHttpRecord(
+              s"http://site${id % 7}.com/dup/${id % 211}", "", html, digest)))
+          val revs = if (id % 4 != 0) Seq.empty else Seq(
+            Multimodal.MediaRow(id + 1000000000L, "warc", warcRevisitRecord(
+              s"http://site${id % 7}.com/r/${id % 211}", digest)),
+            Multimodal.MediaRow(id + 3000000000L, "warc", warcRevisitRecord(
+              s"http://site${id % 7}.com/r/${id % 211}", s"sha1:MISSING$id")))
+          orig +: (dup ++ revs)
+        }
+        Multimodal.resolveRevisits(
+            Multimodal.warcResponses(m).toDF(), Multimodal.warcRevisits(m).toDF())
+          .select(col("doc_id"), col("target_uri"), col("payload_digest"),
+            col("orig_doc_id"), col("http_status").cast("long").as("http_status"),
+            graft.functions.WebFunctions.htmlToText(col("body")).as("clean"))
+      },
+      Some("""WITH exp AS (SELECT doc_id,
+             |  'Doc ' || doc_id || ' ' || trim(substr(text, 1, 200)) ||
+             |  ' more img Fish & Chips <deal> now ''hot'' "q"' AS clean
+             |  FROM documents)
+             |SELECT doc_id + 1000000000 AS doc_id,
+             |  'http://site' || (doc_id % 7) || '.com/r/' || (doc_id % 211) AS target_uri,
+             |  'sha1:DOC' || doc_id AS payload_digest,
+             |  doc_id AS orig_doc_id, CAST(200 AS BIGINT) AS http_status, clean
+             |FROM exp WHERE doc_id % 4 = 0""".stripMargin)),
 
     // ---- host-graph link quality: bounded-iteration PageRank over
     //      the extractLinks → canonicalizeUrl → hostOf edge chain

@@ -294,6 +294,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"charset decode must not join:\n$p")
   }
 
+  test("ta_warc_revisit: one keeper agg + one digest-keyed join — no window, no cartesian") {
+    val p = plan("ta_warc_revisit")
+    assert(!p.contains("Window"), s"revisit resolution must not window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"revisit resolution must not cartesian:\n$p")
+    // keeper selection is a partial+final agg pair (bounded state)
+    assert("HashAggregate|SortAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final keeper aggregate:\n$p")
+    // exactly ONE equi-join, keyed on the digest
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r.findAllIn(p).toList
+    assert(joins.size == 1, s"expected exactly one digest-keyed join (${joins.size}):\n$p")
+    assert(p.contains("payload_digest"), s"join key must be the digest:\n$p")
+  }
+
   test("ta_link_rank: no window, scalars broadcast, iteration frames cached (linear plan)") {
     val p = plan("ta_link_rank")
     assert(!p.contains("Window"), s"pagerank must not window:\n$p")
