@@ -1,0 +1,54 @@
+package graft
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Wall-vs-cluster-time probe for one SparkEntry query (`runMain
+  * graft.ProbeWall <name> [reps]`): per warm rep, prints the wall
+  * time next to the scheduler's view — job count, stage count, summed
+  * task time. Wall ≫ Σ task time / parallelism with many stages ⇒
+  * the cost is driver-side (scheduling barriers, plan work), not task
+  * work — the diagnostic that caught the r14 link-rank expression
+  * blowup. Measurement tool, not part of the driver contract.
+  */
+object ProbeWall {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse(sys.error("usage: ProbeWall <query> [reps]"))
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val jobs = new AtomicInteger
+    val stages = new AtomicInteger
+    val taskNanos = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        stages.incrementAndGet()
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          taskNanos.addAndGet(t.taskMetrics.executorRunTime * 1000000L)
+    })
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val fn = SparkEntry.queries(name)
+    (1 to reps).foreach { i =>
+      Thread.sleep(200) // let the listener bus drain between reps
+      jobs.set(0); stages.set(0); taskNanos.set(0)
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      println(f"[probewall] $name rep $i: wall=$wall%.3f s jobs=${jobs.get}%d " +
+        f"stages=${stages.get}%d taskSum=${taskNanos.get / 1e9}%.3f s ($n rows)")
+    }
+    spark.stop()
+  }
+}

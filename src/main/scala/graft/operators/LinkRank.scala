@@ -53,11 +53,14 @@ import org.apache.spark.sql.functions._
   * neighbors from the heap. 0 disables the cap for lossless audits
   * (dedup only — unbounded out-sets are inherent to uncapped).
   *
-  * The iteration frames stay persisted (host-dimension-sized — a
-  * few dozen bytes per host); with `materialize = true` superseded
-  * iterations are released eagerly and only the returned frame stays
-  * cached. Callers running many graphs per session may `unpersist()`
-  * when done.
+  * Iteration frames are host-dimension-sized (a few dozen bytes per
+  * host). With `materialize = true` each is an eager plan-truncating
+  * snapshot ([[graft.operators.Dedup]]'s checkpoint discipline —
+  * reliable when the session has a checkpoint dir, executor-local
+  * otherwise) and superseded blocks are reclaimed by the
+  * ContextCleaner; with `materialize = false` they persist lazily and
+  * callers running many graphs per session may `unpersist()` when
+  * done.
   */
 object LinkRank {
 
@@ -71,23 +74,36 @@ object LinkRank {
     * @param iterations   fixed power-iteration count (≥ 0)
     * @param dampingPpm   damping factor in parts-per-million
     * @param maxOutDegree per-src out-edge cap (0 = uncapped)
-    * @param materialize  run each iteration eagerly (persist + count
-    *                     + unpersist the previous) with ADAPTIVE
-    *                     EXECUTION SCOPED OFF — the default. An
-    *                     iterative dim-graph computation is the one
-    *                     shape AQE only hurts: partition sizes are
-    *                     known (graph-dimension rows), nothing needs
-    *                     runtime re-planning, and AQE's per-stage
-    *                     re-optimization loop across the many small
-    *                     materialization barriers costs multiples of
-    *                     the actual task time (measured 7.8 s vs
-    *                     2.8 s on the oracle graph). The session's
-    *                     AQE setting is saved and restored; the
-    *                     returned frame is cached, so downstream
-    *                     consumers run under normal AQE. Pass false
-    *                     for a fully lazy plan (construction-time
-    *                     zero jobs; iteration frames still persist so
-    *                     the plan stays linear).
+    * @param materialize  run eagerly with PLAN-TRUNCATING SNAPSHOTS
+    *                     and ADAPTIVE EXECUTION SCOPED OFF — the
+    *                     default. Each reused frame (capped edges,
+    *                     degrees, every iteration's ranks) snapshots
+    *                     through an eager checkpoint, so iteration k
+    *                     costs O(1) driver plan work regardless of k
+    *                     and the returned frame is a trivial select
+    *                     over the last snapshot's leaf; a
+    *                     persist-based variant keeps the data cached
+    *                     but its LOGICAL plan compounds, and the
+    *                     driver pays multi-second analysis/cache-
+    *                     lookup walls around ~50 ms of task work.
+    *                     AQE stays off because an iterative dim-graph
+    *                     computation is the one shape AQE only hurts:
+    *                     partition sizes are known (graph-dimension
+    *                     rows), nothing needs runtime re-planning,
+    *                     and per-stage re-optimization across many
+    *                     small stages costs multiples of the task
+    *                     time (measured 7.8 s vs 2.8 s on the oracle
+    *                     graph). The session's AQE setting is saved
+    *                     and restored — NOT thread-safe: a concurrent
+    *                     query on the same SparkSession runs with AQE
+    *                     off for the duration, and two interleaved
+    *                     materialized hostRank calls can race the
+    *                     save/restore (callers running concurrent
+    *                     graphs should serialize or pass
+    *                     materialize = false). Pass false for a fully
+    *                     lazy plan (construction-time zero jobs;
+    *                     iteration frames persist instead of
+    *                     snapshotting so the plan stays linear).
     * @param graphPartitions partition count for the HOST-GRAPH stages
     *                     (everything after the per-edge prep). The
     *                     host graph is dim-sized relative to the
@@ -108,6 +124,22 @@ object LinkRank {
     val AqeKey = "spark.sql.adaptive.enabled"
     val savedAqe = if (materialize) sess.conf.get(AqeKey, "true") else ""
     if (materialize) sess.conf.set(AqeKey, "false")
+    // Plan-truncating snapshot (the [[Dedup.connectedComponents]]
+    // discipline): materialized runs snapshot each reused frame via
+    // EAGER checkpoint — reliable `DataFrame.checkpoint` when the
+    // session has a checkpoint dir, executor-local otherwise — so
+    // every iteration's logical plan is O(1)-deep over a leaf. A
+    // persist-based variant keeps the DATA cached but the PLAN
+    // compounds iteration over iteration, and the driver ends up
+    // spending multi-second analysis/cache-lookup walls around ~50 ms
+    // of actual task work (ProbeWall on the oracle graph: 6 stages,
+    // 0.03 s task sum, 3.6-6.7 s wall persist-based vs sub-second
+    // with truncation). The lazy path keeps persist: construction
+    // must stay zero-job, and its consumers materialize once anyway.
+    val snap: DataFrame => DataFrame =
+      if (!materialize) _.persist()
+      else if (sess.sparkContext.getCheckpointDir.isDefined) _.checkpoint(true)
+      else _.localCheckpoint(true)
     try {
     val dedup = edges
       .select(col("src").cast("string").as("src"), col("dst").cast("string").as("dst"))
@@ -126,20 +158,18 @@ object LinkRank {
     // are zero-exchange (capped⋈shares co-partitioned on src,
     // deg⋈incoming on host — the Pregel co-location discipline; only
     // the per-iteration re-key to dst genuinely shuffles)
-    val capped = capped0.repartition(gp, col("src")).persist()
+    val capped = snap(capped0.repartition(gp, col("src")))
     // nodes ∪ out-degrees in ONE aggregation (a src contributes 1 per
     // out-edge, a dst contributes 0 — sum is the out-degree and every
     // host surfaces), instead of a distinct + groupBy + join chain
-    val deg0 = capped.select(col("src").as("host"), lit(1L).as("o"))
+    val deg0 = snap(capped.select(col("src").as("host"), lit(1L).as("o"))
       .unionByName(capped.select(col("dst").as("host"), lit(0L).as("o")))
       .repartition(gp, col("host"))
-      .groupBy("host").agg(sum(col("o")).as("outdeg"))
-      .persist()
+      .groupBy("host").agg(sum(col("o")).as("outdeg")))
     val nn = deg0.agg(count(lit(1)).as("n"))
-    val deg = deg0.crossJoin(broadcast(nn)).persist() // (host, outdeg, n)
+    val deg = snap(deg0.crossJoin(broadcast(nn))) // (host, outdeg, n)
     var ranks = deg.select(col("host"), col("outdeg"), col("n"),
       expr(s"$Scale div n").as("rank"))
-    var prev: DataFrame = null
     for (_ <- 0 until iterations) {
       val shares = ranks.where(col("outdeg") > 0)
         .select(col("host").as("src"), expr("rank div outdeg").as("share"))
@@ -148,29 +178,19 @@ object LinkRank {
         .groupBy(col("dst").as("host")).agg(sum(col("share")).as("inc"))
       val dangle = ranks.agg(
         coalesce(sum(when(col("outdeg") === 0L, col("rank"))), lit(0L)).as("dangle"))
-      val next = deg.join(incoming, Seq("host"), "left")
+      // both next-iteration uses (shares + dangle) read ONE snapshot,
+      // never two lineage copies — the plan stays linear
+      ranks = snap(deg.join(incoming, Seq("host"), "left")
         .crossJoin(broadcast(dangle))
         .select(col("host"), col("outdeg"), col("n"),
           expr(s"($Scale - $Scale * $dampingPpm div $PpmDen) div n" +
-            s" + $dampingPpm * (coalesce(inc, 0L) + dangle div n) div $PpmDen").as("rank"))
-        .persist() // both next-iteration uses read ONE cached relation
-      if (materialize) {
-        next.count()
-        if (prev != null) prev.unpersist()
-      }
-      prev = next
-      ranks = next
+            s" + $dampingPpm * (coalesce(inc, 0L) + dangle div n) div $PpmDen").as("rank")))
     }
-    val out = ranks.select(col("host"), col("outdeg"), col("rank"))
-    if (materialize) {
-      val o = out.persist()
-      o.count()
-      if (prev != null) prev.unpersist()
-      capped.unpersist()
-      deg0.unpersist()
-      deg.unpersist()
-      o
-    } else out
+    // materialized runs return a trivial select over the LAST
+    // snapshot's leaf; superseded snapshot blocks (earlier iterations,
+    // capped/deg) are reclaimed by the ContextCleaner when their
+    // frames become unreachable — no explicit unpersist bookkeeping.
+    ranks.select(col("host"), col("outdeg"), col("rank"))
     } finally if (materialize) sess.conf.set(AqeKey, savedAqe)
   }
 }

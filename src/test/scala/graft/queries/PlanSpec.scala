@@ -307,14 +307,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("payload_digest"), s"join key must be the digest:\n$p")
   }
 
-  test("ta_link_rank: no window, scalars broadcast, iteration frames cached (linear plan)") {
+  test("ta_link_rank: no window, scalars broadcast, result is a truncated snapshot leaf") {
     val p = plan("ta_link_rank")
     assert(!p.contains("Window"), s"pagerank must not window:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"the per-iteration scalars must broadcast, not cartesian:\n$p")
-    // per-iteration lazy persists: the previous iteration appears as
-    // ONE cached relation, never two lineage copies
-    assert(p.contains("InMemoryTableScan"), s"iteration frames must be cached:\n$p")
+    // materialized runs snapshot every iteration (plan-truncating
+    // eager checkpoint), so the returned plan is a trivial select over
+    // the LAST snapshot's leaf — O(1) driver plan work per iteration,
+    // never a compounding nested-cache lineage
+    assert(p.contains("ExistingRDD"), s"result must be a snapshot leaf:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no join may survive into the returned (truncated) plan:\n$p")
   }
 
   test("ta_link_rank_apply: rank dim broadcasts onto pages — page side never shuffles") {

@@ -137,4 +137,44 @@ class CurationServingSpec extends SparkSpec {
     assert(!plan.contains("Exchange") && !plan.contains("Join"),
       s"crawl-ingest chain must stay map-only:\n$plan")
   }
+
+  test("the host-rank gate (frozen rank dim onto the page stream) drives as readStream, equals batch") {
+    // the serving half of LinkRank: rank is computed OFFLINE on the
+    // link graph (a frozen dim-sized artifact, like the classifier
+    // weights above), and every arriving page is annotated with its
+    // host's score via a broadcast join — the page side never
+    // shuffles, batch or stream.
+    import spark.implicits._
+    import graft.operators.LinkRank
+    val edges = Seq.tabulate(40)(i => (s"h${i % 6}.com", s"h${(i * 5) % 9}.com"))
+      .toDF("src", "dst")
+    val rank = LinkRank.hostRank(edges, iterations = 3, maxOutDegree = 4,
+      graphPartitions = 2).select(col("host"), col("rank"))
+    // left join: pages on never-linked hosts must FLOW with rank 0,
+    // not vanish at the gate
+    def gate(df: DataFrame): DataFrame =
+      df.join(broadcast(rank), Seq("host"), "left")
+        .select(col("doc_id"), col("host"),
+          coalesce(col("rank"), lit(0L)).as("host_rank"))
+    val pages = (1L to 60L).map(i => (i, s"h${i % 11}.com")).toDF("doc_id", "host")
+    val dir = java.nio.file.Files.createTempDirectory("graft-rankgate-stream").toString
+    pages.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(pages.schema).parquet(s"$dir/in")
+    val q = gate(stream)
+      .writeStream.format("memory").queryName("rankgate_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getString(1), r.getLong(2))
+    val streamed = spark.table("rankgate_stream").collect().map(key).toSet
+    val batch = gate(pages).collect().map(key).toSet
+    assert(streamed == batch && streamed.size == 60,
+      "stream rank gate must equal batch rank gate")
+    // non-degenerate: ranked hosts score > 0, unranked (h9/h10) hit 0
+    assert(streamed.exists(_._3 > 0L) && streamed.exists(_._3 == 0L))
+    // the dim broadcasts; the page side never shuffles
+    val plan = gate(pages).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"rank dim must broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"page side must not shuffle:\n$plan")
+  }
 }
