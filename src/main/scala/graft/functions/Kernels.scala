@@ -40,6 +40,7 @@ object Kernels {
   def utf8Invalid(bin: Column): Column = toColumn(Utf8InvalidK(toExpression(bin)))
   def percentNorm(url: Column): Column = toColumn(PercentNormK(toExpression(url)))
   def canonUrl(url: Column): Column = toColumn(CanonUrlK(toExpression(url)))
+  def surtKey(url: Column): Column = toColumn(SurtKeyK(toExpression(url)))
   def highBytes(bin: Column): Column = toColumn(HighBytesK(toExpression(bin)))
   def nulBytes(bin: Column): Column = toColumn(NulBytesK(toExpression(bin)))
   def simhash63(shingles: Column): Column = toColumn(SimHash63K(toExpression(shingles)))
@@ -496,6 +497,55 @@ object Kernels {
     UTF8String.fromString(scheme + "://" + host + portPart + path + queryPart)
   }
 
+  /** SURT key (Sort-friendly URI Reordering Transform — the CDX
+    * archive-index `urlkey` convention): [[canonUrlEval]] first, then
+    * the scheme drops and the host labels REVERSE (comma-joined), so
+    * keys sort and prefix-group by registrable domain —
+    * `http://news.site3.com/p/5?b=2&a=1` →
+    * `com,site3,news)/p/5?a=1&b=2`. One host's (and one domain
+    * family's) pages are CONTIGUOUS under range partitioning/sorting,
+    * which is why real archive indexes key on SURT rather than the
+    * raw URL. Non-default ports keep (`com,site3:8080)/…`); IPv6
+    * bracket hosts are positional, not hierarchical — they stay
+    * whole; non-absolute inputs pass through (trimmed) like
+    * canonicalization's passthrough — a relative link is not an
+    * index key. */
+  def surtKeyEval(u: UTF8String): UTF8String = {
+    val c = canonUrlEval(u).toString
+    val sep = c.indexOf("://")
+    if (sep <= 0) return UTF8String.fromString(c)
+    // only rewrite when the prefix really is a scheme (the same gate
+    // canonUrlEval applies): a passthrough containing "://" at a
+    // non-scheme position must stay untouched
+    val c0 = c.charAt(0)
+    if (!((c0 >= 'A' && c0 <= 'Z') || (c0 >= 'a' && c0 <= 'z')))
+      return UTF8String.fromString(c)
+    var i = 1
+    while (i < sep && ((c.charAt(i) >= 'A' && c.charAt(i) <= 'Z') ||
+      (c.charAt(i) >= 'a' && c.charAt(i) <= 'z') ||
+      (c.charAt(i) >= '0' && c.charAt(i) <= '9') ||
+      c.charAt(i) == '+' || c.charAt(i) == '.' || c.charAt(i) == '-')) i += 1
+    if (i != sep) return UTF8String.fromString(c)
+    val afterScheme = sep + 3
+    var aEnd = afterScheme
+    while (aEnd < c.length && c.charAt(aEnd) != '/' && c.charAt(aEnd) != '?') aEnd += 1
+    val auth = c.substring(afterScheme, aEnd)
+    val rest = c.substring(aEnd)
+    var host = auth
+    var port = ""
+    if (auth.startsWith("[")) {
+      val close = auth.indexOf(']')
+      if (close >= 0) { host = auth.substring(0, close + 1); port = auth.substring(close + 1) }
+    } else {
+      val colon = auth.indexOf(':')
+      if (colon >= 0) { host = auth.substring(0, colon); port = auth.substring(colon) }
+    }
+    val key =
+      if (host.startsWith("[")) host
+      else host.split('.').filter(_.nonEmpty).reverse.mkString(",")
+    UTF8String.fromString(key + port + ")" + rest)
+  }
+
   /** plain-bytes mirror of
     * [[graft.functions.TextFunctions.detectEncoding]]'s Column chain
     * (same BOM-before-NUL-before-scanner ladder over the same three
@@ -678,6 +728,16 @@ case class CanonUrlK(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.canonUrlEval($c)")
   override protected def withNewChildInternal(newChild: Expression): CanonUrlK = copy(child = newChild)
   override def prettyName: String = "graft_canon_url"
+}
+
+case class SurtKeyK(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    Kernels.surtKeyEval(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.surtKeyEval($c)")
+  override protected def withNewChildInternal(newChild: Expression): SurtKeyK = copy(child = newChild)
+  override def prettyName: String = "graft_surt_key"
 }
 
 case class PercentNormK(child: Expression) extends UnaryExpression {

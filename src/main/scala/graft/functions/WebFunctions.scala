@@ -68,6 +68,18 @@ object WebFunctions {
     */
   def canonicalizeUrl(url: Column): Column = Kernels.canonUrl(url)
 
+  /** SURT key (Sort-friendly URI Reordering Transform) — the CDX
+    * archive-index `urlkey`: [[canonicalizeUrl]] then scheme dropped
+    * and host labels reversed comma-joined
+    * (`http://news.site3.com/p/5?b=2&a=1` →
+    * `com,site3,news)/p/5?a=1&b=2`), so one domain family's pages
+    * sort CONTIGUOUSLY — the right range-partition/dedup key for
+    * archive indexes ([[graft.operators.Multimodal.warcCdx]]). One
+    * codegen kernel ([[Kernels.surtKeyEval]], `graft_surt_key`);
+    * contract corners (ports, IPv6, non-absolute passthrough) on the
+    * kernel scaladoc, bound by `ta_warc_cdx` + WebFunctionsSpec. */
+  def surtKey(url: Column): Column = Kernels.surtKey(url)
+
   /** host of an absolute URL — no port, no userinfo, IPv6 brackets
     * kept whole, LOWERCASED (hosts are case-insensitive per RFC 3986
     * §3.2.2, so raw uncanonicalized inputs can't case-split graph

@@ -507,6 +507,39 @@ object Multimodal {
     }
   }
 
+  /** One CDX-style archive-index row: the record's identity (URL,
+    * WARC type), HTTP facts (mime, status), content identity
+    * (payload digest) and byte location (offset + whole-record
+    * length). */
+  final case class WarcCdxRow(doc_id: Long, idx: Int, url: String, warc_type: String,
+                              mime: String, http_status: Int, payload_digest: String,
+                              offset: Long, rec_length: Long)
+
+  /** CDX-style index rows for a WARC corpus — the standard
+    * archive-lookup surface (what wayback/pywb-class tooling keys
+    * replay and dedup on). Pair with
+    * [[graft.functions.WebFunctions.surtKey]] over `url` for the
+    * canonical CDX `urlkey` (host labels reversed, so a domain
+    * family's captures sort contiguously). Offsets refer to the
+    * decompressed stream (the [[warcRecords]] contract); `rec_length`
+    * spans the record header through its block end. Same narrow
+    * map-only plan as the record walk — building the index of a
+    * 100 TB archive is one pass over the scan, no shuffle. */
+  def warcCdx(media: org.apache.spark.sql.Dataset[MediaRow]):
+      org.apache.spark.sql.Dataset[WarcCdxRow] = {
+    implicit val enc: org.apache.spark.sql.Encoder[WarcCdxRow] =
+      org.apache.spark.sql.Encoders.product[WarcCdxRow]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        (try WebArchive.warcRecordsAny(r.content).map(_._2).getOrElse(Vector.empty)
+         catch { case scala.util.control.NonFatal(_) => Vector.empty })
+          .iterator.map(w => WarcCdxRow(r.doc_id, w.idx, w.targetUri, w.warcType,
+            w.contentType, w.httpStatus, w.payloadDigest, w.headerOffset,
+            w.bodyOffset + w.bodyLength - w.headerOffset))
+      }
+    }
+  }
+
   /** One WARC `revisit` record: a URL that was re-fetched and whose
     * payload matched an earlier capture — the body is headers-only,
     * the content identity rides `WARC-Payload-Digest`. */

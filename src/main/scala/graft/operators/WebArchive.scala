@@ -45,12 +45,18 @@ object WebArchive {
     *                       repeated (the body is headers-only), so
     *                       resolving revisits is a digest-keyed join
     *                       back to the originals
+    * @param contentType    HTTP `Content-Type` media type, lowercased
+    *                       with parameters (`; charset=…`) stripped
+    *                       ("" when absent / not HTTP) — the mime
+    *                       column of a CDX index row, and the cheap
+    *                       pre-filter before body decode (text/html
+    *                       vs octet streams)
     */
   final case class WarcRec(idx: Int, warcType: String, targetUri: String,
                            contentLength: Long, httpStatus: Int,
                            headerOffset: Long, bodyOffset: Long, bodyLength: Long,
                            transferEncoding: String = "", contentEncoding: String = "",
-                           payloadDigest: String = "")
+                           payloadDigest: String = "", contentType: String = "")
 
   private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
 
@@ -126,6 +132,7 @@ object WebArchive {
       var bodyLength = contentLength
       var transferEnc = ""
       var contentEnc = ""
+      var contentTyp = ""
       if (warcType.equalsIgnoreCase("response") && contentLength >= 12 &&
         b(blockStart) == 'H' && b(blockStart + 1) == 'T' && b(blockStart + 2) == 'T' &&
         b(blockStart + 3) == 'P' && b(blockStart + 4) == '/') {
@@ -141,6 +148,7 @@ object WebArchive {
             var bodyAt = -1
             var te = ""
             var ce = ""
+            var ct = ""
             while (bodyAt < 0 && h < blockEnd) {
               val e = lineEnd(b, h, blockEnd.toInt)
               if (e < 0) h = blockEnd.toInt
@@ -152,6 +160,11 @@ object WebArchive {
                   val nm = line.substring(0, colon).trim.toLowerCase
                   if (nm == "transfer-encoding") te = line.substring(colon + 1).trim.toLowerCase
                   else if (nm == "content-encoding") ce = line.substring(colon + 1).trim.toLowerCase
+                  else if (nm == "content-type") {
+                    val v = line.substring(colon + 1)
+                    val semi = v.indexOf(';')
+                    ct = (if (semi >= 0) v.substring(0, semi) else v).trim.toLowerCase
+                  }
                 }
                 h = e
               }
@@ -162,13 +175,14 @@ object WebArchive {
               bodyLength = blockEnd - bodyAt
               transferEnc = te
               contentEnc = ce
+              contentTyp = ct
             }
           }
         }
       }
       out += WarcRec(count, warcType, targetUri, contentLength, httpStatus,
         headerOffset.toLong, bodyOffset, bodyLength, transferEnc, contentEnc,
-        payloadDigest)
+        payloadDigest, contentTyp)
       count += 1
       // record separator: \r\n\r\n (exact EOF after the block is
       // tolerated — the last record of a stream-cut file)

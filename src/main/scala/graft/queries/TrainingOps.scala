@@ -3873,6 +3873,38 @@ object TrainingOps {
               |  hl
               |FROM h""".stripMargin)),
 
+    // ---- CDX-style archive index (the wayback/pywb lookup surface):
+    //      per record, SURT urlkey + URL + type + HTTP mime/status +
+    //      digest + byte offset/record length, one map-only pass.
+    //      The oracle re-derives every offset/length from the same
+    //      template constants as ta_warc_records and states the SURT
+    //      transform (host labels reversed, canonical query) directly
+    //      from doc arithmetic — binding the kernel's reversal, the
+    //      ')' separator, and the ''-for-non-HTTP mime arm. ----
+    "ta_warc_cdx" -> Q(
+      (s, dir) => Multimodal.warcCdx(synthWarc(s, dir)).toDF()
+        .select(col("doc_id"), col("idx").cast("long").as("idx"),
+          graft.functions.WebFunctions.surtKey(col("url")).as("urlkey"),
+          col("url"), col("warc_type"), col("mime"),
+          col("http_status").cast("long").as("http_status"),
+          col("payload_digest"), col("offset"), col("rec_length")),
+      Some(s"""WITH h AS (SELECT doc_id, octet_length(encode($webHtmlSql)) AS hl,
+              |  'HTTP://WWW.Site' || (doc_id % 7) || '.COM:80/p/' || (doc_id % 211)
+              |    || '/?utm_source=feed&b=2&a=1' AS uri,
+              |  'com,site' || (doc_id % 7) || ')/p/' || (doc_id % 211) || '?a=1&b=2' AS surt
+              |  FROM documents)
+              |SELECT doc_id, CAST(0 AS BIGINT) AS idx, '' AS urlkey, '' AS url,
+              |  'warcinfo' AS warc_type, '' AS mime, CAST(-1 AS BIGINT) AS http_status,
+              |  '' AS payload_digest, CAST(0 AS BIGINT) AS offset,
+              |  CAST(${WarcRec0.length - 4} AS BIGINT) AS rec_length
+              |FROM h
+              |UNION ALL
+              |SELECT doc_id, 1, surt, uri, 'response', 'text/html', 200, '',
+              |  ${WarcRec0.length},
+              |  $WarcRec1Fixed + length(uri)
+              |    + length(CAST(hl + ${WarcHttpHdr.length} AS VARCHAR)) + hl
+              |FROM h""".stripMargin)),
+
     // ---- the full crawl-ingest chain in one pass: WARC walk → HTTP
     //      body slice → HTML extraction → URL canonicalization — the
     //      shape a 100 TB CommonCrawl curation job actually runs

@@ -104,6 +104,25 @@ class WebFunctionsSpec extends SparkSpec {
     assert(canon(s"http://$big.example/p") == Seq(s"http://$big.example/p"))
   }
 
+  test("surtKey: canonicalizes then reverses host labels; ports keep, IPv6 stays whole") {
+    import spark.implicits._
+    def surt(urls: String*): Seq[String] =
+      urls.toDF("u").select(WebFunctions.surtKey(col("u"))).as[String].collect().toSeq
+    assert(surt(
+      "http://news.site3.com/p/5?b=2&a=1",    // reversal + canonical query sort
+      "HTTP://WWW.Site3.COM:80/p/5/?utm_source=x", // canon first: www/port/slash/tracking
+      "https://a.example.org:8443/x",          // non-default port keeps, after the host
+      "http://[2001:db8::1]:8080/x",           // IPv6: positional, never reversed
+      "http://bücher.example/p",               // IDN folds, THEN reverses
+      "/relative/path", "just text ://x") ==   // non-absolute passthrough
+      Seq("com,site3,news)/p/5?a=1&b=2",
+        "com,site3)/p/5",
+        "org,example,a:8443)/x",
+        "[2001:db8::1]:8080)/x",
+        "example,xn--bcher-kva)/p",
+        "/relative/path", "just text ://x"))
+  }
+
   test("hostOf: lowercases raw hosts, drops port/userinfo, keeps IPv6 brackets") {
     import spark.implicits._
     val hosts = Seq("http://Host.COM:8080/x", "https://u:p@Site.example/y",

@@ -294,6 +294,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"charset decode must not join:\n$p")
   }
 
+  test("ta_warc_cdx: index build is map-only — zero exchanges, kernel in-plan") {
+    val p = plan("ta_warc_cdx")
+    assert(!p.contains("Exchange"), s"cdx index build must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"cdx index build must not join:\n$p")
+    assert(p.contains("graft_surt_key"), s"surt kernel fell out of the plan:\n$p")
+  }
+
   test("ta_warc_revisit: one keeper agg + one digest-keyed join — no window, no cartesian") {
     val p = plan("ta_warc_revisit")
     assert(!p.contains("Window"), s"revisit resolution must not window:\n$p")
