@@ -173,4 +173,22 @@ object WebFunctions {
     * work. One codegen regexp scan, no UDF. */
   def extractLinks(html: Column): Column =
     regexp_extract_all(html, lit("(?i)href\\s*=\\s*\"([^\"]*)\""), lit(1))
+
+  /** `<a>` anchors WITH their link text, in document order — the
+    * WAT-style link-metadata surface: anchor text is the
+    * ranking/topic signal the bare href list loses (what a page's
+    * INBOUND links call it describes it better than its own title).
+    * Each element is a struct (url, text): the href target and the
+    * anchor's inner text after the same tag-strip/entity-decode/
+    * whitespace-collapse as [[htmlToText]]. Deliberately regular
+    * like the rest of this file (non-greedy to the nearest `</a>`,
+    * nested anchors out of scope); href-less or single-quoted
+    * anchors don't match. One codegen regexp scan + array
+    * transforms, no UDF, no shuffle. */
+  def extractAnchors(html: Column): Column = {
+    val re = lit("(?is)<a\\b[^>]*href\\s*=\\s*\"([^\"]*)\"[^>]*>(.*?)</a>")
+    val urls = regexp_extract_all(html, re, lit(1))
+    val texts = transform(regexp_extract_all(html, re, lit(2)), t => tagsToText(t))
+    arrays_zip(urls.as("url"), texts.as("text"))
+  }
 }

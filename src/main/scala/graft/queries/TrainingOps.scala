@@ -3642,6 +3642,29 @@ object TrainingOps {
              |  'https://cdn.site' || (doc_id % 5) || '.com:8080/img/' || doc_id || '?gclid=x&id=2'
              |FROM documents""".stripMargin)),
 
+    // WAT-style anchor extraction: href + anchor TEXT in document
+    // order (the inbound-link description signal; bare hrefs lose
+    // it). Both corpus anchors bind the pairing — each link_idx must
+    // carry ITS OWN text, so a zip misalignment (or a regex that
+    // matches the href-less/area forms extractLinks accepts) breaks
+    // the hash.
+    "ta_html_anchors" -> Q(
+      (s, dir) => synthWebHtml(s, dir)
+        .select(col("doc_id"), posexplode(
+          graft.functions.WebFunctions.extractAnchors(col("html"))).as(Seq("link_idx", "a")))
+        .select(col("doc_id"), col("link_idx").cast("long").as("link_idx"),
+          col("a.url").as("url"), col("a.text").as("anchor_text")),
+      Some("""SELECT doc_id, CAST(0 AS BIGINT) AS link_idx,
+             |  'HTTP://WWW.Site' || (doc_id % 7) || '.COM:80/p/' || (doc_id % 211)
+             |    || '/?utm_source=feed&b=2&a=1#frag' AS url,
+             |  'more' AS anchor_text
+             |FROM documents
+             |UNION ALL
+             |SELECT doc_id, CAST(1 AS BIGINT),
+             |  'https://cdn.site' || (doc_id % 5) || '.com:8080/img/' || doc_id || '?gclid=x&id=2',
+             |  'img'
+             |FROM documents""".stripMargin)),
+
     // URL canonicalization, every contract rule bound by one of the
     // eight raw variants: scheme/host case + www + default :80 +
     // trailing slash + tracking-only query (v0), param sort + tracking

@@ -203,9 +203,21 @@ class WebFunctionsSpec extends SparkSpec {
   test("extractLinks: double-quoted hrefs in order, any attr case/spacing") {
     import spark.implicits._
     val links = Seq(
-      "<a HREF=\"http://a.com/1\">x</a><area href = \"/rel\" /><a href=\"\">e</a>")
+      "<a HREF=\"http://a.com/1\">x</a><area href = \"/rel\" /><a href=\"/2\">e</a>")
       .toDF("h").select(WebFunctions.extractLinks(col("h"))).as[Seq[String]]
       .collect().head
-    assert(links == Seq("http://a.com/1", "/rel", ""))
+    assert(links == Seq("http://a.com/1", "/rel", "/2"))
+  }
+
+  test("extractAnchors: href + anchor text pairs; inner markup strips, entities decode") {
+    import spark.implicits._
+    val anchors = Seq(
+      "<a href=\"/1\"><b>Bold</b> link</a> filler " +
+        "<a class=\"x\" href=\"/2\">Fish &amp; Chips</a>" +
+        "<area href=\"/not-an-anchor\"/>" +          // area: extractLinks-only
+        "<a href=\"/3\"></a>")                        // empty anchor text
+      .toDF("h").select(WebFunctions.extractAnchors(col("h")))
+      .as[Seq[(String, String)]].collect().head
+    assert(anchors == Seq("/1" -> "Bold link", "/2" -> "Fish & Chips", "/3" -> ""))
   }
 }

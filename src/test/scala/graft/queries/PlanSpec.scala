@@ -244,6 +244,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), s"expected posexplode of hrefs:\n$p")
   }
 
+  test("ta_html_anchors: anchor-text explode is a map-only Generate — zero exchanges") {
+    val p = plan("ta_html_anchors")
+    assert(!p.contains("Exchange"), s"anchor extraction must not shuffle:\n$p")
+    assert(p.contains("Generate"), s"expected posexplode of anchors:\n$p")
+  }
+
   test("ta_html_main: block scoring is map-only higher-order exprs — zero exchanges") {
     val p = plan("ta_html_main")
     assert(!p.contains("Exchange"), s"main-content extraction must not shuffle:\n$p")
