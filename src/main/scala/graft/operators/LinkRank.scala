@@ -76,16 +76,21 @@ object LinkRank {
     * @param maxOutDegree per-src out-edge cap (0 = uncapped)
     * @param materialize  run eagerly with PLAN-TRUNCATING SNAPSHOTS
     *                     and ADAPTIVE EXECUTION SCOPED OFF — the
-    *                     default. Each reused frame (capped edges,
-    *                     degrees, every iteration's ranks) snapshots
-    *                     through an eager checkpoint, so iteration k
-    *                     costs O(1) driver plan work regardless of k
-    *                     and the returned frame is a trivial select
-    *                     over the last snapshot's leaf; a
-    *                     persist-based variant keeps the data cached
-    *                     but its LOGICAL plan compounds, and the
-    *                     driver pays multi-second analysis/cache-
+    *                     default. Each ITERATION's rank frame
+    *                     snapshots through an eager checkpoint, so
+    *                     iteration k costs O(1) driver plan work
+    *                     regardless of k and the returned frame is a
+    *                     trivial select over the last snapshot's
+    *                     leaf; a persist-based variant keeps the data
+    *                     cached but its LOGICAL plan compounds, and
+    *                     the driver pays multi-second analysis/cache-
     *                     lookup walls around ~50 ms of task work.
+    *                     The support frames (capped edges, degrees)
+    *                     persist instead — shallow constant-depth
+    *                     plans don't compound, and eager-checkpointing
+    *                     the edge-dimension frame costs extra full
+    *                     read/write passes (measured 2× on the
+    *                     1M-host probe).
     *                     AQE stays off because an iterative dim-graph
     *                     computation is the one shape AQE only hurts:
     *                     partition sizes are known (graph-dimension
@@ -125,17 +130,23 @@ object LinkRank {
     val savedAqe = if (materialize) sess.conf.get(AqeKey, "true") else ""
     if (materialize) sess.conf.set(AqeKey, "false")
     // Plan-truncating snapshot (the [[Dedup.connectedComponents]]
-    // discipline): materialized runs snapshot each reused frame via
-    // EAGER checkpoint — reliable `DataFrame.checkpoint` when the
-    // session has a checkpoint dir, executor-local otherwise — so
-    // every iteration's logical plan is O(1)-deep over a leaf. A
-    // persist-based variant keeps the DATA cached but the PLAN
-    // compounds iteration over iteration, and the driver ends up
-    // spending multi-second analysis/cache-lookup walls around ~50 ms
-    // of actual task work (ProbeWall on the oracle graph: 6 stages,
-    // 0.03 s task sum, 3.6-6.7 s wall persist-based vs sub-second
-    // with truncation). The lazy path keeps persist: construction
-    // must stay zero-job, and its consumers materialize once anyway.
+    // discipline) for the ITERATION frames only: materialized runs
+    // snapshot each iteration's ranks via EAGER checkpoint — reliable
+    // `DataFrame.checkpoint` when the session has a checkpoint dir,
+    // executor-local otherwise — so every iteration's logical plan is
+    // O(1)-deep over a leaf. A persist-based variant keeps the DATA
+    // cached but the PLAN compounds iteration over iteration, and the
+    // driver ends up spending multi-second analysis/cache-lookup
+    // walls around ~50 ms of actual task work (ProbeWall on the
+    // oracle graph: 6 stages, 0.03 s task sum, 3.6-6.7 s wall
+    // persist-based vs ~1.6-2.3 s with truncation). The SUPPORT
+    // frames (capped edges, degrees) stay persist-based: their plans
+    // are shallow and constant-depth — no compounding — and an eager
+    // checkpoint of the edge-dimension frame would add full extra
+    // read/write passes that persist folds into iteration 1 for free
+    // (measured 26.6 s vs 12.6 s on the 1M-host/8M-edge probe when
+    // they were snapshotted too). The lazy path keeps persist
+    // everywhere: construction must stay zero-job.
     val snap: DataFrame => DataFrame =
       if (!materialize) _.persist()
       else if (sess.sparkContext.getCheckpointDir.isDefined) _.checkpoint(true)
@@ -158,16 +169,17 @@ object LinkRank {
     // are zero-exchange (capped⋈shares co-partitioned on src,
     // deg⋈incoming on host — the Pregel co-location discipline; only
     // the per-iteration re-key to dst genuinely shuffles)
-    val capped = snap(capped0.repartition(gp, col("src")))
+    val capped = capped0.repartition(gp, col("src")).persist()
     // nodes ∪ out-degrees in ONE aggregation (a src contributes 1 per
     // out-edge, a dst contributes 0 — sum is the out-degree and every
     // host surfaces), instead of a distinct + groupBy + join chain
-    val deg0 = snap(capped.select(col("src").as("host"), lit(1L).as("o"))
+    val deg0 = capped.select(col("src").as("host"), lit(1L).as("o"))
       .unionByName(capped.select(col("dst").as("host"), lit(0L).as("o")))
       .repartition(gp, col("host"))
-      .groupBy("host").agg(sum(col("o")).as("outdeg")))
+      .groupBy("host").agg(sum(col("o")).as("outdeg"))
+      .persist()
     val nn = deg0.agg(count(lit(1)).as("n"))
-    val deg = snap(deg0.crossJoin(broadcast(nn))) // (host, outdeg, n)
+    val deg = deg0.crossJoin(broadcast(nn)).persist() // (host, outdeg, n)
     var ranks = deg.select(col("host"), col("outdeg"), col("n"),
       expr(s"$Scale div n").as("rank"))
     for (_ <- 0 until iterations) {
@@ -187,10 +199,17 @@ object LinkRank {
             s" + $dampingPpm * (coalesce(inc, 0L) + dangle div n) div $PpmDen").as("rank")))
     }
     // materialized runs return a trivial select over the LAST
-    // snapshot's leaf; superseded snapshot blocks (earlier iterations,
-    // capped/deg) are reclaimed by the ContextCleaner when their
-    // frames become unreachable — no explicit unpersist bookkeeping.
-    ranks.select(col("host"), col("outdeg"), col("rank"))
+    // snapshot's leaf, so the support caches can release NOW (bounded
+    // storage across many graphs per session); superseded iteration
+    // snapshot blocks are reclaimed by the ContextCleaner when their
+    // frames become unreachable.
+    val out = ranks.select(col("host"), col("outdeg"), col("rank"))
+    if (materialize && iterations > 0) {
+      capped.unpersist()
+      deg0.unpersist()
+      deg.unpersist()
+    }
+    out
     } finally if (materialize) sess.conf.set(AqeKey, savedAqe)
   }
 }
