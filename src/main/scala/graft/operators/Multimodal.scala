@@ -540,6 +540,31 @@ object Multimodal {
     }
   }
 
+  /** One redirect capture: a response record whose HTTP status is
+    * 3xx and whose `Location` header names the target. */
+  final case class WarcRedirectRow(doc_id: Long, idx: Int, from_uri: String,
+                                   http_status: Int, to_uri: String)
+
+  /** Redirect edges of a WARC corpus — 3xx response records with a
+    * `Location` header, the input to [[Redirects.resolve]] (a crawl
+    * must key `/old` → … → `/final` pages under the FINAL URL before
+    * URL dedup, or one page counts once per historical spelling).
+    * Same narrow map-only record walk as [[warcResponses]]. */
+  def warcRedirects(media: org.apache.spark.sql.Dataset[MediaRow]):
+      org.apache.spark.sql.Dataset[WarcRedirectRow] = {
+    implicit val enc: org.apache.spark.sql.Encoder[WarcRedirectRow] =
+      org.apache.spark.sql.Encoders.product[WarcRedirectRow]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        (try WebArchive.warcRecordsAny(r.content).map(_._2).getOrElse(Vector.empty)
+         catch { case scala.util.control.NonFatal(_) => Vector.empty })
+          .iterator
+          .filter(w => w.httpStatus >= 300 && w.httpStatus <= 399 && w.location.nonEmpty)
+          .map(w => WarcRedirectRow(r.doc_id, w.idx, w.targetUri, w.httpStatus, w.location))
+      }
+    }
+  }
+
   /** One WARC `revisit` record: a URL that was re-fetched and whose
     * payload matched an earlier capture — the body is headers-only,
     * the content identity rides `WARC-Payload-Digest`. */

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HTTP redirect-chain resolution — the crawl-curation step BEFORE
+  * URL-keyed dedup: a page captured at `/old` that 301s through
+  * `/moved` to `/final` must key as `/final`, or the corpus counts
+  * the same page once per historical spelling.
+  *
+  * Resolution is POINTER JUMPING (the classic parallel
+  * list-ranking move), not per-hop walking: each round replaces every
+  * pointer with its pointer's pointer and accumulates hop counts, so
+  * chains up to 2^rounds hops resolve in `rounds` self-joins —
+  * O(log L) shuffles instead of O(L). Every round is one
+  * co-partitioned hash self-join on the pointer key; the frame is
+  * dim-sized (one row per redirect SOURCE, not per page), and each
+  * round's result snapshots through an eager plan-truncating
+  * checkpoint (the [[LinkRank]]/[[Dedup]] discipline — reliable
+  * checkpoint dir when configured, executor-local otherwise), so
+  * driver plan work is O(1) per round.
+  *
+  * Termination/cycles: a pointer that lands on a URL that is NOT
+  * itself a redirect source is terminal. Redirect CYCLES (`a→b→a`,
+  * self-redirects) never terminate — after `rounds` rounds they
+  * surface with `terminal = false` and `hops = 2^rounds`
+  * (deterministic, so the DuckDB oracle replays the same rounds
+  * CTE-by-CTE), and a curation gate drops or flags them. A source
+  * with multiple recorded targets (the same URL captured redirecting
+  * to different places over time) collapses deterministically to the
+  * bytewise-smallest target first — resolution needs a FUNCTION, and
+  * min-target is stable across engines.
+  */
+object Redirects {
+
+  /** Resolve each redirect source to its final destination.
+    *
+    * @param edges  DataFrame with string `src`, `dst` columns (one
+    *               row per captured redirect; duplicates and
+    *               conflicting targets collapse to min-dst)
+    * @param rounds pointer-jumping rounds: chains up to 2^rounds hops
+    *               resolve (real redirect chains are short — browsers
+    *               cap around 20 hops, so the default 5 covers 32)
+    * @param graphPartitions partition count for the resolution
+    *               stages — the redirect table is dim-sized relative
+    *               to the corpus; 0 keeps the session default
+    * @return (src, final_dst, hops, terminal) — `terminal = false`
+    *         marks a chain still unresolved after `rounds` (a cycle,
+    *         or longer than 2^rounds)
+    */
+  def resolve(edges: DataFrame, rounds: Int = 5,
+              graphPartitions: Int = 0): DataFrame = {
+    require(rounds >= 0 && rounds <= 20, s"rounds out of range: $rounds")
+    val sess = edges.sparkSession
+    val gp =
+      if (graphPartitions > 0) graphPartitions
+      else sess.sessionState.conf.numShufflePartitions
+    val snap: DataFrame => DataFrame =
+      if (sess.sparkContext.getCheckpointDir.isDefined) _.checkpoint(true)
+      else _.localCheckpoint(true)
+    // one row per redirect source: deterministic min-dst collapse via
+    // a partial-agg'd hash shuffle, pre-partitioned on src (ptr
+    // lookups join against THIS key every round)
+    var cur = snap(edges
+      .select(col("src").cast("string").as("src"), col("dst").cast("string").as("dst"))
+      .repartition(gp, col("src"))
+      .groupBy("src").agg(min(col("dst")).as("ptr"))
+      .select(col("src"), col("ptr"), lit(1L).as("hops")))
+    for (_ <- 0 until rounds) {
+      // ptr' = ptr(ptr) when the pointer is itself a redirect source;
+      // hops accumulate the ORIGINAL edge count traversed
+      val hop = cur.select(col("src").as("j_src"), col("ptr").as("j_ptr"),
+        col("hops").as("j_hops"))
+      cur = snap(cur.join(hop, cur("ptr") === hop("j_src"), "left")
+        .select(col("src"),
+          coalesce(col("j_ptr"), col("ptr")).as("ptr"),
+          (col("hops") + coalesce(col("j_hops"), lit(0L))).as("hops")))
+    }
+    // terminal ⇔ the final pointer is not a redirect source
+    val srcs = cur.select(col("src").as("t_src"))
+    cur.join(srcs, cur("ptr") === srcs("t_src"), "left")
+      .select(col("src"), col("ptr").as("final_dst"), col("hops"),
+        col("t_src").isNull.as("terminal"))
+  }
+}

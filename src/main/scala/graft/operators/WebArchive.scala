@@ -51,12 +51,19 @@ object WebArchive {
     *                       column of a CDX index row, and the cheap
     *                       pre-filter before body decode (text/html
     *                       vs octet streams)
+    * @param location       HTTP `Location` header, trimmed but
+    *                       case-preserved ("" when absent / not
+    *                       HTTP) — with a 3xx status this is a
+    *                       redirect edge, the raw material for
+    *                       redirect-chain resolution before URL-keyed
+    *                       dedup
     */
   final case class WarcRec(idx: Int, warcType: String, targetUri: String,
                            contentLength: Long, httpStatus: Int,
                            headerOffset: Long, bodyOffset: Long, bodyLength: Long,
                            transferEncoding: String = "", contentEncoding: String = "",
-                           payloadDigest: String = "", contentType: String = "")
+                           payloadDigest: String = "", contentType: String = "",
+                           location: String = "")
 
   private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
 
@@ -133,6 +140,7 @@ object WebArchive {
       var transferEnc = ""
       var contentEnc = ""
       var contentTyp = ""
+      var locationHdr = ""
       if (warcType.equalsIgnoreCase("response") && contentLength >= 12 &&
         b(blockStart) == 'H' && b(blockStart + 1) == 'T' && b(blockStart + 2) == 'T' &&
         b(blockStart + 3) == 'P' && b(blockStart + 4) == '/') {
@@ -149,6 +157,7 @@ object WebArchive {
             var te = ""
             var ce = ""
             var ct = ""
+            var loc = ""
             while (bodyAt < 0 && h < blockEnd) {
               val e = lineEnd(b, h, blockEnd.toInt)
               if (e < 0) h = blockEnd.toInt
@@ -165,6 +174,7 @@ object WebArchive {
                     val semi = v.indexOf(';')
                     ct = (if (semi >= 0) v.substring(0, semi) else v).trim.toLowerCase
                   }
+                  else if (nm == "location") loc = line.substring(colon + 1).trim
                 }
                 h = e
               }
@@ -176,13 +186,14 @@ object WebArchive {
               transferEnc = te
               contentEnc = ce
               contentTyp = ct
+              locationHdr = loc
             }
           }
         }
       }
       out += WarcRec(count, warcType, targetUri, contentLength, httpStatus,
         headerOffset.toLong, bodyOffset, bodyLength, transferEnc, contentEnc,
-        payloadDigest, contentTyp)
+        payloadDigest, contentTyp, locationHdr)
       count += 1
       // record separator: \r\n\r\n (exact EOF after the block is
       // tolerated — the last record of a stream-cut file)

@@ -1088,6 +1088,16 @@ object TrainingOps {
       http ++ "\r\n\r\n".getBytes(WarcAscii)
   }
 
+  /** one 3xx response record whose `Location` names the target. */
+  private def warcRedirectRecord(fromUri: String, status: Int,
+                                 toUri: String): Array[Byte] = {
+    val http = (s"HTTP/1.1 $status Moved\r\nLocation: $toUri\r\n" +
+      "Content-Type: text/html\r\n\r\n").getBytes(WarcAscii)
+    (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $fromUri\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes(WarcAscii) ++
+      http ++ "\r\n\r\n".getBytes(WarcAscii)
+  }
+
   /** one `revisit` record: headers-only block (the re-fetch carried
     * no payload), identity rides `WARC-Payload-Digest`. */
   private def warcRevisitRecord(uri: String, digest: String): Array[Byte] = {
@@ -4083,6 +4093,52 @@ object TrainingOps {
              |  'sha1:DOC' || doc_id AS payload_digest,
              |  doc_id AS orig_doc_id, CAST(200 AS BIGINT) AS http_status, clean
              |FROM exp WHERE doc_id % 4 = 0""".stripMargin)),
+
+    // ---- redirect-chain resolution: pages must key under their
+    //      FINAL URL before crawl dedup, or one page counts once per
+    //      historical spelling. Each doc's WARC carries its own
+    //      (doc_id % 4)-hop redirect chain (301/302 alternating —
+    //      both must pass the 3xx filter or the chain breaks) ending
+    //      at a real 200 page; resolution is POINTER JUMPING (3
+    //      rounds cover 8 hops in 3 self-joins), so the oracle can
+    //      state final/hops/terminal DIRECTLY: chains resolve with
+    //      hops = level, and the 2-cycle twins per 19th doc surface
+    //      deterministically as terminal=false with hops = 2^rounds.
+    //      L=0 docs emit no row (a 200 record is not an edge). ----
+    "ta_warc_redirect" -> Q(
+      (s, dir) => {
+        val m = synthMedia(s, dir) { (id, text) =>
+          val base = s"http://site${id % 7}.com/d$id"
+          val html = webHtmlStr(id, text).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val chain = (1 to (id % 4).toInt).map { lvl =>
+            Multimodal.MediaRow(id * 10 + lvl, "warc", warcRedirectRecord(
+              s"$base/r$lvl", if (lvl % 2 == 1) 301 else 302, s"$base/r${lvl - 1}"))
+          }
+          val fin = Multimodal.MediaRow(id, "warc",
+            warcHttpRecord(s"$base/r0", "", html))
+          val cyc = if (id % 19 != 0) Seq.empty else Seq(
+            Multimodal.MediaRow(id + 1000000000L, "warc",
+              warcRedirectRecord(s"$base/ca", 301, s"$base/cb")),
+            Multimodal.MediaRow(id + 2000000000L, "warc",
+              warcRedirectRecord(s"$base/cb", 301, s"$base/ca")))
+          fin +: (chain ++ cyc)
+        }
+        val edges = Multimodal.warcRedirects(m).toDF()
+          .select(col("from_uri").as("src"), col("to_uri").as("dst"))
+        graft.operators.Redirects.resolve(edges, rounds = 3, graphPartitions = 4)
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 7 AS k7, doc_id % 4 AS L FROM documents),
+             |lv AS (SELECT doc_id, k7, unnest(range(1, L + 1)) AS level FROM d)
+             |SELECT 'http://site' || k7 || '.com/d' || doc_id || '/r' || level AS src,
+             |  'http://site' || k7 || '.com/d' || doc_id || '/r0' AS final_dst,
+             |  CAST(level AS BIGINT) AS hops, TRUE AS terminal
+             |FROM lv
+             |UNION ALL
+             |SELECT 'http://site' || (doc_id % 7) || '.com/d' || doc_id || '/c' || c.s,
+             |  'http://site' || (doc_id % 7) || '.com/d' || doc_id || '/c' || c.s,
+             |  CAST(8 AS BIGINT), FALSE
+             |FROM documents, (SELECT unnest(['a','b']) AS s) c
+             |WHERE doc_id % 19 = 0""".stripMargin)),
 
     // ---- host-graph link quality: bounded-iteration PageRank over
     //      the extractLinks → canonicalizeUrl → hostOf edge chain

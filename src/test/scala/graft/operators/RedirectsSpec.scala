@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Pins the [[Redirects.resolve]] contract on handcrafted graphs: the
+  * pointer-jumping arithmetic (hops = original edges traversed), the
+  * deterministic cycle surface (terminal=false, hops = 2^rounds), the
+  * min-dst collapse for conflicting captures, and the 2^rounds reach
+  * bound. The corpus-facing oracle (`ta_warc_redirect`) binds the
+  * WARC-integrated chain end-to-end.
+  */
+class RedirectsSpec extends SparkSpec {
+
+  private def resolve(rounds: Int, edges: (String, String)*): Map[String, (String, Long, Boolean)] = {
+    import spark.implicits._
+    Redirects.resolve(edges.toDF("src", "dst"), rounds, graphPartitions = 2)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+  }
+
+  test("a chain resolves every suffix: hops counts original edges") {
+    val out = resolve(3, "a" -> "b", "b" -> "c", "c" -> "T")
+    assert(out == Map(
+      "a" -> (("T", 3L, true)),
+      "b" -> (("T", 2L, true)),
+      "c" -> (("T", 1L, true))))
+  }
+
+  test("pointer jumping reaches 2^rounds hops; one hop past the bound stays unresolved") {
+    // 8-hop chain with rounds=3 (reach exactly 8) resolves fully
+    val chain8 = (0 until 8).map(i => s"n$i" -> s"n${i + 1}")
+    val ok = resolve(3, chain8: _*)
+    assert(ok("n0") == (("n8", 8L, true)))
+    // 9-hop chain: the head can't reach the terminal in 3 rounds
+    val chain9 = (0 until 9).map(i => s"n$i" -> s"n${i + 1}")
+    val cut = resolve(3, chain9: _*)
+    assert(cut("n0")._3 == false)
+    assert(cut("n1") == (("n9", 8L, true)))
+  }
+
+  test("cycles surface deterministically: terminal=false, hops = 2^rounds") {
+    val out = resolve(3, "a" -> "b", "b" -> "a", "s" -> "s")
+    assert(out("a") == (("a", 8L, false)))
+    assert(out("b") == (("b", 8L, false)))
+    assert(out("s") == (("s", 8L, false))) // self-redirect
+  }
+
+  test("conflicting captures of one source collapse to the bytewise-smallest target") {
+    val out = resolve(2, "a" -> "z", "a" -> "m", "m" -> "T")
+    assert(out("a") == (("T", 2L, true)))
+  }
+
+  test("a chain feeding a cycle stays unresolved but keeps following pointers") {
+    val out = resolve(3, "in" -> "a", "a" -> "b", "b" -> "a")
+    assert(out("in")._3 == false)
+  }
+}

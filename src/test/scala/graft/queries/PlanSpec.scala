@@ -307,6 +307,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_surt_key"), s"surt kernel fell out of the plan:\n$p")
   }
 
+  test("ta_warc_redirect: pointer-jumping result reads a snapshot leaf — no window, no cartesian") {
+    val p = plan("ta_warc_redirect")
+    assert(!p.contains("Window"), s"redirect resolution must not window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"redirect resolution must not cartesian:\n$p")
+    // the rounds ran eagerly through plan-truncating snapshots: the
+    // returned plan is the terminal-flag self-join over the LAST
+    // snapshot's leaf, never the compounded round lineage
+    assert(p.contains("ExistingRDD"), s"result must read a snapshot leaf:\n$p")
+  }
+
   test("ta_warc_revisit: one keeper agg + one digest-keyed join — no window, no cartesian") {
     val p = plan("ta_warc_revisit")
     assert(!p.contains("Window"), s"revisit resolution must not window:\n$p")
