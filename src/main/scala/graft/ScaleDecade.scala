@@ -254,6 +254,31 @@ object ScaleDecade {
           f"resolve=$t%7.2f s ($n%8d resolved of ${1200 * m}%8d revisits)")
         w.unpersist()
       }
+      // r15: redirect-chain resolution at 64× edge volume — pointer
+      // jumping is `rounds` dim-keyed self-joins, so the curve must
+      // be linear in edges with a flat round count; the mix includes
+      // chains of length 1-7 AND a 2-cycle per 50 sources (cycles
+      // must surface as terminal=false, never spin).
+      for (m <- Seq(1, 8, 64)) {
+        val nSrc = 20000L * m
+        val groups = nSrc / 8
+        // each 8-id group is one FULL 8-hop chain u_g_8→…→u_g_1→t_g
+        // (rounds=4 reaches 16); every 50th group adds a 2-cycle
+        val ed = spark.range(nSrc).selectExpr(
+          "concat('u', id div 8, '_', id % 8 + 1) AS src",
+          "CASE WHEN id % 8 = 0 THEN concat('t', id div 8) " +
+            "ELSE concat('u', id div 8, '_', id % 8) END AS dst")
+          .unionByName(spark.range(groups / 50).selectExpr(
+            "concat('c', id, '_x') AS src", "concat('c', id, '_y') AS dst"))
+          .unionByName(spark.range(groups / 50).selectExpr(
+            "concat('c', id, '_y') AS src", "concat('c', id, '_x') AS dst"))
+          .repartition(spark.sparkContext.defaultParallelism).localCheckpoint(true)
+        val (t, n) = best(operators.Redirects.resolve(ed, rounds = 4)
+          .where(col("terminal")).count())
+        println(f"[decade] redirects ${m}%2dx edges=${nSrc + 2 * (groups / 50)}%8d " +
+          f"resolve=$t%7.2f s ($n%8d terminal of ${nSrc + 2 * (groups / 50)}%8d)")
+        ed.unpersist()
+      }
       // hostile no-CRLF files: cost per file must track the 64 KiB
       // line cap, NOT the file size (8× bigger junk ≈ same wall)
       def junk(files: Long, mib: Int): Dataset[operators.Multimodal.MediaRow] =
