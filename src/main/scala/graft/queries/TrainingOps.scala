@@ -4094,6 +4094,56 @@ object TrainingOps {
              |  doc_id AS orig_doc_id, CAST(200 AS BIGINT) AS http_status, clean
              |FROM exp WHERE doc_id % 4 = 0""".stripMargin)),
 
+    // ---- the STREAMING twin of revisit resolution: the same
+    //      fixture's originals and revisits flow as per-digest
+    //      events through flatMapGroupsWithState — first original
+    //      freezes as keeper (smallest doc_id within a batch, the
+    //      batch operator's rule), revisits resolve on arrival,
+    //      dangling revisits buffer and emit nothing. On the bounded
+    //      frame the output matches the batch join row-for-row, so
+    //      the oracle is the SAME direct construction. ----
+    "ta_warc_revisit_stateful" -> Q(
+      (s, dir) => {
+        val m = synthMedia(s, dir) { (id, text) =>
+          val html = webHtmlStr(id, text).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val digest = s"sha1:DOC$id"
+          val orig = Multimodal.MediaRow(id, "warc", warcHttpRecord(
+            s"http://site${id % 7}.com/p/${id % 211}", "", html, digest))
+          val dup = if (id % 8 != 0) Seq.empty else Seq(
+            Multimodal.MediaRow(id + 2000000000L, "warc", warcHttpRecord(
+              s"http://site${id % 7}.com/dup/${id % 211}", "", html, digest)))
+          val revs = if (id % 4 != 0) Seq.empty else Seq(
+            Multimodal.MediaRow(id + 1000000000L, "warc", warcRevisitRecord(
+              s"http://site${id % 7}.com/r/${id % 211}", digest)),
+            Multimodal.MediaRow(id + 3000000000L, "warc", warcRevisitRecord(
+              s"http://site${id % 7}.com/r/${id % 211}", s"sha1:MISSING$id")))
+          orig +: (dup ++ revs)
+        }
+        import s.implicits._
+        val ev = Multimodal.warcResponses(m).toDF()
+          .where(col("payload_digest") =!= "")
+          .select(col("payload_digest").as("digest"), lit(true).as("isOriginal"),
+            col("doc_id").as("docId"), col("target_uri").as("uri"), col("body"))
+          .unionByName(Multimodal.warcRevisits(m).toDF()
+            .select(col("payload_digest").as("digest"), lit(false).as("isOriginal"),
+              col("doc_id").as("docId"), col("target_uri").as("uri"),
+              lit("").as("body")))
+          .as[graft.streaming.StatefulOps.RevisitEvent]
+        graft.streaming.StatefulOps.streamingResolveRevisits(ev).toDF()
+          .select(col("docId").as("doc_id"), col("uri").as("target_uri"),
+            col("digest").as("payload_digest"), col("origDocId").as("orig_doc_id"),
+            graft.functions.WebFunctions.htmlToText(col("body")).as("clean"))
+      },
+      Some("""WITH exp AS (SELECT doc_id,
+             |  'Doc ' || doc_id || ' ' || trim(substr(text, 1, 200)) ||
+             |  ' more img Fish & Chips <deal> now ''hot'' "q"' AS clean
+             |  FROM documents)
+             |SELECT doc_id + 1000000000 AS doc_id,
+             |  'http://site' || (doc_id % 7) || '.com/r/' || (doc_id % 211) AS target_uri,
+             |  'sha1:DOC' || doc_id AS payload_digest,
+             |  doc_id AS orig_doc_id, clean
+             |FROM exp WHERE doc_id % 4 = 0""".stripMargin)),
+
     // ---- redirect-chain resolution: pages must key under their
     //      FINAL URL before crawl dedup, or one page counts once per
     //      historical spelling. Each doc's WARC carries its own

@@ -1001,4 +1001,80 @@ object StatefulOps {
           kmvGroup(key, rows, state, k, ttlMs)
       }
   }
+
+  // ---- streaming WARC revisit resolution ----
+
+  final case class RevisitEvent(digest: String, isOriginal: Boolean, docId: Long,
+                                uri: String, body: String)
+  final case class OrigState(origDocId: Long, body: String,
+                             pending: List[(Long, String)], dropped: Long)
+  final case class ResolvedRevisit(digest: String, docId: Long, uri: String,
+                                   origDocId: Long, body: String)
+
+  implicit val revisitEventEnc: Encoder[RevisitEvent] = Encoders.product[RevisitEvent]
+  implicit val origStateEnc: Encoder[OrigState] = Encoders.product[OrigState]
+  implicit val resolvedRevisitEnc: Encoder[ResolvedRevisit] = Encoders.product[ResolvedRevisit]
+
+  /** Per-digest transition for [[streamingResolveRevisits]] — the
+    * streaming half of
+    * [[graft.operators.Multimodal.resolveRevisits]]: the FIRST
+    * original seen for a digest freezes as the keeper (within one
+    * batch the smallest doc_id, matching the batch operator's
+    * keep-first rule; across batches first-arrival wins, the standard
+    * streaming keep-first contract — a later smaller-id capture
+    * cannot retro-resolve already-emitted rows), every revisit
+    * resolves against it ON ARRIVAL, and a revisit arriving BEFORE
+    * its original buffers in state up to `pendingMax` (the smallest
+    * doc_ids stay — deterministic; overflow is counted in state and
+    * dropped, the bounded-bucket discipline every streaming op here
+    * follows, so one hot digest cannot grow state without bound). */
+  def revisitGroup(digest: String, rows: Iterator[RevisitEvent],
+                   state: GroupState[OrigState], pendingMax: Int,
+                   ttlMs: Long): Iterator[ResolvedRevisit] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val batch = rows.toSeq
+      val prior = state.getOption
+      val keeper = prior.filter(_.origDocId >= 0)
+        .map(s => (s.origDocId, s.body))
+        .orElse(batch.filter(_.isOriginal).sortBy(_.docId).headOption
+          .map(e => (e.docId, e.body)))
+      val arriving = batch.filterNot(_.isOriginal).map(e => (e.docId, e.uri))
+      val pendingPrior = prior.map(_.pending).getOrElse(Nil)
+      val dropPrior = prior.map(_.dropped).getOrElse(0L)
+      if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+      keeper match {
+        case Some((oid, obody)) =>
+          val emit = (pendingPrior ++ arriving).sortBy(_._1)
+          state.update(OrigState(oid, obody, Nil, dropPrior))
+          emit.iterator.map { case (id, uri) => ResolvedRevisit(digest, id, uri, oid, obody) }
+        case None =>
+          val merged = (pendingPrior ++ arriving).sortBy(_._1)
+          val kept = merged.take(pendingMax)
+          state.update(OrigState(-1L, "", kept, dropPrior + (merged.size - kept.size)))
+          Iterator.empty
+      }
+    }
+
+  /** Streaming revisit resolution over (digest, original/revisit)
+    * events — the serving twin of the batch digest join: state size
+    * is one keeper body + a bounded pending list per LIVE digest
+    * (TTL-bounded), partitioned by digest hash across executors. On a
+    * bounded frame (one batch) the output matches
+    * `Multimodal.resolveRevisits` row-for-row: every revisit of a
+    * captured digest resolves against the smallest-doc_id original,
+    * dangling revisits stay in state and emit nothing. */
+  def streamingResolveRevisits(events: Dataset[RevisitEvent], pendingMax: Int = 100000,
+                               ttlMs: Long = 0L): Dataset[ResolvedRevisit] = {
+    require(pendingMax > 0, s"streamingResolveRevisits: pendingMax must be > 0")
+    val timeout =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.digest)
+      .flatMapGroupsWithState[OrigState, ResolvedRevisit](OutputMode.Append, timeout) {
+        (digest: String, rows: Iterator[RevisitEvent], state: GroupState[OrigState]) =>
+          revisitGroup(digest, rows, state, pendingMax, ttlMs)
+      }
+  }
 }

@@ -913,4 +913,63 @@ class StatefulOpsSpec extends SparkSpec {
     // 700 distinct values spread over 4 groups -> every group saturates
     assert(batch.forall(_._2 == 64L))
   }
+
+  test("streaming revisit resolution: resolve-on-arrival, out-of-order buffering, keep-first keeper") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RevisitEvent]
+    val q = streamingResolveRevisits(input.toDS())
+      .writeStream.format("memory").queryName("revisit_out")
+      .outputMode("append").start()
+    // batch 1: d1 original + a same-batch revisit (resolves now);
+    // d2 gets a revisit BEFORE any original (buffers); d3 dangles
+    input.addData(
+      RevisitEvent("d1", isOriginal = true, 10L, "/p/1", "body-1"),
+      RevisitEvent("d1", isOriginal = false, 20L, "/r/1", ""),
+      RevisitEvent("d2", isOriginal = false, 30L, "/r/2", ""),
+      RevisitEvent("d3", isOriginal = false, 40L, "/r/3", ""))
+    q.processAllAvailable()
+    // batch 2: d2's original arrives -> the buffered revisit resolves;
+    // a LATER smaller-id original for d1 must NOT replace the keeper
+    input.addData(
+      RevisitEvent("d2", isOriginal = true, 5L, "/p/2", "body-2"),
+      RevisitEvent("d1", isOriginal = true, 1L, "/p/1b", "body-1b"),
+      RevisitEvent("d1", isOriginal = false, 50L, "/r/1b", ""))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("revisit_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(rows.toList == List(
+      ("d1", 20L, "/r/1", 10L, "body-1"),
+      ("d1", 50L, "/r/1b", 10L, "body-1"), // first-arrival keeper, not id 1
+      ("d2", 30L, "/r/2", 5L, "body-2")))  // buffered, resolved on arrival
+    // d3 never emitted: dangling revisits stay in state
+  }
+
+  test("revisit transition: keep-first within a batch is smallest doc_id; pendingMax bounds state deterministically") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    def st() = TestGroupState.create[OrigState](
+      optionalState = org.apache.spark.api.java.Optional.empty(),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L, eventTimeWatermarkMs =
+        org.apache.spark.api.java.Optional.empty(), hasTimedOut = false)
+    // two originals in ONE batch: the smaller doc_id wins (batch rule)
+    val s1 = st()
+    val out1 = revisitGroup("d", Iterator(
+      RevisitEvent("d", isOriginal = true, 9L, "/b", "B"),
+      RevisitEvent("d", isOriginal = true, 3L, "/a", "A"),
+      RevisitEvent("d", isOriginal = false, 7L, "/r", "")),
+      s1, pendingMax = 10, ttlMs = 0L).toList
+    assert(out1 == List(ResolvedRevisit("d", 7L, "/r", 3L, "A")))
+    assert(s1.get.origDocId == 3L)
+    // pendingMax: smallest doc_ids stay, overflow counted
+    val s2 = st()
+    val out2 = revisitGroup("d", Iterator(
+      RevisitEvent("d", isOriginal = false, 5L, "/r5", ""),
+      RevisitEvent("d", isOriginal = false, 1L, "/r1", ""),
+      RevisitEvent("d", isOriginal = false, 9L, "/r9", "")),
+      s2, pendingMax = 2, ttlMs = 0L).toList
+    assert(out2.isEmpty)
+    assert(s2.get.pending.map(_._1) == List(1L, 5L) && s2.get.dropped == 1L)
+  }
 }
