@@ -36,6 +36,7 @@ object GraftMain {
       .appName("graft")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     run(spark, args(0), args(1), args.contains("--stream")) match {
       case Left(err) => System.err.println(err); sys.exit(1)

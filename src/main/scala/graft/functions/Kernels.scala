@@ -410,8 +410,12 @@ object Kernels {
     * eight oracle arms, `dd_url_dedup`, `ta_warc_extract`, and the
     * WebFunctionsSpec corner suites — this eval replicates the regex
     * chain rule-for-rule (first-`@` userinfo drop, bracket-whole
-    * IPv6, LAST-colon digit-suffix port, first-`?` query split,
-    * bytewise param sort, anchored tracking-param test). */
+    * IPv6, digit-suffix port, first-`?` query split, bytewise param
+    * sort, anchored tracking-param test). A non-bracket authority
+    * with more than one colon (`http://h:1:2/`) is RFC-invalid and
+    * passes through WHOLE — the malformed-escape discipline — rather
+    * than splicing host from the first colon and port from the
+    * last. */
   def canonUrlEval(u0: UTF8String): UTF8String = {
     val t = u0.toString.trim
     // scheme: [A-Za-z][A-Za-z0-9+.-]* then "://", else passthrough
@@ -452,6 +456,12 @@ object Kernels {
         tail.substring(1).forall(c => c >= '0' && c <= '9')) port = tail.substring(1)
     } else {
       val colon = hostPort.indexOf(':')
+      // an RFC-invalid authority (>1 colon outside a bracket literal,
+      // e.g. `http://h:1:2/`) passes through WHOLE like other
+      // malformed inputs — the old first-colon-host / last-colon-port
+      // splice silently dropped the middle token
+      if (colon >= 0 && hostPort.indexOf(':', colon + 1) >= 0)
+        return UTF8String.fromString(t)
       val bare = if (colon >= 0) hostPort.substring(0, colon) else hostPort
       host = if (bare.startsWith("www.")) bare.substring(4) else bare
       // IDN fold: a unicode host maps to its punycode form (RFC 3490

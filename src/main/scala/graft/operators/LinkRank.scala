@@ -99,12 +99,14 @@ object LinkRank {
     *                     small stages costs multiples of the task
     *                     time (measured 7.8 s vs 2.8 s on the oracle
     *                     graph). The session's AQE setting is saved
-    *                     and restored — NOT thread-safe: a concurrent
-    *                     query on the same SparkSession runs with AQE
-    *                     off for the duration, and two interleaved
-    *                     materialized hostRank calls can race the
-    *                     save/restore (callers running concurrent
-    *                     graphs should serialize or pass
+    *                     and restored, and materialized runs are
+    *                     SERIALIZED behind a JVM-wide lock so two
+    *                     interleaved hostRank calls cannot race the
+    *                     save/restore into a wrong final value; an
+    *                     unrelated concurrent query on the same
+    *                     SparkSession still observes AQE off for the
+    *                     duration (documented limitation — callers
+    *                     needing full isolation should pass
     *                     materialize = false). Pass false for a fully
     *                     lazy plan (construction-time zero jobs;
     *                     iteration frames persist instead of
@@ -118,10 +120,27 @@ object LinkRank {
     *                     0 keeps the session default.
     * @return (host, outdeg, rank) — rank at [[Scale]] fixed point
     */
+  /** Serializes materialized runs: the AQE conf save/restore is
+    * session-global, so two interleaved materialized hostRank calls
+    * could otherwise restore each other's transient value. */
+  private val MaterializeLock = new Object
+
   def hostRank(edges: DataFrame, iterations: Int, dampingPpm: Long = 850000L,
                maxOutDegree: Int = 0, materialize: Boolean = true,
                graphPartitions: Int = 0): DataFrame = {
     require(iterations >= 0 && dampingPpm >= 0 && dampingPpm <= PpmDen)
+    if (materialize)
+      MaterializeLock.synchronized {
+        hostRankImpl(edges, iterations, dampingPpm, maxOutDegree,
+          materialize = true, graphPartitions)
+      }
+    else hostRankImpl(edges, iterations, dampingPpm, maxOutDegree,
+      materialize = false, graphPartitions)
+  }
+
+  private def hostRankImpl(edges: DataFrame, iterations: Int, dampingPpm: Long,
+                           maxOutDegree: Int, materialize: Boolean,
+                           graphPartitions: Int): DataFrame = {
     val sess = edges.sparkSession
     val gp =
       if (graphPartitions > 0) graphPartitions
@@ -200,11 +219,20 @@ object LinkRank {
     }
     // materialized runs return a trivial select over the LAST
     // snapshot's leaf, so the support caches can release NOW (bounded
-    // storage across many graphs per session); superseded iteration
-    // snapshot blocks are reclaimed by the ContextCleaner when their
-    // frames become unreachable.
-    val out = ranks.select(col("host"), col("outdeg"), col("rank"))
-    if (materialize && iterations > 0) {
+    // storage across many graphs per session). Superseded LOCAL
+    // checkpoint blocks are reclaimed by the ContextCleaner when their
+    // frames become unreachable; RELIABLE checkpoint files are only
+    // auto-deleted when the cluster sets
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true (default
+    // false — the graft entry mains set it; long-lived sessions with a
+    // checkpoint dir should too, or sweep the dir out-of-band).
+    // iterations == 0 never entered the snapshot loop, so `ranks`
+    // still reads `deg` lazily — snapshot it first so the support
+    // frames can release unconditionally (repeated zero-iteration
+    // calls must not leak cached frames for the session's lifetime).
+    val out0 = ranks.select(col("host"), col("outdeg"), col("rank"))
+    val out = if (materialize && iterations == 0) snap(out0) else out0
+    if (materialize) {
       capped.unpersist()
       deg0.unpersist()
       deg.unpersist()

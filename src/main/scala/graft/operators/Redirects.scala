@@ -55,14 +55,23 @@ object Redirects {
     val gp =
       if (graphPartitions > 0) graphPartitions
       else sess.sessionState.conf.numShufflePartitions
+    // superseded round files under a RELIABLE checkpoint dir are only
+    // auto-deleted with spark.cleaner.referenceTracking.cleanCheckpoints
+    // =true (default false — the graft entry mains set it); local
+    // checkpoint blocks are reclaimed by the ContextCleaner regardless
     val snap: DataFrame => DataFrame =
       if (sess.sparkContext.getCheckpointDir.isDefined) _.checkpoint(true)
       else _.localCheckpoint(true)
     // one row per redirect source: deterministic min-dst collapse via
     // a partial-agg'd hash shuffle, pre-partitioned on src (ptr
-    // lookups join against THIS key every round)
+    // lookups join against THIS key every round). Null-keyed rows drop
+    // FIRST: a source whose only recorded dst is null would otherwise
+    // carry ptr=null through every round, never join, and report
+    // terminal=true with final_dst=null — a silently "resolved" row a
+    // downstream rewrite join would drop or mis-key.
     var cur = snap(edges
       .select(col("src").cast("string").as("src"), col("dst").cast("string").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
       .repartition(gp, col("src"))
       .groupBy("src").agg(min(col("dst")).as("ptr"))
       .select(col("src"), col("ptr"), lit(1L).as("hops")))

@@ -402,9 +402,14 @@ object WebArchive {
 
   /** one coding-list header value → its tokens in header order (the
     * order the sender APPLIED them, RFC 9110 §6.4); empty members and
-    * `identity` no-ops drop. */
+    * `identity` no-ops drop. A transfer-coding may carry parameters
+    * (`chunked;ext=1` — RFC 9112 §7's transfer-parameter grammar), so
+    * each member strips at its first `;` before matching: a
+    * parameterized `chunked` must still dechunk, not flow raw with a
+    * residual. */
   private def codingTokens(v: String): Array[String] =
-    v.split(",").iterator.map(_.trim).filter(t => t.nonEmpty && t != "identity").toArray
+    v.split(",").iterator.map(_.takeWhile(_ != ';').trim)
+      .filter(t => t.nonEmpty && t != "identity").toArray
 
   /** undo ONE coding layer, or None when the label doesn't match the
     * bytes / the coding isn't decodable here (br, zstd, compress). */

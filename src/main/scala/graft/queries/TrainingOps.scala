@@ -3682,10 +3682,12 @@ object TrainingOps {
     // + host case lowered (v3), unreserved percent-escapes decode +
     // punycode host pass-through (v4), reserved escapes keep bytes but
     // uppercase hex (v5), malformed escapes untouched (v6), escapes
-    // normalize BEFORE the param sort (v7). Two IDN twins per 9th doc
-    // bind the kernel's unicode→punycode fold: the unicode spelling
+    // normalize BEFORE the param sort (v7). Three twins per 9th doc:
+    // the kernel's unicode→punycode fold — the unicode spelling
     // (+1e9) and the punycode spelling (+2e9) of the SAME host must
-    // canonicalize to the IDENTICAL key.
+    // canonicalize to the IDENTICAL key — and an RFC-invalid
+    // multi-colon authority (+3e9) that must pass through WHOLE
+    // (no host/port splice, no param sort).
     "ta_url_canon" -> Q(
       (s, dir) => {
         val d = Tables(s, dir, "documents")
@@ -3712,8 +3714,12 @@ object TrainingOps {
           concat(lit("http://Bücher.example/x/"), k).as("url"))
         val punyTwin = nine.select((col("doc_id") + lit(2000000000L)).as("doc_id"),
           concat(lit("http://xn--bcher-kva.EXAMPLE/x/"), k).as("url"))
+        // RFC-invalid authority (>1 colon, no brackets): passes
+        // through WHOLE — no host/port splice, no param sort
+        val colonTwin = nine.select((col("doc_id") + lit(3000000000L)).as("doc_id"),
+          concat(lit("http://h"), k, lit(":1:2/p"), k, lit("?b=2&a=1")).as("url"))
         d.select(col("doc_id"), raw.as("url"))
-          .unionByName(uniTwin).unionByName(punyTwin)
+          .unionByName(uniTwin).unionByName(punyTwin).unionByName(colonTwin)
           .select(col("doc_id"), col("url"),
             graft.functions.WebFunctions.canonicalizeUrl(col("url")).as("url_canon"))
       },
@@ -3744,7 +3750,10 @@ object TrainingOps {
              |  'http://xn--bcher-kva.example/x/' || k FROM v9
              |UNION ALL
              |SELECT doc_id + 2000000000, 'http://xn--bcher-kva.EXAMPLE/x/' || k,
-             |  'http://xn--bcher-kva.example/x/' || k FROM v9""".stripMargin)),
+             |  'http://xn--bcher-kva.example/x/' || k FROM v9
+             |UNION ALL
+             |SELECT doc_id + 3000000000, 'http://h' || k || ':1:2/p' || k || '?b=2&a=1',
+             |  'http://h' || k || ':1:2/p' || k || '?b=2&a=1' FROM v9""".stripMargin)),
 
     // URL-keyed dedup: five raw spellings per canonical page (case,
     // www, default port, trailing slash, fragment, tracking params,
@@ -3970,9 +3979,13 @@ object TrainingOps {
     //      through raw, residual 'gzip'), a brotli label (no decoder
     //      here BY DESIGN — the body passes raw with residual 'br',
     //      so the curation gate filters the mojibake instead of
-    //      silently ingesting it), and a STACKED `TE: gzip, chunked`
+    //      silently ingesting it), a STACKED `TE: gzip, chunked`
     //      (legal per RFC 9112 §7 — dechunk then gunzip, residual
-    //      ''). The oracle states the expected extraction directly
+    //      ''), and a PARAMETERIZED `TE: chunked;graft=1` over real
+    //      chunked bytes (RFC 9112 §7 transfer-parameters — the token
+    //      must match after its `;parameter` strips, so the body
+    //      dechunks clean instead of flowing raw with a residual).
+    //      The oracle states the expected extraction directly
     //      from doc arithmetic — every decodable framing comes back
     //      to the SAME page with an EMPTY residual. ----
     "ta_warc_http" -> Q(
@@ -3996,7 +4009,9 @@ object TrainingOps {
           Multimodal.MediaRow(id + 3000000000L, "warc",
             warcHttpRecord(uri, "Content-Encoding: br\r\n", html)),
           Multimodal.MediaRow(id + 4000000000L, "warc", warcHttpRecord(uri,
-            "Transfer-Encoding: gzip, chunked\r\n", chunkify(gzipBytes(html), 100))))
+            "Transfer-Encoding: gzip, chunked\r\n", chunkify(gzipBytes(html), 100))),
+          Multimodal.MediaRow(id + 5000000000L, "warc", warcHttpRecord(uri,
+            "Transfer-Encoding: chunked;graft=1\r\n", chunkify(html, 100))))
       }.transform(m => Multimodal.warcResponses(m).toDF())
         .select(col("doc_id"), col("http_status").cast("long").as("http_status"),
           col("charset"), col("coding_residual"),
@@ -4018,6 +4033,9 @@ object TrainingOps {
              |FROM exp WHERE doc_id % 13 = 0
              |UNION ALL
              |SELECT doc_id + 4000000000, 200, 'ascii', '', clean
+             |FROM exp WHERE doc_id % 13 = 0
+             |UNION ALL
+             |SELECT doc_id + 5000000000, 200, 'ascii', '', clean
              |FROM exp WHERE doc_id % 13 = 0""".stripMargin)),
 
     // ---- charset-aware body decode: the payload routes through the

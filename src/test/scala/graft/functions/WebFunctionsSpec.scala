@@ -136,6 +136,18 @@ class WebFunctionsSpec extends SparkSpec {
       Seq("/relative/path?a=1", "mailto:x@y.z", "just text"))
   }
 
+  test("RFC-invalid multi-colon authority passes through WHOLE, never splices") {
+    assert(canon(
+      "http://h:1:2/p?b=2&a=1",      // >1 colon outside brackets: invalid authority
+      "http://2001:db8::1/x",        // unbracketed IPv6 is the same malformation
+      "http://u:p@h:1:2/x",          // userinfo colons drop FIRST; authority still invalid
+      "http://u:p@h:8080/x") ==      // userinfo colon alone is fine — normal split
+      Seq("http://h:1:2/p?b=2&a=1",
+        "http://2001:db8::1/x",
+        "http://u:p@h:1:2/x",
+        "http://h:8080/x"))
+  }
+
   test("html: script/style elements drop whole, tags become spaces, text never fuses") {
     assert(text(
       "<p>a</p><p>b</p>",

@@ -94,4 +94,20 @@ class LinkRankSpec extends SparkSpec {
     val degs = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(degs == Map("hub" -> 2L, "a" -> 0L, "b" -> 0L))
   }
+
+  test("materialized zero-iteration runs release their support caches") {
+    // the iterations==0 path never enters the snapshot loop, so the
+    // result frame must snapshot BEFORE the support frames unpersist —
+    // repeated zero-iteration calls must not grow session storage.
+    // A local-checkpoint block itself registers one persistent RDD
+    // (reclaimed by the ContextCleaner), so the bound per call is 1 —
+    // the leak this pins was +3 cached SUPPORT frames per call.
+    def run(): Long =
+      LinkRank.hostRank(edges("a" -> "b", "b" -> "c"), 0, maxOutDegree = 4).count()
+    assert(run() == 3) // warm
+    val before = spark.sparkContext.getPersistentRDDs.size
+    assert(run() == 3)
+    val grown = spark.sparkContext.getPersistentRDDs.size - before
+    assert(grown <= 1, s"support frames must unpersist on the zero-iteration path (+$grown)")
+  }
 }

@@ -55,4 +55,16 @@ class RedirectsSpec extends SparkSpec {
     val out = resolve(3, "in" -> "a", "a" -> "b", "b" -> "a")
     assert(out("in")._3 == false)
   }
+
+  test("null-keyed edges drop: no silently-'resolved' row with a null destination") {
+    import spark.implicits._
+    val edges = Seq(
+      (Some("a"), Some("T")),
+      (Some("bad"), None),          // only recorded dst is null → no output row
+      (None, Some("x"))             // null source is not a key
+    ).toDF("src", "dst")
+    val out = Redirects.resolve(edges, rounds = 2, graphPartitions = 2).collect()
+    assert(out.map(_.getString(0)).toSet == Set("a"))
+    assert(out.forall(r => r.getString(1) != null))
+  }
 }

@@ -322,4 +322,20 @@ class WebArchiveSpec extends AnyFunSuite {
     val (bts2, res2) = WebArchive.decodeHttpPayload(buf2, WebArchive.warcRecords(buf2).get.head)
     assert(bts2.sameElements(page) && res2 == "")
   }
+
+  test("decodeHttpPayload: parameterized coding tokens match after the ;parameter strips") {
+    val page = b("<p>parameterized chunked</p>")
+    // RFC 9112 §7 transfer-parameters: `chunked;ext=1` must still dechunk
+    val buf = responseWarc("Transfer-Encoding: chunked;ext=1\r\n", chunked(page, 7))
+    val (bts, res) = WebArchive.decodeHttpPayload(buf, WebArchive.warcRecords(buf).get.head)
+    assert(bts.sameElements(page) && res == "")
+    // parameterized member inside a stacked list
+    val buf2 = responseWarc("Transfer-Encoding: gzip, chunked ; q=0\r\n", chunked(gz(page), 9))
+    val (bts2, res2) = WebArchive.decodeHttpPayload(buf2, WebArchive.warcRecords(buf2).get.head)
+    assert(bts2.sameElements(page) && res2 == "")
+    // a parameterized identity is still a no-op
+    val buf3 = responseWarc("Content-Encoding: identity;x=y\r\n", page)
+    val (bts3, res3) = WebArchive.decodeHttpPayload(buf3, WebArchive.warcRecords(buf3).get.head)
+    assert(bts3.sameElements(page) && res3 == "")
+  }
 }
