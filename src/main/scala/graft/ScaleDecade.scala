@@ -280,6 +280,35 @@ object ScaleDecade {
           f"resolve=$t%7.2f s ($n%8d terminal of ${nSrc + 2 * (groups / 50)}%8d)")
         ed.unpersist()
       }
+      // r16: redirect-resolution APPLY at 64× page volume — the
+      // resolution map stays DIM-sized (100k sources, resolved once
+      // outside the loop) and broadcasts; re-keying the corpus must be
+      // linear in pages (one map-side join + the dedup agg, the page
+      // side never shuffles on its raw key).
+      {
+        val applyEd = spark.range(100000L).selectExpr(
+          "concat('http://h', id % 997, '.com/old/', id) AS src",
+          "concat('http://h', id % 997, '.com/p/', id % 20000) AS dst")
+          .repartition(spark.sparkContext.defaultParallelism).localCheckpoint(true)
+        val resolved = operators.Redirects.resolve(applyEd, rounds = 3)
+          .localCheckpoint(true)
+        for (m <- Seq(1, 8, 64)) {
+          val nPages = 20000L * m
+          // 1/4 of pages sit on a historical spelling that must re-key
+          val pages = spark.range(nPages).selectExpr(
+            "id AS doc_id",
+            "CASE WHEN id % 4 = 0 THEN concat('http://h', (id * 5) % 997, '.com/old/', (id * 5) % 100000) " +
+              "ELSE concat('http://h', id % 997, '.com/p/', id % 20000) END AS url_canon")
+            .repartition(spark.sparkContext.defaultParallelism).localCheckpoint(true)
+          val (t, n) = best(operators.Redirects.applyResolution(pages, resolved)
+            .groupBy(col("url_final"))
+            .agg(count(lit(1)).as("n"), sum(col("redirect_hops")).as("h")).count())
+          println(f"[decade] redirectapply ${m}%2dx pages=$nPages%8d " +
+            f"rekey+dedup=$t%7.2f s ($n%8d keys)")
+          pages.unpersist()
+        }
+        applyEd.unpersist(); resolved.unpersist()
+      }
       // hostile no-CRLF files: cost per file must track the 64 KiB
       // line cap, NOT the file size (8× bigger junk ≈ same wall)
       def junk(files: Long, mib: Int): Dataset[operators.Multimodal.MediaRow] =

@@ -91,4 +91,49 @@ object Redirects {
       .select(col("src"), col("ptr").as("final_dst"), col("hops"),
         col("t_src").isNull.as("terminal"))
   }
+
+  /** APPLY a resolution map to the corpus: re-key every page captured
+    * at a redirected URL under its chain's FINAL destination — the
+    * step [[resolve]] exists for. Run this BEFORE URL-keyed dedup so
+    * `/old`, `/moved` and `/final` captures of one page collapse to
+    * one key instead of counting once per historical spelling.
+    *
+    * Keying rules (each bound by `dd_url_dedup_redirect`):
+    *   - a page whose URL is a TERMINAL redirect source keys under
+    *     `final_dst` (`redirect_hops` carries the chain length);
+    *   - a CYCLE member (`terminal = false`) keeps its OWN key —
+    *     a cycle names no destination, so collapsing its members
+    *     under a rotated pointer would merge pages that are not the
+    *     same document (`redirect_hops` stays 0, like unredirected);
+    *   - a URL that is no redirect source at all keeps its own key.
+    *
+    * Scale shape: the resolution map is DIM-sized (one row per
+    * redirect source — 10⁶-10⁸ rows for a 10¹¹-page corpus), so it
+    * BROADCASTS and the page side never shuffles: one map-only pass
+    * over the corpus, the `ta_link_rank_apply` discipline. For a
+    * resolution map past broadcast range, drop the `broadcast` hint
+    * and let AQE pick the join — the page side then hash-shuffles
+    * once on the URL key, which the downstream URL dedup needed
+    * anyway.
+    *
+    * @param pages      corpus frame; `urlCol` must be CANONICALIZED
+    *                   with the same kernel that built the edge URLs
+    *                   (graft_canon_url) or keys miss bytewise
+    * @param resolution [[resolve]] output (src, final_dst, hops,
+    *                   terminal)
+    * @param urlCol     page key column name
+    * @return `pages` plus `url_final` (the dedup key) and
+    *         `redirect_hops` (0 when not re-keyed)
+    */
+  def applyResolution(pages: DataFrame, resolution: DataFrame,
+                      urlCol: String = "url_canon"): DataFrame = {
+    val dim = broadcast(resolution
+      .where(col("terminal") && col("final_dst").isNotNull)
+      .select(col("src").as("__r_src"), col("final_dst").as("__r_dst"),
+        col("hops").as("__r_hops")))
+    pages.join(dim, pages(urlCol) === dim("__r_src"), "left")
+      .withColumn("url_final", coalesce(col("__r_dst"), col(urlCol)))
+      .withColumn("redirect_hops", coalesce(col("__r_hops"), lit(0L)))
+      .drop("__r_src", "__r_dst", "__r_hops")
+  }
 }

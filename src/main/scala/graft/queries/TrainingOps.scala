@@ -3786,6 +3786,59 @@ object TrainingOps {
              |  min(doc_id) AS keeper, count(*) AS n_variants
              |FROM documents GROUP BY 1""".stripMargin)),
 
+    // ---- URL dedup AFTER redirect resolution — the apply step the
+    //      resolver exists for: a page captured at `/old` (which 301s
+    //      to `/p`) must key as `/p`, or the corpus counts the same
+    //      page once per historical spelling. Five page arms per doc:
+    //      the final target itself (m0), a 1-hop (m1) and a 2-hop
+    //      (m2) historical spelling that must COLLAPSE with it, a
+    //      3-cycle member (m3) that must NOT collapse (terminal=false
+    //      gates the re-key — with rounds=3 the raw pointer lands on
+    //      the member 8≡2 (mod 3) ahead, so applying it anyway would
+    //      shift every cycle key and mismatch), and an unredirected
+    //      control (m4). The dim-sized resolution map BROADCASTS; the
+    //      page side's only shuffle is the dedup groupBy itself.
+    //      sum_hops binds the per-page redirect_hops annotation
+    //      (m1 docs contribute 1, m2 docs 2, everyone else 0). ----
+    "dd_url_dedup_redirect" -> Q(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val k = pmod(col("doc_id"), lit(97L)).cast("string")
+        val m = pmod(col("doc_id"), lit(5L))
+        val host = concat(lit("http://host"), k, lit(".com"))
+        val url = when(m === 0, concat(host, lit("/p/"), k))
+          .when(m === 1, concat(host, lit("/old/"), k))
+          .when(m === 2, concat(host, lit("/older/"), k))
+          .when(m === 3, concat(host, lit("/cyc"), pmod(col("doc_id"), lit(3L)), lit("/"), k))
+          .otherwise(concat(host, lit("/solo/"), k))
+        val pages = d.select(col("doc_id"), url.as("url_canon"))
+        // redirect edges are a DIM table (one chain + one cycle per
+        // key family), built shuffle-free from range
+        val ks = s.range(0, 97).select(col("id").cast("string").as("k"))
+        val h = concat(lit("http://host"), col("k"), lit(".com"))
+        def e(from: org.apache.spark.sql.Column, to: org.apache.spark.sql.Column) =
+          ks.select(from.as("src"), to.as("dst"))
+        val edges = e(concat(h, lit("/old/"), col("k")), concat(h, lit("/p/"), col("k")))
+          .unionByName(e(concat(h, lit("/older/"), col("k")), concat(h, lit("/old/"), col("k"))))
+          .unionByName(e(concat(h, lit("/cyc0/"), col("k")), concat(h, lit("/cyc1/"), col("k"))))
+          .unionByName(e(concat(h, lit("/cyc1/"), col("k")), concat(h, lit("/cyc2/"), col("k"))))
+          .unionByName(e(concat(h, lit("/cyc2/"), col("k")), concat(h, lit("/cyc0/"), col("k"))))
+        val res = graft.operators.Redirects.resolve(edges, rounds = 3, graphPartitions = 4)
+        graft.operators.Redirects.applyResolution(pages, res)
+          .groupBy(col("url_final"))
+          .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_variants"),
+            sum(col("redirect_hops")).as("sum_hops"))
+      },
+      Some("""SELECT CASE doc_id % 5
+             |    WHEN 3 THEN 'http://host' || (doc_id % 97) || '.com/cyc'
+             |                || (doc_id % 3) || '/' || (doc_id % 97)
+             |    WHEN 4 THEN 'http://host' || (doc_id % 97) || '.com/solo/' || (doc_id % 97)
+             |    ELSE 'http://host' || (doc_id % 97) || '.com/p/' || (doc_id % 97) END AS url_final,
+             |  min(doc_id) AS keeper, count(*) AS n_variants,
+             |  CAST(sum(CASE doc_id % 5 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 0 END) AS BIGINT)
+             |    AS sum_hops
+             |FROM documents GROUP BY 1""".stripMargin)),
+
     // ---- EXIF metadata (TIFF 6.0 IFD in a JPEG APP1 carrier):
     //      provenance + the GPS-presence PII flag. Synthesized JPEGs
     //      with FIXED-WIDTH variable fields (single-digit make/model/

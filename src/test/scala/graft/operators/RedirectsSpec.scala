@@ -56,6 +56,23 @@ class RedirectsSpec extends SparkSpec {
     assert(out("in")._3 == false)
   }
 
+  test("applyResolution: terminal sources re-key, cycles and unknowns keep their own key") {
+    import spark.implicits._
+    val res = Redirects.resolve(
+      Seq("old" -> "mid", "mid" -> "fin", "ca" -> "cb", "cb" -> "cc", "cc" -> "ca")
+        .toDF("src", "dst"), rounds = 3, graphPartitions = 2)
+    val pages = Seq(1L -> "fin", 2L -> "old", 3L -> "mid", 4L -> "ca", 5L -> "other")
+      .toDF("doc_id", "url_canon")
+    val out = Redirects.applyResolution(pages, res)
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      1L -> (("fin", 0L)),   // the target itself: untouched
+      2L -> (("fin", 2L)),   // 2-hop historical spelling collapses
+      3L -> (("fin", 1L)),   // mid-chain spelling collapses too
+      4L -> (("ca", 0L)),    // cycle member: terminal=false gates the re-key
+      5L -> (("other", 0L)))) // never a redirect source
+  }
+
   test("null-keyed edges drop: no silently-'resolved' row with a null destination") {
     import spark.implicits._
     val edges = Seq(

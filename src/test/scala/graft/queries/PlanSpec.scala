@@ -358,6 +358,23 @@ class PlanSpec extends SparkSpec {
     assert(!pageSide.contains("Window"), s"no window on the page side:\n$pageSide")
   }
 
+  test("dd_url_dedup_redirect: resolution dim broadcasts — pages shuffle only for the dedup") {
+    val p = plan("dd_url_dedup_redirect")
+    val join = p.indexOf("BroadcastHashJoin")
+    val bcast = p.indexOf("BroadcastExchange", join)
+    assert(join >= 0 && bcast > join, s"resolution map must broadcast:\n$p")
+    // the streamed side between the join node and its broadcast child
+    // is the page scan — it must reach the join without an exchange
+    val pageSide = p.substring(join, bcast)
+    assert(pageSide.contains("documents.parquet"), s"page scan missing:\n$pageSide")
+    assert(!pageSide.contains("Exchange"), s"pages must stream straight into the join:\n$pageSide")
+    // the ONLY corpus-keyed shuffle is the dedup groupBy on the FINAL
+    // key; the raw page key never hash-partitions
+    assert(!p.contains("Exchange hashpartitioning(url_canon"),
+      s"page side must not shuffle on the pre-apply key:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), s"plan shape:\n$p")
+  }
+
   test("mm_exif_meta: EXIF walk is map-only — zero exchanges") {
     val p = plan("mm_exif_meta")
     assert(!p.contains("Exchange"), s"exif parsing must not shuffle:\n$p")
