@@ -218,6 +218,39 @@ object ScaleDecade {
         println(f"[decade] warcbody ${m}%2dx words=${60 * m}%6d extract=$ext%7.2f s ($extN%10d chars)")
         w.unpersist()
       }
+      // r16: the COMPOSED 4-facet ingest at the 8x probe scale —
+      // separate operator calls re-parse the archive bytes once per
+      // facet; the shared warcFacets walk parses ONCE and each facet
+      // is a projection of the persisted facet frame. The single-pass
+      // path must come in at least ~2x cheaper on the composed job.
+      {
+        val w = warcs(1600L, recs = 10, bodyWords = 60, gz = false)
+        def consume(cdx: DataFrame, red: DataFrame, rev: DataFrame,
+                    resp: DataFrame): Long =
+          cdx.count() + red.count() + rev.count() +
+            resp.agg(sum(length(col("body")))).first().getLong(0)
+        val (separate, _) = best(consume(
+          operators.Multimodal.warcCdx(w).toDF(),
+          operators.Multimodal.warcRedirects(w).toDF(),
+          operators.Multimodal.warcRevisits(w).toDF(),
+          operators.Multimodal.warcResponses(w).toDF()))
+        val (shared, _) = best {
+          val f = operators.Multimodal.warcFacets(w).toDF().persist()
+          try {
+            val n = consume(
+              f.select(col("doc_id"), col("idx"), col("target_uri"), col("warc_type"),
+                col("mime"), col("http_status"), col("payload_digest"),
+                col("header_offset"), col("rec_length")),
+              f.where(col("http_status").between(300, 399) && col("location") =!= ""),
+              f.where(lower(col("warc_type")) === "revisit" && col("payload_digest") =!= ""),
+              f.where(col("has_text")))
+            n
+          } finally f.unpersist()
+        }
+        println(f"[decade] warcfacets composed-4-facet separate=$separate%7.2f s " +
+          f"shared-walk=$shared%7.2f s (${separate / shared}%4.1fx)")
+        w.unpersist()
+      }
       // r15: revisit-heavy archives (the real CommonCrawl mix is ~1/3
       // revisits, and popular pages concentrate MANY revisits on ONE
       // digest): resolution must stay linear in records — one keeper

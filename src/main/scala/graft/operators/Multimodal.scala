@@ -421,6 +421,74 @@ object Multimodal {
     }
   }
 
+  /** One record of the single-pass WARC facet walk ([[warcFacets]]):
+    * record identity + byte ranges (the record-map facet), HTTP facts
+    * (mime/status/location — the CDX and redirect facets), content
+    * identity (`payload_digest` — the revisit facet), and, when the
+    * walk runs `withText`, the decoded response text (the extraction
+    * facet: `has_text` marks rows whose payload decoded; non-response
+    * records and binary payloads carry `has_text = false`). */
+  final case class WarcFacetRow(
+      doc_id: Long, idx: Int, warc_type: String, target_uri: String,
+      content_length: Long, http_status: Int,
+      header_offset: Long, body_offset: Long, body_length: Long,
+      mime: String, payload_digest: String, location: String, rec_length: Long,
+      has_text: Boolean, charset: String, body: String, coding_residual: String)
+
+  /** ONE parse of the archive bytes, every facet emitted — the
+    * composed-ingest shape at 100 TB: a curation run that wants the
+    * CDX index AND the redirect edges AND the revisits AND the page
+    * text used to re-run [[WebArchive.warcRecordsAny]] once per facet
+    * operator (4-5 parses of the same record stream); this walk
+    * parses once and each facet operator below is a narrow projection
+    * of it (their signatures and row types unchanged). Still one
+    * map-only pass, zero shuffle.
+    *
+    * @param withText decode response payloads to text in the same
+    *                 pass ([[WebArchive.decodeHttpPayload]] + charset
+    *                 routing — the [[warcResponses]] contract). The
+    *                 metadata-only facets pass `false` so a
+    *                 CDX/redirect/revisit-only query never pays the
+    *                 body decode it would not read.
+    */
+  def warcFacets(media: org.apache.spark.sql.Dataset[MediaRow],
+                 withText: Boolean = true):
+      org.apache.spark.sql.Dataset[WarcFacetRow] = {
+    implicit val enc: org.apache.spark.sql.Encoder[WarcFacetRow] =
+      org.apache.spark.sql.Encoders.product[WarcFacetRow]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        (try WebArchive.warcRecordsAny(r.content)
+         catch { case scala.util.control.NonFatal(_) => None }) match {
+          case Some((raw, recs)) => recs.iterator.map { w =>
+            var hasText = false
+            var cs = ""
+            var text = ""
+            var residual = ""
+            if (withText && w.warcType.equalsIgnoreCase("response")) {
+              // the decode layers degrade internally; the outer guard
+              // keeps ANY surprise from killing the task — the record
+              // degrades to has_text=false, like binary payloads
+              try {
+                val (payload, res) = WebArchive.decodeHttpPayload(raw, w)
+                val c = graft.functions.Kernels.detectCharsetEval(payload)
+                graft.functions.Kernels.decodeTextEval(payload, c).foreach { t =>
+                  hasText = true; cs = c; text = t; residual = res
+                }
+              } catch { case scala.util.control.NonFatal(_) => () }
+            }
+            WarcFacetRow(r.doc_id, w.idx, w.warcType, w.targetUri,
+              w.contentLength, w.httpStatus, w.headerOffset, w.bodyOffset,
+              w.bodyLength, w.contentType, w.payloadDigest, w.location,
+              w.bodyOffset + w.bodyLength - w.headerOffset,
+              hasText, cs, text, residual)
+          }
+          case None => Iterator.empty
+        }
+      }
+    }
+  }
+
   /** One WARC record-map row ([[WebArchive.warcRecords]]): record
     * type, target URI, and the block/HTTP-body byte ranges. */
   final case class WarcRecordRow(doc_id: Long, idx: Int, warc_type: String,
@@ -439,15 +507,10 @@ object Multimodal {
       org.apache.spark.sql.Dataset[WarcRecordRow] = {
     implicit val enc: org.apache.spark.sql.Encoder[WarcRecordRow] =
       org.apache.spark.sql.Encoders.product[WarcRecordRow]
-    media.mapPartitions { rows =>
-      rows.flatMap { r =>
-        (try WebArchive.warcRecordsAny(r.content).map(_._2).getOrElse(Vector.empty)
-         catch { case scala.util.control.NonFatal(_) => Vector.empty })
-          .iterator.map(w => WarcRecordRow(r.doc_id, w.idx, w.warcType,
-            w.targetUri, w.contentLength, w.httpStatus, w.headerOffset,
-            w.bodyOffset, w.bodyLength))
-      }
-    }
+    warcFacets(media, withText = false).map(f =>
+      WarcRecordRow(f.doc_id, f.idx, f.warc_type, f.target_uri,
+        f.content_length, f.http_status, f.header_offset, f.body_offset,
+        f.body_length))
   }
 
   /** One extracted, fully-decoded HTTP response: URI, status, the
@@ -482,29 +545,11 @@ object Multimodal {
       org.apache.spark.sql.Dataset[WarcResponseRow] = {
     implicit val enc: org.apache.spark.sql.Encoder[WarcResponseRow] =
       org.apache.spark.sql.Encoders.product[WarcResponseRow]
-    media.mapPartitions { rows =>
-      rows.flatMap { r =>
-        (try WebArchive.warcRecordsAny(r.content)
-         catch { case scala.util.control.NonFatal(_) => None }) match {
-          case Some((raw, recs)) => recs.iterator
-            .filter(_.warcType.equalsIgnoreCase("response"))
-            .flatMap { w =>
-              // the decode layers degrade internally, but the outer
-              // guard keeps ANY surprise (a pathological allocation,
-              // a charset the JVM refuses) from killing the task —
-              // the record degrades to no row, like unparseable files
-              try {
-                val (payload, residual) = WebArchive.decodeHttpPayload(raw, w)
-                val cs = graft.functions.Kernels.detectCharsetEval(payload)
-                graft.functions.Kernels.decodeTextEval(payload, cs).map(text =>
-                  WarcResponseRow(r.doc_id, w.idx, w.targetUri, w.httpStatus, cs,
-                    text, residual, w.payloadDigest))
-              } catch { case scala.util.control.NonFatal(_) => None }
-            }
-          case None => Iterator.empty
-        }
-      }
-    }
+    // has_text is only ever set on response records whose payload
+    // decoded as text, so the filter IS the old response+decodable gate
+    warcFacets(media, withText = true).filter(_.has_text).map(f =>
+      WarcResponseRow(f.doc_id, f.idx, f.target_uri, f.http_status,
+        f.charset, f.body, f.coding_residual, f.payload_digest))
   }
 
   /** One CDX-style archive-index row: the record's identity (URL,
@@ -529,15 +574,9 @@ object Multimodal {
       org.apache.spark.sql.Dataset[WarcCdxRow] = {
     implicit val enc: org.apache.spark.sql.Encoder[WarcCdxRow] =
       org.apache.spark.sql.Encoders.product[WarcCdxRow]
-    media.mapPartitions { rows =>
-      rows.flatMap { r =>
-        (try WebArchive.warcRecordsAny(r.content).map(_._2).getOrElse(Vector.empty)
-         catch { case scala.util.control.NonFatal(_) => Vector.empty })
-          .iterator.map(w => WarcCdxRow(r.doc_id, w.idx, w.targetUri, w.warcType,
-            w.contentType, w.httpStatus, w.payloadDigest, w.headerOffset,
-            w.bodyOffset + w.bodyLength - w.headerOffset))
-      }
-    }
+    warcFacets(media, withText = false).map(f =>
+      WarcCdxRow(f.doc_id, f.idx, f.target_uri, f.warc_type, f.mime,
+        f.http_status, f.payload_digest, f.header_offset, f.rec_length))
   }
 
   /** One redirect capture: a response record whose HTTP status is
@@ -554,15 +593,10 @@ object Multimodal {
       org.apache.spark.sql.Dataset[WarcRedirectRow] = {
     implicit val enc: org.apache.spark.sql.Encoder[WarcRedirectRow] =
       org.apache.spark.sql.Encoders.product[WarcRedirectRow]
-    media.mapPartitions { rows =>
-      rows.flatMap { r =>
-        (try WebArchive.warcRecordsAny(r.content).map(_._2).getOrElse(Vector.empty)
-         catch { case scala.util.control.NonFatal(_) => Vector.empty })
-          .iterator
-          .filter(w => w.httpStatus >= 300 && w.httpStatus <= 399 && w.location.nonEmpty)
-          .map(w => WarcRedirectRow(r.doc_id, w.idx, w.targetUri, w.httpStatus, w.location))
-      }
-    }
+    warcFacets(media, withText = false)
+      .filter(f => f.http_status >= 300 && f.http_status <= 399 && f.location.nonEmpty)
+      .map(f => WarcRedirectRow(f.doc_id, f.idx, f.target_uri, f.http_status,
+        f.location))
   }
 
   /** One WARC `revisit` record: a URL that was re-fetched and whose
@@ -581,15 +615,9 @@ object Multimodal {
       org.apache.spark.sql.Dataset[WarcRevisitRow] = {
     implicit val enc: org.apache.spark.sql.Encoder[WarcRevisitRow] =
       org.apache.spark.sql.Encoders.product[WarcRevisitRow]
-    media.mapPartitions { rows =>
-      rows.flatMap { r =>
-        (try WebArchive.warcRecordsAny(r.content).map(_._2).getOrElse(Vector.empty)
-         catch { case scala.util.control.NonFatal(_) => Vector.empty })
-          .iterator
-          .filter(w => w.warcType.equalsIgnoreCase("revisit") && w.payloadDigest.nonEmpty)
-          .map(w => WarcRevisitRow(r.doc_id, w.idx, w.targetUri, w.payloadDigest))
-      }
-    }
+    warcFacets(media, withText = false)
+      .filter(f => f.warc_type.equalsIgnoreCase("revisit") && f.payload_digest.nonEmpty)
+      .map(f => WarcRevisitRow(f.doc_id, f.idx, f.target_uri, f.payload_digest))
   }
 
   /** Resolve revisits to their original payloads by

@@ -4261,6 +4261,58 @@ object TrainingOps {
              |FROM documents, (SELECT unnest(['a','b']) AS s) c
              |WHERE doc_id % 19 = 0""".stripMargin)),
 
+    // ---- the SINGLE-PASS facet walk: one parse of each archive
+    //      emits every facet a composed curation ingest reads — the
+    //      record map, the CDX fields (mime/status/digest), the
+    //      redirect edge (location), the revisit digest, and the
+    //      decoded page text — where calling the four facet operators
+    //      separately would re-parse the same bytes 4-5×. Fixture:
+    //      every doc's archive holds a 200 response (digest + html
+    //      body), a 301 redirect (Location header, empty body → the
+    //      text facet decodes it as EMPTY text, has_text=true), and
+    //      every 4th doc a revisit record (type gates the HTTP parse:
+    //      status -1, no mime, has_text=false — binding that facets
+    //      stay typed per record class). Oracle states every facet
+    //      column from doc arithmetic. ----
+    "ta_warc_facets" -> Q(
+      (s, dir) => {
+        val m = synthMedia(s, dir) { (id, text) =>
+          val html = webHtmlStr(id, text).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val base = s"http://site${id % 7}.com"
+          val orig = Multimodal.MediaRow(id, "warc",
+            warcHttpRecord(s"$base/p/${id % 211}", "", html, s"sha1:DOC$id") ++
+              warcRedirectRecord(s"$base/old/${id % 211}", 301, s"$base/p/${id % 211}") ++
+              (if (id % 4 != 0) Array.emptyByteArray
+               else warcRevisitRecord(s"$base/r/${id % 211}", s"sha1:DOC$id")))
+          Seq(orig)
+        }
+        Multimodal.warcFacets(m).toDF()
+          .select(col("doc_id"), col("idx").cast("long").as("idx"), col("warc_type"),
+            col("target_uri"), col("http_status").cast("long").as("http_status"),
+            col("mime"), col("payload_digest"), col("location"),
+            col("has_text"), col("charset"), col("coding_residual"),
+            graft.functions.WebFunctions.htmlToText(col("body")).as("clean"))
+      },
+      Some("""WITH exp AS (SELECT doc_id, doc_id % 7 AS k7, doc_id % 211 AS k,
+             |  'Doc ' || doc_id || ' ' || trim(substr(text, 1, 200)) ||
+             |  ' more img Fish & Chips <deal> now ''hot'' "q"' AS clean
+             |  FROM documents)
+             |SELECT doc_id, CAST(0 AS BIGINT) AS idx, 'response' AS warc_type,
+             |  'http://site' || k7 || '.com/p/' || k AS target_uri,
+             |  CAST(200 AS BIGINT) AS http_status, 'text/html' AS mime,
+             |  'sha1:DOC' || doc_id AS payload_digest, '' AS location,
+             |  TRUE AS has_text, 'ascii' AS charset, '' AS coding_residual, clean
+             |FROM exp
+             |UNION ALL
+             |SELECT doc_id, 1, 'response', 'http://site' || k7 || '.com/old/' || k,
+             |  301, 'text/html', '', 'http://site' || k7 || '.com/p/' || k,
+             |  TRUE, 'ascii', '', ''
+             |FROM exp
+             |UNION ALL
+             |SELECT doc_id, 2, 'revisit', 'http://site' || k7 || '.com/r/' || k,
+             |  -1, '', 'sha1:DOC' || doc_id, '', FALSE, '', '', ''
+             |FROM exp WHERE doc_id % 4 = 0""".stripMargin)),
+
     // ---- host-graph link quality: bounded-iteration PageRank over
     //      the extractLinks → canonicalizeUrl → hostOf edge chain
     //      plus two arithmetic-derived edge sets (cdn backlinks per

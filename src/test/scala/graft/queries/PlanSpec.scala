@@ -307,6 +307,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_surt_key"), s"surt kernel fell out of the plan:\n$p")
   }
 
+  test("ta_warc_facets: the single-pass facet walk is map-only — zero exchanges, one scan") {
+    val p = plan("ta_warc_facets")
+    assert(!p.contains("Exchange"), s"facet walk must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"facet walk must not join:\n$p")
+    // ONE parse of the archive bytes: exactly one MapPartitions node
+    // (the walk) feeds every facet column
+    assert("MapPartitions".r.findAllIn(p).size <= 2, // synth + walk
+      s"facets must come from one walk, not per-facet re-parses:\n$p")
+  }
+
   test("ta_warc_redirect: pointer-jumping result reads a snapshot leaf — no window, no cartesian") {
     val p = plan("ta_warc_redirect")
     assert(!p.contains("Window"), s"redirect resolution must not window:\n$p")
