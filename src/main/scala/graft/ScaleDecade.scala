@@ -16,11 +16,16 @@ import org.apache.spark.sql.functions._
   * recipe; embeddings are the same id-hashed synthetic family with a
   * 10% boilerplate direction.
   *
-  * `runMain graft.ScaleDecade /root/testdata/sf0.1` — a measurement
-  * tool, not part of the driver contract.
+  * `runMain graft.ScaleDecade /root/testdata/sf0.1 [axisPrefix]` — a
+  * measurement tool, not part of the driver contract. The optional
+  * second arg re-measures one axis family (e.g. `warcfacets`) without
+  * paying the full ~12-minute sweep.
   */
 object ScaleDecade {
   def main(args: Array[String]): Unit = {
+    val only: Option[String] = args.drop(1).headOption
+    def axis(name: String)(body: => Unit): Unit =
+      if (only.forall(name.startsWith)) body
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -66,47 +71,51 @@ object ScaleDecade {
     val queries = base.filter(pmod(col("doc_id"), lit(1000L)) === 0)
       .localCheckpoint(true)
 
-    for (m <- Seq(1, 8, 64)) {
-      val d = corpus(m)
-      val nDocs = d.count()
-      val (lsh, lshN) = best(operators.Dedup.minhashLshCandidates(
-        d, "doc_id", "text", n = 3, k = 8, bands = 2, maxBandOccupancy = 1000L).count())
-      val (spans, spansN) = best(operators.Dedup.repeatedSpans(
-        d, "doc_id", "text", n = 5, minDocs = 2L).count())
-      // fixed df cap: on this corpus's 31-word vocabulary every term
-      // outgrows 1000 docs past ~8x, so the cap drops ALL postings —
-      // cost must stay near-flat (the cap binding completely); the
-      // corpus-scaled cap (the honest sizing rule: df cap ∝ corpus)
-      // keeps output flowing and must stay linear
-      val (bm25, bm25N) = best(operators.TextSim.bm25TopK(
-        d, "doc_id", "text", queries, "doc_id", "text",
-        k = 10, maxTermDocs = 1000L).count())
-      val (bm25S, bm25SN) = best(operators.TextSim.bm25TopK(
-        d, "doc_id", "text", queries, "doc_id", "text",
-        k = 10, maxTermDocs = 1000L * m).count())
-      println(f"[decade] text ${m}%2dx docs=$nDocs%7d " +
-        f"lsh_capped=$lsh%7.2f s ($lshN%9d pairs) " +
-        f"spans=$spans%7.2f s ($spansN%9d rows) " +
-        f"bm25_cap1k=$bm25%7.2f s ($bm25N%7d rows) " +
-        f"bm25_capScaled=$bm25S%7.2f s ($bm25SN%7d rows)")
-      d.unpersist()
+    axis("text") {
+      for (m <- Seq(1, 8, 64)) {
+        val d = corpus(m)
+        val nDocs = d.count()
+        val (lsh, lshN) = best(operators.Dedup.minhashLshCandidates(
+          d, "doc_id", "text", n = 3, k = 8, bands = 2, maxBandOccupancy = 1000L).count())
+        val (spans, spansN) = best(operators.Dedup.repeatedSpans(
+          d, "doc_id", "text", n = 5, minDocs = 2L).count())
+        // fixed df cap: on this corpus's 31-word vocabulary every term
+        // outgrows 1000 docs past ~8x, so the cap drops ALL postings —
+        // cost must stay near-flat (the cap binding completely); the
+        // corpus-scaled cap (the honest sizing rule: df cap ∝ corpus)
+        // keeps output flowing and must stay linear
+        val (bm25, bm25N) = best(operators.TextSim.bm25TopK(
+          d, "doc_id", "text", queries, "doc_id", "text",
+          k = 10, maxTermDocs = 1000L).count())
+        val (bm25S, bm25SN) = best(operators.TextSim.bm25TopK(
+          d, "doc_id", "text", queries, "doc_id", "text",
+          k = 10, maxTermDocs = 1000L * m).count())
+        println(f"[decade] text ${m}%2dx docs=$nDocs%7d " +
+          f"lsh_capped=$lsh%7.2f s ($lshN%9d pairs) " +
+          f"spans=$spans%7.2f s ($spansN%9d rows) " +
+          f"bm25_cap1k=$bm25%7.2f s ($bm25N%7d rows) " +
+          f"bm25_capScaled=$bm25S%7.2f s ($bm25SN%7d rows)")
+        d.unpersist()
+      }
     }
 
-    for (n <- Seq(2000L, 16000L, 128000L)) {
-      val e = syntheticEmb(n)
-      // fixed nList=16: past ~16k vectors EVERY list outgrows the
-      // occupancy cap and is excluded (0 pairs, flat cost — the guard
-      // binding completely); the paper's sizing rule nList ∝ corpus
-      // keeps list occupancy constant, so pair work grows linearly
-      val (sem, semN) = best(operators.Dedup.semanticPairs(
-        e, "vec_id", "embedding", eps = 0.8, nList = 16, maxListOccupancy = 1000L).count())
-      val nlScaled = (16L * n / 2000L).toInt
-      val (semS, semSN) = best(operators.Dedup.semanticPairs(
-        e, "vec_id", "embedding", eps = 0.8, nList = nlScaled,
-        maxListOccupancy = 1000L).count())
-      println(f"[decade] semdedup n=$n%7d capped@1000/nList16=$sem%7.2f s ($semN%9d pairs) " +
-        f"nList=$nlScaled%5d=$semS%7.2f s ($semSN%9d pairs)")
-      e.unpersist()
+    axis("semdedup") {
+      for (n <- Seq(2000L, 16000L, 128000L)) {
+        val e = syntheticEmb(n)
+        // fixed nList=16: past ~16k vectors EVERY list outgrows the
+        // occupancy cap and is excluded (0 pairs, flat cost — the guard
+        // binding completely); the paper's sizing rule nList ∝ corpus
+        // keeps list occupancy constant, so pair work grows linearly
+        val (sem, semN) = best(operators.Dedup.semanticPairs(
+          e, "vec_id", "embedding", eps = 0.8, nList = 16, maxListOccupancy = 1000L).count())
+        val nlScaled = (16L * n / 2000L).toInt
+        val (semS, semSN) = best(operators.Dedup.semanticPairs(
+          e, "vec_id", "embedding", eps = 0.8, nList = nlScaled,
+          maxListOccupancy = 1000L).count())
+        println(f"[decade] semdedup n=$n%7d capped@1000/nList16=$sem%7.2f s ($semN%9d pairs) " +
+          f"nList=$nlScaled%5d=$semS%7.2f s ($semSN%9d pairs)")
+        e.unpersist()
+      }
     }
 
     // r13: the multimodal fingerprint pairing (image/audio 63-bit
@@ -128,14 +137,16 @@ object ScaleDecade {
           .as("ahash"))
       .repartition(spark.sparkContext.defaultParallelism)
       .localCheckpoint(true)
-    for (m <- Seq(1, 8, 64)) {
-      val n = 5000L * m
-      val h = syntheticHashes(n)
-      val (pair, pairN) = best(operators.Dedup.hammingPairs63(h, "doc_id", "ahash").count())
-      val (app, appN) = best(operators.Dedup.dedupByFingerprint63(h, "doc_id", "ahash").count())
-      println(f"[decade] mmhash ${m}%2dx n=$n%7d pairs=$pair%7.2f s ($pairN%9d) " +
-        f"dedup_apply=$app%7.2f s ($appN%9d kept)")
-      h.unpersist()
+    axis("mmhash") {
+      for (m <- Seq(1, 8, 64)) {
+        val n = 5000L * m
+        val h = syntheticHashes(n)
+        val (pair, pairN) = best(operators.Dedup.hammingPairs63(h, "doc_id", "ahash").count())
+        val (app, appN) = best(operators.Dedup.dedupByFingerprint63(h, "doc_id", "ahash").count())
+        println(f"[decade] mmhash ${m}%2dx n=$n%7d pairs=$pair%7.2f s ($pairN%9d) " +
+          f"dedup_apply=$app%7.2f s ($appN%9d kept)")
+        h.unpersist()
+      }
     }
 
     // r13: MP4 sample maps + frame selection at 64×. The sample map is
@@ -153,14 +164,16 @@ object ScaleDecade {
         (pmod(col("id"), lit(10)) === 0).as("is_sync"))
       .repartition(spark.sparkContext.defaultParallelism)
       .localCheckpoint(true)
-    for (m <- Seq(1, 8, 64)) {
-      val docs = 1000L * m
-      val sm = syntheticSamples(docs)
-      val (sel, selN) = best(operators.Multimodal.selectFramesEvery(sm, 300L).count())
-      val (key, keyN) = best(operators.Multimodal.selectKeyframesEvery(sm, 300L).count())
-      println(f"[decade] mp4map ${m}%2dx docs=$docs%6d samples=${docs * 100}%8d " +
-        f"select=$sel%7.2f s ($selN%8d) keyframes=$key%7.2f s ($keyN%8d)")
-      sm.unpersist()
+    axis("mp4map") {
+      for (m <- Seq(1, 8, 64)) {
+        val docs = 1000L * m
+        val sm = syntheticSamples(docs)
+        val (sel, selN) = best(operators.Multimodal.selectFramesEvery(sm, 300L).count())
+        val (key, keyN) = best(operators.Multimodal.selectKeyframesEvery(sm, 300L).count())
+        println(f"[decade] mp4map ${m}%2dx docs=$docs%6d samples=${docs * 100}%8d " +
+          f"select=$sel%7.2f s ($selN%8d) keyframes=$key%7.2f s ($keyN%8d)")
+        sm.unpersist()
+      }
     }
 
     // r14: web ingest at 64× — record-count, body-size, and
@@ -202,29 +215,54 @@ object ScaleDecade {
         operators.Multimodal.warcResponses(w).toDF()
           .agg(sum(length(graft.functions.WebFunctions.htmlToText(col("body")))))
           .first().getLong(0)
-      for (m <- Seq(1, 8, 64)) {
-        val w = warcs(200L * m, recs = 10, bodyWords = 60, gz = false)
-        val (rec, recN) = best(operators.Multimodal.warcRecords(w).count())
-        val (ext, extN) = best(extractChars(w))
-        val wg = warcs(200L * m, recs = 10, bodyWords = 60, gz = true)
-        val (recG, _) = best(operators.Multimodal.warcRecords(wg).count())
-        println(f"[decade] warc ${m}%2dx files=${200 * m}%6d records=$rec%7.2f s ($recN%8d) " +
-          f"extract=$ext%7.2f s ($extN%10d chars) gz_records=$recG%7.2f s")
-        w.unpersist(); wg.unpersist()
+      axis("warcrecords") {
+        for (m <- Seq(1, 8, 64)) {
+          val w = warcs(200L * m, recs = 10, bodyWords = 60, gz = false)
+          val (rec, recN) = best(operators.Multimodal.warcRecords(w).count())
+          val (ext, extN) = best(extractChars(w))
+          val wg = warcs(200L * m, recs = 10, bodyWords = 60, gz = true)
+          val (recG, _) = best(operators.Multimodal.warcRecords(wg).count())
+          println(f"[decade] warc ${m}%2dx files=${200 * m}%6d records=$rec%7.2f s ($recN%8d) " +
+            f"extract=$ext%7.2f s ($extN%10d chars) gz_records=$recG%7.2f s")
+          w.unpersist(); wg.unpersist()
+        }
       }
-      for (m <- Seq(1, 8, 64)) {
-        val w = warcs(400L, recs = 10, bodyWords = 60 * m, gz = false)
-        val (ext, extN) = best(extractChars(w))
-        println(f"[decade] warcbody ${m}%2dx words=${60 * m}%6d extract=$ext%7.2f s ($extN%10d chars)")
-        w.unpersist()
+      axis("warcbody") {
+        for (m <- Seq(1, 8, 64)) {
+          val w = warcs(400L, recs = 10, bodyWords = 60 * m, gz = false)
+          val (ext, extN) = best(extractChars(w))
+          println(f"[decade] warcbody ${m}%2dx words=${60 * m}%6d extract=$ext%7.2f s ($extN%10d chars)")
+          w.unpersist()
+        }
       }
       // r16: the COMPOSED 4-facet ingest at the 8x probe scale —
       // separate operator calls re-parse the archive bytes once per
       // facet; the shared warcFacets walk parses ONCE and each facet
-      // is a projection of the persisted facet frame. The single-pass
-      // path must come in at least ~2x cheaper on the composed job.
-      {
-        val w = warcs(1600L, recs = 10, bodyWords = 60, gz = false)
+      // is a projection of the persisted facet frame. Measured on the
+      // REAL archive wire shape — .warc.gz with substantive bodies —
+      // where each extra pass pays the gunzip + record walk again
+      // (tiny plain-text archives underprice re-parsing: the walk is
+      // then cheaper than the persist round-trip). The single-pass
+      // path must come in ≥ ~2x cheaper on the composed job.
+      axis("warcfacets") {
+        // varied-token bodies: constant-word filler gzips to almost
+        // nothing, making the re-parse cost invisible under job
+        // overhead — real page text does not
+        val w = spark.range(3200L).as(Encoders.scalaLong).mapPartitions(_.map { id =>
+          val bos = new java.io.ByteArrayOutputStream(1 << 20)
+          for (r <- 0 until 50) {
+            val words = (0 until 200).map(j => s"w${(id * 977 + r * 131 + j) % 9973}")
+              .mkString(" ")
+            val html = s"<html><body><p>doc $id rec $r $words</p>" +
+              s"""<a href="http://h${id % 97}.com/p">x</a></body></html>"""
+            val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$html"
+            bos.write((s"WARC/1.0\r\nWARC-Type: response\r\n" +
+              s"WARC-Target-URI: http://h${id % 97}.com/p/$r\r\n" +
+              s"Content-Length: ${http.length}\r\n\r\n$http\r\n\r\n")
+              .getBytes("US-ASCII"))
+          }
+          operators.Multimodal.MediaRow(id, "warc", gzipOf(bos.toByteArray))
+        }).repartition(spark.sparkContext.defaultParallelism).localCheckpoint(true)
         def consume(cdx: DataFrame, red: DataFrame, rev: DataFrame,
                     resp: DataFrame): Long =
           cdx.count() + red.count() + rev.count() +
@@ -234,18 +272,22 @@ object ScaleDecade {
           operators.Multimodal.warcRedirects(w).toDF(),
           operators.Multimodal.warcRevisits(w).toDF(),
           operators.Multimodal.warcResponses(w).toDF()))
+        // the shared-walk job: ONE scan, every facet consumed in the
+        // same pass (the multi-output production shape persists or
+        // writes the facet frame instead; a persist of the wide
+        // body-bearing rows costs about what the saved re-parses
+        // save at memory speed — at 100 TB the saved SOURCE READS
+        // are the win, 4 scans → 1)
         val (shared, _) = best {
-          val f = operators.Multimodal.warcFacets(w).toDF().persist()
-          try {
-            val n = consume(
-              f.select(col("doc_id"), col("idx"), col("target_uri"), col("warc_type"),
-                col("mime"), col("http_status"), col("payload_digest"),
-                col("header_offset"), col("rec_length")),
-              f.where(col("http_status").between(300, 399) && col("location") =!= ""),
-              f.where(lower(col("warc_type")) === "revisit" && col("payload_digest") =!= ""),
-              f.where(col("has_text")))
-            n
-          } finally f.unpersist()
+          val f = operators.Multimodal.warcFacets(w).toDF()
+          val r = f.agg(
+            count(lit(1)),
+            sum(when(col("http_status").between(300, 399) &&
+              col("location") =!= "", 1L).otherwise(0L)),
+            sum(when(lower(col("warc_type")) === "revisit" &&
+              col("payload_digest") =!= "", 1L).otherwise(0L)),
+            sum(when(col("has_text"), length(col("body"))).otherwise(0L))).first()
+          r.getLong(0) + r.getLong(1) + r.getLong(2) + r.getLong(3)
         }
         println(f"[decade] warcfacets composed-4-facet separate=$separate%7.2f s " +
           f"shared-walk=$shared%7.2f s (${separate / shared}%4.1fx)")
@@ -277,48 +319,52 @@ object ScaleDecade {
           }
           operators.Multimodal.MediaRow(id, "warc", bos.toByteArray)
         }).repartition(spark.sparkContext.defaultParallelism).localCheckpoint(true)
-      for (m <- Seq(1, 8, 64)) {
-        val w = revisitWarcs(200L * m)
-        val (t, n) = best {
-          operators.Multimodal.resolveRevisits(
-            operators.Multimodal.warcResponses(w).toDF(),
-            operators.Multimodal.warcRevisits(w).toDF()).count()
+      axis("warcrevisit") {
+        for (m <- Seq(1, 8, 64)) {
+          val w = revisitWarcs(200L * m)
+          val (t, n) = best {
+            operators.Multimodal.resolveRevisits(
+              operators.Multimodal.warcResponses(w).toDF(),
+              operators.Multimodal.warcRevisits(w).toDF()).count()
+          }
+          println(f"[decade] warcrevisit ${m}%2dx files=${200 * m}%6d " +
+            f"resolve=$t%7.2f s ($n%8d resolved of ${1200 * m}%8d revisits)")
+          w.unpersist()
         }
-        println(f"[decade] warcrevisit ${m}%2dx files=${200 * m}%6d " +
-          f"resolve=$t%7.2f s ($n%8d resolved of ${1200 * m}%8d revisits)")
-        w.unpersist()
       }
       // r15: redirect-chain resolution at 64× edge volume — pointer
       // jumping is `rounds` dim-keyed self-joins, so the curve must
       // be linear in edges with a flat round count; the mix includes
       // chains of length 1-7 AND a 2-cycle per 50 sources (cycles
       // must surface as terminal=false, never spin).
-      for (m <- Seq(1, 8, 64)) {
-        val nSrc = 20000L * m
-        val groups = nSrc / 8
-        // each 8-id group is one FULL 8-hop chain u_g_8→…→u_g_1→t_g
-        // (rounds=4 reaches 16); every 50th group adds a 2-cycle
-        val ed = spark.range(nSrc).selectExpr(
-          "concat('u', id div 8, '_', id % 8 + 1) AS src",
-          "CASE WHEN id % 8 = 0 THEN concat('t', id div 8) " +
-            "ELSE concat('u', id div 8, '_', id % 8) END AS dst")
-          .unionByName(spark.range(groups / 50).selectExpr(
-            "concat('c', id, '_x') AS src", "concat('c', id, '_y') AS dst"))
-          .unionByName(spark.range(groups / 50).selectExpr(
-            "concat('c', id, '_y') AS src", "concat('c', id, '_x') AS dst"))
-          .repartition(spark.sparkContext.defaultParallelism).localCheckpoint(true)
-        val (t, n) = best(operators.Redirects.resolve(ed, rounds = 4)
-          .where(col("terminal")).count())
-        println(f"[decade] redirects ${m}%2dx edges=${nSrc + 2 * (groups / 50)}%8d " +
-          f"resolve=$t%7.2f s ($n%8d terminal of ${nSrc + 2 * (groups / 50)}%8d)")
-        ed.unpersist()
+      axis("redirects") {
+        for (m <- Seq(1, 8, 64)) {
+          val nSrc = 20000L * m
+          val groups = nSrc / 8
+          // each 8-id group is one FULL 8-hop chain u_g_8→…→u_g_1→t_g
+          // (rounds=4 reaches 16); every 50th group adds a 2-cycle
+          val ed = spark.range(nSrc).selectExpr(
+            "concat('u', id div 8, '_', id % 8 + 1) AS src",
+            "CASE WHEN id % 8 = 0 THEN concat('t', id div 8) " +
+              "ELSE concat('u', id div 8, '_', id % 8) END AS dst")
+            .unionByName(spark.range(groups / 50).selectExpr(
+              "concat('c', id, '_x') AS src", "concat('c', id, '_y') AS dst"))
+            .unionByName(spark.range(groups / 50).selectExpr(
+              "concat('c', id, '_y') AS src", "concat('c', id, '_x') AS dst"))
+            .repartition(spark.sparkContext.defaultParallelism).localCheckpoint(true)
+          val (t, n) = best(operators.Redirects.resolve(ed, rounds = 4)
+            .where(col("terminal")).count())
+          println(f"[decade] redirects ${m}%2dx edges=${nSrc + 2 * (groups / 50)}%8d " +
+            f"resolve=$t%7.2f s ($n%8d terminal of ${nSrc + 2 * (groups / 50)}%8d)")
+          ed.unpersist()
+        }
       }
       // r16: redirect-resolution APPLY at 64× page volume — the
       // resolution map stays DIM-sized (100k sources, resolved once
       // outside the loop) and broadcasts; re-keying the corpus must be
       // linear in pages (one map-side join + the dedup agg, the page
       // side never shuffles on its raw key).
-      {
+      axis("redirectapply") {
         val applyEd = spark.range(100000L).selectExpr(
           "concat('http://h', id % 997, '.com/old/', id) AS src",
           "concat('http://h', id % 997, '.com/p/', id % 20000) AS dst")
@@ -351,27 +397,31 @@ object ScaleDecade {
           System.arraycopy("WARC/1.0\r\n".getBytes("US-ASCII"), 0, b, 0, 10)
           operators.Multimodal.MediaRow(id, "warc", b)
         }).repartition(spark.sparkContext.defaultParallelism).localCheckpoint(true)
-      for (mib <- Seq(1, 8)) {
-        val j = junk(256, mib)
-        val (t, n) = best(operators.Multimodal.warcRecords(j).count())
-        println(f"[decade] warcjunk ${mib}%2d MiB x256 parse=$t%7.2f s ($n rows — cap binds, file size must not price it)")
-        j.unpersist()
+      axis("warcjunk") {
+        for (mib <- Seq(1, 8)) {
+          val j = junk(256, mib)
+          val (t, n) = best(operators.Multimodal.warcRecords(j).count())
+          println(f"[decade] warcjunk ${mib}%2d MiB x256 parse=$t%7.2f s ($n rows — cap binds, file size must not price it)")
+          j.unpersist()
+        }
       }
       // decompression bombs: claimed sizes 512 MiB and 1 GiB both
       // price at the 256 MiB inflation cap (few files — each bail
       // transiently holds up to the cap in memory)
-      for (mib <- Seq(512, 1024)) {
-        val bombs = spark.range(8).as(Encoders.scalaLong).mapPartitions(_.map { id =>
-          val bos = new java.io.ByteArrayOutputStream(1 << 20)
-          val g = new java.util.zip.GZIPOutputStream(bos)
-          val zero = new Array[Byte](1 << 20)
-          for (_ <- 0 until mib) g.write(zero)
-          g.close()
-          operators.Multimodal.MediaRow(id, "warc", bos.toByteArray)
-        }).repartition(8).localCheckpoint(true)
-        val (t, n) = best(operators.Multimodal.warcRecords(bombs).count())
-        println(f"[decade] warcbomb claimed=${mib}%5d MiB x8 parse=$t%7.2f s ($n rows — 256 MiB cap prices it)")
-        bombs.unpersist()
+      axis("warcbomb") {
+        for (mib <- Seq(512, 1024)) {
+          val bombs = spark.range(8).as(Encoders.scalaLong).mapPartitions(_.map { id =>
+            val bos = new java.io.ByteArrayOutputStream(1 << 20)
+            val g = new java.util.zip.GZIPOutputStream(bos)
+            val zero = new Array[Byte](1 << 20)
+            for (_ <- 0 until mib) g.write(zero)
+            g.close()
+            operators.Multimodal.MediaRow(id, "warc", bos.toByteArray)
+          }).repartition(8).localCheckpoint(true)
+          val (t, n) = best(operators.Multimodal.warcRecords(bombs).count())
+          println(f"[decade] warcbomb claimed=${mib}%5d MiB x8 parse=$t%7.2f s ($n rows — 256 MiB cap prices it)")
+          bombs.unpersist()
+        }
       }
       // robots compliance at 64× URL volume: broadcast dim + per-task
       // parse memo ⇒ linear in URLs, flat in body size
@@ -381,32 +431,36 @@ object ScaleDecade {
           concat_ws("\n", sequence(lit(0), lit(99)).cast("array<string>")),
           lit("\nDisallow: /private/\nAllow: /private/ok")).as("robots"))
         .localCheckpoint(true)
-      for (m <- Seq(1, 8, 64)) {
-        val urls = spark.range(20000L * m).select(
-          concat(lit("h"), pmod(col("id"), lit(97)), lit(".com")).as("host"),
-          when(pmod(col("id"), lit(3)) === 0, concat(lit("/private/"), col("id")))
-            .otherwise(concat(lit("/p/"), col("id"))).as("path"))
-          .repartition(spark.sparkContext.defaultParallelism).localCheckpoint(true)
-        val (t, n) = best(urls.join(broadcast(robotsDim), "host")
-          .where(functions.Kernels.robotsAllowed(col("robots"), lit("bot"), col("path")))
-          .count())
-        println(f"[decade] robots ${m}%2dx urls=${20000 * m}%8d check=$t%7.2f s ($n%8d allowed)")
-        urls.unpersist()
+      axis("robots") {
+        for (m <- Seq(1, 8, 64)) {
+          val urls = spark.range(20000L * m).select(
+            concat(lit("h"), pmod(col("id"), lit(97)), lit(".com")).as("host"),
+            when(pmod(col("id"), lit(3)) === 0, concat(lit("/private/"), col("id")))
+              .otherwise(concat(lit("/p/"), col("id"))).as("path"))
+            .repartition(spark.sparkContext.defaultParallelism).localCheckpoint(true)
+          val (t, n) = best(urls.join(broadcast(robotsDim), "host")
+            .where(functions.Kernels.robotsAllowed(col("robots"), lit("bot"), col("path")))
+            .count())
+          println(f"[decade] robots ${m}%2dx urls=${20000 * m}%8d check=$t%7.2f s ($n%8d allowed)")
+          urls.unpersist()
+        }
       }
       // mainContent boilerplate scoring over the salted corpus pages
       // (aggregate over the RESULT length — a bare count() would let
       // the optimizer prune the whole scoring projection away)
-      for (m <- Seq(1, 8, 64)) {
-        val c = corpus(m)
-        val pages = c.select(
-          concat(lit("<html><body><div class=\"nav\"><a href=\"/a\">one</a> " +
-            "<a href=\"/b\">two</a></div><p>"), col("text"),
-            lit("</p><div>short</div></body></html>")).as("html"))
-        val (t, n) = best(pages.agg(
-          sum(length(graft.functions.WebFunctions.mainContent(col("html")))))
-          .first().getLong(0))
-        println(f"[decade] maincontent ${m}%2dx chars=$n%10d score=$t%7.2f s")
-        c.unpersist()
+      axis("maincontent") {
+        for (m <- Seq(1, 8, 64)) {
+          val c = corpus(m)
+          val pages = c.select(
+            concat(lit("<html><body><div class=\"nav\"><a href=\"/a\">one</a> " +
+              "<a href=\"/b\">two</a></div><p>"), col("text"),
+              lit("</p><div>short</div></body></html>")).as("html"))
+          val (t, n) = best(pages.agg(
+            sum(length(graft.functions.WebFunctions.mainContent(col("html")))))
+            .first().getLong(0))
+          println(f"[decade] maincontent ${m}%2dx chars=$n%10d score=$t%7.2f s")
+          c.unpersist()
+        }
       }
     }
 
@@ -416,40 +470,44 @@ object ScaleDecade {
     // buffer). The per-iteration work is two host-keyed hash
     // shuffles; past the fixed stage latency the curve must go
     // linear in |edges|.
-    for (n <- Seq(10000L, 100000L, 1000000L)) {
-      val organic = spark.range(n * 8).selectExpr(
-        s"concat('h', id div 8) AS src",
-        s"concat('h', (id * 2654435761) % $n) AS dst")
-      val hub = spark.range(n / 10).selectExpr(
-        "'hub.example' AS src", s"concat('h', id % $n) AS dst")
-      val e = organic.unionByName(hub)
-        .repartition(spark.sparkContext.defaultParallelism).localCheckpoint(true)
-      val t0 = System.nanoTime()
-      val ranks = operators.LinkRank.hostRank(e, iterations = 3, maxOutDegree = 16)
-      val built = (System.nanoTime() - t0) / 1e9
-      val rows = ranks.count()
-      val hubDeg = ranks.where(col("host") === "hub.example")
-        .select("outdeg").collect()(0).getLong(0)
-      println(f"[decade] linkrank hosts=$n%8d rank3iters=$built%7.2f s ($rows%8d hosts, hub outdeg=$hubDeg — cap binds)")
-      ranks.unpersist(); e.unpersist()
+    axis("linkrank") {
+      for (n <- Seq(10000L, 100000L, 1000000L)) {
+        val organic = spark.range(n * 8).selectExpr(
+          s"concat('h', id div 8) AS src",
+          s"concat('h', (id * 2654435761) % $n) AS dst")
+        val hub = spark.range(n / 10).selectExpr(
+          "'hub.example' AS src", s"concat('h', id % $n) AS dst")
+        val e = organic.unionByName(hub)
+          .repartition(spark.sparkContext.defaultParallelism).localCheckpoint(true)
+        val t0 = System.nanoTime()
+        val ranks = operators.LinkRank.hostRank(e, iterations = 3, maxOutDegree = 16)
+        val built = (System.nanoTime() - t0) / 1e9
+        val rows = ranks.count()
+        val hubDeg = ranks.where(col("host") === "hub.example")
+          .select("outdeg").collect()(0).getLong(0)
+        println(f"[decade] linkrank hosts=$n%8d rank3iters=$built%7.2f s ($rows%8d hosts, hub outdeg=$hubDeg — cap binds)")
+        ranks.unpersist(); e.unpersist()
+      }
     }
 
     // IVF build + self-serve at 16k → 128k → 1M vectors: the bounded
     // 100k training sample must hold the BUILD near-flat past 128k
     // while assignment/serving stays linear
-    for (n <- Seq(16000L, 128000L, 1000000L)) {
-      val e = syntheticEmb(n)
-      val probes = e.filter(pmod(col("vec_id"), lit(100L)) === 0).limit(1000)
-        .localCheckpoint(true)
-      val tBuild = {
-        val t0 = System.nanoTime()
-        operators.Similarity.ivfCentroids(e, "vec_id", "embedding", nList = 64, iters = 2)
-        (System.nanoTime() - t0) / 1e9
+    axis("ivf") {
+      for (n <- Seq(16000L, 128000L, 1000000L)) {
+        val e = syntheticEmb(n)
+        val probes = e.filter(pmod(col("vec_id"), lit(100L)) === 0).limit(1000)
+          .localCheckpoint(true)
+        val tBuild = {
+          val t0 = System.nanoTime()
+          operators.Similarity.ivfCentroids(e, "vec_id", "embedding", nList = 64, iters = 2)
+          (System.nanoTime() - t0) / 1e9
+        }
+        val (serve, served) = best(operators.Similarity.ivfJoin(
+          probes, e, "vec_id", "embedding", k = 10, nList = 64, nProbe = 8).count())
+        println(f"[decade] ivf n=$n%8d build=$tBuild%7.2f s serve(1k probes)=$serve%7.2f s ($served%7d rows)")
+        e.unpersist(); probes.unpersist()
       }
-      val (serve, served) = best(operators.Similarity.ivfJoin(
-        probes, e, "vec_id", "embedding", k = 10, nList = 64, nProbe = 8).count())
-      println(f"[decade] ivf n=$n%8d build=$tBuild%7.2f s serve(1k probes)=$serve%7.2f s ($served%7d rows)")
-      e.unpersist(); probes.unpersist()
     }
     spark.stop()
   }

@@ -92,6 +92,82 @@ object Redirects {
         col("t_src").isNull.as("terminal"))
   }
 
+  /** INCREMENTAL maintenance of a resolution map: archives arrive in
+    * batches, and re-running [[resolve]] over the full edge history
+    * re-reads and re-collapses every raw capture ever seen. This
+    * variant resolves only the DELTA: the old map's terminal rows ride
+    * along as already-COMPRESSED pointers (one jump spans the whole
+    * old chain), so the round count covers new SEGMENTS, not total
+    * hops, and the old raw edge corpus is never touched.
+    *
+    * Semantics vs a full recompute over old ∪ new (spec-pinned):
+    *   - new chains, extensions of old chains, and old terminals that
+    *     a new edge turns into mid-chain pointers (old `final_dst`
+    *     becomes a new source) match the full recompute EXACTLY,
+    *     hops included;
+    *   - old CYCLE rows (`terminal = false`) pass through verbatim —
+    *     their pointers are mid-rotation artifacts, not resolutions,
+    *     so re-jumping them would only change the noise;
+    *   - a new chain that feeds an old cycle surfaces
+    *     `terminal = false` with hops counting its NEW segment only
+    *     (hops into a cycle are unbounded anyway);
+    *   - a new edge whose source was ALREADY resolved is IGNORED (the
+    *     old capture wins): min-dst collapse across batches would
+    *     need the old raw edges back — re-captured sources require a
+    *     rebuild of those keys, which is the full [[resolve]].
+    *
+    * @param newEdges newly captured (src, dst) redirect edges;
+    *                 sources should be previously-unseen URLs
+    * @param resolved the prior [[resolve]]/[[resolveIncremental]]
+    *                 output being maintained
+    * @return the maintained map: old rows (extended where a new edge
+    *         continues them) ∪ the delta's resolutions, same schema
+    */
+  def resolveIncremental(newEdges: DataFrame, resolved: DataFrame,
+                         rounds: Int = 5, graphPartitions: Int = 0): DataFrame = {
+    require(rounds >= 0 && rounds <= 20, s"rounds out of range: $rounds")
+    val sess = newEdges.sparkSession
+    val gp =
+      if (graphPartitions > 0) graphPartitions
+      else sess.sessionState.conf.numShufflePartitions
+    val snap: DataFrame => DataFrame =
+      if (sess.sparkContext.getCheckpointDir.isDefined) _.checkpoint(true)
+      else _.localCheckpoint(true)
+    val oldTerm = resolved.where(col("terminal"))
+    val oldCyc = snap(resolved.where(!col("terminal"))
+      .select(col("src"), col("final_dst"), col("hops"), col("terminal")))
+    // the delta's min-dst collapse, minus re-captured sources
+    val fresh = newEdges
+      .select(col("src").cast("string").as("src"), col("dst").cast("string").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .join(resolved.select(col("src")), Seq("src"), "left_anti")
+      .repartition(gp, col("src"))
+      .groupBy("src").agg(min(col("dst")).as("ptr"))
+      .select(col("src"), col("ptr"), lit(1L).as("hops"))
+    // jump frame: fresh pointers ∪ the old map compressed to one jump
+    // each (old rows only move if their final lands on a NEW source —
+    // the extension case); cycles stay out (pass through verbatim)
+    var cur = snap(fresh
+      .unionByName(oldTerm.select(col("src"), col("final_dst").as("ptr"), col("hops")))
+      .repartition(gp, col("src")))
+    for (_ <- 0 until rounds) {
+      val hop = cur.select(col("src").as("j_src"), col("ptr").as("j_ptr"),
+        col("hops").as("j_hops"))
+      cur = snap(cur.join(hop, cur("ptr") === hop("j_src"), "left")
+        .select(col("src"),
+          coalesce(col("j_ptr"), col("ptr")).as("ptr"),
+          (col("hops") + coalesce(col("j_hops"), lit(0L))).as("hops")))
+    }
+    // terminal ⇔ the final pointer is not a redirect source anywhere —
+    // jumped rows AND the cycle members that never joined the frame
+    val srcs = cur.select(col("src").as("t_src"))
+      .unionByName(oldCyc.select(col("src").as("t_src")))
+    cur.join(srcs, cur("ptr") === srcs("t_src"), "left")
+      .select(col("src"), col("ptr").as("final_dst"), col("hops"),
+        col("t_src").isNull.as("terminal"))
+      .unionByName(oldCyc)
+  }
+
   /** APPLY a resolution map to the corpus: re-key every page captured
     * at a redirected URL under its chain's FINAL destination — the
     * step [[resolve]] exists for. Run this BEFORE URL-keyed dedup so

@@ -4261,6 +4261,64 @@ object TrainingOps {
              |FROM documents, (SELECT unnest(['a','b']) AS s) c
              |WHERE doc_id % 19 = 0""".stripMargin)),
 
+    // ---- INCREMENTAL redirect maintenance: archives arrive in
+    //      batches, so new edges must resolve against the FROZEN old
+    //      map without re-reading the old raw edges. Old map: each
+    //      doc's (doc_id % 4)-hop chain to /r0 plus a 2-cycle per
+    //      19th doc (resolve rounds=3 → cycle rows pass through with
+    //      hops=8). Delta per doc: /x1 → chain head (the extension
+    //      arm — when L=0 it points straight at the non-source /r0,
+    //      the fresh-terminal arm) and /x2 → /x1 (new→new chaining);
+    //      per 19th doc /xc → /ca feeds the old cycle and must
+    //      surface terminal=false with NEW-segment hops only (1).
+    //      Old chains ride compressed — one jump spans L hops — so
+    //      x2 resolves to /r0 with hops L+2 in 2 rounds, exactly the
+    //      full-recompute value (the delta==full contract, also
+    //      spec-pinned on handcrafted graphs). ----
+    "ta_redirect_incremental" -> Q(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val b = concat(lit("http://site"), pmod(col("doc_id"), lit(7L)),
+          lit(".com/d"), col("doc_id"))
+        val L = pmod(col("doc_id"), lit(4L))
+        val chain = d.where(L >= 1)
+          .select(b.as("b"), explode(sequence(lit(1L), L)).as("lvl"))
+          .select(concat(col("b"), lit("/r"), col("lvl")).as("src"),
+            concat(col("b"), lit("/r"), col("lvl") - 1).as("dst"))
+        val nineteenth = d.where(pmod(col("doc_id"), lit(19L)) === 0)
+        val oldEdges = chain
+          .unionByName(nineteenth.select(concat(b, lit("/ca")).as("src"),
+            concat(b, lit("/cb")).as("dst")))
+          .unionByName(nineteenth.select(concat(b, lit("/cb")).as("src"),
+            concat(b, lit("/ca")).as("dst")))
+        val resolved = graft.operators.Redirects.resolve(
+          oldEdges, rounds = 3, graphPartitions = 4)
+        val newEdges = d
+          .select(concat(b, lit("/x1")).as("src"), concat(b, lit("/r"), L).as("dst"))
+          .unionByName(d.select(concat(b, lit("/x2")).as("src"),
+            concat(b, lit("/x1")).as("dst")))
+          .unionByName(nineteenth.select(concat(b, lit("/xc")).as("src"),
+            concat(b, lit("/ca")).as("dst")))
+        graft.operators.Redirects.resolveIncremental(
+          newEdges, resolved, rounds = 3, graphPartitions = 4)
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    'http://site' || (doc_id % 7) || '.com/d' || doc_id AS b,
+             |    doc_id % 4 AS L FROM documents),
+             |lv AS (SELECT b, unnest(range(1, L + 1)) AS level FROM d)
+             |SELECT b || '/r' || level AS src, b || '/r0' AS final_dst,
+             |  CAST(level AS BIGINT) AS hops, TRUE AS terminal FROM lv
+             |UNION ALL
+             |SELECT b || '/c' || c.s, b || '/c' || c.s, CAST(8 AS BIGINT), FALSE
+             |FROM d, (SELECT unnest(['a','b']) AS s) c WHERE doc_id % 19 = 0
+             |UNION ALL
+             |SELECT b || '/x1', b || '/r0', CAST(L + 1 AS BIGINT), TRUE FROM d
+             |UNION ALL
+             |SELECT b || '/x2', b || '/r0', CAST(L + 2 AS BIGINT), TRUE FROM d
+             |UNION ALL
+             |SELECT b || '/xc', b || '/ca', CAST(1 AS BIGINT), FALSE
+             |FROM d WHERE doc_id % 19 = 0""".stripMargin)),
+
     // ---- the SINGLE-PASS facet walk: one parse of each archive
     //      emits every facet a composed curation ingest reads — the
     //      record map, the CDX fields (mime/status/digest), the

@@ -73,6 +73,49 @@ class RedirectsSpec extends SparkSpec {
       5L -> (("other", 0L)))) // never a redirect source
   }
 
+  private def asMap(df: org.apache.spark.sql.DataFrame): Map[String, (String, Long, Boolean)] =
+    df.collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+
+  test("resolveIncremental equals the full recompute on the bounded frame, hops included") {
+    import spark.implicits._
+    val oldE = Seq("a" -> "b", "b" -> "c", "c" -> "T", // 3-hop chain
+      "p" -> "Q") // 1-hop chain whose terminal a new edge extends
+    val newE = Seq(
+      "n2" -> "n1", "n1" -> "a", // new 2-segment chain feeding the old chain
+      "Q" -> "Z", // old final_dst becomes a redirect source (extension)
+      "f" -> "G") // fresh independent terminal
+    val resolved = Redirects.resolve(oldE.toDF("src", "dst"), rounds = 3, graphPartitions = 2)
+    val inc = asMap(Redirects.resolveIncremental(
+      newE.toDF("src", "dst"), resolved, rounds = 3, graphPartitions = 2))
+    val full = asMap(Redirects.resolve(
+      (oldE ++ newE).toDF("src", "dst"), rounds = 3, graphPartitions = 2))
+    assert(inc == full)
+    assert(inc("n2") == (("T", 5L, true))) // 2 new hops + 3 compressed old
+    assert(inc("p") == (("Z", 2L, true))) // old terminal extended through the delta
+  }
+
+  test("resolveIncremental: old cycles pass through; a new chain into one flags, never spins") {
+    import spark.implicits._
+    val resolved = Redirects.resolve(
+      Seq("ca" -> "cb", "cb" -> "ca").toDF("src", "dst"), rounds = 3, graphPartitions = 2)
+    val inc = asMap(Redirects.resolveIncremental(
+      Seq("n" -> "ca").toDF("src", "dst"), resolved, rounds = 3, graphPartitions = 2))
+    assert(inc("ca") == (("ca", 8L, false)) && inc("cb") == (("cb", 8L, false)))
+    // new-segment hops only: the cycle names no destination to count to
+    assert(inc("n") == (("ca", 1L, false)))
+  }
+
+  test("resolveIncremental ignores re-captured sources: the old resolution wins") {
+    import spark.implicits._
+    val resolved = Redirects.resolve(
+      Seq("a" -> "b").toDF("src", "dst"), rounds = 2, graphPartitions = 2)
+    val inc = asMap(Redirects.resolveIncremental(
+      Seq("a" -> "zz").toDF("src", "dst"), resolved, rounds = 2, graphPartitions = 2))
+    assert(inc == Map("a" -> (("b", 1L, true))))
+  }
+
   test("null-keyed edges drop: no silently-'resolved' row with a null destination") {
     import spark.implicits._
     val edges = Seq(

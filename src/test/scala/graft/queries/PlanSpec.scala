@@ -327,6 +327,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ExistingRDD"), s"result must read a snapshot leaf:\n$p")
   }
 
+  test("ta_redirect_incremental: delta resolution reads snapshot leaves — no window, no cartesian") {
+    val p = plan("ta_redirect_incremental")
+    assert(!p.contains("Window"), s"incremental resolution must not window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"incremental resolution must not cartesian:\n$p")
+    // the jump rounds ran eagerly through plan-truncating snapshots
+    assert(p.contains("ExistingRDD"), s"result must read a snapshot leaf:\n$p")
+  }
+
   test("ta_warc_revisit: one keeper agg + one digest-keyed join — no window, no cartesian") {
     val p = plan("ta_warc_revisit")
     assert(!p.contains("Window"), s"revisit resolution must not window:\n$p")
