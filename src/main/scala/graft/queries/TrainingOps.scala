@@ -1410,6 +1410,51 @@ object TrainingOps {
              |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank FROM sc)
              |SELECT qid, rank, nid, score FROM rk WHERE rank <= 10""".stripMargin)),
 
+    // ---- BM25 over a REALISTIC vocabulary: ta_bm25 runs on the
+    //      driver corpus's 31-word vocabulary, where every posting
+    //      list is ~78% of the corpus BY CONSTRUCTION — the documented
+    //      adversarial bound that defeats df-shedding. This twin is
+    //      the shape users actually get: a ~500-term synthetic
+    //      vocabulary (df ≪ N, posting lists bounded) PLUS four
+    //      stopword-grade tokens in every doc that maxTermDocs=400
+    //      must shed at every SF (df = N ≥ 500 everywhere; content
+    //      terms df ≈ N/18 survive) — the cap binds, candidates per
+    //      query stay Σ df over its terms, and the steady-state cost
+    //      is the one SCALING.md prices for real Zipf corpora. ----
+    "ta_bm25_wide" -> Q(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val stop = array(lit("the"), lit("of"), lit("and"), lit("to"))
+        val toks = transform(sequence(lit(0), lit(31)), j =>
+          when(j < 4, element_at(stop, (j + 1).cast("int")))
+            .otherwise(concat(lit("t"), pmod(col("doc_id") * 7 + j * 13, lit(499)))))
+        val syn = d.select(col("doc_id"), array_join(toks, " ").as("text"))
+        TextSim.bm25TopK(syn, "doc_id", "text",
+          syn.filter(col("doc_id") % 100 === 0), "doc_id", "text",
+          k = 10, maxTermDocs = 400L)
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |  unnest(list_transform(range(0, 32), j -> CASE WHEN j < 4
+             |    THEN (['the','of','and','to'])[j + 1]
+             |    ELSE 't' || ((doc_id * 7 + j * 13) % 499) END)) AS w FROM documents),
+             |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+             |av AS (SELECT count(*) AS n, sum(dl) // count(*) AS avgdl FROM dl),
+             |dfr AS (SELECT w, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= 400),
+             |qt AS (SELECT DISTINCT doc_id AS qid, w FROM tok WHERE doc_id % 100 = 0),
+             |sc AS (SELECT q.qid, t.doc_id AS nid,
+             |    CAST(sum((CAST((((CAST(av.n AS HUGEINT) - f.df) * 2 + 1) * 1000
+             |               // (f.df * 2 + 1)) AS HUGEINT)
+             |           * t.tf * 22 * av.avgdl)
+             |        // (CAST(10 AS HUGEINT) * av.avgdl * t.tf
+             |           + 3 * av.avgdl + 9 * d.dl)) AS BIGINT) AS score
+             |  FROM qt q JOIN dfr f USING (w) JOIN tf t USING (w)
+             |       JOIN dl d ON t.doc_id = d.doc_id, av
+             |  GROUP BY 1, 2),
+             |rk AS (SELECT qid, nid, score,
+             |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank FROM sc)
+             |SELECT qid, rank, nid, score FROM rk WHERE rank <= 10""".stripMargin)),
+
     // ---- int8-quantized ANN top-k: 4×-compressed vectors, integer
     //      dot-product scoring (scales cancel from the cosine), exact
     //      quantization reproduced by the oracle ----
