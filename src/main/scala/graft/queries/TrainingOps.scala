@@ -4416,6 +4416,70 @@ object TrainingOps {
              |  -1, '', 'sha1:DOC' || doc_id, '', FALSE, '', '', ''
              |FROM exp WHERE doc_id % 4 = 0""".stripMargin)),
 
+    // ---- THE COMPOSED CURATION PIPELINE: one facet walk feeds the
+    //      whole web-ingest chain — warcFacets → (pages: 200-status
+    //      text captures + digest-resolved revisit views) + (edges:
+    //      3xx Location records) → canonicalizeUrl both sides →
+    //      Redirects.resolve → applyResolution → URL dedup. Fixture
+    //      per doc: the current capture at a NOISY /p spelling
+    //      (uppercase www host, :80, tracking param — the canon
+    //      kernel must key it equal to the edge target), every 2nd
+    //      doc a HISTORICAL 200 capture at /old plus the current 301
+    //      /old→/p (the 200-status filter must keep the old page and
+    //      drop the redirect body), every 4th doc a revisit at /rev
+    //      (enters the page set through digest resolution, keeps its
+    //      own key). Expected groups stated directly: /p holds its
+    //      capture plus the re-keyed /old capture (sum_hops counts
+    //      the re-key), /rev holds one. The facet frame snapshots
+    //      once (the production shape writes it once and derives
+    //      every facet from the artifact). ----
+    "ta_warc_pipeline" -> Q(
+      (s, dir) => {
+        val m = synthMedia(s, dir) { (id, text) =>
+          val html = webHtmlStr(id, text).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val base = s"http://site${id % 7}.com/d$id"
+          val recs =
+            warcHttpRecord(s"HTTP://WWW.Site${id % 7}.COM:80/d$id/p?utm_source=x",
+              "", html, s"sha1:DOC$id") ++
+              (if (id % 2 != 0) Array.emptyByteArray
+               else warcHttpRecord(s"$base/old", "", html, s"sha1:DOC$id") ++
+                 warcRedirectRecord(s"$base/old", 301, s"$base/p")) ++
+              (if (id % 4 != 0) Array.emptyByteArray
+               else warcRevisitRecord(s"$base/rev", s"sha1:DOC$id"))
+          Seq(Multimodal.MediaRow(id, "warc", recs))
+        }
+        // ONE archive walk, snapshotted — the at-scale shape writes
+        // the facet table once and derives every consumer from it
+        val f = Multimodal.warcFacets(m).toDF().localCheckpoint(true)
+        val responses = f.where(col("has_text"))
+          .select(col("doc_id"), col("idx"), col("target_uri"),
+            col("http_status"), col("charset"), col("body"), col("payload_digest"))
+        val revisits = f
+          .where(lower(col("warc_type")) === "revisit" && col("payload_digest") =!= "")
+          .select(col("doc_id"), col("idx"), col("target_uri"), col("payload_digest"))
+        val canon = graft.functions.WebFunctions.canonicalizeUrl(_: org.apache.spark.sql.Column)
+        val pages = responses.where(col("http_status") === 200).select(col("target_uri"))
+          .unionByName(Multimodal.resolveRevisits(responses, revisits)
+            .select(col("target_uri")))
+          .select(canon(col("target_uri")).as("url_canon"))
+        val edges = f
+          .where(col("http_status").between(300, 399) && col("location") =!= "")
+          .select(canon(col("target_uri")).as("src"), canon(col("location")).as("dst"))
+        val res = graft.operators.Redirects.resolve(edges, rounds = 3, graphPartitions = 4)
+        graft.operators.Redirects.applyResolution(pages, res)
+          .groupBy(col("url_final"))
+          .agg(count(lit(1)).as("n_variants"), sum(col("redirect_hops")).as("sum_hops"))
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    'http://site' || (doc_id % 7) || '.com/d' || doc_id AS b,
+             |    doc_id % 2 AS m2, doc_id % 4 AS m4 FROM documents)
+             |SELECT b || '/p' AS url_final,
+             |  CAST(1 + CASE WHEN m2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_variants,
+             |  CAST(CASE WHEN m2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS sum_hops
+             |FROM p
+             |UNION ALL
+             |SELECT b || '/rev', 1, 0 FROM p WHERE m4 = 0""".stripMargin)),
+
     // ---- host-graph link quality: bounded-iteration PageRank over
     //      the extractLinks → canonicalizeUrl → hostOf edge chain
     //      plus two arithmetic-derived edge sets (cdn backlinks per
