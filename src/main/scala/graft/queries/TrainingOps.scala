@@ -1126,6 +1126,32 @@ object TrainingOps {
     bos.toByteArray
   }
 
+  /** one zstd frame (RFC 9659 `Content-Encoding: zstd` wire form). */
+  private def zstdBytes(b: Array[Byte]): Array[Byte] =
+    com.github.luben.zstd.Zstd.compress(b, 3)
+
+  /** a `.warc.zst` member in the IIPC warc-zstd layout: the shared
+    * dictionary in a LEADING SKIPPABLE FRAME (magic `0x184D2A5D`),
+    * then ONE ZSTD FRAME PER RECORD compressed against it — the
+    * seekable form real archives ship, and the one that FAILS LOUDLY
+    * if the reader's dictionary plumbing is wrong (frames don't
+    * decode without the dict, they never emit garbage). */
+  private def zstdWarcFile(records: Seq[Array[Byte]],
+                           dict: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+    }
+    le32(0x184D2A5D); le32(dict.length); bos.write(dict)
+    val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+    try {
+      ctx.setLevel(3); ctx.loadDict(dict)
+      records.foreach(r => bos.write(ctx.compress(r)))
+    } finally ctx.close()
+    bos.toByteArray
+  }
+
   private def mediaRowEnc: org.apache.spark.sql.Encoder[Multimodal.MediaRow] =
     org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
 
@@ -4013,6 +4039,49 @@ object TrainingOps {
               |  hl
               |FROM h""".stripMargin)),
 
+    // ---- `.warc.zst` ingest (IIPC warc-zstd): the SAME two records
+    //      as ta_warc_records, but shipped as the modern archive
+    //      layout — a shared dictionary in a leading skippable frame
+    //      and one zstd frame per record compressed AGAINST it, so a
+    //      reader with broken dictionary plumbing fails loudly
+    //      instead of mojibaking. The oracle is ta_warc_records'
+    //      verbatim: record offsets refer to the DECOMPRESSED buffer,
+    //      so the compression layer must be invisible to every
+    //      downstream facet. ----
+    "ta_warc_zstd" -> Q(
+      (s, dir) => synthMedia(s, dir) { (id, text) =>
+        val htmlB = webHtmlStr(id, text).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val uri = s"HTTP://WWW.Site${id % 7}.COM:80/p/${id % 211}/?utm_source=feed&b=2&a=1"
+        val block = htmlB.length + WarcHttpHdr.length
+        val rec0 = WarcRec0.getBytes(WarcAscii)
+        val rec1 = (WarcRec1Pre + uri + "\r\nContent-Length: " + block +
+          "\r\n\r\n" + WarcHttpHdr).getBytes(WarcAscii) ++ htmlB ++
+          "\r\n\r\n".getBytes(WarcAscii)
+        val dict = (WarcRec0 + WarcRec1Pre + WarcHttpHdr).getBytes(WarcAscii)
+        Seq(Multimodal.MediaRow(id, "warc", zstdWarcFile(Seq(rec0, rec1), dict)))
+      }.transform(m => Multimodal.warcRecords(m).toDF())
+        .select(col("doc_id"), col("idx").cast("long").as("idx"), col("warc_type"),
+          col("target_uri"), col("content_length"),
+          col("http_status").cast("long").as("http_status"),
+          col("header_offset"), col("body_offset"), col("body_length")),
+      Some(s"""WITH h AS (SELECT doc_id, octet_length(encode($webHtmlSql)) AS hl,
+              |  'HTTP://WWW.Site' || (doc_id % 7) || '.COM:80/p/' || (doc_id % 211)
+              |    || '/?utm_source=feed&b=2&a=1' AS uri
+              |  FROM documents)
+              |SELECT doc_id, CAST(0 AS BIGINT) AS idx, 'warcinfo' AS warc_type,
+              |  '' AS target_uri, CAST(${WarcInfoBody.length} AS BIGINT) AS content_length,
+              |  CAST(-1 AS BIGINT) AS http_status, CAST(0 AS BIGINT) AS header_offset,
+              |  CAST(${WarcRec0.length - WarcInfoBody.length - 4} AS BIGINT) AS body_offset,
+              |  CAST(${WarcInfoBody.length} AS BIGINT) AS body_length
+              |FROM h
+              |UNION ALL
+              |SELECT doc_id, 1, 'response', uri, hl + ${WarcHttpHdr.length}, 200,
+              |  ${WarcRec0.length},
+              |  ${WarcRec0.length + WarcRec1Fixed} + length(uri)
+              |    + length(CAST(hl + ${WarcHttpHdr.length} AS VARCHAR)),
+              |  hl
+              |FROM h""".stripMargin)),
+
     // ---- CDX-style archive index (the wayback/pywb lookup surface):
     //      per record, SURT urlkey + URL + type + HTTP mime/status +
     //      digest + byte offset/record length, one map-only pass.
@@ -4079,13 +4148,17 @@ object TrainingOps {
     //      so the curation gate filters the mojibake instead of
     //      silently ingesting it), a STACKED `TE: gzip, chunked`
     //      (legal per RFC 9112 §7 — dechunk then gunzip, residual
-    //      ''), and a PARAMETERIZED `TE: chunked;graft=1` over real
+    //      ''), a PARAMETERIZED `TE: chunked;graft=1` over real
     //      chunked bytes (RFC 9112 §7 transfer-parameters — the token
     //      must match after its `;parameter` strips, so the body
-    //      dechunks clean instead of flowing raw with a residual).
-    //      The oracle states the expected extraction directly
-    //      from doc arithmetic — every decodable framing comes back
-    //      to the SAME page with an EMPTY residual. ----
+    //      dechunks clean instead of flowing raw with a residual),
+    //      a `CE: zstd` body in real RFC 8878 frames (decodes via
+    //      the classpath zstd core, residual ''), and a zstd LABEL
+    //      over plain bytes (magic check rejects, flows raw with
+    //      residual 'zstd' — same evidence path as the gzip
+    //      mislabel). The oracle states the expected extraction
+    //      directly from doc arithmetic — every decodable framing
+    //      comes back to the SAME page with an EMPTY residual. ----
     "ta_warc_http" -> Q(
       (s, dir) => synthMedia(s, dir) { (id, text) =>
         val html = webHtmlStr(id, text).getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -4109,7 +4182,11 @@ object TrainingOps {
           Multimodal.MediaRow(id + 4000000000L, "warc", warcHttpRecord(uri,
             "Transfer-Encoding: gzip, chunked\r\n", chunkify(gzipBytes(html), 100))),
           Multimodal.MediaRow(id + 5000000000L, "warc", warcHttpRecord(uri,
-            "Transfer-Encoding: chunked;graft=1\r\n", chunkify(html, 100))))
+            "Transfer-Encoding: chunked;graft=1\r\n", chunkify(html, 100))),
+          Multimodal.MediaRow(id + 6000000000L, "warc", warcHttpRecord(uri,
+            "Content-Encoding: zstd\r\n", zstdBytes(html))),
+          Multimodal.MediaRow(id + 7000000000L, "warc",
+            warcHttpRecord(uri, "Content-Encoding: zstd\r\n", html)))
       }.transform(m => Multimodal.warcResponses(m).toDF())
         .select(col("doc_id"), col("http_status").cast("long").as("http_status"),
           col("charset"), col("coding_residual"),
@@ -4134,6 +4211,12 @@ object TrainingOps {
              |FROM exp WHERE doc_id % 13 = 0
              |UNION ALL
              |SELECT doc_id + 5000000000, 200, 'ascii', '', clean
+             |FROM exp WHERE doc_id % 13 = 0
+             |UNION ALL
+             |SELECT doc_id + 6000000000, 200, 'ascii', '', clean
+             |FROM exp WHERE doc_id % 13 = 0
+             |UNION ALL
+             |SELECT doc_id + 7000000000, 200, 'ascii', 'zstd', clean
              |FROM exp WHERE doc_id % 13 = 0""".stripMargin)),
 
     // ---- charset-aware body decode: the payload routes through the

@@ -338,4 +338,100 @@ class WebArchiveSpec extends AnyFunSuite {
     val (bts3, res3) = WebArchive.decodeHttpPayload(buf3, WebArchive.warcRecords(buf3).get.head)
     assert(bts3.sameElements(page) && res3 == "")
   }
+
+  // ---- zstd (the .warc.zst layer + `Content-Encoding: zstd`).
+  //      Fixtures compress through the same zstd-jni core the decoder
+  //      delegates to (the container ships no second zstd
+  //      implementation); what these tests pin is the CONTAINER
+  //      GRAMMAR this repo owns — dictionary-frame extraction, frame
+  //      walk, caps, rejects — and the ta_warc_zstd oracle pins the
+  //      decoded bytes against DuckDB-stated expectations. ----
+
+  private def zstd(payload: Array[Byte], dict: Array[Byte] = null): Array[Byte] =
+    if (dict == null) com.github.luben.zstd.Zstd.compress(payload, 3)
+    else {
+      val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+      try { ctx.setLevel(3); ctx.loadDict(dict); ctx.compress(payload) }
+      finally ctx.close()
+    }
+
+  private def skippableFrame(magic: Int, content: Array[Byte]): Array[Byte] = {
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    le32(magic) ++ le32(content.length) ++ content
+  }
+
+  test("unzstd: single frame and concatenated per-record frames round-trip") {
+    assert(WebArchive.unzstd(zstd(b(file))).get.sameElements(b(file)))
+    val cat = zstd(b(rec0)) ++ zstd(b(rec1))
+    assert(WebArchive.unzstd(cat).get.sameElements(b(file)))
+  }
+
+  test("unzstd: warc-zstd dictionary frame — raw and zstd-compressed dict forms; missing dict fails loudly") {
+    val dict = b("WARC/1.0\r\nWARC-Type: response\r\nHTTP/1.1 200 OK\r\nContent-Type: text/html")
+    val frames = zstd(b(rec0), dict) ++ zstd(b(rec1), dict)
+    val rawDictFile = skippableFrame(0x184D2A5D, dict) ++ frames
+    assert(WebArchive.unzstd(rawDictFile).get.sameElements(b(file)))
+    // spec'd alternative: the dictionary content is itself a zstd frame
+    val zDictFile = skippableFrame(0x184D2A5D, zstd(dict)) ++ frames
+    assert(WebArchive.unzstd(zDictFile).get.sameElements(b(file)))
+    // dict-compressed frames WITHOUT the dictionary frame: the stream
+    // must fail (None), never emit garbage
+    assert(WebArchive.unzstd(frames).isEmpty)
+    // a non-dictionary skippable frame (wrong magic) does NOT supply
+    // the dict — same loud failure
+    assert(WebArchive.unzstd(skippableFrame(0x184D2A50, dict) ++ frames).isEmpty)
+  }
+
+  test("unzstd: non-dictionary skippable frames are skipped; skippable-only input is empty output") {
+    val plain = zstd(b(file))
+    val lead = skippableFrame(0x184D2A51, b("segment metadata")) ++ plain
+    assert(WebArchive.unzstd(lead).get.sameElements(b(file)))
+    assert(WebArchive.unzstd(skippableFrame(0x184D2A51, b("only meta"))).get.isEmpty)
+  }
+
+  test("unzstd rejects: truncation, corruption, trailing garbage, truncated skippable, non-zstd") {
+    val ok = zstd(b(file))
+    assert(WebArchive.unzstd(ok.dropRight(3)).isEmpty)
+    val corrupt = ok.clone(); corrupt(ok.length - 2) = (corrupt(ok.length - 2) ^ 0x55).toByte
+    assert(WebArchive.unzstd(corrupt).isEmpty)
+    assert(WebArchive.unzstd(ok ++ b("junk")).isEmpty)
+    // skippable frame whose declared size runs past EOF
+    assert(WebArchive.unzstd(skippableFrame(0x184D2A5D, b("dict")).dropRight(2)).isEmpty)
+    assert(WebArchive.unzstd(b("not zstd at all")).isEmpty)
+    assert(WebArchive.unzstd(Array[Byte]()).isEmpty)
+  }
+
+  test("unzstd: decompression-bomb cap bails during streaming, not after") {
+    val bomb = zstd(new Array[Byte](4 << 20)) // 4 MiB of zeros, tiny frame
+    assert(bomb.length < (64 << 10))
+    assert(WebArchive.unzstd(bomb, maxOut = 1 << 20).isEmpty)
+    assert(WebArchive.unzstd(bomb, maxOut = 8 << 20).get.length == (4 << 20))
+  }
+
+  test("warcRecordsAny: .warc.zst (dictionary form) parses identically to plain") {
+    val dict = b(rec0.take(40))
+    val zFile = skippableFrame(0x184D2A5D, dict) ++
+      zstd(b(rec0), dict) ++ zstd(b(rec1), dict)
+    val (raw, recs) = WebArchive.warcRecordsAny(zFile).get
+    assert(recs == WebArchive.warcRecords(b(file)).get)
+    assert(WebArchive.bodyString(raw, recs(1)) == html)
+  }
+
+  test("decodeHttpPayload: CE zstd decodes (alone and under chunked); mislabel leaves residual 'zstd'") {
+    val page = b("<p>zstd coded body</p>")
+    def payload(hdrs: String, wire: Array[Byte]): (Array[Byte], String) = {
+      val buf = responseWarc(hdrs, wire)
+      WebArchive.decodeHttpPayload(buf, WebArchive.warcRecords(buf).get.head)
+    }
+    val (p1, r1) = payload("Content-Encoding: zstd\r\n", zstd(page))
+    assert(p1.sameElements(page) && r1 == "")
+    val (p2, r2) = payload("Content-Encoding: zstd\r\nTransfer-Encoding: chunked\r\n",
+      chunked(zstd(page), 9))
+    assert(p2.sameElements(page) && r2 == "")
+    // label over plain bytes: flows raw with the evidence attached
+    val (p3, r3) = payload("Content-Encoding: zstd\r\n", page)
+    assert(p3.sameElements(page) && r3 == "zstd")
+  }
 }
