@@ -354,19 +354,30 @@ object MediaHeaders {
     * By default pts is RAW media time (no `elst`): raw pts is what
     * byte-range selection needs, and a v1 ctts can make early pts
     * legitimately negative. `applyEdits = true` additionally honors
-    * the trak's edit list (§8.6.6) the way players do for the
-    * common edit shapes: leading EMPTY edits (`media_time = -1`)
-    * delay presentation by their `segment_duration` (MOVIE-timescale
-    * units, so the mvhd timescale governs them), and the first
-    * non-empty edit's `media_time` (media units) trims the head, so
-    * `pts' = (pts − media_time) + delay`; entries after the first
-    * non-empty edit (multi-segment splice lists) and media_rate
-    * (dwell/slow-motion) are ignored — both are rare authoring
-    * shapes that byte-range selection doesn't need. An absent
-    * edts/elst means no adjustment; a PRESENT-but-malformed elst
-    * (bad version, zero/negative entry count, truncated entries,
-    * missing mvhd) rejects the file like any other inconsistent
-    * table. dts and sync flags stay raw media values either way.
+    * the trak's FULL edit list (§8.6.6) the way players do: each
+    * entry is a presentation segment — EMPTY edits (`media_time =
+    * -1`) advance the presentation clock by their `segment_duration`
+    * (MOVIE-timescale units, so the mvhd timescale governs them);
+    * a non-empty entry plays the media interval starting at its
+    * `media_time` (media units) over its presentation window,
+    * stretched by `media_rate` (16.16 fixed point: 1.0 plays
+    * through, 2.0 double-speed halves presentation spacing, 0 is a
+    * DWELL that freezes the sample at `media_time` for the whole
+    * segment). Multi-entry splice lists map each sample through the
+    * FIRST segment whose media interval contains its pts (splices
+    * may reorder or replay media; a replayed sample reports its
+    * first showing). A sample NO segment presents maps permissively
+    * through the nearest preceding non-empty segment — tail
+    * overruns and splice gaps keep monotone timestamps for
+    * byte-range selection rather than vanishing — or, before every
+    * segment, through the first one (head trim: early pts go
+    * negative, floor semantics). An absent edts/elst means no
+    * adjustment; a PRESENT-but-malformed elst (bad version,
+    * zero/negative entry count, >64 entries, truncated entries,
+    * negative media_rate, zero-duration dwell, missing mvhd, or
+    * values past the 2^50-unit sanity bound) rejects the file like
+    * any other inconsistent table. dts and sync flags stay raw
+    * media values either way.
     *
     * Offsets are NOT validated against the buffer — real files
     * carry the data in `mdat`, and a metadata-only prefix is a
@@ -421,13 +432,20 @@ object MediaHeaders {
       case _                         => return None
     }
     if (timescale <= 0) return None
-    // edit list (only under applyEdits): (delayMs, mediaTimeUnits)
-    val edit: Option[(Long, Long)] =
-      if (!applyEdits) None
+    // edit list (only under applyEdits): the FULL splice list per
+    // §8.6.6 — each entry is a presentation segment (presStartMs,
+    // media_time [-1 = empty edit], media span in media units,
+    // media_rate as 16.16 fixed). Segment durations are
+    // MOVIE-timescale units (§8.6.6.3); media_time and the sample pts
+    // they map are MEDIA-timescale units; rate stretches one into the
+    // other (rate 0 = dwell: the sample AT media_time holds for the
+    // whole segment).
+    val (editSegs, editTotalPresMs): (Vector[(Long, Long, Long, Long)], Long) = {
+      if (!applyEdits) (Vector.empty, 0L)
       else find(trak, trakEnd, "edts").flatMap { case (edts, edtsEnd) =>
         find(edts, edtsEnd, "elst")
       } match {
-        case None => None // no edit list: no adjustment
+        case None => (Vector.empty, 0L) // no edit list: no adjustment
         case Some((elst, elstEnd)) =>
           if (elst + 8 > elstEnd) return None
           val ver = u8(elst.toInt)
@@ -435,7 +453,10 @@ object MediaHeaders {
           val n = be32(elst + 4)
           val entrySz = if (ver == 1) 20L else 12L
           if (n <= 0 || elst + 8 + entrySz * n > elstEnd) return None
-          // empty-edit durations are MOVIE-timescale units (§8.6.6.3)
+          // a real edit list is single-digit entries; hundreds is a
+          // crafted file, and the per-sample segment search below is
+          // linear in the list length
+          if (n > 64) return None
           val (mvhd, mvhdEnd) = find(moov, moovEnd, "mvhd").getOrElse(return None)
           if (mvhd >= mvhdEnd) return None
           val movieTs = u8(mvhd.toInt) match {
@@ -449,25 +470,100 @@ object MediaHeaders {
           // *1000 arithmetic into silent garbage pts instead of the
           // None every other inconsistent table returns
           val maxUnits = 1L << 50
-          var delayUnits = 0L
-          var mediaTime = -1L
+          def be16s(i: Long): Int = {
+            val v = (u8(i.toInt) << 8) | u8(i.toInt + 1)
+            if (v >= 0x8000) v - 0x10000 else v
+          }
+          val segs = Vector.newBuilder[(Long, Long, Long, Long)]
+          var presUnits = 0L
           var e = 0
-          while (e < n && mediaTime < 0) {
+          while (e < n) {
             val at = elst + 8 + entrySz * e
-            val (dur, mt) =
-              if (ver == 1) (be64(at), be64(at + 8))
+            val (dur, mt, rateAt) =
+              if (ver == 1) (be64(at), be64(at + 8), at + 16)
               else {
                 val raw = be32(at + 4)
-                (be32(at), if (raw >= 0x80000000L) raw - 0x100000000L else raw)
+                (be32(at), if (raw >= 0x80000000L) raw - 0x100000000L else raw, at + 8)
               }
             if (dur < 0 || dur > maxUnits) return None
             if (mt > maxUnits) return None
-            if (mt < 0) delayUnits += dur else mediaTime = mt
-            if (delayUnits > maxUnits) return None
+            val rateInt = be16s(rateAt)
+            val rateFrac = (u8(rateAt.toInt + 2) << 8) | u8(rateAt.toInt + 3)
+            if (rateInt < 0) return None // reverse-rate edits are not a thing
+            val rateFixed = rateInt.toLong * 65536L + rateFrac
+            // media span covered by this segment, in media units:
+            // dur[movie] × (mediaTs/movieTs) × rate — exact via BigInt,
+            // floor, then bounds-checked like every other table value
+            val span =
+              if (mt < 0 || rateFixed == 0L) 0L
+              else {
+                val s = (BigInt(dur) * timescale * rateFixed) / (BigInt(movieTs) * 65536L)
+                if (s > maxUnits) return None
+                s.toLong
+              }
+            if (mt >= 0 && rateFixed == 0L && dur == 0L) return None // dwell needs a duration
+            val presStartMs = presUnits * 1000L / movieTs
+            segs += ((presStartMs, if (mt < 0) -1L else mt, span, rateFixed))
+            presUnits += dur
+            if (presUnits > maxUnits) return None
             e += 1
           }
-          Some((delayUnits * 1000L / movieTs, math.max(mediaTime, 0L)))
+          (segs.result(), presUnits * 1000L / movieTs)
       }
+    }
+    // pts[media units] → presentation ms through the splice list:
+    // the first segment whose media interval contains pts wins; a
+    // sample no segment presents maps PERMISSIVELY through the
+    // nearest preceding non-empty segment (tail overruns and splice
+    // gaps keep monotone timestamps for byte-range selection) or,
+    // before every segment, through the first one (head trim — early
+    // pts go negative, floor semantics). A list with no non-empty
+    // entry presents no media: raw pts shifted by the whole list's
+    // delay, the degenerate form of the leading-empty-edit rule.
+    // Returns Long.MinValue when a crafted rate/timescale combination
+    // would overflow ms arithmetic — the caller rejects the file.
+    def mapPtsMs(pts: Long): Long = {
+      if (editSegs.isEmpty) return Math.floorDiv(pts * 1000L, timescale)
+      var chosen = -1
+      var i = 0
+      while (i < editSegs.length && chosen < 0) {
+        val (_, mt, span, rateFixed) = editSegs(i)
+        if (mt >= 0 &&
+          ((rateFixed == 0L && pts == mt) ||
+            (rateFixed > 0L && pts >= mt && pts < mt + span))) chosen = i
+        i += 1
+      }
+      if (chosen < 0) {
+        var best = -1
+        var bestMt = Long.MinValue
+        var first = -1
+        var j = 0
+        while (j < editSegs.length) {
+          val (_, mt, _, _) = editSegs(j)
+          if (mt >= 0) {
+            if (first < 0) first = j
+            if (mt <= pts && mt > bestMt) { best = j; bestMt = mt }
+          }
+          j += 1
+        }
+        chosen = if (best >= 0) best else first
+        if (chosen < 0) // all-empty list: pure delay
+          return Math.floorDiv(pts * 1000L, timescale) + editTotalPresMs
+      }
+      val (presMs, mt, _, rateFixed) = editSegs(chosen)
+      if (rateFixed == 0L) presMs // dwell: frozen at the segment start
+      else if (rateFixed == 65536L) // rate 1.0: exact Long fast path
+        presMs + Math.floorDiv((pts - mt) * 1000L, timescale)
+      else {
+        // rational rate: presentation elapsed = media elapsed / rate
+        val num = BigInt(pts - mt) * 65536L * 1000L
+        val den = BigInt(rateFixed) * timescale
+        val q = num / den
+        val r = num % den
+        val f = if (r.signum != 0 && num.signum < 0) q - 1 else q // floor
+        if (f.abs > BigInt(1L << 53)) Long.MinValue else presMs + f.toLong
+      }
+    }
     // stsz: constant size or per-sample table
     val (stsz, stszEnd) = find(stbl, stblEnd, "stsz").getOrElse(return None)
     if (stsz + 12 > stszEnd) return None
@@ -585,10 +681,8 @@ object MediaHeaders {
         // legitimately makes early pts negative, and truncation-
         // toward-zero would round the wrong way there (dts is never
         // negative, so / is fine for it)
-        val ptsMs = edit match {
-          case Some((delayMs, mt)) => Math.floorDiv((pts - mt) * 1000L, timescale) + delayMs
-          case None                => Math.floorDiv(pts * 1000L, timescale)
-        }
+        val ptsMs = mapPtsMs(pts)
+        if (ptsMs == Long.MinValue) return None // crafted rate overflow
         out += Mp4Sample(sample, off, sz, dts * 1000L / timescale, ptsMs, isSync)
         off += sz
         dts += tDelta

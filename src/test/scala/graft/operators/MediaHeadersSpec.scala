@@ -402,11 +402,94 @@ class MediaHeadersSpec extends AnyFunSuite {
     // elstV1's segment_duration u64 sits at payload+8 (offset 164 in
     // the file): overwrite with 2^60 — past the 2^50 sanity bound
     val b = hex(elstV1)
-    b(164) = 0x10.toByte // big-endian top byte → 2^60
+    b(164) = 0x10.toByte // big-endian top byte → 2^50 bound trips
     assert(MediaHeaders.mp4Samples(b, applyEdits = true).isEmpty)
     // same bound on a v1 media_time (payload+16 → offset 172)
     val c = hex(elstV1)
     c(172) = 0x10.toByte
     assert(MediaHeaders.mp4Samples(c, applyEdits = true).isEmpty)
+  }
+
+  // ---- multi-segment splice lists + media_rate: the same skeleton
+  //      as elstV0 (movie ts 600, media ts 1000, one stts run 5×100
+  //      → raw pts 0,100,200,300,400; const size 20, chunk at 200)
+  //      with a PARAMETERIZED elst, assembled programmatically. ----
+
+  /** full MP4 with an elst of `entries` = (segment_duration[movie],
+    * media_time[-1 empty], media_rate_integer, media_rate_fraction). */
+  private def elstFile(entries: Seq[(Long, Long, Int, Int)]): Array[Byte] = {
+    def box(typ: String, payloadHex: String): String = {
+      val size = 8 + payloadHex.length / 2
+      f"$size%08X" + typ.getBytes("ISO-8859-1").map("%02X".format(_)).mkString + payloadHex
+    }
+    def u32(v: Long): String = f"${v & 0xFFFFFFFFL}%08X"
+    def u16(v: Int): String = f"${v & 0xFFFF}%04X"
+    val elst = box("elst", "00000000" + u32(entries.length) +
+      entries.map { case (dur, mt, ri, rf) =>
+        u32(dur) + u32(mt) + u16(ri) + u16(rf)
+      }.mkString)
+    val mvhd = box("mvhd", "00000000" + "00000000" + "00000000" + "00000258" +
+      "00000BB8" + "00" * 80)
+    val mdhd = box("mdhd", "00000000" + "00000000" + "00000000" + "000003E8" +
+      "00001388" + "00000000")
+    val stbl = box("stbl",
+      box("stts", "00000000" + "00000001" + "00000005" + "00000064") +
+        box("stsc", "00000000" + "00000001" + "00000001" + "00000005" + "00000001") +
+        box("stsz", "00000000" + "00000014" + "00000005") +
+        box("stco", "00000000" + "00000001" + "000000C8"))
+    val trak = box("trak", box("edts", elst) +
+      box("mdia", mdhd + box("minf", stbl)))
+    hex(box("ftyp", "69736F6D" + "00000200") + box("moov", mvhd + trak))
+  }
+
+  private def editedPts(entries: Seq[(Long, Long, Int, Int)]): Option[Vector[Long]] =
+    MediaHeaders.mp4Samples(elstFile(entries), applyEdits = true).map(_.map(_.ptsMs))
+
+  test("mp4Samples applyEdits: two-segment splice REORDERS media; tail maps permissively") {
+    // seg1 plays media [200,400) over pres [0,200)ms; seg2 plays
+    // media [0,200) over pres [200,400)ms — back half first
+    val segs = Seq((120L, 200L, 1, 0), (120L, 0L, 1, 0))
+    // pts 400 is past every segment: permissive tail through the
+    // nearest preceding segment (mt=200) → 0 + (400-200) = 200
+    assert(editedPts(segs).contains(Vector(200L, 300L, 0L, 100L, 200L)))
+    // the builder round-trips the single-edit form too (elstV0 twin:
+    // 300-unit empty edit then mt=250 → pts+250)
+    assert(editedPts(Seq((300L, -1L, 1, 0), (700L, 250L, 1, 0)))
+      .contains(Vector(250L, 350L, 450L, 550L, 650L)))
+  }
+
+  test("mp4Samples applyEdits: media_rate stretches presentation time (2.0 and 0.5)") {
+    // rate 2.0: 150 movie units present media [0,500) at half spacing
+    assert(editedPts(Seq((150L, 0L, 2, 0)))
+      .contains(Vector(0L, 50L, 100L, 150L, 200L)))
+    // rate 0.5: media [0,125) in-segment; 200..400 fall out and map
+    // permissively through the same segment — spacing doubles all the way
+    assert(editedPts(Seq((150L, 0L, 0, 0x8000)))
+      .contains(Vector(0L, 200L, 400L, 600L, 800L)))
+  }
+
+  test("mp4Samples applyEdits: dwell (rate 0) freezes its sample; list order beats overlap") {
+    // seg1 dwells on pts==100 for 100ms; seg2 plays media [0,500)
+    // from pres 100ms. pts 100 is in BOTH — the first segment in
+    // list order wins, so it reports the dwell's showing
+    val segs = Seq((60L, 100L, 0, 0), (300L, 0L, 1, 0))
+    assert(editedPts(segs).contains(Vector(100L, 0L, 300L, 400L, 500L)))
+  }
+
+  test("mp4Samples applyEdits: empty edits between segments; all-empty list is pure delay") {
+    // empty 100ms then one segment: every sample shifts +100
+    assert(editedPts(Seq((60L, -1L, 1, 0), (120L, 0L, 1, 0)))
+      .contains(Vector(100L, 200L, 300L, 400L, 500L)))
+    // a list of ONLY empty edits presents no media: raw pts + total delay
+    assert(editedPts(Seq((300L, -1L, 1, 0)))
+      .contains(Vector(500L, 600L, 700L, 800L, 900L)))
+  }
+
+  test("mp4Samples applyEdits rejects: negative rate, zero-duration dwell, >64 entries") {
+    assert(editedPts(Seq((120L, 0L, -1, 0))).isEmpty)
+    assert(editedPts(Seq((0L, 100L, 0, 0))).isEmpty)
+    val many = Seq.fill(65)((10L, 0L, 1, 0))
+    assert(editedPts(many).isEmpty)
+    assert(editedPts(Seq.fill(64)((10L, 0L, 1, 0))).isDefined)
   }
 }
