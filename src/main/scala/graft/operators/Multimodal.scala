@@ -579,6 +579,72 @@ object Multimodal {
         f.http_status, f.payload_digest, f.header_offset, f.rec_length))
   }
 
+  /** A [[WarcCdxRow]] extended with the record's COMPRESSED member
+    * range: `member_idx` is the record's 0-based data-member ordinal
+    * in the file, `member_offset`/`member_length` its byte range in
+    * the compressed file (-1/-1 when the input is uncompressed).
+    * With the per-record-member layouts (`.warc.gz`, `.warc.zst`)
+    * this is what real CDX files store: replay range-reads
+    * `member_length` bytes at `member_offset` and decompresses ONE
+    * record — at 100 TB nothing else in the archive file is read. */
+  final case class WarcCdxMemberRow(doc_id: Long, idx: Int, url: String,
+                                    warc_type: String, mime: String,
+                                    http_status: Int, payload_digest: String,
+                                    offset: Long, rec_length: Long,
+                                    member_idx: Int, member_offset: Long,
+                                    member_length: Long)
+
+  /** [[warcCdx]] with serving-grade byte locations: each record is
+    * mapped to the compressed member whose output contains its header
+    * offset ([[WebArchive.memberRanges]] — the gzip-member or
+    * zstd-frame walk the decompression already does). One map-only
+    * pass like every facet walk; plain uncompressed input degrades to
+    * member -1 (its decompressed offsets already ARE file offsets). */
+  def warcCdxMembers(media: org.apache.spark.sql.Dataset[MediaRow]):
+      org.apache.spark.sql.Dataset[WarcCdxMemberRow] = {
+    implicit val enc: org.apache.spark.sql.Encoder[WarcCdxMemberRow] =
+      org.apache.spark.sql.Encoders.product[WarcCdxMemberRow]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        // decompress ONCE: the member walk already yields the raw
+        // stream; plain input parses directly with no member map
+        (try {
+          WebArchive.memberRanges(r.content) match {
+            case Some((raw, members)) =>
+              WebArchive.warcRecords(raw).map(recs => (recs, members))
+            case None =>
+              WebArchive.warcRecords(r.content).map(recs => (recs, Vector.empty[WebArchive.MemberRange]))
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }) match {
+          case Some((recs, members)) =>
+            recs.iterator.map { w =>
+              // the member whose output range contains the record's
+              // header offset — members are emitted in file order, so
+              // binary search over their output starts
+              var lo = 0
+              var hi = members.length - 1
+              var m = -1
+              while (lo <= hi) {
+                val mid = (lo + hi) >>> 1
+                val mr = members(mid)
+                if (w.headerOffset < mr.outOff) hi = mid - 1
+                else if (w.headerOffset >= mr.outOff + mr.outLen) lo = mid + 1
+                else { m = mid; lo = hi + 1 }
+              }
+              val (mo, ml) =
+                if (m < 0) (-1L, -1L)
+                else (members(m).compOff, members(m).compLen)
+              WarcCdxMemberRow(r.doc_id, w.idx, w.targetUri, w.warcType,
+                w.contentType, w.httpStatus, w.payloadDigest,
+                w.headerOffset, w.bodyOffset + w.bodyLength - w.headerOffset,
+                m, mo, ml)
+            }
+          case None => Iterator.empty
+        }
+      }
+    }
+  }
+
   /** One redirect capture: a response record whose HTTP status is
     * 3xx and whose `Location` header names the target. */
   final case class WarcRedirectRow(doc_id: Long, idx: Int, from_uri: String,

@@ -234,12 +234,34 @@ object WebArchive {
     * total output past `maxOut` (checked DURING inflation — a
     * crafted 4 GiB-of-zeros member bails at the cap, it never
     * allocates). */
-  def gunzip(b: Array[Byte], maxOut: Int = 1 << 28): Option[Array[Byte]] = {
+  def gunzip(b: Array[Byte], maxOut: Int = 1 << 28): Option[Array[Byte]] =
+    gunzipWalk(b, maxOut, null)
+
+  /** [[gunzip]] plus the per-member boundary map the walk already
+    * knows: each member's COMPRESSED byte range in `b` and its
+    * output's range in the decompressed stream — what a CDX serving
+    * row needs to range-read ONE record out of a `.warc.gz` without
+    * touching the rest of the file. */
+  def gunzipMembers(b: Array[Byte], maxOut: Int = 1 << 28):
+      Option[(Array[Byte], Vector[MemberRange])] = {
+    val members = Vector.newBuilder[MemberRange]
+    gunzipWalk(b, maxOut, (co, cl, oo, ol) => members += MemberRange(co, cl, oo, ol))
+      .map(raw => (raw, members.result()))
+  }
+
+  /** One compressed member of an archive file: its byte range in the
+    * COMPRESSED file (`compOff`/`compLen`) and its output's range in
+    * the decompressed stream (`outOff`/`outLen`). */
+  final case class MemberRange(compOff: Long, compLen: Long, outOff: Long, outLen: Long)
+
+  private def gunzipWalk(b: Array[Byte], maxOut: Int,
+                         onMember: (Long, Long, Long, Long) => Unit): Option[Array[Byte]] = {
     if (!isGzip(b)) return None
     val out = new java.io.ByteArrayOutputStream(math.min(b.length, 1 << 16))
     var o = 0
     while (o < b.length) {
       val memberStart = o
+      val outStart = out.size()
       // fixed header
       if (o + 10 > b.length || b(o) != 0x1f.toByte || b(o + 1) != 0x8b.toByte ||
         b(o + 2) != 8) return None
@@ -301,6 +323,8 @@ object WebArchive {
       if (le32(o) != crc.getValue || le32(o + 4) != (memberLen & 0xffffffffL))
         return None
       o += 8
+      if (onMember != null)
+        onMember(memberStart, o - memberStart, outStart, memberLen)
     }
     Some(out.toByteArray)
   }
@@ -349,23 +373,9 @@ object WebArchive {
     * all-metadata member. */
   def unzstd(b: Array[Byte], maxOut: Int = 1 << 28): Option[Array[Byte]] = {
     if (!isZstd(b)) return None
-    // leading skippable frames: lift the warc-zstd dictionary if one
-    // is declared (magic 0x184D2A5D; content raw or zstd-compressed)
-    var dict: Array[Byte] = null
-    var o = 0
-    var scanning = true
-    while (scanning && o + 8 <= b.length && (leU32(b, o) & 0xFFFFFFF0L) == 0x184D2A50L) {
-      val size = leU32(b, o + 4)
-      if (size > b.length - o - 8) return None // truncated skippable frame
-      if (dict == null && leU32(b, o) == 0x184D2A5DL && size > 0) {
-        val content = java.util.Arrays.copyOfRange(b, o + 8, o + 8 + size.toInt)
-        dict =
-          if (content.length >= 4 && leU32(content, 0) == 0xFD2FB528L)
-            unzstd(content, maxOut).getOrElse(return None)
-          else content
-        scanning = false // dictionary found: data frames follow
-      }
-      o += 8 + size.toInt
+    val dict = zstdLeadingDict(b, maxOut) match {
+      case Left(())  => return None
+      case Right(d)  => d
     }
     // stream the WHOLE buffer: the decoder walks concatenated frames
     // and skips skippable ones natively, so offsets stay its problem
@@ -374,14 +384,7 @@ object WebArchive {
     try {
       if (dict != null) zis.setDict(dict)
       val out = new java.io.ByteArrayOutputStream(math.max(64, math.min(b.length, 1 << 16)))
-      val buf = new Array[Byte](65536)
-      var n = zis.read(buf)
-      while (n >= 0) {
-        if (out.size().toLong + n > maxOut) return None // bomb cap
-        out.write(buf, 0, n)
-        n = zis.read(buf)
-      }
-      Some(out.toByteArray)
+      drainZstd(zis, out, maxOut).map(_ => out.toByteArray)
     } catch {
       // zstd-jni surfaces corrupt/truncated/dictionary-mismatch as
       // IOException (ZstdIOException) and bad parameters as
@@ -393,6 +396,103 @@ object WebArchive {
       try zis.close() catch { case _: java.io.IOException => () }
     }
   }
+
+  /** scan LEADING skippable frames for the warc-zstd dictionary
+    * (first frame with magic `0x184D2A5D`; content raw or itself a
+    * zstd frame). Right(dict-or-null), Left on a truncated skippable
+    * frame or an undecodable compressed dictionary. */
+  private def zstdLeadingDict(b: Array[Byte],
+                              maxOut: Int): Either[Unit, Array[Byte]] = {
+    var o = 0
+    while (o + 8 <= b.length && (leU32(b, o) & 0xFFFFFFF0L) == 0x184D2A50L) {
+      val size = leU32(b, o + 4)
+      if (size > b.length - o - 8) return Left(()) // truncated skippable frame
+      if (leU32(b, o) == 0x184D2A5DL && size > 0) {
+        val content = java.util.Arrays.copyOfRange(b, o + 8, o + 8 + size.toInt)
+        return Right(
+          if (content.length >= 4 && leU32(content, 0) == 0xFD2FB528L)
+            unzstd(content, maxOut).getOrElse(return Left(()))
+          else content)
+      }
+      o += 8 + size.toInt
+    }
+    Right(null)
+  }
+
+  /** read a zstd stream to `out` under the bomb cap; None on cap. */
+  private def drainZstd(zis: com.github.luben.zstd.ZstdInputStreamNoFinalizer,
+                        out: java.io.ByteArrayOutputStream,
+                        maxOut: Int): Option[Unit] = {
+    val buf = new Array[Byte](65536)
+    var n = zis.read(buf)
+    while (n >= 0) {
+      if (out.size().toLong + n > maxOut) return None // bomb cap
+      out.write(buf, 0, n)
+      n = zis.read(buf)
+    }
+    Some(())
+  }
+
+  /** [[unzstd]] plus the per-data-frame boundary map: one
+    * [[MemberRange]] per zstd DATA frame (skippable frames carry no
+    * output and are not members), decompressed frame-by-frame against
+    * the file's leading dictionary. The warc-zstd serving contract:
+    * a reader holding the dictionary range-reads `compOff..compLen`
+    * of ONE member and decompresses one record — nothing else in a
+    * multi-GiB archive file is touched. */
+  def unzstdMembers(b: Array[Byte], maxOut: Int = 1 << 28):
+      Option[(Array[Byte], Vector[MemberRange])] = {
+    if (!isZstd(b)) return None
+    val dict = zstdLeadingDict(b, maxOut) match {
+      case Left(())  => return None
+      case Right(d)  => d
+    }
+    val out = new java.io.ByteArrayOutputStream(math.max(64, math.min(b.length, 1 << 16)))
+    val members = Vector.newBuilder[MemberRange]
+    var o = 0
+    while (o < b.length) {
+      if (o + 4 > b.length) return None // trailing non-frame bytes
+      val magic = leU32(b, o)
+      if ((magic & 0xFFFFFFF0L) == 0x184D2A50L) { // skippable: walk over
+        if (o + 8 > b.length) return None
+        val size = leU32(b, o + 4)
+        if (size > b.length - o - 8) return None
+        o += 8 + size.toInt
+      } else if (magic == 0xFD2FB528L) {
+        val len =
+          try com.github.luben.zstd.Zstd.findFrameCompressedSize(b, o)
+          catch { case _: com.github.luben.zstd.ZstdException => return None }
+        if (len <= 0 || len > b.length - o) return None
+        val outStart = out.size()
+        val zis = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+          new java.io.ByteArrayInputStream(b, o, len.toInt))
+        try {
+          if (dict != null) zis.setDict(dict)
+          drainZstd(zis, out, maxOut).getOrElse(return None)
+        } catch {
+          case _: java.io.IOException                  => return None
+          case _: com.github.luben.zstd.ZstdException  => return None
+        } finally {
+          try zis.close() catch { case _: java.io.IOException => () }
+        }
+        members += MemberRange(o, len, outStart, out.size() - outStart)
+        o += len.toInt
+      } else return None // not a zstd frame boundary
+    }
+    Some((out.toByteArray, members.result()))
+  }
+
+  /** The archive's compressed-member map under EITHER layout —
+    * gzip members ([[gunzipMembers]]) or zstd data frames
+    * ([[unzstdMembers]]) — with the decompressed stream; None for
+    * plain (uncompressed) or malformed bytes. The seam between the
+    * record grammar (decompressed offsets) and the serving layer
+    * (compressed ranges). */
+  def memberRanges(b: Array[Byte], maxOut: Int = 1 << 28):
+      Option[(Array[Byte], Vector[MemberRange])] =
+    if (isGzip(b)) gunzipMembers(b, maxOut)
+    else if (isZstd(b)) unzstdMembers(b, maxOut)
+    else None
 
   // ---- HTTP payload decoding: a crawl capture stores the response
   //      body AS SENT, so the COMMON real-archive wire shapes are

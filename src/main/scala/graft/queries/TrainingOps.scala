@@ -4082,6 +4082,53 @@ object TrainingOps {
               |  hl
               |FROM h""".stripMargin)),
 
+    // ---- serving-grade CDX: the member byte ranges a REAL CDX file
+    //      stores — replay range-reads member_length bytes at
+    //      member_offset and decompresses ONE record. Every doc ships
+    //      its archive twice: as `.warc.zst` (dict frame + one frame
+    //      per record → member_idx == record idx; the dict skippable
+    //      frame is NOT a member) and plain (+1e9: uncompressed input
+    //      degrades to member -1 — its record offsets already ARE
+    //      file offsets). The compressed byte VALUES aren't
+    //      SQL-derivable (DuckDB can't run zstd); the oracle binds
+    //      the record→member MAPPING and the plain degrade, and
+    //      WebArchiveSpec binds the ranged-read protocol
+    //      byte-for-byte. ----
+    "ta_warc_cdx_members" -> Q(
+      (s, dir) => synthMedia(s, dir) { (id, text) =>
+        val htmlB = webHtmlStr(id, text).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val uri = s"HTTP://WWW.Site${id % 7}.COM:80/p/${id % 211}/?utm_source=feed&b=2&a=1"
+        val block = htmlB.length + WarcHttpHdr.length
+        val rec0 = WarcRec0.getBytes(WarcAscii)
+        val rec1 = (WarcRec1Pre + uri + "\r\nContent-Length: " + block +
+          "\r\n\r\n" + WarcHttpHdr).getBytes(WarcAscii) ++ htmlB ++
+          "\r\n\r\n".getBytes(WarcAscii)
+        val dict = (WarcRec0 + WarcRec1Pre + WarcHttpHdr).getBytes(WarcAscii)
+        Seq(
+          Multimodal.MediaRow(id, "warc", zstdWarcFile(Seq(rec0, rec1), dict)),
+          Multimodal.MediaRow(id + 1000000000L, "warc", rec0 ++ rec1))
+      }.transform(m => Multimodal.warcCdxMembers(m).toDF())
+        .select(col("doc_id"), col("idx").cast("long").as("idx"), col("url"),
+          col("member_idx").cast("long").as("member_idx"),
+          col("offset"), col("rec_length")),
+      Some(s"""WITH h AS (SELECT doc_id, octet_length(encode($webHtmlSql)) AS hl,
+              |  'HTTP://WWW.Site' || (doc_id % 7) || '.COM:80/p/' || (doc_id % 211)
+              |    || '/?utm_source=feed&b=2&a=1' AS uri
+              |  FROM documents),
+              |arms AS (SELECT doc_id, hl, uri, CAST(TRUE AS BOOLEAN) AS zst FROM h
+              |  UNION ALL SELECT doc_id + 1000000000, hl, uri, FALSE FROM h)
+              |SELECT doc_id, CAST(0 AS BIGINT) AS idx, '' AS url,
+              |  CAST(CASE WHEN zst THEN 0 ELSE -1 END AS BIGINT) AS member_idx,
+              |  CAST(0 AS BIGINT) AS offset,
+              |  CAST(${WarcRec0.length - 4} AS BIGINT) AS rec_length
+              |FROM arms
+              |UNION ALL
+              |SELECT doc_id, 1, uri, CASE WHEN zst THEN 1 ELSE -1 END,
+              |  ${WarcRec0.length},
+              |  ${WarcRec1Fixed} + length(uri)
+              |    + length(CAST(hl + ${WarcHttpHdr.length} AS VARCHAR)) + hl
+              |FROM arms""".stripMargin)),
+
     // ---- CDX-style archive index (the wayback/pywb lookup surface):
     //      per record, SURT urlkey + URL + type + HTTP mime/status +
     //      digest + byte offset/record length, one map-only pass.

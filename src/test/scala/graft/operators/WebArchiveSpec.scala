@@ -419,6 +419,53 @@ class WebArchiveSpec extends AnyFunSuite {
     assert(WebArchive.bodyString(raw, recs(1)) == html)
   }
 
+  test("gunzipMembers: per-member compressed + output ranges; a ranged read decodes ONE record") {
+    import WebArchive.MemberRange
+    val gz0 = gz(b(rec0))
+    val gz1 = gz(b(rec1))
+    val (raw, ms) = WebArchive.gunzipMembers(gz0 ++ gz1).get
+    assert(raw.sameElements(b(file)))
+    assert(ms == Vector(
+      MemberRange(0, gz0.length, 0, rec0.length),
+      MemberRange(gz0.length, gz1.length, rec0.length, rec1.length)))
+    // the serving protocol: range-read member 1's compressed bytes,
+    // decompress them alone → exactly record 1
+    val slice = (gz0 ++ gz1).slice(ms(1).compOff.toInt, (ms(1).compOff + ms(1).compLen).toInt)
+    assert(WebArchive.gunzip(slice).get.sameElements(b(rec1)))
+  }
+
+  test("unzstdMembers: data frames are members, the dict frame is not; dict + ranged read serves one record") {
+    val dict = b(rec0.take(40))
+    val dictFrame = skippableFrame(0x184D2A5D, dict)
+    val f0 = zstd(b(rec0), dict)
+    val f1 = zstd(b(rec1), dict)
+    val zFile = dictFrame ++ f0 ++ f1
+    val (raw, ms) = WebArchive.unzstdMembers(zFile).get
+    assert(raw.sameElements(b(file)))
+    assert(ms.length == 2)
+    assert(ms(0).compOff == dictFrame.length && ms(0).compLen == f0.length)
+    assert(ms(0).outOff == 0 && ms(0).outLen == rec0.length)
+    assert(ms(1).compOff == dictFrame.length + f0.length && ms(1).outOff == rec0.length)
+    // warc-zstd serving: fetch the dictionary frame once, then
+    // range-read ONE member and decompress it against the dict
+    val slice = zFile.slice(ms(1).compOff.toInt, (ms(1).compOff + ms(1).compLen).toInt)
+    assert(WebArchive.unzstd(dictFrame ++ slice).get.sameElements(b(rec1)))
+    // a mid-stream skippable frame is walked over, never a member
+    val withMeta = dictFrame ++ f0 ++ skippableFrame(0x184D2A51, b("meta")) ++ f1
+    val (raw2, ms2) = WebArchive.unzstdMembers(withMeta).get
+    assert(raw2.sameElements(b(file)) && ms2.length == 2)
+    assert(ms2(1).compOff == dictFrame.length + f0.length + 8 + 4)
+  }
+
+  test("memberRanges: dispatches by magic; plain bytes have no member map") {
+    assert(WebArchive.memberRanges(gz(b(file))).get._2.length == 1)
+    assert(WebArchive.memberRanges(zstd(b(file))).get._2.length == 1)
+    assert(WebArchive.memberRanges(b(file)).isEmpty)
+    // malformed compressed input is None, not a partial map
+    assert(WebArchive.memberRanges(gz(b(file)).dropRight(2)).isEmpty)
+    assert(WebArchive.memberRanges(zstd(b(file)) ++ b("junk")).isEmpty)
+  }
+
   test("decodeHttpPayload: CE zstd decodes (alone and under chunked); mislabel leaves residual 'zstd'") {
     val page = b("<p>zstd coded body</p>")
     def payload(hdrs: String, wire: Array[Byte]): (Array[Byte], String) = {
