@@ -54,6 +54,47 @@ class WarcStreamingSpec extends SparkSpec {
     assert(streamed.size == 20 && streamed == batch)
   }
 
+  test("streaming warcCdxMembers: compressed-member CDX rows equal the batch map") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // ship each archive as a 2-member .warc.gz so the member columns
+    // are live (per-record members), not the plain-input -1 degrade
+    def gzArchive(id: Long): Array[Byte] = {
+      val whole = archive(id)
+      // split at the second record's start: both records gzip alone
+      val recs = graft.operators.WebArchive.warcRecords(whole).get
+      val cut = recs(1).headerOffset.toInt
+      def gz(p: Array[Byte]): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(p); g.close(); bos.toByteArray
+      }
+      gz(whole.take(cut)) ++ gz(whole.drop(cut))
+    }
+    val input = MemoryStream[MediaRow]
+    val query = Multimodal.warcCdxMembers(input.toDS()).toDF()
+      .writeStream.format("memory").queryName("warc_cdx_members_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((0L until 4L).map(i => MediaRow(i, "warc", gzArchive(i))))
+      query.processAllAvailable()
+      input.addData((4L until 7L).map(i => MediaRow(i, "warc", gzArchive(i))))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("warc_cdx_members_stream")
+      .selectExpr("doc_id", "idx", "url", "member_idx", "member_offset", "member_length")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getInt(3), r.getLong(4), r.getLong(5))).toSet
+    val batch = Multimodal.warcCdxMembers(
+        (0L until 7L).map(i => MediaRow(i, "warc", gzArchive(i))).toDS())
+      .collect().map(c => (c.doc_id, c.idx, c.url, c.member_idx,
+        c.member_offset, c.member_length)).toSet
+    assert(streamed.size == 14 && streamed == batch)
+    // each record landed in its own member
+    assert(streamed.forall { case (_, idx, _, m, off, len) =>
+      m == idx && off >= 0 && len > 0 })
+  }
+
   test("streaming warcFacets: redirect and text facets flow per micro-batch") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
