@@ -59,4 +59,26 @@ object CdxIndex {
     Layout.fileRanges(spark.read.parquet(path), "urlkey")
       .where(col("hi") >= surtPrefix && col("lo") <= hiBound)
   }
+
+  /** One ranged read out of an archive file — the replay fetch a
+    * member-bearing CDX row ([[Multimodal.warcCdxMembers]]) points
+    * at: `length` bytes at `offset`, nothing else. Driver/server
+    * side by design: a point lookup is one request, not a Spark job.
+    * Compose with [[WebArchive.archiveDict]] (fetched once per
+    * archive file, from its head) and [[WebArchive.decodeMember]]
+    * to decode the record. */
+  def readRange(path: String, offset: Long, length: Long): Array[Byte] = {
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(path), java.nio.file.StandardOpenOption.READ)
+    try {
+      val buf = java.nio.ByteBuffer.allocate(length.toInt)
+      var pos = offset
+      while (buf.hasRemaining) {
+        val n = ch.read(buf, pos)
+        if (n < 0) throw new java.io.EOFException(s"$path: range $offset+$length past EOF")
+        pos += n
+      }
+      buf.array()
+    } finally ch.close()
+  }
 }

@@ -447,39 +447,61 @@ object WebArchive {
       case Left(())  => return None
       case Right(d)  => d
     }
-    val out = new java.io.ByteArrayOutputStream(math.max(64, math.min(b.length, 1 << 16)))
-    val members = Vector.newBuilder[MemberRange]
-    var o = 0
-    while (o < b.length) {
-      if (o + 4 > b.length) return None // trailing non-frame bytes
-      val magic = leU32(b, o)
-      if ((magic & 0xFFFFFFF0L) == 0x184D2A50L) { // skippable: walk over
-        if (o + 8 > b.length) return None
-        val size = leU32(b, o + 4)
-        if (size > b.length - o - 8) return None
-        o += 8 + size.toInt
-      } else if (magic == 0xFD2FB528L) {
-        val len =
-          try com.github.luben.zstd.Zstd.findFrameCompressedSize(b, o)
-          catch { case _: com.github.luben.zstd.ZstdException => return None }
-        if (len <= 0 || len > b.length - o) return None
-        val outStart = out.size()
-        val zis = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
-          new java.io.ByteArrayInputStream(b, o, len.toInt))
-        try {
-          if (dict != null) zis.setDict(dict)
-          drainZstd(zis, out, maxOut).getOrElse(return None)
-        } catch {
-          case _: java.io.IOException                  => return None
-          case _: com.github.luben.zstd.ZstdException  => return None
-        } finally {
-          try zis.close() catch { case _: java.io.IOException => () }
-        }
-        members += MemberRange(o, len, outStart, out.size() - outStart)
-        o += len.toInt
-      } else return None // not a zstd frame boundary
-    }
-    Some((out.toByteArray, members.result()))
+    // ONE decompression context per file, dictionary loaded ONCE —
+    // per-frame contexts re-digest the dict for every record and
+    // turn the member walk ~8× slower than the plain parse
+    val ctx = new com.github.luben.zstd.ZstdDecompressCtx()
+    try {
+      if (dict != null) ctx.loadDict(dict)
+      val out = new java.io.ByteArrayOutputStream(math.max(64, math.min(b.length, 1 << 16)))
+      val members = Vector.newBuilder[MemberRange]
+      var o = 0
+      while (o < b.length) {
+        if (o + 4 > b.length) return None // trailing non-frame bytes
+        val magic = leU32(b, o)
+        if ((magic & 0xFFFFFFF0L) == 0x184D2A50L) { // skippable: walk over
+          if (o + 8 > b.length) return None
+          val size = leU32(b, o + 4)
+          if (size > b.length - o - 8) return None
+          o += 8 + size.toInt
+        } else if (magic == 0xFD2FB528L) {
+          val (len, contentSize) =
+            try (com.github.luben.zstd.Zstd.findFrameCompressedSize(b, o),
+              com.github.luben.zstd.Zstd.getFrameContentSize(b, o))
+            catch { case _: com.github.luben.zstd.ZstdException => return None }
+          if (len <= 0 || len > b.length - o) return None
+          val outStart = out.size()
+          if (contentSize > 0 && contentSize <= maxOut.toLong - outStart) {
+            // header-declared size (the single-shot per-record form):
+            // one native call straight into an exact-sized buffer
+            val dst = new Array[Byte](contentSize.toInt)
+            val n =
+              try ctx.decompressByteArray(dst, 0, dst.length, b, o, len.toInt)
+              catch { case _: com.github.luben.zstd.ZstdException => return None }
+            if (n != contentSize) return None
+            out.write(dst, 0, n)
+          } else if (contentSize > 0) {
+            return None // declared output past the bomb cap
+          } else {
+            // size-unknown frame (streaming-written): stream it
+            val zis = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+              new java.io.ByteArrayInputStream(b, o, len.toInt))
+            try {
+              if (dict != null) zis.setDict(dict)
+              drainZstd(zis, out, maxOut).getOrElse(return None)
+            } catch {
+              case _: java.io.IOException                  => return None
+              case _: com.github.luben.zstd.ZstdException  => return None
+            } finally {
+              try zis.close() catch { case _: java.io.IOException => () }
+            }
+          }
+          members += MemberRange(o, len, outStart, out.size() - outStart)
+          o += len.toInt
+        } else return None // not a zstd frame boundary
+      }
+      Some((out.toByteArray, members.result()))
+    } finally ctx.close()
   }
 
   /** The archive's compressed-member map under EITHER layout —
@@ -493,6 +515,43 @@ object WebArchive {
     if (isGzip(b)) gunzipMembers(b, maxOut)
     else if (isZstd(b)) unzstdMembers(b, maxOut)
     else None
+
+  /** The archive's shared decompression dictionary, read from the
+    * FILE HEAD only (the warc-zstd leading skippable frame) — a
+    * replay server fetches it once per archive file and reuses it
+    * across every [[decodeMember]] lookup. None when the layout
+    * carries no dictionary (gzip, dict-less zstd, plain) or the head
+    * is malformed. `head` need only cover the dictionary frame. */
+  def archiveDict(head: Array[Byte], maxOut: Int = 1 << 28): Option[Array[Byte]] =
+    zstdLeadingDict(head, maxOut) match {
+      case Right(d) if d != null => Some(d)
+      case _                     => None
+    }
+
+  /** Decode ONE range-read compressed member (a [[MemberRange]]
+    * slice) back to its record bytes — the wayback-style point
+    * lookup: CDX row → ranged read of `compLen` bytes at `compOff` →
+    * this. Gzip members decode standalone; zstd members decode
+    * against the archive's [[archiveDict]] (null for dict-less
+    * layouts). None on corrupt bytes or a wrong/missing dictionary —
+    * never garbage. */
+  def decodeMember(member: Array[Byte], dict: Array[Byte],
+                   maxOut: Int = 1 << 28): Option[Array[Byte]] =
+    if (isGzip(member)) gunzip(member, maxOut)
+    else if (member.length >= 4 && leU32(member, 0) == 0xFD2FB528L) {
+      if (dict == null) unzstd(member, maxOut)
+      else {
+        // re-wrap the dictionary in its skippable frame so the
+        // member decodes exactly as it would in-file
+        val hdr = new Array[Byte](8)
+        def le(v: Long, at: Int): Unit = {
+          hdr(at) = (v & 0xff).toByte; hdr(at + 1) = ((v >> 8) & 0xff).toByte
+          hdr(at + 2) = ((v >> 16) & 0xff).toByte; hdr(at + 3) = ((v >> 24) & 0xff).toByte
+        }
+        le(0x184D2A5DL, 0); le(dict.length.toLong, 4)
+        unzstd(hdr ++ dict ++ member, maxOut)
+      }
+    } else None
 
   // ---- HTTP payload decoding: a crawl capture stores the response
   //      body AS SENT, so the COMMON real-archive wire shapes are

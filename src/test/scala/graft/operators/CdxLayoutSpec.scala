@@ -93,4 +93,85 @@ class CdxLayoutSpec extends SparkSpec {
     assert(p.contains("StringStartsWith(urlkey,com,sitea))"),
       s"prefix filter not pushed to parquet:\n$p")
   }
+
+  test("end-to-end replay: index lookup → ranged read → dict decode serves ONE record") {
+    import spark.implicits._
+    // four .warc.zst archives on disk, 30 records each, warc-zstd
+    // layout (dict frame + one frame per record)
+    def record(a: Int, i: Int): Array[Byte] = {
+      val body = s"<p>archive $a page $i</p>"
+      val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$body"
+      (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: http://fam$a.org/p/$i\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n$http\r\n\r\n").getBytes("US-ASCII")
+    }
+    val dict = "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://"
+      .getBytes("US-ASCII")
+    def zstArchive(a: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Unit = {
+        bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+        bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+      }
+      le32(0x184D2A5D); le32(dict.length); bos.write(dict)
+      val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+      try {
+        ctx.setLevel(3); ctx.loadDict(dict)
+        (0 until 30).foreach(i => bos.write(ctx.compress(record(a, i))))
+      } finally ctx.close()
+      bos.toByteArray
+    }
+    val arcDir = Files.createTempDirectory("graft-warc").toString
+    val paths = (0 until 4).map { a =>
+      val p = s"$arcDir/arc$a.warc.zst"
+      Files.write(java.nio.file.Paths.get(p), zstArchive(a))
+      a.toLong -> p
+    }.toMap
+    // index with member ranges + the archive filename (what real CDX
+    // rows carry), laid out SURT-keyed
+    val rows = Multimodal.warcCdxMembers(
+      paths.toSeq.map { case (a, p) =>
+        Multimodal.MediaRow(a, "warc",
+          Files.readAllBytes(java.nio.file.Paths.get(p)))
+      }.toDS()).toDF()
+    val idxDir = s"$arcDir/idx"
+    CdxIndex.write(
+      rows.withColumn("filename",
+        concat(lit(s"$arcDir/arc"), col("doc_id"), lit(".warc.zst"))),
+      idxDir, numFiles = 2)
+    // the replay path for http://fam2.org/p/17 — index row, ranged
+    // read, dict fetched once from the file head, member decode
+    val hit = CdxIndex.lookupPrefix(spark, idxDir, "org,fam2)/p/17")
+      .select("filename", "member_offset", "member_length").collect()
+    assert(hit.length == 1)
+    val (file, mo, ml) = (hit(0).getString(0), hit(0).getLong(1), hit(0).getLong(2))
+    assert(mo > 0 && ml > 0 && ml < 200) // a record's frame, not the file
+    val member = CdxIndex.readRange(file, mo, ml)
+    val head = CdxIndex.readRange(file, 0, 256)
+    val d = WebArchive.archiveDict(head).get
+    assert(d.sameElements(dict))
+    val served = WebArchive.decodeMember(member, d).get
+    assert(served.sameElements(record(2, 17)))
+    // the decoded member is itself a parseable one-record WARC
+    val rec = WebArchive.warcRecords(served).get
+    assert(rec.length == 1 && rec.head.targetUri == "http://fam2.org/p/17")
+    // without the dictionary the member must refuse, never mojibake
+    assert(WebArchive.decodeMember(member, null).isEmpty)
+    // the same protocol serves a .warc.gz member (dict-less)
+    def gz(p: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(p); g.close(); bos.toByteArray
+    }
+    val gzPath = s"$arcDir/arc9.warc.gz"
+    Files.write(java.nio.file.Paths.get(gzPath),
+      gz(record(9, 1)) ++ gz(record(9, 2)))
+    val gzRows = Multimodal.warcCdxMembers(Seq(
+      Multimodal.MediaRow(9L, "warc",
+        Files.readAllBytes(java.nio.file.Paths.get(gzPath)))).toDS()).collect()
+    val r2 = gzRows.find(_.url.endsWith("/p/2")).get
+    val served2 = WebArchive.decodeMember(
+      CdxIndex.readRange(gzPath, r2.member_offset, r2.member_length), null).get
+    assert(served2.sameElements(record(9, 2)))
+  }
 }
