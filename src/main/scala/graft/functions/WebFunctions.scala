@@ -191,4 +191,31 @@ object WebFunctions {
     val texts = transform(regexp_extract_all(html, re, lit(2)), t => tagsToText(t))
     arrays_zip(urls.as("url"), texts.as("text"))
   }
+
+  /** Sitemap (sitemaps.org XML) entries — the crawl frontier's seed
+    * surface: array of structs `(loc, lastmod, priority, is_index)`.
+    * Both document kinds parse from one call: a `urlset`'s `<url>`
+    * entries carry page URLs; a `sitemapindex`'s `<sitemap>` entries
+    * (marked `is_index`) carry FURTHER sitemaps to fetch — the
+    * frontier fan-out. `loc` is entity-decoded (the spec REQUIRES
+    * escaping `&` in URLs, so `&amp;` must come back as `&` before
+    * canonicalization); `lastmod`/`priority` are "" when absent.
+    * Entries without a `<loc>` drop (malformed blocks, never empty
+    * seeds). Deliberately regular like the rest of this file
+    * (non-greedy to the nearest close tag; `<url\b` does NOT match
+    * `<urlset` — word boundary); one codegen regexp scan per kind +
+    * array transforms, no UDF, no shuffle. */
+  def extractSitemap(xml: Column): Column = {
+    def entries(tag: String, isIndex: Boolean): Column = {
+      val blocks = regexp_extract_all(xml,
+        lit(s"(?is)<$tag\\b[^>]*>(.*?)</$tag>"), lit(1))
+      val made = transform(blocks, b => struct(
+        decodeEntities(trim(regexp_extract(b, "(?is)<loc\\s*>(.*?)</loc>", 1))).as("loc"),
+        trim(regexp_extract(b, "(?is)<lastmod\\s*>(.*?)</lastmod>", 1)).as("lastmod"),
+        trim(regexp_extract(b, "(?is)<priority\\s*>(.*?)</priority>", 1)).as("priority"),
+        lit(isIndex).as("is_index")))
+      filter(made, s => s.getField("loc") =!= "")
+    }
+    concat(entries("url", isIndex = false), entries("sitemap", isIndex = true))
+  }
 }

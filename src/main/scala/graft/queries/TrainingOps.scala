@@ -3746,6 +3746,63 @@ object TrainingOps {
              |  'img'
              |FROM documents""".stripMargin)),
 
+    // ---- sitemap parsing (sitemaps.org XML) — the crawl frontier's
+    //      seed surface. Two docs in three are a urlset (two <url>
+    //      entries: one fully-annotated with an ESCAPED &amp; in its
+    //      loc that must decode, one bare with ""-absent
+    //      lastmod/priority, plus a loc-less malformed block that
+    //      must DROP — indices stay 0,1); every 3rd doc is a
+    //      sitemapindex whose <sitemap> entries surface is_index=true
+    //      (the frontier fan-out). The <url\b boundary must NOT match
+    //      <urlset. Expected rows stated directly from doc
+    //      arithmetic. ----
+    "ta_sitemap" -> Q(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val k7 = pmod(col("doc_id"), lit(7L)).cast("string")
+        val k211 = pmod(col("doc_id"), lit(211L)).cast("string")
+        val m = pmod(col("doc_id"), lit(3L))
+        val urlset = concat(
+          lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n <url>\n  <loc>http://site"),
+          k7, lit(".com/p/"), k211,
+          lit("?a=1&amp;b=2</loc>\n  <lastmod>2024-0"),
+          (pmod(col("doc_id"), lit(9L)) + 1).cast("string"),
+          lit("-15</lastmod>\n  <priority>0."),
+          pmod(col("doc_id"), lit(10L)).cast("string"),
+          lit("</priority>\n </url>\n <url><loc>http://site"),
+          k7, lit(".com/q/"), col("doc_id").cast("string"),
+          lit("</loc></url>\n <url><lastmod>2024-01-01</lastmod></url>\n</urlset>"))
+        val index = concat(
+          lit("<?xml version=\"1.0\"?>\n<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n <sitemap>\n  <loc>http://site"),
+          k7,
+          lit(".com/sitemap1.xml.gz</loc>\n  <lastmod>2024-02-01</lastmod>\n </sitemap>\n <sitemap><loc>http://site"),
+          k7, lit(".com/sitemap2.xml.gz</loc></sitemap>\n</sitemapindex>"))
+        d.select(col("doc_id"), when(m === 0, index).otherwise(urlset).as("xml"))
+          .select(col("doc_id"), posexplode(
+            graft.functions.WebFunctions.extractSitemap(col("xml")))
+            .as(Seq("entry_idx", "e")))
+          .select(col("doc_id"), col("entry_idx").cast("long").as("entry_idx"),
+            col("e.loc").as("loc"), col("e.lastmod").as("lastmod"),
+            col("e.priority").as("priority"), col("e.is_index").as("is_index"))
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |  'http://site' || (doc_id % 7) || '.com' AS b, doc_id % 3 AS m
+             |  FROM documents)
+             |SELECT doc_id, CAST(0 AS BIGINT) AS entry_idx,
+             |  b || '/p/' || (doc_id % 211) || '?a=1&b=2' AS loc,
+             |  '2024-0' || (doc_id % 9 + 1) || '-15' AS lastmod,
+             |  '0.' || (doc_id % 10) AS priority, FALSE AS is_index
+             |FROM h WHERE m <> 0
+             |UNION ALL
+             |SELECT doc_id, 1, b || '/q/' || doc_id, '', '', FALSE
+             |FROM h WHERE m <> 0
+             |UNION ALL
+             |SELECT doc_id, 0, b || '/sitemap1.xml.gz', '2024-02-01', '', TRUE
+             |FROM h WHERE m = 0
+             |UNION ALL
+             |SELECT doc_id, 1, b || '/sitemap2.xml.gz', '', '', TRUE
+             |FROM h WHERE m = 0""".stripMargin)),
+
     // URL canonicalization, every contract rule bound by one of the
     // eight raw variants: scheme/host case + www + default :80 +
     // trailing slash + tracking-only query (v0), param sort + tracking

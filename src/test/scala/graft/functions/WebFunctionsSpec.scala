@@ -232,4 +232,38 @@ class WebFunctionsSpec extends SparkSpec {
       .as[Seq[(String, String)]].collect().head
     assert(anchors == Seq("/1" -> "Bold link", "/2" -> "Fish & Chips", "/3" -> ""))
   }
+
+  test("extractSitemap: urlset entries with escaped locs; loc-less blocks drop; boundary skips <urlset") {
+    import spark.implicits._
+    val xml = """<?xml version="1.0"?>
+      |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      | <url><loc> http://a.com/p?x=1&amp;y=2 </loc>
+      |   <lastmod>2024-03-01</lastmod><priority>0.8</priority></url>
+      | <URL><LOC>http://a.com/q</LOC></URL>
+      | <url><lastmod>2024-01-01</lastmod></url>
+      |</urlset>""".stripMargin
+    val got = Seq(xml).toDF("x").select(WebFunctions.extractSitemap(col("x")))
+      .as[Seq[(String, String, String, Boolean)]].collect().head
+    assert(got == Seq(
+      ("http://a.com/p?x=1&y=2", "2024-03-01", "0.8", false), // loc trimmed + & decoded
+      ("http://a.com/q", "", "", false)))                     // tag case-insensitive; absentees ""
+  }
+
+  test("extractSitemap: sitemapindex entries surface is_index; both kinds in one call") {
+    import spark.implicits._
+    val xml = """<sitemapindex>
+      | <sitemap><loc>http://a.com/s1.xml.gz</loc><lastmod>2024-02-01</lastmod></sitemap>
+      | <sitemap><loc>http://a.com/s2.xml.gz</loc></sitemap>
+      |</sitemapindex>""".stripMargin
+    val got = Seq(xml).toDF("x").select(WebFunctions.extractSitemap(col("x")))
+      .as[Seq[(String, String, String, Boolean)]].collect().head
+    assert(got == Seq(
+      ("http://a.com/s1.xml.gz", "2024-02-01", "", true),
+      ("http://a.com/s2.xml.gz", "", "", true)))
+    // non-sitemap XML (or prose) yields an empty array, never a row
+    val none = Seq("<html><body>not a sitemap</body></html>").toDF("x")
+      .select(WebFunctions.extractSitemap(col("x")))
+      .as[Seq[(String, String, String, Boolean)]].collect().head
+    assert(none.isEmpty)
+  }
 }

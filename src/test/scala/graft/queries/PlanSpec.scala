@@ -250,6 +250,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), s"expected posexplode of anchors:\n$p")
   }
 
+  test("ta_sitemap: sitemap parse is a map-only Generate — zero exchanges, no UDF") {
+    val p = plan("ta_sitemap")
+    assert(!p.contains("Exchange"), s"sitemap extraction must not shuffle:\n$p")
+    assert(p.contains("Generate"), s"expected posexplode of entries:\n$p")
+    assert(!p.contains("MapPartitions"), s"must stay in expressions:\n$p")
+  }
+
   test("ta_html_main: block scoring is map-only higher-order exprs — zero exchanges") {
     val p = plan("ta_html_main")
     assert(!p.contains("Exchange"), s"main-content extraction must not shuffle:\n$p")
