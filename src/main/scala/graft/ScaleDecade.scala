@@ -293,6 +293,70 @@ object ScaleDecade {
           f"shared-walk=$shared%7.2f s (${separate / shared}%4.1fx)")
         w.unpersist()
       }
+      // r16: `.warc.zst` ingest — the modern archive compression must
+      // parse at .warc.gz-class cost (the zstd core is faster than
+      // DEFLATE; the walk adds only the dictionary scan), and the
+      // serving-grade member walk (warcCdxMembers) must stay within a
+      // small constant of the plain index pass. Both codecs over the
+      // SAME record stream, 1× and 8×.
+      axis("warczstd") {
+        def records(id: Long): Array[Byte] = {
+          val bos = new java.io.ByteArrayOutputStream(1 << 18)
+          for (r <- 0 until 50) {
+            val words = (0 until 120).map(j => s"w${(id * 977 + r * 131 + j) % 9973}")
+              .mkString(" ")
+            val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+              s"<html><body><p>doc $id rec $r $words</p></body></html>"
+            bos.write((s"WARC/1.0\r\nWARC-Type: response\r\n" +
+              s"WARC-Target-URI: http://h${id % 97}.com/p/$r\r\n" +
+              s"Content-Length: ${http.length}\r\n\r\n$http\r\n\r\n")
+              .getBytes("US-ASCII"))
+          }
+          bos.toByteArray
+        }
+        val dict = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " +
+          "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html><body><p>doc")
+          .getBytes("US-ASCII")
+        def zstOf(b: Array[Byte]): Array[Byte] = {
+          // one frame per record against the shared dict (the
+          // warc-zstd layout): re-walk the plain records to split
+          val recs = operators.WebArchive.warcRecords(b).get
+          val bos = new java.io.ByteArrayOutputStream(b.length / 3 + 64)
+          def le32(v: Int): Unit = {
+            bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+            bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+          }
+          le32(0x184D2A5D); le32(dict.length); bos.write(dict)
+          val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+          try {
+            ctx.setLevel(3); ctx.loadDict(dict)
+            recs.indices.foreach { i =>
+              val from = recs(i).headerOffset.toInt
+              val until = if (i + 1 < recs.length) recs(i + 1).headerOffset.toInt else b.length
+              bos.write(ctx.compress(java.util.Arrays.copyOfRange(b, from, until)))
+            }
+          } finally ctx.close()
+          bos.toByteArray
+        }
+        for (m <- Seq(1, 8)) {
+          def mk(f: Array[Byte] => Array[Byte]) =
+            spark.range(400L * m).as(Encoders.scalaLong)
+              .mapPartitions(_.map(id =>
+                operators.Multimodal.MediaRow(id, "warc", f(records(id)))))
+              .repartition(spark.sparkContext.defaultParallelism).localCheckpoint(true)
+          val gz = mk(gzipOf)
+          val zst = mk(zstOf)
+          val (tGz, nGz) = best(operators.Multimodal.warcCdx(gz).toDF().count())
+          val (tZst, nZst) = best(operators.Multimodal.warcCdx(zst).toDF().count())
+          val (tMem, nMem) = best(
+            operators.Multimodal.warcCdxMembers(zst).toDF()
+              .where(col("member_idx") >= 0).count())
+          println(f"[decade] warczstd ${m}%2dx files=${400 * m}%6d " +
+            f"cdx-gz=$tGz%6.2f s cdx-zst=$tZst%6.2f s members-zst=$tMem%6.2f s " +
+            f"(rows $nGz%8d/$nZst%8d/$nMem%8d)")
+          gz.unpersist(); zst.unpersist()
+        }
+      }
       // r15: revisit-heavy archives (the real CommonCrawl mix is ~1/3
       // revisits, and popular pages concentrate MANY revisits on ONE
       // digest): resolution must stay linear in records — one keeper
