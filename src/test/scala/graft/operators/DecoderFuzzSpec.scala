@@ -40,7 +40,13 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "dechunk" -> (b => WebArchive.dechunk(b, 0, b.length)),
     "inflate" -> (b => WebArchive.inflate(b)),
     "decodeTextEval" -> (b => graft.functions.Kernels.decodeTextEval(b)),
-    "warcRecordsAny" -> (b => WebArchive.warcRecordsAny(b)))
+    "warcRecordsAny" -> (b => WebArchive.warcRecordsAny(b)),
+    "unzstd" -> (b => WebArchive.unzstd(b)),
+    "unzstdMembers" -> (b => WebArchive.unzstdMembers(b)),
+    "memberRanges" -> (b => WebArchive.memberRanges(b)),
+    "decodeMemberNoDict" -> (b => WebArchive.decodeMember(b, null)),
+    "decodeMemberDict" -> (b => WebArchive.decodeMember(b, Array[Byte](87, 65, 82, 67))),
+    "archiveDict" -> (b => WebArchive.archiveDict(b)))
 
   private def assertNoThrow(label: String, buf: Array[Byte]): Unit =
     entryPoints.foreach { case (name, f) =>
@@ -163,6 +169,22 @@ class DecoderFuzzSpec extends AnyFunSuite {
           .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
         g.close()
         bos.toByteArray
+      },
+      "warc_zst" -> {
+        // dictionary-frame form: skippable dict frame + one frame per record
+        val rec = ("WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n")
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        val dict = "WARC/1.0\r\nWARC-Type: ".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        val bos = new java.io.ByteArrayOutputStream()
+        def le32(v: Int): Unit = {
+          bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+          bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+        }
+        le32(0x184D2A5D); le32(dict.length); bos.write(dict)
+        val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+        try { ctx.setLevel(3); ctx.loadDict(dict); bos.write(ctx.compress(rec)) }
+        finally ctx.close()
+        bos.toByteArray
       })
   }
 
@@ -185,6 +207,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     assert(FlacDecode.flacSamples(fixtures.toMap.apply("flac_frame")).isDefined)
     assert(MediaHeaders.videoDurationMs(fixtures.toMap.apply("mp4")).isDefined)
     assert(WebArchive.warcRecords(fixtures.toMap.apply("warc")).exists(_.head.httpStatus == 200))
+    assert(WebArchive.warcRecordsAny(fixtures.toMap.apply("warc_zst"))
+      .exists(_._2.head.warcType == "resource"))
     assert(WebArchive.warcRecordsAny(fixtures.toMap.apply("warc_gz"))
       .exists(_._2.head.warcType == "resource"))
   }
