@@ -58,6 +58,8 @@ object Kernels {
     toColumn(BloomMightContainK(toExpression(s), new BloomSketch(sketchBytes)))
   def ivfScores(vec: Column, cents: Array[Array[Float]]): Column =
     toColumn(IvfScoresK(toExpression(vec), cents))
+  def cdcChunkStructs(text: Column, avgWords: Int): Column =
+    toColumn(CdcChunksK(toExpression(text), avgWords))
 
   /** polynomial modulus shared with [[TextFunctions.P]]. */
   val P = 1000000007L
@@ -281,6 +283,107 @@ object Kernels {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** eval for [[CdcChunksK]] — the whole CDC chunk walk of
+    * [[graft.operators.Chunking.cdcChunks]] in one JVM pass per row,
+    * replacing a 6-deep interpreted higher-order-function chain
+    * (split → shingle hashes → xorshift-mix transform → cut filter →
+    * zip_with slice/join → per-chunk fingerprint) that dominated the
+    * chunker's single-task scan. Semantics are BIT-IDENTICAL (parity-
+    * pinned in ChunkingKernelSpec, oracle-pinned by dd_cdc_dedup /
+    * ta_cdc_chunk at 3 SFs):
+    *
+    *  - words: split on single spaces, empties dropped; no words →
+    *    empty array (the caller's posexplode then emits no chunks);
+    *  - gear: packed dual-residue hash of each word 3-gram
+    *    ([[shingleHashesEval]]' loop verbatim), diffused through the
+    *    33/17/7 xorshift, cut AFTER 1-based word i ≥ 3 when
+    *    mix ≡ avgWords−1 (mod avgWords);
+    *  - chunks: [start, end] word spans from the cut list (a trailing
+    *    cut at the last word yields an empty start>end span — skipped);
+    *  - chunk_fp: fold(words, 7, (h,w) => (h·131 + charHash(w)) mod P)
+    *    with charHash folding CODE POINTS (the `split(s,"")`+`ascii`
+    *    column path this replaces splits per code point).
+    */
+  def cdcChunksEval(text: UTF8String, avgWords: Int): ArrayData = {
+    val all = text.toString.split(" ", -1)
+    var nw = 0
+    var i = 0
+    while (i < all.length) { if (all(i).nonEmpty) nw += 1; i += 1 }
+    if (nw == 0) return new GenericArrayData(Array.empty[Any])
+    val ws = new Array[String](nw)
+    var o = 0
+    i = 0
+    while (i < all.length) { if (all(i).nonEmpty) { ws(o) = all(i); o += 1 }; i += 1 }
+    val d = avgWords.toLong
+    // cut positions (1-based word index the chunk ENDS at)
+    val cuts = new java.util.ArrayList[Int]()
+    if (nw >= 3) {
+      var j = 0
+      while (j + 2 < nw) {
+        // packed 3-gram hash — the shingleHashesEval fold, space joiner
+        // included (the operator hashes the re-joined word stream)
+        var h1 = 7L
+        var h2 = 11L
+        var g = 0
+        while (g < 3) {
+          if (g > 0) {
+            h1 = (h1 * 31 + ' '.toLong) % P
+            h2 = (h2 * 37 + ' '.toLong) % P2
+          }
+          val w = ws(j + g)
+          var k = 0
+          while (k < w.length) {
+            val c = w.charAt(k).toLong
+            h1 = (h1 * 31 + c) % P
+            h2 = (h2 * 37 + c) % P2
+            k += 1
+          }
+          g += 1
+        }
+        var h = h1 * P2 + h2
+        // 33/17/7 xorshift diffusion (arithmetic shifts — h ≥ 0)
+        h = h ^ (h >> 33)
+        h = h ^ (h >> 17)
+        h = h ^ (h >> 7)
+        if (h % d == d - 1L) cuts.add(j + 3)
+        j += 1
+      }
+    }
+    // spans: starts = 1 :: cuts+1, ends = cuts :+ nw; keep start <= end
+    val out = new java.util.ArrayList[Any](cuts.size() + 1)
+    val sb = new java.lang.StringBuilder
+    var s = 1
+    var ci = 0
+    while (ci <= cuts.size()) {
+      val e = if (ci < cuts.size()) cuts.get(ci) else nw
+      if (s <= e) {
+        sb.setLength(0)
+        var fp = 7L
+        var w = s - 1
+        while (w < e) {
+          if (w > s - 1) sb.append(' ')
+          sb.append(ws(w))
+          // charHash over code points, then the word fold
+          var ch = 7L
+          val str = ws(w)
+          var k = 0
+          while (k < str.length) {
+            val cp = str.codePointAt(k)
+            ch = (ch * 31 + cp) % P
+            k += Character.charCount(cp)
+          }
+          fp = (fp * 131 + ch) % P
+          w += 1
+        }
+        out.add(org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(sb.toString), (e - s + 1).toLong, fp))
+      }
+      s = e + 1
+      ci += 1
+    }
+    new GenericArrayData(out.toArray)
   }
 
   /** eval for [[ByteFoldHashK]]: fold(bytes, 7, (h,b) => (h*31+b) mod P). */
@@ -693,6 +796,22 @@ case class ShingleHashesK(child: Expression, n: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.shingleHashesEval($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): ShingleHashesK = copy(child = newChild)
   override def prettyName: String = "graft_shingle_hashes"
+}
+
+case class CdcChunksK(child: Expression, avgWords: Int) extends UnaryExpression {
+  require(avgWords >= 2, s"graft_cdc_chunks: avgWords must be >= 2, got $avgWords")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("chunk_text", StringType, nullable = false),
+      StructField("n_words", LongType, nullable = false),
+      StructField("chunk_fp", LongType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.cdcChunksEval(input.asInstanceOf[UTF8String], avgWords)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.cdcChunksEval($c, $avgWords)")
+  override protected def withNewChildInternal(newChild: Expression): CdcChunksK = copy(child = newChild)
+  override def prettyName: String = "graft_cdc_chunks"
 }
 
 case class FeatureHashK(child: Expression, dim: Int, n: Int) extends UnaryExpression {

@@ -59,6 +59,28 @@ object Chunking {
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
                 avgWords: Int = 32): DataFrame = {
     require(avgWords >= 2, s"cdcChunks: avgWords must be >= 2, got $avgWords")
+    // ONE codegen kernel call per row (split → gear hash → mix → cuts →
+    // spans → per-chunk fingerprint in a single JVM loop): the previous
+    // 6-deep higher-order-function chain computed the same thing through
+    // interpreted lambdas — measured 1.1 s single-task at sf0.1 vs
+    // ~0.15 s for the kernel. Bit-identical output (parity-pinned in
+    // ChunkingKernelSpec; the HOF form is kept below as the reference).
+    df.select(col(idCol),
+        posexplode(graft.functions.Kernels.cdcChunkStructs(
+          coalesce(col(textCol), lit("")), avgWords)).as(Seq("chunk_idx", "__c")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("__c.chunk_text").as("chunk_text"), col("__c.n_words").as("n_words"),
+        col("__c.chunk_fp").as("chunk_fp"))
+  }
+
+  /** The pure-`Column` higher-order-function form [[cdcChunks]] had
+    * before the kernel — kept as the parity reference the kernel is
+    * spec-pinned against (ChunkingKernelSpec), same discipline as
+    * [[Similarity.ivfCentroidsDistributed]].
+    */
+  private[graft] def cdcChunksExpr(df: DataFrame, idCol: String, textCol: String,
+                                   avgWords: Int = 32): DataFrame = {
+    require(avgWords >= 2, s"cdcChunks: avgWords must be >= 2, got $avgWords")
     val d = lit(avgWords.toLong)
     def mix(h: Column): Column = {
       val a = h.bitwiseXOR(shiftright(h, 33))

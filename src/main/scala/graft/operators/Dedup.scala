@@ -515,7 +515,14 @@ object Dedup {
     */
   private def snapshotRound(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-    else df.localCheckpoint(true)
+    // LAZY local checkpoint: the loop's own convergence check (checksum /
+    // count / changed-diff) is the materializing action, so each round
+    // runs ONE job instead of checkpoint-then-check two. Plan truncation
+    // is unchanged — the returned frame is a LogicalRDD leaf either way —
+    // and blocks persist as a side effect of that first action. (Reliable
+    // checkpoints stay EAGER: their lazy form re-runs the round's plan a
+    // second time to write the checkpoint files.)
+    else df.localCheckpoint(false)
 
   /** [[connectedComponents]] plus [[CcStats]] — the stats make the
     * auto-switch observable to specs and operators dashboards.
@@ -555,8 +562,13 @@ object Dedup {
     // previous round's frame becomes unreachable. At bench SF the
     // per-round cost is indistinguishable from persist (A/B measured
     // under identical load).
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(least(first("src"), min("dst")).as("comp"))
+    // grouped on dst, not src: the edge list is symmetric (both
+    // directions of every pair are present), so min-over-group is
+    // identical either way — but dst is the column edges were just
+    // hash-partitioned on, so this aggregation reuses that exchange
+    // instead of re-shuffling the full edge set by src.
+    var labels = edges.groupBy(col("dst").as("id"))
+      .agg(least(first("dst"), min("src")).as("comp"))
       .transform(snapshotRound)
     // Fixpoint check, exact for ANY id type. Numeric ids keep the
     // one-agg-per-round shortcut: labels decrease monotonically, so an

@@ -58,10 +58,18 @@ object Redirects {
     // superseded round files under a RELIABLE checkpoint dir are only
     // auto-deleted with spark.cleaner.referenceTracking.cleanCheckpoints
     // =true (default false — the graft entry mains set it); local
-    // checkpoint blocks are reclaimed by the ContextCleaner regardless
+    // checkpoint blocks are reclaimed by the ContextCleaner regardless.
+    // Local checkpoints are LAZY: each round's frame is a plan-leaf
+    // LogicalRDD either way (the driver-side O(1)-per-round guarantee),
+    // but nothing needs the data until the caller's action — which then
+    // runs ALL rounds as one job, caching each round's blocks en route
+    // (both self-join sides of round r+1 read round r's cached blocks),
+    // instead of one eager materialization job per round. Reliable
+    // checkpoints stay eager: their lazy form re-runs the plan to write
+    // the checkpoint files.
     val snap: DataFrame => DataFrame =
       if (sess.sparkContext.getCheckpointDir.isDefined) _.checkpoint(true)
-      else _.localCheckpoint(true)
+      else _.localCheckpoint(false)
     // one row per redirect source: deterministic min-dst collapse via
     // a partial-agg'd hash shuffle, pre-partitioned on src (ptr
     // lookups join against THIS key every round). Null-keyed rows drop
@@ -130,9 +138,10 @@ object Redirects {
     val gp =
       if (graphPartitions > 0) graphPartitions
       else sess.sessionState.conf.numShufflePartitions
+    // lazy local checkpoints — see [[resolve]]'s note
     val snap: DataFrame => DataFrame =
       if (sess.sparkContext.getCheckpointDir.isDefined) _.checkpoint(true)
-      else _.localCheckpoint(true)
+      else _.localCheckpoint(false)
     val oldTerm = resolved.where(col("terminal"))
     val oldCyc = snap(resolved.where(!col("terminal"))
       .select(col("src"), col("final_dst"), col("hops"), col("terminal")))

@@ -276,13 +276,36 @@ object Similarity {
     */
   def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
                   m: Int = 4, ksub: Int = 8, iters: Int = 2): Array[Array[Array[Float]]] = {
-    val dim = df.select(size(col(vecCol)).as("d")).head().getInt(0)
+    // ONE bounded-sample collect feeds all m subspace trainings (the
+    // sample is keyed on id, so every subspace trains on the same rows
+    // — unchanged); slicing locally replaces m sample scans + the dim
+    // probe job with zero extra jobs. Falls back to the distributed
+    // trainer per subspace for over-cap sample requests.
+    if (DefaultTrainVectors > LocalTrainRowCap) {
+      val dim = df.select(size(col(vecCol)).as("d")).head().getInt(0)
+      require(dim % m == 0, s"pqCodebooks: dim $dim not divisible into $m subspaces")
+      val dsub = dim / m
+      return (0 until m).map { s =>
+        ivfCentroids(
+          df.select(col(idCol), slice(col(vecCol), s * dsub + 1, dsub).as("__sub")),
+          idCol, "__sub", ksub, iters)
+      }.toArray
+    }
+    val (ids, vecs) = collectTrainSample(df, idCol, vecCol, DefaultTrainVectors)
+    if (vecs.isEmpty) throw new NoSuchElementException("pqCodebooks: empty corpus")
+    val dim = vecs(0).length
     require(dim % m == 0, s"pqCodebooks: dim $dim not divisible into $m subspaces")
     val dsub = dim / m
+    // local slice mirrors slice(col, s*dsub+1, dsub): elements
+    // [s*dsub, s*dsub+dsub) of each vector (shorter rows slice shorter,
+    // exactly like the SQL slice)
     (0 until m).map { s =>
-      ivfCentroids(
-        df.select(col(idCol), slice(col(vecCol), s * dsub + 1, dsub).as("__sub")),
-        idCol, "__sub", ksub, iters)
+      val sub = vecs.map { v =>
+        val from = (s * dsub).min(v.length)
+        val until = (s * dsub + dsub).min(v.length)
+        java.util.Arrays.copyOfRange(v, from, until)
+      }
+      lloydLocal(ids, sub, ksub, iters)
     }.toArray
   }
 
@@ -485,14 +508,202 @@ object Similarity {
   def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
                    nList: Int, iters: Int = 2,
                    maxTrainVectors: Int = 100000): Array[Array[Float]] = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    if (maxTrainVectors > LocalTrainRowCap)
+      return ivfCentroidsDistributed(df, idCol, vecCol, nList, iters, maxTrainVectors)
     // Train the quantizer on a bounded, deterministic hash-ordered
     // sample (standard IVF practice): Lloyd over the FULL corpus would
     // be `iters` extra full passes at 100 TB for no recall benefit —
     // centroid quality saturates far below 100k training vectors. The
-    // full corpus is still assigned to lists afterwards. The sort key
-    // reduces id mod P before multiplying so the affine hash never
-    // overflows int64 (engines differ on wrap vs error).
+    // sample is MODEL-SIZED BY CONTRACT (≤ maxTrainVectors rows — the
+    // same order as the broadcast artifacts this library already ships),
+    // so Lloyd runs ON THE DRIVER over the collected sample: ONE bounded
+    // job instead of 1 init collect + iters×(posexplode shuffle of
+    // sample×dim rows + collect [+ reseed sort]) — at bench scale that
+    // is 3-6 driver round-trips saved per training, and at 100 TB it
+    // removes iters full shuffles of the exploded sample. The
+    // full corpus is still assigned to lists distributedly afterwards.
+    // Arithmetic is bit-identical to [[ivfCentroidsDistributed]]
+    // (spec-pinned): same sample, same init, same kernel fold order,
+    // same quantized integer mean, same reseed rule.
+    val (ids, vecs) = collectTrainSample(df, idCol, vecCol, maxTrainVectors)
+    lloydLocal(ids, vecs, nList, iters)
+  }
+
+  /** Rows a training-sample collect may hold before [[ivfCentroids]]
+    * falls back to the distributed trainer — callers asking for an
+    * over-model-sized sample keep the old shuffle-based path.
+    */
+  private val LocalTrainRowCap = 1 << 20
+
+  /** pqCodebooks' sample bound (the [[ivfCentroids]] default — the two
+    * must stay in sync so pq subspace training sees the same rows). */
+  private val DefaultTrainVectors = 100000
+
+  /** The bounded, deterministic, hash-ordered training sample of
+    * [[ivfCentroids]], collected to the driver: ≤ maxTrainVectors rows
+    * of (id, vec). The sort key reduces id mod P before multiplying so
+    * the affine hash never overflows int64 (engines differ on wrap vs
+    * error).
+    */
+  private def collectTrainSample(df: DataFrame, idCol: String, vecCol: String,
+                                 maxTrainVectors: Int): (Array[Any], Array[Array[Float]]) = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val trainKey = pmod(pmod(col("id"), lit(Kernels.P)) * lit(1103515245L) + lit(12345L), lit(Kernels.P))
+    val rows = v.orderBy(trainKey, col("id")).limit(maxTrainVectors).collect()
+    (rows.map(_.get(0)), rows.map(_.getSeq[Float](1).toArray))
+  }
+
+  /** Natural JVM ordering for collected id values — identical to
+    * Spark's sort order for the numeric ids the ANN family requires
+    * (and for ASCII strings). Nulls first, like Spark ASC NULLS FIRST.
+    */
+  private val idOrdering: Ordering[Any] = new Ordering[Any] {
+    def compare(x: Any, y: Any): Int = (x, y) match {
+      case (null, null) => 0
+      case (null, _) => -1
+      case (_, null) => 1
+      case (a: java.lang.Double, b: java.lang.Double) => java.lang.Double.compare(a, b)
+      case (a: java.lang.Float, b: java.lang.Float) => java.lang.Float.compare(a, b)
+      case (a: Comparable[_], b) => a.asInstanceOf[Comparable[Any]].compareTo(b)
+      case _ => throw new IllegalArgumentException(s"unorderable id: $x")
+    }
+  }
+
+  /** Spark-exact `round(d)` then `cast("long")`: HALF_UP via the
+    * decimal string value (java.math.BigDecimal.valueOf — the codegen
+    * form of Catalyst Round on doubles), NaN/Infinity passed through
+    * the double→long cast like the non-ANSI cast does.
+    */
+  private def roundToLongQ(d: Double): Long =
+    if (d.isNaN || d.isInfinite) d.toLong
+    else java.math.BigDecimal.valueOf(d)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
+  /** Driver-local Lloyd over a collected training sample — the exact
+    * arithmetic of [[ivfCentroidsDistributed]] in plain loops:
+    *  - init: first nList vectors by id ascending;
+    *  - assignment: argmax dot against unit-normed centroids, ties →
+    *    lowest index, left-to-right double fold (the
+    *    [[graft.functions.Kernels.ivfAssignEval]] loop verbatim);
+    *  - update: per (cluster, pos) int64 sum of round(x·2²⁰) (order-free
+    *    — identical under any partitioning), truncating division, back
+    *    to float at 1/2²⁰ resolution;
+    *  - reseed: empty lists take the training vectors furthest from the
+    *    current centroids (lowest best-dot, ties → lowest id).
+    */
+  private[graft] def lloydLocal(ids: Array[Any], vecs: Array[Array[Float]],
+                                nList: Int, iters: Int): Array[Array[Float]] = {
+    val n = vecs.length
+    val byId: Array[Int] =
+      Array.range(0, n).sortWith((a, b) => idOrdering.compare(ids(a), ids(b)) < 0)
+    var centroids: Array[Array[Float]] = byId.take(nList).map(vecs(_))
+    for (_ <- 0 until iters) {
+      val unit = unitNorm(centroids)
+      // assignment — the ivfAssignEval loop on plain float arrays
+      val assign = new Array[Int](n)
+      var r = 0
+      while (r < n) {
+        val vec = vecs(r)
+        var best = 0
+        var bestS = Double.NegativeInfinity
+        var i = 0
+        while (i < unit.length) {
+          val c = unit(i)
+          val m = math.min(vec.length, c.length)
+          var s = 0.0
+          var d = 0
+          while (d < m) { s += vec(d).toDouble * c(d).toDouble; d += 1 }
+          if (s > bestS) { bestS = s; best = i }
+          i += 1
+        }
+        assign(r) = best
+        r += 1
+      }
+      // quantized integer mean per (cluster, pos); a ragged sample keeps
+      // per-pos counts exactly like the posexplode groupBy did
+      val sums = Array.fill(centroids.length)(null: Array[Long])
+      val cnts = Array.fill(centroids.length)(null: Array[Long])
+      r = 0
+      while (r < n) {
+        val c = assign(r)
+        val vec = vecs(r)
+        if (sums(c) == null || sums(c).length < vec.length) {
+          val ns = new Array[Long](vec.length)
+          val nc = new Array[Long](vec.length)
+          if (sums(c) != null) {
+            System.arraycopy(sums(c), 0, ns, 0, sums(c).length)
+            System.arraycopy(cnts(c), 0, nc, 0, cnts(c).length)
+          }
+          sums(c) = ns; cnts(c) = nc
+        }
+        var d = 0
+        while (d < vec.length) {
+          sums(c)(d) += roundToLongQ(vec(d).toDouble * QScale)
+          cnts(c)(d) += 1L
+          d += 1
+        }
+        r += 1
+      }
+      val present = sums.indices.filter(c => sums(c) != null && cnts(c).exists(_ > 0)).toSet
+      val empties = centroids.indices.filterNot(present.contains)
+      val reseeds: Map[Int, Array[Float]] =
+        if (empties.isEmpty || n == 0) Map.empty
+        else {
+          // best-dot per row (array_max semantics: NaN greatest), then
+          // (best ASC, id ASC) — Double.compare puts NaN last like Spark
+          val bests = new Array[Double](n)
+          var j = 0
+          while (j < n) {
+            val vec = vecs(j)
+            var b = 0.0
+            var started = false
+            var i = 0
+            while (i < unit.length) {
+              val c = unit(i)
+              val m = math.min(vec.length, c.length)
+              var s = 0.0
+              var d = 0
+              while (d < m) { s += vec(d).toDouble * c(d).toDouble; d += 1 }
+              // array_max semantics: NaN is greatest — Double.compare order
+              if (!started || java.lang.Double.compare(s, b) > 0) { b = s; started = true }
+              i += 1
+            }
+            bests(j) = b
+            j += 1
+          }
+          val order = Array.range(0, n).sortWith { (a, b) =>
+            val c = java.lang.Double.compare(bests(a), bests(b))
+            if (c != 0) c < 0 else idOrdering.compare(ids(a), ids(b)) < 0
+          }
+          empties.zip(order.take(empties.size).map(vecs(_))).toMap
+        }
+      centroids = centroids.indices.map { c =>
+        if (present.contains(c)) {
+          // positions with at least one member, ascending — the
+          // groupBy(cluster, pos) row set; truncating long division
+          // (matches SQL integer //), back to float at 1/QScale
+          val s = sums(c); val k = cnts(c)
+          s.indices.filter(k(_) > 0L)
+            .map(p => ((s(p) / k(p)).toDouble / QScale).toFloat).toArray
+        } else reseeds.getOrElse(c, centroids(c))
+      }.toArray
+    }
+    centroids
+  }
+
+  /** The shuffle-based trainer [[ivfCentroids]] delegated to before the
+    * local form existed — kept as the over-cap fallback (sample sizes
+    * past [[LocalTrainRowCap]]) and as the parity reference the local
+    * trainer is spec-pinned against. Assignment and centroid updates
+    * are distributed (argmax-cosine kernel, posexplode +
+    * integer-quantized groupBy mean); only the centroid MODEL reaches
+    * the driver.
+    */
+  private[graft] def ivfCentroidsDistributed(
+      df: DataFrame, idCol: String, vecCol: String,
+      nList: Int, iters: Int = 2,
+      maxTrainVectors: Int = 100000): Array[Array[Float]] = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val trainKey = pmod(pmod(col("id"), lit(Kernels.P)) * lit(1103515245L) + lit(12345L), lit(Kernels.P))
     // the bounded sample is read once per Lloyd pass plus the init —
     // persist it so the scan/sort behind it runs once, not iters+1 times
