@@ -1092,6 +1092,14 @@ object Dedup {
         when(col("nrm") === 0d, lit(-1d)).otherwise(
           element_at(graft.functions.Kernels.ivfScores(col("vec"), unit),
             col("list") + 1) / sqrt(col("nrm"))))
+      // EAGER, deliberately: four consumers read this frame, and the
+      // first two (the oversized-list broadcast subquery and the pair
+      // join's own build side) run CONCURRENTLY on broadcast threads —
+      // a lazy checkpoint lets both race the un-materialized lineage
+      // and duplicate the scan+kernel work (A/B measured: lazy DOUBLED
+      // dd_dedup_apply_semantic, 1.5 → 3.8 s). Loop rounds with exactly
+      // one sequential consumer (connectedComponents, Redirects) are
+      // where lazy snapshots win.
       .localCheckpoint(true)
   }
 

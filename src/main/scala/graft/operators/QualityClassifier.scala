@@ -62,6 +62,69 @@ object QualityClassifier {
       dim: Int = 256, iters: Int = 12, lrDen: Long = 2L,
       maxTrainDocs: Int = 100000): Array[Long] = {
     require(dim > 0 && (dim & (dim - 1)) == 0, s"dim must be a power of two, got $dim")
+    if (maxTrainDocs > LocalTrainRowCap)
+      return trainWeightsDistributed(df, idCol, textCol, labelCol, dim, iters, lrDen, maxTrainDocs)
+    // The training sample is MODEL-SIZED BY CONTRACT (≤ maxTrainDocs
+    // rows of (dim+1) small-int features), so the GD loop runs ON THE
+    // DRIVER over the collected sample — ONE bounded job instead of a
+    // checkpoint + count + one gradient aggregation job per iteration
+    // (12 driver round-trips at the default). Arithmetic is
+    // bit-identical to [[trainWeightsDistributed]] (spec-pinned): int64
+    // margin dot, hard-sigmoid residual, int64 gradient sums
+    // (order-free), truncating division.
+    val trainKey = pmod(
+      pmod(col(idCol), lit(graft.functions.Kernels.P)) * lit(1103515245L) + lit(12345L),
+      lit(graft.functions.Kernels.P))
+    val rows = df.filter(col(textCol).isNotNull)
+      .orderBy(trainKey, col(idCol))
+      .limit(maxTrainDocs)
+      .select(features(col(textCol), dim).as("f"),
+        coalesce(labelCol.cast("long"), lit(0L)).as("y"))
+      .collect()
+    val n = rows.length.toLong
+    var w = Array.fill(dim + 1)(0L)
+    if (n == 0) return w
+    val fs: Array[Array[Float]] = rows.map(_.getSeq[Float](0).toArray)
+    val ys: Array[Long] = rows.map(_.getLong(1))
+    for (_ <- 0 until iters) {
+      val g = new Array[Long](dim + 1)
+      var r = 0
+      while (r < fs.length) {
+        val f = fs(r)
+        // margin: the dotWLongEval loop (Σ f_j.toLong · w_j, min-length)
+        var z = 0L
+        val m = math.min(f.length, w.length)
+        var j = 0
+        while (j < m) { z += f(j).toLong * w(j); j += 1 }
+        val u = math.min(math.max(2 * Scale + z, 0L), 4 * Scale)
+        val e = ys(r) * (4 * Scale) - u
+        // gradient: the GradVecSum update loop (Σ f_j.toLong · e)
+        val gm = math.min(f.length, g.length)
+        j = 0
+        while (j < gm) { g(j) += f(j).toLong * e; j += 1 }
+        r += 1
+      }
+      // truncating int64 division — matches DuckDB's `//` exactly
+      w = w.indices.map(j => w(j) + g(j) / (lrDen * n)).toArray
+    }
+    w
+  }
+
+  /** Rows the bounded-sample collect may hold before [[trainWeights]]
+    * falls back to the distributed gradient loop (the
+    * [[Similarity.ivfCentroids]] cap discipline).
+    */
+  private val LocalTrainRowCap = 1 << 20
+
+  /** The aggregation-based trainer [[trainWeights]] delegated to before
+    * the local loop existed — kept as the over-cap fallback and the
+    * parity reference the local trainer is spec-pinned against
+    * (QualityClassifierSpec).
+    */
+  private[graft] def trainWeightsDistributed(
+      df: DataFrame, idCol: String, textCol: String, labelCol: Column,
+      dim: Int = 256, iters: Int = 12, lrDen: Long = 2L,
+      maxTrainDocs: Int = 100000): Array[Long] = {
     // bounded deterministic sample, the ivfCentroids discipline: GD over
     // the full corpus would be `iters` extra 100 TB passes for no
     // accuracy benefit — the sample is feature-built ONCE and snapshotted

@@ -93,6 +93,12 @@ object Redirects {
           coalesce(col("j_ptr"), col("ptr")).as("ptr"),
           (col("hops") + coalesce(col("j_hops"), lit(0L))).as("hops")))
     }
+    // The terminal join reads `cur` TWICE (probe side + the t_src
+    // build side) on concurrent threads — materialize the lazy leaf
+    // ONCE here so neither consumer re-runs the round chain (the
+    // multi-consumer rule from Dedup.ivfAssignedWithCc: lazy snapshots
+    // are for strictly sequential single-consumer rounds).
+    if (sess.sparkContext.getCheckpointDir.isEmpty) cur.foreach(_ => ())
     // terminal ⇔ the final pointer is not a redirect source
     val srcs = cur.select(col("src").as("t_src"))
     cur.join(srcs, cur("ptr") === srcs("t_src"), "left")
@@ -166,6 +172,13 @@ object Redirects {
         .select(col("src"),
           coalesce(col("j_ptr"), col("ptr")).as("ptr"),
           (col("hops") + coalesce(col("j_hops"), lit(0L))).as("hops")))
+    }
+    // materialize the double-consumed leaves once — see resolve()'s note
+    // (`cur` feeds probe + t_src sides; `oldCyc` feeds t_src + the final
+    // union)
+    if (sess.sparkContext.getCheckpointDir.isEmpty) {
+      cur.foreach(_ => ())
+      oldCyc.foreach(_ => ())
     }
     // terminal ⇔ the final pointer is not a redirect source anywhere —
     // jumped rows AND the cycle members that never joined the frame

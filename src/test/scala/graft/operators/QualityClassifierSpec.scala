@@ -100,4 +100,17 @@ class QualityClassifierSpec extends SparkSpec {
     val none = d.filter(lit(false))
     assert(QualityClassifier.trainWeights(none, "doc_id", "text", label).forall(_ == 0L))
   }
+
+  test("local GD trainer == distributed gradient-aggregation trainer, bit for bit") {
+    val docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    for ((dim, iters) <- Seq((256, 12), (64, 3))) {
+      val local = QualityClassifier.trainWeights(docs01, "doc_id", "text", label, dim, iters)
+      val dist = QualityClassifier.trainWeightsDistributed(docs01, "doc_id", "text", label, dim, iters)
+      assert(local.toSeq == dist.toSeq, s"weights diverge at dim=$dim iters=$iters")
+    }
+    // capped sample binds: both paths must agree on WHICH rows train
+    val localCap = QualityClassifier.trainWeights(docs01, "doc_id", "text", label, 64, 3, maxTrainDocs = 37)
+    val distCap = QualityClassifier.trainWeightsDistributed(docs01, "doc_id", "text", label, 64, 3, maxTrainDocs = 37)
+    assert(localCap.toSeq == distCap.toSeq, "capped-sample weights diverge")
+  }
 }
