@@ -60,6 +60,7 @@ object Kernels {
     toColumn(IvfScoresK(toExpression(vec), cents))
   def cdcChunkStructs(text: Column, avgWords: Int): Column =
     toColumn(CdcChunksK(toExpression(text), avgWords))
+  def fingerprint(text: Column): Column = toColumn(FingerprintK(toExpression(text)))
 
   /** polynomial modulus shared with [[TextFunctions.P]]. */
   val P = 1000000007L
@@ -384,6 +385,32 @@ object Kernels {
       ci += 1
     }
     new GenericArrayData(out.toArray)
+  }
+
+  /** eval for [[FingerprintK]] — the document fingerprint
+    * fold(words, 7, (h,w) => (h·131 + charHash(w)) mod P) in one JVM
+    * pass, replacing the interpreted aggregate(transform(split…))
+    * column chain (a lambda eval per CHARACTER). Bit-identical to the
+    * column form (parity-pinned in KernelsSpec; the ta_fingerprint /
+    * dd_exact_normalized oracles re-derive it externally):
+    * words = split on single spaces with EMPTIES KEPT (charHash("") is
+    * the seed 7, exactly like the column fold), charHash folds CODE
+    * POINTS (the `split(s,"")`+`ascii` path).
+    */
+  def fingerprintEval(text: UTF8String): Long = {
+    val s = text.toString
+    var fp = 7L
+    var wh = 7L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp == ' ') {
+        fp = (fp * 131 + wh) % P
+        wh = 7L
+      } else wh = (wh * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    (fp * 131 + wh) % P
   }
 
   /** eval for [[ByteFoldHashK]]: fold(bytes, 7, (h,b) => (h*31+b) mod P). */
@@ -812,6 +839,16 @@ case class CdcChunksK(child: Expression, avgWords: Int) extends UnaryExpression 
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.cdcChunksEval($c, $avgWords)")
   override protected def withNewChildInternal(newChild: Expression): CdcChunksK = copy(child = newChild)
   override def prettyName: String = "graft_cdc_chunks"
+}
+
+case class FingerprintK(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    Kernels.fingerprintEval(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.fingerprintEval($c)")
+  override protected def withNewChildInternal(newChild: Expression): FingerprintK = copy(child = newChild)
+  override def prettyName: String = "graft_fingerprint"
 }
 
 case class FeatureHashK(child: Expression, dim: Int, n: Int) extends UnaryExpression {

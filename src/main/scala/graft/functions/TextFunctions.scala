@@ -102,8 +102,15 @@ object TextFunctions {
   }
 
   /** document fingerprint: rolling hash over word hashes —
-    * fold(words, 7, (h,w) => (h*131 + charHash(w)) mod P). */
-  def fingerprint(text: Column): Column =
+    * fold(words, 7, (h,w) => (h*131 + charHash(w)) mod P), computed by
+    * the codegen kernel [[Kernels.fingerprint]] (one JVM pass instead
+    * of an interpreted lambda per character; bit-identical, parity-
+    * pinned in GraftFunctionsSpec against [[fingerprintExpr]]). */
+  def fingerprint(text: Column): Column = Kernels.fingerprint(text)
+
+  /** the pure-`Column` higher-order-function form of [[fingerprint]] —
+    * kept as the parity reference the kernel is spec-pinned against. */
+  private[graft] def fingerprintExpr(text: Column): Column =
     aggregate(
       transform(words(text), w => charHash(w)),
       lit(7L),

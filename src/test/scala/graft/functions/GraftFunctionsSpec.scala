@@ -91,4 +91,33 @@ class GraftFunctionsSpec extends SparkSpec {
       SparkSession.setDefaultSession(prior)
     }
   }
+
+  test("fingerprint kernel == HOF column form, empties and code points included") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val df = Seq(
+      (1L, "plain words here"),
+      (2L, ""),
+      (3L, " leading and  double  spaces "),
+      (4L, "one"),
+      (5L, "Fish & chips 'hot' ete\u0301 caf\u00e9"),
+      (6L, null.asInstanceOf[String]),
+      (7L, ("w" * 7 + " ") * 300)
+    ).toDF("id", "t")
+    val rows = df.select(
+      org.apache.spark.sql.functions.col("id"),
+      TextFunctions.fingerprint(org.apache.spark.sql.functions.col("t")).as("k"),
+      TextFunctions.fingerprintExpr(org.apache.spark.sql.functions.col("t")).as("e")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"null mismatch at id ${r.getLong(0)}")
+      if (!r.isNullAt(1))
+        assert(r.getLong(1) == r.getLong(2), s"fingerprint diverges at id ${r.getLong(0)}")
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val d = docs.select(
+      TextFunctions.fingerprint(org.apache.spark.sql.functions.col("text")).as("k"),
+      TextFunctions.fingerprintExpr(org.apache.spark.sql.functions.col("text")).as("e"))
+      .where(org.apache.spark.sql.functions.col("k") =!= org.apache.spark.sql.functions.col("e")).count()
+    assert(d == 0L, s"$d corpus rows diverge")
+  }
 }
