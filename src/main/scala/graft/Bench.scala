@@ -144,25 +144,32 @@ object Bench {
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.flatten.map(_.med).sum
     val totalMin = results.values.flatten.map(_.min).sum
+    val protocol = s"median-of-$reps-warm;lt${subsecThresh}s-median-of-$subsecReps"
+    // ONE self-contained JSON line with EVERYTHING (metric, value,
+    // total_min, n_queries, queries, errors, sf, protocol), printed
+    // LAST. The r15/r16 two-line format (big queries line first, small
+    // summary line second) left the driver's bounded stdout tail
+    // holding only the summary line — which has no "queries" key — so
+    // per-query comparison and scaling were blind for two rounds
+    // (PERF_r16 per_query:{}, VERDICT r16 item #1). The queries map
+    // sits before the trailing errors/sf/protocol fields so that even
+    // a head-truncating tail capture retains a parseable suffix of
+    // per-query entries plus the full metadata; bench_out.json next to
+    // the cwd always holds the complete full-precision record
+    // (medians + mins + raw sample vectors).
     def line(q: String, t: String): String =
-      s"""{"metric":"total","value":$t,"unit":"sec","queries":$q,"errors":$errJson,"sf":"$sfDir","protocol":"median-of-$reps-warm;lt${subsecThresh}s-median-of-$subsecReps"}"""
+      s"""{"metric":"total","value":$t,"unit":"sec","total_min":${fmt(totalMin)},"n_queries":${results.values.flatten.size},"queries":$q,"errors":$errJson,"sf":"$sfDir","protocol":"$protocol"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"),
       line(qsFull, total.toString).dropRight(1) +
-        s""","total_min":$totalMin,"mins":$qsMin,"samples":$qsSamples}""" + "\n")
+        s""","mins":$qsMin,"samples":$qsSamples}""" + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}") }
     // stop BEFORE printing so no Spark shutdown log lands after the
     // JSON and eats the driver's bounded stdout-tail budget; a stop()
-    // failure must not swallow the result lines themselves
+    // failure must not swallow the result line itself
     try spark.stop()
     catch { case e: Throwable => System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
-    // The driver keeps a bounded TAIL of stdout: r8/r9 both lost the
-    // single JSON line's HEAD when it outgrew the buffer ("parsed":
-    // null). Emit the big per-query line FIRST and a small,
-    // always-complete total line LAST — whatever the tail cuts, the
-    // final line parses, and bench_out.json holds full precision.
     println(line(qs, fmt(total)))
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"n_queries":${results.values.flatten.size},"errors":$errJson,"sf":"$sfDir","protocol":"median-of-$reps-warm;lt${subsecThresh}s-median-of-$subsecReps","queries_in":"previous line + bench_out.json"}""")
     System.out.flush()
   }
 }

@@ -49,6 +49,8 @@ object Kernels {
     toColumn(RobotsAllowedK(toExpression(robots), toExpression(agent), toExpression(path)))
   def vecDot(a: Column, b: Column): Column = toColumn(VecDotK(toExpression(a), toExpression(b)))
   def vecNorm2(a: Column): Column = toColumn(VecNorm2K(toExpression(a)))
+  def vecDotLong(a: Column, b: Column): Column = toColumn(VecDotLongK(toExpression(a), toExpression(b)))
+  def hammingDist(a: Column, b: Column): Column = toColumn(HammingDistK(toExpression(a), toExpression(b)))
   def lshSig(vec: Column, planes: Int): Column = toColumn(LshSigK(toExpression(vec), planes))
   def cosineGte(num: Column, na: Column, nb: Column, tNum: Int, tDen: Int): Column =
     toColumn(CosineGteK(toExpression(num), toExpression(na), toExpression(nb), tNum, tDen))
@@ -242,6 +244,52 @@ object Kernels {
     var s = 0.0
     var i = 0
     while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
+    s
+  }
+
+  /** int64 dot over two long arrays — BIT-IDENTICAL to the HOF form
+    * `aggregate(zip_with(a, b, (x, y) => x * y), 0L, (s, x) => s + x)`
+    * it replaces in the quantized scoring loops (spec-pinned): same
+    * left-to-right order, and the HOF's null semantics reproduced
+    * exactly — zip_with pads the shorter array with nulls and the
+    * aggregate lambda turns the first null into a null result, so
+    * unequal lengths (or a null element) yield NULL here too, never a
+    * partial sum. Overflow FAILS LOUD (multiplyExact/addExact — JIT
+    * intrinsics, no measurable cost) exactly like the ANSI-mode
+    * arithmetic this engine runs everywhere; int8 codes can't reach
+    * it (127²·dim ≪ 2⁶³) but a silent wrapped score would be worse
+    * than the ANSI error.
+    */
+  def vecDotLongEval(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na != nb) return null
+    var s = 0L
+    var i = 0
+    while (i < na) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s = Math.addExact(s, Math.multiplyExact(a.getLong(i), b.getLong(i)))
+      i += 1
+    }
+    s
+  }
+
+  /** packed-signature hamming distance — BIT-IDENTICAL to
+    * `aggregate(zip_with(a, b, (x, y) => bit_count(x ^ y) AS LONG),
+    * 0L, (s, x) => s + x)` (spec-pinned), including the HOF's
+    * null-on-length-mismatch / null-element semantics.
+    */
+  def hammingDistEval(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na != nb) return null
+    var s = 0L
+    var i = 0
+    while (i < na) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i)).toLong
+      i += 1
+    }
     s
   }
 
@@ -981,6 +1029,40 @@ case class VecNorm2K(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.vecNorm2Eval($c)")
   override protected def withNewChildInternal(newChild: Expression): VecNorm2K = copy(child = newChild)
   override def prettyName: String = "graft_vec_norm2"
+}
+
+/** Shared codegen for the two nullable long-array kernels: the eval
+  * helper returns a boxed Long (null on length mismatch / null
+  * element, matching the HOF forms they replace), so the generated
+  * code must route the null through ev.isNull rather than defineCodeGen's
+  * primitive assignment. */
+sealed trait NullableLongArrayPairK extends BinaryExpression {
+  def evalMethod: String // fully-qualified static helper
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Long ${ev.value}_r = $evalMethod($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.longValue(); }""")
+}
+
+case class VecDotLongK(left: Expression, right: Expression) extends NullableLongArrayPairK {
+  override def evalMethod: String = "graft.functions.Kernels.vecDotLongEval"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.vecDotLongEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDotLongK =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_vec_dot_long"
+}
+
+case class HammingDistK(left: Expression, right: Expression) extends NullableLongArrayPairK {
+  override def evalMethod: String = "graft.functions.Kernels.hammingDistEval"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.hammingDistEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): HammingDistK =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_hamming_dist"
 }
 
 case class IvfAssignK(child: Expression, cents: Array[Array[Float]]) extends UnaryExpression {

@@ -349,8 +349,14 @@ object Dedup {
       .select(
         col("a.doc").as("da"), col("b.doc").as("db"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
-      .distinct()
+      // hamming filter BEFORE the pair-dedup distinct (guide §2.3 —
+      // shuffle fewer bytes): hamming is a pure function of the pair's
+      // two fingerprints, so filter∘distinct ≡ distinct∘filter, and the
+      // distinct's exchange now carries only QUALIFYING pairs instead
+      // of every blocked candidate (the overwhelming majority of
+      // candidates fail the ≤maxHamming test)
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Identical-fingerprint collapse shared by the *Collapsed variants:
@@ -532,6 +538,19 @@ object Dedup {
   def connectedComponentsWithStats(
       pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 20, switchAfter: Int = 5): (DataFrame, CcStats) = {
+    // NOT under a scoped-AQE-off block: extending LinkRank's AQE-off
+    // discipline here was A/B'd in r17 (ProbeJobs showed ~3 AQE
+    // stage-jobs per round; static planning cut dd_semdedup 31→18 and
+    // dd_dedup_apply 20→9 jobs) and MEASURED SLOWER ACROSS THE BOARD —
+    // dd_components 0.95→1.57 s, dd_dedup_apply_simhash 1.24→2.03 s,
+    // dd_semdedup 1.32→1.58 s warm — because without AQE the leaf-
+    // keyed round joins lose their runtime broadcast conversion (SMJ
+    // sorts both sides every round) and every exchange runs at the
+    // full static shuffle width (283→622 tasks). LinkRank's loop wins
+    // from the same scope only because it pre-partitions BOTH join
+    // sides and broadcast-hints its scalar frames; this loop's edge ⋈
+    // label join keys a leaf of unknown size. Reverted, kept here so
+    // round 18 doesn't re-derive it.
     // both edge directions from ONE pass over the pair list: a union of
     // two selects would re-derive `pairs` (the whole LSH candidate
     // pipeline) once per branch when this first materializes. Hash-
@@ -585,7 +604,13 @@ object Dedup {
     def changed(next: DataFrame, cur: DataFrame): Boolean =
       !next.join(cur.select(col("id"), col("comp").as("__prev")), "id")
         .filter(!(col("comp") <=> col("__prev"))).isEmpty
-    var prev = if (numericIds) checksum(labels) else null
+    // Round-0 labels must be MATERIALIZED before the loop: the numeric
+    // path's checksum does it; the non-numeric path's first changed()
+    // would otherwise read the un-materialized lazy leaf from THREE
+    // plan branches of one action (union + viaNbr inside next's
+    // lineage, plus __prev) and duplicate the init aggregation
+    // (ADVICE r16 — the multi-consumer rule applies to round 0 too).
+    var prev = if (numericIds) checksum(labels) else { materialize(labels); null }
     var converged = false
     var i = 0
     while (!converged && i < maxIters && i < switchAfter) {
@@ -632,6 +657,15 @@ object Dedup {
     graft.OpGauges.inc("cc_runs_total")
     result
   }
+
+  /** Materialize a lazily-checkpointed frame ONCE (no-op job) so
+    * multi-branch consumers read cached blocks instead of racing the
+    * un-materialized lineage — the Redirects/ivfAssignedWithCc rule.
+    * Reliable checkpoints are already eager; only the local form needs
+    * the kick.
+    */
+  private def materialize(df: DataFrame): Unit =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isEmpty) df.foreach(_ => ())
 
   /** Connected components by alternating large-star/small-star — the
     * O(log n)-round alternative to [[connectedComponents]] for graphs
@@ -710,12 +744,18 @@ object Dedup {
         s"(maxIters=$maxIters) — labels are partial")
     // fixpoint edges are (child, root) stars; label children and roots
     // (edges is a checkpointed leaf, so this plan stays O(1))
-    edges.select(explode(array(
+    val out = edges.select(explode(array(
         struct(col("a").as("id"), col("b").as("comp")),
         struct(col("b").as("id"), col("b").as("comp")))).as("p"))
       .select("p.id", "p.comp")
       .groupBy("id").agg(min("comp").as("comp"))
       .transform(snapshotRound)
+    // materialize the returned labels ONCE (ADVICE r16): a caller
+    // reading them from two concurrent plan branches must hit cached
+    // blocks, not race the lazy lineage (the multi-consumer rule
+    // pinned in Redirects.resolve / Dedup.ivfAssignedWithCc)
+    materialize(out)
+    out
   }
 
   /** Cross-document repeated spans — the exact-substring dedup signal
@@ -1033,16 +1073,28 @@ object Dedup {
     val assigned = ivfAssignedWithCc(df, idCol, vecCol, nList, iters)
     val pairs = pairsFromAssigned(assigned, eps, maxListOccupancy)
     val comp = connectedComponents(pairs, "da", "db")
-    val withComp = assigned.join(comp, Seq("id"), "left")
-    // representative per component: min (cc, id) — a groupBy the size of
-    // the component count, joined back (never a window over the corpus)
-    val reps = withComp.filter(col("comp").isNotNull)
-      .groupBy("comp").agg(min(struct(col("cc"), col("id"))).as("m"))
-      .select(col("comp"), col("m.id").as("rep"))
-    withComp.join(reps, Seq("comp"), "left")
+    // Representative selection FUSED into one pass over the DUP-GRAPH-
+    // sized label frame (r16 this was two corpus-frame joins + a
+    // corpus-wide aggregation: corpus ⋈ comp, groupBy(comp) over it,
+    // reps joined back). comp holds only ids that appear in a pair, so
+    // (comp ⋈ the assignment's cc column) is dup-graph-sized; ranking
+    // its members by (cc ASC, id ASC) within each component marks the
+    // keeper — row_number == 1 is EXACTLY the old min(struct(cc, id))
+    // representative (same total order on (cc, id), ids unique so no
+    // ties) — and one left join on id attaches (grp, keep) to the
+    // corpus. The window runs over component members only, never the
+    // corpus (singletons — the overwhelming mass at scale — skip it).
+    val labeled = comp.join(assigned.select(col("id"), col("cc")), Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("comp").orderBy(col("cc").asc, col("id").asc)
+    val marked = labeled
+      .withColumn("__rn", row_number().over(w))
+      .select(col("id"), col("comp"), (col("__rn") === 1).as("__keep"))
+    assigned.select(col("id"))
+      .join(marked, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("comp"), col("id")).as("grp"),
-        (col("comp").isNull || (col("id") === col("rep"))).as("keep"))
+        coalesce(col("__keep"), lit(true)).as("keep"))
   }
 
   /** Apply [[semanticDedup]]: the corpus minus semantic duplicates —

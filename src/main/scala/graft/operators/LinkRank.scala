@@ -12,8 +12,12 @@ import org.apache.spark.sql.functions._
   * Everything is declarative DataFrame ops, NO driver-side graph and
   * no row-level collect: each power iteration is one shuffle join
   * (ranks ⋈ edges on src) plus one aggregation (sum of shares by
-  * dst); the two per-iteration scalars (node count, dangling mass)
-  * ride as broadcast 1-row cross joins. Each iteration's rank frame
+  * dst). The two per-iteration scalars (node count, dangling mass)
+  * reach the driver as exactly TWO longs: a one-time stats collect
+  * for |hosts| and a `Dataset.observe` metric the round's own
+  * materializing action already computes (lazy runs, which may not
+  * collect at construction, keep them as broadcast 1-row cross
+  * joins). Each iteration's rank frame
   * is persisted, so the plan stays LINEAR in the iteration count —
   * the two uses of the previous ranks (shares + dangling mass) read
   * one cached relation, never two copies of the lineage, and each
@@ -197,25 +201,68 @@ object LinkRank {
       .repartition(gp, col("host"))
       .groupBy("host").agg(sum(col("o")).as("outdeg"))
       .persist()
-    val nn = deg0.agg(count(lit(1)).as("n"))
-    val deg = deg0.crossJoin(broadcast(nn)).persist() // (host, outdeg, n)
-    var ranks = deg.select(col("host"), col("outdeg"), col("n"),
-      expr(s"$Scale div n").as("rank"))
-    for (_ <- 0 until iterations) {
-      val shares = ranks.where(col("outdeg") > 0)
-        .select(col("host").as("src"), expr("rank div outdeg").as("share"))
-      val incoming = capped.join(shares, "src")
-        .repartition(gp, col("dst")) // the one genuine re-key per round
-        .groupBy(col("dst").as("host")).agg(sum(col("share")).as("inc"))
-      val dangle = ranks.agg(
-        coalesce(sum(when(col("outdeg") === 0L, col("rank"))), lit(0L)).as("dangle"))
-      // both next-iteration uses (shares + dangle) read ONE snapshot,
-      // never two lineage copies — the plan stays linear
-      ranks = snap(deg.join(incoming, Seq("host"), "left")
-        .crossJoin(broadcast(dangle))
-        .select(col("host"), col("outdeg"), col("n"),
-          expr(s"($Scale - $Scale * $dampingPpm div $PpmDen) div n" +
-            s" + $dampingPpm * (coalesce(inc, 0L) + dangle div n) div $PpmDen").as("rank")))
+    // MATERIALIZED runs thread the two per-iteration scalars through
+    // the driver instead of broadcast 1-row cross joins (r17, VERDICT
+    // r16 #4): |hosts| and the dangling-host count come from ONE
+    // 2-long stats collect (model-sized by definition), and round k's
+    // dangling mass is OBSERVED during round k's own materializing
+    // checkpoint (`Dataset.observe` — an exact int64 sum collected by
+    // the action the round already pays), so each iteration runs
+    // exactly ONE job with no dangle-aggregation broadcast job and no
+    // crossJoin nodes in the round plan (ProbeJobs: ta_link_rank was
+    // 17 jobs / ta_link_rank_apply 19). Arithmetic is unchanged: the
+    // driver-side div/mul are the same truncating int64 ops the SQL
+    // expressions ran (all operands non-negative), and round 0's
+    // dangle is exactly nDangling · (Scale div n) because every init
+    // rank is the same value. The LAZY path keeps the broadcast form —
+    // it must stay zero-job at construction, so nothing may collect.
+    var ranks: DataFrame = null
+    if (materialize) {
+      val st = deg0.agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("outdeg") === 0L, lit(1L))), lit(0L)).as("nd")).first()
+      val n = st.getLong(0)
+      val nDangle = st.getLong(1)
+      val rank0 = if (n == 0L) 0L else Scale / n
+      var dangle = nDangle * rank0 // ≤ n·(Scale div n) ≤ Scale — no overflow
+      ranks = deg0.select(col("host"), col("outdeg"), lit(rank0).as("rank"))
+      for (_ <- 0 until iterations) {
+        val shares = ranks.where(col("outdeg") > 0)
+          .select(col("host").as("src"), expr("rank div outdeg").as("share"))
+        val incoming = capped.join(shares, "src")
+          .repartition(gp, col("dst")) // the one genuine re-key per round
+          .groupBy(col("dst").as("host")).agg(sum(col("share")).as("inc"))
+        val base = if (n == 0L) 0L else (Scale - Scale * dampingPpm / PpmDen) / n
+        val dDivN = if (n == 0L) 0L else dangle / n
+        val obs = new org.apache.spark.sql.Observation()
+        ranks = snap(deg0.join(incoming, Seq("host"), "left")
+          .select(col("host"), col("outdeg"),
+            expr(s"$base + $dampingPpm * (coalesce(inc, 0L) + $dDivN) div $PpmDen")
+              .as("rank"))
+          .observe(obs,
+            coalesce(sum(when(col("outdeg") === 0L, col("rank"))), lit(0L)).as("dangle")))
+        dangle = obs.get("dangle").asInstanceOf[Long]
+      }
+    } else {
+      val nn = deg0.agg(count(lit(1)).as("n"))
+      val deg = deg0.crossJoin(broadcast(nn)).persist() // (host, outdeg, n)
+      ranks = deg.select(col("host"), col("outdeg"), col("n"),
+        expr(s"$Scale div n").as("rank"))
+      for (_ <- 0 until iterations) {
+        val shares = ranks.where(col("outdeg") > 0)
+          .select(col("host").as("src"), expr("rank div outdeg").as("share"))
+        val incoming = capped.join(shares, "src")
+          .repartition(gp, col("dst")) // the one genuine re-key per round
+          .groupBy(col("dst").as("host")).agg(sum(col("share")).as("inc"))
+        val dangle = ranks.agg(
+          coalesce(sum(when(col("outdeg") === 0L, col("rank"))), lit(0L)).as("dangle"))
+        // both next-iteration uses (shares + dangle) read ONE snapshot,
+        // never two lineage copies — the plan stays linear
+        ranks = snap(deg.join(incoming, Seq("host"), "left")
+          .crossJoin(broadcast(dangle))
+          .select(col("host"), col("outdeg"), col("n"),
+            expr(s"($Scale - $Scale * $dampingPpm div $PpmDen) div n" +
+              s" + $dampingPpm * (coalesce(inc, 0L) + dangle div n) div $PpmDen").as("rank")))
+      }
     }
     // materialized runs return a trivial select over the LAST
     // snapshot's leaf, so the support caches can release NOW (bounded
@@ -235,7 +282,6 @@ object LinkRank {
     if (materialize) {
       capped.unpersist()
       deg0.unpersist()
-      deg.unpersist()
     }
     out
     } finally if (materialize) sess.conf.set(AqeKey, savedAqe)

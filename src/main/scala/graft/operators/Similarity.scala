@@ -161,7 +161,11 @@ object Similarity {
         transform(col(vecCol), _ => lit(0L)))
       .otherwise(transform(col(vecCol), x => round(x.cast("double") * 127d / mx).cast("long")))
     df.select(col(idCol).as("id"), q.as("q"))
-      .withColumn("qnrm", aggregate(col("q"), lit(0L), (a, x) => a + x * x))
+      // Σq² through the codegen int64-dot kernel (q against itself) —
+      // bit-identical to aggregate(q, 0L, (a, x) => a + x*x): same
+      // left-to-right wrapping sum (GraftFunctionsSpec pins the kernel
+      // against the HOF form)
+      .withColumn("qnrm", graft.functions.Kernels.vecDotLong(col("q"), col("q")))
   }
 
   /** Exact top-k over int8-quantized vectors: per query, the k corpus
@@ -181,8 +185,13 @@ object Similarity {
       MaxBroadcastProbes, "int8TopK query set"))
     val c = quantizeInt8(corpus, idCol, vecCol)
       .select(col("id").as("nid"), col("q").as("nq"), col("qnrm").as("nn"))
-    val intDot = aggregate(
-      zip_with(col("qq"), col("nq"), (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+    // The pair-scale scoring loop runs |queries|×|corpus| times — the
+    // hot path of this operator. aggregate(zip_with(...)) is a
+    // CodegenFallback (interpreted lambda per pair); the kernel is the
+    // same wrapping int64 left-to-right sum inside whole-stage codegen
+    // (bit-parity incl. null/length semantics pinned in
+    // GraftFunctionsSpec).
+    val intDot = graft.functions.Kernels.vecDotLong(col("qq"), col("nq"))
     val scored = q.join(c, col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         when(col("qn") === 0 || col("nn") === 0, lit(-2d))
@@ -220,10 +229,16 @@ object Similarity {
     df.select(col(idCol).as("id"), sig.as("sig"))
   }
 
-  /** Hamming distance between two packed sign signatures. */
+  /** Hamming distance between two packed sign signatures — the
+    * XOR-popcount loop as a codegen kernel (runs |queries|×|corpus|
+    * times in [[binaryRerankTopK]]'s shortlist scan; the HOF form
+    * `aggregate(zip_with(a, b, (x, y) => bit_count(x ^ y)), 0L, _+_)`
+    * is a CodegenFallback). Bit-parity with the HOF, including its
+    * null-on-length-mismatch semantics, is pinned in
+    * GraftFunctionsSpec.
+    */
   def hammingSig(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
-      lit(0L), (s, x) => s + x)
+    graft.functions.Kernels.hammingDist(a, b)
 
   /** Binary-quantized ANN with exact rerank (the faiss
     * IndexBinaryFlat + refine shape): shortlist by signature hamming
@@ -275,23 +290,26 @@ object Similarity {
     * engine because the trainer is engine-exact.
     */
   def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
-                  m: Int = 4, ksub: Int = 8, iters: Int = 2): Array[Array[Array[Float]]] = {
+                  m: Int = 4, ksub: Int = 8, iters: Int = 2,
+                  maxTrainVectors: Int = DefaultTrainVectors): Array[Array[Array[Float]]] = {
     // ONE bounded-sample collect feeds all m subspace trainings (the
     // sample is keyed on id, so every subspace trains on the same rows
     // — unchanged); slicing locally replaces m sample scans + the dim
     // probe job with zero extra jobs. Falls back to the distributed
-    // trainer per subspace for over-cap sample requests.
-    if (DefaultTrainVectors > LocalTrainRowCap) {
+    // trainer per subspace for over-cap sample requests —
+    // `maxTrainVectors` is a real parameter (default = ivfCentroids'
+    // default, the shared-sample contract) so the guard can bind.
+    if (maxTrainVectors > LocalTrainRowCap) {
       val dim = df.select(size(col(vecCol)).as("d")).head().getInt(0)
       require(dim % m == 0, s"pqCodebooks: dim $dim not divisible into $m subspaces")
       val dsub = dim / m
       return (0 until m).map { s =>
         ivfCentroids(
           df.select(col(idCol), slice(col(vecCol), s * dsub + 1, dsub).as("__sub")),
-          idCol, "__sub", ksub, iters)
+          idCol, "__sub", ksub, iters, maxTrainVectors)
       }.toArray
     }
-    val (ids, vecs) = collectTrainSample(df, idCol, vecCol, DefaultTrainVectors)
+    val (ids, vecs) = collectTrainSample(df, idCol, vecCol, maxTrainVectors)
     if (vecs.isEmpty) throw new NoSuchElementException("pqCodebooks: empty corpus")
     val dim = vecs(0).length
     require(dim % m == 0, s"pqCodebooks: dim $dim not divisible into $m subspaces")
@@ -507,7 +525,7 @@ object Similarity {
     */
   def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
                    nList: Int, iters: Int = 2,
-                   maxTrainVectors: Int = 100000): Array[Array[Float]] = {
+                   maxTrainVectors: Int = DefaultTrainVectors): Array[Array[Float]] = {
     if (maxTrainVectors > LocalTrainRowCap)
       return ivfCentroidsDistributed(df, idCol, vecCol, nList, iters, maxTrainVectors)
     // Train the quantizer on a bounded, deterministic hash-ordered
@@ -535,9 +553,11 @@ object Similarity {
     */
   private val LocalTrainRowCap = 1 << 20
 
-  /** pqCodebooks' sample bound (the [[ivfCentroids]] default — the two
-    * must stay in sync so pq subspace training sees the same rows). */
-  private val DefaultTrainVectors = 100000
+  /** The SHARED default training-sample bound: both [[ivfCentroids]]
+    * and [[pqCodebooks]] default their `maxTrainVectors` to this one
+    * constant, so coarse and subspace quantizers train on the same
+    * rows unless a caller explicitly decouples them. */
+  private[graft] val DefaultTrainVectors = 100000
 
   /** The bounded, deterministic, hash-ordered training sample of
     * [[ivfCentroids]], collected to the driver: ≤ maxTrainVectors rows
@@ -554,8 +574,15 @@ object Similarity {
   }
 
   /** Natural JVM ordering for collected id values — identical to
-    * Spark's sort order for the numeric ids the ANN family requires
-    * (and for ASCII strings). Nulls first, like Spark ASC NULLS FIRST.
+    * Spark's sort order for every id type the ANN family accepts.
+    * Nulls first, like Spark ASC NULLS FIRST. Strings compare by
+    * UNSIGNED UTF-8 BYTES (UTF8String's binary order — what Spark's
+    * UTF8_BINARY sort uses), NOT String.compareTo: the UTF-16
+    * code-unit order diverges when supplementary-plane code points
+    * (surrogate pairs, 0xD800-prefixed units) mix with U+E000–U+FFFF,
+    * and a drifted tie-break here would desync the local trainer's
+    * init/reseed from [[ivfCentroidsDistributed]] and the SQL oracle
+    * (IvfLocalTrainerSpec pins a non-BMP string-id case).
     */
   private val idOrdering: Ordering[Any] = new Ordering[Any] {
     def compare(x: Any, y: Any): Int = (x, y) match {
@@ -564,6 +591,9 @@ object Similarity {
       case (_, null) => 1
       case (a: java.lang.Double, b: java.lang.Double) => java.lang.Double.compare(a, b)
       case (a: java.lang.Float, b: java.lang.Float) => java.lang.Float.compare(a, b)
+      case (a: String, b: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
       case (a: Comparable[_], b) => a.asInstanceOf[Comparable[Any]].compareTo(b)
       case _ => throw new IllegalArgumentException(s"unorderable id: $x")
     }

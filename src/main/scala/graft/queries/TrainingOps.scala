@@ -4523,8 +4523,18 @@ object TrainingOps {
             concat(b, lit("/cb")).as("dst")))
           .unionByName(nineteenth.select(concat(b, lit("/cb")).as("src"),
             concat(b, lit("/ca")).as("dst")))
+        // The prior map is the fixture here, not the work under test:
+        // resolveIncremental reads `resolved` from THREE plan branches
+        // (oldTerm, oldCyc, the left_anti), and without a snapshot each
+        // re-executes resolve's terminal join. One eager query-def-level
+        // snapshot (inside the timed region — recomputed every run)
+        // makes the prior map the leaf a stored resolution table would
+        // be in production, so the entry times the incremental operator
+        // itself (VERDICT r16 #6; the reverted in-operator attempt was
+        // the wrong layer — operators must not pay an extra pass for
+        // callers whose input is already a table).
         val resolved = graft.operators.Redirects.resolve(
-          oldEdges, rounds = 3, graphPartitions = 4)
+          oldEdges, rounds = 3, graphPartitions = 4).localCheckpoint(true)
         val newEdges = d
           .select(concat(b, lit("/x1")).as("src"), concat(b, lit("/r"), L).as("dst"))
           .unionByName(d.select(concat(b, lit("/x2")).as("src"),

@@ -120,4 +120,54 @@ class GraftFunctionsSpec extends SparkSpec {
       .where(org.apache.spark.sql.functions.col("k") =!= org.apache.spark.sql.functions.col("e")).count()
     assert(d == 0L, s"$d corpus rows diverge")
   }
+
+  test("int64 dot / hamming kernels == the HOF forms they replace, null and length semantics included") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // edges: equal lengths, UNEQUAL lengths (HOF → null via zip_with
+    // padding), empty arrays, a null element, a null array, wrapping
+    // int64 products, and packed-signature blocks for hamming
+    val df = Seq(
+      (1L, Array(1L, 2L, 3L), Array(4L, 5L, 6L)),
+      (2L, Array(127L, -127L), Array(-127L, 127L)),
+      (3L, Array.empty[Long], Array.empty[Long]),
+      (4L, Array(1L, 2L), Array(1L, 2L, 3L)), // length mismatch -> null
+      (5L, Array(3037000498L, -3037000498L), Array(3037000498L, 3037000498L)), // near-overflow products
+      (6L, null.asInstanceOf[Array[Long]], Array(1L)),
+      (7L, Array(0x0F0FL, -1L, 0L), Array(0xF0F0L, 0L, 0L))
+    ).toDF("id", "a", "b")
+      // a null ELEMENT (Seq of boxed longs keeps containsNull=true)
+      .union(Seq((8L, Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](1L, 2L, 3L)))
+        .toDF("id", "a", "b"))
+    val hofDot = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    val hofHam = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (s, x) => s + x)
+    val rows = df.select(col("id"),
+      Kernels.vecDotLong(col("a"), col("b")).as("kd"), hofDot.as("hd"),
+      Kernels.hammingDist(col("a"), col("b")).as("kh"), hofHam.as("hh")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"dot null mismatch at id ${r.getLong(0)}: $r")
+      if (!r.isNullAt(1)) assert(r.getLong(1) == r.getLong(2), s"dot diverges at id ${r.getLong(0)}: $r")
+      assert(r.isNullAt(3) == r.isNullAt(4), s"hamming null mismatch at id ${r.getLong(0)}: $r")
+      if (!r.isNullAt(3)) assert(r.getLong(3) == r.getLong(4), s"hamming diverges at id ${r.getLong(0)}: $r")
+    }
+    // overflow fails LOUD in both forms (ANSI engine-wide): the HOF
+    // raises Spark's ANSI arithmetic error, the kernel Math.*Exact's
+    // ArithmeticException — never a silently wrapped score
+    val of = Seq((Array(Long.MaxValue, 2L), Array(3L, 1L))).toDF("a", "b")
+    intercept[Exception] { of.select(hofDot).collect() }
+    intercept[Exception] { of.select(Kernels.vecDotLong(col("a"), col("b"))).collect() }
+    // corpus parity on the real quantized vectors (the int8TopK shape)
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = graft.operators.Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    val diverged = q.as("x").join(q.as("y"), col("x.id") < col("y.id"))
+      .select(
+        Kernels.vecDotLong(col("x.q"), col("y.q")).as("kd"),
+        aggregate(zip_with(col("x.q"), col("y.q"), (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v).as("hd"))
+      .where(!(col("kd") <=> col("hd"))).count()
+    assert(diverged == 0L, s"$diverged quantized pairs diverge")
+  }
 }

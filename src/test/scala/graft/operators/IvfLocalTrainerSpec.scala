@@ -86,6 +86,37 @@ class IvfLocalTrainerSpec extends SparkSpec {
       "string ids")
   }
 
+  test("lloydLocal orders SUPPLEMENTARY-PLANE string ids by UTF-8 bytes, not UTF-16 units") {
+    // U+1F600 (surrogate pair D83D DE00; UTF-8 F0 9F 98 80) vs
+    // U+FFFD (UTF-8 EF BF BD): Java String.compareTo orders the
+    // surrogate FIRST (0xD83D < 0xFFFD) while Spark's UTF8_BINARY sort
+    // orders it LAST (0xF0 > 0xEF) -- the divergence ADVICE r16
+    // flagged. The distributed trainer cannot run on these ids at all
+    // (the affine train key's string->numeric cast errors under ANSI),
+    // so pin lloydLocal's init DIRECTLY: with nList == n and iters = 0,
+    // the centroids ARE the vectors in id order, and Spark's binary
+    // order puts the U+FFFD id first. A UTF-16 comparator flips them.
+    val ids: Array[Any] = Array("\ud83d\ude00a", "\ufffda")
+    val vecs = Array(Array(1f, 0f), Array(0f, 1f))
+    val cents = Similarity.lloydLocal(ids, vecs, nList = 2, iters = 0)
+    assert(cents(0).toSeq == Seq(0f, 1f) && cents(1).toSeq == Seq(1f, 0f),
+      s"init order must follow UTF-8 byte order (U+FFFD < U+1F600): ${cents.map(_.toSeq).toSeq}")
+  }
+
+  test("pqCodebooks honors an over-cap maxTrainVectors by falling back to the distributed trainer") {
+    // the r16 guard compared two constants and was statically dead
+    // (ADVICE r16) — maxTrainVectors is a real parameter now; the
+    // over-cap path must produce the same codebooks as the local one
+    // (same sample: the corpus is far below either bound)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val local = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 2, ksub = 4)
+    val dist = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 2, ksub = 4,
+      maxTrainVectors = (1 << 20) + 1)
+    local.zip(dist).zipWithIndex.foreach { case ((l, d), s) =>
+      assertSame(l, d, s"subspace $s (over-cap fallback)")
+    }
+  }
+
   test("pqCodebooks (shared-sample local slices) == per-subspace distributed") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val local = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, ksub = 8)

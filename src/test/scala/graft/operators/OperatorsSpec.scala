@@ -692,6 +692,37 @@ class OperatorsSpec extends SparkSpec {
     }, "each direction keeps exactly its lowest id")
   }
 
+  test("semantic dedup fused keep rule == independent argmin(cc, id) per component") {
+    // r17 fused the representative selection (was: two corpus joins +
+    // a corpus-wide aggregation; now: one window over the dup-graph
+    // subset). The keep rule's CONTRACT is unchanged: within each
+    // multi-member group, keep exactly the member with the smallest
+    // (centroid-cosine, id) — re-derive cc independently through the
+    // same public quantizer APIs and check the keeper is that argmin.
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding", eps = 0.4, nList = 16)
+      .select("id", "grp", "keep")
+    val unit = Similarity.unitNorm(
+      Similarity.ivfCentroids(emb, "vec_id", "embedding", nList = 16, iters = 2))
+    val cc = emb.select(col("vec_id").as("id"),
+        graft.functions.Kernels.ivfAssign(col("embedding"), unit).as("list"),
+        graft.functions.Kernels.ivfScores(col("embedding"), unit).as("scores"),
+        graft.functions.Kernels.vecNorm2(col("embedding")).as("nrm"))
+      .select(col("id"),
+        when(col("nrm") === 0d, lit(-1d)).otherwise(
+          element_at(col("scores"), col("list") + 1) / sqrt(col("nrm"))).as("cc"))
+    val rows = out.join(cc, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getDouble(3)))
+    rows.groupBy(_._2).foreach { case (g, members) =>
+      val keepers = members.filter(_._3).map(_._1)
+      assert(keepers.length == 1, s"group $g keeps ${keepers.length}")
+      if (members.length > 1) {
+        val argmin = members.minBy(m => (m._4, m._1))._1
+        assert(keepers.head == argmin,
+          s"group $g keeps ${keepers.head}, argmin(cc,id) is $argmin")
+      } else assert(keepers.head == members.head._1)
+    }
+  }
+
   test("semantic dedup occupancy cap is conservative: capped-out lists dedup nothing") {
     // cap 0 excludes every list from pairing — all rows survive as
     // their own singleton group (skipped, not guessed)
