@@ -223,12 +223,14 @@ object Sampling {
     * temperature → ∞ approaches uniform, 2 (the common default) damps
     * head sources and boosts the tail. Source totals are ONE
     * partial-aggregated pass whose output is source-cardinality-sized
-    * (the bounded-model contract, like IVF centroids); budgets compute
-    * driver-side with a DETERMINISTIC fold — sources sorted
-    * lexicographically, sqrt (IEEE-correctly-rounded, engine-exact) for
+    * (the bounded-model contract, like IVF centroids); budgets stay a
+    * DISTRIBUTED broadcast frame with a DETERMINISTIC normalizer fold
+    * — sources sorted lexicographically (binary UTF-8, Spark's own
+    * sort), sqrt (IEEE-correctly-rounded, engine-exact) for
     * temperature 2, floor to integer tokens — so an external engine
-    * re-derives identical budgets, then the cut is
-    * [[mixtureByTokenBudget]] unchanged.
+    * re-derives identical budgets, then the cut is the
+    * [[mixtureByTokenBudget]] shape with the budget joined instead of
+    * inlined.
     */
   def mixtureByTemperature(
       df: DataFrame, groupCol: String, keyCol: String, tokCol: String,
@@ -236,23 +238,34 @@ object Sampling {
       seed: Int = 0, buckets: Int = 32): DataFrame = {
     require(totalBudget > 0, "totalBudget must be positive")
     require(temperature > 0, "temperature must be positive")
-    val totals = df.groupBy(groupCol).agg(sum(tokCol).as("__n"))
-      .collect().map(r => r.get(0).toString -> r.getLong(1))
-      .sortBy(_._1)
-    // sqrt for the common temperature: correctly rounded by IEEE 754 on
-    // every engine, unlike pow, so the budget boundary can't drift
-    val weights = totals.map { case (g, n) =>
-      val x = n.toDouble
-      g -> (if (temperature == 2.0) math.sqrt(x) else math.pow(x, 1.0 / temperature))
-    }
-    val z = weights.foldLeft(0.0)(_ + _._2)
-    val budget = weights.map { case (g, w) =>
-      g -> math.floor(totalBudget * w / z).toLong
-    }.toMap
-    val budgetExpr = budget.foldLeft(lit(0L)) { case (acc, (g, b)) =>
-      when(col(groupCol) === g, lit(b)).otherwise(acc)
-    }
-    mixtureByTokenBudget(df, groupCol, keyCol, tokCol, _ => budgetExpr, seed, buckets)
+    // Budgets stay DISTRIBUTED (r17; was a driver collect + a CASE
+    // chain one `when` deep per source): the source-cardinality-sized
+    // budget frame broadcast-joins into the cut, which removes the
+    // collect round-trip AND the O(|sources|)-deep expression tree a
+    // 100 TB corpus's thousands of sources would hand codegen. The
+    // normalizer z still folds sqrt-weights IN LEXICOGRAPHIC SOURCE
+    // ORDER (float addition is order-sensitive): array_sort over
+    // struct(source, w) then a left-to-right fold — Spark's binary
+    // UTF-8 sort, the same order an external SQL engine's
+    // list(w ORDER BY source) fold uses. sqrt for the common
+    // temperature: correctly rounded by IEEE 754 on every engine,
+    // unlike pow, so the budget boundary can't drift.
+    val wCol =
+      if (temperature == 2.0) sqrt(col("__n").cast("double"))
+      else pow(col("__n").cast("double"), lit(1.0 / temperature))
+    val weights = df.groupBy(groupCol).agg(sum(tokCol).as("__n"))
+      .select(col(groupCol), wCol.as("__w"))
+    val z = weights.agg(
+      aggregate(
+        array_sort(collect_list(struct(col(groupCol).as("g"), col("__w").as("w")))),
+        lit(0.0), (acc, x) => acc + x.getField("w")).as("__z"))
+    val budgets = weights.crossJoin(broadcast(z))
+      .select(col(groupCol),
+        floor(lit(totalBudget.toDouble) * col("__w") / col("__z")).cast("long").as("__budget"))
+    groupedHashCumsum(df, groupCol, keyCol, tokCol, seed, buckets)
+      .join(broadcast(budgets), Seq(groupCol))
+      .filter(col("cum_tokens") <= col("__budget"))
+      .drop("__budget")
   }
 
   /** Deterministic weighted source interleaving (stride scheduling):

@@ -182,7 +182,19 @@ object TextSim {
     // same int64 sum of the same values per (query, doc). On the
     // all-stopword adversarial corpus (ta_bm25: every term matches
     // ~every probe) this cuts the scoring arithmetic ~50×.
+    //
+    // Postings are SEMI-JOINED against the distinct probe-term set
+    // BEFORE the scoring projection (r17, ADVICE r16): the r16 shape
+    // paid the impact arithmetic for every posting in the index even
+    // when a small selective query batch matched a sliver of it — the
+    // regression case for a large persisted index. The semi join is
+    // one broadcast hash probe per posting (strictly cheaper than the
+    // CASE chains it gates), drops nothing the scoring join would
+    // have kept, and on the adversarial all-match corpus it is a
+    // no-op that the A/B measured inside noise.
+    val qw = broadcast(qt.select("__w").distinct())
     val scored = index.postings
+      .join(qw, Seq("__w"), "left_semi")
       .crossJoin(broadcast(index.stats))
       // Overflow-safe exact arithmetic WITHOUT paying decimal on the
       // hot path: with int64, idf (~667·N for rare terms) times
